@@ -1,0 +1,41 @@
+"""Parquet table catalog over the driver-generated TESTDATA directories.
+
+Replaces the reference's `SELECT * FROM etl.<table>` scans
+(`SQL/etl_world_banks_workings.sql:1-3`) with parquet scans that Catalyst
+can prune and push filters into. Never infers schemas for the reference
+tables; TESTDATA parquet carries its own footer schema.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Load one TESTDATA table. Parquet scan → pushdown + pruning for free."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; one of {TABLE_NAMES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every TESTDATA table as a temp view for spark.sql queries."""
+    for name in TABLE_NAMES:
+        load(spark, name, sf_dir).createOrReplaceTempView(name)
