@@ -1,0 +1,129 @@
+"""Cross-engine deterministic hashing/tokenizing column builders.
+
+Every helper here has an exactly-equivalent ANSI/DuckDB SQL form, so
+operators built on them can be verified hash-for-hash against the DuckDB
+oracle. Spark's native ``hash()`` (murmur3) and ``xxhash64`` have no DuckDB
+twin, hence the explicit constructions:
+
+  * ``ws_tokens``      whitespace tokens of lower(trim(text))
+  * ``char_poly_hash`` polynomial rolling hash over characters, mod 1e9+7
+  * ``word_shingles``  n-word shingles (strings), distinct
+
+All are pure JVM-side expressions (no Python UDFs): split/transform/
+aggregate stay inside whole-stage codegen / vectorized evaluation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+POLY_MOD = 1_000_000_007
+POLY_BASE = 31
+MINHASH_MOD = 2_147_483_647  # 2^31 - 1
+
+# Fixed (a, b) parameters for the k minhash permutations h_i(x) = (a*x+b) % MOD.
+# a*x stays < 2^63 for x < 1e9+7 and a <= 1000.
+MINHASH_PARAMS = [
+    (7, 3),
+    (13, 101),
+    (31, 271),
+    (61, 1009),
+    (131, 8191),
+    (251, 524287),
+    (509, 131071),
+    (1021, 2027),
+]
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokens of the lowercased, trimmed text.
+
+    DuckDB twin: ``string_split_regex(trim(lower(x)), '\\s+')``.
+    Note both engines yield a single empty-string token for empty input;
+    guard with ``F.when`` where a true 0-count matters.
+    """
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def char_poly_hash(col: Column) -> Column:
+    """Polynomial hash over characters: fold (acc*31 + ascii(c)) % (1e9+7).
+
+    DuckDB twin:
+      ``list_reduce(list_prepend(0, [ascii(c) for c in string_split(x,'')]),
+                    (a, b) -> (a * 31 + b) % 1000000007)``
+    (prepend the zero accumulator; DuckDB's list_reduce has no init arg).
+    Cheap, deterministic, engine-portable; NOT cryptographic.
+    """
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * POLY_BASE + F.ascii(c)) % POLY_MOD,
+    )
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (space-joined) from a token array.
+
+    Guarded against the short-input case: Spark's ``sequence(1, 0)``
+    counts DOWN, so an unguarded expression would fabricate shingles for
+    texts shorter than n tokens.
+
+    DuckDB twin:
+      ``list_distinct([w[i]||' '||...||w[i+n-1]
+                       for i in generate_series(1, greatest(len(w)-n+1, 0))])``
+    (DuckDB's generate_series(1,0) is empty, no guard needed there).
+    """
+    parts = lambda i: [F.element_at(tokens, i + off) for off in range(n)]  # noqa: E731
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.concat_ws(" ", *parts(i)),
+    )
+    return F.array_distinct(
+        F.when(F.size(tokens) >= n, make).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def minhash_signature(shingles: Column, k: int = 8) -> Column:
+    """k-element minhash signature over a shingle array.
+
+    Each shingle is first reduced to an integer with ``char_poly_hash``'s
+    formula, then permuted through k affine hashes; the signature element i
+    is the minimum of permutation i. Empty shingle sets map to MINHASH_MOD
+    (an impossible hash value) so they never collide with real signatures.
+    """
+    hashes = F.transform(
+        shingles,
+        lambda s: F.aggregate(
+            F.split(s, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * POLY_BASE + F.ascii(c)) % POLY_MOD,
+        ),
+    )
+    sig = F.array(
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_MOD)
+                ),
+                F.lit(MINHASH_MOD).cast("long"),
+            )
+            for a, b in MINHASH_PARAMS[:k]
+        ]
+    )
+    return sig
+
+
+def minhash_sql_exprs(shingles_expr: str, k: int = 8) -> list[str]:
+    """DuckDB SQL expressions mirroring ``minhash_signature`` element-wise.
+
+    ``shingles_expr`` must name a LIST(VARCHAR) column in scope.
+    """
+    hash_list = (
+        f"[list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split(s, '')]),"
+        f" (a, b) -> (a * {POLY_BASE} + b) % {POLY_MOD}) for s in {shingles_expr}]"
+    )
+    return [
+        f"coalesce(list_min([({a} * h + {b}) % {MINHASH_MOD} for h in {hash_list}]), {MINHASH_MOD})"
+        for a, b in MINHASH_PARAMS[:k]
+    ]

@@ -1,0 +1,222 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of this module -- see SURVEY.md north-star):
+
+  * exact_duplicates      one hash-groupBy; map-side partial agg, single
+                          shuffle on the 128-bit content hash.
+  * ngram_jaccard_pairs   EXACT similarity join via an inverted shingle
+                          index (explode -> equi-join on shingle -> count
+                          common) instead of the O(n^2) cross join. Shuffle
+                          keys are shingles; ultra-frequent shingles are the
+                          skew risk at 100 TB -- ``max_shingle_df`` drops
+                          shingles occurring in more than that many docs
+                          (exactness caveat documented on the parameter).
+  * minhash_lsh_pairs     candidate generation in O(n * bands) via banded
+                          signature buckets, then exact-Jaccard
+                          verification of candidates only. All hashing is
+                          the portable polynomial scheme from
+                          functions.xhash, so the whole pipeline (signature
+                          -> bands -> candidates -> verify) is
+                          deterministically reproducible in the DuckDB
+                          oracle.
+  * simhash               64->16-bit sign-aggregated token-hash sketch per
+                          doc; near-dup candidates = equal sketch.
+
+No Python UDFs anywhere: split/transform/aggregate/explode only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.xhash import (
+    MINHASH_MOD,
+    POLY_BASE,
+    POLY_MOD,
+    minhash_signature,
+    word_shingles,
+    ws_tokens,
+)
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (content md5, n_copies, keep_id).
+
+    keep_id = min id per group (the canonical survivor). Only groups with
+    more than one member are duplicates, but singletons are returned too so
+    the output doubles as a content-hash manifest; filter n_copies > 1 for
+    the dedup decision.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, distinct n-word shingles) per document."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(ws_tokens(F.col(text_col)), n=n).alias("sh"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard near-duplicate pairs (doc_a < doc_b, j >= t).
+
+    Inverted-index algorithm: explode shingles, self-equi-join on the
+    shingle, count common shingles per pair, compute |A∩B| / |A∪B|.
+    Exact (no candidate misses) because every qualifying pair shares at
+    least one shingle. ``max_shingle_df`` (optional) drops shingles present
+    in more than N docs before the join -- the standard skew guard at scale;
+    it can only *miss* pairs whose every common shingle is ultra-frequent,
+    so leave it None when exactness is required (the oracle-checked config).
+    """
+    sets = shingle_sets(df, text_col, id_col, n)
+    ex = sets.select("doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("g"))
+    if max_shingle_df is not None:
+        freq = ex.groupBy("g").agg(F.count("*").alias("df"))
+        ex = ex.join(freq.filter(F.col("df") <= max_shingle_df).select("g"), "g", "inner")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+        )
+        .agg(F.count("*").alias("common"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return pairs
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = 8,
+    band_size: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified.
+
+    Pipeline: shingle -> k-element minhash signature -> split into
+    k/band_size bands -> bucket-join docs sharing any band -> verify each
+    candidate pair's TRUE Jaccard and keep >= threshold. Output therefore
+    has no false positives; recall is governed by the (k, band_size)
+    S-curve. Deterministic end to end (portable polynomial hashing), so the
+    oracle replicates it exactly.
+    """
+    assert k % band_size == 0
+    sets = shingle_sets(df, text_col, id_col, n)
+    sigs = sets.select("doc_id", "sh", minhash_signature(F.col("sh"), k=k).alias("sig"))
+
+    n_bands = k // band_size
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[i * band_size + j].cast("string")
+                                for j in range(band_size)
+                            ],
+                        ).alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """16-bit SimHash over distinct whitespace tokens.
+
+    Token -> portable polynomial hash -> per-bit majority vote -> sketch
+    integer. Docs with equal sketches are near-dup candidates (Hamming-0
+    bucketing; multi-probe Hamming-k would explode neighboring sketches).
+    """
+    toks = F.array_distinct(ws_tokens(F.col(text_col)))
+    hashes = F.transform(
+        toks,
+        lambda s: F.aggregate(
+            F.split(s, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * POLY_BASE + F.ascii(c)) % POLY_MOD,
+        ),
+    )
+    n = F.size(toks)
+
+    # NB: HOF lambdas must be single-parameter -- PySpark treats a 2-arg
+    # callable as (element, index), so binding the bit via a default arg
+    # would silently receive the array index instead.
+    def bit_pred(b: int):
+        return lambda h: (F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+
+    bit_terms = []
+    for bit in range(bits):
+        ones = F.size(F.filter(hashes, bit_pred(bit)))
+        bit_terms.append(F.when(ones * 2 > n, F.lit(2**bit)).otherwise(F.lit(0)))
+    sketch = bit_terms[0]
+    for t in bit_terms[1:]:
+        sketch = sketch + t
+    return df.select(F.col(id_col).alias("doc_id"), sketch.cast("long").alias("simhash"))

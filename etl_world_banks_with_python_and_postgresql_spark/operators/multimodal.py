@@ -1,0 +1,85 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested -- binary columns, Arrow-batched
+``mapInPandas`` with an explicit output schema, partition-sized batches.
+The actual codec calls are STUBBED (Pillow/ffmpeg are not in this
+container): ``decode_image_meta`` runs a deterministic fake "decode" that
+derives metadata purely from the byte payload, and ``decode_image_pixels``
+raises NotImplementedError at the exact point a codec would be invoked.
+
+At 100 TB the pattern holds: binaries stay columnar in parquet, decode
+happens inside mapInPandas per Arrow batch (no per-row Python), and
+metadata-only queries never touch the heavy bytes thanks to parquet column
+pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, format string"
+)
+
+
+def attach_fake_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Derive an opaque binary payload column (utf-8 bytes of the text).
+
+    Stands in for reading real image bytes; everything downstream treats it
+    as an opaque blob, exactly as a real pipeline would.
+    """
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+def fake_decode_meta(n_bytes: int) -> tuple[int, int, str]:
+    """Deterministic stand-in for an image header parse.
+
+    A real implementation would be `PIL.Image.open(io.BytesIO(b))`; the
+    fake derives (width, height, format) from the byte length only, so the
+    oracle can verify the distributed plumbing end-to-end.
+    """
+    return 64 + n_bytes % 512, 64 + (n_bytes * 7) % 512, "FAKE"
+
+
+def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Extract image metadata via Arrow-batched mapInPandas.
+
+    Output: (doc_id, n_bytes, width, height, format). Batches arrive as
+    pandas DataFrames (one per Arrow batch), so the per-record Python cost
+    is vectorized away.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf[payload_col].map(len)
+            meta = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int64"),
+                    "width": (64 + n % 512).astype("int32"),
+                    "height": (64 + (n * 7) % 512).astype("int32"),
+                    "format": "FAKE",
+                }
+            )
+            yield meta
+
+    return df.select("doc_id", payload_col).mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+def decode_image_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Full pixel decode -- requires a codec library; stubbed in this image."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "pixel decode requires an image codec (PIL/opencv), not present "
+            "in this container; plug the real decoder into this mapInPandas"
+        )
+        yield  # pragma: no cover
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        decode, "doc_id long, pixels array<int>"
+    )

@@ -1,0 +1,127 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure JVM-side column expressions (split/transform/aggregate/regexp --
+whole-stage codegen; no Python UDFs in the hot path), each with an exact
+DuckDB-SQL twin so the driver's oracle gate verifies them hash-for-hash.
+
+Operators: token stats, quality scoring, n-gram-heuristic language ID,
+polynomial document fingerprinting. The reference repo has no text surface;
+these extend the engine per the north-star brief (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.xhash import POLY_BASE, POLY_MOD, ws_tokens
+
+# Tiny stopword lexicons for the language-ID heuristic. Deliberately small so
+# the oracle SQL stays readable; real pipelines would swap in fastText or CLD3
+# via a pandas_udf (same plumbing, different scorer).
+LANG_LEXICONS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+}
+
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for blank text (both engines emit a single
+    empty token for '', so the blank case is special-cased)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(ws_tokens(text))
+    )
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens, n_chars_measured, avg token length (4 dp)."""
+    t = F.col(text_col)
+    toks = ws_tokens(t)
+    return df.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars_measured"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword-ratio quality features + composite score."""
+    t = F.col(text_col)
+    toks = ws_tokens(t)
+    en = F.array(*[F.lit(w) for w in LANG_LEXICONS["en"]])
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    # keep ratios RAW inside the composite: rounding an intermediate puts
+    # the scaled value on exact decimal .5 boundaries where Spark
+    # (shortest-repr HALF_UP) and the DuckDB oracle (binary-value rounding)
+    # legitimately disagree; raw rationals avoid the boundary entirely
+    punct_raw = F.regexp_count(t, F.lit(PUNCT_CLASS)) / F.greatest(F.length(t), F.lit(1))
+    stop_raw = F.size(F.filter(toks, lambda w: F.array_contains(en, w))) / n_tok
+    return df.select(
+        "doc_id",
+        F.length(t).alias("n_chars_measured"),
+        token_count(t).alias("n_tokens"),
+        F.round(punct_raw, 6).alias("punct_ratio"),
+        F.round(stop_raw, 6).alias("stopword_ratio"),
+        # heuristic quality: long enough, some stopwords, not punctuation soup
+        F.round(
+            F.least(F.length(t) / F.lit(500.0), F.lit(1.0)) * 0.5
+            + F.least(stop_raw * 5, F.lit(1.0)) * 0.3
+            + (1 - F.least(punct_raw * 10, F.lit(1.0))) * 0.2,
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword-heuristic language ID.
+
+    Scores each language by its lexicon hit-ratio over whitespace tokens;
+    CJK-dominant texts short-circuit to 'zh' via a codepoint-class count.
+    Deterministic argmax (ties broken by language code order).
+    """
+    t = F.col(text_col)
+    toks = ws_tokens(t)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    # single-param lambda via factory: a 2-arg lambda would be misread by
+    # PySpark's HOF binding as (element, index)
+    def lex_filter(lex: list[str]):
+        arr = F.array(*[F.lit(x) for x in lex])
+        return lambda w: F.array_contains(arr, w)
+
+    scores = {
+        lang: F.size(F.filter(toks, lex_filter(lex))) / n_tok
+        for lang, lex in LANG_LEXICONS.items()
+    }
+    cjk_ratio = F.regexp_count(t, F.lit("[\\u4e00-\\u9fff]")) / F.greatest(
+        F.length(t), F.lit(1)
+    )
+    mx = F.greatest(*scores.values())
+    # first-match-wins over a fixed preference order = deterministic tie-break
+    pred = F.when(cjk_ratio > 0.05, F.lit("zh"))
+    for lang in ("en", "de", "es", "fr"):
+        pred = pred.when(scores[lang] == mx, F.lit(lang))
+    return df.select("doc_id", pred.otherwise(F.lit("unknown")).alias("pred_lang"))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", prefix_len: int = 64) -> DataFrame:
+    """Polynomial rolling-hash fingerprint of the normalized text prefix.
+
+    Portable (DuckDB twin via list_reduce) and cheap; used for fast
+    exact-prefix duplicate bucketing at scale.
+    """
+    t = F.substring(F.trim(F.lower(F.col(text_col))), 1, prefix_len)
+    fp = F.aggregate(
+        F.split(t, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * POLY_BASE + F.ascii(c)) % POLY_MOD,
+    )
+    return df.select("doc_id", fp.alias("fingerprint"))

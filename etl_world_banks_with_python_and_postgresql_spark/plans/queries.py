@@ -1,0 +1,1125 @@
+"""Verified query registry: every operator family from SURVEY.md §2 plus the
+north-star extensions, each as (Spark callable, DuckDB oracle SQL).
+
+The driver runs the Spark side and the oracle side on the same parquet
+tables at sf=0.01 and hash-compares rows (order-insensitive, columns sorted
+by name) -- so every computed column is aliased identically on both sides,
+money aggregates are rounded to 2 dp and ratios to 4-6 dp to absorb
+floating-point summation-order noise, and every LIMIT query carries a total
+deterministic ORDER BY.
+
+Conventions: callables take (spark, sf_dir) and return a DataFrame; oracle
+SQL references the pre-registered view names (region nation customer
+supplier part orders lineitem events documents embeddings).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions import xhash
+from ..operators import dedup, multimodal, sessionize, similarity, text
+from ..operators.merge import classify
+from ..sources.catalog import load
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    description: str
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None, description: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = Query(name, fn, oracle, description)
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Core relational surface (SURVEY §2.2-§2.6 built-in operator families)
+# =====================================================================
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    description="TPC-H Q1 shape: scan+filter+groupBy with 8 aggregates",
+)
+def q01(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_top_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    description="global sort + limit (top-k) with deterministic tie-break",
+)
+def q02(spark, sf_dir):
+    return (
+        load(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q03_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    description="TPC-H Q3 shape: 3-way join + agg + ordered top-k",
+)
+def q03(spark, sf_dir):
+    c = load(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    li = load(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q04_priority_semijoin",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+""",
+    description="EXISTS as left-semi join + agg (TPC-H Q4 shape)",
+)
+def q04(spark, sf_dir):
+    o = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir).filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q05_region_revenue",
+    oracle="""
+SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    description="5-way star join (broadcast dims) + two-level agg",
+)
+def q05(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    r = load(spark, "region", sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q06_forecast_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25
+""",
+    description="TPC-H Q6: tight filter + single agg (pushdown showcase)",
+)
+def q06(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir)
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 25)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+@query(
+    "q07_customer_order_stats",
+    oracle="""
+SELECT c_custkey, c_name,
+       count(o_orderkey)                        AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+    description="left outer join + null-preserving aggregation",
+)
+def q07(spark, sf_dir):
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "q08_semi_high_value",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+""",
+    description="left-semi join (J1 existence probe, SURVEY §2.3)",
+)
+def q08(spark, sf_dir):
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q09_anti_no_orders",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    description="left-anti join (J3 stale detection shape, SURVEY §2.3)",
+)
+def q09(spark, sf_dir):
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q10_full_outer_presence",
+    oracle="""
+WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+           FROM customer WHERE c_nationkey < 20 GROUP BY 1),
+     s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+           FROM supplier WHERE s_nationkey > 5 GROUP BY 1)
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""",
+    description="full outer join with unmatched rows on both sides (Q2 merge shape)",
+)
+def q10(spark, sf_dir):
+    c = (
+        load(spark, "customer", sf_dir)
+        .filter(F.col("c_nationkey") < 20)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load(spark, "supplier", sf_dir)
+        .filter(F.col("s_nationkey") > 5)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "q11_cross_region_pairs",
+    oracle="""
+SELECT a.r_name AS region_a, b.r_name AS region_b
+FROM region a CROSS JOIN region b
+WHERE a.r_name < b.r_name
+""",
+    description="cross join (nested-loop) over small dims",
+)
+def q11(spark, sf_dir):
+    r = load(spark, "region", sf_dir)
+    a = r.select(F.col("r_name").alias("region_a"))
+    b = r.select(F.col("r_name").alias("region_b"))
+    return a.crossJoin(b).filter(F.col("region_a") < F.col("region_b"))
+
+
+@query(
+    "q12_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    description="hierarchical subtotals via ROLLUP",
+)
+def q12(spark, sf_dir):
+    return (
+        load(spark, "lineitem", sf_dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q13_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    description="full cross-dimensional subtotals via CUBE",
+)
+def q13(spark, sf_dir):
+    return (
+        load(spark, "orders", sf_dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("sum_price"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q14_grouping_sets",
+    oracle="""
+SELECT p_brand, p_type, count(*) AS n, round(sum(p_retailprice), 2) AS sum_price
+FROM part GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+""",
+    description="explicit GROUPING SETS",
+)
+def q14(spark, sf_dir):
+    load(spark, "part", sf_dir).createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, count(*) AS n, round(sum(p_retailprice), 2) AS sum_price
+        FROM part GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+        """
+    )
+
+
+@query(
+    "q15_distinct_agg",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*)                  AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    description="multiple exact distinct aggregates",
+)
+def q15(spark, sf_dir):
+    return (
+        load(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q16_window_topk_per_group",
+    oracle="""
+SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         (row_number() OVER (PARTITION BY p_brand
+                             ORDER BY p_retailprice DESC, p_partkey))::INT AS rnk
+  FROM part) WHERE rnk <= 3
+""",
+    description="top-k per group via ranking window",
+)
+def q16(spark, sf_dir):
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        load(spark, "part", sf_dir)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+    )
+
+
+@query(
+    "q17_window_running",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+       lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       (rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))::INT AS price_rank
+FROM orders WHERE o_custkey % 100 = 0
+""",
+    description="running sum + lag + rank analytic windows",
+)
+def q17(spark, sf_dir):
+    o = load(spark, "orders", sf_dir).filter(F.col("o_custkey") % 100 == 0)
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(wo.rowsBetween(W.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+        F.lag("o_totalprice").over(wo).alias("prev_price"),
+        F.rank().over(wr).alias("price_rank"),
+    )
+
+
+@query(
+    "q18_pivot",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+FROM lineitem GROUP BY l_returnflag
+""",
+    description="pivot on linestatus (conditional aggregation form)",
+)
+def q18(spark, sf_dir):
+    return (
+        load(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@query(
+    "q19_set_ops",
+    oracle="""
+SELECT 'union' AS op, nk FROM (
+  SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'intersect', nk FROM (
+  SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'except', nk FROM (
+  SELECT c_nationkey AS nk FROM customer WHERE c_nationkey < 10
+  EXCEPT SELECT s_nationkey FROM supplier WHERE s_nationkey >= 5)
+""",
+    description="UNION / INTERSECT / EXCEPT distinct set semantics",
+)
+def q19(spark, sf_dir):
+    c = load(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("nk"))
+    u = c.union(s).distinct().withColumn("op", F.lit("union"))
+    i = c.intersect(s).withColumn("op", F.lit("intersect"))
+    e = (
+        c.filter(F.col("nk") < 10)
+        .subtract(s.filter(F.col("nk") >= 5))  # EXCEPT (distinct) semantics
+        .withColumn("op", F.lit("except"))
+    )
+    return u.unionByName(i).unionByName(e).select("op", "nk")
+
+
+@query(
+    "q20_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name)                          AS name_upper,
+       length(p_name)::INT                    AS name_len,
+       substring(p_name, 1, 5)                AS name_prefix,
+       split_part(p_name, ' ', 1)             AS first_word,
+       replace(p_type, 'O', '0')              AS type_leet,
+       concat_ws('|', p_brand, p_type)        AS brand_type,
+       lpad(p_size::VARCHAR, 4, '0')          AS size_padded,
+       regexp_extract(p_brand, '#(\\d+)', 1)  AS brand_num,
+       trim('  ' || p_name || '  ')           AS trimmed
+FROM part WHERE p_partkey % 10 = 0
+""",
+    description="scalar string function family (P1-P10 SURVEY §2.2)",
+)
+def q20(spark, sf_dir):
+    p = load(spark, "part", sf_dir).filter(F.col("p_partkey") % 10 == 0)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.replace(F.col("p_type"), F.lit("O"), F.lit("0")).alias("type_leet"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_extract(F.col("p_brand"), r"#(\d+)", 1).alias("brand_num"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+    )
+
+
+@query(
+    "q21_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate)::INT                  AS yr,
+       month(o_orderdate)::INT                 AS mon,
+       day(o_orderdate)::INT                   AS dom,
+       quarter(o_orderdate)::INT               AS qtr,
+       (isodow(o_orderdate) - 1)::INT          AS wd,
+       date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
+       o_orderdate::DATE + 30                  AS plus_30,
+       date_diff('day', o_orderdate::DATE, DATE '2000-01-01')::INT AS days_to_y2k,
+       last_day(o_orderdate::DATE)             AS month_end
+FROM orders WHERE o_orderkey % 50 = 0
+""",
+    description="scalar date/time function family (P7-P11 SURVEY §2.2)",
+)
+def q21(spark, sf_dir):
+    o = load(spark, "orders", sf_dir).filter(F.col("o_orderkey") % 50 == 0)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.weekday("o_orderdate").alias("wd"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(d, 30).alias("plus_30"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.last_day(d).alias("month_end"),
+    )
+
+
+@query(
+    "q22_json_extract",
+    oracle="""
+SELECT event_type,
+       count(*)                                          AS n,
+       round(sum(value), 4)                              AS total_value,
+       round(avg(json_extract_string(props, '$.k')::INT), 4) AS avg_k,
+       min(json_extract_string(props, '$.k')::INT)       AS min_k,
+       max(json_extract_string(props, '$.k')::INT)       AS max_k
+FROM events GROUP BY event_type
+""",
+    description="semi-structured JSON column extraction + agg",
+)
+def q22(spark, sf_dir):
+    e = load(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "q23_conditional_agg",
+    oracle="""
+SELECT o_orderstatus,
+       sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END)::BIGINT AS n_large,
+       sum(CASE WHEN o_totalprice <= 200000 THEN 1 ELSE 0 END)::BIGINT AS n_small,
+       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS n_urgent
+FROM orders GROUP BY o_orderstatus
+""",
+    description="mutation-counter style conditional aggregation (A2-A5 SURVEY §2.4)",
+)
+def q23(spark, sf_dir):
+    o = load(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)).alias("n_large"),
+        F.sum(F.when(F.col("o_totalprice") <= 200000, 1).otherwise(0)).alias("n_small"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias(
+            "n_urgent"
+        ),
+    )
+
+
+@query(
+    "q24_tumbling_window",
+    oracle="""
+SELECT time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP) AS win_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    description="tumbling event-time window aggregation (batch form of streaming agg)",
+)
+def q24(spark, sf_dir):
+    e = load(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+@query(
+    "q25_sessionize",
+    oracle="""
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, value FROM events),
+g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, (sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+  FROM g)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 4) AS total_value
+FROM s GROUP BY user_id, session_idx
+""",
+    description="gap-based sessionization (lag + conditional cumsum)",
+)
+def q25(spark, sf_dir):
+    return sessionize.sessionize(load(spark, "events", sf_dir), gap_minutes=30)
+
+
+# =====================================================================
+# SCD merge surface (the reference's centerpiece, SURVEY §2.5)
+# =====================================================================
+
+# Synthetic SCD state carved deterministically out of `supplier` so the
+# merge decision tree is exercised on TESTDATA without extra fixtures:
+#   target: active row per key unless key%7==0 (single inactive), plus a
+#           second inactive row for key%14==0 (-> scalar-subquery error),
+#           plus inactive history for key%5==0 keys that also have actives;
+#   batch:  keys %3==0 (value doubled when %6==0 or %21==0) + new keys +1000.
+_SCD_TARGET_SQL = """
+  SELECT s_suppkey AS k, round(s_acctbal, 2) AS v,
+         (s_suppkey % 7 != 0) AS active FROM supplier
+  UNION ALL
+  SELECT s_suppkey, round(round(s_acctbal, 2) + 100, 2), FALSE
+  FROM supplier WHERE s_suppkey % 14 = 0
+  UNION ALL
+  SELECT s_suppkey, round(round(s_acctbal, 2) - 50, 2), FALSE
+  FROM supplier WHERE s_suppkey % 5 = 0 AND s_suppkey % 7 != 0
+"""
+
+_SCD_BATCH_SQL = """
+  SELECT s_suppkey AS k,
+         CASE WHEN s_suppkey % 6 = 0 OR s_suppkey % 21 = 0
+              THEN round(round(s_acctbal, 2) * 2, 2) ELSE round(s_acctbal, 2) END AS v
+  FROM supplier WHERE s_suppkey % 3 = 0
+  UNION ALL
+  SELECT s_suppkey + 1000, round(s_acctbal, 2)
+  FROM supplier WHERE s_suppkey % 11 = 0
+"""
+
+_SCD_CLASSIFY_SQL = f"""
+WITH target AS ({_SCD_TARGET_SQL}),
+batch AS ({_SCD_BATCH_SQL}),
+prof AS (
+  SELECT k,
+         count(CASE WHEN active THEN 1 END)      AS n_active,
+         count(CASE WHEN NOT active THEN 1 END)  AS n_inactive,
+         max(CASE WHEN active THEN v END)        AS active_v,
+         max(CASE WHEN NOT active THEN v END)    AS inactive_v
+  FROM target GROUP BY k)
+SELECT b.k, b.v,
+       CASE WHEN p.k IS NULL THEN 'insert'
+            WHEN p.n_active > 1 THEN 'error'
+            WHEN p.n_active = 1 AND b.v = p.active_v THEN 'noop'
+            WHEN p.n_active = 1 THEN 'update'
+            WHEN p.n_inactive > 1 THEN 'error'
+            WHEN b.v = p.inactive_v THEN 'reactivate'
+            ELSE 'new_version' END AS action
+FROM batch b LEFT JOIN prof p ON b.k = p.k
+"""
+
+
+def _scd_frames(spark, sf_dir):
+    load(spark, "supplier", sf_dir).createOrReplaceTempView("supplier")
+    target = spark.sql(_SCD_TARGET_SQL)
+    batch = spark.sql(_SCD_BATCH_SQL)
+    return target, batch
+
+
+@query(
+    "q26_scd_classify",
+    oracle=_SCD_CLASSIFY_SQL,
+    description="the reference's 5-way merge decision tree, set-based (sql:20-122)",
+)
+def q26(spark, sf_dir):
+    target, batch = _scd_frames(spark, sf_dir)
+    return classify(target, batch, keys=["k"], compare_col="v", scd=True).select(
+        "k", "v", "action"
+    )
+
+
+@query(
+    "q27_scd_counters",
+    oracle=f"""
+SELECT sum(CASE WHEN action = 'insert' THEN 1 ELSE 0 END)::BIGINT AS new_inserts_count,
+       sum(CASE WHEN action = 'update' THEN 1 ELSE 0 END)::BIGINT AS update_count,
+       sum(CASE WHEN action = 'noop'   THEN 1 ELSE 0 END)::BIGINT AS no_update_count
+FROM ({_SCD_CLASSIFY_SQL})
+""",
+    description="mutation accounting as aggregates over the action column (A2-A6)",
+)
+def q27(spark, sf_dir):
+    target, batch = _scd_frames(spark, sf_dir)
+    actions = classify(target, batch, keys=["k"], compare_col="v", scd=True)
+    return actions.agg(
+        F.sum(F.when(F.col("action") == "insert", 1).otherwise(0))
+        .cast("long")
+        .alias("new_inserts_count"),
+        F.sum(F.when(F.col("action") == "update", 1).otherwise(0))
+        .cast("long")
+        .alias("update_count"),
+        F.sum(F.when(F.col("action") == "noop", 1).otherwise(0))
+        .cast("long")
+        .alias("no_update_count"),
+    )
+
+
+@query(
+    "q28_scd_snapshot",
+    oracle=f"""
+WITH actions AS ({_SCD_CLASSIFY_SQL}),
+target AS ({_SCD_TARGET_SQL}),
+existing AS (
+  SELECT t.k,
+         CASE WHEN a.action = 'update' AND t.active THEN a.v ELSE t.v END AS v,
+         CASE WHEN a.action = 'reactivate' AND NOT t.active THEN TRUE
+              ELSE t.active END AS active,
+         CASE WHEN (a.action = 'update' AND t.active)
+                OR (a.action = 'reactivate' AND NOT t.active)
+              THEN 'batch-new' ELSE 'seed' END AS batch_id
+  FROM target t LEFT JOIN actions a ON t.k = a.k),
+inserted AS (
+  SELECT k, v, TRUE AS active, 'batch-new' AS batch_id
+  FROM actions WHERE action IN ('insert', 'new_version'))
+SELECT k, v, active, batch_id FROM existing
+UNION ALL SELECT k, v, active, batch_id FROM inserted
+""",
+    description="post-merge target snapshot (apply semantics end-to-end)",
+)
+def q28(spark, sf_dir):
+    from datetime import datetime
+
+    from ..operators.merge import merge_scd
+
+    target, batch = _scd_frames(spark, sf_dir)
+    target_full = target.select(
+        F.row_number().over(W.orderBy("k", "active", "v")).alias("world_bank_id"),
+        F.col("k").cast("long").alias("k"),
+        F.col("v"),
+        F.lit(None).cast("date").alias("last_modified_date"),
+        F.lit("seed").alias("batch_id"),
+        F.lit(datetime(2024, 1, 1)).cast("timestamp").alias("created_at"),
+        F.lit(None).cast("timestamp").alias("updated_at"),
+        F.col("active"),
+    )
+    batch_full = batch.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("v"),
+        F.lit(None).cast("date").alias("last_modified_date"),
+        F.lit("batch-new").alias("batch_id"),
+    )
+    res = merge_scd(
+        target_full,
+        batch_full,
+        keys=["k"],
+        compare_col="v",
+        set_cols=["v", "last_modified_date"],
+        batch_id="batch-new",
+        table_name="scd_demo",
+        now=datetime(2024, 6, 1),
+    )
+    return res.target.select("k", "v", "active", "batch_id")
+
+
+@query(
+    "q29_enrich_currency",
+    oracle="""
+WITH rates AS (
+  SELECT n_nationkey, round(0.5 + n_nationkey * 0.07, 2) AS rate_gbp,
+         round(0.8 + n_nationkey * 0.03, 2) AS rate_eur,
+         round(60 + n_nationkey * 1.5, 2)   AS rate_inr
+  FROM nation)
+SELECT s_suppkey, s_name,
+       round(s_acctbal * rate_gbp, 4) AS MC_GBP_Billion,
+       round(s_acctbal * rate_eur, 4) AS MC_EUR_Billion,
+       round(s_acctbal * rate_inr, 4) AS MC_INR_Billion
+FROM supplier JOIN rates ON s_nationkey = n_nationkey
+""",
+    description="J4 enrichment join: currency-converted value columns (sql:317-318 TODO)",
+)
+def q29(spark, sf_dir):
+    s = load(spark, "supplier", sf_dir)
+    n = load(spark, "nation", sf_dir).select(
+        "n_nationkey",
+        F.round(0.5 + F.col("n_nationkey") * 0.07, 2).alias("rate_gbp"),
+        F.round(0.8 + F.col("n_nationkey") * 0.03, 2).alias("rate_eur"),
+        F.round(60 + F.col("n_nationkey") * 1.5, 2).alias("rate_inr"),
+    )
+    return s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey",
+        "s_name",
+        # 4dp: a 2dp*2dp product has <=4 decimals, so rounding is the
+        # identity on both engines -- 2dp would sit on half-cent boundaries
+        # where Spark (shortest-repr) and DuckDB (binary) rounding diverge
+        F.round(F.col("s_acctbal") * F.col("rate_gbp"), 4).alias("MC_GBP_Billion"),
+        F.round(F.col("s_acctbal") * F.col("rate_eur"), 4).alias("MC_EUR_Billion"),
+        F.round(F.col("s_acctbal") * F.col("rate_inr"), 4).alias("MC_INR_Billion"),
+    )
+
+
+# =====================================================================
+# North-star: dedup / text / similarity / multimodal (BASELINE.json)
+# =====================================================================
+
+_TOKENS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+_SHINGLES_SQL = (
+    "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
+    "for i in generate_series(1, greatest(len(w) - 2, 0))])"
+)
+_POLY_SQL = (
+    "list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split({x}, '')]),"
+    " (a, b) -> (a * 31 + b) % 1000000007)"
+)
+
+
+@query(
+    "q30_dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+""",
+    description="exact dedup: content-hash groupBy manifest",
+)
+def q30(spark, sf_dir):
+    return dedup.exact_duplicates(load(spark, "documents", sf_dir))
+
+
+@query(
+    "q31_dedup_ngram_jaccard",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8
+""",
+    description="EXACT 3-gram Jaccard near-dup pairs via inverted shingle index",
+)
+def q31(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(load(spark, "documents", sf_dir), threshold=0.8)
+
+
+def _minhash_oracle() -> str:
+    sig_exprs = ",\n         ".join(
+        f"{e} AS s{i}" for i, e in enumerate(xhash.minhash_sql_exprs("sh", k=8))
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, s{2*i}::VARCHAR || ',' || s{2*i+1}::VARCHAR AS key FROM sig"
+        for i in range(4)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents)),
+sig AS (
+  SELECT doc_id, sh,
+         {sig_exprs}
+  FROM d),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                           AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+  FROM cand JOIN d sa ON cand.doc_a = sa.doc_id
+            JOIN d sb ON cand.doc_b = sb.doc_id)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
+"""
+
+
+@query(
+    "q32_dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    description="MinHash signatures + banded LSH candidates + exact-Jaccard verify",
+)
+def q32(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(load(spark, "documents", sf_dir), threshold=0.5)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    poly = _POLY_SQL.format(x="x")
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hl, h -> (h >> {b}) & 1 = 1)) > n "
+        f"THEN {2**b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, list_distinct({_TOKENS_SQL}) AS t FROM documents),
+h AS (
+  SELECT doc_id, [{poly} for x in t] AS hl, len(t) AS n FROM tok)
+SELECT doc_id, ({terms})::BIGINT AS simhash FROM h
+"""
+
+
+@query(
+    "q33_dedup_simhash",
+    oracle=_simhash_oracle(),
+    description="16-bit SimHash sketch per document (near-dup bucketing)",
+)
+def q33(spark, sf_dir):
+    return dedup.simhash(load(spark, "documents", sf_dir))
+
+
+@query(
+    "q34_text_tokens",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS_SQL}) END AS n_tokens,
+       length(text) AS n_chars_measured,
+       round(list_sum([length(x) for x in {_TOKENS_SQL}])
+             / greatest(len({_TOKENS_SQL}), 1), 4) AS avg_token_len
+FROM documents
+""",
+    description="token counting (whitespace tokenizer) + length stats",
+)
+def q34(spark, sf_dir):
+    return text.with_token_stats(load(spark, "documents", sf_dir))
+
+
+@query(
+    "q35_text_quality",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       length(text)::INT AS n_chars_measured,
+       (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END)::INT AS n_tokens,
+       round(len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(len(list_filter(toks, w -> list_contains(
+             ['the','a','of','and','to','in','is','that'], w)))::DOUBLE
+             / greatest(len(toks), 1), 6) AS stopword_ratio,
+       round(least(length(text) / 500.0, 1.0) * 0.5
+             + least((len(list_filter(toks, w -> list_contains(
+                   ['the','a','of','and','to','in','is','that'], w)))::DOUBLE
+                   / greatest(len(toks), 1)) * 5, 1.0) * 0.3
+             + (1 - least((len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+                   / greatest(length(text), 1)) * 10, 1.0)) * 0.2, 6) AS quality_score
+FROM t
+""",
+    description="quality scoring: length/punct/stopword ratios + composite",
+)
+def q35(spark, sf_dir):
+    return text.with_quality(load(spark, "documents", sf_dir))
+
+
+def _langid_oracle() -> str:
+    score = (
+        "len(list_filter(toks, w -> list_contains({lex}, w)))::DOUBLE"
+        " / greatest(len(toks), 1)"
+    )
+    lex_sql = {
+        lang: "[" + ",".join(f"'{w}'" for w in lx) + "]"
+        for lang, lx in text.LANG_LEXICONS.items()
+    }
+    s = {lang: score.format(lex=lex_sql[lang]) for lang in lex_sql}
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents),
+sc AS (SELECT doc_id, text,
+              {s['en']} AS s_en, {s['de']} AS s_de, {s['es']} AS s_es, {s['fr']} AS s_fr
+       FROM t)
+SELECT doc_id,
+       CASE WHEN len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]'))::DOUBLE
+                 / greatest(length(text), 1) > 0.05 THEN 'zh'
+            WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+            WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+            WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+            ELSE 'unknown' END AS pred_lang
+FROM sc
+"""
+
+
+@query(
+    "q36_text_langid",
+    oracle=_langid_oracle(),
+    description="n-gram/stopword-heuristic language identification",
+)
+def q36(spark, sf_dir):
+    return text.with_lang_id(load(spark, "documents", sf_dir))
+
+
+@query(
+    "q37_text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       {_POLY_SQL.format(x="substring(trim(lower(text)), 1, 64)")} AS fingerprint
+FROM documents
+""",
+    description="polynomial rolling-hash document fingerprint (prefix 64)",
+)
+def q37(spark, sf_dir):
+    return text.with_fingerprint(load(spark, "documents", sf_dir))
+
+
+_COS_SQL = (
+    "round(list_dot_product(qv, v)"
+    " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)"
+)
+
+
+@query(
+    "q38_ann_cosine_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
+  FROM q CROSS JOIN e WHERE e.vec_id != query_id),
+r AS (SELECT *, (row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id))::INT AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, cos_sim, rnk AS rank FROM r WHERE rnk <= 10
+""",
+    description="exact cosine top-k neighbors (brute-force ANN baseline)",
+)
+def q38(spark, sf_dir):
+    emb = load(spark, "embeddings", sf_dir)
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") % 100 == 0), k=10)
+
+
+@query(
+    "q39_embedding_neardup",
+    oracle=f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+""",
+    description="embedding-cosine near-duplicate pairs",
+)
+def q39(spark, sf_dir):
+    return similarity.cosine_neardup_pairs(load(spark, "embeddings", sf_dir), threshold=0.45)
+
+
+@query(
+    "q40_multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text))                    AS n_bytes,
+       (64 + octet_length(encode(text)) % 512)::INT  AS width,
+       (64 + (octet_length(encode(text)) * 7) % 512)::INT AS height,
+       'FAKE'                                        AS format
+FROM documents
+""",
+    description="multimodal binary column + Arrow-batched metadata decode (stub codec)",
+)
+def q40(spark, sf_dir):
+    docs = multimodal.attach_fake_binary(load(spark, "documents", sf_dir))
+    return multimodal.decode_image_meta(docs)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

@@ -32,7 +32,15 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     """Load one TESTDATA table. Parquet scan → pushdown + pruning for free."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; one of {TABLE_NAMES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts arrives as nanos-since-epoch long (spark.sql.legacy.parquet.
+        # nanosAsLong); truncate to micros with INTEGER division -- a double
+        # division would lose precision above 2^53.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
