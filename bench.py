@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + materialize). A tiny
+warmup query first absorbs one-off JVM/codegen startup so per-query numbers
+reflect steady-state execution, which is what the 100 TB story cares about.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_world_banks_with_python_and_postgresql_spark.plans.queries import REGISTRY
+from etl_world_banks_with_python_and_postgresql_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the shapes that
+# dominate at scale (joins, aggs, windows, dedup, similarity, merge).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q12_rollup",
+    "q15_distinct_agg",
+    "q16_window_topk_per_group",
+    "q22_json_extract",
+    "q25_sessionize",
+    "q26_scd_classify",
+    "q28_scd_snapshot",
+    "q30_dedup_exact",
+    "q31_dedup_ngram_jaccard",
+    "q32_dedup_minhash_lsh",
+    "q37_text_fingerprint",
+    "q38_ann_cosine_topk",
+    "q40_multimodal_meta",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    # warmup: touch the biggest table once (JVM + codegen + FS metadata)
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,9 @@ No Python UDFs anywhere: split/transform/aggregate/explode only.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.xhash import (
     MINHASH_MOD,
@@ -60,8 +62,15 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, distinct n-word shingles) per document."""
-    return df.select(
+    """(id, distinct n-word shingles) per document.
+
+    Repartitions on the doc id first: document corpora often arrive as few
+    large files (or one small one locally), and everything downstream
+    (shingling, explode, signatures) inflates per-row work ~100x -- without
+    the shuffle the whole pipeline would run at input-split parallelism.
+    """
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    return spread.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(ws_tokens(F.col(text_col)), n=n).alias("sh"),
     )
@@ -77,38 +86,70 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """EXACT n-gram-Jaccard near-duplicate pairs (doc_a < doc_b, j >= t).
 
-    Inverted-index algorithm: explode shingles, self-equi-join on the
-    shingle, count common shingles per pair, compute |A∩B| / |A∪B|.
-    Exact (no candidate misses) because every qualifying pair shares at
-    least one shingle. ``max_shingle_df`` (optional) drops shingles present
-    in more than N docs before the join -- the standard skew guard at scale;
-    it can only *miss* pairs whose every common shingle is ultra-frequent,
-    so leave it None when exactness is required (the oracle-checked config).
+    Prefix-filtered inverted-index algorithm (PPJoin-style, exact):
+
+      1. global shingle document-frequencies;
+      2. each doc indexes only its PREFIX -- the (|A| - ceil(t*|A|) + 1)
+         rarest shingles (ties broken lexically). Any pair with
+         Jaccard >= t must overlap within both prefixes, so candidate
+         generation is lossless while skipping the ultra-frequent shingles
+         that make a naive inverted index degenerate to all-pairs;
+      3. length filter |B| >= t*|A| on candidates;
+      4. exact verification on the full shingle arrays.
+
+    This is the 100 TB shape: the only all-corpus shuffle keys are
+    (rare) prefix shingles, and verification touches candidate pairs only.
+    ``max_shingle_df`` additionally drops shingles above a df cap from the
+    index -- that one CAN miss pairs (documented trade-off), leave None for
+    the exact/oracle-checked config.
     """
-    sets = shingle_sets(df, text_col, id_col, n)
-    ex = sets.select("doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("g"))
+    # the shingle sets feed three plan branches (df-ranking, candidate
+    # index, verification); persist once instead of recomputing the
+    # tokenize+shingle lineage per branch (spills to disk at scale)
+    sets = (
+        shingle_sets(df, text_col, id_col, n)
+        .withColumn("sz", F.size("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ex = sets.select("doc_id", "sz", F.explode("sh").alias("g"))
+    freq = ex.groupBy("g").agg(F.count("*").alias("gdf"))
     if max_shingle_df is not None:
-        freq = ex.groupBy("g").agg(F.count("*").alias("df"))
-        ex = ex.join(freq.filter(F.col("df") <= max_shingle_df).select("g"), "g", "inner")
-    a = ex.alias("a")
-    b = ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sz").alias("sza"),
-            F.col("b.sz").alias("szb"),
+        freq = freq.filter(F.col("gdf") <= max_shingle_df)
+    ranked = (
+        ex.join(freq, "g")
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("gdf", "g")),
         )
-        .agg(F.count("*").alias("common"))
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("doc_id", "sz", "g")
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(
+            (F.col("b.sz") >= threshold * F.col("a.sz"))
+            & (F.col("a.sz") >= threshold * F.col("b.sz"))
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.round(F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6),
+            F.round(
+                F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")), 6
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return pairs
 
 
 def minhash_lsh_pairs(
@@ -130,7 +171,7 @@ def minhash_lsh_pairs(
     oracle replicates it exactly.
     """
     assert k % band_size == 0
-    sets = shingle_sets(df, text_col, id_col, n)
+    sets = shingle_sets(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = sets.select("doc_id", "sh", minhash_signature(F.col("sh"), k=k).alias("sig"))
 
     n_bands = k // band_size

@@ -67,7 +67,12 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
             yield meta
 
-    return df.select("doc_id", payload_col).mapInPandas(decode, IMAGE_META_SCHEMA)
+    # spread across cores first: binary corpora commonly arrive as few
+    # large files, and the decode is the expensive per-row step
+    spread = df.select("doc_id", payload_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(decode, IMAGE_META_SCHEMA)
 
 
 def decode_image_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
