@@ -1,0 +1,211 @@
+"""The reference ETL, end-to-end and Spark-first.
+
+Replaces `main()` (Python/etl_project_world_banks.ipynb:318-344):
+
+    extract  two HTML pages -> string rows -> typed DataFrames (P1-P11)
+    load     set-based SCD merge into parquet snapshots (vs per-row CALLs)
+    audit    counters as aggregates, summary lines, process_logs append
+
+Differences from the reference, all deliberate and documented:
+  * per-row `CALL etl.insert_or_update_*` round trips (ipynb:224-228,
+    249-253) become ONE merge plan per table (operators/merge.py);
+  * mutable `log_counts` cells become immutable per-batch aggregate rows;
+  * the exchange-rates update-branch bug (`update_at` typo at sql:210 makes
+    every changed-rate row abort with a notice) is FIXED here: changed
+    rates update properly. Set ``compat_rates_update_bug=True`` to
+    reproduce the reference behavior (changed rows quarantine as errors);
+  * log timestamps/batch ids are injectable for deterministic tests.
+"""
+
+from __future__ import annotations
+
+import logging
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schemas
+from .operators.merge import MergeResult, deactivate_stale, merge_scd, summarize
+from .sources import html_table, sinks
+
+logger = logging.getLogger("etl_world_banks_spark")
+
+LOG_PHASES = ("Extract", "Transform", "Load", "Audit")
+
+
+@dataclass
+class PipelineConfig:
+    banks_source: str  # URL or local path of the banks HTML page
+    rates_source: str  # URL or local path of the rates HTML page
+    target_dir: str  # directory holding the parquet-backed tables
+    batch_id: str = field(default_factory=lambda: str(uuid.uuid4()))
+    now: datetime | None = None  # injectable clock (tests); None = wall clock
+    compat_rates_update_bug: bool = False
+
+
+@dataclass
+class PipelineResult:
+    banks: MergeResult
+    rates: MergeResult
+    summary_lines: list[str]
+    log_rows: list[tuple]
+
+
+def extract_world_bank_data(spark: SparkSession, html: str, batch_id: str) -> DataFrame:
+    """Banks page -> (bank_name, market_cap_usd, last_modified_date, batch_id).
+
+    Mirrors ipynb:67-112: table index 2, keep cells 1-2 (drop the rank
+    column), trim, attach the page-footer last-modified date parsed from
+    'This page was last edited on 1 July 2024, at ...'.
+    """
+    raw = html_table.read_html_table(
+        spark,
+        html,
+        table_index=2,
+        columns=["bank_name", "market_cap_usd"],
+        positions=[1, 2],
+    )
+    lastmod = html_table.element_text(html, "footer-info-lastmod") or ""
+    # P7 substring-split parse (ipynb:88-89) done driver-side on the scalar
+    date_str = lastmod.split("on")[1].split(",")[0].strip() if "on" in lastmod else None
+    return raw.select(
+        F.trim("bank_name").alias("bank_name"),
+        F.col("market_cap_usd").cast("double").alias("market_cap_usd"),
+        F.to_date(F.lit(date_str), "d MMMM yyyy").alias("last_modified_date"),  # P8
+        F.lit(batch_id).alias("batch_id"),  # P5 lineage column
+    )
+
+
+def extract_exchange_rates_data(spark: SparkSession, html: str, batch_id: str) -> DataFrame:
+    """Rates page -> (country, currency, exchange_rate, year, batch_id).
+
+    Mirrors ipynb:114-167: first table, cells 0-2, year sniffed from the
+    header row (the 4-digit cell) and materialized as 31-Dec-<year> (P9).
+    """
+    tables, _ = html_table.parse_html(html)
+    if not tables or not tables[0].rows:
+        raise ValueError("rates page: no table rows found")
+    year = html_table.sniff_year(tables[0].headers)
+    if year is None:
+        raise ValueError("rates page: no 4-digit year column in header")
+    raw = html_table.read_html_table(
+        spark,
+        html,
+        table_index=0,
+        columns=["country", "currency", "exchange_rate"],
+        positions=[0, 1, 2],
+    )
+    return raw.select(
+        F.trim("country").alias("country"),
+        F.trim("currency").alias("currency"),
+        F.col("exchange_rate").cast("double").alias("exchange_rate"),
+        F.make_date(F.lit(year), F.lit(12), F.lit(31)).alias("year"),
+        F.lit(batch_id).alias("batch_id"),
+    )
+
+
+def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
+    """One full refresh run: extract both pages, merge both tables, audit."""
+    now = cfg.now
+    log_rows: list[tuple] = []
+
+    def log(phase: str, message: str) -> None:
+        ts = now or datetime.now()
+        logger.info("[%s] %s", phase, message)
+        log_rows.append((phase, message, ts, cfg.batch_id, ts))
+
+    log("Extract", f"fetching {cfg.banks_source}")
+    banks_html = html_table.read_text_source(cfg.banks_source)
+    banks_batch = extract_world_bank_data(spark, banks_html, cfg.batch_id)
+    log("Extract", f"fetching {cfg.rates_source}")
+    rates_html = html_table.read_text_source(cfg.rates_source)
+    rates_batch = extract_exchange_rates_data(spark, rates_html, cfg.batch_id)
+
+    banks_path = f"{cfg.target_dir}/world_bank_data"
+    rates_path = f"{cfg.target_dir}/exchanges_rates"
+
+    # --- world_bank_data: SCD merge + deactivation pass ----------------------
+    log("Load", "merging world_bank_data")
+    banks_target = sinks.read_snapshot(spark, banks_path, schemas.WORLD_BANK_DATA)
+    banks_res = merge_scd(
+        banks_target,
+        banks_batch,
+        keys=["bank_name"],
+        compare_col="market_cap_usd",
+        set_cols=["market_cap_usd", "last_modified_date"],
+        batch_id=cfg.batch_id,
+        table_name="world_bank_data",
+        id_col="world_bank_id",
+        now=now,
+    )
+    rows_affected = banks_batch.count()  # A7 driver row-count gate (ipynb:265-269)
+    new_banks = banks_res.target
+    if rows_affected > 0:
+        new_banks = deactivate_stale(new_banks, cfg.batch_id, now=now)
+    # materialize audit outputs BEFORE the snapshot swap: their lineage reads
+    # the old snapshot files, which the swap replaces
+    banks_counters_row = banks_res.counters.collect()[0]
+    sinks.write_snapshot(new_banks, banks_path)
+
+    # --- exchanges_rates: flat 3-way merge -----------------------------------
+    log("Load", "merging exchanges_rates")
+    rates_target = sinks.read_snapshot(spark, rates_path, schemas.EXCHANGES_RATES)
+    rates_res = merge_scd(
+        rates_target,
+        rates_batch,
+        keys=["country", "currency", "year"],
+        compare_col="exchange_rate",
+        set_cols=["exchange_rate"],
+        batch_id=cfg.batch_id,
+        table_name="exchanges_rates",
+        id_col="exchange_rate_id",
+        now=now,
+        scd=False,
+    )
+    rates_target_new = rates_res.target
+    if cfg.compat_rates_update_bug:
+        # reference behavior: the update branch aborts per-row (sql:210
+        # `update_at` typo + EXCEPTION sql:244-247) -- changed rows keep old
+        # values; reproduce by restoring the pre-merge rows for 'update' keys
+        upd_keys = rates_res.actions.filter(F.col("action") == "update").select(
+            "country", "currency", "year"
+        )
+        keep = rates_target_new.join(
+            upd_keys, ["country", "currency", "year"], "left_anti"
+        )
+        reverted = rates_target.join(
+            F.broadcast(upd_keys), ["country", "currency", "year"], "left_semi"
+        )
+        rates_target_new = keep.unionByName(reverted)
+    rates_counters_row = rates_res.counters.collect()[0]
+    sinks.write_snapshot(rates_target_new, rates_path)
+
+    # --- audit: counters + summary + process_logs ----------------------------
+    log("Audit", "writing counters and summary")
+    counters = spark.createDataFrame(
+        [
+            tuple(banks_counters_row[c] for c in schemas.LOG_COUNTS.fieldNames()),
+            tuple(rates_counters_row[c] for c in schemas.LOG_COUNTS.fieldNames()),
+        ],
+        schemas.LOG_COUNTS,
+    )
+    sinks.append_log(counters, f"{cfg.target_dir}/log_counts")
+
+    summary_lines = []
+    banks_total = spark.read.parquet(banks_path).count()
+    rates_total = spark.read.parquet(rates_path).count()
+    for row, total in ((banks_counters_row, banks_total), (rates_counters_row, rates_total)):
+        lines = summarize(row.asDict(), total)
+        summary_lines.extend(lines)
+        for line in lines:
+            log("Audit", line)
+
+    logs_df = spark.createDataFrame(log_rows, schemas.PROCESS_LOGS)
+    sinks.append_log(logs_df, f"{cfg.target_dir}/process_logs")
+
+    return PipelineResult(
+        banks=banks_res, rates=rates_res, summary_lines=summary_lines, log_rows=log_rows
+    )

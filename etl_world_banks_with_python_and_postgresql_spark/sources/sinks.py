@@ -1,0 +1,107 @@
+"""Sinks: parquet snapshot (swap-on-write), append log sink, truncate,
+and the JDBC protocol (gated -- no Postgres in this environment).
+
+The reference's sink is one psycopg2 connection doing a per-row procedure
+CALL (ipynb:213-261) inside a single transaction (ipynb:263). The engine
+replaces that with set-based writes; reference-equivalent atomicity comes
+from writing a full new snapshot to a staging location and swapping it in
+(§4 of SURVEY: JDBC per-partition writes are not atomic on their own).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_snapshot(df: DataFrame, path: str) -> None:
+    """Atomically replace the parquet snapshot at ``path``.
+
+    Write to ``path``.staging first, then swap directories -- readers never
+    observe a half-written snapshot, which is the moral equivalent of the
+    reference's single `conn.commit()` per table load (ipynb:263). On a
+    real deployment the same role is played by a transactional table format
+    (Delta/Iceberg) or the staging-table+MERGE protocol in `jdbc_merge`.
+    """
+    staging = path + ".staging"
+    backup = path + ".old"
+    df.write.mode("overwrite").parquet(staging)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    if os.path.exists(path):
+        os.rename(path, backup)
+    os.rename(staging, path)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+
+
+def read_snapshot(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read the snapshot, or an empty typed frame if it doesn't exist yet."""
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def append_log(df: DataFrame, path: str) -> None:
+    """S9 append-only log sink (process_logs / log_counts).
+
+    Parquet append -- each batch adds files, never rewrites. The reference's
+    `etl.insert_log` per-row CALLs (ipynb:327-338, sql:297-315) collapse to
+    one partition-parallel write per run.
+    """
+    df.write.mode("append").parquet(path)
+
+
+def truncate(path: str) -> None:
+    """S10 truncate sink: `TRUNCATE TABLE ... RESTART IDENTITY`
+    (SQL/etl_world_banks_workings.sql:6-7) for parquet-backed tables."""
+    if os.path.exists(path):
+        shutil.rmtree(path)
+
+
+# --- JDBC protocol (gated: requires a JDBC driver jar + reachable DB) --------
+
+
+def jdbc_available(spark: SparkSession, driver_class: str = "org.postgresql.Driver") -> bool:
+    """True when the JDBC driver is on the session classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(driver_class)  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def write_jdbc_append(df: DataFrame, url: str, table: str, properties: dict[str, str],
+                      batchsize: int = 10_000) -> None:
+    """Set-based append: one transaction per partition, `batchsize` rows per
+    round trip (vs the reference's one round trip PER ROW, ipynb:224-228)."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .options(**properties)
+        .mode("append")
+        .save()
+    )
+
+
+def jdbc_merge_sql(staging_table: str, target_table: str, keys: list[str],
+                   set_cols: list[str]) -> str:
+    """Server-side transactional merge statement for the staging protocol.
+
+    Flow: write the batch to ``staging_table`` (append, partition-parallel),
+    then execute this single statement server-side -- one transaction, no
+    per-row round trips, reference-equivalent atomicity.
+    """
+    key_eq = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    sets = ", ".join(f"{c} = s.{c}" for c in set_cols)
+    cols = ", ".join(keys + set_cols)
+    svals = ", ".join(f"s.{c}" for c in keys + set_cols)
+    return (
+        f"MERGE INTO {target_table} t USING {staging_table} s ON {key_eq} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({svals})"
+    )

@@ -1,0 +1,179 @@
+"""End-to-end pipeline test: HTML fixtures -> extract -> merge -> audit.
+
+Reproduces the reference's golden run shape (cell-5 output,
+ipynb:291-313): 10 banks -> 10 inserts / 0 / 0 and 39 rates -> 39/0/0,
+then a second run exercising updates, no-ops, and deactivation.
+"""
+
+from datetime import date, datetime
+
+import pytest
+
+from etl_world_banks_with_python_and_postgresql_spark.pipeline import (
+    PipelineConfig,
+    run_pipeline,
+)
+from etl_world_banks_with_python_and_postgresql_spark.sources import html_table
+
+BANKS = [(f"Bank {c}", 100.0 + i) for i, c in enumerate("ABCDEFGHIJ")]
+RATES = [(f"Country {i}", f"Cur{i}", round(0.5 + i * 0.1, 2)) for i in range(39)]
+
+
+def banks_html(banks, lastmod="1 July 2024"):
+    rows = "\n".join(
+        f"<tr><td>{i+1}</td><td>{name}</td><td> {cap} </td></tr>"
+        for i, (name, cap) in enumerate(banks)
+    )
+    filler = "<table><tbody><tr><td>nav</td></tr></tbody></table>"
+    return f"""
+<html><body>
+{filler}{filler}
+<table>
+  <thead><tr><th>Rank</th><th>Bank name</th><th>Market cap (US$ billion)</th></tr></thead>
+  <tbody>{rows}</tbody>
+</table>
+<div id="footer-info-lastmod">This page was last edited on {lastmod}, at 12:34 (UTC).</div>
+</body></html>
+"""
+
+
+def rates_html(rates, year=2023):
+    rows = "\n".join(
+        f"<tr><td>{c}</td><td>{cur}</td><td>{r}</td></tr>" for c, cur, r in rates
+    )
+    return f"""
+<html><body>
+<table>
+  <thead><tr><th>Country</th><th>Currency</th><th>{year}</th></tr></thead>
+  <tbody>{rows}</tbody>
+</table>
+</body></html>
+"""
+
+
+@pytest.fixture
+def sources(tmp_path):
+    b = tmp_path / "banks.html"
+    r = tmp_path / "rates.html"
+    b.write_text(banks_html(BANKS))
+    r.write_text(rates_html(RATES))
+    return str(b), str(r), str(tmp_path / "warehouse")
+
+
+def counters(res):
+    row = res.counters.collect()[0]
+    return (row["new_inserts_count"], row["update_count"], row["no_update_count"])
+
+
+def test_html_source_parsing(spark, sources):
+    banks_src, rates_src, _ = sources
+    html = html_table.read_text_source(banks_src)
+    tables, elements = html_table.parse_html(html)
+    assert len(tables) == 3  # reference takes tbody[2] (ipynb:78-84)
+    assert "footer-info-lastmod" in elements
+    assert html_table.sniff_year(["Country", "Currency", "2023"]) == 2023
+    df = html_table.read_html_table(
+        spark, html, table_index=2, columns=["name", "cap"], positions=[1, 2]
+    )
+    rows = df.collect()
+    assert len(rows) == 10
+    assert rows[0]["cap"] == "100.0"  # trimmed string; cast downstream
+
+
+def test_cold_start_matches_reference_golden_run(spark, sources):
+    banks_src, rates_src, warehouse = sources
+    cfg = PipelineConfig(
+        banks_source=banks_src,
+        rates_source=rates_src,
+        target_dir=warehouse,
+        batch_id="run-1",
+        now=datetime(2024, 8, 1, 6, 27, 14),
+    )
+    res = run_pipeline(spark, cfg)
+    # the reference's golden counters: 10 inserts / 0 / 0 (ipynb:305-307)
+    assert counters(res.banks) == (10, 0, 0)
+    # and 39 inserts for rates (ipynb:310-312)
+    assert counters(res.rates) == (39, 0, 0)
+    assert "Number of new records inserted: 10/10" in res.summary_lines
+    assert "Number of new records inserted: 39/39" in res.summary_lines
+
+    banks = spark.read.parquet(f"{warehouse}/world_bank_data")
+    assert banks.count() == 10
+    row = banks.filter("bank_name = 'Bank A'").collect()[0]
+    assert row["market_cap_usd"] == 100.0
+    assert row["last_modified_date"] == date(2024, 7, 1)
+    assert row["updated_at"] is None and row["active"] is True
+
+    logs = spark.read.parquet(f"{warehouse}/process_logs")
+    assert logs.filter("log_phase = 'Audit'").count() >= 6
+    cnt = spark.read.parquet(f"{warehouse}/log_counts")
+    assert cnt.count() == 2
+
+
+def test_second_run_update_noop_deactivate(spark, sources, tmp_path):
+    banks_src, rates_src, warehouse = sources
+    cfg1 = PipelineConfig(
+        banks_source=banks_src,
+        rates_source=rates_src,
+        target_dir=warehouse,
+        batch_id="run-1",
+        now=datetime(2024, 8, 1, 6, 0, 0),
+    )
+    run_pipeline(spark, cfg1)
+
+    # mutate the page: Bank A changes value, Bank B vanishes, Bank K appears
+    banks2 = [("Bank A", 500.0), ("Bank K", 42.0)] + [
+        (n, v) for n, v in BANKS if n not in ("Bank A", "Bank B")
+    ]
+    b2 = tmp_path / "banks2.html"
+    b2.write_text(banks_html(banks2, lastmod="2 August 2024"))
+    cfg2 = PipelineConfig(
+        banks_source=str(b2),
+        rates_source=rates_src,
+        target_dir=warehouse,
+        batch_id="run-2",
+        now=datetime(2024, 8, 2, 6, 0, 0),
+    )
+    res2 = run_pipeline(spark, cfg2)
+    assert counters(res2.banks) == (1, 1, 8)  # K insert, A update, 8 noop
+    assert counters(res2.rates) == (0, 0, 39)
+
+    banks = spark.read.parquet(f"{warehouse}/world_bank_data")
+    a = banks.filter("bank_name = 'Bank A'").collect()[0]
+    assert a["market_cap_usd"] == 500.0 and a["batch_id"] == "run-2"
+    # Bank B missing from run-2 feed BUT updated_at is NULL (fresh insert)
+    # -> exempt from deactivation (sql:134 quirk)
+    b = banks.filter("bank_name = 'Bank B'").collect()[0]
+    assert b["active"] is True and b["updated_at"] is None
+
+
+def test_rates_compat_update_bug_mode(spark, sources, tmp_path):
+    """compat mode reproduces sql:210's update_at typo: changed rates are
+    never updated (every update aborts with a notice in the reference)."""
+    banks_src, rates_src, warehouse = sources
+    cfg1 = PipelineConfig(
+        banks_source=banks_src,
+        rates_source=rates_src,
+        target_dir=warehouse,
+        batch_id="r1",
+        now=datetime(2024, 8, 1),
+    )
+    run_pipeline(spark, cfg1)
+
+    rates2 = [(c, cur, r + 1.0) for c, cur, r in RATES[:5]] + RATES[5:]
+    r2 = tmp_path / "rates2.html"
+    r2.write_text(rates_html(rates2))
+    cfg2 = PipelineConfig(
+        banks_source=banks_src,
+        rates_source=str(r2),
+        target_dir=warehouse,
+        batch_id="r2",
+        now=datetime(2024, 8, 2),
+        compat_rates_update_bug=True,
+    )
+    res2 = run_pipeline(spark, cfg2)
+    assert counters(res2.rates) == (0, 5, 34)  # classified as updates...
+    rates = spark.read.parquet(f"{warehouse}/exchanges_rates")
+    r0 = rates.filter("country = 'Country 0'").collect()[0]
+    assert r0["exchange_rate"] == 0.5  # ...but values NOT applied (bug compat)
+    assert r0["batch_id"] == "r1"
