@@ -1,0 +1,109 @@
+"""Structured Streaming equivalents of the batch surface.
+
+The reference is a periodic full-refresh batch job (SURVEY §2.6: streaming
+absent) -- but its batch-id protocol (extract-all -> merge -> deactivate
+missing) maps 1:1 onto ``foreachBatch``: each micro-batch is "one run", the
+epoch id is the batch id, and the same set-based merge operator applies
+unchanged. These wrappers make that concrete, plus the standard windowed /
+session-windowed event aggregations with watermarks for late data.
+
+All entry points take ``readStream`` DataFrames; tests drive them with the
+file source over TESTDATA parquet + the memory sink, which is
+deterministic and synchronous (processAllAvailable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.merge import deactivate_stale, merge_scd
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts/sums with a watermark for late data.
+
+    Append-mode compatible: a window closes once the watermark passes its
+    end, bounding state size -- the knob that matters at 100 TB/day rates.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+def session_event_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessions via the native session_window (streaming twin of
+    operators/sessionize.py)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_merge_sink(
+    read_target: Callable[[], DataFrame],
+    write_target: Callable[[DataFrame], None],
+    keys: list[str],
+    compare_col: str,
+    set_cols: list[str],
+    table_name: str,
+    id_col: str,
+    scd: bool = True,
+    deactivate_missing: bool = False,
+    now: datetime | None = None,
+):
+    """foreachBatch body: apply each micro-batch through the SCD merge.
+
+    Exactly-once-per-epoch: the epoch id becomes the lineage batch_id, so a
+    replayed epoch re-derives the same batch_id and the merge is a no-op on
+    the second application (B5 idempotency property). Returns a function
+    suitable for ``stream.writeStream.foreachBatch(...)``.
+    """
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_id = f"epoch-{epoch_id}"
+        target = read_target()
+        res = merge_scd(
+            target,
+            batch_df,
+            keys=keys,
+            compare_col=compare_col,
+            set_cols=set_cols,
+            batch_id=batch_id,
+            table_name=table_name,
+            id_col=id_col,
+            now=now,
+            scd=scd,
+        )
+        out = res.target
+        if deactivate_missing:
+            out = deactivate_stale(out, batch_id, now=now)
+        write_target(out)
+
+    return apply_batch

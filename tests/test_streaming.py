@@ -1,0 +1,103 @@
+"""Structured Streaming smoke tests: file source over TESTDATA parquet ->
+windowed/session aggregations -> memory sink, plus the foreachBatch merge.
+"""
+
+import os
+from datetime import date, datetime
+
+from pyspark.sql import functions as F
+
+from etl_world_banks_with_python_and_postgresql_spark import schemas
+from etl_world_banks_with_python_and_postgresql_spark.sources import sinks
+from etl_world_banks_with_python_and_postgresql_spark.sources.catalog import load
+from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+    session_event_windows,
+    streaming_merge_sink,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _event_stream(spark, tmp_path):
+    # re-materialize events as a micro-batch-friendly parquet dir with
+    # micros timestamps (the raw TESTDATA file carries nanos)
+    src = str(tmp_path / "events_in")
+    load(spark, "events", SF).write.parquet(src)
+    schema = load(spark, "events", SF).schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+def test_windowed_counts_match_batch(spark, tmp_path):
+    stream = windowed_event_counts(_event_stream(spark, tmp_path))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT sum(n) AS total FROM win_out").collect()[0]["total"]
+    # append mode emits only watermark-closed windows; all but the last
+    # window(s) close, so the stream total is close to (and bounded by) batch
+    batch_total = load(spark, "events", SF).count()
+    assert got is not None and 0 < got <= batch_total
+    assert spark.sql("SELECT * FROM win_out").columns == [
+        "win_start",
+        "event_type",
+        "n",
+        "total_value",
+    ]
+
+
+def test_session_windows_stream(spark, tmp_path):
+    stream = session_event_windows(_event_stream(spark, tmp_path))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT count(*) AS n FROM sess_out").collect()[0]["n"]
+    assert rows > 0
+
+
+def test_foreachbatch_merge(spark, tmp_path):
+    target_path = str(tmp_path / "wb_target")
+    batch_src = str(tmp_path / "batches")
+    os.makedirs(batch_src)
+
+    b1 = spark.createDataFrame(
+        [(f"Bank {c}", 100.0 + i, date(2024, 7, 1), "ignored") for i, c in enumerate("ABC")],
+        schemas.WORLD_BANK_BATCH,
+    )
+    b1.write.parquet(batch_src, mode="append")
+
+    stream = spark.readStream.schema(schemas.WORLD_BANK_BATCH).parquet(batch_src)
+    apply_batch = streaming_merge_sink(
+        read_target=lambda: sinks.read_snapshot(spark, target_path, schemas.WORLD_BANK_DATA),
+        write_target=lambda df: sinks.write_snapshot(df, target_path),
+        keys=["bank_name"],
+        compare_col="market_cap_usd",
+        set_cols=["market_cap_usd", "last_modified_date"],
+        table_name="world_bank_data",
+        id_col="world_bank_id",
+        now=datetime(2024, 8, 1),
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    snap = spark.read.parquet(target_path)
+    assert snap.count() == 3
+    assert snap.filter(F.col("active")).count() == 3
+    assert {r["bank_name"] for r in snap.collect()} == {"Bank A", "Bank B", "Bank C"}
