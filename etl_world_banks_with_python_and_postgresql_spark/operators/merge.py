@@ -217,17 +217,18 @@ def merge_scd(
     new_target = updated.unionByName(inserts)
 
     # --- counters: mutable cells -> one aggregate row (SURVEY §2.4) ----------
+    # coalesce: an empty batch still yields one zeroed counter row, like the
+    # reference's initialize_log_counts (ipynb:191-195)
+    def _count_action(action: str):
+        return F.coalesce(
+            F.sum(F.when(F.col("action") == action, 1).otherwise(0)), F.lit(0)
+        ).cast("long")
+
     counters = actions.agg(
         F.lit(table_name).alias("table_name"),
-        F.sum(F.when(F.col("action") == "noop", 1).otherwise(0))
-        .cast("long")
-        .alias("no_update_count"),
-        F.sum(F.when(F.col("action") == "update", 1).otherwise(0))
-        .cast("long")
-        .alias("update_count"),
-        F.sum(F.when(F.col("action") == "insert", 1).otherwise(0))
-        .cast("long")
-        .alias("new_inserts_count"),
+        _count_action("noop").alias("no_update_count"),
+        _count_action("update").alias("update_count"),
+        _count_action("insert").alias("new_inserts_count"),
         F.lit(batch_id).alias("batch_id"),
         now_col.alias("created_at"),
     )

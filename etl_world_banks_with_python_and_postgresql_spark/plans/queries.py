@@ -1123,3 +1123,136 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+# =====================================================================
+# Extended operator families: as-of join, percentiles, explode, unpivot,
+# array functions (rounding out SURVEY §2.6's "covered by Spark built-ins")
+# =====================================================================
+
+
+@query(
+    "q41_asof_join",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type, value FROM events),
+purchases AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+clicks AS (SELECT user_id, ts, max(value) AS last_click_value
+           FROM e WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, p.ts, round(c.last_click_value, 4) AS last_click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    description="as-of (point-in-time) join via union+last-value window",
+)
+def q41(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    e = load(spark, "events", sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("last_click_value")
+    )
+    joined = asof_join(purchases, clicks, key="user_id", ts="ts",
+                       value_cols=["last_click_value"])
+    return joined.select(
+        "event_id", "user_id", "ts", F.round("last_click_value", 4).alias("last_click_value")
+    )
+
+
+@query(
+    "q42_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderstatus
+""",
+    description="exact interpolated percentiles (median/p90/p99) per group",
+)
+def q42(spark, sf_dir):
+    o = load(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query(
+    "q43_top_tokens",
+    oracle=f"""
+SELECT token, count(*) AS n FROM (
+  SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+""",
+    description="explode (flatten) token arrays + global top-k",
+)
+def q43(spark, sf_dir):
+    from ..functions.xhash import ws_tokens
+
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "q44_unpivot",
+    oracle="""
+SELECT p_partkey, 'p_size' AS metric, p_size::DOUBLE AS val
+FROM part WHERE p_partkey % 20 = 0
+UNION ALL
+SELECT p_partkey, 'p_retailprice', p_retailprice
+FROM part WHERE p_partkey % 20 = 0
+""",
+    description="unpivot/melt wide columns into (metric, val) rows",
+)
+def q44(spark, sf_dir):
+    p = (
+        load(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") % 20 == 0)
+        .select("p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice")
+    )
+    return p.unpivot(["p_partkey"], ["p_size", "p_retailprice"], "metric", "val")
+
+
+@query(
+    "q45_array_funcs",
+    oracle="""
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings)
+SELECT vec_id,
+       len(v)::INT                                   AS dim,
+       round(sqrt(list_dot_product(v, v)), 6)        AS l2_norm,
+       round(list_max(v), 6)                         AS vmax,
+       round(list_min(v), 6)                         AS vmin,
+       round(list_sum(v[1:8]), 6)                    AS head_sum,
+       round(list_sum([abs(x) for x in v]), 6)       AS l1_norm
+FROM e
+""",
+    description="array function family: size/min/max/slice/transform/aggregate",
+)
+def q45(spark, sf_dir):
+    emb = load(spark, "embeddings", sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(dot), 6).alias("l2_norm"),
+        F.round(F.array_max(v), 6).alias("vmax"),
+        F.round(F.array_min(v), 6).alias("vmin"),
+        F.round(
+            F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda s, x: s + x), 6
+        ).alias("head_sum"),
+        F.round(
+            F.aggregate(F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda s, x: s + x),
+            6,
+        ).alias("l1_norm"),
+    )

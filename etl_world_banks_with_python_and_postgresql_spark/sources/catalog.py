@@ -28,10 +28,21 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_runtime_conf(spark: SparkSession) -> None:
+    """Settings required for correctness regardless of who built the session
+    (the verify driver constructs its own). All are runtime-settable SQL
+    confs: UTC so timestamps compare bit-for-bit against the UTC-naive
+    DuckDB oracle; nanosAsLong so the events table is readable at all."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one TESTDATA table. Parquet scan → pushdown + pruning for free."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; one of {TABLE_NAMES}")
+    ensure_runtime_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts arrives as nanos-since-epoch long (spark.sql.legacy.parquet.

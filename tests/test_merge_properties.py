@@ -1,0 +1,102 @@
+"""Property-based merge tests (SURVEY §5 item 4).
+
+Hypothesis generates random batch sequences; invariants checked after each
+applied batch:
+  I1  at most one ACTIVE row per key;
+  I2  history only grows (row count monotonically non-decreasing);
+  I3  replaying the final batch unchanged yields zero inserts/updates and a
+      bit-identical snapshot (idempotency).
+"""
+
+from datetime import date, datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_world_banks_with_python_and_postgresql_spark import schemas
+from etl_world_banks_with_python_and_postgresql_spark.operators.merge import (
+    deactivate_stale,
+    merge_scd,
+)
+
+KEYS = [f"Bank {c}" for c in "ABCDEF"]
+VALUES = [100.0, 200.0, 300.0]
+
+batch_strategy = st.lists(
+    st.tuples(st.sampled_from(KEYS), st.sampled_from(VALUES)),
+    min_size=0,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+sequence_strategy = st.lists(batch_strategy, min_size=1, max_size=3)
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        import os
+
+        from etl_world_banks_with_python_and_postgresql_spark.session import get_spark
+
+        os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+        _spark = get_spark(app_name="prop_tests", shuffle_partitions=8)
+    return _spark
+
+
+def apply(spark, target, rows, batch_id, now):
+    batch = spark.createDataFrame(
+        [(k, v, date(2024, 7, 1), batch_id) for k, v in rows], schemas.WORLD_BANK_BATCH
+    )
+    res = merge_scd(
+        target,
+        batch,
+        keys=["bank_name"],
+        compare_col="market_cap_usd",
+        set_cols=["market_cap_usd", "last_modified_date"],
+        batch_id=batch_id,
+        table_name="world_bank_data",
+        now=now,
+    )
+    out = deactivate_stale(res.target, batch_id, now=now)
+    return out.localCheckpoint(eager=True), res
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(seq=sequence_strategy)
+def test_merge_invariants(seq):
+    spark = _get_spark()
+    target = spark.createDataFrame([], schemas.WORLD_BANK_DATA)
+    base_now = datetime(2024, 8, 1, 10, 0, 0)
+    prev_count = 0
+    for i, rows in enumerate(seq):
+        target, _ = apply(spark, target, rows, f"batch-{i}", base_now + timedelta(days=i))
+        # I1: <=1 active row per key
+        dup_active = (
+            target.filter("active")
+            .groupBy("bank_name")
+            .count()
+            .filter("count > 1")
+            .count()
+        )
+        assert dup_active == 0
+        # I2: history never shrinks
+        n = target.count()
+        assert n >= prev_count
+        prev_count = n
+
+    # I3: idempotent replay of the last batch
+    last_idx = len(seq) - 1
+    now = base_now + timedelta(days=last_idx)
+    before = sorted(map(tuple, target.collect()))
+    replayed, res = apply(spark, target, seq[last_idx], f"batch-{last_idx}", now)
+    row = res.counters.collect()[0]
+    assert row["new_inserts_count"] == 0
+    assert row["update_count"] == 0
+    after = sorted(map(tuple, replayed.collect()))
+    assert before == after
