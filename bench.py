@@ -47,12 +47,49 @@ HEADLINE = [
 ]
 
 
+def bench_pipeline_e2e(spark) -> float:
+    """The reference's own workload shape: extract 2 HTML pages (local
+    fixtures, like-for-like with its 10-bank/39-rate run), SCD-merge both
+    tables twice (cold insert + warm re-run), full audit. The reference's
+    measured wall clock for one network-bound run is ~13 s (BASELINE.md)."""
+    import tempfile
+    from datetime import datetime
+
+    from etl_world_banks_with_python_and_postgresql_spark.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from tests.test_pipeline import BANKS, RATES, banks_html, rates_html
+
+    with tempfile.TemporaryDirectory() as tmp:
+        b, r = f"{tmp}/banks.html", f"{tmp}/rates.html"
+        with open(b, "w") as f:
+            f.write(banks_html(BANKS))
+        with open(r, "w") as f:
+            f.write(rates_html(RATES))
+        t0 = time.perf_counter()
+        for i, day in enumerate((1, 2)):
+            run_pipeline(
+                spark,
+                PipelineConfig(
+                    banks_source=b,
+                    rates_source=r,
+                    target_dir=f"{tmp}/warehouse",
+                    batch_id=f"bench-{i}",
+                    now=datetime(2024, 8, day, 6, 0, 0),
+                ),
+            )
+        return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     # warmup: touch the biggest table once (JVM + codegen + FS metadata)
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
+    timings["pipeline_e2e_2runs"] = bench_pipeline_e2e(spark)
+    print(f"# pipeline_e2e_2runs: {timings['pipeline_e2e_2runs']:.3f}s", file=sys.stderr)
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         t0 = time.perf_counter()
