@@ -231,6 +231,9 @@ def merge_scd(
         _count_action("insert").alias("new_inserts_count"),
         F.lit(batch_id).alias("batch_id"),
         now_col.alias("created_at"),
+        # total incoming rows, piggybacked so callers don't need a separate
+        # count job (the driver row-count gate A7); strip before persisting
+        F.count(F.lit(1)).alias("_batch_rows"),
     )
 
     return MergeResult(target=new_target, actions=actions, counters=counters)

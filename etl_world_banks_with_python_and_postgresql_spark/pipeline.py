@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import logging
 import uuid
+
+import pandas as pd
 from dataclasses import dataclass, field
 from datetime import datetime
 
@@ -141,14 +143,14 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
         id_col="world_bank_id",
         now=now,
     )
-    rows_affected = banks_batch.count()  # A7 driver row-count gate (ipynb:265-269)
-    new_banks = banks_res.target
-    if rows_affected > 0:
-        new_banks = deactivate_stale(new_banks, cfg.batch_id, now=now)
     # materialize audit outputs BEFORE the snapshot swap: their lineage reads
-    # the old snapshot files, which the swap replaces
+    # the old snapshot files, which the swap replaces; _batch_rows rides along
+    # so the A7 row-count gate (ipynb:265-269) costs no extra job
     banks_counters_row = banks_res.counters.collect()[0]
-    sinks.write_snapshot(new_banks, banks_path)
+    new_banks = banks_res.target
+    if banks_counters_row["_batch_rows"] > 0:
+        new_banks = deactivate_stale(new_banks, cfg.batch_id, now=now)
+    sinks.write_snapshot(new_banks, banks_path, target_files=4)
 
     # --- exchanges_rates: flat 3-way merge -----------------------------------
     log("Load", "merging exchanges_rates")
@@ -181,17 +183,20 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
         )
         rates_target_new = keep.unionByName(reverted)
     rates_counters_row = rates_res.counters.collect()[0]
-    sinks.write_snapshot(rates_target_new, rates_path)
+    sinks.write_snapshot(rates_target_new, rates_path, target_files=4)
 
     # --- audit: counters + summary + process_logs ----------------------------
     log("Audit", "writing counters and summary")
     counters = spark.createDataFrame(
-        [
-            tuple(banks_counters_row[c] for c in schemas.LOG_COUNTS.fieldNames()),
-            tuple(rates_counters_row[c] for c in schemas.LOG_COUNTS.fieldNames()),
-        ],
+        pd.DataFrame(
+            [
+                tuple(banks_counters_row[c] for c in schemas.LOG_COUNTS.fieldNames()),
+                tuple(rates_counters_row[c] for c in schemas.LOG_COUNTS.fieldNames()),
+            ],
+            columns=schemas.LOG_COUNTS.fieldNames(),
+        ),
         schemas.LOG_COUNTS,
-    )
+    ).coalesce(1)
     sinks.append_log(counters, f"{cfg.target_dir}/log_counts")
 
     summary_lines = []
@@ -203,7 +208,10 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
         for line in lines:
             log("Audit", line)
 
-    logs_df = spark.createDataFrame(log_rows, schemas.PROCESS_LOGS)
+    logs_df = spark.createDataFrame(
+        pd.DataFrame(log_rows, columns=schemas.PROCESS_LOGS.fieldNames()),
+        schemas.PROCESS_LOGS,
+    ).coalesce(1)
     sinks.append_log(logs_df, f"{cfg.target_dir}/process_logs")
 
     return PipelineResult(

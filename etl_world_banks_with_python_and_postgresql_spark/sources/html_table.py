@@ -146,7 +146,13 @@ def read_html_table(
         columns = [f"c{i}" for i in range(ncols)]
     schema = T.StructType([T.StructField(c, T.StringType(), True) for c in columns])
     rows = [r[: len(columns)] for r in rows if len(r) == len(columns)]
-    return spark.createDataFrame(rows, schema)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    # hand rows to the JVM via Arrow (pandas) -- a plain list createDataFrame
+    # pickles through Python workers, which taxes every downstream stage
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(rows, columns=columns), schema)
 
 
 def fetch_url(url: str, timeout: int = 30) -> str:

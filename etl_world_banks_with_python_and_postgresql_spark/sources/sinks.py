@@ -16,7 +16,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
-def write_snapshot(df: DataFrame, path: str) -> None:
+def write_snapshot(df: DataFrame, path: str, target_files: int | None = None) -> None:
     """Atomically replace the parquet snapshot at ``path``.
 
     Write to ``path``.staging first, then swap directories -- readers never
@@ -27,6 +27,10 @@ def write_snapshot(df: DataFrame, path: str) -> None:
     """
     staging = path + ".staging"
     backup = path + ".old"
+    if target_files is not None:
+        # dimension-sized tables: don't emit one near-empty file per input
+        # partition (task + file-listing overhead dwarfs the data)
+        df = df.coalesce(target_files)
     df.write.mode("overwrite").parquet(staging)
     if os.path.exists(backup):
         shutil.rmtree(backup)
