@@ -38,6 +38,17 @@ logger = logging.getLogger("etl_world_banks_spark")
 LOG_PHASES = ("Extract", "Transform", "Load", "Audit")
 
 
+def load_config(path: str) -> dict:
+    """S6 JSON config source (`Config DB/config.json`, ipynb:180-182).
+
+    Driver-side config, not data -- feeds PipelineConfig / JDBC options.
+    """
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
 @dataclass
 class PipelineConfig:
     banks_source: str  # URL or local path of the banks HTML page

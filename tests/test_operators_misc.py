@@ -1,0 +1,135 @@
+"""Unit tests for operators not (fully) covered by the oracle registry:
+enrichment join, LSH-bucketed ANN recall, sinks (truncate/config), JDBC
+merge statement, stateful streaming operator.
+"""
+
+import json
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from etl_world_banks_with_python_and_postgresql_spark.operators.enrich import (
+    enrich_market_caps,
+)
+from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucketed_topk,
+)
+from etl_world_banks_with_python_and_postgresql_spark.pipeline import load_config
+from etl_world_banks_with_python_and_postgresql_spark.sources import sinks
+from etl_world_banks_with_python_and_postgresql_spark.sources.catalog import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_enrich_market_caps(spark):
+    banks = spark.createDataFrame(
+        [("Bank A", 100.0), ("Bank B", 250.5)], "bank_name string, market_cap_usd double"
+    )
+    rates = spark.createDataFrame(
+        [("GBP", 0.8), ("EUR", 0.9), ("INR", 83.0), ("JPY", 150.0)],
+        "currency string, exchange_rate double",
+    )
+    out = enrich_market_caps(banks, rates)
+    rows = {r["bank_name"]: r for r in out.collect()}
+    assert rows["Bank A"]["MC_GBP_Billion"] == 80.0
+    assert rows["Bank A"]["MC_EUR_Billion"] == 90.0
+    assert rows["Bank A"]["MC_INR_Billion"] == 8300.0
+    assert rows["Bank B"]["MC_GBP_Billion"] == round(250.5 * 0.8, 2)
+    assert "JPY" not in out.columns  # only requested currencies project
+
+
+def test_enrich_missing_currency_yields_null(spark):
+    banks = spark.createDataFrame([("Bank A", 100.0)], "bank_name string, market_cap_usd double")
+    rates = spark.createDataFrame([("GBP", 0.8)], "currency string, exchange_rate double")
+    row = enrich_market_caps(banks, rates).collect()[0]
+    assert row["MC_GBP_Billion"] == 80.0
+    assert row["MC_EUR_Billion"] is None
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    emb = load(spark, "embeddings", SF)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk(emb, queries, k=5)
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(3)]
+    approx = lsh_bucketed_topk(emb, queries, planes, k=5)
+
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert a  # produces candidates
+    # approx results are a subset of the scored space and reasonably overlap
+    recall = len(e & a) / len(e)
+    assert recall > 0.15  # 3 planes -> 8 cells over ~50 vectors; loose bound
+    # every approx hit must carry the same score as the exact computation
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact.collect()
+    }
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert math.isclose(r["cos_sim"], exact_scores[key], abs_tol=1e-9)
+
+
+def test_truncate_and_config(spark, tmp_path):
+    p = str(tmp_path / "t")
+    spark.range(10).write.parquet(p)
+    assert spark.read.parquet(p).count() == 10
+    sinks.truncate(p)
+    import os
+
+    assert not os.path.exists(p)
+
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps({"host": "db", "port": 5432}))
+    cfg = load_config(str(cfg_path))
+    assert cfg == {"host": "db", "port": 5432}
+
+
+def test_jdbc_merge_sql():
+    stmt = sinks.jdbc_merge_sql(
+        "etl.staging_rates",
+        "etl.exchanges_rates",
+        keys=["country", "currency", "year"],
+        set_cols=["exchange_rate", "batch_id"],
+    )
+    assert "MERGE INTO etl.exchanges_rates t USING etl.staging_rates s" in stmt
+    assert "t.country = s.country AND t.currency = s.currency" in stmt
+    assert "WHEN MATCHED THEN UPDATE SET exchange_rate = s.exchange_rate" in stmt
+    assert "WHEN NOT MATCHED THEN INSERT" in stmt
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    src = str(tmp_path / "ev")
+    ev = load(spark, "events", SF).select("user_id", "value", "ts")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM state_out").collect()
+    }
+    expect = {
+        r["user_id"]: (r["n"], round(r["s"], 4))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got.keys() == expect.keys()
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+        assert math.isclose(got[k][1], expect[k][1], rel_tol=1e-9)
