@@ -1256,3 +1256,33 @@ def q45(spark, sf_dir):
             6,
         ).alias("l1_norm"),
     )
+
+
+@query(
+    "q46_zscore_groupmap",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+             / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 6) AS zscore
+FROM customer
+""",
+    description="applyInPandas grouped-map (per-segment z-score) vs window-fn oracle",
+)
+def q46(spark, sf_dir):
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["c_acctbal"].mean()
+        sd = pdf["c_acctbal"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "zscore": ((pdf["c_acctbal"] - mu) / sd).round(6),
+            }
+        )
+
+    c = load(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment", "c_acctbal")
+    return c.groupBy("c_mktsegment").applyInPandas(
+        zscore, "c_custkey long, c_mktsegment string, zscore double"
+    )

@@ -1,0 +1,104 @@
+"""Plan-shape assertions: the performance claims, made executable.
+
+These tests pin the physical-plan properties the 100 TB design depends on:
+filters reach the parquet scan, projections prune columns, small dims
+broadcast, the merge never shuffles the full target, bucketed joins skip
+their exchanges, and salted joins reproduce plain-join results.
+"""
+
+from datetime import date, datetime
+
+from pyspark.sql import functions as F
+
+from etl_world_banks_with_python_and_postgresql_spark import schemas
+from etl_world_banks_with_python_and_postgresql_spark.operators.merge import merge_scd
+from etl_world_banks_with_python_and_postgresql_spark.operators.skew import salted_join
+from etl_world_banks_with_python_and_postgresql_spark.plans.queries import REGISTRY
+from etl_world_banks_with_python_and_postgresql_spark.sources.bucketing import (
+    write_bucketed,
+)
+from etl_world_banks_with_python_and_postgresql_spark.sources.catalog import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def formatted_plan(df):
+    je = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return je.explainString(mode)
+
+
+def test_q01_filter_pushdown_and_pruning(spark):
+    plan = formatted_plan(REGISTRY["q01_pricing_summary"].fn(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned to the 7 referenced columns -- no full-width scan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_q05_broadcasts_all_dims(spark):
+    plan = formatted_plan(REGISTRY["q05_region_revenue"].fn(spark, SF))
+    # every join in the star is a broadcast hash join; the fact table is
+    # never exchanged before the final aggregation (formatted mode prints
+    # each node twice: once in the tree, once in the detail section)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    # exactly one shuffle: the final aggregation
+    tree = plan.split("\n\n")[0]
+    assert sum("+- Exchange" in l or "- Exchange (" in l for l in tree.splitlines()) == 1
+
+
+def test_merge_semi_join_reduction(spark):
+    target = spark.createDataFrame([], schemas.WORLD_BANK_DATA)
+    batch = spark.createDataFrame(
+        [("Bank A", 1.0, date(2024, 7, 1), "b1")], schemas.WORLD_BANK_BATCH
+    )
+    res = merge_scd(
+        target,
+        batch,
+        keys=["bank_name"],
+        compare_col="market_cap_usd",
+        set_cols=["market_cap_usd", "last_modified_date"],
+        batch_id="b1",
+        table_name="t",
+        now=datetime(2024, 8, 1),
+    )
+    plan = formatted_plan(res.target)
+    assert "LeftSemi" in plan  # target reduced to batch keys before profiling
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    orders = load(spark, "orders", SF)
+    lineitem = load(spark, "lineitem", SF)
+    write_bucketed(orders, "b_orders", ["o_orderkey"], n_buckets=8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        n_buckets=8,
+    )
+    j = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+    plan = formatted_plan(j)
+    # co-located buckets: the join needs no shuffle exchange on either side
+    assert "Exchange hashpartitioning" not in plan
+    n = j.count()
+    assert n == lineitem.count()
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load(spark, "lineitem", SF).select("l_orderkey", "l_quantity")
+    o = load(spark, "orders", SF).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, "l_orderkey").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).collect()[0]
+    salted = salted_join(li, o, on=["l_orderkey"], salt=8).agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    ).collect()[0]
+    assert plain["n"] == salted["n"]
+    assert plain["s"] == salted["s"]
