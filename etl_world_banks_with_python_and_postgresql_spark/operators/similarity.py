@@ -119,6 +119,67 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into inverted
+    cells, probe only the ``n_probe`` nearest cells per query.
+
+    Centroids are a deterministic corpus sample (every ceil(N/n_centroids)-th
+    vector by id order) -- a real deployment would k-means them, but the
+    partition/probe mechanics (the part that matters for the Spark plan) are
+    identical. Corpus assignment is one broadcast-argmin pass; the probe
+    join is an equi-join on cell id, so the corpus shuffles once by cell and
+    each query scans ~n_probe/n_centroids of the data. Recall depends on
+    (n_centroids, n_probe); exact baseline is ``cosine_topk``.
+    """
+    w_rank = W.orderBy(F.asc(id_col))
+    n_total = corpus.count()
+    stride = max(1, n_total // n_centroids)
+    cents = (
+        corpus.withColumn("_rn", F.row_number().over(w_rank))
+        .filter((F.col("_rn") % stride == 1) | (F.lit(stride) == 1))
+        .limit(n_centroids)
+        .withColumn("cell", F.row_number().over(w_rank) - 1)
+        .select("cell", F.col(vec_col).alias("c_vec"))
+    )
+
+    def nearest_cells(df: DataFrame, out_col: str, nc: int) -> DataFrame:
+        scored = df.join(F.broadcast(cents)).withColumn(
+            "_sim", cosine(F.col(vec_col), F.col("c_vec"))
+        )
+        wq = W.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
+        return (
+            scored.withColumn("_r", F.row_number().over(wq))
+            .filter(F.col("_r") <= nc)
+            .select(F.col(id_col), F.col(vec_col), F.col("cell").alias(out_col))
+        )
+
+    corpus_cells = nearest_cells(corpus, "cell", 1)
+    query_cells = nearest_cells(queries, "cell", n_probe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell"
+    )
+    scored = (
+        corpus_cells.withColumnRenamed(id_col, "neighbor_id")
+        .withColumnRenamed(vec_col, "c_vec")
+        .join(F.broadcast(query_cells), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

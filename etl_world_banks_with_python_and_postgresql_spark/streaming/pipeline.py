@@ -64,6 +64,21 @@ def session_event_windows(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once-per-key stream deduplication with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps key state only until the
+    watermark passes -- without it, dedup state grows forever at ingest
+    scale. Batch twin: ``exact_duplicates`` in operators/dedup.py.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def streaming_merge_sink(
     read_target: Callable[[], DataFrame],
     write_target: Callable[[DataFrame], None],

@@ -133,3 +133,43 @@ def test_stateful_running_totals(spark, tmp_path):
     for k in expect:
         assert got[k][0] == expect[k][0]
         assert math.isclose(got[k][1], expect[k][1], rel_tol=1e-9)
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = load(spark, "embeddings", SF)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, n_centroids=8, n_probe=4, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert a
+    recall = len(e & a) / len(e)
+    assert recall > 0.3  # probing half the cells
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        streaming_dedup,
+    )
+
+    src = str(tmp_path / "dups")
+    ev = load(spark, "events", SF).select("event_id", "ts", "user_id")
+    dup = ev.union(ev)  # every event twice
+    dup.write.parquet(src)
+    stream = spark.readStream.schema(dup.schema).parquet(src)
+    q = (
+        streaming_dedup(stream, keys=["event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"]
+    assert n == ev.count()
