@@ -274,13 +274,14 @@ def q08(spark, sf_dir):
     "q09_anti_no_orders",
     oracle="""
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
 """,
     description="left-anti join (J3 stale detection shape, SURVEY §2.3)",
 )
 def q09(spark, sf_dir):
     c = load(spark, "customer", sf_dir)
-    o = load(spark, "orders", sf_dir)
+    o = load(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
