@@ -1287,3 +1287,81 @@ def q46(spark, sf_dir):
     return c.groupBy("c_mktsegment").applyInPandas(
         zscore, "c_custkey long, c_mktsegment string, zscore double"
     )
+
+
+@query(
+    "q47_correlated_scalar_subquery",
+    oracle="""
+SELECT c_custkey, c_acctbal,
+       (SELECT round(max(o_totalprice), 2) FROM orders
+        WHERE o_custkey = c_custkey) AS max_order
+FROM customer WHERE c_custkey % 7 = 0
+""",
+    description="correlated scalar subquery (J2 lookup shape; Catalyst decorrelates)",
+)
+def q47(spark, sf_dir):
+    load(spark, "customer", sf_dir).createOrReplaceTempView("customer")
+    load(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal,
+               (SELECT round(max(o_totalprice), 2) FROM orders
+                WHERE o_custkey = c_custkey) AS max_order
+        FROM customer WHERE c_custkey % 7 = 0
+        """
+    )
+
+
+@query(
+    "q48_in_subquery",
+    oracle="""
+SELECT p_brand, count(*) AS n_parts
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+GROUP BY p_brand
+""",
+    description="IN-subquery (decorrelated to semi join) + agg",
+)
+def q48(spark, sf_dir):
+    load(spark, "part", sf_dir).createOrReplaceTempView("part")
+    load(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_parts
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        GROUP BY p_brand
+        """
+    )
+
+
+@query(
+    "q49_null_semantics",
+    oracle="""
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER')     AS segment_or_other,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal = 0 THEN 'zero'
+            ELSE 'credit' END                                  AS balance_class,
+       (c_acctbal IS NOT NULL AND c_acctbal > 5000)            AS is_high,
+       greatest(c_acctbal, 0.0)                                AS floored,
+       least(round(c_acctbal, 0), 1000.0)                      AS capped
+FROM customer WHERE c_custkey % 11 = 0
+""",
+    description="null-handling scalar family: coalesce/nullif/case/greatest/least",
+)
+def q49(spark, sf_dir):
+    c = load(spark, "customer", sf_dir).filter(F.col("c_custkey") % 11 == 0)
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_or_other"
+        ),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") == 0, "zero")
+        .otherwise("credit")
+        .alias("balance_class"),
+        (F.col("c_acctbal").isNotNull() & (F.col("c_acctbal") > 5000)).alias("is_high"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("floored"),
+        F.least(F.round("c_acctbal", 0), F.lit(1000.0)).alias("capped"),
+    )
