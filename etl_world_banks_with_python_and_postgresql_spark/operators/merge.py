@@ -142,6 +142,18 @@ def merge_scd(
     now_col = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
     keys = list(keys)
 
+    # Guard: duplicate keys within one batch would fan out the apply join
+    # and duplicate target rows. The reference's per-row loop gives
+    # last-write-wins-ish sequential semantics; here duplicates are deduped
+    # deterministically (max over the payload struct). Real feeds (scraped
+    # tables, CDC snapshots) have unique keys; divergence documented.
+    payload = [c for c in batch.columns if c not in keys]
+    batch = (
+        batch.groupBy(*keys).agg(
+            F.max(F.struct(*payload)).alias("_p")
+        ).select(*keys, *[F.col(f"_p.{c}").alias(c) for c in payload])
+    )
+
     actions = classify(target, batch, keys, compare_col, scd=scd)
     batch_payload = [c for c in batch.columns if c not in keys]
 

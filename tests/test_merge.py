@@ -237,3 +237,47 @@ def test_exchange_rates_flat_merge(spark):
     assert snap["UK"]["exchange_rate"] == 0.80 and snap["UK"]["updated_at"] == D2
     assert snap["France"]["updated_at"] is None  # noop untouched
     assert res2.target.count() == 2
+
+
+def test_duplicate_batch_keys_do_not_duplicate_target(spark):
+    """Duplicate keys within one batch are deduped deterministically (max
+    payload) instead of fanning out the apply join -- divergence from the
+    reference's sequential per-row loop, documented in merge_scd."""
+    t0 = empty_target(spark)
+    b = spark.createDataFrame(
+        [
+            ("Bank A", 100.0, date(2024, 7, 1), "b1"),
+            ("Bank A", 300.0, date(2024, 7, 1), "b1"),
+            ("Bank B", 50.0, date(2024, 7, 1), "b1"),
+        ],
+        schemas.WORLD_BANK_BATCH,
+    )
+    res = merge_scd(
+        t0, b, keys=["bank_name"], compare_col="market_cap_usd",
+        set_cols=["market_cap_usd", "last_modified_date"],
+        batch_id="b1", table_name="world_bank_data", now=D1,
+    )
+    rows = res.target.collect()
+    assert len(rows) == 2
+    vals = {r["bank_name"]: r["market_cap_usd"] for r in rows}
+    assert vals == {"Bank A": 300.0, "Bank B": 50.0}
+    # update path with duplicates must not multiply existing rows either
+    t1 = res.target.localCheckpoint(eager=True)
+    b2 = spark.createDataFrame(
+        [
+            ("Bank A", 111.0, date(2024, 7, 2), "b2"),
+            ("Bank A", 222.0, date(2024, 7, 2), "b2"),
+        ],
+        schemas.WORLD_BANK_BATCH,
+    )
+    res2 = merge_scd(
+        t1, b2, keys=["bank_name"], compare_col="market_cap_usd",
+        set_cols=["market_cap_usd", "last_modified_date"],
+        batch_id="b2", table_name="world_bank_data", now=D2,
+    )
+    rows2 = res2.target.collect()
+    assert len(rows2) == 2
+    assert {r["bank_name"]: r["market_cap_usd"] for r in rows2} == {
+        "Bank A": 222.0,
+        "Bank B": 50.0,
+    }
