@@ -1365,3 +1365,52 @@ def q49(spark, sf_dir):
         F.greatest("c_acctbal", F.lit(0.0)).alias("floored"),
         F.least(F.round("c_acctbal", 0), F.lit(1000.0)).alias("capped"),
     )
+
+
+@query(
+    "q50_fuzzy_name_match",
+    oracle="""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+WHERE a.p_partkey % 10 = 0 AND b.p_partkey % 10 = 0
+  AND levenshtein(a.p_name, b.p_name) <= 3
+""",
+    description="fuzzy dedup: type-blocked join + Levenshtein edit distance",
+)
+def q50(spark, sf_dir):
+    p = (
+        load(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select("p_partkey", "p_name", "p_type")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"), "p_type"
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"), "p_type"
+    )
+    return (
+        a.join(b, ["p_type"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("key_a", "key_b", "edit_dist")
+    )
+
+
+@query(
+    "q51_approx_sketches",
+    oracle=None,  # approximate algorithms differ across engines by design;
+    # bounded-error equivalence vs exact values is asserted in
+    # tests/test_operators_misc.py::test_approx_sketches_within_tolerance
+    description="approximate sketches: approx_count_distinct + percentile_approx",
+)
+def q51(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count("*").alias("n_rows"),
+    )

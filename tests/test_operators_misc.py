@@ -173,3 +173,26 @@ def test_streaming_dedup(spark, tmp_path):
     q.stop()
     n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"]
     assert n == ev.count()
+
+
+def test_approx_sketches_within_tolerance(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.plans.queries import REGISTRY
+
+    approx = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["q51_approx_sketches"].fn(spark, SF).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in load(spark, "lineitem", SF)
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.05
+        assert abs(a["approx_median_price"] - e["median"]) / e["median"] < 0.05
