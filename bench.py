@@ -84,8 +84,13 @@ def bench_pipeline_e2e(spark) -> float:
 
 def main() -> None:
     spark = get_spark(app_name="bench")
-    # warmup: touch the biggest table once (JVM + codegen + FS metadata)
+    # warmup: touch the biggest table once (JVM + codegen + FS metadata) and
+    # spin up the Python worker pool (used only by the mapInPandas queries;
+    # cold fork+import otherwise dominates their first measurement)
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    spark.range(10_000).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     timings["pipeline_e2e_2runs"] = bench_pipeline_e2e(spark)

@@ -111,6 +111,8 @@ def ngram_jaccard_pairs(
         .withColumn("sz", F.size("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sets.count()  # eager fill: three downstream branches would otherwise
+    # race to compute the cache concurrently and duplicate the work
     ex = sets.select("doc_id", "sz", F.explode("sh").alias("g"))
     freq = ex.groupBy("g").agg(F.count("*").alias("gdf"))
     if max_shingle_df is not None:
