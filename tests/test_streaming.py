@@ -101,3 +101,58 @@ def test_foreachbatch_merge(spark, tmp_path):
     assert snap.count() == 3
     assert snap.filter(F.col("active")).count() == 3
     assert {r["bank_name"] for r in snap.collect()} == {"Bank A", "Bank B", "Bank C"}
+
+
+def test_foreachbatch_merge_multi_epoch(spark, tmp_path):
+    """Two micro-batches through one checkpointed stream: epoch 0 inserts,
+    epoch 1 updates/noops -- the SCD transitions must hold across epochs."""
+    target_path = str(tmp_path / "wb_target2")
+    batch_src = str(tmp_path / "batches2")
+    ckpt = str(tmp_path / "ckpt2")
+    os.makedirs(batch_src)
+
+    def start():
+        stream = spark.readStream.schema(schemas.WORLD_BANK_BATCH).parquet(batch_src)
+        apply_batch = streaming_merge_sink(
+            read_target=lambda: sinks.read_snapshot(
+                spark, target_path, schemas.WORLD_BANK_DATA
+            ),
+            write_target=lambda df: sinks.write_snapshot(df, target_path),
+            keys=["bank_name"],
+            compare_col="market_cap_usd",
+            set_cols=["market_cap_usd", "last_modified_date"],
+            table_name="world_bank_data",
+            id_col="world_bank_id",
+            now=datetime(2024, 8, 1),
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = spark.createDataFrame(
+        [("Bank A", 100.0, date(2024, 7, 1), "x"), ("Bank B", 200.0, date(2024, 7, 1), "x")],
+        schemas.WORLD_BANK_BATCH,
+    )
+    b1.write.parquet(batch_src, mode="append")
+    start()
+    snap1 = {r["bank_name"]: r for r in spark.read.parquet(target_path).collect()}
+    assert snap1["Bank A"]["batch_id"] == "epoch-0"
+    assert snap1["Bank A"]["updated_at"] is None
+
+    b2 = spark.createDataFrame(
+        [("Bank A", 150.0, date(2024, 7, 2), "x"), ("Bank B", 200.0, date(2024, 7, 2), "x")],
+        schemas.WORLD_BANK_BATCH,
+    )
+    b2.write.parquet(batch_src, mode="append")
+    start()
+    snap2 = {r["bank_name"]: r for r in spark.read.parquet(target_path).collect()}
+    assert len(snap2) == 2
+    assert snap2["Bank A"]["market_cap_usd"] == 150.0  # updated in epoch 1
+    assert snap2["Bank A"]["batch_id"] == "epoch-1"
+    assert snap2["Bank A"]["updated_at"] is not None
+    assert snap2["Bank B"]["market_cap_usd"] == 200.0  # noop keeps epoch-0
+    assert snap2["Bank B"]["batch_id"] == "epoch-0"
