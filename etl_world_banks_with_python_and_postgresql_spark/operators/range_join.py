@@ -1,0 +1,48 @@
+"""Range (interval-containment) join -- bucketized, shuffle-friendly.
+
+Spark has no native range join (the naive form is a theta join = broadcast
+nested loop or worse). Standard scalable rewrite: quantize the value domain
+into fixed-width buckets, explode each interval into the buckets it covers,
+equi-join points to intervals on the bucket id, then apply the exact
+containment predicate. The equi-join shuffles by bucket -- O(points +
+intervals * avg_span/width) rows instead of |points| x |intervals|.
+
+Pick ``bucket_width`` near the median interval span: too small explodes the
+interval side, too large degrades to near-cross-join within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with lo <= point < hi."""
+    p = points.withColumn("_b", F.floor(F.col(point_col) / F.lit(bucket_width)))
+    i = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)),
+                # hi is exclusive: a bucket is covered only if [lo, hi)
+                # intersects it; subtract one bucket when hi sits on an edge
+                F.floor(F.col(hi_col) / F.lit(bucket_width))
+                - F.when(
+                    F.col(hi_col) % F.lit(bucket_width) == 0, F.lit(1)
+                ).otherwise(F.lit(0)),
+            )
+        ),
+    )
+    joined = p.join(i, on="_b", how=how).filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    )
+    return joined.drop("_b")

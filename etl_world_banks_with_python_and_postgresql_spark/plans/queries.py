@@ -1414,3 +1414,31 @@ def q51(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.count("*").alias("n_rows"),
     )
+
+
+@query(
+    "q52_range_join",
+    oracle="""
+WITH points AS (
+  SELECT s_suppkey, round(abs(s_acctbal) % 100, 2) AS v FROM supplier),
+intervals AS (
+  SELECT n_nationkey, (n_nationkey * 4.0)::DOUBLE AS lo,
+         (n_nationkey * 4.0 + 6.0)::DOUBLE AS hi
+  FROM nation)
+SELECT s_suppkey, v, n_nationkey, lo, hi
+FROM points JOIN intervals ON v >= lo AND v < hi
+""",
+    description="range/interval join via bucketize + equi-join + exact filter",
+)
+def q52(spark, sf_dir):
+    from ..operators.range_join import interval_join
+
+    points = load(spark, "supplier", sf_dir).select(
+        "s_suppkey", F.round(F.abs(F.col("s_acctbal")) % 100, 2).alias("v")
+    )
+    intervals = load(spark, "nation", sf_dir).select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 4.0).alias("lo"),
+        (F.col("n_nationkey") * 4.0 + 6.0).alias("hi"),
+    )
+    return interval_join(points, intervals, "v", "lo", "hi", bucket_width=2.0)
