@@ -156,3 +156,32 @@ def test_foreachbatch_merge_multi_epoch(spark, tmp_path):
     assert snap2["Bank A"]["updated_at"] is not None
     assert snap2["Bank B"]["market_cap_usd"] == 200.0  # noop keeps epoch-0
     assert snap2["Bank B"]["batch_id"] == "epoch-0"
+
+
+def test_file_stream_source_and_kafka_gate(spark, tmp_path):
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.sources import (
+        file_stream,
+        kafka_available,
+        kafka_stream,
+    )
+
+    src = str(tmp_path / "fs")
+    ev = load(spark, "events", SF).select("event_id", "user_id", "value")
+    ev.write.parquet(src)
+    stream = file_stream(spark, src, ev.schema, max_files_per_trigger=2)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("fs_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT count(*) n FROM fs_out").collect()[0]["n"] == ev.count()
+
+    if not kafka_available(spark):
+        import pytest
+
+        with pytest.raises(RuntimeError, match="Kafka connector"):
+            kafka_stream(spark, "localhost:9092", "t")
