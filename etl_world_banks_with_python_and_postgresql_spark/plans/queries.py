@@ -1442,3 +1442,38 @@ def q52(spark, sf_dir):
         (F.col("n_nationkey") * 4.0 + 6.0).alias("hi"),
     )
     return interval_join(points, intervals, "v", "lo", "hi", bucket_width=2.0)
+
+
+@query(
+    "q53_hypertable_rollup",
+    oracle="""
+SELECT 'hour' AS granularity, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS bucket,
+       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', time_bucket(INTERVAL '1 day', ts::TIMESTAMP), event_type,
+       count(*), round(sum(value), 4)
+FROM events GROUP BY 2, 3
+""",
+    description="hypertable-style multi-granularity rollup (continuous-aggregate shape)",
+)
+def q53(spark, sf_dir):
+    e = load(spark, "events", sf_dir)
+
+    def agg_at(granularity: str, label: str):
+        return (
+            e.groupBy(F.window("ts", granularity).alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+            .select(
+                F.lit(label).alias("granularity"),
+                F.col("w.start").alias("bucket"),
+                "event_type",
+                "n",
+                "total_value",
+            )
+        )
+
+    # at scale: compute the fine granularity once, then re-aggregate coarser
+    # levels from it (sums/counts compose); here the data is small enough to
+    # keep both oracle-parallel for clarity
+    return agg_at("1 hour", "hour").unionByName(agg_at("1 day", "day"))
