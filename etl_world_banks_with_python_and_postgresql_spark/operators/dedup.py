@@ -83,6 +83,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_df: int | None = None,
+    prefix_order: str = "hash",
 ) -> DataFrame:
     """EXACT n-gram-Jaccard near-duplicate pairs (doc_a < doc_b, j >= t).
 
@@ -98,34 +99,68 @@ def ngram_jaccard_pairs(
       4. exact verification on the full shingle arrays.
 
     This is the 100 TB shape: the only all-corpus shuffle keys are
-    (rare) prefix shingles, and verification touches candidate pairs only.
-    ``max_shingle_df`` additionally drops shingles above a df cap from the
-    index -- that one CAN miss pairs (documented trade-off), leave None for
-    the exact/oracle-checked config.
+    prefix shingles, and verification touches candidate pairs only.
+
+    ``prefix_order`` picks the canonical total order prefixes are taken in
+    (lossless either way -- prefix filtering only needs SOME consistent
+    global order):
+      * 'hash' (default): order by portable polynomial hash. Zero global
+        statistics -- prefixes come from a per-row array sort, no df join,
+        no window. Best when shingle frequencies are benign.
+      * 'df': order by global document frequency, so prefixes hold each
+        doc's RAREST shingles -- fewer candidates and no hot shuffle keys
+        on skewed corpora (stopword-heavy shingles never enter the index).
+        Costs a frequency aggregation + join + per-doc window.
+    ``max_shingle_df`` ('df' mode) additionally drops shingles above a df
+    cap from the index -- that one CAN miss pairs (documented trade-off),
+    leave None for the exact/oracle-checked config.
     """
-    # the shingle sets feed three plan branches (df-ranking, candidate
-    # index, verification); persist once instead of recomputing the
+    # the shingle sets feed multiple plan branches (prefix index +
+    # verification); persist once instead of recomputing the
     # tokenize+shingle lineage per branch (spills to disk at scale)
     sets = (
         shingle_sets(df, text_col, id_col, n)
         .withColumn("sz", F.size("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sets.count()  # eager fill: three downstream branches would otherwise
-    # race to compute the cache concurrently and duplicate the work
-    ex = sets.select("doc_id", "sz", F.explode("sh").alias("g"))
-    freq = ex.groupBy("g").agg(F.count("*").alias("gdf"))
-    if max_shingle_df is not None:
-        freq = freq.filter(F.col("gdf") <= max_shingle_df)
-    ranked = (
-        ex.join(freq, "g")
-        .withColumn(
-            "rn",
-            F.row_number().over(W.partitionBy("doc_id").orderBy("gdf", "g")),
+    sets.count()  # eager fill: downstream branches would otherwise race to
+    # compute the cache concurrently and duplicate the work
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    if prefix_order == "hash":
+        hashed = F.array_sort(
+            F.transform(
+                F.col("sh"),
+                lambda s: F.struct(
+                    F.aggregate(
+                        F.split(s, ""),
+                        F.lit(0).cast("long"),
+                        lambda acc, c: (acc * POLY_BASE + F.ascii(c)) % POLY_MOD,
+                    ).alias("h"),
+                    s.alias("g"),
+                ),
+            )
         )
-        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("doc_id", "sz", "g")
-    )
+        ranked = (
+            sets.withColumn("_pref", F.slice(hashed, F.lit(1), prefix_len.cast("int")))
+            .select("doc_id", "sz", F.explode("_pref").alias("p"))
+            .select("doc_id", "sz", F.col("p.g").alias("g"))
+        )
+    elif prefix_order == "df":
+        ex = sets.select("doc_id", "sz", F.explode("sh").alias("g"))
+        freq = ex.groupBy("g").agg(F.count("*").alias("gdf"))
+        if max_shingle_df is not None:
+            freq = freq.filter(F.col("gdf") <= max_shingle_df)
+        ranked = (
+            ex.join(freq, "g")
+            .withColumn(
+                "rn",
+                F.row_number().over(W.partitionBy("doc_id").orderBy("gdf", "g")),
+            )
+            .filter(F.col("rn") <= prefix_len)
+            .select("doc_id", "sz", "g")
+        )
+    else:
+        raise ValueError(f"prefix_order must be 'hash' or 'df', got {prefix_order!r}")
     a = ranked.alias("a")
     b = ranked.alias("b")
     cand = (
