@@ -34,6 +34,11 @@ def asof_join(
 
     ``agg`` resolves right-side ties at identical (key, ts).
     """
+    clash = set(value_cols) & {c for c in left.columns if c not in (key, ts)}
+    if clash:
+        raise ValueError(
+            f"left already has column(s) {sorted(clash)}; rename before asof_join"
+        )
     right_dedup = right.groupBy(key, ts).agg(
         *[getattr(F, agg)(c).alias(c) for c in value_cols]
     )

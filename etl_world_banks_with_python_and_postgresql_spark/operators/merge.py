@@ -67,6 +67,7 @@ def classify(
     keys: Sequence[str],
     compare_col: str,
     scd: bool = True,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Join the batch against a per-key profile of the target and classify.
 
@@ -78,10 +79,12 @@ def classify(
     # 100 TB plan: the profile aggregate only matters for keys present in the
     # (small) batch, so semi-join-reduce the target first with a broadcast
     # semi join -- the huge target is never shuffled in full; the groupBy
-    # runs over ~|batch| matching rows.
-    target = target.join(
-        F.broadcast(batch.select(*keys).distinct()), on=list(keys), how="left_semi"
-    )
+    # runs over ~|batch| matching rows. For batch ~ target size, pass
+    # broadcast_batch=False and the semi join falls back to a shuffled one.
+    batch_keys = batch.select(*keys).distinct()
+    if broadcast_batch:
+        batch_keys = F.broadcast(batch_keys)
+    target = target.join(batch_keys, on=list(keys), how="left_semi")
     if scd:
         profile = target.groupBy(*keys).agg(
             F.count(F.when(F.col("active"), 1)).alias("_n_active"),
@@ -154,7 +157,9 @@ def merge_scd(
         ).select(*keys, *[F.col(f"_p.{c}").alias(c) for c in payload])
     )
 
-    actions = classify(target, batch, keys, compare_col, scd=scd)
+    actions = classify(
+        target, batch, keys, compare_col, scd=scd, broadcast_batch=broadcast_batch
+    )
     batch_payload = [c for c in batch.columns if c not in keys]
 
     # --- apply to existing target rows (one left join target <- batch) ------

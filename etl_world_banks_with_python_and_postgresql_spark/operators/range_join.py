@@ -28,6 +28,9 @@ def interval_join(
 ) -> DataFrame:
     """Join each point row to every interval row with lo <= point < hi."""
     p = points.withColumn("_b", F.floor(F.col(point_col) / F.lit(bucket_width)))
+    # drop empty/inverted intervals FIRST: Spark's sequence(start, stop)
+    # counts DOWN when start > stop, which would fabricate buckets
+    intervals = intervals.filter(F.col(lo_col) < F.col(hi_col))
     i = intervals.withColumn(
         "_b",
         F.explode(
