@@ -64,9 +64,21 @@ def cosine_topk(
         .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
         .select("query_id", "neighbor_id", "cos_sim")
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    # two-phase top-k: keep k per (query, input partition) BEFORE the global
+    # window, so the shuffle carries |Q| * k * partitions rows instead of
+    # |Q| * |corpus|. Identical result -- the global top-k under the same
+    # total order is a subset of each partition's top-k.
+    order = (F.desc("cos_sim"), F.asc("neighbor_id"))
+    w_local = W.partitionBy("query_id", "_p").orderBy(*order)
+    partial = (
+        scored.withColumn("_p", F.spark_partition_id())
+        .withColumn("_r", F.row_number().over(w_local))
+        .filter(F.col("_r") <= k)
+        .drop("_p", "_r")
+    )
+    w = W.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
@@ -134,36 +146,48 @@ def ivf_topk(
     Centroids are a deterministic corpus sample (every ceil(N/n_centroids)-th
     vector by id order) -- a real deployment would k-means them, but the
     partition/probe mechanics (the part that matters for the Spark plan) are
-    identical. Corpus assignment is one broadcast-argmin pass; the probe
-    join is an equi-join on cell id, so the corpus shuffles once by cell and
-    each query scans ~n_probe/n_centroids of the data. Recall depends on
-    (n_centroids, n_probe); exact baseline is ``cosine_topk``.
+    identical. The tiny centroid set is collected to the driver and baked
+    into the plan as literal arrays, so cell assignment is a pure
+    per-row expression -- no global window, no extra shuffle of the corpus
+    (a window-based argmin would funnel the whole corpus through one
+    partition). The probe join is an equi-join on cell id: each query scans
+    ~n_probe/n_centroids of the data. Recall depends on (n_centroids,
+    n_probe); exact baseline is ``cosine_topk``.
     """
-    w_rank = W.orderBy(F.asc(id_col))
     n_total = corpus.count()
     stride = max(1, n_total // n_centroids)
-    cents = (
-        corpus.withColumn("_rn", F.row_number().over(w_rank))
-        .filter((F.col("_rn") % stride == 1) | (F.lit(stride) == 1))
+    cent_rows = (
+        corpus.filter(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
         .limit(n_centroids)
-        .withColumn("cell", F.row_number().over(w_rank) - 1)
-        .select("cell", F.col(vec_col).alias("c_vec"))
+        .select(vec_col)
+        .collect()
     )
+    cent_lits = [
+        F.array(*[F.lit(float(x)) for x in row[vec_col]]) for row in cent_rows
+    ]
 
-    def nearest_cells(df: DataFrame, out_col: str, nc: int) -> DataFrame:
-        scored = df.join(F.broadcast(cents)).withColumn(
-            "_sim", cosine(F.col(vec_col), F.col("c_vec"))
+    def cells_expr(vec, nc: int):
+        """Top-nc nearest centroid ids as an array column (pure expression)."""
+        sims = F.array(
+            *[
+                F.struct(
+                    cosine(vec, cent).alias("s"), F.lit(i).alias("cell")
+                )
+                for i, cent in enumerate(cent_lits)
+            ]
         )
-        wq = W.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
-        return (
-            scored.withColumn("_r", F.row_number().over(wq))
-            .filter(F.col("_r") <= nc)
-            .select(F.col(id_col), F.col(vec_col), F.col("cell").alias(out_col))
-        )
+        # array_sort ascending by (s, cell); take the LAST nc = highest sims
+        top = F.slice(F.array_sort(sims), -nc, nc)
+        return F.transform(top, lambda t: t["cell"])
 
-    corpus_cells = nearest_cells(corpus, "cell", 1)
-    query_cells = nearest_cells(queries, "cell", n_probe).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell"
+    corpus_cells = corpus.select(
+        F.col(id_col), F.col(vec_col), cells_expr(F.col(vec_col), 1)[0].alias("cell")
+    )
+    query_cells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(cells_expr(F.col(vec_col), n_probe)).alias("cell"),
     )
     scored = (
         corpus_cells.withColumnRenamed(id_col, "neighbor_id")
