@@ -4,8 +4,13 @@ Hypothesis generates random batch sequences; invariants checked after each
 applied batch:
   I1  at most one ACTIVE row per key;
   I2  history only grows (row count monotonically non-decreasing);
-  I3  replaying the final batch unchanged yields zero inserts/updates and a
-      bit-identical snapshot (idempotency).
+  I3  replaying the final batch unchanged yields zero inserts/updates, no
+      new history rows, and reaches a FIXPOINT after at most one replay.
+      (Strict single-replay idempotency does not hold in the reference
+      semantics: a no-op'd row keeps its stale batch_id -- sql:38-40 --
+      so the deactivation pass can deactivate a present-but-unchanged row,
+      and replaying then REACTIVATES it. Faithful quirk, found by
+      hypothesis.)
 """
 
 from datetime import date, datetime, timedelta
@@ -90,13 +95,20 @@ def test_merge_invariants(seq):
         assert n >= prev_count
         prev_count = n
 
-    # I3: idempotent replay of the last batch
+    # I3: replay of the last batch -- no inserts/updates, no history growth,
+    # and a fixpoint after at most one replay (see module docstring for why
+    # single-replay bit-identity is NOT the reference contract)
     last_idx = len(seq) - 1
     now = base_now + timedelta(days=last_idx)
-    before = sorted(map(tuple, target.collect()))
-    replayed, res = apply(spark, target, seq[last_idx], f"batch-{last_idx}", now)
-    row = res.counters.collect()[0]
-    assert row["new_inserts_count"] == 0
-    assert row["update_count"] == 0
-    after = sorted(map(tuple, replayed.collect()))
-    assert before == after
+    n_before = target.count()
+    replay1, res1 = apply(spark, target, seq[last_idx], f"batch-{last_idx}", now)
+    row1 = res1.counters.collect()[0]
+    assert row1["new_inserts_count"] == 0
+    assert row1["update_count"] == 0
+    assert replay1.count() == n_before  # reactivation is in-place, no new rows
+
+    replay2, res2 = apply(spark, replay1, seq[last_idx], f"batch-{last_idx}", now)
+    row2 = res2.counters.collect()[0]
+    assert row2["new_inserts_count"] == 0
+    assert row2["update_count"] == 0
+    assert sorted(map(tuple, replay1.collect())) == sorted(map(tuple, replay2.collect()))
