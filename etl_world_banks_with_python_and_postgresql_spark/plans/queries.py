@@ -1477,3 +1477,227 @@ def q53(spark, sf_dir):
     # levels from it (sums/counts compose); here the data is small enough to
     # keep both oracle-parallel for clarity
     return agg_at("1 hour", "hour").unionByName(agg_at("1 day", "day"))
+
+
+# =====================================================================
+# Round-1 widening: TPC-H Q2/Q11/Q15 shapes, multiset ops, map columns,
+# extended date arithmetic (NOTES.md round-2 candidate #6 pulled forward)
+# =====================================================================
+
+
+@query(
+    "q54_min_cost_per_part",
+    oracle="""
+WITH offers AS (SELECT l_partkey, l_suppkey, l_extendedprice FROM lineitem),
+mins AS (SELECT l_partkey, min(l_extendedprice) AS min_price
+         FROM offers GROUP BY l_partkey)
+SELECT p.p_partkey, p.p_brand,
+       round(m.min_price, 2)          AS min_price,
+       count(DISTINCT o.l_suppkey)    AS n_best_supp
+FROM part p
+JOIN mins m   ON m.l_partkey = p.p_partkey
+JOIN offers o ON o.l_partkey = p.p_partkey AND o.l_extendedprice = m.min_price
+WHERE p.p_size <= 15
+GROUP BY p.p_partkey, p.p_brand, m.min_price
+""",
+    description=(
+        "TPC-H Q2 shape: cheapest offer per part via min-agg + join-back "
+        "(decorrelated min subquery). lineitem stands in for partsupp."
+    ),
+)
+def q54(spark, sf_dir):
+    # Scale notes: `mins` is one shuffle on l_partkey and shrinks lineitem
+    # to one row per part; the join-back reuses the same key so AQE can
+    # plan a co-partitioned join. `part` is the small side -> broadcast.
+    offers = load(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    mins = (
+        offers.groupBy("l_partkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+        .withColumnRenamed("l_partkey", "m_partkey")
+    )
+    best = offers.join(
+        mins,
+        (offers.l_partkey == mins.m_partkey)
+        & (offers.l_extendedprice == mins.min_price),
+    ).select("l_partkey", "l_suppkey", "min_price")
+    p = load(spark, "part", sf_dir).filter(F.col("p_size") <= 15)
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_brand", "min_price")
+        .agg(F.count_distinct("l_suppkey").alias("n_best_supp"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("min_price", 2).alias("min_price"),
+            "n_best_supp",
+        )
+    )
+
+
+@query(
+    "q55_supplier_value_share",
+    oracle="""
+WITH rev AS (SELECT l_suppkey, count(*) AS n_items,
+                    sum(l_extendedprice * (1 - l_discount)) AS revenue
+             FROM lineitem GROUP BY l_suppkey)
+SELECT l_suppkey, n_items, round(revenue, 2) AS revenue
+FROM rev
+WHERE n_items > (SELECT sum(n_items) FROM rev) * 0.0002
+""",
+    description=(
+        "TPC-H Q11 shape: per-group value filtered against a global scalar "
+        "aggregate (HAVING share-of-total). Threshold on integer counts so "
+        "membership is float-order independent."
+    ),
+)
+def q55(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir)
+    rev = li.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+    # global scalar: single-row aggregate broadcast into a nested-loop
+    # (cross) join -- no shuffle of `rev`, threshold evaluated map-side
+    total = rev.agg(F.sum("n_items").alias("total_items"))
+    return (
+        rev.join(F.broadcast(total))
+        .filter(F.col("n_items") > F.col("total_items") * 0.0002)
+        .select("l_suppkey", "n_items", F.round("revenue", 2).alias("revenue"))
+    )
+
+
+@query(
+    "q56_top_supplier",
+    oracle="""
+WITH activity AS (SELECT l_suppkey, count(*) AS n_shipped
+                  FROM lineitem WHERE year(l_shipdate) = 1995
+                  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, a.n_shipped
+FROM supplier s JOIN activity a ON a.l_suppkey = s.s_suppkey
+WHERE a.n_shipped = (SELECT max(n_shipped) FROM activity)
+""",
+    description=(
+        "TPC-H Q15 shape: top supplier(s) by windowed activity via CTE + "
+        "scalar max subquery; ties all returned (integer metric, "
+        "deterministic across engines)."
+    ),
+)
+def q56(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir).filter(F.year("l_shipdate") == 1995)
+    activity = li.groupBy("l_suppkey").agg(F.count("*").alias("n_shipped"))
+    top = activity.agg(F.max("n_shipped").alias("max_shipped"))
+    s = load(spark, "supplier", sf_dir)
+    return (
+        activity.join(F.broadcast(top))
+        .filter(F.col("n_shipped") == F.col("max_shipped"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_shipped")
+    )
+
+
+@query(
+    "q57_multiset_ops",
+    oracle="""
+SELECT 'intersect_all' AS op, nk FROM (
+  SELECT c_nationkey AS nk FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'except_all', nk FROM (
+  SELECT s_nationkey AS nk FROM supplier
+  EXCEPT ALL
+  SELECT c_nationkey FROM customer WHERE c_custkey % 50 = 0)
+""",
+    description=(
+        "multiset set-ops: INTERSECT ALL / EXCEPT ALL (bag semantics; "
+        "q19 covers the distinct variants). The EXCEPT side subtracts a "
+        "1-in-50 customer sample so the remainder is non-empty at every "
+        "scale factor (a %2 sample saturates from sf0.01 up)."
+    ),
+)
+def q57(spark, sf_dir):
+    c = load(spark, "customer", sf_dir)
+    s = load(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("nk"))
+    c_all = c.select(F.col("c_nationkey").alias("nk"))
+    c_even = c.filter(F.col("c_custkey") % 50 == 0).select(
+        F.col("c_nationkey").alias("nk")
+    )
+    ia = c_all.intersectAll(s).select(F.lit("intersect_all").alias("op"), "nk")
+    ea = s.exceptAll(c_even).select(F.lit("except_all").alias("op"), "nk")
+    return ia.unionByName(ea)
+
+
+@query(
+    "q58_map_column",
+    oracle="""
+WITH lines AS (SELECT l_orderkey, l_linenumber, max(l_quantity) AS qty
+               FROM lineitem WHERE l_orderkey % 7 = 0
+               GROUP BY l_orderkey, l_linenumber)
+SELECT l_orderkey,
+       count(*)                                              AS n_lines,
+       round(max(CASE WHEN l_linenumber = 1 THEN qty END), 4) AS qty_line1,
+       max(l_linenumber)                                     AS max_line
+FROM lines GROUP BY l_orderkey
+""",
+    description=(
+        "map-typed column plumbing: per-order map<linenumber,quantity> built "
+        "with map_from_entries (keys uniqued by max-qty pre-agg, since the "
+        "synthetic lineitem repeats linenumbers), then probed via "
+        "size / element_at / map_keys; oracle computes the same facts "
+        "relationally"
+    ),
+)
+def q58(spark, sf_dir):
+    li = (
+        load(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("l_quantity").alias("l_quantity"))
+    )
+    m = li.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("line_qty")
+    )
+    return m.select(
+        "l_orderkey",
+        F.size("line_qty").alias("n_lines"),
+        F.round(F.element_at("line_qty", F.lit(1)), 4).alias("qty_line1"),
+        F.array_max(F.map_keys("line_qty")).alias("max_line"),
+    )
+
+
+@query(
+    "q59_date_arith_extended",
+    oracle="""
+SELECT o_orderkey,
+       date_diff('month', date_trunc('month', o_orderdate)::DATE,
+                 DATE '2000-01-01')::INT              AS months_to_y2k,
+       (o_orderdate::DATE + INTERVAL 3 MONTH)::DATE   AS plus_quarter,
+       o_orderdate::DATE - 45                         AS minus_45,
+       date_trunc('quarter', o_orderdate)::DATE       AS quarter_start,
+       dayofyear(o_orderdate)::INT                    AS doy,
+       weekofyear(o_orderdate)::INT                   AS iso_week
+FROM orders WHERE o_orderkey % 37 = 0
+""",
+    description=(
+        "extended date arithmetic: months_between / add_months / date_sub / "
+        "quarter trunc / day-of-year / ISO week (complements q21)"
+    ),
+)
+def q59(spark, sf_dir):
+    o = load(spark, "orders", sf_dir).filter(F.col("o_orderkey") % 37 == 0)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.months_between(F.lit("2000-01-01").cast("date"), F.trunc(d, "MM"))
+        .cast("int")
+        .alias("months_to_y2k"),
+        F.add_months(d, 3).alias("plus_quarter"),
+        F.date_sub(d, 45).alias("minus_45"),
+        F.trunc(d, "quarter").alias("quarter_start"),
+        F.dayofyear(d).alias("doy"),
+        F.weekofyear(d).alias("iso_week"),
+    )

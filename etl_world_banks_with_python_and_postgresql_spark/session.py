@@ -47,6 +47,10 @@ def get_spark(
         # read as long and convert in sources.catalog.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # local mode: the driver IS the executor. 8g measured faster AND
+        # more stable than 24g (bench suite A/B: 44s vs 117-134s with
+        # multi-10s GC spikes rotating across the UDF-heavy queries) --
+        # a bigger heap just defers collection into huge full-GC pauses.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if extra_conf:
