@@ -131,6 +131,83 @@ def lsh_bucketed_topk(
     )
 
 
+def _stride_sample_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """Deterministic coarse centroids: every ceil(N/n)-th vector by id."""
+    n_total = corpus.count()
+    stride = max(1, n_total // n_centroids)
+    rows = (
+        corpus.filter(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _centroid_literals(centroids: list[list[float]]) -> list[Column]:
+    return [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+
+
+def _nearest_cells(vec: Column, cent_lits: list[Column], nc: int) -> Column:
+    """Ids of the nc nearest centroids (by cosine) as a pure expression --
+    no shuffle, no window; the centroid set is baked into the plan."""
+    sims = F.array(
+        *[
+            F.struct(cosine(vec, cent).alias("s"), F.lit(i).alias("cell"))
+            for i, cent in enumerate(cent_lits)
+        ]
+    )
+    # array_sort ascending by (s, cell); take the LAST nc = highest sims
+    top = F.slice(F.array_sort(sims), -nc, nc)
+    return F.transform(top, lambda t: t["cell"])
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd iterations for IVF coarse quantization.
+
+    Each iteration is ONE map-side-combined shuffle of exactly
+    ``n_centroids`` groups: assignment is a literal-centroid argmin
+    expression (codegen, no join, no window), and the update step
+    aggregates per-dimension sums with ``F.sum(vec[i])`` columns -- the
+    shuffle payload is n_centroids x (dim + 1) doubles regardless of
+    corpus size, so the cost per iteration is a corpus scan. That is the
+    plan shape that survives 100 TB; the driver only ever holds the
+    (tiny) centroid matrix.
+
+    Deterministic: stride-sampled init, fixed iteration count, and
+    float addition order inside each sum is absorbed by the mean (the
+    assignment argmin is stable far from cell boundaries; exact
+    reproducibility of boundary rows across cluster layouts is not
+    promised, same as any distributed k-means).
+    Empty cells keep their previous centroid.
+    """
+    cents = _stride_sample_centroids(corpus, n_centroids, id_col, vec_col)
+    dim = len(cents[0])
+    vec_d = _to_double(F.col(vec_col))
+    for _ in range(n_iter):
+        cell = _nearest_cells(vec_d, _centroid_literals(cents), 1)[0]
+        agg = (
+            corpus.select(cell.alias("cell"), *[
+                F.col(vec_col)[i].cast("double").alias(f"x{i}") for i in range(dim)
+            ])
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"), *[F.sum(f"x{i}").alias(f"s{i}") for i in range(dim)])
+            .collect()
+        )
+        new = {r["cell"]: [r[f"s{i}"] / r["n"] for i in range(dim)] for r in agg}
+        cents = [new.get(i, c) for i, c in enumerate(cents)]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -139,55 +216,36 @@ def ivf_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into inverted
     cells, probe only the ``n_probe`` nearest cells per query.
 
-    Centroids are a deterministic corpus sample (every ceil(N/n_centroids)-th
-    vector by id order) -- a real deployment would k-means them, but the
-    partition/probe mechanics (the part that matters for the Spark plan) are
-    identical. The tiny centroid set is collected to the driver and baked
-    into the plan as literal arrays, so cell assignment is a pure
-    per-row expression -- no global window, no extra shuffle of the corpus
-    (a window-based argmin would funnel the whole corpus through one
-    partition). The probe join is an equi-join on cell id: each query scans
-    ~n_probe/n_centroids of the data. Recall depends on (n_centroids,
-    n_probe); exact baseline is ``cosine_topk``.
+    By default centroids are a deterministic corpus sample (every
+    ceil(N/n_centroids)-th vector by id order); pass
+    ``centroids=kmeans_centroids(corpus, ...)`` for trained cells with
+    higher recall at the same n_probe. Either way the tiny centroid set
+    is collected to the driver and baked into the plan as literal arrays,
+    so cell assignment is a pure per-row expression -- no global window,
+    no extra shuffle of the corpus (a window-based argmin would funnel
+    the whole corpus through one partition). The probe join is an
+    equi-join on cell id: each query scans ~n_probe/n_centroids of the
+    data. Recall depends on (n_centroids, n_probe); exact baseline is
+    ``cosine_topk``.
     """
-    n_total = corpus.count()
-    stride = max(1, n_total // n_centroids)
-    cent_rows = (
-        corpus.filter(F.col(id_col) % stride == 0)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .select(vec_col)
-        .collect()
-    )
-    cent_lits = [
-        F.array(*[F.lit(float(x)) for x in row[vec_col]]) for row in cent_rows
-    ]
-
-    def cells_expr(vec, nc: int):
-        """Top-nc nearest centroid ids as an array column (pure expression)."""
-        sims = F.array(
-            *[
-                F.struct(
-                    cosine(vec, cent).alias("s"), F.lit(i).alias("cell")
-                )
-                for i, cent in enumerate(cent_lits)
-            ]
-        )
-        # array_sort ascending by (s, cell); take the LAST nc = highest sims
-        top = F.slice(F.array_sort(sims), -nc, nc)
-        return F.transform(top, lambda t: t["cell"])
+    if centroids is None:
+        centroids = _stride_sample_centroids(corpus, n_centroids, id_col, vec_col)
+    cent_lits = _centroid_literals(centroids)
 
     corpus_cells = corpus.select(
-        F.col(id_col), F.col(vec_col), cells_expr(F.col(vec_col), 1)[0].alias("cell")
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_cells(F.col(vec_col), cent_lits, 1)[0].alias("cell"),
     )
     query_cells = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(cells_expr(F.col(vec_col), n_probe)).alias("cell"),
+        F.explode(_nearest_cells(F.col(vec_col), cent_lits, n_probe)).alias("cell"),
     )
     scored = (
         corpus_cells.withColumnRenamed(id_col, "neighbor_id")

@@ -1701,3 +1701,21 @@ def q59(spark, sf_dir):
         F.dayofyear(d).alias("doy"),
         F.weekofyear(d).alias("iso_week"),
     )
+
+
+@query(
+    "q60_ivf_kmeans_topk",
+    oracle=None,  # iterative (Lloyd) training is not SQL-expressible;
+    # recall vs the exact cosine_topk baseline is pinned in
+    # tests/test_operators_misc.py::test_ivf_kmeans_centroids_recall
+    description=(
+        "IVF top-k with k-means-trained coarse centroids: distributed "
+        "Lloyd iterations (one map-side-combined shuffle of n_centroids "
+        "groups per iteration), then literal-centroid cell probe join"
+    ),
+)
+def q60(spark, sf_dir):
+    emb = load(spark, "embeddings", sf_dir)
+    cents = similarity.kmeans_centroids(emb, n_centroids=8, n_iter=2)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(emb, q, n_probe=3, k=5, centroids=cents)

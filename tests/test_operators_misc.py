@@ -151,6 +151,32 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert recall > 0.3  # probing half the cells
 
 
+def test_ivf_kmeans_centroids_recall(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = load(spark, "embeddings", SF)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk(emb, queries, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    cents = kmeans_centroids(emb, n_centroids=8, n_iter=3)
+    assert len(cents) == 8 and all(len(c) == len(cents[0]) for c in cents)
+    trained = ivf_topk(emb, queries, n_probe=4, k=5, centroids=cents)
+    a_trained = {(r["query_id"], r["neighbor_id"]) for r in trained.collect()}
+    stride = ivf_topk(emb, queries, n_centroids=8, n_probe=4, k=5)
+    a_stride = {(r["query_id"], r["neighbor_id"]) for r in stride.collect()}
+
+    r_trained = len(e & a_trained) / len(e)
+    r_stride = len(e & a_stride) / len(e)
+    # trained cells must at least hold the sampled-centroid recall
+    # (small-data ties allowed; the win shows up as corpus size grows)
+    assert r_trained >= r_stride - 0.05, (r_trained, r_stride)
+    assert r_trained > 0.3
+
+
 def test_streaming_dedup(spark, tmp_path):
     from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
         streaming_dedup,
