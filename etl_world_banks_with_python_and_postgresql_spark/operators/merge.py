@@ -54,6 +54,9 @@ class MergeResult:
     actions: DataFrame  # batch rows + 'action' column (audit / quarantine)
     counters: DataFrame  # one row: (table_name, no_update_count, update_count,
     #                     new_inserts_count, batch_id, created_at)
+    changed: DataFrame | None = None  # ONLY the rows this batch wrote
+    # (touched existing rows post-update + inserts) -- what an incremental
+    # sink persists as a delta instead of rewriting the full snapshot
 
 
 def _eq(a: Column, b: Column) -> Column:
@@ -174,6 +177,9 @@ def merge_scd(
         is_update = (F.col("action") == "update") & F.col("active")
         is_react = (F.col("action") == "reactivate") & ~F.col("active")
         touched = is_update | is_react
+        # mark BEFORE the transforms: `touched` reads the pre-update
+        # `active` flag, which the reactivate transform overwrites below
+        t = t.withColumn("_touched", touched)
         updated = (
             t.withColumn(
                 compare_col,
@@ -193,6 +199,7 @@ def merge_scd(
         insert_actions = ("insert", "new_version")
     else:
         is_update = F.col("action") == "update"
+        t = t.withColumn("_touched", is_update)
         updated = (
             t.withColumn(
                 compare_col,
@@ -212,6 +219,7 @@ def merge_scd(
         )
         insert_actions = ("insert",)
 
+    changed_existing = updated.filter(F.col("_touched")).select(*target.columns)
     updated = updated.select(*target.columns)
 
     # --- inserted rows -------------------------------------------------------
@@ -253,7 +261,24 @@ def merge_scd(
         F.count(F.lit(1)).alias("_batch_rows"),
     )
 
-    return MergeResult(target=new_target, actions=actions, counters=counters)
+    return MergeResult(
+        target=new_target,
+        actions=actions,
+        counters=counters,
+        changed=changed_existing.unionByName(inserts),
+    )
+
+
+def _stale_pred(batch_id: str, today: Column) -> Column:
+    """`etl.deactivate_bank_records` predicate (sql:129-135): active rows
+    not touched by this batch, updated before today (same-day grace), and
+    never rows with updated_at IS NULL (fresh-insert exemption quirk)."""
+    return (
+        (F.col("batch_id") != F.lit(batch_id))
+        & F.col("active")
+        & F.col("updated_at").isNotNull()
+        & (F.col("updated_at") < today)
+    )
 
 
 def deactivate_stale(
@@ -273,19 +298,31 @@ def deactivate_stale(
     # Materialize the predicate once: withColumn expressions re-resolve
     # against the running dataframe, so testing updated_at AFTER stamping it
     # would silently un-flag the row.
-    stale = (
-        (F.col("batch_id") != F.lit(batch_id))
-        & F.col("active")
-        & F.col("updated_at").isNotNull()
-        & (F.col("updated_at") < today)
-    )
     return (
-        target.withColumn("_stale", stale)
+        target.withColumn("_stale", _stale_pred(batch_id, today))
         .withColumn(
             "updated_at", F.when(F.col("_stale"), now_col).otherwise(F.col("updated_at"))
         )
         .withColumn("active", F.when(F.col("_stale"), F.lit(False)).otherwise(F.col("active")))
         .drop("_stale")
+    )
+
+
+def deactivated_rows(
+    target: DataFrame,
+    batch_id: str,
+    now: datetime | None = None,
+) -> DataFrame:
+    """ONLY the rows `deactivate_stale` would flip, post-flip -- the
+    deactivation delta for incremental sinks. Disjoint from a merge's
+    `changed` rows by construction: everything the batch touched carries
+    the current batch_id, which the stale predicate excludes."""
+    now_col = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    today = F.to_date(now_col)
+    return (
+        target.filter(_stale_pred(batch_id, today))
+        .withColumn("updated_at", now_col)
+        .withColumn("active", F.lit(False))
     )
 
 

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from . import schemas
 from .operators.merge import MergeResult, deactivate_stale, merge_scd, summarize
 from .sources import html_table, sinks
+from .sources.incremental import IncrementalTable
 
 logger = logging.getLogger("etl_world_banks_spark")
 
@@ -57,6 +58,13 @@ class PipelineConfig:
     batch_id: str = field(default_factory=lambda: str(uuid.uuid4()))
     now: datetime | None = None  # injectable clock (tests); None = wall clock
     compat_rates_update_bug: bool = False
+    # incremental=True stores both tables as base+delta (sources/incremental)
+    # so each run writes O(|batch|) instead of rewriting the full snapshot --
+    # the sink mode that holds at 100 TB. Identical final state either way
+    # (tests/test_incremental.py); incompatible with compat_rates_update_bug
+    # (the compat revert rewrites rows outside the merge's delta).
+    incremental: bool = False
+    compact_after: int = 8
 
 
 @dataclass
@@ -139,45 +147,67 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
 
     banks_path = f"{cfg.target_dir}/world_bank_data"
     rates_path = f"{cfg.target_dir}/exchanges_rates"
+    if cfg.incremental and cfg.compat_rates_update_bug:
+        raise ValueError(
+            "incremental mode is incompatible with compat_rates_update_bug: "
+            "the compat revert rewrites rows outside the merge's delta"
+        )
 
     # --- world_bank_data: SCD merge + deactivation pass ----------------------
     log("Load", "merging world_bank_data")
-    banks_target = sinks.read_snapshot(spark, banks_path, schemas.WORLD_BANK_DATA)
-    banks_res = merge_scd(
-        banks_target,
-        banks_batch,
+    banks_kw = dict(
         keys=["bank_name"],
         compare_col="market_cap_usd",
         set_cols=["market_cap_usd", "last_modified_date"],
         batch_id=cfg.batch_id,
         table_name="world_bank_data",
-        id_col="world_bank_id",
         now=now,
     )
-    # materialize audit outputs BEFORE the snapshot swap: their lineage reads
-    # the old snapshot files, which the swap replaces; _batch_rows rides along
-    # so the A7 row-count gate (ipynb:265-269) costs no extra job
-    banks_counters_row = banks_res.counters.collect()[0]
-    new_banks = banks_res.target
-    if banks_counters_row["_batch_rows"] > 0:
-        new_banks = deactivate_stale(new_banks, cfg.batch_id, now=now)
-    sinks.write_snapshot(new_banks, banks_path, target_files=4)
+    if cfg.incremental:
+        banks_table = IncrementalTable(
+            banks_path, id_col="world_bank_id", compact_after=cfg.compact_after
+        )
+        banks_res = banks_table.merge_batch(
+            spark, schemas.WORLD_BANK_DATA, banks_batch, **banks_kw
+        )
+        banks_counters_row = banks_res.counters.collect()[0]
+    else:
+        banks_target = sinks.read_snapshot(spark, banks_path, schemas.WORLD_BANK_DATA)
+        banks_res = merge_scd(
+            banks_target, banks_batch, id_col="world_bank_id", **banks_kw
+        )
+        # materialize audit outputs BEFORE the snapshot swap: their lineage
+        # reads the old snapshot files, which the swap replaces; _batch_rows
+        # rides along so the A7 row-count gate (ipynb:265-269) is free
+        banks_counters_row = banks_res.counters.collect()[0]
+        new_banks = banks_res.target
+        if banks_counters_row["_batch_rows"] > 0:
+            new_banks = deactivate_stale(new_banks, cfg.batch_id, now=now)
+        sinks.write_snapshot(new_banks, banks_path, target_files=4)
 
     # --- exchanges_rates: flat 3-way merge -----------------------------------
     log("Load", "merging exchanges_rates")
-    rates_target = sinks.read_snapshot(spark, rates_path, schemas.EXCHANGES_RATES)
-    rates_res = merge_scd(
-        rates_target,
-        rates_batch,
+    rates_kw = dict(
         keys=["country", "currency", "year"],
         compare_col="exchange_rate",
         set_cols=["exchange_rate"],
         batch_id=cfg.batch_id,
         table_name="exchanges_rates",
-        id_col="exchange_rate_id",
         now=now,
         scd=False,
     )
+    if cfg.incremental:
+        rates_table = IncrementalTable(
+            rates_path, id_col="exchange_rate_id", compact_after=cfg.compact_after
+        )
+        rates_res = rates_table.merge_batch(
+            spark, schemas.EXCHANGES_RATES, rates_batch, **rates_kw
+        )
+    else:
+        rates_target = sinks.read_snapshot(spark, rates_path, schemas.EXCHANGES_RATES)
+        rates_res = merge_scd(
+            rates_target, rates_batch, id_col="exchange_rate_id", **rates_kw
+        )
     rates_target_new = rates_res.target
     if cfg.compat_rates_update_bug:
         # reference behavior: the update branch aborts per-row (sql:210
@@ -194,7 +224,8 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
         )
         rates_target_new = keep.unionByName(reverted)
     rates_counters_row = rates_res.counters.collect()[0]
-    sinks.write_snapshot(rates_target_new, rates_path, target_files=4)
+    if not cfg.incremental:
+        sinks.write_snapshot(rates_target_new, rates_path, target_files=4)
 
     # --- audit: counters + summary + process_logs ----------------------------
     log("Audit", "writing counters and summary")
@@ -211,8 +242,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
     sinks.append_log(counters, f"{cfg.target_dir}/log_counts")
 
     summary_lines = []
-    banks_total = spark.read.parquet(banks_path).count()
-    rates_total = spark.read.parquet(rates_path).count()
+    if cfg.incremental:
+        banks_total = banks_table.read(spark, schemas.WORLD_BANK_DATA).count()
+        rates_total = rates_table.read(spark, schemas.EXCHANGES_RATES).count()
+    else:
+        banks_total = spark.read.parquet(banks_path).count()
+        rates_total = spark.read.parquet(rates_path).count()
     for row, total in ((banks_counters_row, banks_total), (rates_counters_row, rates_total)):
         lines = summarize(row.asDict(), total)
         summary_lines.extend(lines)

@@ -1,0 +1,200 @@
+"""Incremental snapshot table: per-batch delta files + compaction.
+
+The plain `sinks.write_snapshot` path rewrites the FULL target parquet on
+every batch -- O(|target|) write amplification per merge, which is the one
+part of the reference-shaped pipeline that cannot hold at 100 TB (the
+reference itself mutates rows in place in Postgres and has no equivalent
+cost: SQL/etl_world_banks.sql:42-56). This module trades it for the
+delta-log layout every transactional table format (Delta Lake, Iceberg,
+Hudi's COW/MOR split) converges on:
+
+    table/
+      _manifest.json     {"seq": N, "base": "base-<k>", "deltas": [...]}
+      base-<k>/          compacted parquet snapshot (bulk of the data)
+      delta-<seq>/       parquet: ONLY the rows batch <seq> wrote
+
+* **Write path is O(|batch|)**: a merge persists `MergeResult.changed`
+  (touched rows + inserts) plus `deactivated_rows` -- never the full
+  snapshot. The manifest swap (tmp + rename) is the atomic commit point,
+  same reader guarantee as `write_snapshot`'s directory swap.
+* **Read path is one scan, no shuffle of the base**: current state =
+  base rows whose surrogate id has no delta successor (broadcast
+  LEFT ANTI against the small union of delta ids) UNION the latest delta
+  row per id (window over delta rows only -- bounded by batches *
+  batch size, not by |target|).
+* **Compaction amortizes**: after `compact_after` deltas, the resolved
+  state is rewritten as a new base and the delta list resets -- the
+  O(|target|) cost is paid once per `compact_after` batches instead of
+  every batch.
+
+Row identity is the surrogate id column: every mutation the SCD merge
+produces (update, reactivate, deactivate) rewrites the FULL row under its
+existing id, and history rows are never deleted, so no tombstone channel
+is needed -- last-writer-wins per id fully resolves the state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+from datetime import datetime
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators import merge as merge_ops
+
+_MANIFEST = "_manifest.json"
+
+
+@dataclass
+class IncrementalTable:
+    """A parquet table maintained as base + delta files (see module doc)."""
+
+    path: str
+    id_col: str
+    compact_after: int = 8
+    broadcast_deltas: bool = True
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, _MANIFEST)
+
+    def _load_manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"seq": 0, "base": None, "deltas": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, m: dict) -> None:
+        """Atomic commit point: readers see the old or the new file set,
+        never a mix (single rename on one filesystem)."""
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path())
+
+    # --- read -----------------------------------------------------------
+
+    def read(self, spark: SparkSession, schema) -> DataFrame:
+        """Resolved current state (base minus superseded ids, plus the
+        latest delta row per id)."""
+        m = self._load_manifest()
+        base = (
+            spark.read.parquet(os.path.join(self.path, m["base"]))
+            if m["base"]
+            else spark.createDataFrame([], schema)
+        )
+        if not m["deltas"]:
+            return base
+        deltas = None
+        for i, d in enumerate(m["deltas"]):
+            df = spark.read.parquet(os.path.join(self.path, d)).withColumn(
+                "_seq", F.lit(i)
+            )
+            deltas = df if deltas is None else deltas.unionByName(df)
+        w = W.partitionBy(self.id_col).orderBy(F.desc("_seq"))
+        latest = (
+            deltas.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_seq")
+        )
+        # the delta union is bounded by compact_after * |batch| rows --
+        # broadcast it so the (huge) base is scanned without a shuffle
+        ids = latest.select(self.id_col)
+        if self.broadcast_deltas:
+            ids = F.broadcast(ids)
+        survivors = base.join(ids, on=self.id_col, how="left_anti")
+        return survivors.unionByName(latest)
+
+    # --- write ----------------------------------------------------------
+
+    def write_delta(self, changed: DataFrame, target_files: int = 4) -> None:
+        """Persist one batch's changed rows; O(|changed|), not O(|target|)."""
+        m = self._load_manifest()
+        seq = m["seq"] + 1
+        name = f"delta-{seq:06d}"
+        changed.coalesce(target_files).write.mode("overwrite").parquet(
+            os.path.join(self.path, name)
+        )
+        m["seq"] = seq
+        m["deltas"].append(name)
+        self._commit_manifest(m)
+
+    def compact(self, spark: SparkSession, schema, target_files: int = 8) -> None:
+        """Fold deltas into a new base; old files removed after the commit."""
+        m = self._load_manifest()
+        if not m["deltas"]:
+            return
+        resolved = self.read(spark, schema)
+        seq = m["seq"] + 1
+        new_base = f"base-{seq:06d}"
+        resolved.coalesce(target_files).write.mode("overwrite").parquet(
+            os.path.join(self.path, new_base)
+        )
+        old = ([m["base"]] if m["base"] else []) + m["deltas"]
+        self._commit_manifest({"seq": seq, "base": new_base, "deltas": []})
+        for d in old:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    # --- the merge protocol --------------------------------------------
+
+    def merge_batch(
+        self,
+        spark: SparkSession,
+        schema,
+        batch: DataFrame,
+        keys: Sequence[str],
+        compare_col: str,
+        set_cols: Sequence[str],
+        batch_id: str,
+        table_name: str,
+        now: datetime | None = None,
+        scd: bool = True,
+        deactivate: bool = True,
+    ) -> merge_ops.MergeResult:
+        """read -> merge_scd -> (deactivate) -> write ONLY the delta.
+
+        Returns the MergeResult (counters/actions still reflect the full
+        reference semantics); auto-compacts past ``compact_after`` deltas.
+        """
+        target = self.read(spark, schema)
+        res = merge_ops.merge_scd(
+            target,
+            batch,
+            keys=keys,
+            compare_col=compare_col,
+            set_cols=set_cols,
+            batch_id=batch_id,
+            table_name=table_name,
+            id_col=self.id_col,
+            now=now,
+            scd=scd,
+        )
+        # materialize audit outputs BEFORE any compaction: their lazy plans
+        # read the pre-batch file set, which compact() deletes
+        actions = res.actions.localCheckpoint(eager=True)
+        counters = res.counters.localCheckpoint(eager=True)
+        changed = res.changed
+        # A7 row-count gate (ipynb:265-269): an empty batch skips the
+        # deactivation pass, same as the snapshot-swap pipeline path
+        if deactivate and scd and counters.collect()[0]["_batch_rows"] > 0:
+            # disjoint from `changed` (stale rows never carry this batch_id)
+            changed = changed.unionByName(
+                merge_ops.deactivated_rows(res.target, batch_id, now=now)
+            )
+        self.write_delta(changed)
+        if len(self._load_manifest()["deltas"]) >= self.compact_after:
+            self.compact(spark, schema)
+        # hand back a target rooted at the committed file set, not the
+        # (possibly compacted-away) pre-batch lineage
+        return merge_ops.MergeResult(
+            target=self.read(spark, schema),
+            actions=actions,
+            counters=counters,
+            changed=None,
+        )

@@ -1,0 +1,146 @@
+"""Incremental (delta + compaction) table equivalence: a multi-batch SCD
+sequence through IncrementalTable must land in exactly the state the
+full-snapshot-rewrite path produces, including history rows, the
+deactivation pass, and a mid-sequence compaction.
+"""
+
+from datetime import date, datetime
+
+from pyspark.sql import functions as F
+
+from etl_world_banks_with_python_and_postgresql_spark import schemas
+from etl_world_banks_with_python_and_postgresql_spark.operators.merge import (
+    deactivate_stale,
+    merge_scd,
+)
+from etl_world_banks_with_python_and_postgresql_spark.sources.incremental import (
+    IncrementalTable,
+)
+
+D1 = datetime(2024, 8, 1, 10, 0, 0)
+D2 = datetime(2024, 8, 2, 10, 0, 0)
+D3 = datetime(2024, 8, 3, 10, 0, 0)
+D4 = datetime(2024, 8, 4, 10, 0, 0)
+
+# 4 batches exercising every branch: cold insert, update, noop, drop
+# (deactivation), reactivate-with-equal-value, new-version-after-inactive
+BATCHES = [
+    ("b1", D1, [("Bank A", 100.0), ("Bank B", 200.0), ("Bank C", 300.0)]),
+    ("b2", D2, [("Bank A", 150.0), ("Bank B", 200.0)]),  # update A, noop B, drop C
+    ("b3", D3, [("Bank A", 150.0), ("Bank B", 200.0), ("Bank C", 300.0)]),  # react C
+    ("b4", D4, [("Bank A", 175.0), ("Bank C", 999.0), ("Bank D", 50.0)]),
+]
+
+
+def batch_df(spark, rows, batch_id):
+    data = [(n, float(c), date(2024, 7, 31), batch_id) for n, c in rows]
+    return spark.createDataFrame(data, schemas.WORLD_BANK_BATCH)
+
+
+MERGE_KW = dict(
+    keys=["bank_name"],
+    compare_col="market_cap_usd",
+    set_cols=["market_cap_usd", "last_modified_date"],
+    table_name="world_bank_data",
+)
+
+
+def state_set(df):
+    """Order/id-independent view of the table state (ids are generated
+    independently per path, so they are excluded from the comparison)."""
+    return {
+        (
+            r["bank_name"],
+            r["market_cap_usd"],
+            r["active"],
+            r["batch_id"],
+            str(r["updated_at"]),
+        )
+        for r in df.collect()
+    }
+
+
+def run_full_rewrite(spark):
+    target = spark.createDataFrame([], schemas.WORLD_BANK_DATA)
+    counters = []
+    for batch_id, now, rows in BATCHES:
+        res = merge_scd(
+            target, batch_df(spark, rows, batch_id), batch_id=batch_id, now=now,
+            **MERGE_KW,
+        )
+        target = deactivate_stale(res.target, batch_id, now=now).localCheckpoint(
+            eager=True
+        )
+        counters.append(tuple(res.counters.collect()[0])[:4])
+    return target, counters
+
+
+def run_incremental(spark, path, compact_after):
+    table = IncrementalTable(
+        str(path), id_col="world_bank_id", compact_after=compact_after
+    )
+    counters = []
+    for batch_id, now, rows in BATCHES:
+        res = table.merge_batch(
+            spark,
+            schemas.WORLD_BANK_DATA,
+            batch_df(spark, rows, batch_id),
+            batch_id=batch_id,
+            now=now,
+            **MERGE_KW,
+        )
+        counters.append(tuple(res.counters.collect()[0])[:4])
+    return table, counters
+
+
+def test_incremental_equals_full_rewrite(spark, tmp_path):
+    full, full_counters = run_full_rewrite(spark)
+    table, inc_counters = run_incremental(spark, tmp_path / "t", compact_after=2)
+
+    assert inc_counters == full_counters
+    inc = table.read(spark, schemas.WORLD_BANK_DATA)
+    assert state_set(inc) == state_set(full)
+    assert inc.count() == full.count()  # history rows preserved, no dupes
+
+    # compaction fired (compact_after=2 over 4 batches): base exists and
+    # the pending delta list is short
+    m = table._load_manifest()
+    assert m["base"] is not None
+    assert len(m["deltas"]) < 4
+
+    # a fresh handle (new process, same directory) resolves the same state
+    reopened = IncrementalTable(str(tmp_path / "t"), id_col="world_bank_id")
+    assert state_set(reopened.read(spark, schemas.WORLD_BANK_DATA)) == state_set(full)
+
+
+def test_incremental_no_compaction_path(spark, tmp_path):
+    """Same equivalence with compaction disabled (pure delta chain)."""
+    full, _ = run_full_rewrite(spark)
+    table, _ = run_incremental(spark, tmp_path / "t", compact_after=99)
+    m = table._load_manifest()
+    assert m["base"] is None and len(m["deltas"]) == 4
+    assert state_set(table.read(spark, schemas.WORLD_BANK_DATA)) == state_set(full)
+
+
+def test_delta_write_is_batch_sized(spark, tmp_path):
+    """The scale claim itself: a batch touching 2 of N rows persists 2 rows
+    (plus deactivation flips), not N."""
+    table = IncrementalTable(str(tmp_path / "t"), id_col="world_bank_id")
+    n = 500
+    rows = [(f"Bank {i:04d}", float(i)) for i in range(n)]
+    table.merge_batch(
+        spark, schemas.WORLD_BANK_DATA, batch_df(spark, rows, "b1"),
+        batch_id="b1", now=D1, **MERGE_KW,
+    )
+    # second batch: update ONE bank, resend the rest unchanged (noops)
+    rows2 = [("Bank 0000", 1e6)] + rows[1:]
+    table.merge_batch(
+        spark, schemas.WORLD_BANK_DATA, batch_df(spark, rows2, "b2"),
+        batch_id="b2", now=D2, **MERGE_KW,
+    )
+    m = table._load_manifest()
+    last_delta = spark.read.parquet(str(tmp_path / "t" / m["deltas"][-1]))
+    assert last_delta.count() == 1  # just the updated row
+    resolved = table.read(spark, schemas.WORLD_BANK_DATA)
+    assert resolved.count() == n
+    assert resolved.filter("active").count() == n

@@ -177,3 +177,56 @@ def test_rates_compat_update_bug_mode(spark, sources, tmp_path):
     r0 = rates.filter("country = 'Country 0'").collect()[0]
     assert r0["exchange_rate"] == 0.5  # ...but values NOT applied (bug compat)
     assert r0["batch_id"] == "r1"
+
+
+def test_incremental_mode_matches_snapshot_mode(spark, sources, tmp_path):
+    """Full e2e in incremental (base+delta) sink mode: counters and final
+    table state identical to the snapshot-swap mode across two runs with
+    updates, inserts, noops, and a vanished bank."""
+    from etl_world_banks_with_python_and_postgresql_spark.sources.incremental import (
+        IncrementalTable,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark import schemas
+
+    banks_src, rates_src, warehouse = sources
+    inc_wh = str(tmp_path / "wh_inc")
+
+    banks2 = [("Bank A", 500.0), ("Bank K", 42.0)] + [
+        (n, v) for n, v in BANKS if n not in ("Bank A", "Bank B")
+    ]
+    b2 = tmp_path / "banks2.html"
+    b2.write_text(banks_html(banks2, lastmod="2 August 2024"))
+    runs = [
+        ("run-1", datetime(2024, 8, 1, 6, 0, 0), banks_src),
+        ("run-2", datetime(2024, 8, 2, 6, 0, 0), str(b2)),
+    ]
+
+    results = {}
+    for mode, wh in (("snap", warehouse), ("inc", inc_wh)):
+        per_run = []
+        for batch_id, now, bsrc in runs:
+            cfg = PipelineConfig(
+                banks_source=bsrc, rates_source=rates_src, target_dir=wh,
+                batch_id=batch_id, now=now, incremental=(mode == "inc"),
+            )
+            res = run_pipeline(spark, cfg)
+            per_run.append((counters(res.banks), counters(res.rates)))
+        results[mode] = per_run
+
+    assert results["inc"] == results["snap"]
+    assert results["inc"][1][0] == (1, 1, 8)  # K insert, A update, 8 noop
+
+    snap_banks = spark.read.parquet(f"{warehouse}/world_bank_data")
+    inc_banks = IncrementalTable(
+        f"{inc_wh}/world_bank_data", id_col="world_bank_id"
+    ).read(spark, schemas.WORLD_BANK_DATA)
+
+    def key(df):
+        return {
+            (r["bank_name"], r["market_cap_usd"], r["active"], r["batch_id"],
+             str(r["updated_at"]))
+            for r in df.collect()
+        }
+
+    assert key(inc_banks) == key(snap_banks)
+    assert inc_banks.count() == snap_banks.count()
