@@ -1719,3 +1719,32 @@ def q60(spark, sf_dir):
     cents = similarity.kmeans_centroids(emb, n_centroids=8, n_iter=2)
     q = emb.filter(F.col("vec_id") % 50 == 0)
     return similarity.ivf_topk(emb, q, n_probe=3, k=5, centroids=cents)
+
+
+@query(
+    "q61_event_time_join",
+    oracle="""
+SELECT p.user_id,
+       p.ts::TIMESTAMP  AS l_ts,
+       c.ts::TIMESTAMP  AS r_ts,
+       p.event_id       AS l_event_id,
+       c.event_id       AS r_event_id
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+""",
+    description=(
+        "event-time interval join (purchase <- clicks within the preceding "
+        "hour); same operator drives the watermarked stream-stream join in "
+        "streaming/pipeline.py"
+    ),
+)
+def q61(spark, sf_dir):
+    from ..streaming.pipeline import event_time_join
+
+    ev = load(spark, "events", sf_dir)
+    purchases = ev.filter("event_type = 'purchase'").select("user_id", "ts", "event_id")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+    return event_time_join(purchases, clicks, key="user_id", max_delay="1 hour")

@@ -79,6 +79,48 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def event_time_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join on ``key`` where the right event precedes the left
+    within ``max_delay`` (e.g. purchase <- click attribution).
+
+    Both sides carry watermarks and the join condition carries the time
+    interval -- the two things Spark needs to bound join state: a right row
+    is droppable once the watermark passes its ts + max_delay, so state is
+    O(rate x delay) instead of unbounded. Batch twin: operators/asof.py
+    (as-of join keeps only the latest match; this keeps all within-window
+    matches, which is the stream-safe superset).
+
+    Output columns: key, l_ts, r_ts, plus all non-key/ts columns of each
+    side prefixed ``l_`` / ``r_``.
+    """
+    lcols = [c for c in left.columns if c not in (key, ts_col)]
+    rcols = [c for c in right.columns if c not in (key, ts_col)]
+    l = left.withWatermark(ts_col, watermark).select(
+        F.col(key),
+        F.col(ts_col).alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in lcols],
+    )
+    r = right.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("_r_key"),
+        F.col(ts_col).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in rcols],
+    )
+    cond = (
+        (F.col(key) == F.col("_r_key"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, how).drop("_r_key")
+
+
 def streaming_merge_sink(
     read_target: Callable[[], DataFrame],
     write_target: Callable[[DataFrame], None],

@@ -185,3 +185,47 @@ def test_file_stream_source_and_kafka_gate(spark, tmp_path):
 
         with pytest.raises(RuntimeError, match="Kafka connector"):
             kafka_stream(spark, "localhost:9092", "t")
+
+
+def test_event_time_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join == the same join run in batch."""
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        event_time_join,
+    )
+
+    ev = load(spark, "events", SF)
+    purchases_b = ev.filter("event_type = 'purchase'").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks_b = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+
+    psrc, csrc = str(tmp_path / "p"), str(tmp_path / "c")
+    purchases_b.write.parquet(psrc)
+    clicks_b.write.parquet(csrc)
+    p_stream = spark.readStream.schema(purchases_b.schema).parquet(psrc)
+    c_stream = spark.readStream.schema(clicks_b.schema).parquet(csrc)
+
+    joined = event_time_join(p_stream, c_stream, key="user_id", max_delay="1 hour")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("etj_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], str(r["l_ts"]), r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM etj_out").collect()
+    }
+
+    expect_df = event_time_join(purchases_b, clicks_b, key="user_id", max_delay="1 hour")
+    expect = {
+        (r["user_id"], str(r["l_ts"]), r["l_event_id"], r["r_event_id"])
+        for r in expect_df.collect()
+    }
+    # inner stream-stream join with availableNow processes everything;
+    # results must match the batch join exactly
+    assert got == expect
+    assert len(got) > 0
