@@ -1748,3 +1748,146 @@ def q61(spark, sf_dir):
     purchases = ev.filter("event_type = 'purchase'").select("user_id", "ts", "event_id")
     clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
     return event_time_join(purchases, clicks, key="user_id", max_delay="1 hour")
+
+
+@query(
+    "q62_exists_not_exists",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+""",
+    description=(
+        "correlated EXISTS + NOT EXISTS (J1/J3 SURVEY §2.3 combined): "
+        "customers with an urgent order and no finished order; semi join "
+        "chained with anti join"
+    ),
+)
+def q62(spark, sf_dir):
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .join(finished, F.col("c_custkey") == finished.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "q63_dominant_supplier",
+    oracle="""
+WITH ps AS (SELECT l_partkey, l_suppkey, count(*) AS n_lines
+            FROM lineitem GROUP BY l_partkey, l_suppkey),
+mx AS (SELECT l_partkey, max(n_lines) AS m FROM ps GROUP BY l_partkey),
+winners AS (SELECT ps.l_partkey, ps.l_suppkey
+            FROM ps JOIN mx ON mx.l_partkey = ps.l_partkey
+                           AND ps.n_lines = mx.m),
+unique_winners AS (SELECT l_partkey FROM winners
+                   GROUP BY l_partkey HAVING count(*) = 1)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN winners w ON w.l_suppkey = s.s_suppkey
+JOIN unique_winners u ON u.l_partkey = w.l_partkey
+""",
+    description=(
+        "TPC-H Q20 shape: nested aggregate subqueries -- for each part, "
+        "the STRICT modal supplier (unique max line count); a fixed share "
+        "threshold degenerates as supply spreads with scale, the argmax "
+        "formulation stays non-trivial at every SF (integer counts, "
+        "float-order independent)"
+    ),
+)
+def q63(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir)
+    # all three aggregates reuse the l_partkey grouping: ps shuffles the
+    # fact once; mx and the uniqueness check aggregate the (small) ps
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.count("*").alias("n_lines"))
+    mx = ps.groupBy("l_partkey").agg(F.max("n_lines").alias("m"))
+    winners = ps.join(
+        mx.withColumnRenamed("l_partkey", "pk"),
+        (ps.l_partkey == F.col("pk")) & (ps.n_lines == F.col("m")),
+    ).select("l_partkey", "l_suppkey")
+    unique_winners = (
+        winners.groupBy("l_partkey").agg(F.count("*").alias("nw"))
+        .filter("nw = 1")
+        .select("l_partkey")
+    )
+    dominant = (
+        winners.join(unique_winners, on="l_partkey", how="left_semi")
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, "supplier", sf_dir)
+    return s.join(
+        F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q64_sole_late_supplier",
+    oracle="""
+WITH li AS (SELECT l.l_orderkey, l.l_suppkey,
+                   (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT s.s_suppkey, s.s_name, count(DISTINCT l1.l_orderkey) AS numwait
+FROM li l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s.s_suppkey, s.s_name
+""",
+    description=(
+        "TPC-H Q21 shape: suppliers who were the ONLY late shipper on "
+        "multi-supplier orders (late := shipped >60 days after order "
+        "date); correlated EXISTS/NOT EXISTS with inequality -> non-equi "
+        "semi/anti joins"
+    ),
+)
+def q64(spark, sf_dir):
+    o = load(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    li = (
+        load(spark, "lineitem", sf_dir)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60)).alias(
+                "late"
+            ),
+        )
+    )
+    l1 = li.filter("late").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter("late").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    sole_late = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    s = load(spark, "supplier", sf_dir)
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+    )
