@@ -72,18 +72,43 @@ class IncrementalTable:
 
     def _commit_manifest(self, m: dict) -> None:
         """Atomic commit point: readers see the old or the new file set,
-        never a mix (single rename on one filesystem)."""
+        never a mix (single rename on one filesystem). Every committed
+        version is also retained as _manifest-<seq>.json, which is what
+        makes `read_at` (time travel) possible."""
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f)
         os.replace(tmp, self._manifest_path())
+        with open(
+            os.path.join(self.path, f"_manifest-{m['seq']:06d}.json"), "w"
+        ) as f:
+            json.dump(m, f)
 
     # --- read -----------------------------------------------------------
+
+    def read_at(self, spark: SparkSession, schema, seq: int) -> DataFrame:
+        """Time travel: the table exactly as of committed version ``seq``
+        (each write_delta/compact commit is one version). Valid as long as
+        the version's files haven't been vacuumed; raises FileNotFoundError
+        with the missing piece otherwise."""
+        p = os.path.join(self.path, f"_manifest-{seq:06d}.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"no committed version {seq} at {self.path}")
+        with open(p) as f:
+            m = json.load(f)
+        for d in ([m["base"]] if m["base"] else []) + m["deltas"]:
+            if not os.path.exists(os.path.join(self.path, d)):
+                raise FileNotFoundError(
+                    f"version {seq} references vacuumed file set member {d}"
+                )
+        return self._resolve(spark, schema, m)
 
     def read(self, spark: SparkSession, schema) -> DataFrame:
         """Resolved current state (base minus superseded ids, plus the
         latest delta row per id)."""
-        m = self._load_manifest()
+        return self._resolve(spark, schema, self._load_manifest())
+
+    def _resolve(self, spark: SparkSession, schema, m: dict) -> DataFrame:
         base = (
             spark.read.parquet(os.path.join(self.path, m["base"]))
             if m["base"]
@@ -126,7 +151,8 @@ class IncrementalTable:
         self._commit_manifest(m)
 
     def compact(self, spark: SparkSession, schema, target_files: int = 8) -> None:
-        """Fold deltas into a new base; old files removed after the commit."""
+        """Fold deltas into a new base. Superseded files stay on disk so
+        time travel keeps working; reclaim them with `vacuum`."""
         m = self._load_manifest()
         if not m["deltas"]:
             return
@@ -136,10 +162,24 @@ class IncrementalTable:
         resolved.coalesce(target_files).write.mode("overwrite").parquet(
             os.path.join(self.path, new_base)
         )
-        old = ([m["base"]] if m["base"] else []) + m["deltas"]
         self._commit_manifest({"seq": seq, "base": new_base, "deltas": []})
-        for d in old:
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def vacuum(self) -> None:
+        """Delete file-set members and version manifests not referenced by
+        the CURRENT manifest. Bounds storage; truncates time travel to the
+        current version."""
+        m = self._load_manifest()
+        live = {m["base"]} if m["base"] else set()
+        live |= set(m["deltas"])
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            if os.path.isdir(full) and name not in live:
+                shutil.rmtree(full, ignore_errors=True)
+            elif (
+                name.startswith("_manifest-")
+                and name != f"_manifest-{m['seq']:06d}.json"
+            ):
+                os.remove(full)
 
     # --- the merge protocol --------------------------------------------
 
@@ -156,11 +196,14 @@ class IncrementalTable:
         now: datetime | None = None,
         scd: bool = True,
         deactivate: bool = True,
+        retain_history: bool = False,
     ) -> merge_ops.MergeResult:
         """read -> merge_scd -> (deactivate) -> write ONLY the delta.
 
         Returns the MergeResult (counters/actions still reflect the full
         reference semantics); auto-compacts past ``compact_after`` deltas.
+        ``retain_history=True`` skips the post-compaction vacuum so
+        `read_at` can reach versions older than the last compaction.
         """
         target = self.read(spark, schema)
         res = merge_ops.merge_scd(
@@ -190,6 +233,8 @@ class IncrementalTable:
         self.write_delta(changed)
         if len(self._load_manifest()["deltas"]) >= self.compact_after:
             self.compact(spark, schema)
+            if not retain_history:
+                self.vacuum()
         # hand back a target rooted at the committed file set, not the
         # (possibly compacted-away) pre-batch lineage
         return merge_ops.MergeResult(

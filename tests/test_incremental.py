@@ -144,3 +144,36 @@ def test_delta_write_is_batch_sized(spark, tmp_path):
     resolved = table.read(spark, schemas.WORLD_BANK_DATA)
     assert resolved.count() == n
     assert resolved.filter("active").count() == n
+
+
+def test_time_travel_read_at(spark, tmp_path):
+    """Each commit is a readable version; vacuum truncates history."""
+    import pytest
+
+    table = IncrementalTable(
+        str(tmp_path / "t"), id_col="world_bank_id", compact_after=99
+    )
+    states = []
+    for batch_id, now, rows in BATCHES:
+        table.merge_batch(
+            spark, schemas.WORLD_BANK_DATA, batch_df(spark, rows, batch_id),
+            batch_id=batch_id, now=now, retain_history=True, **MERGE_KW,
+        )
+        states.append(state_set(table.read(spark, schemas.WORLD_BANK_DATA)))
+
+    # versions 1..4 (one write_delta commit per batch) replay the history
+    for seq, expect in zip(range(1, 5), states):
+        got = state_set(table.read_at(spark, schemas.WORLD_BANK_DATA, seq))
+        assert got == expect, f"version {seq} mismatch"
+
+    with pytest.raises(FileNotFoundError, match="no committed version"):
+        table.read_at(spark, schemas.WORLD_BANK_DATA, 42)
+
+    # compaction with retained history keeps old versions readable
+    table.compact(spark, schemas.WORLD_BANK_DATA)
+    assert state_set(table.read_at(spark, schemas.WORLD_BANK_DATA, 2)) == states[1]
+    # vacuum reclaims: old version now raises, current still reads
+    table.vacuum()
+    with pytest.raises(FileNotFoundError, match="vacuumed|no committed"):
+        table.read_at(spark, schemas.WORLD_BANK_DATA, 2)
+    assert state_set(table.read(spark, schemas.WORLD_BANK_DATA)) == states[-1]
