@@ -102,3 +102,44 @@ def test_salted_join_equals_plain_join(spark):
     ).collect()[0]
     assert plain["n"] == salted["n"]
     assert plain["s"] == salted["s"]
+
+
+def test_incremental_read_no_base_shuffle(spark, tmp_path):
+    """The incremental read's scale contract: the base snapshot is scanned
+    once and joined to the pending-delta id set by BROADCAST anti join --
+    no Exchange (shuffle) of the base side."""
+    from etl_world_banks_with_python_and_postgresql_spark.sources.incremental import (
+        IncrementalTable,
+    )
+
+    table = IncrementalTable(str(tmp_path / "t"), id_col="world_bank_id")
+    rows = [(f"Bank {i}", float(i), date(2024, 7, 31), "b1") for i in range(100)]
+    base = spark.createDataFrame(rows, schemas.WORLD_BANK_BATCH)
+    table.merge_batch(
+        spark, schemas.WORLD_BANK_DATA, base,
+        keys=["bank_name"], compare_col="market_cap_usd",
+        set_cols=["market_cap_usd", "last_modified_date"],
+        batch_id="b1", table_name="wb", now=datetime(2024, 8, 1),
+    )
+    table.compact(spark, schemas.WORLD_BANK_DATA)
+    upd = spark.createDataFrame(
+        [("Bank 0", 1e6, date(2024, 8, 1), "b2")], schemas.WORLD_BANK_BATCH
+    )
+    table.merge_batch(
+        spark, schemas.WORLD_BANK_DATA, upd,
+        keys=["bank_name"], compare_col="market_cap_usd",
+        set_cols=["market_cap_usd", "last_modified_date"],
+        batch_id="b2", table_name="wb", now=datetime(2024, 8, 2),
+    )
+    plan = formatted_plan(table.read(spark, schemas.WORLD_BANK_DATA))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q64_semi_anti_are_hash_keyed(spark):
+    """Non-equi EXISTS/NOT EXISTS must plan as equi-keyed semi/anti joins
+    with the inequality as residual condition -- never a nested loop."""
+    plan = formatted_plan(REGISTRY["q64_sole_late_supplier"].fn(spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
