@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -42,10 +43,21 @@ def asof_join(
     right_dedup = right.groupBy(key, ts).agg(
         *[getattr(F, agg)(c).alias(c) for c in value_cols]
     )
-    lhs = left.withColumn("_tag", F.lit(1))
-    for c in value_cols:
-        lhs = lhs.withColumn(c, F.lit(None).cast(right_dedup.schema[c].dataType))
-    rhs = right_dedup.withColumn("_tag", F.lit(0))
+    # Carry ALL value columns as one struct with last(ignorenulls) over the
+    # STRUCT, not per-column: a right row whose value is legitimately NULL
+    # must still win as the latest row (per-column last(ignorenulls) would
+    # skip it and carry an older non-null value forward -- wrong as-of
+    # semantics). The struct itself is non-null for every right row, so
+    # ignorenulls only skips the left rows' placeholder.
+    struct_t = T.StructType(
+        [T.StructField(c, right_dedup.schema[c].dataType) for c in value_cols]
+    )
+    rhs = right_dedup.select(
+        key, ts, F.struct(*value_cols).alias("_vals")
+    ).withColumn("_tag", F.lit(0))
+    lhs = left.withColumn("_vals", F.lit(None).cast(struct_t)).withColumn(
+        "_tag", F.lit(1)
+    )
     for c in left.columns:
         if c not in (key, ts) and c not in rhs.columns:
             rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
@@ -56,7 +68,7 @@ def asof_join(
         .orderBy(F.col(ts), F.col("_tag"))
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    out = unioned
-    for c in value_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out.filter(F.col("_tag") == 1).drop("_tag")
+    out = unioned.withColumn("_vals", F.last("_vals", ignorenulls=True).over(w))
+    return out.filter(F.col("_tag") == 1).select(
+        *left.columns, *[F.col(f"_vals.{c}").alias(c) for c in value_cols]
+    )

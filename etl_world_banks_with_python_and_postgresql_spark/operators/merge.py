@@ -134,6 +134,7 @@ def merge_scd(
     now: datetime | None = None,
     scd: bool = True,
     broadcast_batch: bool = True,
+    materialize_actions: bool = False,
 ) -> MergeResult:
     """Apply one incoming batch to the SCD target, set-based.
 
@@ -144,6 +145,14 @@ def merge_scd(
 
     With ``scd=False`` the 3-way exchange-rates semantics apply on the flat
     key (insert/update/noop; no active flag on the target schema).
+
+    ``materialize_actions=True`` eagerly localCheckpoints the classified
+    batch ONCE; the returned actions/counters AND the apply/insert plans all
+    derive from that checkpoint, so (a) the classify join never re-executes
+    across the several downstream actions, and (b) actions/counters stay
+    valid after the caller swaps or compacts the target's files out from
+    under the original lineage. Sinks that overwrite the target should set
+    this (pipeline snapshot mode, IncrementalTable).
     """
     now_col = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
     keys = list(keys)
@@ -154,16 +163,21 @@ def merge_scd(
     # deterministically (max over the payload struct). Real feeds (scraped
     # tables, CDC snapshots) have unique keys; divergence documented.
     payload = [c for c in batch.columns if c not in keys]
+    # _dup_n rides along so counters can report RAW incoming rows (pre-dedup)
+    # without a second pass over the batch
     batch = (
         batch.groupBy(*keys).agg(
-            F.max(F.struct(*payload)).alias("_p")
-        ).select(*keys, *[F.col(f"_p.{c}").alias(c) for c in payload])
+            F.max(F.struct(*payload)).alias("_p"),
+            F.count(F.lit(1)).alias("_dup_n"),
+        ).select(*keys, *[F.col(f"_p.{c}").alias(c) for c in payload], "_dup_n")
     )
 
     actions = classify(
         target, batch, keys, compare_col, scd=scd, broadcast_batch=broadcast_batch
     )
-    batch_payload = [c for c in batch.columns if c not in keys]
+    if materialize_actions:
+        actions = actions.localCheckpoint(eager=True)
+    batch_payload = [c for c in batch.columns if c not in keys and c != "_dup_n"]
 
     # --- apply to existing target rows (one left join target <- batch) ------
     act = F.broadcast(actions) if broadcast_batch else actions
@@ -256,14 +270,15 @@ def merge_scd(
         _count_action("insert").alias("new_inserts_count"),
         F.lit(batch_id).alias("batch_id"),
         now_col.alias("created_at"),
-        # total incoming rows, piggybacked so callers don't need a separate
-        # count job (the driver row-count gate A7); strip before persisting
-        F.count(F.lit(1)).alias("_batch_rows"),
+        # total RAW incoming rows (pre-dedup, summed from _dup_n), piggybacked
+        # so callers don't need a separate count job (the driver row-count
+        # gate A7); strip before persisting
+        F.coalesce(F.sum("_dup_n"), F.lit(0)).cast("long").alias("_batch_rows"),
     )
 
     return MergeResult(
         target=new_target,
-        actions=actions,
+        actions=actions.drop("_dup_n"),
         counters=counters,
         changed=changed_existing.unionByName(inserts),
     )

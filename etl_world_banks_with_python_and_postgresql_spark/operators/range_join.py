@@ -26,8 +26,22 @@ def interval_join(
     bucket_width: float,
     how: str = "inner",
 ) -> DataFrame:
-    """Join each point row to every interval row with lo <= point < hi."""
-    p = points.withColumn("_b", F.floor(F.col(point_col) / F.lit(bucket_width)))
+    """Join each point row to every interval row with lo <= point < hi.
+
+    ``how``: 'inner' or 'left' (point-preserving: points inside no interval
+    come back with NULL interval columns). Other types are rejected -- the
+    containment predicate is applied after the bucket equi-join, which
+    would silently collapse them to inner semantics.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"interval_join: how={how!r} unsupported -- the post-join "
+            "containment filter drops unmatched rows; use 'inner' or 'left'"
+        )
+    p = points
+    if how == "left":
+        p = p.withColumn("_pid", F.monotonically_increasing_id())
+    p = p.withColumn("_b", F.floor(F.col(point_col) / F.lit(bucket_width)))
     # drop empty/inverted intervals FIRST: Spark's sequence(start, stop)
     # counts DOWN when start > stop, which would fabricate buckets
     intervals = intervals.filter(F.col(lo_col) < F.col(hi_col))
@@ -45,7 +59,11 @@ def interval_join(
             )
         ),
     )
-    joined = p.join(i, on="_b", how=how).filter(
+    joined = p.join(i, on="_b", how="inner").filter(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     )
+    if how == "left":
+        unmatched = p.join(joined.select("_pid"), on="_pid", how="left_anti")
+        joined = joined.unionByName(unmatched, allowMissingColumns=True)
+        joined = joined.drop("_pid")
     return joined.drop("_b")

@@ -25,7 +25,19 @@ def salted_join(
     smaller (but not broadcastable) side. ``spark_partition_id``-free and
     fully deterministic: the salt is a hash of the whole left row's key
     columns plus a per-row split via monotonically spread values.
+
+    Only left-preserving join types are sound: the right side is replicated
+    ``salt`` ways, so 'right'/'full' would emit each unmatched right row
+    ``salt`` times. Rejected explicitly rather than silently wrong.
     """
+    if how.replace("_", "").replace("outer", "") not in (
+        "inner", "left", "leftsemi", "semi", "leftanti", "anti",
+    ):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported -- the replicated right "
+            "side would duplicate unmatched right rows; use inner/left/"
+            "left_semi/left_anti (or a plain join with AQE skew handling)"
+        )
     salt_col = (F.abs(F.hash(*[F.col(c) for c in on], F.monotonically_increasing_id())) % salt)
     lhs = left.withColumn("_salt", salt_col)
     rhs = right.crossJoin(

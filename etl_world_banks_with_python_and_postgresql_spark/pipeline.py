@@ -173,17 +173,29 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
         banks_counters_row = banks_res.counters.collect()[0]
     else:
         banks_target = sinks.read_snapshot(spark, banks_path, schemas.WORLD_BANK_DATA)
+        # materialize_actions: audit outputs must survive the snapshot swap
+        # below -- their lazy plans would read the old snapshot files, which
+        # the swap deletes; post-run evaluation (e.g. the quarantine flow
+        # res.banks.actions.filter("action='error'")) would then only work
+        # while AQE's stage cache happens to hold the exchanges, and raise
+        # FILE_NOT_EXIST on a cache miss. The single checkpoint also keeps
+        # the classify join from re-executing across collect + write.
         banks_res = merge_scd(
-            banks_target, banks_batch, id_col="world_bank_id", **banks_kw
+            banks_target, banks_batch, id_col="world_bank_id",
+            materialize_actions=True, **banks_kw
         )
-        # materialize audit outputs BEFORE the snapshot swap: their lineage
-        # reads the old snapshot files, which the swap replaces; _batch_rows
-        # rides along so the A7 row-count gate (ipynb:265-269) is free
+        # `changed` additionally joins the old target files: pin it too
+        banks_res.changed = banks_res.changed.localCheckpoint(eager=True)
+        # _batch_rows rides along so the A7 row-count gate (ipynb:265-269)
+        # is free
         banks_counters_row = banks_res.counters.collect()[0]
         new_banks = banks_res.target
         if banks_counters_row["_batch_rows"] > 0:
             new_banks = deactivate_stale(new_banks, cfg.batch_id, now=now)
         sinks.write_snapshot(new_banks, banks_path, target_files=4)
+        # re-root the returned target at the committed snapshot, not the
+        # pre-swap lineage
+        banks_res.target = sinks.read_snapshot(spark, banks_path, schemas.WORLD_BANK_DATA)
 
     # --- exchanges_rates: flat 3-way merge -----------------------------------
     log("Load", "merging exchanges_rates")
@@ -205,9 +217,12 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
         )
     else:
         rates_target = sinks.read_snapshot(spark, rates_path, schemas.EXCHANGES_RATES)
+        # same pre-swap materialization as the banks path above
         rates_res = merge_scd(
-            rates_target, rates_batch, id_col="exchange_rate_id", **rates_kw
+            rates_target, rates_batch, id_col="exchange_rate_id",
+            materialize_actions=True, **rates_kw
         )
+        rates_res.changed = rates_res.changed.localCheckpoint(eager=True)
     rates_target_new = rates_res.target
     if cfg.compat_rates_update_bug:
         # reference behavior: the update branch aborts per-row (sql:210
@@ -226,6 +241,7 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
     rates_counters_row = rates_res.counters.collect()[0]
     if not cfg.incremental:
         sinks.write_snapshot(rates_target_new, rates_path, target_files=4)
+        rates_res.target = sinks.read_snapshot(spark, rates_path, schemas.EXCHANGES_RATES)
 
     # --- audit: counters + summary + process_logs ----------------------------
     log("Audit", "writing counters and summary")

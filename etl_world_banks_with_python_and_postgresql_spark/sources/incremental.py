@@ -206,6 +206,9 @@ class IncrementalTable:
         `read_at` can reach versions older than the last compaction.
         """
         target = self.read(spark, schema)
+        # materialize_actions pins the classified batch BEFORE any
+        # compaction deletes the pre-batch file set; actions/counters and
+        # the write_delta plan all derive from the one checkpoint
         res = merge_ops.merge_scd(
             target,
             batch,
@@ -217,11 +220,10 @@ class IncrementalTable:
             id_col=self.id_col,
             now=now,
             scd=scd,
+            materialize_actions=True,
         )
-        # materialize audit outputs BEFORE any compaction: their lazy plans
-        # read the pre-batch file set, which compact() deletes
-        actions = res.actions.localCheckpoint(eager=True)
-        counters = res.counters.localCheckpoint(eager=True)
+        actions = res.actions
+        counters = res.counters
         changed = res.changed
         # A7 row-count gate (ipynb:265-269): an empty batch skips the
         # deactivation pass, same as the snapshot-swap pipeline path

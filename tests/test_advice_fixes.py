@@ -1,0 +1,122 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md r1):
+
+1. pipeline snapshot mode: MergeResult audit frames must survive the
+   snapshot swap (eager checkpoint before write_snapshot).
+2. salted_join rejects right/full join types (replicated right side).
+3. interval_join: outer types rejected; how='left' preserves points.
+4. asof_join: a right row whose value is legitimately NULL must win as
+   the latest row (no carry-forward of older non-null values).
+5. merge counters _batch_rows counts RAW incoming rows, pre-dedup.
+"""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_world_banks_with_python_and_postgresql_spark import schemas
+from etl_world_banks_with_python_and_postgresql_spark.operators.asof import asof_join
+from etl_world_banks_with_python_and_postgresql_spark.operators.merge import merge_scd
+from etl_world_banks_with_python_and_postgresql_spark.operators.range_join import (
+    interval_join,
+)
+from etl_world_banks_with_python_and_postgresql_spark.operators.skew import salted_join
+
+
+def test_snapshot_mode_audit_frames_survive_swap(spark, tmp_path):
+    from etl_world_banks_with_python_and_postgresql_spark.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from tests.test_pipeline import BANKS, RATES, banks_html, rates_html
+
+    b = tmp_path / "banks.html"
+    r = tmp_path / "rates.html"
+    b.write_text(banks_html(BANKS))
+    r.write_text(rates_html(RATES))
+    cfg = PipelineConfig(
+        banks_source=str(b),
+        rates_source=str(r),
+        target_dir=str(tmp_path / "t"),
+        now=datetime(2024, 7, 2, 12, 0, 0),
+    )
+    res = run_pipeline(spark, cfg)
+    # force a cold re-evaluation: drop every cached stage/exchange so lazy
+    # plans rooted at pre-swap files would raise FILE_NOT_EXIST
+    spark.catalog.clearCache()
+    assert res.banks.actions.count() > 0
+    assert res.banks.counters.count() == 1
+    assert res.banks.changed.count() > 0
+    assert res.rates.actions.count() > 0
+    assert res.banks.actions.filter("action = 'error'").count() == 0
+    # the returned target is rooted at the committed snapshot
+    assert res.banks.target.count() == res.banks.actions.count()
+
+
+def test_salted_join_rejects_right_preserving_types(spark):
+    df = spark.range(10).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(df, df, on=["k"], how=how)
+    # left-preserving types still work
+    assert salted_join(df, df, on=["k"], how="left_semi", salt=4).count() == 10
+
+
+def test_interval_join_left_preserves_points(spark):
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 25.0), (3, 99.0)], "pid int, v double"
+    )
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 10.0), (20, 20.0, 30.0)], "iid int, lo double, hi double"
+    )
+    out = interval_join(points, intervals, "v", "lo", "hi", bucket_width=10.0,
+                        how="left")
+    rows = {r["pid"]: r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[1]["iid"] == 10
+    assert rows[2]["iid"] == 20
+    assert rows[3]["iid"] is None and rows[3]["lo"] is None
+    with pytest.raises(ValueError, match="interval_join"):
+        interval_join(points, intervals, "v", "lo", "hi", 10.0, how="right")
+
+
+def test_asof_join_null_right_value_wins(spark):
+    left = spark.createDataFrame([("a", 10), ("a", 30)], "key string, ts int")
+    right = spark.createDataFrame(
+        [("a", 5, 1.0), ("a", 20, None)], "key string, ts int, px double"
+    )
+    out = asof_join(left, right, key="key", ts="ts", value_cols=["px"])
+    got = {r["ts"]: r["px"] for r in out.collect()}
+    assert got[10] == 1.0
+    # latest right row at ts=20 carries px=NULL -> the as-of value IS NULL,
+    # not the older 1.0
+    assert got[30] is None
+
+
+def test_asof_join_no_prior_row_is_null(spark):
+    left = spark.createDataFrame([("a", 1)], "key string, ts int")
+    right = spark.createDataFrame([("a", 5, 2.0)], "key string, ts int, px double")
+    out = asof_join(left, right, key="key", ts="ts", value_cols=["px"])
+    assert out.collect()[0]["px"] is None
+
+
+def test_merge_batch_rows_counts_raw_pre_dedup(spark):
+    target = spark.createDataFrame([], schemas.WORLD_BANK_DATA)
+    batch = spark.createDataFrame(
+        [("B1", 1.0, None, "b0"), ("B1", 2.0, None, "b0"), ("B2", 3.0, None, "b0")],
+        "bank_name string, market_cap_usd double, last_modified_date date, batch_id string",
+    )
+    res = merge_scd(
+        target,
+        batch,
+        keys=["bank_name"],
+        compare_col="market_cap_usd",
+        set_cols=["market_cap_usd", "last_modified_date"],
+        batch_id="b0",
+        table_name="world_bank_data",
+        now=datetime(2024, 7, 2),
+    )
+    row = res.counters.collect()[0]
+    assert row["_batch_rows"] == 3  # raw rows, not the 2 distinct keys
+    assert row["new_inserts_count"] == 2  # dedup still governs the merge
+    assert "_dup_n" not in res.actions.columns
