@@ -13,12 +13,12 @@ Scale design (the point of this module -- see SURVEY.md north-star):
                           (exactness caveat documented on the parameter).
   * minhash_lsh_pairs     candidate generation in O(n * bands) via banded
                           signature buckets, then exact-Jaccard
-                          verification of candidates only. All hashing is
+                          verification of candidates only. SIGNATURES use
                           the portable polynomial scheme from
-                          functions.xhash, so the whole pipeline (signature
-                          -> bands -> candidates -> verify) is
-                          deterministically reproducible in the DuckDB
-                          oracle.
+                          functions.xhash (banding is lossy, so candidate
+                          membership depends on signature values and the
+                          DuckDB oracle must reproduce them bit-for-bit);
+                          verification runs on xxhash64 long arrays.
   * simhash               64->16-bit sign-aggregated token-hash sketch per
                           doc; near-dup candidates = equal sketch.
 
@@ -104,7 +104,7 @@ def ngram_jaccard_pairs(
     ``prefix_order`` picks the canonical total order prefixes are taken in
     (lossless either way -- prefix filtering only needs SOME consistent
     global order):
-      * 'hash' (default): order by portable polynomial hash. Zero global
+      * 'hash' (default): order by xxhash64 value. Zero global
         statistics -- prefixes come from a per-row array sort, no df join,
         no window. Best when shingle frequencies are benign.
       * 'df': order by global document frequency, so prefixes hold each
@@ -115,38 +115,39 @@ def ngram_jaccard_pairs(
     cap from the index -- that one CAN miss pairs (documented trade-off),
     leave None for the exact/oracle-checked config.
     """
-    # the shingle sets feed multiple plan branches (prefix index +
-    # verification); persist once instead of recomputing the
-    # tokenize+shingle lineage per branch (spills to disk at scale)
+    # Work entirely on xxhash64-hashed shingles (long arrays): prefix
+    # filtering only needs SOME consistent global order, the candidate
+    # equi-join only needs equality, and the verification intersect only
+    # needs set identity -- all of which the 64-bit hash preserves up to a
+    # ~(n_distinct^2 / 2^65) collision probability (~1e-9 at a million
+    # distinct shingles; vanishing, documented). The win: no per-char
+    # hashing, no string arrays in the cache or any shuffle -- 8-byte longs
+    # everywhere. The shingle sets feed multiple plan branches (prefix index
+    # + verification); persist once instead of recomputing the
+    # tokenize+shingle lineage per branch (spills to disk at scale).
     sets = (
         shingle_sets(df, text_col, id_col, n)
-        .withColumn("sz", F.size("sh"))
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+            ).alias("shh"),
+        )
+        .withColumn("sz", F.size("shh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sets.count()  # eager fill: downstream branches would otherwise race to
     # compute the cache concurrently and duplicate the work
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     if prefix_order == "hash":
-        hashed = F.array_sort(
-            F.transform(
-                F.col("sh"),
-                lambda s: F.struct(
-                    F.aggregate(
-                        F.split(s, ""),
-                        F.lit(0).cast("long"),
-                        lambda acc, c: (acc * POLY_BASE + F.ascii(c)) % POLY_MOD,
-                    ).alias("h"),
-                    s.alias("g"),
-                ),
-            )
-        )
-        ranked = (
-            sets.withColumn("_pref", F.slice(hashed, F.lit(1), prefix_len.cast("int")))
-            .select("doc_id", "sz", F.explode("_pref").alias("p"))
-            .select("doc_id", "sz", F.col("p.g").alias("g"))
+        # shh is already sorted by hash value = the global prefix order
+        ranked = sets.select(
+            "doc_id",
+            "sz",
+            F.explode(F.slice("shh", F.lit(1), prefix_len.cast("int"))).alias("g"),
         )
     elif prefix_order == "df":
-        ex = sets.select("doc_id", "sz", F.explode("sh").alias("g"))
+        ex = sets.select("doc_id", "sz", F.explode("shh").alias("g"))
         freq = ex.groupBy("g").agg(F.count("*").alias("gdf"))
         if max_shingle_df is not None:
             freq = freq.filter(F.col("gdf") <= max_shingle_df)
@@ -172,8 +173,8 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a"), F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b"), F.col("sz").alias("sz_b"))
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -181,7 +182,7 @@ def ngram_jaccard_pairs(
         .withColumn(
             "jaccard",
             F.round(
-                F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")), 6
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -208,46 +209,59 @@ def minhash_lsh_pairs(
     oracle replicates it exactly.
     """
     assert k % band_size == 0
-    sets = shingle_sets(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = sets.select("doc_id", "sh", minhash_signature(F.col("sh"), k=k).alias("sig"))
+    # Signatures stay on the portable polynomial scheme (the oracle must
+    # reproduce them bit-for-bit -- banding is lossy, so WHICH candidates
+    # emerge depends on signature values). Verification, however, only
+    # needs set identity, so it runs on xxhash64 long arrays (same
+    # vanishing-collision argument as ngram_jaccard_pairs) -- no string
+    # arrays cached or shuffled.
+    sets = (
+        shingle_sets(df, text_col, id_col, n)
+        .select(
+            "doc_id",
+            minhash_signature(F.col("sh"), k=k).alias("sig"),
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("shh"),
+        )
+        .withColumn("sz", F.size("shh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sets.count()  # eager fill (see ngram_jaccard_pairs)
 
     n_bands = k // band_size
-    bands = sigs.select(
+    # band key = struct of the band's raw long signature elements: struct
+    # equality joins without materializing per-row concat strings
+    bands = sets.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[i * band_size + j].cast("string")
-                                for j in range(band_size)
-                            ],
-                        ).alias("key"),
+                        *[
+                            F.col("sig")[i * band_size + j].alias(f"k{j}")
+                            for j in range(band_size)
+                        ],
                     )
                     for i in range(n_bands)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc_id", F.col("bk").alias("key"))
 
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
+            (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
 
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a"), F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b"), F.col("sz").alias("sz_b"))
     verified = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -256,7 +270,7 @@ def minhash_lsh_pairs(
             "jaccard",
             F.round(
                 F.col("common")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
                 6,
             ),
         )
