@@ -1,0 +1,93 @@
+"""Training-data preparation operators: deterministic splits and
+sequence packing.
+
+Both are pure JVM-side expressions with exact DuckDB twins (oracle-gated),
+and both are designed around Spark's partitioning model:
+
+  * hash_split      content-hash bucketing -> train/valid/test labels.
+                    Deterministic across engines AND across reshuffles
+                    (the bucket is a pure function of the row content, not
+                    of partition layout), so re-running the pipeline over
+                    re-partitioned data never migrates a document across
+                    splits -- the property that matters for contamination
+                    control at 100 TB.
+  * pack_token_bins greedy sequential packing of documents into
+                    fixed-token-budget bins (pretraining sequence
+                    packing). Packing is per `part_col` partition group
+                    (e.g. source shard): the cumulative-sum window is
+                    partitionBy(part_col), so the shuffle distributes by
+                    shard and NO global single-partition window exists --
+                    the global-order variant would serialize 100 TB
+                    through one task.
+
+The reference repo has no training surface; these extend the engine per
+the north-star brief (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.xhash import char_poly_hash
+from .text import token_count
+
+
+def hash_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    valid_pct: int = 10,
+) -> DataFrame:
+    """Label every row train/valid/test by a content-hash bucket in [0, 100).
+
+    bucket = char_poly_hash(md5(text)) % 100 -- md5 first so near-identical
+    texts still spread uniformly, poly-hash second so the bucket is
+    reproducible in the DuckDB oracle (md5 hex is identical across
+    engines). Rows with equal text land in the same split by construction
+    (the leak-safe direction for duplicated corpora).
+    """
+    bucket = char_poly_hash(F.md5(F.col(text_col))) % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def pack_token_bins(
+    df: DataFrame,
+    budget: int = 2048,
+    part_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequential sequence packing: per ``part_col`` group, walk
+    documents in ``id_col`` order accumulating token counts; a document
+    lands in bin floor(tokens_before_it / budget).
+
+    One bin-id per (part_col, bin_id); documents longer than the budget
+    occupy their own bin(s) (never split -- a packer that splits documents
+    is a tokenizer-level concern). Returns per-bin stats.
+    """
+    n_tok = token_count(F.col(text_col))
+    w = (
+        W.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        df.select(part_col, id_col, n_tok.alias("n_tokens"))
+        .withColumn("bin_id", F.floor((cum - F.col("n_tokens")) / budget))
+        .groupBy(part_col, "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+    )

@@ -1891,3 +1891,196 @@ def q64(spark, sf_dir):
         .groupBy("s_suppkey", "s_name")
         .agg(F.count_distinct("l_orderkey").alias("numwait"))
     )
+
+
+# =====================================================================
+# Round-2 additions: window-share, lateral join, QUALIFY shape, RANGE
+# frames, and training-prep operators (hash split, sequence packing)
+# =====================================================================
+
+
+@query(
+    "q65_share_of_total",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_regionkey, n.n_name, sum(o.o_totalprice) AS nat_rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_regionkey, n.n_name)
+SELECT n_name,
+       round(nat_rev, 2) AS nation_revenue,
+       round(nat_rev / sum(nat_rev) OVER (PARTITION BY n_regionkey), 6) AS region_share
+FROM rev
+""",
+    description=(
+        "percent-of-total via unordered window aggregate (ratio_to_report "
+        "shape): nation revenue share within its region"
+    ),
+)
+def q65(spark, sf_dir):
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.sum("o_totalprice").alias("nat_rev"))
+    )
+    w = W.partitionBy("n_regionkey")
+    return rev.select(
+        "n_name",
+        F.round("nat_rev", 2).alias("nation_revenue"),
+        F.round(F.col("nat_rev") / F.sum("nat_rev").over(w), 6).alias("region_share"),
+    )
+
+
+@query(
+    "q66_lateral_topn",
+    oracle="""
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2) t
+""",
+    description=(
+        "correlated LATERAL subquery with ORDER BY + LIMIT (top-2 "
+        "customers per nation); Spark plans it as a lateral join"
+    ),
+)
+def q66(spark, sf_dir):
+    load(spark, "nation", sf_dir).createOrReplaceTempView("nation")
+    load(spark, "customer", sf_dir).createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2) t
+        """
+    )
+
+
+@query(
+    "q67_qualify_latest_order",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (
+  PARTITION BY o_custkey
+  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+""",
+    description=(
+        "QUALIFY-style window filter (latest order per customer); Spark "
+        "side is the window+filter rewrite QUALIFY desugars to"
+    ),
+)
+def q67(spark, sf_dir):
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        load(spark, "orders", sf_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@query(
+    "q68_range_frame_90d",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(avg(o_totalprice) OVER w, 4) AS avg_90d,
+       count(*) OVER w                    AS n_90d
+FROM (SELECT *, date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS d
+      FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+""",
+    description=(
+        "value-based RANGE window frame: per customer, average order value "
+        "over the trailing 90 days (frame bounds by day value, not row "
+        "count -- same-day ties share a frame deterministically)"
+    ),
+)
+def q68(spark, sf_dir):
+    o = load(spark, "orders", sf_dir).withColumn(
+        "d", F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    )
+    w = W.partitionBy("o_custkey").orderBy("d").rangeBetween(-90, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("avg_90d"),
+        F.count("*").over(w).alias("n_90d"),
+    )
+
+
+@query(
+    "q69_hash_split",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         {_POLY_SQL.format(x="md5(text)")} % 100 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars
+FROM h GROUP BY 1
+""",
+    description=(
+        "deterministic content-hash train/valid/test split (80/10/10): "
+        "bucket = poly_hash(md5(text)) %% 100 -- stable across engines and "
+        "reshuffles, equal texts land in the same split"
+    ),
+)
+def q69(spark, sf_dir):
+    from ..operators.train_prep import hash_split
+
+    return (
+        hash_split(load(spark, "documents", sf_dir))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "q70_pack_token_bins",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({_TOKENS_SQL}) END AS n_tokens
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t)
+SELECT source, floor((cum - n_tokens) / 2048)::BIGINT AS bin_id,
+       count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY source, bin_id
+""",
+    description=(
+        "pretraining sequence packing: greedy per-source token bins of "
+        "2048 (cumsum window partitioned by source shard -- no global "
+        "single-partition window at scale)"
+    ),
+)
+def q70(spark, sf_dir):
+    from ..operators.train_prep import pack_token_bins
+
+    return pack_token_bins(load(spark, "documents", sf_dir), budget=2048)
