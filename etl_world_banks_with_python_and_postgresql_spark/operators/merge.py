@@ -135,6 +135,7 @@ def merge_scd(
     scd: bool = True,
     broadcast_batch: bool = True,
     materialize_actions: bool = False,
+    max_id: int | None = None,
 ) -> MergeResult:
     """Apply one incoming batch to the SCD target, set-based.
 
@@ -145,6 +146,12 @@ def merge_scd(
 
     With ``scd=False`` the 3-way exchange-rates semantics apply on the flat
     key (insert/update/noop; no active flag on the target schema).
+
+    ``max_id``: highest surrogate id already present in the target, when
+    the caller tracks it (IncrementalTable's manifest does). Passing it
+    skips the max-aggregation scan of the full target -- at 100 TB that
+    scan is an entire extra pass per batch. ``None`` falls back to
+    computing it.
 
     ``materialize_actions=True`` eagerly localCheckpoints the classified
     batch ONCE; the returned actions/counters AND the apply/insert plans all
@@ -241,7 +248,8 @@ def merge_scd(
     # window/shuffle -- the 100 TB answer); offset past the current max so ids
     # never collide. Non-contiguous by design; the reference's SERIAL
     # contiguity is not load-bearing (SURVEY §1.2 P13).
-    max_id = (target.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("m"))).collect()[0]["m"]
+    if max_id is None:
+        max_id = (target.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("m"))).collect()[0]["m"]
     inserts = (
         actions.filter(F.col("action").isin(*insert_actions))
         .withColumn(id_col, F.monotonically_increasing_id() + F.lit(max_id + 1))

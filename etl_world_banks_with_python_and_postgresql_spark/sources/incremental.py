@@ -139,15 +139,26 @@ class IncrementalTable:
     # --- write ----------------------------------------------------------
 
     def write_delta(self, changed: DataFrame, target_files: int = 4) -> None:
-        """Persist one batch's changed rows; O(|changed|), not O(|target|)."""
+        """Persist one batch's changed rows; O(|changed|), not O(|target|).
+
+        Also advances the manifest's ``max_id`` high-water mark from the
+        just-written delta (a scan of the small delta files only), so the
+        NEXT merge_batch can skip the full-target max-id pass entirely.
+        """
         m = self._load_manifest()
         seq = m["seq"] + 1
         name = f"delta-{seq:06d}"
-        changed.coalesce(target_files).write.mode("overwrite").parquet(
-            os.path.join(self.path, name)
+        path = os.path.join(self.path, name)
+        changed.coalesce(target_files).write.mode("overwrite").parquet(path)
+        spark = changed.sparkSession
+        delta_max = (
+            spark.read.parquet(path)
+            .agg(F.coalesce(F.max(self.id_col), F.lit(0)).alias("m"))
+            .collect()[0]["m"]
         )
         m["seq"] = seq
         m["deltas"].append(name)
+        m["max_id"] = max(m.get("max_id") or 0, int(delta_max))
         self._commit_manifest(m)
 
     def compact(self, spark: SparkSession, schema, target_files: int = 8) -> None:
@@ -162,7 +173,10 @@ class IncrementalTable:
         resolved.coalesce(target_files).write.mode("overwrite").parquet(
             os.path.join(self.path, new_base)
         )
-        self._commit_manifest({"seq": seq, "base": new_base, "deltas": []})
+        # compaction mints no new ids: the high-water mark carries over
+        self._commit_manifest(
+            {"seq": seq, "base": new_base, "deltas": [], "max_id": m.get("max_id")}
+        )
 
     def vacuum(self) -> None:
         """Delete file-set members and version manifests not referenced by
@@ -208,7 +222,9 @@ class IncrementalTable:
         target = self.read(spark, schema)
         # materialize_actions pins the classified batch BEFORE any
         # compaction deletes the pre-batch file set; actions/counters and
-        # the write_delta plan all derive from the one checkpoint
+        # the write_delta plan all derive from the one checkpoint.
+        # max_id from the manifest (tracked by write_delta) spares the
+        # full-target max-id scan; None on first contact -> computed once.
         res = merge_ops.merge_scd(
             target,
             batch,
@@ -221,6 +237,7 @@ class IncrementalTable:
             now=now,
             scd=scd,
             materialize_actions=True,
+            max_id=self._load_manifest().get("max_id"),
         )
         actions = res.actions
         counters = res.counters

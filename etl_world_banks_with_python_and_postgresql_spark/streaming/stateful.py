@@ -48,3 +48,88 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- gap-session enrichment with event-time state timeout -----------------
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double, closed boolean"
+)
+# epoch-millis bounds + running aggregates of the one open session per user
+SESSION_STATE_SCHEMA = "start long, end long, n long, total double"
+
+
+def session_enrichment(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom gap-sessionization with per-session enrichment and
+    EVENT-TIME state timeout -- the shape ``session_window`` can't express
+    (built-in session windows aggregate, they can't carry arbitrary state
+    or emit both open-session progress AND closed-session records).
+
+    Per user: events extend the open session while they arrive within
+    ``gap_minutes`` of its end; a later event closes it (emitting the
+    closed record) and opens a new one. When the watermark passes
+    session_end + gap the state times out, the final closed record is
+    emitted, and the key's state is freed -- so state size is O(active
+    users), not O(all users ever), the property that matters at scale.
+
+    Input must carry ``withWatermark`` on ``ts``; output in update mode.
+    """
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start, end, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start, unit="ms")],
+                    "session_end": [pd.Timestamp(end, unit="ms")],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                    "closed": [True],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        out = []
+        start = end = None
+        n, total = 0, 0.0
+        if state.exists:
+            start, end, n, total = state.get
+        for ts_ms, value in zip(
+            (rows["ts"].astype("int64") // 1_000_000), rows["value"]
+        ):
+            ts_ms = int(ts_ms)
+            if start is None:
+                start, end, n, total = ts_ms, ts_ms, 1, float(value)
+            elif ts_ms - end > gap_ms:
+                out.append((start, end, n, total, True))  # close previous
+                start, end, n, total = ts_ms, ts_ms, 1, float(value)
+            else:
+                end = max(end, ts_ms)
+                n += 1
+                total += float(value)
+        state.update((start, end, n, total))
+        # free the state once the watermark passes the gap horizon
+        state.setTimeoutTimestamp(end + gap_ms)
+        out.append((start, end, n, total, False))  # open-session progress
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "session_start": [pd.Timestamp(s, unit="ms") for s, *_ in out],
+                "session_end": [pd.Timestamp(e, unit="ms") for _, e, *_ in out],
+                "n_events": [n_ for _, _, n_, _, _ in out],
+                "total_value": [round(t, 4) for _, _, _, t, _ in out],
+                "closed": [c for *_, c in out],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -177,3 +177,24 @@ def test_time_travel_read_at(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="vacuumed|no committed"):
         table.read_at(spark, schemas.WORLD_BANK_DATA, 2)
     assert state_set(table.read(spark, schemas.WORLD_BANK_DATA)) == states[-1]
+
+
+def test_manifest_max_id_tracking(spark, tmp_path):
+    """The manifest high-water mark spares the full-target max-id scan and
+    must equal the true max; ids stay unique across batches + compaction."""
+    table = IncrementalTable(
+        str(tmp_path / "t"), id_col="world_bank_id", compact_after=2
+    )
+    for batch_id, now, rows in BATCHES:
+        table.merge_batch(
+            spark, schemas.WORLD_BANK_DATA, batch_df(spark, rows, batch_id),
+            batch_id=batch_id, now=now, **MERGE_KW,
+        )
+        state = table.read(spark, schemas.WORLD_BANK_DATA)
+        true_max = state.agg(F.max("world_bank_id")).collect()[0][0]
+        m = table._load_manifest()
+        assert m["max_id"] == true_max, (m["max_id"], true_max)
+        # ids unique across the whole history
+        assert (
+            state.select("world_bank_id").distinct().count() == state.count()
+        )

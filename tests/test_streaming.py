@@ -229,3 +229,95 @@ def test_event_time_join_matches_batch(spark, tmp_path):
     # results must match the batch join exactly
     assert got == expect
     assert len(got) > 0
+
+
+def test_event_time_join_left_outer(spark, tmp_path):
+    """Left-outer stream-stream join: unmatched left rows must surface with
+    NULL right columns once the watermark passes their join horizon."""
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        event_time_join,
+    )
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    t0 = datetime(2024, 8, 1, 12, 0, 0)
+    ldf = spark.createDataFrame(
+        [(1, t0, "buy"), (2, t0, "buy")], "key int, ts timestamp, act string"
+    )
+    # key 1 has a click 10 min earlier; key 2 has none
+    rdf = spark.createDataFrame(
+        [(1, datetime(2024, 8, 1, 11, 50, 0), "click")],
+        "key int, ts timestamp, src string",
+    )
+    ldf.write.parquet(lsrc)
+    rdf.write.parquet(rsrc)
+    # sentinel second files push the watermark far past t0 so outer rows emit
+    late = datetime(2024, 8, 2, 12, 0, 0)
+    spark.createDataFrame([(99, late, "x")], "key int, ts timestamp, act string").write.parquet(lsrc, mode="append")
+    spark.createDataFrame([(99, late, "x")], "key int, ts timestamp, src string").write.parquet(rsrc, mode="append")
+
+    ls = spark.readStream.schema(ldf.schema).option("maxFilesPerTrigger", 1).parquet(lsrc)
+    rs = spark.readStream.schema(rdf.schema).option("maxFilesPerTrigger", 1).parquet(rsrc)
+    joined = event_time_join(
+        ls, rs, key="key", max_delay="1 hour", watermark="30 minutes", how="left_outer"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lo_join")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["key"]: r for r in spark.sql("SELECT * FROM lo_join").collect()}
+    assert rows[1]["r_src"] == "click"
+    assert 2 in rows, "unmatched left row never emitted (outer state stuck)"
+    assert rows[2]["r_src"] is None and rows[2]["r_ts"] is None
+
+
+def test_session_enrichment_stateful(spark, tmp_path):
+    """applyInPandasWithState gap sessions: in-gap events extend, out-of-gap
+    events close + reopen, and event-time timeout frees state."""
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.stateful import (
+        session_enrichment,
+    )
+
+    src = str(tmp_path / "ev")
+    t = lambda m: datetime(2024, 8, 1, 12, m, 0)  # noqa: E731
+    # user 7: two events 5 min apart (one session), then one 90 min later
+    # (closes it, opens a second); user 8: single event
+    batch1 = [(7, t(0), 1.0), (7, t(5), 2.0), (8, t(1), 5.0)]
+    spark.createDataFrame(batch1, "user_id long, ts timestamp, value double").write.parquet(src)
+    spark.createDataFrame(
+        [(7, datetime(2024, 8, 1, 13, 35, 0), 4.0)],
+        "user_id long, ts timestamp, value double",
+    ).write.parquet(src, mode="append")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        session_enrichment(stream, gap_minutes=30)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_enrich")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM sess_enrich ORDER BY user_id, session_start").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 7's first session: 2 events, total 3.0, eventually closed
+    u7_closed = [r for r in by_user[7] if r["closed"]]
+    assert any(r["n_events"] == 2 and r["total_value"] == 3.0 for r in u7_closed)
+    # user 7's second session opened with the late event
+    u7_open = [r for r in by_user[7] if not r["closed"]]
+    assert any(r["n_events"] == 1 and r["total_value"] == 4.0 for r in u7_open)
+    # user 8 has a single-event session
+    assert any(r["n_events"] == 1 and r["total_value"] == 5.0 for r in by_user[8])
