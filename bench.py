@@ -82,6 +82,23 @@ def bench_pipeline_e2e(spark) -> float:
         return round(time.perf_counter() - t0, 3)
 
 
+def reset_block_state(spark) -> None:
+    """Release cross-query JVM block state so each entry is measured from a
+    clean block manager: persisted DataFrames (the dedup operators persist
+    their shingle sets for multi-branch reuse and hand back a lazy result,
+    so the cache outlives the query) and localCheckpoint RDD blocks (the
+    merge pipeline pins those). Without this the suite accumulates dead
+    blocks and later queries pay rotating full-GC pauses -- q31 measured
+    26-28 s polluted vs 5-7 s clean, same plan (PERF.md)."""
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    prdds = jsc.getPersistentRDDs()
+    it = prdds.iterator()
+    while it.hasNext():
+        it.next()._2().unpersist(True)  # blocking: don't race the next query
+    spark.sparkContext._jvm.System.gc()
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     # warmup: touch the biggest table once (JVM + codegen + FS metadata) and
@@ -97,6 +114,7 @@ def main() -> None:
     print(f"# pipeline_e2e_2runs: {timings['pipeline_e2e_2runs']:.3f}s", file=sys.stderr)
     for name in HEADLINE:
         fn = REGISTRY[name].fn
+        reset_block_state(spark)
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         n = df.count()
