@@ -136,6 +136,7 @@ def merge_scd(
     broadcast_batch: bool = True,
     materialize_actions: bool = False,
     max_id: int | None = None,
+    target_partitions: int | None = None,
 ) -> MergeResult:
     """Apply one incoming batch to the SCD target, set-based.
 
@@ -152,6 +153,15 @@ def merge_scd(
     skips the max-aggregation scan of the full target -- at 100 TB that
     scan is an entire extra pass per batch. ``None`` falls back to
     computing it.
+
+    ``target_partitions``: when the target is stored hash-partitioned on
+    the keys (a bucketed base), pass its bucket count and set
+    ``broadcast_batch=False``: the batch is repartitioned ONCE to that
+    layout on entry, and every downstream step -- the dedup groupBy, the
+    classify semi join + profile aggregate, and the apply join -- reuses
+    the co-partitioning, so the (huge) target side is never exchanged.
+    Without it, batch-side aggregates land at spark.sql.shuffle.partitions
+    and EnsureRequirements re-shuffles the bucketed side to match.
 
     ``materialize_actions=True`` eagerly localCheckpoints the classified
     batch ONCE; the returned actions/counters AND the apply/insert plans all
@@ -170,6 +180,8 @@ def merge_scd(
     # deterministically (max over the payload struct). Real feeds (scraped
     # tables, CDC snapshots) have unique keys; divergence documented.
     payload = [c for c in batch.columns if c not in keys]
+    if target_partitions is not None:
+        batch = batch.repartition(target_partitions, *keys)
     # _dup_n rides along so counters can report RAW incoming rows (pre-dedup)
     # without a second pass over the batch
     batch = (

@@ -35,6 +35,7 @@ is needed -- last-writer-wins per id fully resolves the state.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -53,12 +54,28 @@ _MANIFEST = "_manifest.json"
 
 @dataclass
 class IncrementalTable:
-    """A parquet table maintained as base + delta files (see module doc)."""
+    """A parquet table maintained as base + delta files (see module doc).
+
+    ``bucket_by`` (usually the merge keys) makes compaction write the base
+    as an EXTERNAL BUCKETED table (files under ``path``, bucket metadata in
+    the session catalog, lazily re-registered in new sessions). Whenever the
+    delta list is empty -- i.e. right after each compaction -- ``read``
+    returns a pure bucketed scan, so a big-batch merge (broadcast_batch=
+    False) runs its semi-join reduction, profile aggregate, and apply join
+    WITHOUT exchanging the target: the only shuffle is the small batch
+    hashing into the bucket layout. With pending deltas the resolved view is
+    a union (Catalyst drops partitioning info across unions), so the
+    co-location win applies to the compacted fraction of the cycle --
+    ``compact_after=1`` buys it for every batch at the price of a full
+    rewrite per batch (= bucketed snapshot mode; the knob is the honest
+    write-amplification / shuffle-avoidance trade)."""
 
     path: str
     id_col: str
     compact_after: int = 8
     broadcast_deltas: bool = True
+    bucket_by: Sequence[str] | None = None
+    n_buckets: int = 16
 
     def _manifest_path(self) -> str:
         return os.path.join(self.path, _MANIFEST)
@@ -108,12 +125,35 @@ class IncrementalTable:
         latest delta row per id)."""
         return self._resolve(spark, schema, self._load_manifest())
 
+    def _table_name(self, seq: int) -> str:
+        digest = hashlib.md5(os.path.abspath(self.path).encode()).hexdigest()[:10]
+        return f"incr_{digest}_{seq:06d}"
+
+    def _base_table(self, spark: SparkSession, schema, m: dict) -> DataFrame:
+        """Catalog-backed bucketed base. The in-memory catalog is
+        session-scoped, so a fresh session re-registers the external table
+        from the manifest's bucket metadata before reading -- the files
+        (written by saveAsTable) carry bucket ids in their names, which is
+        what makes the re-registered table's bucketed scan valid."""
+        name = m["base_table"]
+        if not spark.catalog.tableExists(name):
+            ddl = spark.createDataFrame([], schema)._jdf.schema().toDDL()
+            cols = ", ".join(f"`{c}`" for c in m["bucket_by"])
+            spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+                f"INTO {m['n_buckets']} BUCKETS "
+                f"LOCATION '{os.path.join(self.path, m['base'])}'"
+            )
+        return spark.table(name)
+
     def _resolve(self, spark: SparkSession, schema, m: dict) -> DataFrame:
-        base = (
-            spark.read.parquet(os.path.join(self.path, m["base"]))
-            if m["base"]
-            else spark.createDataFrame([], schema)
-        )
+        if m.get("base_table"):
+            base = self._base_table(spark, schema, m)
+        elif m["base"]:
+            base = spark.read.parquet(os.path.join(self.path, m["base"]))
+        else:
+            base = spark.createDataFrame([], schema)
         if not m["deltas"]:
             return base
         deltas = None
@@ -170,13 +210,32 @@ class IncrementalTable:
         resolved = self.read(spark, schema)
         seq = m["seq"] + 1
         new_base = f"base-{seq:06d}"
-        resolved.coalesce(target_files).write.mode("overwrite").parquet(
-            os.path.join(self.path, new_base)
-        )
+        commit = {"seq": seq, "base": new_base, "deltas": [], "max_id": m.get("max_id")}
         # compaction mints no new ids: the high-water mark carries over
-        self._commit_manifest(
-            {"seq": seq, "base": new_base, "deltas": [], "max_id": m.get("max_id")}
-        )
+        if self.bucket_by:
+            name = self._table_name(seq)
+            bucket_cols = list(self.bucket_by)
+            # repartition on the bucket cols first: otherwise every write
+            # task emits up to n_buckets files (task-count x buckets file
+            # explosion); this way each bucket is exactly one file
+            (
+                resolved.repartition(self.n_buckets, *bucket_cols)
+                .write.mode("overwrite")
+                .bucketBy(self.n_buckets, *bucket_cols)
+                .sortBy(*bucket_cols)
+                .option("path", os.path.join(self.path, new_base))
+                .saveAsTable(name)
+            )
+            commit |= {
+                "base_table": name,
+                "bucket_by": bucket_cols,
+                "n_buckets": self.n_buckets,
+            }
+        else:
+            resolved.coalesce(target_files).write.mode("overwrite").parquet(
+                os.path.join(self.path, new_base)
+            )
+        self._commit_manifest(commit)
 
     def vacuum(self) -> None:
         """Delete file-set members and version manifests not referenced by
@@ -211,6 +270,7 @@ class IncrementalTable:
         scd: bool = True,
         deactivate: bool = True,
         retain_history: bool = False,
+        broadcast_batch: bool = True,
     ) -> merge_ops.MergeResult:
         """read -> merge_scd -> (deactivate) -> write ONLY the delta.
 
@@ -218,6 +278,9 @@ class IncrementalTable:
         reference semantics); auto-compacts past ``compact_after`` deltas.
         ``retain_history=True`` skips the post-compaction vacuum so
         `read_at` can reach versions older than the last compaction.
+        ``broadcast_batch=False`` is the big-batch path: the classify and
+        apply joins become shuffle joins, which a bucketed base
+        (``bucket_by``) serves without exchanging the target side.
         """
         target = self.read(spark, schema)
         # materialize_actions pins the classified batch BEFORE any
@@ -238,6 +301,12 @@ class IncrementalTable:
             scd=scd,
             materialize_actions=True,
             max_id=self._load_manifest().get("max_id"),
+            broadcast_batch=broadcast_batch,
+            # big-batch path against a bucketed base: co-partition the batch
+            # into the bucket layout so the base is never exchanged
+            target_partitions=(
+                self.n_buckets if self.bucket_by and not broadcast_batch else None
+            ),
         )
         actions = res.actions
         counters = res.counters

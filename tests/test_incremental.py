@@ -198,3 +198,81 @@ def test_manifest_max_id_tracking(spark, tmp_path):
         assert (
             state.select("world_bank_id").distinct().count() == state.count()
         )
+
+
+def test_bucketed_base_equals_plain(spark, tmp_path):
+    """Bucketed-base mode must be state-identical to the plain path, and
+    bucketed reads must survive catalog re-registration (a new session
+    would take the same CREATE TABLE path)."""
+    full, full_counters = run_full_rewrite(spark)
+    table = IncrementalTable(
+        str(tmp_path / "b"), id_col="world_bank_id", compact_after=2,
+        bucket_by=["bank_name"], n_buckets=4,
+    )
+    counters = []
+    for batch_id, now, rows in BATCHES:
+        res = table.merge_batch(
+            spark, schemas.WORLD_BANK_DATA, batch_df(spark, rows, batch_id),
+            batch_id=batch_id, now=now, **MERGE_KW,
+        )
+        counters.append(tuple(res.counters.collect()[0])[:4])
+    assert counters == full_counters
+    got = table.read(spark, schemas.WORLD_BANK_DATA)
+    assert state_set(got) == state_set(full)
+
+    # simulate a fresh session: drop the catalog entry, read again -- the
+    # manifest's bucket metadata re-registers the external table
+    m = table._load_manifest()
+    assert m.get("base_table")
+    spark.sql(f"DROP TABLE {m['base_table']}")
+    again = table.read(spark, schemas.WORLD_BANK_DATA)
+    assert state_set(again) == state_set(full)
+    assert spark.catalog.tableExists(m["base_table"])
+
+
+def test_bucketed_base_merge_skips_target_exchange(spark, tmp_path):
+    """The 100 TB claim behind bucket_by: with a freshly-compacted bucketed
+    base and a non-broadcast batch, the merge's classify/profile/apply
+    chain exchanges ONLY the batch side -- strictly fewer shuffles than the
+    same merge against a plain parquet base."""
+    from tests.test_plans import formatted_plan
+
+    def build(path, bucket_by):
+        t = IncrementalTable(
+            str(path), id_col="world_bank_id", compact_after=1,
+            bucket_by=bucket_by, n_buckets=4,
+        )
+        b1, now, rows = BATCHES[0]
+        t.merge_batch(
+            spark, schemas.WORLD_BANK_DATA, batch_df(spark, rows, b1),
+            batch_id=b1, now=now, **MERGE_KW,
+        )
+        assert not t._load_manifest()["deltas"]  # compacted -> pure base scan
+        return t
+
+    bucketed = build(tmp_path / "bk", ["bank_name"])
+    plain = build(tmp_path / "pl", None)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def merge_plan(t):
+            res = merge_scd(
+                t.read(spark, schemas.WORLD_BANK_DATA),
+                batch_df(spark, BATCHES[1][2], "b2"),
+                batch_id="b2", now=BATCHES[1][1], broadcast_batch=False,
+                max_id=t._load_manifest().get("max_id"),
+                target_partitions=4 if t.bucket_by else None, **MERGE_KW,
+            )
+            return formatted_plan(res.target)
+
+        pb = merge_plan(bucketed)
+        pp = merge_plan(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    # formatted mode: Exchange partitioning appears as a detail line
+    # "Arguments: hashpartitioning(bank_name#..., N), ENSURE_REQUIREMENTS..."
+    n_bucketed = pb.count("hashpartitioning(bank_name")
+    n_plain = pp.count("hashpartitioning(bank_name")
+    # plain: target shuffles for semi-join + profile + apply; bucketed:
+    # only the batch side hashes into the bucket layout
+    assert n_bucketed < n_plain, (n_bucketed, n_plain)
