@@ -20,6 +20,8 @@ the DuckDB oracle bit-compatible (same left-to-right summation order).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -206,6 +208,105 @@ def kmeans_centroids(
         new = {r["cell"]: [r[f"s{i}"] / r["n"] for i in range(dim)] for r in agg}
         cents = [new.get(i, c) for i, c in enumerate(cents)]
     return cents
+
+
+def minibatch_kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 10,
+    sample_mod: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Mini-batch k-means (Sculley 2010, WWW '10): each iteration scans a
+    deterministic 1/``sample_mod`` id-hash slice of the corpus instead of
+    the whole thing, and folds the slice's per-cell means into the running
+    centroids weighted by cumulative cell counts:
+
+        c_new = (count_so_far * c + sum_batch) / (count_so_far + n_batch)
+
+    This is the 100 TB training path: full Lloyd (``kmeans_centroids``)
+    pays a complete corpus scan per iteration, while the mini-batch cost
+    is ``n_iter / sample_mod`` corpus-equivalents total with the same
+    shuffle shape (one map-side-combined aggregate of n_centroids groups;
+    payload n_centroids x (dim+1) doubles). Rotating the slice by
+    iteration index means ``n_iter >= sample_mod`` still sees every row
+    at least once. Deterministic: xxhash64 slicing, stride-sampled init,
+    fixed iteration count.
+
+    Note the row-level hash filter still reads every parquet page (no
+    stats pushdown on a hash); at petabyte scale you would additionally
+    sample at file granularity before this operator. Documented trade-off.
+    """
+    cents = _stride_sample_centroids(corpus, n_centroids, id_col, vec_col)
+    dim = len(cents[0])
+    vec_d = _to_double(F.col(vec_col))
+    counts = [0] * n_centroids
+    for it in range(n_iter):
+        batch = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == it % sample_mod
+        )
+        cell = _nearest_cells(vec_d, _centroid_literals(cents), 1)[0]
+        agg = (
+            batch.select(cell.alias("cell"), *[
+                F.col(vec_col)[i].cast("double").alias(f"x{i}") for i in range(dim)
+            ])
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"), *[F.sum(f"x{i}").alias(f"s{i}") for i in range(dim)])
+            .collect()
+        )
+        for r in agg:
+            i, n_b = r["cell"], r["n"]
+            seen = counts[i]
+            cents[i] = [
+                (seen * cents[i][d] + r[f"s{d}"]) / (seen + n_b) for d in range(dim)
+            ]
+            counts[i] = seen + n_b
+    return cents
+
+
+def ivf_recall_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_probes: Sequence[int] = (1, 2, 4, 8),
+    n_centroids: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> list[dict]:
+    """Recall/latency tuning curve for IVF multi-probe.
+
+    For each n_probe, runs ``ivf_topk`` against the ``cosine_topk`` exact
+    baseline and reports {'n_probe', 'recall', 'seconds', 'scan_frac'}
+    (scan_frac = n_probe/n_centroids, the fraction of the corpus each
+    query touches -- the quantity you trade recall against at scale).
+    """
+    import time
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col).collect()
+    }
+    out = []
+    for np_ in n_probes:
+        t0 = time.perf_counter()
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                corpus, queries, n_centroids=n_centroids, n_probe=np_, k=k,
+                id_col=id_col, vec_col=vec_col, centroids=centroids,
+            ).collect()
+        }
+        out.append(
+            {
+                "n_probe": np_,
+                "recall": round(len(exact & approx) / max(len(exact), 1), 4),
+                "seconds": round(time.perf_counter() - t0, 3),
+                "scan_frac": round(np_ / n_centroids, 4),
+            }
+        )
+    return out
 
 
 def ivf_topk(

@@ -222,3 +222,55 @@ def test_approx_sketches_within_tolerance(spark):
         a = approx[flag]
         assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.05
         assert abs(a["approx_median_price"] - e["median"]) / e["median"] < 0.05
+
+
+def test_minibatch_kmeans_recall_and_cost(spark):
+    """Mini-batch centroids must reach comparable recall to full Lloyd at a
+    fraction of the scanned rows, stay deterministic, and preserve shape."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+        minibatch_kmeans_centroids,
+    )
+
+    emb = load(spark, "embeddings", SF)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk(emb, queries, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    mb = minibatch_kmeans_centroids(emb, n_centroids=8, n_iter=8, sample_mod=4)
+    assert len(mb) == 8 and all(len(c) == len(mb[0]) for c in mb)
+    # deterministic across runs
+    assert mb == minibatch_kmeans_centroids(emb, n_centroids=8, n_iter=8, sample_mod=4)
+
+    full = kmeans_centroids(emb, n_centroids=8, n_iter=3)
+
+    def recall(cents):
+        a = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb, queries, n_probe=4, k=5, centroids=cents).collect()
+        }
+        return len(e & a) / len(e)
+
+    r_mb, r_full = recall(mb), recall(full)
+    # comparable quality: mini-batch within 15 points of full Lloyd, and
+    # well above the probe floor
+    assert r_mb >= r_full - 0.15, (r_mb, r_full)
+    assert r_mb > 0.3
+
+
+def test_ivf_recall_curve_monotone_scan(spark):
+    """The tuning harness: more probes -> recall never decreases, and the
+    curve reports the scan fraction each setting pays."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        ivf_recall_curve,
+    )
+
+    emb = load(spark, "embeddings", SF)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    curve = ivf_recall_curve(emb, queries, n_probes=(1, 4, 8), n_centroids=8, k=5)
+    assert [c["n_probe"] for c in curve] == [1, 4, 8]
+    recalls = [c["recall"] for c in curve]
+    assert recalls == sorted(recalls), recalls  # monotone non-decreasing
+    assert curve[-1]["recall"] == 1.0  # probing all cells == exact
+    assert curve[0]["scan_frac"] == 0.125
