@@ -58,6 +58,31 @@ def hash_split(
     return df.withColumn("split", split)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic per-source Bernoulli sampling (corpus mixing).
+
+    Keeps a row iff ``content_bucket < weight[source] * 10000`` where
+    content_bucket = char_poly_hash(md5(text)) % 10000 -- the standard
+    up/down-weighting step when mixing training corpora (keep 30% of web,
+    100% of books, ...). Content-hash gating makes the decision a pure
+    function of the row, so it is reproducible across engines, reshuffles,
+    and reruns, and equal texts are kept or dropped together (consistent
+    with `hash_split`'s contamination-control property). No sampling
+    shuffle: the filter evaluates per-row at scan time.
+    """
+    w = F.lit(float(default_weight))
+    for src, wt in sorted(weights.items()):
+        w = F.when(F.col(source_col) == src, F.lit(float(wt))).otherwise(w)
+    bucket = char_poly_hash(F.md5(F.col(text_col))) % 10000
+    return df.filter(bucket < (w * 10000).cast("long"))
+
+
 def pack_token_bins(
     df: DataFrame,
     budget: int = 2048,

@@ -2084,3 +2084,257 @@ def q70(spark, sf_dir):
     from ..operators.train_prep import pack_token_bins
 
     return pack_token_bins(load(spark, "documents", sf_dir), budget=2048)
+
+
+# =====================================================================
+# Round 2 widening: classic decision-support shapes not yet covered
+# =====================================================================
+
+
+@query(
+    "q71_customer_distribution",
+    oracle="""
+WITH co AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM co GROUP BY c_count
+""",
+    description=(
+        "TPC-H Q13 shape: filtered LEFT OUTER join + two-level aggregation "
+        "(orders-per-customer, then the distribution histogram). Customers "
+        "with zero qualifying orders must survive as c_count=0"
+    ),
+)
+def q71(spark, sf_dir):
+    cust = load(spark, "customer", sf_dir)
+    orders = load(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q72_small_qty_revenue",
+    oracle="""
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+""",
+    description=(
+        "TPC-H Q17 shape: correlated per-key average subquery. Spark plan: "
+        "per-part avg over the brand-reduced lineitem joined back -- the "
+        "subquery becomes one broadcast-joined aggregate, never a per-row "
+        "re-scan"
+    ),
+)
+def q72(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir)
+    parts = (
+        load(spark, "part", sf_dir)
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    # restrict lineitem once to the brand's parts; both the correlated avg
+    # and the outer sum only ever touch these rows
+    li_b = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pavg = li_b.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("_qty_cap")
+    )
+    return (
+        li_b.join(F.broadcast(pavg), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q73_top_nation_part_value",
+    oracle="""
+WITH sv AS (
+  SELECT s.s_nationkey, l.l_partkey,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS raw_value
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2)
+SELECT s_nationkey, l_partkey, round(raw_value, 2) AS value
+FROM sv
+WHERE raw_value > (SELECT 3.0 * avg(raw_value) FROM sv)
+""",
+    description=(
+        "TPC-H Q11 shape: grouped value filtered against a global scalar "
+        "aggregate (3x the mean group value -- scale-invariant, so the "
+        "result stays non-degenerate across SFs). Spark: one-row aggregate "
+        "broadcast-cross-joined as the threshold, no second scan"
+    ),
+)
+def q73(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir)
+    supp = load(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    sv = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "raw_value"
+            )
+        )
+    )
+    thr = sv.agg((F.avg("raw_value") * 3.0).alias("_thr"))
+    return (
+        sv.join(F.broadcast(thr))
+        .filter(F.col("raw_value") > F.col("_thr"))
+        .select(
+            "s_nationkey", "l_partkey", F.round("raw_value", 2).alias("value")
+        )
+    )
+
+
+@query(
+    "q74_volume_shipping",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate)::INT AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+   OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')
+GROUP BY 1, 2, 3
+""",
+    description=(
+        "TPC-H Q7 shape: two-role nation dimension with a disjunctive "
+        "pair predicate + year extraction. The nation filter applies "
+        "post-join (the disjunction couples both sides), but both nation "
+        "dims and supplier/customer broadcast, so lineitem+orders is the "
+        "only shuffle"
+    ),
+)
+def q74(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir)
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    supp = load(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    cust = load(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_n1k"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_n2k"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_20") & (F.col("cust_nation") == "NATION_11")
+    ) | (
+        (F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_20")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1k"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2k"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q75_disjunctive_revenue",
+    oracle="""
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    description=(
+        "TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides. "
+        "The per-side conjuncts (brand/size on part, quantity envelope on "
+        "lineitem) are derivable, the cross-side disjunction stays as a "
+        "post-join filter; part broadcasts"
+    ),
+)
+def q75(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir)
+    part = load(spark, "part", sf_dir).select("p_partkey", "p_brand", "p_size")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(clause)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q76_weighted_sample",
+    oracle=f"""
+WITH w AS (
+  SELECT source, doc_id,
+         {_POLY_SQL.format(x="md5(text)")} % 10000 AS bucket,
+         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+              THEN 0.3 ELSE 0.9 END AS wt
+  FROM documents)
+SELECT source, count(*) AS n_kept
+FROM w WHERE bucket < CAST(wt * 10000 AS BIGINT)
+GROUP BY source
+""",
+    description=(
+        "corpus mixing: deterministic per-source Bernoulli sampling "
+        "(keep 30% of even-numbered sources, 90% of odd) gated on a "
+        "content hash -- reproducible across engines/reshuffles, equal "
+        "texts kept or dropped together"
+    ),
+)
+def q76(spark, sf_dir):
+    from ..operators.train_prep import weighted_sample
+
+    docs = load(spark, "documents", sf_dir)
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    weights = {s: (0.3 if int(s[3:]) % 2 == 0 else 0.9) for s in srcs}
+    return (
+        weighted_sample(docs, weights)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
