@@ -8,6 +8,7 @@ then a second run exercising updates, no-ops, and deactivation.
 from datetime import date, datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_world_banks_with_python_and_postgresql_spark.pipeline import (
     PipelineConfig,
@@ -230,3 +231,51 @@ def test_incremental_mode_matches_snapshot_mode(spark, sources, tmp_path):
 
     assert key(inc_banks) == key(snap_banks)
     assert inc_banks.count() == snap_banks.count()
+
+
+def test_html_datasource_matches_driver_adapter(spark, tmp_path):
+    """The Spark-4 Python DataSource must produce exactly the rows of the
+    driver-side adapter, one partition per page, with source lineage."""
+    from etl_world_banks_with_python_and_postgresql_spark.sources.html_datasource import (
+        register_html_source,
+    )
+
+    register_html_source(spark)
+    p1, p2 = tmp_path / "p1.html", tmp_path / "p2.html"
+    p1.write_text(banks_html(BANKS))
+    p2.write_text(banks_html([("Bank Z", "999.9")], lastmod="2 August 2024"))
+
+    df = (
+        spark.read.format("htmltable")
+        .option("paths", f"{p1},{p2}")
+        .option("table_index", "2")
+        .option("positions", "1,2")
+        .option("columns", "bank_name,market_cap_usd")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # one fetch/parse task per page
+    assert df.columns == ["bank_name", "market_cap_usd", "src"]
+
+    adapter = html_table.read_html_table(
+        spark, banks_html(BANKS), table_index=2,
+        columns=["bank_name", "market_cap_usd"], positions=[1, 2],
+    )
+    got_p1 = {
+        (r["bank_name"], r["market_cap_usd"])
+        for r in df.filter(F.col("src") == str(p1)).collect()
+    }
+    expect = {(r["bank_name"], r["market_cap_usd"]) for r in adapter.collect()}
+    assert got_p1 == expect
+    assert df.filter(F.col("src") == str(p2)).count() == 1
+
+
+def test_html_datasource_requires_columns(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.sources.html_datasource import (
+        register_html_source,
+    )
+
+    register_html_source(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="columns"):
+        spark.read.format("htmltable").load("/nonexistent.html").collect()
