@@ -164,3 +164,49 @@ def streaming_merge_sink(
         write_target(out)
 
     return apply_batch
+
+
+def streaming_incremental_sink(
+    table,
+    schema,
+    keys: list[str],
+    compare_col: str,
+    set_cols: list[str],
+    table_name: str,
+    scd: bool = True,
+    deactivate: bool = False,
+    now: datetime | None = None,
+):
+    """foreachBatch body writing through an ``IncrementalTable``.
+
+    The continuous-ingestion shape: ``streaming_merge_sink`` rewrites the
+    full snapshot every epoch (O(|target|) write amplification -- fine for
+    reference-sized tables, fatal for a hot 100 TB table on a minutes-long
+    trigger), while this sink pays O(|micro-batch|) per epoch plus the
+    amortized compaction the table already schedules. Epoch id -> lineage
+    batch_id keeps the B5 idempotency property: a replayed epoch
+    reclassifies every row as noop, so the re-written delta is empty and
+    the state is unchanged.
+
+    ``table`` is a ``sources.incremental.IncrementalTable``; ``schema`` the
+    target row schema. Returns a function for ``writeStream.foreachBatch``.
+    """
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.merge_batch(
+            batch_df.sparkSession,
+            schema,
+            batch_df,
+            keys=keys,
+            compare_col=compare_col,
+            set_cols=set_cols,
+            batch_id=f"epoch-{epoch_id}",
+            table_name=table_name,
+            now=now,
+            scd=scd,
+            deactivate=deactivate,
+        )
+
+    return apply_batch

@@ -321,3 +321,74 @@ def test_session_enrichment_stateful(spark, tmp_path):
     assert any(r["n_events"] == 1 and r["total_value"] == 4.0 for r in u7_open)
     # user 8 has a single-event session
     assert any(r["n_events"] == 1 and r["total_value"] == 5.0 for r in by_user[8])
+
+
+def test_foreachbatch_incremental_sink(spark, tmp_path):
+    """Streaming ingestion through IncrementalTable: two epochs (insert,
+    then update/noop) land as O(|batch|) deltas; final state matches the
+    SCD semantics and replaying the stream from its checkpoint is a no-op."""
+    from etl_world_banks_with_python_and_postgresql_spark.sources.incremental import (
+        IncrementalTable,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        streaming_incremental_sink,
+    )
+
+    batch_src = str(tmp_path / "inc_batches")
+    ckpt = str(tmp_path / "inc_ckpt")
+    os.makedirs(batch_src)
+    table = IncrementalTable(str(tmp_path / "inc_tbl"), id_col="world_bank_id")
+
+    def start():
+        stream = spark.readStream.schema(schemas.WORLD_BANK_BATCH).parquet(batch_src)
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_incremental_sink(
+                    table,
+                    schemas.WORLD_BANK_DATA,
+                    keys=["bank_name"],
+                    compare_col="market_cap_usd",
+                    set_cols=["market_cap_usd", "last_modified_date"],
+                    table_name="world_bank_data",
+                    now=datetime(2024, 8, 1),
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [("Bank A", 100.0, date(2024, 7, 1), "x"), ("Bank B", 200.0, date(2024, 7, 1), "x")],
+        schemas.WORLD_BANK_BATCH,
+    ).write.parquet(batch_src, mode="append")
+    start()
+    spark.createDataFrame(
+        [("Bank A", 150.0, date(2024, 7, 2), "x"), ("Bank B", 200.0, date(2024, 7, 2), "x")],
+        schemas.WORLD_BANK_BATCH,
+    ).write.parquet(batch_src, mode="append")
+    start()
+
+    state = table.read(spark, schemas.WORLD_BANK_DATA)
+    rows = {r["bank_name"]: r for r in state.collect()}
+    assert rows["Bank A"]["market_cap_usd"] == 150.0  # updated in epoch 1
+    assert rows["Bank A"]["batch_id"] == "epoch-1"
+    assert rows["Bank B"]["market_cap_usd"] == 200.0  # noop keeps epoch-0 id
+    assert rows["Bank B"]["batch_id"] == "epoch-0"
+    assert state.count() == 2
+
+    # delta-log shape: one O(|batch|) delta per epoch, no base rewrite yet
+    m = table._load_manifest()
+    assert len(m["deltas"]) == 2 and m["base"] is None
+
+    # replay with no new data: idempotent, state unchanged
+    start()
+    assert state_eq(table.read(spark, schemas.WORLD_BANK_DATA), state)
+
+
+def state_eq(a, b):
+    cols = sorted(a.columns)
+    return {tuple(r[c] for c in cols) for r in a.collect()} == {
+        tuple(r[c] for c in cols) for r in b.collect()
+    }
