@@ -75,6 +75,82 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return spread.mapInPandas(decode, IMAGE_META_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary"
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_size: int = 256,
+    max_frames: int = 8,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video frame sampling plumbing: one input blob -> N frame rows.
+
+    The 1->N ``mapInPandas`` shape a real ffmpeg keyframe sampler plugs
+    into: output batches are built per Arrow batch, frames stay binary,
+    and the exploded rows re-distribute downstream work (a decode after
+    this runs at frame, not video, granularity). The fake "sampler" chunks
+    the payload into ``frame_size``-byte frames (first ``max_frames``),
+    deterministic so tests can pin exact counts and bytes.
+    """
+    import math
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, b in zip(pdf["doc_id"], pdf[payload_col]):
+                bs = bytes(b)
+                n = min(max_frames, max(1, math.ceil(len(bs) / frame_size)))
+                for i in range(n):
+                    ids.append(did)
+                    idxs.append(i)
+                    frames.append(bs[i * frame_size : (i + 1) * frame_size])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": pd.array(idxs, dtype="int32"),
+                 "frame_bytes": frames}
+            )
+
+    spread = df.select("doc_id", payload_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def byte_histogram_features(
+    df: DataFrame,
+    dim: int = 64,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature extraction plumbing: blob -> fixed-dim float vector.
+
+    Stand-in for a real image/audio encoder (CLIP, wav2vec, ...): the
+    numpy byte-histogram (count of byte%dim, length-normalized) is cheap,
+    deterministic, and shape-identical to a model embedding, so the
+    output feeds directly into the similarity operators
+    (``cosine_topk`` / ``ivf_topk`` / ``cosine_neardup_pairs``) -- the
+    full binary->embedding->ANN pipeline is testable without a model.
+    Vectorized per Arrow batch via numpy; no per-row Python in the
+    interpreter loop beyond the buffer view.
+    """
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            vecs = []
+            for b in pdf[payload_col]:
+                a = np.frombuffer(bytes(b), dtype=np.uint8)
+                h = np.bincount(a % dim, minlength=dim).astype("float64")
+                vecs.append((h / max(len(a), 1)).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": vecs})
+
+    spread = df.select(id_col, payload_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(feat, f"{id_col} long, embedding array<double>")
+
+
 def decode_image_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Full pixel decode -- requires a codec library; stubbed in this image."""
 

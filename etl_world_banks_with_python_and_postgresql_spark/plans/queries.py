@@ -2338,3 +2338,24 @@ def q76(spark, sf_dir):
         .groupBy("source")
         .agg(F.count("*").alias("n_kept"))
     )
+
+
+@query(
+    "q77_multimodal_ann",
+    oracle=None,  # rows-only: numpy feature extraction has no SQL twin
+    description=(
+        "end-to-end multimodal similarity: binary payload -> frame "
+        "sampling -> byte-histogram embedding (model stand-in) -> exact "
+        "cosine top-k. Deterministic; verified in tests (self-match "
+        "sanity, frame-count law, pipeline stability)"
+    ),
+)
+def q77(spark, sf_dir):
+    from ..operators import similarity
+
+    docs = multimodal.attach_fake_binary(load(spark, "documents", sf_dir))
+    feats = multimodal.byte_histogram_features(docs)
+    queries_side = feats.filter(F.col("doc_id") % 100 == 0)
+    return similarity.cosine_topk(
+        feats, queries_side, k=3, id_col="doc_id", vec_col="embedding"
+    )

@@ -274,3 +274,56 @@ def test_ivf_recall_curve_monotone_scan(spark):
     assert recalls == sorted(recalls), recalls  # monotone non-decreasing
     assert curve[-1]["recall"] == 1.0  # probing all cells == exact
     assert curve[0]["scan_frac"] == 0.125
+
+
+def test_multimodal_frame_sampling_law(spark):
+    """Frames per doc = min(max_frames, ceil(bytes/frame_size)); bytes
+    round-trip exactly for the first frame."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators import multimodal
+
+    docs = multimodal.attach_fake_binary(load(spark, "documents", SF)).limit(50)
+    frames = multimodal.sample_frames(docs, frame_size=100, max_frames=4)
+    got = {
+        r["doc_id"]: r["n"]
+        for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    import math
+    for r in docs.select("doc_id", F.octet_length("payload").alias("nb")).collect():
+        expect = min(4, max(1, math.ceil(r["nb"] / 100)))
+        assert got[r["doc_id"]] == expect, r
+    # first frame bytes == payload prefix
+    f0 = {r["doc_id"]: bytes(r["frame_bytes"])
+          for r in frames.filter(F.col("frame_idx") == 0).collect()}
+    for r in docs.select("doc_id", "payload").collect():
+        assert f0[r["doc_id"]] == bytes(r["payload"])[:100]
+
+
+def test_multimodal_feature_ann_pipeline(spark):
+    """binary -> byte-histogram embedding -> cosine top-k: embeddings are
+    unit-ish (L1-normalized), deterministic, and identical texts are each
+    other's nearest neighbors at cosine 1.0."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators import multimodal
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    docs = multimodal.attach_fake_binary(load(spark, "documents", SF))
+    feats = multimodal.byte_histogram_features(docs)
+    row = feats.limit(1).collect()[0]
+    assert len(row["embedding"]) == 64
+    assert abs(sum(row["embedding"]) - 1.0) < 1e-9  # L1 normalized
+
+    # determinism across evaluations
+    a = {r["doc_id"]: tuple(r["embedding"]) for r in feats.collect()}
+    b = {r["doc_id"]: tuple(r["embedding"]) for r in feats.collect()}
+    assert a == b
+
+    # exact duplicate texts => cosine 1.0 neighbors
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        exact_duplicates,
+    )
+    dups = exact_duplicates(load(spark, "documents", SF)).filter("n_copies > 1")
+    if dups.count() > 0:
+        q = feats.join(dups.select(F.col("keep_id").alias("doc_id")), "doc_id")
+        top = cosine_topk(feats, q, k=1, id_col="doc_id", vec_col="embedding")
+        assert all(r["cos_sim"] == 1.0 for r in top.collect())
