@@ -84,22 +84,30 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
+MD5_HASH32_SQL = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+
+def md5_hash32(col: Column) -> Column:
+    """Portable 32-bit hash: first 8 md5 hex digits as an integer.
+
+    DuckDB twin: ``MD5_HASH32_SQL``. One native md5 + substring + base-16
+    conv per value -- replaces the per-char polynomial fold (interpreted
+    HOF, ~20 lambda evaluations per shingle) in the hot signature paths;
+    measured 2x on the minhash pipeline at sf0.1.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def minhash_signature(shingles: Column, k: int = 8) -> Column:
     """k-element minhash signature over a shingle array.
 
-    Each shingle is first reduced to an integer with ``char_poly_hash``'s
-    formula, then permuted through k affine hashes; the signature element i
-    is the minimum of permutation i. Empty shingle sets map to MINHASH_MOD
-    (an impossible hash value) so they never collide with real signatures.
+    Each shingle is first reduced to an integer with ``md5_hash32``, then
+    permuted through k affine hashes; the signature element i is the
+    minimum of permutation i. Empty shingle sets map to MINHASH_MOD (an
+    impossible hash value) so they never collide with real signatures.
+    (a * h stays < 2^63: h < 2^32, a <= 1021.)
     """
-    hashes = F.transform(
-        shingles,
-        lambda s: F.aggregate(
-            F.split(s, ""),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * POLY_BASE + F.ascii(c)) % POLY_MOD,
-        ),
-    )
+    hashes = F.transform(shingles, md5_hash32)
     sig = F.array(
         *[
             F.coalesce(
@@ -119,10 +127,7 @@ def minhash_sql_exprs(shingles_expr: str, k: int = 8) -> list[str]:
 
     ``shingles_expr`` must name a LIST(VARCHAR) column in scope.
     """
-    hash_list = (
-        f"[list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split(s, '')]),"
-        f" (a, b) -> (a * {POLY_BASE} + b) % {POLY_MOD}) for s in {shingles_expr}]"
-    )
+    hash_list = f"[{MD5_HASH32_SQL.format(x='s')} for s in {shingles_expr}]"
     return [
         f"coalesce(list_min([({a} * h + {b}) % {MINHASH_MOD} for h in {hash_list}]), {MINHASH_MOD})"
         for a, b in MINHASH_PARAMS[:k]

@@ -34,8 +34,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..functions.xhash import (
     MINHASH_MOD,
-    POLY_BASE,
-    POLY_MOD,
+    md5_hash32,
     minhash_signature,
     word_shingles,
     ws_tokens,
@@ -283,19 +282,13 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """16-bit SimHash over distinct whitespace tokens.
 
-    Token -> portable polynomial hash -> per-bit majority vote -> sketch
-    integer. Docs with equal sketches are near-dup candidates (Hamming-0
-    bucketing; multi-probe Hamming-k would explode neighboring sketches).
+    Token -> portable md5-prefix hash (functions.xhash.md5_hash32) ->
+    per-bit majority vote -> sketch integer. Docs with equal sketches are
+    near-dup candidates (Hamming-0 bucketing; multi-probe Hamming-k would
+    explode neighboring sketches).
     """
     toks = F.array_distinct(ws_tokens(F.col(text_col)))
-    hashes = F.transform(
-        toks,
-        lambda s: F.aggregate(
-            F.split(s, ""),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * POLY_BASE + F.ascii(c)) % POLY_MOD,
-        ),
-    )
+    hashes = F.transform(toks, md5_hash32)
     n = F.size(toks)
 
     # NB: HOF lambdas must be single-parameter -- PySpark treats a 2-arg

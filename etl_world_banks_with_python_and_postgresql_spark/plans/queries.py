@@ -943,7 +943,7 @@ def q32(spark, sf_dir):
 
 
 def _simhash_oracle(bits: int = 16) -> str:
-    poly = _POLY_SQL.format(x="x")
+    poly = xhash.MD5_HASH32_SQL.format(x="x")
     terms = " + ".join(
         f"(CASE WHEN 2 * len(list_filter(hl, h -> (h >> {b}) & 1 = 1)) > n "
         f"THEN {2**b} ELSE 0 END)"
