@@ -26,6 +26,15 @@ Hudi's COW/MOR split) converges on:
   state is rewritten as a new base and the delta list resets -- the
   O(|target|) cost is paid once per `compact_after` batches instead of
   every batch.
+* **Partition pruning** (``partition_by``): base and delta files are laid
+  out Hive-style under <col>=<value>/ directories, and every delta commit
+  records the delta's [min, max] of the partition column in the manifest.
+  `read(..., partition_range=(lo, hi))` then (a) SKIPS whole delta file
+  sets whose recorded range cannot intersect -- manifest-level file
+  skipping, no listing, no footer reads -- and (b) pushes the range
+  predicate into the base scan, where Catalyst turns it into directory-
+  level PartitionFilters. At 100 TB with date-partitioned facts this is
+  the difference between scanning a day and scanning the table.
 
 Row identity is the surrogate id column: every mutation the SCD merge
 produces (update, reactivate, deactivate) rewrites the FULL row under its
@@ -68,7 +77,17 @@ class IncrementalTable:
     co-location win applies to the compacted fraction of the cycle --
     ``compact_after=1`` buys it for every batch at the price of a full
     rewrite per batch (= bucketed snapshot mode; the knob is the honest
-    write-amplification / shuffle-avoidance trade)."""
+    write-amplification / shuffle-avoidance trade).
+
+    ``partition_by`` (mutually exclusive with ``bucket_by``) lays base and
+    delta files out Hive-style on one column and enables
+    ``read(partition_range=...)`` pruning (module doc). SOUNDNESS
+    REQUIREMENT: the partition column must be version-stable per id --
+    every rewrite of a row (update/reactivate/deactivate) must keep its
+    partition value, which holds automatically when the column is one of
+    the merge keys (e.g. `year`) or an event date. If an out-of-range
+    delta could supersede an in-range base row, skipping it would
+    resurrect the stale row; stability is what makes the skip exact."""
 
     path: str
     id_col: str
@@ -76,6 +95,15 @@ class IncrementalTable:
     broadcast_deltas: bool = True
     bucket_by: Sequence[str] | None = None
     n_buckets: int = 16
+    partition_by: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.partition_by and self.bucket_by:
+            raise ValueError(
+                "partition_by and bucket_by are mutually exclusive: a "
+                "partitioned base is read through parquet directory "
+                "discovery, which cannot carry the catalog bucket spec"
+            )
 
     def _manifest_path(self) -> str:
         return os.path.join(self.path, _MANIFEST)
@@ -120,10 +148,22 @@ class IncrementalTable:
                 )
         return self._resolve(spark, schema, m)
 
-    def read(self, spark: SparkSession, schema) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        schema,
+        partition_range: tuple | None = None,
+    ) -> DataFrame:
         """Resolved current state (base minus superseded ids, plus the
-        latest delta row per id)."""
-        return self._resolve(spark, schema, self._load_manifest())
+        latest delta row per id).
+
+        ``partition_range=(lo, hi)`` (inclusive; requires ``partition_by``)
+        returns only rows with lo <= partition_by <= hi, skipping delta
+        file sets straight from manifest stats and partition-pruning the
+        base scan (module doc)."""
+        return self._resolve(
+            spark, schema, self._load_manifest(), partition_range=partition_range
+        )
 
     def _table_name(self, seq: int) -> str:
         digest = hashlib.md5(os.path.abspath(self.path).encode()).hexdigest()[:10]
@@ -147,21 +187,63 @@ class IncrementalTable:
             )
         return spark.table(name)
 
-    def _resolve(self, spark: SparkSession, schema, m: dict) -> DataFrame:
+    @staticmethod
+    def _stat(v):
+        """Manifest-serializable stat value; str() for dates/timestamps
+        (ISO text orders correctly), raw for JSON-native numerics."""
+        return v if isinstance(v, (int, float)) else str(v)
+
+    def _range_hits(self, m: dict, delta: str, lo, hi) -> bool:
+        """Can delta's recorded [min, max] intersect [lo, hi]?"""
+        st = (m.get("delta_stats") or {}).get(delta)
+        if st is None:
+            return True  # pre-feature commit, no stats: conservative include
+        if st["min"] is None:
+            return False  # empty delta
+        return st["min"] <= self._stat(hi) and st["max"] >= self._stat(lo)
+
+    def _read_files(self, spark: SparkSession, schema, name: str) -> DataFrame:
+        """One file-set member. Partitioned layouts move the partition
+        column to the end and re-infer its type from directory names;
+        re-project to the declared schema so unions and callers see one
+        shape."""
+        df = spark.read.parquet(os.path.join(self.path, name))
+        if self.partition_by:
+            df = df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
+        return df
+
+    def _resolve(
+        self, spark: SparkSession, schema, m: dict, partition_range: tuple | None = None
+    ) -> DataFrame:
+        if partition_range is not None and not self.partition_by:
+            raise ValueError("partition_range requires partition_by")
         if m.get("base_table"):
             base = self._base_table(spark, schema, m)
         elif m["base"]:
-            base = spark.read.parquet(os.path.join(self.path, m["base"]))
+            base = self._read_files(spark, schema, m["base"])
         else:
             base = spark.createDataFrame([], schema)
-        if not m["deltas"]:
+        live_deltas = m["deltas"]
+        if partition_range is not None:
+            lo, hi = partition_range
+            # predicate on the base reaches the scan as PartitionFilters
+            # (directory-level pruning); manifest stats skip whole deltas
+            # without touching the filesystem
+            base = base.filter(F.col(self.partition_by).between(F.lit(lo), F.lit(hi)))
+            live_deltas = [d for d in live_deltas if self._range_hits(m, d, lo, hi)]
+        if not live_deltas:
             return base
         deltas = None
-        for i, d in enumerate(m["deltas"]):
-            df = spark.read.parquet(os.path.join(self.path, d)).withColumn(
-                "_seq", F.lit(i)
-            )
+        for i, d in enumerate(live_deltas):
+            df = self._read_files(spark, schema, d).withColumn("_seq", F.lit(i))
             deltas = df if deltas is None else deltas.unionByName(df)
+        if partition_range is not None:
+            # a surviving delta may still hold out-of-range rows
+            deltas = deltas.filter(
+                F.col(self.partition_by).between(F.lit(partition_range[0]), F.lit(partition_range[1]))
+            )
         w = W.partitionBy(self.id_col).orderBy(F.desc("_seq"))
         latest = (
             deltas.withColumn("_rn", F.row_number().over(w))
@@ -189,16 +271,28 @@ class IncrementalTable:
         seq = m["seq"] + 1
         name = f"delta-{seq:06d}"
         path = os.path.join(self.path, name)
-        changed.coalesce(target_files).write.mode("overwrite").parquet(path)
+        writer = changed.coalesce(target_files).write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(self.partition_by)
+        writer.parquet(path)
         spark = changed.sparkSession
-        delta_max = (
-            spark.read.parquet(path)
-            .agg(F.coalesce(F.max(self.id_col), F.lit(0)).alias("m"))
-            .collect()[0]["m"]
-        )
+        aggs = [F.coalesce(F.max(self.id_col), F.lit(0)).alias("m")]
+        if self.partition_by:
+            aggs += [
+                F.min(self.partition_by).alias("plo"),
+                F.max(self.partition_by).alias("phi"),
+            ]
+        stats = spark.read.parquet(path).agg(*aggs).collect()[0]
         m["seq"] = seq
         m["deltas"].append(name)
-        m["max_id"] = max(m.get("max_id") or 0, int(delta_max))
+        m["max_id"] = max(m.get("max_id") or 0, int(stats["m"]))
+        if self.partition_by:
+            # one [min, max] per delta: the whole pruning index is O(deltas)
+            # manifest entries -- no file listing at read time
+            m.setdefault("delta_stats", {})[name] = {
+                "min": None if stats["plo"] is None else self._stat(stats["plo"]),
+                "max": None if stats["phi"] is None else self._stat(stats["phi"]),
+            }
         self._commit_manifest(m)
 
     def compact(self, spark: SparkSession, schema, target_files: int = 8) -> None:
@@ -231,6 +325,16 @@ class IncrementalTable:
                 "bucket_by": bucket_cols,
                 "n_buckets": self.n_buckets,
             }
+        elif self.partition_by:
+            # co-locate each partition's rows before the write so each
+            # Hive directory gets a bounded file count instead of
+            # (tasks x partitions) fragments
+            (
+                resolved.repartition(target_files, self.partition_by)
+                .write.mode("overwrite")
+                .partitionBy(self.partition_by)
+                .parquet(os.path.join(self.path, new_base))
+            )
         else:
             resolved.coalesce(target_files).write.mode("overwrite").parquet(
                 os.path.join(self.path, new_base)

@@ -276,3 +276,119 @@ def test_bucketed_base_merge_skips_target_exchange(spark, tmp_path):
     # plain: target shuffles for semi-join + profile + apply; bucketed:
     # only the batch side hashes into the bucket layout
     assert n_bucketed < n_plain, (n_bucketed, n_plain)
+
+
+# --- partition pruning (partition_by + partition_range) ----------------------
+
+RATES_KW = dict(
+    keys=["country", "currency", "year"],
+    compare_col="exchange_rate",
+    set_cols=["exchange_rate"],
+    table_name="exchanges_rates",
+    scd=False,
+    deactivate=False,
+)
+
+Y21, Y22, Y23 = date(2021, 12, 31), date(2022, 12, 31), date(2023, 12, 31)
+
+
+def rates_batch(spark, rows, batch_id):
+    data = [(c, cur, float(r), y, batch_id) for c, cur, r, y in rows]
+    return spark.createDataFrame(data, schemas.EXCHANGE_RATES_BATCH)
+
+
+def _build_partitioned(spark, path, compact_after=99):
+    """3 batches over 3 years; the partition column `year` is a merge key,
+    so it is version-stable per id (the pruning soundness requirement)."""
+    table = IncrementalTable(
+        str(path), id_col="exchange_rate_id", compact_after=compact_after,
+        partition_by="year",
+    )
+    batches = [
+        ("b1", D1, [("US", "USD", 1.0, Y21), ("US", "USD", 1.1, Y22),
+                    ("FR", "EUR", 0.9, Y21)]),
+        ("b2", D2, [("US", "USD", 1.2, Y22), ("JP", "JPY", 150.0, Y23)]),
+        ("b3", D3, [("FR", "EUR", 0.95, Y21)]),
+    ]
+    for batch_id, now, rows in batches:
+        table.merge_batch(
+            spark, schemas.EXCHANGES_RATES, rates_batch(spark, rows, batch_id),
+            batch_id=batch_id, now=now, **RATES_KW,
+        )
+    return table
+
+
+def rate_state(df):
+    return {
+        (r["country"], r["currency"], str(r["year"]), r["exchange_rate"], r["batch_id"])
+        for r in df.collect()
+    }
+
+
+def test_partitioned_pruned_read_equals_filtered_full(spark, tmp_path):
+    table = _build_partitioned(spark, tmp_path / "t")
+    full = table.read(spark, schemas.EXCHANGES_RATES)
+    assert full.count() == 4  # 4 distinct (country, currency, year) keys
+    for lo, hi, n in [(Y21, Y21, 2), (Y22, Y23, 2), (Y21, Y23, 4), (Y23, Y23, 1)]:
+        pruned = table.read(spark, schemas.EXCHANGES_RATES, partition_range=(lo, hi))
+        expect = full.filter(F.col("year").between(F.lit(lo), F.lit(hi)))
+        assert rate_state(pruned) == rate_state(expect), (lo, hi)
+        assert pruned.count() == n
+    # updates resolved inside the range: Y22 rate is b2's 1.2, not b1's 1.1
+    y22 = table.read(spark, schemas.EXCHANGES_RATES, partition_range=(Y22, Y22))
+    assert y22.collect()[0]["exchange_rate"] == 1.2
+
+
+def test_partitioned_manifest_skips_deltas_and_prunes_base(spark, tmp_path):
+    table = _build_partitioned(spark, tmp_path / "t")
+    m = table._load_manifest()
+    assert len(m["deltas"]) == 3 and len(m["delta_stats"]) == 3
+    # delta-000003 only touched 2021 -> a 2023 read never opens it; delta 1
+    # spans 2021-2022 -> skipped too; only delta-000002 is scanned
+    files = table.read(
+        spark, schemas.EXCHANGES_RATES, partition_range=(Y23, Y23)
+    ).inputFiles()
+    assert files, "Y23 read must see delta-000002"
+    assert all("delta-000002" in f for f in files), files
+    # after compaction the base is Hive-partitioned: the range predicate
+    # reaches the scan as directory-level PartitionFilters (inputFiles()
+    # cannot show this -- it lists the relation pre-filter)
+    table.compact(spark, schemas.EXCHANGES_RATES)
+    pruned = table.read(spark, schemas.EXCHANGES_RATES, partition_range=(Y21, Y21))
+    from tests.test_plans import formatted_plan
+
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters: [isnotnull(year" in plan, plan
+    assert "(year" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    assert rate_state(
+        table.read(spark, schemas.EXCHANGES_RATES, partition_range=(Y21, Y21))
+    ) == rate_state(
+        table.read(spark, schemas.EXCHANGES_RATES).filter(F.col("year") == F.lit(Y21))
+    )
+
+
+def test_partitioned_equals_unpartitioned_state(spark, tmp_path):
+    part = _build_partitioned(spark, tmp_path / "p", compact_after=2)
+    flat_table = IncrementalTable(str(tmp_path / "f"), id_col="exchange_rate_id")
+    for batch_id, now, rows in [
+        ("b1", D1, [("US", "USD", 1.0, Y21), ("US", "USD", 1.1, Y22),
+                    ("FR", "EUR", 0.9, Y21)]),
+        ("b2", D2, [("US", "USD", 1.2, Y22), ("JP", "JPY", 150.0, Y23)]),
+        ("b3", D3, [("FR", "EUR", 0.95, Y21)]),
+    ]:
+        flat_table.merge_batch(
+            spark, schemas.EXCHANGES_RATES, rates_batch(spark, rows, batch_id),
+            batch_id=batch_id, now=now, **RATES_KW,
+        )
+    assert rate_state(part.read(spark, schemas.EXCHANGES_RATES)) == rate_state(
+        flat_table.read(spark, schemas.EXCHANGES_RATES)
+    )
+
+
+def test_partition_by_bucket_by_exclusive(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        IncrementalTable(
+            str(tmp_path / "t"), id_col="x", bucket_by=["k"], partition_by="d"
+        )
