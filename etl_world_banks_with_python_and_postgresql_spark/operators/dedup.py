@@ -305,3 +305,46 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     for t in bit_terms[1:]:
         sketch = sketch + t
     return df.select(F.col(id_col).alias("doc_id"), sketch.cast("long").alias("simhash"))
+
+
+def simhash_multiprobe_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance 1 of the SimHash sketch,
+    without any O(n^2) comparison (multi-probe LSH).
+
+    One join side indexes docs by their exact sketch; the other PROBES its
+    sketch plus all ``bits`` single-bit flips. A probe collision means
+    a XOR b is 0 or a power of two, i.e. hamming(a, b) <= 1 EXACTLY -- the
+    candidate set needs no verification, only pair canonicalization
+    (least/greatest + distinct; each pair is found from both directions).
+
+    Scale shape: |probes| = n * (bits + 1) exploded 8-byte keys, one
+    equi-join shuffled on sketch values, output bounded by true near-dup
+    pairs. The sketch subplan feeds both sides, so it is persisted once.
+    """
+    sk = simhash(df, text_col, id_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
+    probes = sk.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sk_a"),
+        F.explode(
+            F.array(
+                F.col("simhash"),
+                *[F.col("simhash").bitwiseXOR(F.lit(1 << b)) for b in range(bits)],
+            )
+        ).alias("probe"),
+    )
+    idx = sk.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sk_b"))
+    return (
+        probes.join(idx, probes.probe == idx.sk_b)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b"))).cast("int").alias("hamming"),
+        )
+        .distinct()
+    )

@@ -2359,3 +2359,22 @@ def q77(spark, sf_dir):
     return similarity.cosine_topk(
         feats, queries_side, k=3, id_col="doc_id", vec_col="embedding"
     )
+
+
+@query(
+    "q78_dedup_simhash_multiprobe",
+    oracle=f"""
+WITH s AS ({_simhash_oracle(bits=32)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+""",
+    description=(
+        "multi-probe SimHash near-dup pairs: Hamming<=1 via sketch + "
+        "single-bit-flip probe join (no O(n^2) compare; the DuckDB oracle "
+        "IS the O(n^2) definition it must match)"
+    ),
+)
+def q78(spark, sf_dir):
+    return dedup.simhash_multiprobe_pairs(load(spark, "documents", sf_dir), bits=32)
