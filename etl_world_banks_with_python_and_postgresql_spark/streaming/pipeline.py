@@ -118,7 +118,13 @@ def event_time_join(
         & (F.col("r_ts") <= F.col("l_ts"))
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {max_delay}"))
     )
-    return l.join(r, cond, how).drop("_r_key")
+    # the visible key must survive right-only rows in full-outer output
+    # (the left-side key is NULL there); coalesce is a no-op otherwise
+    return (
+        l.join(r, cond, how)
+        .withColumn(key, F.coalesce(F.col(key), F.col("_r_key")))
+        .drop("_r_key")
+    )
 
 
 def streaming_merge_sink(

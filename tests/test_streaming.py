@@ -392,3 +392,88 @@ def state_eq(a, b):
     return {tuple(r[c] for c in cols) for r in a.collect()} == {
         tuple(r[c] for c in cols) for r in b.collect()
     }
+
+
+def test_event_time_join_full_outer(spark, tmp_path):
+    """FULL outer stream-stream join: unmatched rows on BOTH sides must
+    emit with NULLs for the other side once the watermark passes their
+    join horizon (Spark supports this only because both inputs carry
+    watermarks and the join condition bounds event time -- state stays
+    O(rate x delay))."""
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        event_time_join,
+    )
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    t0 = datetime(2024, 8, 1, 12, 0, 0)
+    # key 1: matched; key 2: left-only; key 3: right-only
+    ldf = spark.createDataFrame(
+        [(1, t0, "buy"), (2, t0, "buy")], "key int, ts timestamp, act string"
+    )
+    rdf = spark.createDataFrame(
+        [(1, datetime(2024, 8, 1, 11, 50, 0), "click"),
+         (3, datetime(2024, 8, 1, 11, 55, 0), "click")],
+        "key int, ts timestamp, src string",
+    )
+    ldf.write.parquet(lsrc)
+    rdf.write.parquet(rsrc)
+    late = datetime(2024, 8, 2, 12, 0, 0)
+    spark.createDataFrame([(99, late, "x")], "key int, ts timestamp, act string").write.parquet(lsrc, mode="append")
+    spark.createDataFrame([(99, late, "x")], "key int, ts timestamp, src string").write.parquet(rsrc, mode="append")
+
+    ls = spark.readStream.schema(ldf.schema).option("maxFilesPerTrigger", 1).parquet(lsrc)
+    rs = spark.readStream.schema(rdf.schema).option("maxFilesPerTrigger", 1).parquet(rsrc)
+    joined = event_time_join(
+        ls, rs, key="key", max_delay="1 hour", watermark="30 minutes", how="full_outer"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("fo_join")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["key"]: r for r in spark.sql("SELECT * FROM fo_join").collect()}
+    assert rows[1]["l_act"] == "buy" and rows[1]["r_src"] == "click"
+    assert 2 in rows and rows[2]["r_src"] is None and rows[2]["r_ts"] is None
+    assert 3 in rows, "unmatched RIGHT row never emitted (full-outer state stuck)"
+    assert rows[3]["l_act"] is None and rows[3]["l_ts"] is None
+    assert rows[3]["r_src"] == "click"
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: re-sends of the same key across
+    micro-batches inside the watermark horizon collapse to ONE output row
+    (state is evicted after the horizon -- the bounded-state contract that
+    makes dedup possible at ingest scale at all)."""
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        streaming_dedup,
+    )
+
+    src = str(tmp_path / "in")
+    t0 = datetime(2024, 8, 1, 12, 0, 0)
+    schema_str = "event_id int, ts timestamp, v string"
+    # batch 1: ids 1, 2; batch 2 (separate file): id 1 re-sent 5 min later
+    spark.createDataFrame([(1, t0, "a"), (2, t0, "b")], schema_str).write.parquet(src)
+    spark.createDataFrame(
+        [(1, datetime(2024, 8, 1, 12, 5, 0), "a-dup"), (3, t0, "c")], schema_str
+    ).write.parquet(src, mode="append")
+
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema_str).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    deduped = streaming_dedup(stream, keys=["event_id"], watermark="1 hour")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT event_id, count(*) AS n FROM dedup_out GROUP BY event_id").collect()
+    counts = {r["event_id"]: r["n"] for r in out}
+    assert counts == {1: 1, 2: 1, 3: 1}, counts
