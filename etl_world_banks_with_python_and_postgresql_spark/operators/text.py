@@ -37,6 +37,19 @@ def token_count(text: Column) -> Column:
     )
 
 
+# BPE-style pre-tokenization (GPT-2 family shape): a leading space glues to
+# the following letter/digit/punct run, so "hello world" is 2 tokens, not 4.
+# Deliberately lookahead-free: Java regex (Spark) and RE2 (DuckDB oracle)
+# must count identical matches, and RE2 has no lookahead.
+BPE_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Number of BPE-ish pre-tokens (the standard LLM-corpus sizing unit;
+    whitespace runs between tokens are not counted)."""
+    return F.regexp_count(text, F.lit(BPE_PATTERN))
+
+
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n_tokens, n_chars_measured, avg token length (4 dp)."""
     t = F.col(text_col)
@@ -50,6 +63,19 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             / F.greatest(F.size(toks), F.lit(1)),
             4,
         ).alias("avg_token_len"),
+    )
+
+
+def with_bpe_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace vs BPE-ish token counts + chars-per-token (the corpus
+    sizing ratio that decides packing/sharding budgets)."""
+    t = F.col(text_col)
+    bpe = bpe_token_count(t)
+    return df.select(
+        "doc_id",
+        token_count(t).alias("ws_tokens"),
+        bpe.cast("int").alias("bpe_tokens"),
+        F.round(F.length(t) / F.greatest(bpe, F.lit(1)), 4).alias("chars_per_token"),
     )
 
 

@@ -2378,3 +2378,24 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 )
 def q78(spark, sf_dir):
     return dedup.simhash_multiprobe_pairs(load(spark, "documents", sf_dir), bits=32)
+
+
+@query(
+    "q79_text_bpe_tokens",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS_SQL}) END AS ws_tokens,
+       len(regexp_extract_all(text,
+           ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+'))::INT AS bpe_tokens,
+       round(length(text) / greatest(len(regexp_extract_all(text,
+           ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+')), 1), 4) AS chars_per_token
+FROM documents
+""",
+    description=(
+        "BPE-style pre-tokenization counts (GPT-2-shape regex, lookahead-"
+        "free so Java regex and RE2 count identical matches) + "
+        "chars-per-token corpus sizing ratio"
+    ),
+)
+def q79(spark, sf_dir):
+    return text.with_bpe_stats(load(spark, "documents", sf_dir))
