@@ -386,7 +386,30 @@ class IncrementalTable:
         apply joins become shuffle joins, which a bucketed base
         (``bucket_by``) serves without exchanging the target side.
         """
-        target = self.read(spark, schema)
+        m0 = self._load_manifest()
+        prune_range = None
+        if (
+            self.partition_by
+            and self.partition_by in keys
+            and not (deactivate and scd)
+            # without a manifest high-water mark merge_scd would derive
+            # max_id from the (pruned!) target and mint colliding ids;
+            # that only happens on pre-feature manifests with data
+            and (m0.get("max_id") is not None or m0["base"] is None and not m0["deltas"])
+        ):
+            # The classify join only needs target rows that could share a
+            # key with the batch. When the partition column IS a merge key,
+            # every such row lies inside the batch's partition range, so
+            # the target read prunes to it -- O(touched partitions) instead
+            # of O(|target|) per merge (the late-arriving-updates CDC
+            # shape). Unsound with the deactivation pass (stale keys live
+            # outside the range), so that combination reads in full.
+            lo_hi = batch.agg(
+                F.min(self.partition_by).alias("lo"), F.max(self.partition_by).alias("hi")
+            ).collect()[0]
+            if lo_hi["lo"] is not None:
+                prune_range = (lo_hi["lo"], lo_hi["hi"])
+        target = self.read(spark, schema, partition_range=prune_range)
         # materialize_actions pins the classified batch BEFORE any
         # compaction deletes the pre-batch file set; actions/counters and
         # the write_delta plan all derive from the one checkpoint.
@@ -404,7 +427,7 @@ class IncrementalTable:
             now=now,
             scd=scd,
             materialize_actions=True,
-            max_id=self._load_manifest().get("max_id"),
+            max_id=m0.get("max_id"),
             broadcast_batch=broadcast_batch,
             # big-batch path against a bucketed base: co-partition the batch
             # into the bucket layout so the base is never exchanged

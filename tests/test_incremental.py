@@ -392,3 +392,49 @@ def test_partition_by_bucket_by_exclusive(tmp_path):
         IncrementalTable(
             str(tmp_path / "t"), id_col="x", bucket_by=["k"], partition_by="d"
         )
+
+
+def test_merge_batch_prunes_target_read(spark, tmp_path):
+    """When the partition column is a merge key and no deactivation pass
+    runs, merge_batch reads only the batch's partition range of the target
+    -- and the final state is identical to the unpruned path."""
+    table = _build_partitioned(spark, tmp_path / "t")
+    calls = []
+    orig_read = IncrementalTable.read
+
+    def spy(self, spark_, schema_, partition_range=None):
+        calls.append(partition_range)
+        return orig_read(self, spark_, schema_, partition_range)
+
+    IncrementalTable.read = spy
+    try:
+        table.merge_batch(
+            spark, schemas.EXCHANGES_RATES,
+            rates_batch(spark, [("US", "USD", 1.3, Y22)], "b4"),
+            batch_id="b4", now=D4, **RATES_KW,
+        )
+    finally:
+        IncrementalTable.read = orig_read
+    # first read (classify target) pruned to the batch's single year;
+    # the re-rooting read at the end is unpruned by design
+    assert calls[0] == (Y22, Y22), calls
+    assert calls[-1] is None
+    got = rate_state(table.read(spark, schemas.EXCHANGES_RATES))
+    assert ("US", "USD", str(Y22), 1.3, "b4") in got
+    assert len(got) == 4  # update in place: no extra row
+
+    # SCD + deactivation must NOT prune (stale keys live outside the range)
+    calls.clear()
+    scd_table = IncrementalTable(
+        str(tmp_path / "scd"), id_col="world_bank_id", partition_by="bank_name"
+    )
+    IncrementalTable.read = spy
+    try:
+        scd_table.merge_batch(
+            spark, schemas.WORLD_BANK_DATA,
+            batch_df(spark, [("Bank A", 1.0)], "b1"),
+            batch_id="b1", now=D1, **MERGE_KW,
+        )
+    finally:
+        IncrementalTable.read = orig_read
+    assert all(c is None for c in calls), calls
