@@ -2399,3 +2399,331 @@ FROM documents
 )
 def q79(spark, sf_dir):
     return text.with_bpe_stats(load(spark, "documents", sf_dir))
+
+
+@query(
+    "q80_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(c.c_acctbal, 2) AS acctbal
+FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY 1, 2, 3, c.c_acctbal
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+    description=(
+        "TPC-H Q10 shape: returned-item revenue per customer over a date "
+        "window, top-20. lineitem+orders is the only shuffle; customer and "
+        "nation broadcast"
+    ),
+)
+def q80(spark, sf_dir):
+    cust = load(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    orders = load(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    nation = load(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q81_promo_revenue",
+    oracle="""
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-02-01'
+""",
+    description=(
+        "TPC-H Q14 shape: conditional-share aggregate (promo revenue %) "
+        "over one shipdate month; part broadcasts, the month filter is "
+        "pushed to the lineitem scan"
+    ),
+)
+def q81(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    part = load(spark, "part", sf_dir).select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "q82_parts_supplier_count",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+    description=(
+        "TPC-H Q16 shape (lineitem stands in for partsupp): distinct "
+        "supplier count per (brand, type, size) excluding suppliers on a "
+        "deny-list subquery. The NOT IN becomes a broadcast left_anti join"
+    ),
+)
+def q82(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    part = load(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load(spark, "supplier", sf_dir).filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q83_large_orders",
+    oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY 1 HAVING sum(l_quantity) > 250)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20
+""",
+    description=(
+        "TPC-H Q18 shape: large-volume orders via a grouped-HAVING IN "
+        "subquery, re-joined to customer/orders for the top-20 report. The "
+        "HAVING set is tiny after reduction, so its semi join broadcasts "
+        "under AQE; lineitem aggregates map-side before the final sort"
+    ),
+)
+def q83(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    cust = load(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 250)
+        .select(F.col("l_orderkey").alias("_bigkey"))
+    )
+    o_big = orders.join(
+        F.broadcast(big), orders.o_orderkey == F.col("_bigkey"), "left_semi"
+    )
+    return (
+        li.select("l_orderkey", "l_quantity")
+        .join(F.broadcast(o_big), li.l_orderkey == o_big.o_orderkey)
+        .join(F.broadcast(cust), o_big.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q84_dormant_rich_customers",
+    oracle="""
+SELECT c_nationkey AS cntry, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
+""",
+    description=(
+        "TPC-H Q22 shape: above-average-balance customers with no recent "
+        "orders. The scalar avg broadcasts as a one-row cross join; the "
+        "NOT EXISTS becomes a left_anti join against date-filtered orders"
+    ),
+)
+def q84(spark, sf_dir):
+    cust = load(spark, "customer", sf_dir)
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_thr")
+    )
+    recent = load(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("_thr"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "q85_market_share",
+    oracle="""
+WITH vol AS (
+  SELECT year(o.o_orderdate)::INT AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n2.n_regionkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM vol GROUP BY o_year
+""",
+    description=(
+        "TPC-H Q8 shape: one nation's share of promo-part volume sold into "
+        "one region, per year. All five dimensions broadcast; "
+        "lineitem+orders is the only shuffle, then a tiny per-year "
+        "conditional-share aggregate"
+    ),
+)
+def q85(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir)
+    part = load(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    supp = load(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load(spark, "nation", sf_dir)
+    region = load(spark, "region", sf_dir)
+    # customer nations restricted to the target region
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select(F.col("n_nationkey").alias("_cnk"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(asia_nations), cust.c_nationkey == F.col("_cnk"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nation), supp.s_nationkey == F.col("_snk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                    F.lit(0.0)
+                )
+            )
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q86_nation_profit",
+    oracle="""
+SELECT n.n_name AS nation, year(o.o_orderdate)::INT AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+    description=(
+        "TPC-H Q9 shape (retail-price margin stands in for ps_supplycost): "
+        "per-nation, per-year profit on a part-name LIKE family. part/"
+        "supplier/nation broadcast; the LIKE prunes lineitem before the "
+        "orders shuffle"
+    ),
+)
+def q86(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir)
+    part = load(spark, "part", sf_dir).filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    supp = load(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    nation = load(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
