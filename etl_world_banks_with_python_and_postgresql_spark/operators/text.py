@@ -151,3 +151,30 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", prefix_len: int = 64
         lambda acc, c: (acc * POLY_BASE + F.ascii(c)) % POLY_MOD,
     )
     return df.select("doc_id", fp.alias("fingerprint"))
+
+
+# PII masking patterns. Deliberately lookahead/backreference-free so Java
+# regex (Spark) and RE2 (DuckDB oracle) match identical spans; greedy
+# quantifier semantics agree between the engines for these classes.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+DIGIT_RUN_PATTERN = "[0-9]{6,}"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Mask emails and long digit runs (ids, phones, account numbers).
+
+    Emails are replaced first -- their local/domain parts contain digit
+    runs that must not double-count -- then any remaining run of 6+ digits.
+    Adds per-row redaction counters (the corpus-level audit aggregate).
+    Pure regexp_replace/regexp_count column expressions: whole-stage
+    codegen, no Python in the hot path, trivially parallel at any scale.
+    """
+    t = F.col(text_col)
+    no_email = F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>")
+    return (
+        df.withColumn("n_emails", F.regexp_count(t, F.lit(EMAIL_PATTERN)))
+        .withColumn("n_long_numbers", F.regexp_count(no_email, F.lit(DIGIT_RUN_PATTERN)))
+        .withColumn(out_col, F.regexp_replace(no_email, DIGIT_RUN_PATTERN, "<NUM>"))
+    )

@@ -116,3 +116,40 @@ def pack_token_bins(
             F.max(id_col).alias("last_doc"),
         )
     )
+
+
+def ngram_contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-decontamination probe: per training document, how many
+    distinct word n-grams it shares with an evaluation corpus.
+
+    The standard pre-training hygiene step (filter/flag training docs that
+    leak eval content). Shape at scale: the eval side is a benchmark --
+    small by construction -- so its distinct-gram set broadcasts; the
+    training side streams through scan -> shingle explode -> broadcast
+    hash join (the join immediately discards the ~50x explode inflation)
+    -> one groupBy on the doc id. No shuffle ever carries the exploded
+    grams of non-matching docs.
+
+    Returns (id_col, n_shared_grams) for contaminated docs only; callers
+    anti-join or threshold on it. Shingles are distinct per doc and the
+    eval set is distinct, so a plain count() is the distinct-gram count.
+    """
+    from ..functions.xhash import ws_tokens, word_shingles
+
+    def grams(d: DataFrame) -> DataFrame:
+        sh = word_shingles(ws_tokens(F.col(text_col)), n)
+        return d.select(F.col(id_col), F.explode(sh).alias("gram"))
+
+    ev = grams(eval_df).select("gram").distinct()
+    return (
+        grams(train_df)
+        .join(F.broadcast(ev), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+    )

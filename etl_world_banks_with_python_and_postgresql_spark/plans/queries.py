@@ -2727,3 +2727,82 @@ def q86(spark, sf_dir):
         )
         .agg(F.round(F.sum(profit), 2).alias("profit"))
     )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_DIGIT_RUN_RE = "[0-9]{6,}"
+
+
+@query(
+    "q87_decontaminate",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id, source, array_to_string(t[i:i+7], ' ') AS gram
+  FROM tok, UNNEST(generate_series(1, len(t)-8+1)) AS g(i)),
+ev AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0')
+SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_grams
+FROM grams g JOIN ev USING (gram)
+WHERE g.source <> 'src0'
+GROUP BY 1
+""",
+    description=(
+        "benchmark decontamination: training docs (source<>src0) sharing "
+        "any 8-word n-gram with the held-out eval corpus (source=src0). "
+        "Eval gram set broadcasts; the explode inflation dies at the "
+        "broadcast join, one doc-id groupBy"
+    ),
+)
+def q87(spark, sf_dir):
+    from ..operators.train_prep import ngram_contamination
+
+    docs = load(spark, "documents", sf_dir)
+    return ngram_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=8,
+    )
+
+
+@query(
+    "q88_pii_redaction",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@example.com ref '
+              || (1000000 + doc_id * 97)::VARCHAR AS t
+  FROM documents),
+e AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+  FROM aug)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_EMAIL_RE}'))::INT AS n_emails,
+       len(regexp_extract_all(no_email, '{_DIGIT_RUN_RE}'))::INT AS n_long_numbers,
+       regexp_replace(no_email, '{_DIGIT_RUN_RE}', '<NUM>', 'g') AS redacted
+FROM e
+""",
+    description=(
+        "PII masking: emails then 6+ digit runs replaced with typed "
+        "placeholders + per-row audit counters, over a deterministic "
+        "synthetic contact line (the raw corpus has no PII, so the "
+        "fixture column makes the check non-trivial). Pure regexp "
+        "codegen, no Python"
+    ),
+)
+def q88(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ref "),
+            (F.lit(1000000) + F.col("doc_id") * 97).cast("string"),
+        ).alias("t"),
+    )
+    return text.redact_pii(aug, text_col="t").select(
+        "doc_id", "n_emails", "n_long_numbers", "redacted"
+    )

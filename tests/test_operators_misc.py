@@ -327,3 +327,60 @@ def test_multimodal_feature_ann_pipeline(spark):
         q = feats.join(dups.select(F.col("keep_id").alias("doc_id")), "doc_id")
         top = cosine_topk(feats, q, k=1, id_col="doc_id", vec_col="embedding")
         assert all(r["cos_sim"] == 1.0 for r in top.collect())
+
+
+def test_redact_pii_edge_cases(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.text import redact_pii
+
+    rows = [
+        (0, "mail a.b-c_1%d+e@sub.domain.co and digits 1234567 done"),
+        (1, "short digits 12345 stay; 999999 goes"),
+        (2, "no pii here"),
+        (3, "two mails x@y.io z@w.ai and 0000001"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[0]["n_emails"] == 1 and got[0]["n_long_numbers"] == 1
+    assert got[0]["redacted"] == "mail <EMAIL> and digits <NUM> done"
+    # 5-digit run survives, 6-digit run is masked
+    assert got[1]["n_long_numbers"] == 1
+    assert got[1]["redacted"] == "short digits 12345 stay; <NUM> goes"
+    assert got[2]["n_emails"] == 0 and got[2]["n_long_numbers"] == 0
+    assert got[2]["redacted"] == "no pii here"
+    # email digits must not double-count as digit runs
+    assert got[3]["n_emails"] == 2 and got[3]["n_long_numbers"] == 1
+    assert got[4]["redacted"] == ""
+
+
+def test_ngram_contamination_exact(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
+        ngram_contamination,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = 1 gram
+    train = spark.createDataFrame(
+        [
+            (10, base + " iota"),          # shares grams with eval doc 1
+            (11, "totally different words here that never overlap at all"),
+            (12, base),                    # the full eval gram itself
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(1, base + " iota kappa")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_shared_grams"] for r in
+           ngram_contamination(train, ev, n=8).collect()}
+    # doc 10: grams {base, base[1:]+iota} both in eval; doc 12: only base
+    assert got == {10: 2, 12: 1}
+
+
+def test_ngram_contamination_short_docs(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
+        ngram_contamination,
+    )
+
+    # fewer than n tokens on either side must contribute nothing (guarded
+    # shingle construction -- no fabricated descending-sequence grams)
+    train = spark.createDataFrame([(1, "only three words")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(2, "only three words")], ["doc_id", "text"])
+    assert ngram_contamination(train, ev, n=8).count() == 0
