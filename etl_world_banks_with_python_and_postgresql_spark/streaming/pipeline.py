@@ -87,6 +87,8 @@ def event_time_join(
     max_delay: str = "1 hour",
     watermark: str = "2 hours",
     how: str = "inner",
+    left_watermark: str | None = None,
+    right_watermark: str | None = None,
 ) -> DataFrame:
     """Stream-stream join on ``key`` where the right event precedes the left
     within ``max_delay`` (e.g. purchase <- click attribution).
@@ -98,17 +100,25 @@ def event_time_join(
     (as-of join keeps only the latest match; this keeps all within-window
     matches, which is the stream-safe superset).
 
+    ``left_watermark`` / ``right_watermark`` override ``watermark`` per
+    side: the usual asymmetric case is a low-latency event stream joined
+    to a laggy enrichment feed (left minutes, right hours). Spark tracks
+    one global watermark as the MIN across inputs
+    (spark.sql.streaming.multipleWatermarkPolicy=min by default), so
+    output latency follows the laggier side while each side's state is
+    still bounded by its own delay + max_delay.
+
     Output columns: key, l_ts, r_ts, plus all non-key/ts columns of each
     side prefixed ``l_`` / ``r_``.
     """
     lcols = [c for c in left.columns if c not in (key, ts_col)]
     rcols = [c for c in right.columns if c not in (key, ts_col)]
-    l = left.withWatermark(ts_col, watermark).select(
+    l = left.withWatermark(ts_col, left_watermark or watermark).select(
         F.col(key),
         F.col(ts_col).alias("l_ts"),
         *[F.col(c).alias(f"l_{c}") for c in lcols],
     )
-    r = right.withWatermark(ts_col, watermark).select(
+    r = right.withWatermark(ts_col, right_watermark or watermark).select(
         F.col(key).alias("_r_key"),
         F.col(ts_col).alias("r_ts"),
         *[F.col(c).alias(f"r_{c}") for c in rcols],

@@ -133,3 +133,43 @@ def session_enrichment(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- state-store observability --------------------------------------------
+
+
+def state_metrics(query) -> list[dict]:
+    """Per-stateful-operator state-store metrics for a StreamingQuery,
+    aggregated over its ``recentProgress``.
+
+    Surfaces the numbers that decide whether a stateful pipeline is
+    scale-safe: ``rows_total`` (live state at last progress -- must plateau,
+    not grow unboundedly), ``rows_removed`` (watermark/TTL evictions -- must
+    be >0 on a healthy timeout config once the watermark advances) and
+    ``rows_updated``. One dict per operator in plan order; memory is
+    reported in bytes as Spark gives it.
+
+    Works on any stateful query (windowed aggs, stream-stream joins,
+    [flatMap|applyInPandas]WithState); an empty list means progress hasn't
+    been reported yet.
+    """
+    ops: dict[int, dict] = {}
+    for progress in query.recentProgress:
+        for i, so in enumerate(progress.get("stateOperators", [])):
+            agg = ops.setdefault(
+                i,
+                {
+                    "operator": so.get("operatorName", f"op-{i}"),
+                    "rows_total": 0,
+                    "rows_removed": 0,
+                    "rows_updated": 0,
+                    "memory_bytes": 0,
+                },
+            )
+            # totals are point-in-time gauges: keep the latest; removals /
+            # updates are per-batch deltas: accumulate
+            agg["rows_total"] = so.get("numRowsTotal", agg["rows_total"])
+            agg["memory_bytes"] = so.get("memoryUsedBytes", agg["memory_bytes"])
+            agg["rows_removed"] += so.get("numRowsRemoved", 0) or 0
+            agg["rows_updated"] += so.get("numRowsUpdated", 0) or 0
+    return [ops[i] for i in sorted(ops)]

@@ -477,3 +477,107 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     out = spark.sql("SELECT event_id, count(*) AS n FROM dedup_out GROUP BY event_id").collect()
     counts = {r["event_id"]: r["n"] for r in out}
     assert counts == {1: 1, 2: 1, 3: 1}, counts
+
+
+def test_event_time_join_per_side_watermarks(spark, tmp_path):
+    """Asymmetric watermark delays: a tight left watermark + loose right
+    watermark must still produce the exact batch-join result when all data
+    is on time (the global watermark is the min across sides)."""
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        event_time_join,
+    )
+
+    lsrc, rsrc = str(tmp_path / "al"), str(tmp_path / "ar")
+    t0 = datetime(2024, 8, 1, 12, 0, 0)
+    ldf = spark.createDataFrame(
+        [(1, t0, "buy"), (2, t0, "buy"), (3, t0, "buy")],
+        "key int, ts timestamp, act string",
+    )
+    rdf = spark.createDataFrame(
+        [
+            (1, datetime(2024, 8, 1, 11, 50, 0), "click"),   # within 1h
+            (2, datetime(2024, 8, 1, 10, 30, 0), "click"),   # too old
+            (1, datetime(2024, 8, 1, 11, 58, 0), "click2"),  # second match
+        ],
+        "key int, ts timestamp, src string",
+    )
+    ldf.write.parquet(lsrc)
+    rdf.write.parquet(rsrc)
+    ls = spark.readStream.schema(ldf.schema).parquet(lsrc)
+    rs = spark.readStream.schema(rdf.schema).parquet(rsrc)
+    joined = event_time_join(
+        ls,
+        rs,
+        key="key",
+        max_delay="1 hour",
+        left_watermark="5 minutes",
+        right_watermark="3 hours",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asym_join")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["key"], r["r_src"]) for r in spark.sql("SELECT * FROM asym_join").collect()
+    )
+    assert got == [(1, "click"), (1, "click2")]
+
+
+def test_state_metrics_report_eviction(spark, tmp_path):
+    """state_metrics must surface live state totals and watermark/TTL
+    evictions for a stateful query (session_enrichment with event-time
+    timeout): after a far-future event pushes the watermark, earlier
+    per-user session state is removed."""
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.stateful import (
+        session_enrichment,
+        state_metrics,
+    )
+
+    src = str(tmp_path / "ev_m")
+    t = lambda m: datetime(2024, 8, 1, 12, m, 0)  # noqa: E731
+    spark.createDataFrame(
+        [(7, t(0), 1.0), (8, t(1), 5.0)],
+        "user_id long, ts timestamp, value double",
+    ).write.parquet(src)
+    # far-future event: watermark jumps a day, timing out users 7 and 8
+    spark.createDataFrame(
+        [(9, datetime(2024, 8, 2, 12, 0, 0), 4.0)],
+        "user_id long, ts timestamp, value double",
+    ).write.parquet(src, mode="append")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        session_enrichment(stream, gap_minutes=30)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_metrics")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    metrics = state_metrics(q)
+    q.stop()
+    assert len(metrics) == 1, metrics
+    m = metrics[0]
+    # users 7+8 evicted by the event-time timeout; user 9 still live
+    assert m["rows_removed"] >= 2, m
+    assert m["rows_total"] >= 1, m
+    assert m["rows_updated"] >= 3, m
+    # the timed-out sessions were emitted as closed records on eviction
+    closed = {
+        r["user_id"]
+        for r in spark.sql(
+            "SELECT user_id FROM sess_metrics WHERE closed"
+        ).collect()
+    }
+    assert {7, 8} <= closed
