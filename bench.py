@@ -44,6 +44,10 @@ HEADLINE = [
     "q37_text_fingerprint",
     "q38_ann_cosine_topk",
     "q40_multimodal_meta",
+    "q83_large_orders",
+    "q85_market_share",
+    "q87_decontaminate",
+    "q89_train_pipeline",
 ]
 
 

@@ -348,3 +348,75 @@ def simhash_multiprobe_pairs(
         )
         .distinct()
     )
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS (connected
+    components): every document in a component gets the component's
+    minimum doc id as its cluster id -- the survivor a dedup pass keeps.
+
+    Pair emitters (ngram_jaccard_pairs / minhash_lsh_pairs /
+    simhash_multiprobe_pairs) find A~B and B~C separately; transitive
+    closure is what actually decides "keep one of {A,B,C}". Implemented as
+    iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels. Rounds needed = graph
+    diameter -- near-dup components are near-cliques, so a handful; raises
+    RuntimeError at ``max_iter`` rather than returning silently-partial
+    clusters (path-shaped adversarial graphs can exceed it).
+
+    Scale shape: per round, one shuffle of the (bounded, already-reduced)
+    edge list joined to the label table + a min-aggregate; lineage is cut
+    every round with an eager localCheckpoint, so plans stay O(1) deep
+    instead of O(iterations). This is the standard large-graph CC recipe
+    (GraphFrames does the same dance) without a graph library dependency.
+    """
+    edges = pairs.select(
+        F.col("doc_a").cast("long").alias("src"),
+        F.col("doc_b").cast("long").alias("dst"),
+    )
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            sym.unpersist()
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    sym.unpersist()
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iter} iterations "
+        "(graph diameter exceeds max_iter; raise it for path-shaped graphs)"
+    )

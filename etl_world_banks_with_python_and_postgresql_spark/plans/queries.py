@@ -2806,3 +2806,70 @@ def q88(spark, sf_dir):
     return text.redact_pii(aug, text_col="t").select(
         "doc_id", "n_emails", "n_long_numbers", "redacted"
     )
+
+
+@query(
+    "q89_train_pipeline",
+    oracle=f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+d AS (
+  SELECT doc_id, source, text FROM documents JOIN keep USING (doc_id)),
+t AS (SELECT doc_id, source, text, {_TOKENS_SQL} AS toks FROM d),
+q AS (
+  SELECT doc_id, source, text,
+         (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END)::INT
+           AS n_tokens,
+         round(least(length(text) / 500.0, 1.0) * 0.5
+               + least((len(list_filter(toks, w -> list_contains(
+                     ['the','a','of','and','to','in','is','that'], w)))::DOUBLE
+                     / greatest(len(toks), 1)) * 5, 1.0) * 0.3
+               + (1 - least((len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+                     / greatest(length(text), 1)) * 10, 1.0)) * 0.2, 6)
+           AS quality_score
+  FROM t),
+s AS (
+  SELECT *, {_POLY_SQL.format(x="md5(text)")} % 100 AS bucket FROM q
+  WHERE quality_score >= 0.5)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       source,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       round(avg(quality_score), 4) AS avg_quality
+FROM s GROUP BY 1, 2
+""",
+    description=(
+        "end-to-end training-corpus preparation composed from the "
+        "north-star operators: exact dedup (content-hash survivor) -> "
+        "quality scoring + threshold filter -> deterministic hash split "
+        "-> per-(split, source) corpus stats. Every stage is the verified "
+        "operator itself (dedup.exact_duplicates, text.with_quality, "
+        "train_prep.hash_split), composed the way a real 100 TB corpus "
+        "build chains them"
+    ),
+)
+def q89(spark, sf_dir):
+    from ..operators.train_prep import hash_split
+
+    docs = load(spark, "documents", sf_dir)
+    keep = dedup.exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
+    deduped = docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "source", "text"
+    )
+    quality = text.with_quality(deduped).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    enriched = deduped.join(quality, "doc_id").filter(
+        F.col("quality_score") >= 0.5
+    )
+    return (
+        hash_split(enriched)
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+    )

@@ -143,3 +143,31 @@ def test_q64_semi_anti_are_hash_keyed(spark):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q85_star_join_single_shuffle(spark):
+    """Q8-shape market share: all five dimensions broadcast; the only
+    sort-merge-eligible edge is lineitem x orders."""
+    plan = formatted_plan(REGISTRY["q85_market_share"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 5
+    # the one big-x-big edge may be SMJ or (post-AQE) shuffled hash -- but
+    # never a broadcast of the fact side; just pin that no cartesian or
+    # nested-loop fallback appears
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q83_semi_reduction_before_report_join(spark):
+    """Q18-shape large orders: orders must be reduced by the HAVING-set
+    semi join BEFORE the customer/lineitem report joins."""
+    plan = formatted_plan(REGISTRY["q83_large_orders"].fn(spark, SF))
+    assert "LeftSemi" in plan
+    # the quantity HAVING aggregate partials map-side before its shuffle
+    assert "HashAggregate" in plan
+
+
+def test_q87_eval_side_broadcasts(spark):
+    """Decontamination: the eval gram set must broadcast -- the training
+    side's exploded grams are never shuffled for the join itself."""
+    plan = formatted_plan(REGISTRY["q87_decontaminate"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
