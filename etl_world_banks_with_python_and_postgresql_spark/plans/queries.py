@@ -2873,3 +2873,80 @@ def q89(spark, sf_dir):
             F.round(F.avg("quality_score"), 4).alias("avg_quality"),
         )
     )
+
+
+@query(
+    "q90_resample_ffill",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket,
+         round(avg(value), 4) AS observed
+  FROM events GROUP BY 1, 2),
+cal AS (
+  SELECT u.user_id, d.bucket
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                            TIMESTAMP '2024-01-30',
+                                            INTERVAL 1 DAY)) AS bucket) d),
+j AS (
+  SELECT c.user_id, c.bucket, d.observed
+  FROM cal c LEFT JOIN daily d
+    ON c.user_id = d.user_id AND c.bucket = d.bucket)
+SELECT user_id, bucket,
+       last_value(observed IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       observed IS NOT NULL AS is_observed
+FROM j
+""",
+    description=(
+        "time-series regularization: sparse events -> dense per-user daily "
+        "calendar (generated, never scanned) -> forward fill via IGNORE "
+        "NULLS window. Leading buckets before a user's first observation "
+        "stay NULL (no invented history)"
+    ),
+)
+def q90(spark, sf_dir):
+    from ..operators.timeseries import resample_ffill
+
+    return resample_ffill(
+        load(spark, "events", sf_dir), start="2024-01-01", end="2024-01-30"
+    )
+
+
+@query(
+    "q91_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+        >= 0.8),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.node, s.dst FROM reach r JOIN sym s ON r.lbl = s.src)
+SELECT node AS doc_id, min(lbl) AS cluster_id
+FROM reach GROUP BY node
+""",
+    description=(
+        "near-dup pairs resolved to duplicate CLUSTERS: connected "
+        "components via iterative min-label propagation (lineage cut per "
+        "round with localCheckpoint). The oracle is the recursive-CTE "
+        "transitive closure -- the definition, independent of the "
+        "iteration strategy"
+    ),
+)
+def q91(spark, sf_dir):
+    pairs = dedup.ngram_jaccard_pairs(
+        load(spark, "documents", sf_dir), threshold=0.8
+    )
+    return dedup.duplicate_clusters(pairs)

@@ -384,3 +384,69 @@ def test_ngram_contamination_short_docs(spark):
     train = spark.createDataFrame([(1, "only three words")], ["doc_id", "text"])
     ev = spark.createDataFrame([(2, "only three words")], ["doc_id", "text"])
     assert ngram_contamination(train, ev, n=8).count() == 0
+
+
+def test_duplicate_clusters_known_graph(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    # chain 1-2-3 (transitive: 1~3 never emitted as a pair), clique {7,8},
+    # isolated pair {5,9}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (5, 9)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 5: 5, 9: 5}
+
+
+def test_duplicate_clusters_raises_on_max_iter(spark):
+    import pytest as _pytest
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    # a path graph of diameter 4 cannot converge in 1 iteration
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(path, max_iter=1)
+    # but does converge given room, to the path's min label
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(path, max_iter=10).collect()}
+    assert set(got.values()) == {1}
+
+
+def test_resample_ffill_no_invented_history(spark):
+    from datetime import datetime
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 3, 9, 0), 10.0),
+            (1, datetime(2024, 1, 3, 15, 0), 20.0),  # same bucket -> mean 15
+            (1, datetime(2024, 1, 5, 9, 0), 40.0),
+            (2, datetime(2024, 1, 1, 1, 0), 7.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = resample_ffill(ev, "2024-01-01", "2024-01-06")
+    got = {
+        (r["user_id"], r["bucket"].day): (r["value_ffill"], r["is_observed"])
+        for r in out.collect()
+    }
+    assert len(got) == 12  # 2 users x 6 days
+    # leading gap stays NULL, observed bucket averages, gaps carry forward
+    assert got[(1, 1)] == (None, False)
+    assert got[(1, 3)] == (15.0, True)
+    assert got[(1, 4)] == (15.0, False)
+    assert got[(1, 5)] == (40.0, True)
+    assert got[(1, 6)] == (40.0, False)
+    assert got[(2, 6)] == (7.0, False)
