@@ -2950,3 +2950,56 @@ def q91(spark, sf_dir):
         load(spark, "documents", sf_dir), threshold=0.8
     )
     return dedup.duplicate_clusters(pairs)
+
+
+@query(
+    "q92_snapshot_diff",
+    oracle="""
+WITH newv AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 53 = 0),
+oldv AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer)
+SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'added'
+            WHEN n.c_custkey IS NULL THEN 'removed'
+            WHEN o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+                 AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment
+              THEN 'unchanged'
+            ELSE 'changed' END AS diff
+FROM oldv o FULL OUTER JOIN newv n ON o.c_custkey = n.c_custkey
+""",
+    description=(
+        "snapshot reconciliation: full-outer key join of two table "
+        "versions classified added/removed/changed/unchanged with "
+        "NULL-safe struct comparison (the time-travel diff for "
+        "IncrementalTable.read_at versions; here the 'new' version is a "
+        "deterministic mutation of customer so every branch is non-empty)"
+    ),
+)
+def q92(spark, sf_dir):
+    from ..operators.diff import snapshot_diff
+
+    cust = load(spark, "customer", sf_dir).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    modified = cust.filter(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    added = cust.filter(F.col("c_custkey") % 53 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return snapshot_diff(
+        cust, modified.unionByName(added), keys=["c_custkey"]
+    )

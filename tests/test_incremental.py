@@ -438,3 +438,45 @@ def test_merge_batch_prunes_target_read(spark, tmp_path):
     finally:
         IncrementalTable.read = orig_read
     assert all(c is None for c in calls), calls
+
+
+def test_snapshot_diff_between_versions(spark, tmp_path):
+    """snapshot_diff over read_at time-travel versions of the active
+    snapshot: an update registers as changed, an untouched key as
+    unchanged, a new key as added, and a deactivated key as removed.
+    (The drop needs an update first: freshly-inserted rows with
+    updated_at NULL are exempt from deactivation -- the reference's
+    documented quirk.)"""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.diff import (
+        snapshot_diff,
+    )
+
+    table = IncrementalTable(
+        str(tmp_path / "d"), id_col="world_bank_id", compact_after=99
+    )
+    seq = [
+        ("b1", D1, [("Bank A", 100.0), ("Bank B", 200.0), ("Bank C", 300.0)]),
+        # update C so its updated_at is stamped (deactivation-eligible)
+        ("b2", D2, [("Bank A", 100.0), ("Bank B", 200.0), ("Bank C", 301.0)]),
+        # drop C (now deactivates), update A, add D
+        ("b3", D3, [("Bank A", 150.0), ("Bank B", 200.0), ("Bank D", 50.0)]),
+    ]
+    for batch_id, now, rows in seq:
+        table.merge_batch(
+            spark, schemas.WORLD_BANK_DATA, batch_df(spark, rows, batch_id),
+            batch_id=batch_id, now=now, deactivate=True, **MERGE_KW,
+        )
+    v2 = table.read_at(spark, schemas.WORLD_BANK_DATA, 2).filter("active")
+    v3 = table.read_at(spark, schemas.WORLD_BANK_DATA, 3).filter("active")
+    got = {
+        r["bank_name"]: r["diff"]
+        for r in snapshot_diff(
+            v2, v3, keys=["bank_name"], compare_cols=["market_cap_usd"]
+        ).collect()
+    }
+    assert got == {
+        "Bank A": "changed",
+        "Bank B": "unchanged",
+        "Bank C": "removed",
+        "Bank D": "added",
+    }

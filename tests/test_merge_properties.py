@@ -112,3 +112,51 @@ def test_merge_invariants(seq):
     assert row2["new_inserts_count"] == 0
     assert row2["update_count"] == 0
     assert sorted(map(tuple, replay1.collect())) == sorted(map(tuple, replay2.collect()))
+
+
+# --- duplicate_clusters vs a pure-Python union-find reference -------------
+
+edge_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _uf_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_strategy)
+def test_duplicate_clusters_match_union_find(edges):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    spark = _get_spark()
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs, max_iter=40).collect()
+    }
+    assert got == _uf_components(edges)
