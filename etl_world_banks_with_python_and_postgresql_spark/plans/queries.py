@@ -3003,3 +3003,61 @@ def q92(spark, sf_dir):
     return snapshot_diff(
         cust, modified.unionByName(added), keys=["c_custkey"]
     )
+
+
+@query(
+    "q93_stat_profile",
+    oracle="""
+SELECT c_mktsegment,
+       round(stddev_samp(c_acctbal), 4) AS sd_acctbal,
+       round(var_samp(c_acctbal), 4) AS var_acctbal,
+       round(covar_samp(c_acctbal, c_nationkey), 4) AS cov_bal_nation,
+       round(corr(c_acctbal, c_nationkey), 6) AS corr_bal_nation,
+       round(avg(c_acctbal), 4) AS mean_acctbal
+FROM customer
+GROUP BY c_mktsegment
+""",
+    description=(
+        "statistical profiling aggregates: sample stddev/variance, "
+        "covariance, Pearson correlation per segment -- the numeric "
+        "column-profiling pass a data-quality stage runs before training"
+    ),
+)
+def q93(spark, sf_dir):
+    c = load(spark, "customer", sf_dir)
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_acctbal"),
+        F.round(F.var_samp("c_acctbal"), 4).alias("var_acctbal"),
+        F.round(F.covar_samp("c_acctbal", "c_nationkey"), 4).alias(
+            "cov_bal_nation"
+        ),
+        F.round(F.corr("c_acctbal", "c_nationkey"), 6).alias("corr_bal_nation"),
+        F.round(F.avg("c_acctbal"), 4).alias("mean_acctbal"),
+    )
+
+
+@query(
+    "q94_rank_family",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       ntile(10) OVER w AS decile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cum_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+    description=(
+        "distribution-rank window family: ntile decile bucketing + "
+        "percent_rank + cume_dist per segment (deterministic total order "
+        "via the key tie-break)"
+    ),
+)
+def q94(spark, sf_dir):
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return load(spark, "customer", sf_dir).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
