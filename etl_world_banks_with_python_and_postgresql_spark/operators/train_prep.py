@@ -166,3 +166,27 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared_grams"))
     )
+
+
+def stratified_take(
+    df: DataFrame,
+    n_per_group: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic exact-count sample: the first ``n_per_group`` rows of
+    each group in content-hash order (md5 of the text, id tie-break).
+
+    The inspection/eval-set shape ("give me 50 docs per source, stably"):
+    unlike ``sample()``/``sampleBy()`` the count is exact and the SELECTION
+    is a pure function of row content -- reruns, reshuffles, and other
+    engines (the DuckDB oracle) pick the same rows. One window shuffle on
+    the group column; no global sort.
+    """
+    w = W.partitionBy(group_col).orderBy(F.md5(F.col(text_col)), F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )

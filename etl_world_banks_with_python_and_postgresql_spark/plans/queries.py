@@ -2164,10 +2164,12 @@ def q72(spark, sf_dir):
     oracle="""
 WITH sv AS (
   SELECT s.s_nationkey, l.l_partkey,
-         sum(l.l_extendedprice * (1 - l.l_discount)) AS raw_value
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS raw_value,
+         sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+           AS dec_value
   FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
   GROUP BY 1, 2)
-SELECT s_nationkey, l_partkey, round(raw_value, 2) AS value
+SELECT s_nationkey, l_partkey, round(dec_value, 2)::DOUBLE AS value
 FROM sv
 WHERE raw_value > (SELECT 3.0 * avg(raw_value) FROM sv)
 """,
@@ -2175,19 +2177,25 @@ WHERE raw_value > (SELECT 3.0 * avg(raw_value) FROM sv)
         "TPC-H Q11 shape: grouped value filtered against a global scalar "
         "aggregate (3x the mean group value -- scale-invariant, so the "
         "result stays non-degenerate across SFs). Spark: one-row aggregate "
-        "broadcast-cross-joined as the threshold, no second scan"
+        "broadcast-cross-joined as the threshold, no second scan. The "
+        "REPORTED value sums as exact DECIMAL(18,4): double summation "
+        "order differs between engines, and one sf0.01 group lands on an "
+        "exact .005 rounding boundary (292712.095) where that order "
+        "decides the 2-dp digit; per-row double->decimal casts agree "
+        "bit-for-bit (no double is exactly on a 4-dp boundary), and "
+        "decimal sums are order-independent"
     ),
 )
 def q73(spark, sf_dir):
     li = load(spark, "lineitem", sf_dir)
     supp = load(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     sv = (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy("s_nationkey", "l_partkey")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "raw_value"
-            )
+            F.sum(rev).alias("raw_value"),
+            F.sum(rev.cast("decimal(18,4)")).alias("dec_value"),
         )
     )
     thr = sv.agg((F.avg("raw_value") * 3.0).alias("_thr"))
@@ -2195,7 +2203,9 @@ def q73(spark, sf_dir):
         sv.join(F.broadcast(thr))
         .filter(F.col("raw_value") > F.col("_thr"))
         .select(
-            "s_nationkey", "l_partkey", F.round("raw_value", 2).alias("value")
+            "s_nationkey",
+            "l_partkey",
+            F.round("dec_value", 2).cast("double").alias("value"),
         )
     )
 
@@ -3060,4 +3070,66 @@ def q94(spark, sf_dir):
         F.ntile(10).over(w).alias("decile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@query(
+    "q95_stratified_take",
+    oracle="""
+SELECT doc_id, source
+FROM (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(text), doc_id) AS rn
+      FROM documents)
+WHERE rn <= 5
+""",
+    description=(
+        "deterministic exact-count stratified sample: first 5 docs per "
+        "source in content-hash order -- exact counts (unlike sampleBy) "
+        "and selection stable across reruns/reshuffles/engines"
+    ),
+)
+def q95(spark, sf_dir):
+    from ..operators.train_prep import stratified_take
+
+    return stratified_take(
+        load(spark, "documents", sf_dir), n_per_group=5
+    ).select("doc_id", "source")
+
+
+@query(
+    "q96_column_profile",
+    oracle="""
+SELECT count(*) AS n_rows,
+       count(o_totalprice) AS price_nonnull,
+       round(min(o_totalprice), 2) AS price_min,
+       round(max(o_totalprice), 2) AS price_max,
+       round(avg(o_totalprice), 4) AS price_mean,
+       count(DISTINCT o_orderstatus) AS status_distinct,
+       count(DISTINCT o_orderpriority) AS priority_distinct,
+       min(o_orderdate) AS date_min,
+       max(o_orderdate) AS date_max,
+       count(DISTINCT o_custkey) AS cust_distinct
+FROM orders
+""",
+    description=(
+        "ANALYZE-style column profiling in ONE pass: null counts, "
+        "min/max/mean, distinct cardinalities -- the data-quality "
+        "manifest a pipeline records per ingested partition (all "
+        "aggregates share a single scan + one partial-agg shuffle)"
+    ),
+)
+def q96(spark, sf_dir):
+    o = load(spark, "orders", sf_dir)
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_totalprice").alias("price_nonnull"),
+        F.round(F.min("o_totalprice"), 2).alias("price_min"),
+        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+        F.round(F.avg("o_totalprice"), 4).alias("price_mean"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.countDistinct("o_orderpriority").alias("priority_distinct"),
+        F.min("o_orderdate").alias("date_min"),
+        F.max("o_orderdate").alias("date_max"),
+        F.countDistinct("o_custkey").alias("cust_distinct"),
     )

@@ -109,3 +109,21 @@ def jdbc_merge_sql(staging_table: str, target_table: str, keys: list[str],
         f"WHEN MATCHED THEN UPDATE SET {sets} "
         f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({svals})"
     )
+
+
+def write_jsonl_shards(
+    df, path: str, docs_per_shard: int = 10000, compression: str | None = None
+) -> None:
+    """Training-data export: newline-delimited JSON in bounded shards.
+
+    ``maxRecordsPerFile`` caps rows per output file WITHOUT a repartition
+    -- each task rolls to a new file at the cap, so shard size is bounded
+    while write parallelism stays at the partition count (the property
+    that matters when exporting a 100 TB corpus for a trainer that maps
+    one shard per data-loader worker). Compression ('gzip'/'zstd') trades
+    CPU for network at load time.
+    """
+    w = df.write.mode("overwrite").option("maxRecordsPerFile", docs_per_shard)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

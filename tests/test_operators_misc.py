@@ -450,3 +450,27 @@ def test_resample_ffill_no_invented_history(spark):
     assert got[(1, 5)] == (40.0, True)
     assert got[(1, 6)] == (40.0, False)
     assert got[(2, 6)] == (7.0, False)
+
+
+def test_write_jsonl_shards(spark, tmp_path):
+    """Sharded JSONL export: row-bounded files, lossless round trip."""
+    import glob
+
+    from etl_world_banks_with_python_and_postgresql_spark.sources.sinks import (
+        write_jsonl_shards,
+    )
+
+    docs = load(spark, "documents", SF).select("doc_id", "text", "source")
+    out = str(tmp_path / "shards")
+    write_jsonl_shards(docs.repartition(4), out, docs_per_shard=60)
+    files = glob.glob(f"{out}/part-*.json")
+    assert len(files) >= 8  # 500 rows / 60-cap across 4 writers
+    # every shard respects the cap
+    for f in files:
+        with open(f) as fh:
+            assert sum(1 for _ in fh) <= 60
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
