@@ -173,3 +173,70 @@ def state_metrics(query) -> list[dict]:
             agg["rows_removed"] += so.get("numRowsRemoved", 0) or 0
             agg["rows_updated"] += so.get("numRowsUpdated", 0) or 0
     return [ops[i] for i in sorted(ops)]
+
+
+# --- transformWithState (state API v2, Spark 4) ---------------------------
+
+try:  # pragma: no cover - import surface depends on the environment:
+    # the TWS Python worker needs protobuf for its state-server protocol
+    # (absent -> the worker crashes at runtime, not at import), so gate on
+    # BOTH the API and its wire dependency
+    import google.protobuf  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    HAS_TWS = False
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """State-API-v2 twin of ``running_user_totals``: per-key running
+    (count, sum) in a typed ValueState variable, with optional
+    store-managed TTL.
+
+    What v2 buys over applyInPandasWithState at scale: named typed state
+    variables (value/list/map) instead of one monolithic tuple, timers
+    decoupled from state, and TTL enforced BY THE STATE STORE
+    (``ttlDurationMs``) -- eviction happens even for keys that never
+    receive another row, which is exactly the case the legacy API's
+    timeout-on-next-event model handles awkwardly.
+    """
+
+    def __init__(self, ttl_ms: int | None = None) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._agg = handle.getValueState(
+            "agg", "n long, total double", ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        n, total = self._agg.get() or (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._agg.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_v2(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """``running_user_totals`` on the transformWithState API (Spark 4).
+
+    Same output contract as the legacy version (update mode, one row per
+    key per micro-batch); ``ttl_ms`` bounds state lifetime store-side.
+    """
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(ttl_ms=ttl_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

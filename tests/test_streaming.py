@@ -581,3 +581,53 @@ def test_state_metrics_report_eviction(spark, tmp_path):
         ).collect()
     }
     assert {7, 8} <= closed
+
+
+def test_running_totals_v2_matches_legacy(spark, tmp_path):
+    """transformWithStateInPandas (state API v2) must produce the same
+    final running totals as the legacy applyInPandasWithState operator
+    and as a plain batch aggregate."""
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.stateful import (
+        HAS_TWS,
+        running_user_totals_v2,
+    )
+
+    if not HAS_TWS:
+        import pytest
+
+        pytest.skip("transformWithState not available in this Spark build")
+
+    src = str(tmp_path / "ev_v2")
+    load(spark, "events", SF).write.parquet(src)
+    schema = load(spark, "events", SF).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        running_user_totals_v2(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # last emitted row per user == batch aggregate
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value
+               FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                                  ORDER BY n_events DESC) rn
+                     FROM tws_out) WHERE rn = 1"""
+        ).collect()
+    }
+    expect = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in load(spark, "events", SF)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("t")
+        )
+        .collect()
+    }
+    assert got == expect
