@@ -50,12 +50,15 @@ def bpe_token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_PATTERN))
 
 
-def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_token_stats(
+    df: DataFrame, text_col: str = "text", keep_cols: list[str] | None = None
+) -> DataFrame:
     """n_tokens, n_chars_measured, avg token length (4 dp)."""
     t = F.col(text_col)
     toks = ws_tokens(t)
     return df.select(
         "doc_id",
+        *(keep_cols or []),
         token_count(t).alias("n_tokens"),
         F.length(t).alias("n_chars_measured"),
         F.round(
@@ -79,8 +82,16 @@ def with_bpe_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length/punctuation/stopword-ratio quality features + composite score."""
+def with_quality(
+    df: DataFrame, text_col: str = "text", keep_cols: list[str] | None = None
+) -> DataFrame:
+    """Length/punctuation/stopword-ratio quality features + composite score.
+
+    ``keep_cols`` passes extra columns through, so pipelines that need the
+    features NEXT TO other columns (source, text for a later split) get
+    them in the same row-local pass instead of re-joining on doc_id --
+    that join is a full shuffle of the corpus at scale, for nothing.
+    """
     t = F.col(text_col)
     toks = ws_tokens(t)
     en = F.array(*[F.lit(w) for w in LANG_LEXICONS["en"]])
@@ -93,6 +104,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_raw = F.size(F.filter(toks, lambda w: F.array_contains(en, w))) / n_tok
     return df.select(
         "doc_id",
+        *(keep_cols or []),
         F.length(t).alias("n_chars_measured"),
         token_count(t).alias("n_tokens"),
         F.round(punct_raw, 6).alias("punct_ratio"),
@@ -107,7 +119,9 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_lang_id(
+    df: DataFrame, text_col: str = "text", keep_cols: list[str] | None = None
+) -> DataFrame:
     """n-gram/stopword-heuristic language ID.
 
     Scores each language by its lexicon hit-ratio over whitespace tokens;
@@ -135,7 +149,11 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     pred = F.when(cjk_ratio > 0.05, F.lit("zh"))
     for lang in ("en", "de", "es", "fr"):
         pred = pred.when(scores[lang] == mx, F.lit(lang))
-    return df.select("doc_id", pred.otherwise(F.lit("unknown")).alias("pred_lang"))
+    return df.select(
+        "doc_id",
+        *(keep_cols or []),
+        pred.otherwise(F.lit("unknown")).alias("pred_lang"),
+    )
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", prefix_len: int = 64) -> DataFrame:

@@ -2868,10 +2868,9 @@ def q89(spark, sf_dir):
     deduped = docs.join(keep, "doc_id", "left_semi").select(
         "doc_id", "source", "text"
     )
-    quality = text.with_quality(deduped).select(
-        "doc_id", "n_tokens", "quality_score"
-    )
-    enriched = deduped.join(quality, "doc_id").filter(
+    # keep_cols threads source/text through the quality pass: ONE row-local
+    # projection instead of a corpus-wide re-join on doc_id
+    enriched = text.with_quality(deduped, keep_cols=["source", "text"]).filter(
         F.col("quality_score") >= 0.5
     )
     return (

@@ -69,16 +69,18 @@ def main() -> None:
     docs = train.join(dirty, "doc_id", "left_anti")
     stage["decontaminated"] = docs.count()
 
-    # 4-6. redact, score, tag language (all row-local; one pass)
-    red = text.redact_pii(docs, text_col="text", out_col="clean_text")
-    qual = text.with_quality(docs).select("doc_id", "n_tokens", "quality_score")
-    lang = text.with_lang_id(docs)
-    docs = (
-        red.select("doc_id", "source", F.col("clean_text").alias("text"))
-        .join(qual, "doc_id")
-        .join(lang, "doc_id")
-        .filter(F.col("quality_score") >= 0.5)
+    # 4-6. redact, score, tag language -- ONE row-local pass, zero joins:
+    # redact_pii adds columns in place; keep_cols threads source/redacted
+    # text through the quality and language projections
+    docs = text.redact_pii(docs, text_col="text", out_col="clean_text")
+    docs = text.with_quality(
+        docs.select("doc_id", "source", F.col("clean_text").alias("text")),
+        keep_cols=["source", "text"],
     )
+    docs = text.with_lang_id(
+        docs,
+        keep_cols=["source", "text", "n_tokens", "quality_score"],
+    ).filter(F.col("quality_score") >= 0.5)
     stage["quality_filtered"] = docs.count()
 
     # 7. deterministic content-hash split

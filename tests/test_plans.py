@@ -171,3 +171,17 @@ def test_q87_eval_side_broadcasts(spark):
     plan = formatted_plan(REGISTRY["q87_decontaminate"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q89_single_pass_no_rejoin(spark):
+    """The composite corpus pipeline must not re-join features on doc_id:
+    quality/split are row-local projections (keep_cols), so the only
+    joins are the dedup semi join, and the only exchanges are the dedup
+    aggregate and the final stats aggregate."""
+    plan = formatted_plan(REGISTRY["q89_train_pipeline"].fn(spark, SF))
+    assert "SortMergeJoin" not in plan
+    tree = plan.split("\n\n")[0]
+    n_exchanges = sum(
+        "+- Exchange" in l or "- Exchange (" in l for l in tree.splitlines()
+    )
+    assert n_exchanges <= 3, f"{n_exchanges} exchanges:\n{tree}"
