@@ -56,6 +56,9 @@ class HtmlTableDataSource(DataSource):
     def reader(self, schema) -> "HtmlTableReader":
         return HtmlTableReader(self.options, self._columns())
 
+    def simpleStreamReader(self, schema) -> "HtmlTableStreamReader":
+        return HtmlTableStreamReader(self.options, self._columns())
+
 
 class HtmlTableReader(DataSourceReader):
     def __init__(self, options: dict, columns: list[str]) -> None:
@@ -95,3 +98,69 @@ class HtmlTableReader(DataSourceReader):
 def register_html_source(spark) -> None:
     """Register the source for ``spark.read.format('htmltable')``."""
     spark.dataSource.register(HtmlTableDataSource)
+
+
+# --- streaming: poll a directory of page snapshots ------------------------
+
+try:  # Spark 4 simple-stream API (driver-side reads, executor replays)
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    HAS_SIMPLE_STREAM = True
+except ImportError:  # pragma: no cover
+    SimpleDataSourceStreamReader = object  # type: ignore[assignment,misc]
+    HAS_SIMPLE_STREAM = False
+
+
+class HtmlTableStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("htmltable")``: poll directories for new
+    page snapshots (a crawler drop-folder), emit their table rows.
+
+    Offset = count of consumed files in stable sorted order, so recovery
+    is exact: a replayed range re-parses the same files
+    (``readBetweenOffsets``), and files appended between polls form the
+    next micro-batch. The batch-id protocol rides on top unchanged --
+    one page drop = one micro-batch = one merge epoch
+    (streaming_merge_sink). Snapshots must be append-only (standard
+    drop-folder contract; mutating an already-consumed file is invisible,
+    same as Spark's own file source).
+    """
+
+    def __init__(self, options: dict, columns: list[str]) -> None:
+        inner = HtmlTableReader(options, columns)
+        self.inner = inner
+        self.dirs = inner.paths
+
+    def _pages(self) -> list[str]:
+        import glob
+        import os
+
+        files: list[str] = []
+        for p in self.dirs:
+            if os.path.isdir(p):
+                files.extend(
+                    f
+                    for f in glob.glob(os.path.join(p, "*"))
+                    if os.path.isfile(f)
+                )
+            else:
+                files.extend(glob.glob(p))
+        return sorted(set(files))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def _rows(self, files: list[str]) -> list[tuple]:
+        # materialized list, not a generator: the simple-stream protocol
+        # PICKLES the returned rows (driver prefetch + executor replay),
+        # and page-snapshot batches are small by construction
+        return [
+            row for f in files for row in self.inner.read(InputPartition(f))
+        ]
+
+    def read(self, start: dict):
+        files = self._pages()
+        return self._rows(files[start["idx"]:]), {"idx": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._pages()
+        return self._rows(files[start["idx"]:end["idx"]])

@@ -631,3 +631,63 @@ def test_running_totals_v2_matches_legacy(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_html_stream_source_incremental_offsets(spark, tmp_path):
+    """Streaming Python DataSource: page snapshots dropped into a folder
+    become micro-batches; offsets persist across restarts so a second
+    availableNow run consumes ONLY the newly-dropped page."""
+    from etl_world_banks_with_python_and_postgresql_spark.sources.html_datasource import (
+        HAS_SIMPLE_STREAM,
+        register_html_source,
+    )
+    from tests.test_pipeline import banks_html
+
+    if not HAS_SIMPLE_STREAM:
+        import pytest
+
+        pytest.skip("simple stream reader API unavailable")
+
+    register_html_source(spark)
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    (pages / "page1.html").write_text(
+        banks_html([("Bank A", "100.0"), ("Bank B", "200.0")])
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.format("htmltable")
+            .option("path", str(pages))
+            .option("table_index", 2)
+            .option("positions", "1,2")
+            .option("columns", "bank_name,market_cap_usd")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    first = spark.read.parquet(out).collect()
+    assert {(r["bank_name"], r["market_cap_usd"]) for r in first} == {
+        ("Bank A", "100.0"),
+        ("Bank B", "200.0"),
+    }
+
+    (pages / "page2.html").write_text(banks_html([("Bank C", "300.0")]))
+    run_once()
+    second = spark.read.parquet(out).collect()
+    # page1 rows were NOT re-consumed: 2 + 1 rows total
+    assert len(second) == 3
+    assert ("Bank C", "300.0") in {
+        (r["bank_name"], r["market_cap_usd"]) for r in second
+    }
