@@ -46,8 +46,8 @@ HEADLINE = [
     "q40_multimodal_meta",
     "q83_large_orders",
     "q85_market_share",
-    "q87_decontaminate",
-    "q89_train_pipeline",
+    "q48_decontaminate",
+    "q49_train_pipeline",
 ]
 
 
@@ -113,17 +113,33 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    # Fault isolation: one failing query must never erase the whole perf
+    # record (round-2 lesson: a single loader bug aborted the suite at q22
+    # and left BENCH_r02 empty). Failures are recorded in "errors" and the
+    # summary JSON line is always emitted with rc=0.
     timings: dict[str, float] = {}
-    timings["pipeline_e2e_2runs"] = bench_pipeline_e2e(spark)
-    print(f"# pipeline_e2e_2runs: {timings['pipeline_e2e_2runs']:.3f}s", file=sys.stderr)
+    errors: dict[str, str] = {}
+    try:
+        timings["pipeline_e2e_2runs"] = bench_pipeline_e2e(spark)
+        print(
+            f"# pipeline_e2e_2runs: {timings['pipeline_e2e_2runs']:.3f}s",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001 - deliberately broad, see above
+        errors["pipeline_e2e_2runs"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"# pipeline_e2e_2runs FAILED: {exc}", file=sys.stderr)
     for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        reset_block_state(spark)
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        try:
+            fn = REGISTRY[name].fn
+            reset_block_state(spark)
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name} FAILED: {exc}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -133,6 +149,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

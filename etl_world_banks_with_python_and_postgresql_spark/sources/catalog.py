@@ -45,12 +45,23 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     ensure_runtime_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as nanos-since-epoch long (spark.sql.legacy.parquet.
-        # nanosAsLong); truncate to micros with INTEGER division -- a double
-        # division would lose precision above 2^53.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # ts stored as nanos-since-epoch int64 (readable only under
+            # spark.sql.legacy.parquet.nanosAsLong); truncate to micros with
+            # INTEGER division -- a double division would lose precision
+            # above 2^53.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # parquet timestamp[us] with isAdjustedToUTC=false reads as
+            # TIMESTAMP_NTZ; normalize to session-TZ TIMESTAMP (session TZ is
+            # pinned to UTC above) so event-time windows, streaming
+            # watermarks, and the DuckDB oracle all agree on the same type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # already TimestampType: pass through untouched
     return df
 
 
