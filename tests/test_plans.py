@@ -168,7 +168,7 @@ def test_q83_semi_reduction_before_report_join(spark):
 def test_q87_eval_side_broadcasts(spark):
     """Decontamination: the eval gram set must broadcast -- the training
     side's exploded grams are never shuffled for the join itself."""
-    plan = formatted_plan(REGISTRY["q87_decontaminate"].fn(spark, SF))
+    plan = formatted_plan(REGISTRY["q48_decontaminate"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -178,10 +178,19 @@ def test_q89_single_pass_no_rejoin(spark):
     quality/split are row-local projections (keep_cols), so the only
     joins are the dedup semi join, and the only exchanges are the dedup
     aggregate and the final stats aggregate."""
-    plan = formatted_plan(REGISTRY["q89_train_pipeline"].fn(spark, SF))
+    plan = formatted_plan(REGISTRY["q49_train_pipeline"].fn(spark, SF))
     assert "SortMergeJoin" not in plan
     tree = plan.split("\n\n")[0]
     n_exchanges = sum(
         "+- Exchange" in l or "- Exchange (" in l for l in tree.splitlines()
     )
     assert n_exchanges <= 3, f"{n_exchanges} exchanges:\n{tree}"
+
+
+def test_q39_neardup_no_cartesian(spark):
+    # the banded sign-LSH rewrite must keep candidate generation an
+    # equi-join on (band, key) -- never a cartesian / nested-loop pair scan
+    # of the corpus (the pre-round-3 all-pairs shape)
+    plan = formatted_plan(REGISTRY["q39_embedding_neardup"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
