@@ -111,6 +111,28 @@ def jdbc_merge_sql(staging_table: str, target_table: str, keys: list[str],
     )
 
 
+def jdbc_upsert_sql(staging_table: str, target_table: str, keys: list[str],
+                    set_cols: list[str]) -> str:
+    """`INSERT ... ON CONFLICT DO UPDATE` variant of :func:`jdbc_merge_sql`
+    (Postgres 9.5+; MERGE needs 15+). Same staging protocol, same
+    set-based semantics as the reference's per-row upsert procedures
+    (`SQL/etl_world_banks.sql:20-122`) collapsed into ONE statement.
+
+    Requires key-distinct staging rows (ON CONFLICT refuses to update the
+    same row twice in one statement) -- the engine's merge output is
+    key-distinct by construction.
+    """
+    cols = keys + set_cols
+    collist = ", ".join(cols)
+    conflict = ", ".join(keys)
+    sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in set_cols)
+    return (
+        f"INSERT INTO {target_table} ({collist}) "
+        f"SELECT {collist} FROM {staging_table} "
+        f"ON CONFLICT ({conflict}) DO UPDATE SET {sets}"
+    )
+
+
 def write_jsonl_shards(
     df, path: str, docs_per_shard: int = 10000, compression: str | None = None
 ) -> None:

@@ -1,0 +1,210 @@
+"""LIVE execution of the staging + server-side merge sink protocol against
+a real Postgres (the one reference behavior -- `ipynb:213-261` writing
+through the `etl.*` procedures, `SQL/etl_world_banks.sql:20-122,188-248` --
+that rounds 1-2 could only string-unit-test).
+
+The sandbox has Postgres server binaries but no JDBC driver jar, so the
+staging load goes through Spark-written CSV + `\\copy` instead of
+``write_jdbc_append``; everything downstream of the staging table -- the
+single server-side set-based merge statement, its atomicity, idempotency,
+and parity with the engine's own snapshot semantics -- is the protocol
+under test and runs for real. Skips cleanly when the binaries are absent.
+
+The server runs as `nobody` on a unix socket (Postgres refuses root),
+trust auth, no TCP.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import subprocess
+from datetime import date
+
+import pytest
+
+from etl_world_banks_with_python_and_postgresql_spark.sources.sinks import (
+    jdbc_merge_sql,
+    jdbc_upsert_sql,
+)
+
+PG_BASE = "/tmp/spark_graft_pgtest"
+
+pytestmark = pytest.mark.skipif(
+    not all(shutil.which(b) for b in ("initdb", "pg_ctl", "psql"))
+    or (os.geteuid() == 0 and not shutil.which("setpriv")),
+    reason="postgres binaries not available",
+)
+
+
+def _wrap(cmd: list[str]) -> list[str]:
+    """Run as nobody when we are root (initdb/postgres refuse uid 0)."""
+    if os.geteuid() != 0:
+        return cmd
+    return [
+        "setpriv", "--reuid=nobody", "--regid=nogroup", "--clear-groups",
+        "env", f"PATH={os.environ.get('PATH', '/usr/local/bin:/usr/bin:/bin')}",
+        f"HOME={PG_BASE}",
+    ] + cmd
+
+
+@pytest.fixture(scope="module")
+def pg():
+    shutil.rmtree(PG_BASE, ignore_errors=True)
+    os.makedirs(PG_BASE)
+    if os.geteuid() == 0:
+        shutil.chown(PG_BASE, "nobody", "nogroup")
+    subprocess.run(
+        _wrap(["initdb", "-D", f"{PG_BASE}/data", "--auth=trust", "-U", "pg"]),
+        check=True, capture_output=True,
+    )
+    subprocess.run(
+        _wrap([
+            "pg_ctl", "-D", f"{PG_BASE}/data", "-l", f"{PG_BASE}/log",
+            "-o", f"-k {PG_BASE} -c listen_addresses=", "start",
+        ]),
+        check=True, capture_output=True,
+    )
+    try:
+        yield PG_BASE
+    finally:
+        subprocess.run(
+            _wrap(["pg_ctl", "-D", f"{PG_BASE}/data", "stop", "-m", "fast"]),
+            capture_output=True,
+        )
+        shutil.rmtree(PG_BASE, ignore_errors=True)
+
+
+def psql(base: str, sql: str) -> list[list[str]]:
+    r = subprocess.run(
+        ["psql", "-h", base, "-U", "pg", "-d", "postgres", "-X", "-A", "-t",
+         "-v", "ON_ERROR_STOP=1", "-c", sql],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    return [line.split("|") for line in r.stdout.strip().splitlines() if line]
+
+
+BATCH_SCHEMA = (
+    "bank_name string, market_cap_usd double, "
+    "last_modified_date date, batch_id string"
+)
+KEYS = ["bank_name"]
+SET_COLS = ["market_cap_usd", "last_modified_date", "batch_id"]
+
+
+def load_staging(base: str, df, tmp_path) -> None:
+    """The Spark leg: partition-parallel staging export (CSV stands in for
+    write_jdbc_append -- no driver jar in the sandbox), then a bulk COPY."""
+    out = str(tmp_path / "staging_csv")
+    shutil.rmtree(out, ignore_errors=True)
+    df.coalesce(1).write.option("nullValue", "\\N").csv(out)
+    part = glob.glob(f"{out}/part-*.csv")[0]
+    psql(base, "TRUNCATE staging")
+    r = subprocess.run(
+        ["psql", "-h", base, "-U", "pg", "-d", "postgres", "-X",
+         "-v", "ON_ERROR_STOP=1",
+         "-c", f"\\copy staging FROM '{part}' WITH (FORMAT csv, NULL '\\N')"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+
+
+def target_state(base: str, table: str = "target") -> list[tuple]:
+    return [
+        (r[0], float(r[1]), r[2], r[3])
+        for r in psql(
+            base,
+            f"SELECT bank_name, market_cap_usd, last_modified_date, batch_id "
+            f"FROM {table} ORDER BY bank_name",
+        )
+    ]
+
+
+@pytest.fixture(scope="module")
+def tables(pg):
+    ddl = (
+        "bank_name text PRIMARY KEY, market_cap_usd double precision, "
+        "last_modified_date date, batch_id text"
+    )
+    psql(pg, f"CREATE TABLE target ({ddl})")
+    psql(pg, f"CREATE TABLE target_merge ({ddl})")
+    psql(pg, "CREATE TABLE staging (LIKE target)")
+    return pg
+
+
+def test_staging_upsert_protocol_live(tables, spark, tmp_path):
+    pg = tables
+    upsert = jdbc_upsert_sql("staging", "target", KEYS, SET_COLS)
+    merge = jdbc_merge_sql("staging", "target_merge", KEYS, SET_COLS)
+
+    b1 = spark.createDataFrame(
+        [
+            ("Bank A", 100.0, date(2024, 7, 1), "b1"),
+            ("Bank B", 200.0, date(2024, 7, 1), "b1"),
+            ("Bank C", 300.0, date(2024, 7, 1), "b1"),
+        ],
+        BATCH_SCHEMA,
+    )
+    load_staging(pg, b1, tmp_path)
+    psql(pg, upsert)
+    psql(pg, merge)
+    assert target_state(pg) == [
+        ("Bank A", 100.0, "2024-07-01", "b1"),
+        ("Bank B", 200.0, "2024-07-01", "b1"),
+        ("Bank C", 300.0, "2024-07-01", "b1"),
+    ]
+
+    # batch 2: one update, one new, one identical re-send; Bank C absent
+    b2 = spark.createDataFrame(
+        [
+            ("Bank A", 150.0, date(2024, 7, 2), "b2"),
+            ("Bank B", 200.0, date(2024, 7, 1), "b2"),
+            ("Bank D", 400.0, date(2024, 7, 2), "b2"),
+        ],
+        BATCH_SCHEMA,
+    )
+    load_staging(pg, b2, tmp_path)
+    psql(pg, upsert)
+    psql(pg, merge)
+    expected = [
+        ("Bank A", 150.0, "2024-07-02", "b2"),
+        ("Bank B", 200.0, "2024-07-01", "b2"),
+        ("Bank C", 300.0, "2024-07-01", "b1"),  # absent rows are preserved
+        ("Bank D", 400.0, "2024-07-02", "b2"),
+    ]
+    assert target_state(pg) == expected
+
+    # re-running the same staging batch is idempotent (safe replay)
+    psql(pg, upsert)
+    psql(pg, merge)
+    assert target_state(pg) == expected
+
+    # both protocol variants (ON CONFLICT for PG 9.5+, MERGE for 15+)
+    # converge to the same table state
+    assert target_state(pg, "target_merge") == target_state(pg, "target")
+
+
+def test_merge_is_transactional(tables, spark, tmp_path):
+    """A failing statement leaves the target untouched (the atomicity the
+    reference got from its single conn.commit(), ipynb:263)."""
+    pg = tables
+    before = target_state(pg)
+    # key-duplicate staging rows make ON CONFLICT raise mid-statement
+    dup = spark.createDataFrame(
+        [
+            ("Bank E", 1.0, date(2024, 7, 3), "b3"),
+            ("Bank E", 2.0, date(2024, 7, 3), "b3"),
+        ],
+        BATCH_SCHEMA,
+    )
+    load_staging(pg, dup, tmp_path)
+    r = subprocess.run(
+        ["psql", "-h", pg, "-U", "pg", "-d", "postgres", "-X",
+         "-v", "ON_ERROR_STOP=1",
+         "-c", jdbc_upsert_sql("staging", "target", KEYS, SET_COLS)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode != 0  # statement rejected...
+    assert target_state(pg) == before  # ...and nothing was applied
