@@ -385,6 +385,108 @@ def rademacher_planes(n_planes: int, dim: int, seed: int = 0) -> list[list[float
     return planes
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Persist the corpus as a cell-partitioned parquet IVF index.
+
+    Each vector is coarse-quantized to its nearest centroid (literal-
+    centroid argmin, pure codegen) and written under ``cell=<i>/``
+    (Hive layout). Centroids go to a ``_ivf_centroids.json`` sidecar
+    (underscore-prefixed, so parquet readers ignore it). Queries served
+    through :func:`ivf_topk_indexed` then PARTITION-PRUNE the scan to
+    their probed cells -- at rest, an ANN lookup over a 100 TB corpus
+    reads ~n_probe/n_centroids of the data and lists nothing else. Build
+    cost is one corpus scan + one partitioned write; pass
+    ``centroids=kmeans_centroids(...)`` for trained cells.
+    """
+    import json
+    import os
+
+    if centroids is None:
+        centroids = _stride_sample_centroids(corpus, n_centroids, id_col, vec_col)
+    cell = _nearest_cells(
+        _to_double(F.col(vec_col)), _centroid_literals(centroids), 1
+    )[0]
+    corpus.withColumn("cell", cell).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    # local-path sidecar; on an object store this would go through the
+    # same FS client as the manifest writes in sources/incremental.py
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def read_ivf_centroids(path: str) -> list[list[float]]:
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        return json.load(f)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a :func:`write_ivf_index` index, reading
+    ONLY the probed cell partitions.
+
+    The probed cell set (bounded by n_centroids, a handful of ints) is
+    computed from the query side and pushed into the scan as an IN filter
+    on the partition column -- directory-level pruning, no listing or
+    footer reads outside the probed cells (plan-asserted in tests).
+    Identical results to :func:`ivf_topk` with the same centroids; the
+    difference is the at-rest scan cost.
+    """
+    centroids = read_ivf_centroids(path)
+    cent_lits = _centroid_literals(centroids)
+
+    query_cells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            _nearest_cells(_to_double(F.col(vec_col)), cent_lits, n_probe)
+        ).alias("cell"),
+    )
+    # bounded driver action: <= n_centroids ints, the price of turning the
+    # probe set into a static partition filter
+    probed = sorted(
+        r["cell"] for r in query_cells.select("cell").distinct().collect()
+    )
+    corpus_cells = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probed))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col("cell"),
+        )
+    )
+    scored = (
+        corpus_cells.join(F.broadcast(query_cells), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

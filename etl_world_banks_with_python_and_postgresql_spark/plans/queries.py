@@ -3196,3 +3196,29 @@ def q96(spark, sf_dir):
         F.max("o_orderdate").alias("date_max"),
         F.countDistinct("o_custkey").alias("cust_distinct"),
     )
+
+
+@query(
+    "q97_ivf_indexed_ann",
+    oracle=None,  # rows-only: covers a write+read index roundtrip; result
+    # equality with the in-memory ivf_topk is pinned in
+    # tests/test_operators_misc.py
+    description=(
+        "disk-backed IVF ANN: cell-partitioned parquet index + "
+        "partition-pruned probe reads (the at-rest 100 TB ANN path; "
+        "plan-asserted directory pruning)"
+    ),
+)
+def q97(spark, sf_dir):
+    import tempfile
+
+    from ..operators import similarity
+
+    emb = load(spark, "embeddings", sf_dir)
+    queries_side = emb.filter(F.col("vec_id") % 100 == 0)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/ivf_index"
+        similarity.write_ivf_index(emb, path, n_centroids=8)
+        out = similarity.ivf_topk_indexed(spark, path, queries_side, n_probe=4, k=5)
+        # materialize before the index directory vanishes
+        return spark.createDataFrame(out.collect(), out.schema)

@@ -474,3 +474,72 @@ def test_write_jsonl_shards(spark, tmp_path):
     assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
         r["doc_id"] for r in docs.select("doc_id").collect()
     }
+
+
+def test_ivf_indexed_matches_inmemory_and_prunes(spark, tmp_path):
+    """write_ivf_index + ivf_topk_indexed: identical results to ivf_topk
+    with the same centroids, and the scan partition-prunes to the probed
+    cells (directory-level pruning -- the at-rest 100 TB ANN story)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    emb = load(spark, "embeddings", SF)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    path = str(tmp_path / "ivf_index")
+    cents = write_ivf_index(emb, path, n_centroids=8)
+
+    indexed = ivf_topk_indexed(spark, path, queries, n_probe=2, k=5)
+    inmem = ivf_topk(emb, queries, n_probe=2, k=5, centroids=cents)
+    assert sorted(map(tuple, indexed.collect())) == sorted(
+        map(tuple, inmem.collect())
+    )
+
+    # the probe filter reaches the scan as a partition filter, and with
+    # n_probe=1 a single query must touch exactly one cell directory
+    one_q = emb.filter(F.col("vec_id") == 0)
+    df = ivf_topk_indexed(spark, path, one_q, n_probe=1, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    # one probed cell -> a literal equality (Catalyst folds IN (x) to = x)
+    assert m and re.search(r"cell#\d+ = \d+", m.group(1)), plan
+
+
+def test_cosine_neardup_banded_recall_on_planted_dups(spark):
+    """Banded sign-LSH must recover planted high-cosine near-duplicates
+    (the production regime: thresholds 0.9+, where the S-curve puts recall
+    near 1) and must agree with the exact all-pairs mode on them."""
+    import random
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    rng = random.Random(7)
+    dim = 32
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, v))
+        if i % 3 == 0:  # plant a tiny-perturbation duplicate
+            rows.append((1000 + i, [x + rng.gauss(0, 0.01) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_neardup_pairs(df, threshold=0.9, bands=None).collect()
+    }
+    banded = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_neardup_pairs(
+            df, threshold=0.9, bands=12, bits_per_band=6, dim=dim
+        ).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(0, 60, 3)}
+    assert planted <= exact
+    assert banded <= exact  # verify step: no false positives ever
+    assert len(banded & planted) / len(planted) >= 0.95  # S-curve recall
