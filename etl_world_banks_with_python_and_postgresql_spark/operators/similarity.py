@@ -561,11 +561,35 @@ def cosine_neardup_pairs(
         .distinct()
     )
     # exact verify on candidates only (vectors join back by id -- the band
-    # explode never shuffles the float payload)
+    # explode never shuffles the float payload). Norms are hoisted to the
+    # per-vector side: sqrt(dot(v,v)) is computed once per vector instead
+    # of twice per candidate pair (bit-identical arithmetic -- the same
+    # double feeds the same sqrt), which cuts the verify's HOF folds 3x.
+    ad = _to_double(F.col(vec_col))
+    normed = df.select(
+        F.col(id_col), F.col(vec_col), F.sqrt(_dot(ad, ad)).alias("_norm")
+    )
+    an = normed.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    bn = normed.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
     return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        cand.join(an, "vec_a")
+        .join(bn, "vec_b")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(_to_double(F.col("va")), _to_double(F.col("vb")))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
