@@ -196,3 +196,87 @@ def redact_pii(
         .withColumn("n_long_numbers", F.regexp_count(no_email, F.lit(DIGIT_RUN_PATTERN)))
         .withColumn(out_col, F.regexp_replace(no_email, DIGIT_RUN_PATTERN, "<NUM>"))
     )
+
+
+def _word_ngrams_all(toks: Column, n: int) -> Column:
+    """ALL (non-distinct) n-word shingles -- repetition measurement needs
+    multiplicity, unlike the dedup path's distinct `word_shingles`.
+    Guarded: Spark's sequence(0, -k) counts DOWN, so short inputs must
+    yield an empty array explicitly."""
+    n_tok = F.size(toks)
+    return F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(0), n_tok - F.lit(n)),
+            lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def with_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    the standard LLM-corpus quality gates):
+
+      dup_token_frac    1 - distinct/total whitespace tokens
+      dup_trigram_frac  1 - distinct/total word 3-grams
+      top_bigram_frac   occurrences of the most frequent word 2-gram
+                        over total 2-gram occurrences
+
+    The distinct fractions are pure per-row expressions (no shuffle). The
+    top-bigram mode needs a per-(doc, gram) count: explode -> two
+    map-side-combined aggregations keyed on (doc, gram) then doc -- the
+    shape that spreads by document at 100 TB (a per-row O(len^2) HOF
+    variant would avoid the shuffle but quadratic per-document CPU loses
+    on book-length docs). All fractions rounded to 4 dp; degenerate
+    inputs (too few tokens) report 0.0.
+    """
+    toks = ws_tokens(F.col(text_col))
+    n_tok = token_count(F.col(text_col))
+    tri = _word_ngrams_all(toks, 3)
+    bi = _word_ngrams_all(toks, 2)
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(n <= 0, F.lit(0.0)).otherwise(
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(arr)) / n.cast("double"), 4
+            )
+        )
+
+    base = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.when(n_tok <= 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(toks)) / n_tok.cast("double"),
+                4,
+            )
+        )
+        .alias("dup_token_frac"),
+        dup_frac(tri).alias("dup_trigram_frac"),
+        bi.alias("_bi"),
+    )
+    counts = (
+        base.select(F.col(id_col), F.explode("_bi").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_m"), F.sum("c").alias("_s"))
+    )
+    return (
+        base.drop("_bi")
+        .join(counts, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_token_frac",
+            "dup_trigram_frac",
+            F.coalesce(
+                F.round(F.col("_m") / F.col("_s").cast("double"), 4), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )

@@ -3222,3 +3222,44 @@ def q97(spark, sf_dir):
         out = similarity.ivf_topk_indexed(spark, path, queries_side, n_probe=4, k=5)
         # materialize before the index directory vanishes
         return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
+    "q98_repetition_signals",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w
+  FROM documents),
+arrs AS (
+  SELECT doc_id, w, len(w) AS n,
+         [w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)] AS bg,
+         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          FOR i IN generate_series(1, len(w) - 2)] AS tg
+  FROM tok),
+bgc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(bg) AS g FROM arrs)
+  GROUP BY 1, 2),
+bga AS (SELECT doc_id, max(c) AS m, sum(c) AS s FROM bgc GROUP BY 1)
+SELECT a.doc_id,
+       a.n::INT AS n_tokens,
+       CASE WHEN a.n <= 0 THEN 0.0
+            ELSE round(1.0 - len(list_distinct(a.w)) / a.n::DOUBLE, 4)
+       END AS dup_token_frac,
+       CASE WHEN len(a.tg) <= 0 THEN 0.0
+            ELSE round(1.0 - len(list_distinct(a.tg)) / len(a.tg)::DOUBLE, 4)
+       END AS dup_trigram_frac,
+       coalesce(round(bga.m / bga.s::DOUBLE, 4), 0.0) AS top_bigram_frac
+FROM arrs a LEFT JOIN bga USING (doc_id)
+""",
+    description=(
+        "Gopher-style repetition quality gates: duplicate-token and "
+        "duplicate-trigram fractions (per-row expressions, no shuffle) + "
+        "top-bigram occurrence fraction (explode -> two map-side-combined "
+        "aggs keyed by (doc, gram) then doc)"
+    ),
+)
+def q98(spark, sf_dir):
+    return text.with_repetition(load(spark, "documents", sf_dir))
