@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.xhash import char_poly_hash
+from ..functions.xhash import char_poly_hash, ws_tokens
 from .text import token_count
 
 
@@ -214,4 +214,51 @@ def stratified_take(
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n_per_group)
         .drop("_rn")
+    )
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows (context-window prep
+    for embedding/retrieval pipelines: window=model context, overlap =
+    window - stride).
+
+    Starts march at ``stride``; a start is emitted iff it is 0 or the
+    previous window did not already reach the end of the document, so the
+    final (possibly short) window is emitted exactly once and no window is
+    a suffix of its predecessor. Pure per-row expressions (sequence +
+    slice + posexplode): the 1->N fan-out happens inside the scan
+    projection, no shuffle, no UDF -- at 100 TB the chunker is a map-only
+    pass whose output partitioning follows the input's.
+    """
+    assert 0 < stride <= window
+    toks = ws_tokens(F.col(text_col))
+    n = token_count(F.col(text_col))
+    starts = F.filter(
+        F.when(
+            n > 0, F.sequence(F.lit(0), n - F.lit(1), F.lit(stride))
+        ).otherwise(F.array().cast("array<int>")),
+        lambda s: (s == 0) | (s + F.lit(window - stride) < n),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start_token"),
+            F.least(F.lit(window), n - s).alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice(toks, s + 1, window)).alias("chunk_text"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "ch")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.col("ch.start_token").alias("start_token"),
+        F.col("ch.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.col("ch.chunk_text").alias("chunk_text"),
     )

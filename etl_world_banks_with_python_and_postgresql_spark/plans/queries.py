@@ -3263,3 +3263,76 @@ FROM arrs a LEFT JOIN bga USING (doc_id)
 )
 def q98(spark, sf_dir):
     return text.with_repetition(load(spark, "documents", sf_dir))
+
+
+@query(
+    "q99_embedding_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+{_signlsh_neardup_oracle(threshold=0.45, bands=12, bits_per_band=6, dim=64)}
+),
+sym AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.node, s.dst FROM reach r JOIN sym s ON r.lbl = s.src)
+SELECT node AS vec_id, min(lbl) AS cluster_id
+FROM reach GROUP BY node
+""",
+    description=(
+        "embedding near-dup pairs (banded sign-LSH + exact verify) "
+        "resolved to duplicate clusters via the same min-label-propagation "
+        "connected components as the text path (q45); oracle = recursive "
+        "CTE over the replicated banding"
+    ),
+)
+def q99(spark, sf_dir):
+    pairs = similarity.cosine_neardup_pairs(
+        load(spark, "embeddings", sf_dir),
+        threshold=0.45,
+        bands=12,
+        bits_per_band=6,
+        dim=64,
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    return dedup.duplicate_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
+@query(
+    "q100_chunk_windows",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w
+  FROM documents),
+st AS (
+  SELECT doc_id, w, len(w) AS n,
+         list_filter(generate_series(0, len(w) - 1, 48),
+                     s -> s = 0 OR s + 16 < len(w)) AS starts
+  FROM tok WHERE len(w) > 0),
+e AS (
+  SELECT doc_id, (g.i - 1)::INT AS chunk_id, starts[g.i] AS s, n, w
+  FROM st CROSS JOIN UNNEST(generate_series(1, len(starts))) g(i))
+SELECT doc_id, chunk_id,
+       s::INT AS start_token,
+       least(64, n - s)::INT AS n_chunk_tokens,
+       array_to_string(w[s + 1 : s + 64], ' ') AS chunk_text
+FROM e
+""",
+    description=(
+        "sliding token-window chunking (window=64, stride=48; overlap 16) "
+        "for context-window prep: per-row sequence+slice+posexplode, "
+        "map-only fan-out, no shuffle"
+    ),
+)
+def q100(spark, sf_dir):
+    from ..operators.train_prep import chunk_token_windows
+
+    return chunk_token_windows(
+        load(spark, "documents", sf_dir), window=64, stride=48
+    )
