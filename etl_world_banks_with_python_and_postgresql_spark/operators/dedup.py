@@ -420,3 +420,120 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         f"duplicate_clusters did not converge in {max_iter} iterations "
         "(graph diameter exceeds max_iter; raise it for path-shaped graphs)"
     )
+
+
+def novel_documents(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingestion EXACT dedup: rows of ``new_df`` whose text
+    does not already exist (byte-identical) in ``corpus_df``.
+
+    Content-identity anti-join on md5 (engine-reproducible, so the oracle
+    mirrors it directly). At 100 TB the corpus side is the big side and
+    cannot broadcast; the join shuffles both sides on the 128-bit hash --
+    store the corpus index bucketed by the hash
+    (``IncrementalTable(bucket_by=...)`` / ``write_bucketed``) and the
+    per-batch anti-join goes exchange-free on the corpus, which is the
+    steady-state cost model: O(|batch|) work per ingest, never a corpus
+    rescan-and-shuffle.
+    """
+    seen = corpus_df.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    return (
+        new_df.withColumn("_h", F.md5(F.col(text_col)))
+        .join(seen, "_h", "left_anti")
+        .drop("_h")
+    )
+
+
+def minhash_novel(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = 8,
+    band_size: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingestion NEAR-dup filter: rows of ``new_df`` with no
+    corpus document at true Jaccard >= ``threshold``.
+
+    Cross-frame variant of :func:`minhash_lsh_pairs`: both sides get the
+    same portable banded signatures, candidates are the cross equi-join on
+    (band, key) -- new-batch bands vs corpus bands, never corpus x corpus
+    -- and only candidates pay the exact-Jaccard verify. The corpus-side
+    band index is a pure function of corpus content, so a real deployment
+    materializes it once (bucketed by band key) and each ingest batch
+    joins its own tiny band set against it: per-batch cost is
+    O(|batch| * bands) probe rows. False novelty (a missed near-dup)
+    follows the banding S-curve, identical to the self-join path.
+    """
+    assert k % band_size == 0
+    n_bands = k // band_size
+
+    def prep(df: DataFrame) -> DataFrame:
+        return shingle_sets(df, text_col, id_col, n).select(
+            "doc_id",
+            minhash_signature(F.col("sh"), k=k).alias("sig"),
+            F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("shh"),
+            F.size("sh").alias("sz"),
+        )
+
+    def bands(sets: DataFrame) -> DataFrame:
+        return sets.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            *[
+                                F.col("sig")[i * band_size + j].alias(f"k{j}")
+                                for j in range(band_size)
+                            ],
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("key"),
+        )
+
+    new_sets = prep(new_df).persist(StorageLevel.MEMORY_AND_DISK)
+    new_sets.count()  # eager fill (see ngram_jaccard_pairs)
+    corpus_sets = prep(corpus_df)
+
+    cand = (
+        bands(new_sets)
+        .withColumnRenamed("doc_id", "new_id")
+        .join(bands(corpus_sets).withColumnRenamed("doc_id", "corpus_id"), "key")
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sa = new_sets.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("shh").alias("sh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = corpus_sets.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("shh").alias("sh_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    dup_ids = (
+        cand.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    return new_df.join(
+        dup_ids.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )

@@ -3336,3 +3336,77 @@ def q100(spark, sf_dir):
     return chunk_token_windows(
         load(spark, "documents", sf_dir), window=64, stride=48
     )
+
+
+@query(
+    "q101_novel_documents",
+    oracle="""
+SELECT n.doc_id, n.source
+FROM documents n
+WHERE n.source <> 'src0'
+  AND md5(n.text) NOT IN (SELECT md5(text) FROM documents WHERE source = 'src0')
+""",
+    description=(
+        "incremental-ingestion exact dedup: new batch (source<>src0) "
+        "anti-joined on content md5 against the existing corpus (src0); "
+        "bucket the corpus index by the hash for exchange-free per-batch "
+        "ingests at scale"
+    ),
+)
+def q101(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    return dedup.novel_documents(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    ).select("doc_id", "source")
+
+
+def _minhash_novel_oracle(threshold: float = 0.5) -> str:
+    sig_exprs = ",\n         ".join(
+        f"{e} AS s{i}" for i, e in enumerate(xhash.minhash_sql_exprs("sh", k=8))
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, side, {i} AS band, "
+        f"s{2 * i}::VARCHAR || ',' || s{2 * i + 1}::VARCHAR AS key FROM sig"
+        for i in range(4)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, CASE WHEN source = 'src0' THEN 'c' ELSE 'n' END AS side,
+         {_SHINGLES_SQL} AS sh
+  FROM (SELECT doc_id, source, {_TOKENS_SQL} AS w FROM documents)),
+sig AS (SELECT doc_id, side, sh, {sig_exprs} FROM d),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.side = 'n' AND b.side = 'c'),
+dup AS (
+  SELECT DISTINCT new_id
+  FROM cand JOIN d sa ON cand.new_id = sa.doc_id
+            JOIN d sb ON cand.corpus_id = sb.doc_id
+  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+        >= {threshold})
+SELECT doc_id, source FROM documents
+WHERE source <> 'src0' AND doc_id NOT IN (SELECT new_id FROM dup)
+"""
+
+
+@query(
+    "q102_minhash_novel",
+    oracle=_minhash_novel_oracle(),
+    description=(
+        "incremental-ingestion NEAR-dup filter: new batch keeps only docs "
+        "with no corpus document at Jaccard>=0.5; candidates via "
+        "cross-frame banded MinHash (new bands x corpus bands, never "
+        "corpus x corpus), exact-Jaccard verify on candidates only"
+    ),
+)
+def q102(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    return dedup.minhash_novel(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        threshold=0.5,
+    ).select("doc_id", "source")
