@@ -18,6 +18,7 @@ from collections.abc import Callable
 from datetime import datetime
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.merge import deactivate_stale, merge_scd
@@ -224,5 +225,46 @@ def streaming_incremental_sink(
             scd=scd,
             deactivate=deactivate,
         )
+
+    return apply_batch
+
+
+def streaming_novelty_sink(corpus_path: str, text_col: str = "text"):
+    """foreachBatch body for continuous corpus ingestion with exact dedup:
+    each micro-batch keeps only documents whose content is NOT already in
+    the corpus at ``corpus_path`` (content-md5 anti-join,
+    ``dedup.novel_documents``), dedups within the batch itself, and
+    appends the novel remainder.
+
+    The standard crawl-ingestion shape: the corpus only ever grows by
+    novel content, replays are absorbed (a replayed epoch's documents are
+    already in the corpus, so the appended delta is empty), and per-epoch
+    cost is O(|batch|) probe work against the corpus index -- bucket the
+    corpus by the content hash to keep the probe exchange-free on the
+    corpus side at scale. Returns a function for
+    ``writeStream.foreachBatch``.
+    """
+    import os
+
+    from ..operators.dedup import novel_documents
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # within-batch exact dedup first: keep the lowest doc_id per content
+        h = F.md5(F.col(text_col))
+        w_batch = W.partitionBy(h).orderBy("doc_id")
+        batch_uniq = (
+            batch_df.withColumn("_rn", F.row_number().over(w_batch))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.exists(corpus_path):
+            corpus = spark.read.parquet(corpus_path)
+            novel = novel_documents(batch_uniq, corpus, text_col=text_col)
+        else:
+            novel = batch_uniq
+        novel.write.mode("append").parquet(corpus_path)
 
     return apply_batch

@@ -691,3 +691,51 @@ def test_html_stream_source_incremental_offsets(spark, tmp_path):
     assert ("Bank C", "300.0") in {
         (r["bank_name"], r["market_cap_usd"]) for r in second
     }
+
+
+def test_streaming_novelty_sink(spark, tmp_path):
+    """Continuous corpus ingestion with exact dedup: overlapping batches
+    only ever append novel content; replays are absorbed."""
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        streaming_novelty_sink,
+    )
+
+    src = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], schema  # 3 dups 1 in-batch
+    )
+    b1.write.parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(b1.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(streaming_novelty_sink(corpus))
+            .option("checkpointLocation", str(tmp_path / f"ck{run_once.i}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_once.i += 1
+        q.processAllAvailable()
+        q.stop()
+
+    run_once.i = 0
+    run_once()
+    got = {r["text"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {"alpha", "beta"}
+    assert spark.read.parquet(corpus).count() == 2  # in-batch dup dropped
+
+    # second batch overlaps the corpus: only the novel doc lands
+    spark.createDataFrame([(4, "beta"), (5, "gamma")], schema).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    assert spark.read.parquet(corpus).count() == 3
+    assert {r["text"] for r in spark.read.parquet(corpus).collect()} == {
+        "alpha", "beta", "gamma",
+    }
+
+    # replay the whole input from a fresh checkpoint: nothing new appends
+    run_once()
+    assert spark.read.parquet(corpus).count() == 3
