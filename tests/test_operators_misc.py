@@ -543,3 +543,55 @@ def test_cosine_neardup_banded_recall_on_planted_dups(spark):
     assert planted <= exact
     assert banded <= exact  # verify step: no false positives ever
     assert len(banded & planted) / len(planted) >= 0.95  # S-curve recall
+
+
+def test_chunk_windows_cover_and_reconstruct(spark):
+    """Chunking invariants: every token index is covered, consecutive
+    chunks overlap by exactly window-stride (except a short tail), and
+    stride-aligned reassembly reconstructs the token stream."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
+        chunk_token_windows,
+    )
+
+    docs = load(spark, "documents", SF).limit(50)
+    window, stride = 16, 12
+    out = chunk_token_windows(docs, window=window, stride=stride).collect()
+    toks = {
+        r["doc_id"]: r["text"].strip().lower().split()
+        for r in docs.collect()
+    }
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(toks)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        n = len(toks[doc_id])
+        # starts march at the stride; every token covered; last chunk
+        # reaches the end exactly once
+        for i, r in enumerate(chunks):
+            assert r["start_token"] == i * stride
+            got = r["chunk_text"].split()
+            expect = toks[doc_id][r["start_token"] : r["start_token"] + window]
+            assert got == expect
+            assert r["n_chunk_tokens"] == len(expect)
+        assert chunks[-1]["start_token"] + chunks[-1]["n_chunk_tokens"] == n
+        if len(chunks) > 1:  # no chunk is a suffix of its predecessor
+            assert chunks[-2]["start_token"] + window < n
+
+
+def test_minhash_novel_subset_of_exact_novel(spark):
+    """Exact duplicates always share identical signatures, so the near-dup
+    novelty filter can only be STRICTER than the exact one."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        minhash_novel,
+        novel_documents,
+    )
+
+    docs = load(spark, "documents", SF)
+    new = docs.filter(F.col("source") != "src0")
+    corpus = docs.filter(F.col("source") == "src0")
+    exact_ids = {r["doc_id"] for r in novel_documents(new, corpus).collect()}
+    near_ids = {r["doc_id"] for r in minhash_novel(new, corpus, threshold=0.5).collect()}
+    assert near_ids <= exact_ids
+    assert near_ids  # and it is not vacuously empty
