@@ -48,6 +48,8 @@ HEADLINE = [
     "q85_market_share",
     "q48_decontaminate",
     "q49_train_pipeline",
+    "q98_repetition_signals",
+    "q102_minhash_novel",
 ]
 
 
