@@ -595,3 +595,55 @@ def test_minhash_novel_subset_of_exact_novel(spark):
     near_ids = {r["doc_id"] for r in minhash_novel(new, corpus, threshold=0.5).collect()}
     assert near_ids <= exact_ids
     assert near_ids  # and it is not vacuously empty
+
+
+def test_read_jsonl_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from etl_world_banks_with_python_and_postgresql_spark.sources.robust import (
+        read_jsonl_quarantine,
+    )
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good one"}\n'
+        '{"doc_id": 2 "text": "missing comma"}\n'
+        '{"doc_id": 3, "text": "also fine"}\n'
+        "not json at all\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good, quar = read_jsonl_quarantine(spark, str(p), schema)
+    assert {r["doc_id"] for r in good.collect()} == {1, 3}
+    bad = quar.collect()
+    assert len(bad) == 2
+    assert all(r["raw_line"] and r["source_file"].endswith("in.jsonl") for r in bad)
+
+
+def test_validate_rows_quarantine(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.sources.robust import (
+        validate_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ok", 10.0), (2, "", 5.0), (3, "neg", -1.0), (4, "", -2.0)],
+        "id long, name string, val double",
+    )
+    good, quar = validate_rows(
+        df,
+        {
+            "nonempty_name": F.length("name") > 0,
+            "nonneg_val": F.col("val") >= 0,
+        },
+    )
+    assert [r["id"] for r in good.collect()] == [1]
+    failed = {r["id"]: sorted(r["failed_rules"]) for r in quar.collect()}
+    assert failed == {
+        2: ["nonempty_name"],
+        3: ["nonneg_val"],
+        4: ["nonempty_name", "nonneg_val"],
+    }
