@@ -16,8 +16,10 @@ Stages (each is an oracle- or property-verified operator on its own):
   4. PII redaction      mask emails / long digit runs text.redact_pii
   5. quality filter     composite score >= 0.5        text.with_quality
   6. language ID        tag pred_lang                 text.with_lang_id
+  6.5 repetition gate   Gopher dup-token/top-bigram   text.with_repetition
   7. split              content-hash 80/10/10         train_prep.hash_split
   8. packing            2048-token bins per source    train_prep.pack_token_bins
+  9. chunking           64-token windows, stride 48   train_prep.chunk_token_windows
 
 Prints per-stage survivor counts and the final per-(split, source) corpus
 manifest as JSON lines. Total shuffle budget: one content-hash groupBy
@@ -36,6 +38,7 @@ from pyspark.sql import functions as F
 
 from etl_world_banks_with_python_and_postgresql_spark.operators import dedup, text
 from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
+    chunk_token_windows,
     hash_split,
     ngram_contamination,
     pack_token_bins,
@@ -83,6 +86,19 @@ def main() -> None:
     ).filter(F.col("quality_score") >= 0.5)
     stage["quality_filtered"] = docs.count()
 
+    # 6.5. repetition gate (Gopher): drop degenerate repeated-text docs.
+    # Thresholds are corpus-calibrated; the synthetic corpus is drawn from
+    # a tiny vocabulary, so these bounds only shave the extreme tail.
+    rep = text.with_repetition(docs).select(
+        "doc_id", "dup_trigram_frac", "top_bigram_frac"
+    )
+    docs = (
+        docs.join(rep, "doc_id")
+        .filter((F.col("dup_trigram_frac") < 0.9) & (F.col("top_bigram_frac") < 0.9))
+        .drop("dup_trigram_frac", "top_bigram_frac")
+    )
+    stage["repetition_gated"] = docs.count()
+
     # 7. deterministic content-hash split
     docs = hash_split(docs)
 
@@ -98,7 +114,20 @@ def main() -> None:
         )
         .orderBy("split", "source")
     )
-    print(json.dumps({"stage_counts": stage, "train_bins": bins.count()}))
+    # 9. retrieval-style chunking of the train split (map-only fan-out)
+    chunks = chunk_token_windows(
+        docs.filter(F.col("split") == "train"), window=64, stride=48
+    )
+
+    print(
+        json.dumps(
+            {
+                "stage_counts": stage,
+                "train_bins": bins.count(),
+                "train_chunks": chunks.count(),
+            }
+        )
+    )
     for r in manifest.collect():
         print(json.dumps(r.asDict()))
     spark.stop()
