@@ -49,7 +49,7 @@ HEADLINE = [
     "q48_decontaminate",
     "q49_train_pipeline",
     "q98_repetition_signals",
-    "q102_minhash_novel",
+    "z03_minhash_novel",
 ]
 
 

@@ -3303,7 +3303,7 @@ def q99(spark, sf_dir):
 
 
 @query(
-    "q100_chunk_windows",
+    "z01_chunk_windows",
     oracle="""
 WITH tok AS (
   SELECT doc_id,
@@ -3330,7 +3330,7 @@ FROM e
         "map-only fan-out, no shuffle"
     ),
 )
-def q100(spark, sf_dir):
+def z01(spark, sf_dir):
     from ..operators.train_prep import chunk_token_windows
 
     return chunk_token_windows(
@@ -3339,7 +3339,7 @@ def q100(spark, sf_dir):
 
 
 @query(
-    "q101_novel_documents",
+    "z02_novel_documents",
     oracle="""
 SELECT n.doc_id, n.source
 FROM documents n
@@ -3353,7 +3353,7 @@ WHERE n.source <> 'src0'
         "ingests at scale"
     ),
 )
-def q101(spark, sf_dir):
+def z02(spark, sf_dir):
     docs = load(spark, "documents", sf_dir)
     return dedup.novel_documents(
         docs.filter(F.col("source") != "src0"),
@@ -3394,7 +3394,7 @@ WHERE source <> 'src0' AND doc_id NOT IN (SELECT new_id FROM dup)
 
 
 @query(
-    "q102_minhash_novel",
+    "z03_minhash_novel",
     oracle=_minhash_novel_oracle(),
     description=(
         "incremental-ingestion NEAR-dup filter: new batch keeps only docs "
@@ -3403,7 +3403,7 @@ WHERE source <> 'src0' AND doc_id NOT IN (SELECT new_id FROM dup)
         "corpus x corpus), exact-Jaccard verify on candidates only"
     ),
 )
-def q102(spark, sf_dir):
+def z03(spark, sf_dir):
     docs = load(spark, "documents", sf_dir)
     return dedup.minhash_novel(
         docs.filter(F.col("source") != "src0"),
