@@ -3410,3 +3410,33 @@ def z03(spark, sf_dir):
         docs.filter(F.col("source") == "src0"),
         threshold=0.5,
     ).select("doc_id", "source")
+
+
+@query(
+    "z04_sliding_window",
+    oracle="""
+WITH w AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP)
+           - (k.k * INTERVAL '5 minutes') AS win_start,
+         event_type, value
+  FROM events, (SELECT unnest([0, 1]) AS k) k)
+SELECT win_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM w GROUP BY 1, 2
+""",
+    description=(
+        "sliding (hopping) event-time window: 10-minute windows every 5 "
+        "minutes -- each event lands in exactly window/slide buckets; the "
+        "oracle derives the same 2 windows per event from the 5-minute "
+        "bucket, batch form of the streaming hopping aggregation"
+    ),
+)
+def z04(spark, sf_dir):
+    e = load(spark, "events", sf_dir)
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )
