@@ -164,3 +164,82 @@ def decode_image_pixels(df: DataFrame, payload_col: str = "payload") -> DataFram
     return df.select("doc_id", payload_col).mapInPandas(
         decode, "doc_id long, pixels array<int>"
     )
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, n_bytes long, sample_rate int, n_samples long, "
+    "duration_ms long, codec string"
+)
+
+
+def decode_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Audio-header metadata via Arrow-batched mapInPandas (the audio leg
+    of the multimodal family; same plumbing contract as
+    ``decode_image_meta``).
+
+    The fake "header parse" derives (sample_rate, n_samples, duration_ms)
+    arithmetically from the byte length -- a real implementation replaces
+    the arithmetic with `soundfile.info`/ffprobe inside the same batch
+    loop. Deterministic, so the DuckDB oracle verifies the distributed
+    plumbing end-to-end: sample_rate cycles {8,16,44.1,48} kHz by length,
+    n_samples assumes 16-bit mono frames, duration = samples/rate.
+    """
+    rates = [8000, 16000, 44100, 48000]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf[payload_col].map(len).astype("int64")
+            rate = n.mod(4).map(lambda i: rates[i]).astype("int32")
+            samples = (n // 2).astype("int64")  # fake: 16-bit mono PCM
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "sample_rate": rate,
+                    "n_samples": samples,
+                    "duration_ms": (samples * 1000 // rate).astype("int64"),
+                    "codec": "FAKEPCM",
+                }
+            )
+
+    spread = df.select("doc_id", payload_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(decode, AUDIO_META_SCHEMA)
+
+
+def frame_energy_features(
+    df: DataFrame,
+    n_frames: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio feature plumbing: blob -> fixed-length per-frame energy vector
+    (stand-in for log-mel / wav2vec frames; same contract as
+    ``byte_histogram_features``, so the output feeds the ANN operators).
+
+    The payload is split into ``n_frames`` equal spans; each span's
+    "energy" is the mean of its bytes, normalized to [0, 1]. Vectorized
+    per Arrow batch with numpy; short payloads pad with zeros.
+    """
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            vecs = []
+            for b in pdf[payload_col]:
+                a = np.frombuffer(bytes(b), dtype=np.uint8)
+                if len(a) == 0:
+                    vecs.append([0.0] * n_frames)
+                    continue
+                spans = np.array_split(a, n_frames)
+                vecs.append(
+                    [float(s.mean()) / 255.0 if len(s) else 0.0 for s in spans]
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": vecs})
+
+    spread = df.select(id_col, payload_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(feat, f"{id_col} long, embedding array<double>")

@@ -3440,3 +3440,29 @@ def z04(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
     )
+
+
+@query(
+    "z05_audio_meta",
+    oracle="""
+WITH n AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents)
+SELECT doc_id, n_bytes,
+       (CASE n_bytes % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                         WHEN 2 THEN 44100 ELSE 48000 END)::INT AS sample_rate,
+       (n_bytes // 2)::BIGINT AS n_samples,
+       ((n_bytes // 2) * 1000 // (CASE n_bytes % 4 WHEN 0 THEN 8000
+                                  WHEN 1 THEN 16000 WHEN 2 THEN 44100
+                                  ELSE 48000 END))::BIGINT AS duration_ms,
+       'FAKEPCM' AS codec
+FROM n
+""",
+    description=(
+        "audio leg of the multimodal family: binary payload -> header "
+        "metadata (sample rate / samples / duration) via Arrow-batched "
+        "mapInPandas; fake header parse is arithmetic on byte length so "
+        "the oracle verifies the distributed plumbing"
+    ),
+)
+def z05(spark, sf_dir):
+    docs = multimodal.attach_fake_binary(load(spark, "documents", sf_dir))
+    return multimodal.decode_audio_meta(docs)

@@ -647,3 +647,33 @@ def test_validate_rows_quarantine(spark):
         3: ["nonneg_val"],
         4: ["nonempty_name", "nonneg_val"],
     }
+
+
+def test_frame_energy_features_feed_ann(spark):
+    """Audio feature plumbing: fixed dim, zero-padding on short payloads,
+    deterministic, and directly consumable by the ANN operators."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.multimodal import (
+        attach_fake_binary,
+        frame_energy_features,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    docs = attach_fake_binary(load(spark, "documents", SF).limit(40))
+    feats = frame_energy_features(docs, n_frames=16)
+    rows = feats.collect()
+    assert all(len(r["embedding"]) == 16 for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r["embedding"])
+    # deterministic across runs
+    again = {r["doc_id"]: r["embedding"] for r in feats.collect()}
+    assert all(again[r["doc_id"]] == r["embedding"] for r in rows)
+    # short payload pads with zeros
+    tiny = attach_fake_binary(
+        spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    )
+    v = frame_energy_features(tiny, n_frames=16).collect()[0]["embedding"]
+    assert len(v) == 16 and v.count(0.0) >= 14
+    # feeds ANN directly
+    out = cosine_topk(feats, feats.limit(3), k=2, id_col="doc_id")
+    assert out.count() > 0
