@@ -1,0 +1,128 @@
+"""Continuous aggregates: incrementally-maintained time-bucket rollups.
+
+The 100 TB answer to "dashboard over an append-only event stream": never
+re-aggregate history. Each ingested batch contributes one PARTIAL
+aggregate (count/sum per bucket x keys -- mergeable state, a few rows),
+appended O(|batch|-groups); reads merge partials with a second tiny
+aggregation; compaction folds accumulated partials back to one row per
+group. The same decomposition Spark itself uses for partial aggregation
+(map-side combine), lifted to storage -- and the moral twin of
+TimescaleDB continuous aggregates / Druid rollup segments.
+
+Only algebraically mergeable aggregates belong here (count, sum, min,
+max, and anything expressible over them, e.g. avg = sum/count). Holistic
+aggregates (exact percentiles) need sketches instead -- see
+q51_approx_sketches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class RollupTable:
+    """Append-only partial-aggregate store for one (bucket, keys) rollup.
+
+    ``ingest`` appends the batch's partials; ``read`` merges them;
+    ``compact`` rewrites the store as fully-merged rows (bounded
+    merge-on-read cost). All three are O(groups), never O(events kept).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        bucket: str = "5 minutes",
+        keys: list[str] | None = None,
+        ts_col: str = "ts",
+        value_col: str = "value",
+    ) -> None:
+        self.path = path
+        self.bucket = bucket
+        self.keys = list(keys or [])
+        self.ts_col = ts_col
+        self.value_col = value_col
+
+    def _partials(self, batch: DataFrame) -> DataFrame:
+        return (
+            batch.groupBy(
+                F.window(self.ts_col, self.bucket).start.alias("win_start"),
+                *self.keys,
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(self.value_col).alias("sum_value"),
+                F.min(self.value_col).alias("min_value"),
+                F.max(self.value_col).alias("max_value"),
+            )
+        )
+
+    def ingest(self, batch: DataFrame) -> None:
+        """Append the batch's partial aggregates. O(|batch| groups) write;
+        raw events are NOT retained here."""
+        self._partials(batch).write.mode("append").parquet(self.path)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Merged rollup: one row per (win_start, keys).
+
+        count/sum/min/max merge associatively across partials; avg derives
+        from the merged sums. The second aggregation runs over partial
+        rows (|batches| x groups), not events.
+        """
+        p = spark.read.parquet(self.path)
+        return (
+            p.groupBy("win_start", *self.keys)
+            .agg(
+                F.sum("n").alias("n"),
+                F.round(F.sum("sum_value"), 4).alias("sum_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+            .withColumn(
+                "avg_value", F.round(F.col("sum_value") / F.col("n"), 4)
+            )
+        )
+
+    def n_partial_rows(self, spark: SparkSession) -> int:
+        return spark.read.parquet(self.path).count()
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold accumulated partials to one row per group (atomic swap --
+        same staging discipline as sinks.write_snapshot). Run it on the
+        incremental table's cadence; reads are correct either way, this
+        only bounds the merge-on-read fan-in."""
+        import shutil
+
+        merged = (
+            spark.read.parquet(self.path)
+            .groupBy("win_start", *self.keys)
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_value").alias("sum_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+        staging = self.path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        backup = self.path + ".old"
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        os.rename(self.path, backup)
+        os.rename(staging, self.path)
+        shutil.rmtree(backup)
+
+    def streaming_sink(self):
+        """foreachBatch body: continuous-aggregate maintenance from a
+        stream. Replays append duplicate partials -- merge-on-read stays
+        correct for at-least-once counts only if the upstream dedups
+        epochs; pair with checkpointed exactly-once sources in practice.
+        """
+
+        def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            if not batch_df.isEmpty():
+                self.ingest(batch_df)
+
+        return apply_batch

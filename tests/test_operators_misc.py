@@ -677,3 +677,78 @@ def test_frame_energy_features_feed_ann(spark):
     # feeds ANN directly
     out = cosine_topk(feats, feats.limit(3), k=2, id_col="doc_id")
     assert out.count() > 0
+
+
+def test_rollup_table_incremental_equals_direct(spark, tmp_path):
+    """Continuous aggregate: N incremental ingests + merge-on-read must
+    equal one direct aggregation over all events; compaction bounds the
+    partial-row count without changing results."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.rollup import (
+        RollupTable,
+    )
+
+    ev = load(spark, "events", SF).select("ts", "event_type", "value")
+    rt = RollupTable(
+        str(tmp_path / "rollup"), bucket="5 minutes", keys=["event_type"]
+    )
+    # ingest in 3 uneven slices (simulating batches)
+    for m in range(3):
+        rt.ingest(ev.filter(F.pmod(F.xxhash64("ts"), F.lit(3)) == m))
+
+    direct = (
+        ev.groupBy(
+            F.window("ts", "5 minutes").start.alias("win_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .withColumn("avg_value", F.round(F.col("sum_value") / F.col("n"), 4))
+    )
+
+    def key(rows):
+        return sorted(
+            (r["win_start"], r["event_type"], r["n"], r["min_value"], r["max_value"])
+            for r in rows
+        )
+
+    merged = rt.read(spark)
+    assert key(merged.collect()) == key(direct.collect())
+    # sums within float tolerance (partial-merge order differs)
+    m = {(r["win_start"], r["event_type"]): r["sum_value"] for r in merged.collect()}
+    for r in direct.collect():
+        assert abs(m[(r["win_start"], r["event_type"])] - r["sum_value"]) < 1e-6
+
+    n_groups = merged.count()  # materialize BEFORE the compaction swap --
+    # the lazy plan pins the pre-swap files (same hazard pipeline.py
+    # documents for snapshot swaps)
+    before = rt.n_partial_rows(spark)
+    rt.compact(spark)
+    after = rt.n_partial_rows(spark)
+    assert after <= before and after == n_groups
+    assert key(rt.read(spark).collect()) == key(direct.collect())
+
+
+def test_rollup_streaming_sink(spark, tmp_path):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.rollup import (
+        RollupTable,
+    )
+
+    src = str(tmp_path / "ev")
+    ev = load(spark, "events", SF).select("ts", "event_type", "value")
+    ev.write.parquet(src)
+    rt = RollupTable(str(tmp_path / "ra"), bucket="5 minutes", keys=["event_type"])
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(rt.streaming_sink())
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert rt.read(spark).count() == (
+        ev.select(F.window("ts", "5 minutes").start, "event_type").distinct().count()
+    )
