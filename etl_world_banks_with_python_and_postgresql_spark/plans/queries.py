@@ -3466,3 +3466,35 @@ FROM n
 def z05(spark, sf_dir):
     docs = multimodal.attach_fake_binary(load(spark, "documents", sf_dir))
     return multimodal.decode_audio_meta(docs)
+
+
+@query(
+    "z06_continuous_aggregate",
+    oracle="""
+SELECT time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP) AS win_start, event_type,
+       count(*) AS n, min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2
+""",
+    description=(
+        "continuous aggregate: 3 incremental partial-aggregate ingests + "
+        "merge-on-read must equal one direct aggregation over all events "
+        "(count/min/max merge exactly; float sums are pinned in tests "
+        "instead, where tolerance applies)"
+    ),
+)
+def z06(spark, sf_dir):
+    import tempfile
+
+    from ..operators.rollup import RollupTable
+
+    ev = load(spark, "events", sf_dir).select("ts", "event_type", "value")
+    with tempfile.TemporaryDirectory() as tmp:
+        rt = RollupTable(f"{tmp}/r", bucket="5 minutes", keys=["event_type"])
+        for m in range(3):
+            rt.ingest(ev.filter(F.pmod(F.xxhash64("ts"), F.lit(3)) == m))
+        out = rt.read(spark).select(
+            "win_start", "event_type", "n", "min_value", "max_value"
+        )
+        # materialize before the temp index vanishes (bounded: one row per
+        # (bucket, type) group -- the same volume the driver collects)
+        return spark.createDataFrame(out.collect(), out.schema)
