@@ -235,14 +235,25 @@ class IncrementalTable:
             live_deltas = [d for d in live_deltas if self._range_hits(m, d, lo, hi)]
         if not live_deltas:
             return base
+        kinds = m.get("delta_kinds", {})
         deltas = None
         for i, d in enumerate(live_deltas):
-            df = self._read_files(spark, schema, d).withColumn("_seq", F.lit(i))
+            df = (
+                self._read_files(spark, schema, d)
+                .withColumn("_seq", F.lit(i))
+                .withColumn("_del", F.lit(kinds.get(d) == "delete"))
+            )
             deltas = df if deltas is None else deltas.unionByName(df)
         if partition_range is not None:
-            # a surviving delta may still hold out-of-range rows
+            # a surviving delta may still hold out-of-range rows. Delete
+            # tombstones are EXEMPT from the range filter: their partition
+            # value may be null (unknown at delete time), and dropping them
+            # here would resurrect the deleted id inside the range.
             deltas = deltas.filter(
-                F.col(self.partition_by).between(F.lit(partition_range[0]), F.lit(partition_range[1]))
+                F.col(self.partition_by).between(
+                    F.lit(partition_range[0]), F.lit(partition_range[1])
+                )
+                | F.col("_del")
             )
         w = W.partitionBy(self.id_col).orderBy(F.desc("_seq"))
         latest = (
@@ -251,12 +262,16 @@ class IncrementalTable:
             .drop("_rn", "_seq")
         )
         # the delta union is bounded by compact_after * |batch| rows --
-        # broadcast it so the (huge) base is scanned without a shuffle
+        # broadcast it so the (huge) base is scanned without a shuffle.
+        # Every touched id -- upserted OR deleted -- leaves the base; only
+        # rows whose LATEST action is an upsert re-enter from the deltas,
+        # so a delete followed by a later upsert re-inserts and a trailing
+        # delete wins (merge-on-read delete, the Delta/Iceberg MoR shape).
         ids = latest.select(self.id_col)
         if self.broadcast_deltas:
             ids = F.broadcast(ids)
         survivors = base.join(ids, on=self.id_col, how="left_anti")
-        return survivors.unionByName(latest)
+        return survivors.unionByName(latest.filter(~F.col("_del")).drop("_del"))
 
     # --- write ----------------------------------------------------------
 
@@ -293,6 +308,55 @@ class IncrementalTable:
                 "min": None if stats["plo"] is None else self._stat(stats["plo"]),
                 "max": None if stats["phi"] is None else self._stat(stats["phi"]),
             }
+        self._commit_manifest(m)
+
+    def delete_keys(
+        self, spark: SparkSession, schema, ids: DataFrame, target_files: int = 1
+    ) -> None:
+        """Hard-delete by id (right-to-be-forgotten at scale): write an
+        O(|ids|) tombstone file set; the rows disappear from every
+        subsequent ``read`` (merge-on-read) and physically at the next
+        ``compact`` -- never an O(|target|) rewrite at delete time.
+        ``vacuum`` after a post-delete compact also truncates time travel,
+        which is what an actual erasure obligation requires.
+
+        ``ids`` needs the ``id_col`` column; include ``partition_by``
+        values too (when configured) to keep range-read pruning stats for
+        the tombstone set -- without them the set is conservatively read
+        by every range query (correct, just unprunable). A delete followed
+        by a later upsert of the same id re-inserts it; a trailing delete
+        wins.
+        """
+        m = self._load_manifest()
+        seq = m["seq"] + 1
+        name = f"delta-{seq:06d}"
+        path = os.path.join(self.path, name)
+        have = set(ids.columns)
+        rows = ids.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        # tombstones are written UNPARTITIONED even on partitioned tables:
+        # null partition values would land in the Hive default-partition
+        # directory; _read_files re-projects to the declared schema anyway
+        rows.coalesce(target_files).write.mode("overwrite").parquet(path)
+        m["seq"] = seq
+        m["deltas"].append(name)
+        m.setdefault("delta_kinds", {})[name] = "delete"
+        if self.partition_by and self.partition_by in have:
+            stats = spark.read.parquet(path).agg(
+                F.min(self.partition_by).alias("plo"),
+                F.max(self.partition_by).alias("phi"),
+            ).collect()[0]
+            if stats["plo"] is not None:
+                m.setdefault("delta_stats", {})[name] = {
+                    "min": self._stat(stats["plo"]),
+                    "max": self._stat(stats["phi"]),
+                }
         self._commit_manifest(m)
 
     def compact(self, spark: SparkSession, schema, target_files: int = 8) -> None:

@@ -480,3 +480,96 @@ def test_snapshot_diff_between_versions(spark, tmp_path):
         "Bank C": "removed",
         "Bank D": "added",
     }
+
+
+def test_delete_keys_merge_on_read(spark, tmp_path):
+    """Tombstone deletes: O(|ids|) writes, merge-on-read removal, delete
+    vs later-upsert ordering, physical purge at compact, and time travel
+    back across the delete."""
+    t = IncrementalTable(str(tmp_path / "t"), id_col="world_bank_id")
+    sch = schemas.WORLD_BANK_DATA
+    t.merge_batch(
+        spark, sch, batch_df(spark, BATCHES[0][2], "b1"),
+        batch_id="b1", now=D1, **MERGE_KW,
+    )
+    full = t.read(spark, sch)
+    ids = {r["bank_name"]: r["world_bank_id"] for r in full.collect()}
+    assert len(ids) == 3
+    pre_delete_seq = t._load_manifest()["seq"]
+
+    # delete Bank B by id
+    t.delete_keys(
+        spark, sch,
+        spark.createDataFrame([(ids["Bank B"],)], "world_bank_id long"),
+    )
+    assert {r["bank_name"] for r in t.read(spark, sch).collect()} == {
+        "Bank A", "Bank C",
+    }
+
+    # a LATER upsert of the deleted key re-inserts it (new id is fine)
+    t.merge_batch(
+        spark, sch, batch_df(spark, [("Bank B", 222.0)], "b2"),
+        batch_id="b2", now=D2, deactivate=False, **MERGE_KW,
+    )
+    again = {r["bank_name"]: r for r in t.read(spark, sch).collect()}
+    assert again["Bank B"]["market_cap_usd"] == 222.0
+
+    # trailing delete wins over the re-insert
+    new_b = again["Bank B"]["world_bank_id"]
+    t.delete_keys(spark, sch, spark.createDataFrame([(new_b,)], "world_bank_id long"))
+    assert {r["bank_name"] for r in t.read(spark, sch).collect()} == {
+        "Bank A", "Bank C",
+    }
+
+    # time travel still sees the pre-delete state
+    assert {
+        r["bank_name"] for r in t.read_at(spark, sch, pre_delete_seq).collect()
+    } == {"Bank A", "Bank B", "Bank C"}
+
+    # compact physically purges; state unchanged; no tombstone deltas left
+    t.compact(spark, sch)
+    m = t._load_manifest()
+    assert m["deltas"] == []
+    assert {r["bank_name"] for r in t.read(spark, sch).collect()} == {
+        "Bank A", "Bank C",
+    }
+
+
+def test_delete_keys_partitioned_range_reads(spark, tmp_path):
+    """Tombstones without partition values must still apply inside range
+    reads (no resurrection), and with values they carry pruning stats."""
+    from pyspark.sql import types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("day", T.DateType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    t = IncrementalTable(str(tmp_path / "p"), id_col="id", partition_by="day")
+    rows = [
+        (1, date(2024, 8, 1), 1.0),
+        (2, date(2024, 8, 1), 2.0),
+        (3, date(2024, 8, 2), 3.0),
+    ]
+    t.write_delta(spark.createDataFrame(rows, sch))
+
+    # delete id=2 WITHOUT its partition value
+    t.delete_keys(spark, sch, spark.createDataFrame([(2,)], "id long"))
+    in_range = t.read(
+        spark, sch, partition_range=(date(2024, 8, 1), date(2024, 8, 1))
+    )
+    assert {r["id"] for r in in_range.collect()} == {1}  # 2 stays deleted
+    assert {r["id"] for r in t.read(spark, sch).collect()} == {1, 3}
+
+    # delete id=3 WITH its partition value -> stats recorded for pruning
+    t.delete_keys(
+        spark, sch,
+        spark.createDataFrame([(3, date(2024, 8, 2))], "id long, day date"),
+    )
+    m = t._load_manifest()
+    last = m["deltas"][-1]
+    assert m["delta_kinds"][last] == "delete"
+    assert m["delta_stats"][last]["min"] == "2024-08-02"
+    assert {r["id"] for r in t.read(spark, sch).collect()} == {1}
