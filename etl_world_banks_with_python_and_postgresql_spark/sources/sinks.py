@@ -14,6 +14,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_snapshot(df: DataFrame, path: str, target_files: int | None = None) -> None:
@@ -149,3 +150,46 @@ def write_jsonl_shards(
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def write_range_partitioned(
+    df, path: str, col: str, n_files: int = 8
+) -> list[dict]:
+    """Totally-ordered parquet export WITHOUT a global single-task sort.
+
+    ``repartitionByRange`` samples the sort column to build range
+    boundaries (one pass), each task sorts only its own range
+    (``sortWithinPartitions``), and file N's max < file N+1's min -- so
+    the file set as a whole is in total order while the sort ran at full
+    parallelism. A reader manifest of per-file [min, max] is written to
+    ``_ranges.json`` and returned: binary-search it to open exactly one
+    file for a point lookup, or a contiguous span for a range read --
+    the access pattern that matters when the export is 100 TB and the
+    consumer is not Spark.
+    """
+    import glob
+    import json
+    import os
+
+    (
+        df.repartitionByRange(n_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    manifest = []
+    for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+        st = (
+            spark.read.parquet(f)
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"), F.count("*").alias("n"))
+            .collect()[0]
+        )
+        if st["n"] == 0:
+            continue
+        lo = st["lo"] if isinstance(st["lo"], (int, float)) else str(st["lo"])
+        hi = st["hi"] if isinstance(st["hi"], (int, float)) else str(st["hi"])
+        manifest.append({"file": os.path.basename(f), "min": lo, "max": hi, "rows": st["n"]})
+    with open(os.path.join(path, "_ranges.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest

@@ -752,3 +752,28 @@ def test_rollup_streaming_sink(spark, tmp_path):
     assert rt.read(spark).count() == (
         ev.select(F.window("ts", "5 minutes").start, "event_type").distinct().count()
     )
+
+
+def test_write_range_partitioned_total_order(spark, tmp_path):
+    """Range-partitioned export: files are internally sorted, file ranges
+    are disjoint and ascending (total order across the set), the manifest
+    matches the data, and every row survives."""
+    import json
+
+    path = str(tmp_path / "sorted_export")
+    orders = load(spark, "orders", SF).select("o_orderkey", "o_totalprice")
+    manifest = sinks.write_range_partitioned(orders, path, "o_totalprice", n_files=6)
+
+    assert manifest == json.load(open(f"{path}/_ranges.json"))
+    assert sum(m["rows"] for m in manifest) == orders.count()
+    # ascending, disjoint file ranges
+    for a, b in zip(manifest, manifest[1:]):
+        assert a["max"] <= b["min"]
+    # each file internally sorted and inside its declared range
+    for m in manifest:
+        vals = [
+            r["o_totalprice"]
+            for r in spark.read.parquet(f"{path}/{m['file']}").collect()
+        ]
+        assert vals == sorted(vals)
+        assert vals[0] == m["min"] and vals[-1] == m["max"]
