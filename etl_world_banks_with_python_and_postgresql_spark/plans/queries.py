@@ -3498,3 +3498,44 @@ def z06(spark, sf_dir):
         # materialize before the temp index vanishes (bounded: one row per
         # (bucket, type) group -- the same volume the driver collects)
         return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
+    "z07_corpus_manifest",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, text, {_TOKENS_SQL} AS toks FROM documents),
+q AS (
+  SELECT source, text,
+         (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) AS n_tokens,
+         round(least(length(text) / 500.0, 1.0) * 0.5
+               + least((len(list_filter(toks, w -> list_contains(
+                     ['the','a','of','and','to','in','is','that'], w)))::DOUBLE
+                     / greatest(len(toks), 1)) * 5, 1.0) * 0.3
+               + (1 - least((len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+                     / greatest(length(text), 1)) * 10, 1.0)) * 0.2, 6) AS quality_score
+  FROM t)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct_texts,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       round(avg(quality_score), 4) AS avg_quality,
+       sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)::BIGINT AS n_short
+FROM q GROUP BY source
+""",
+    description=(
+        "per-source corpus manifest in one pass: doc/distinct-text/token "
+        "counts, mean composite quality, short-doc tally -- the report a "
+        "corpus owner reads before mixing sources (single scan, one "
+        "map-side-combined aggregation)"
+    ),
+)
+def z07(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    q = text.with_quality(docs, keep_cols=["source", "text"])
+    return q.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        F.sum(F.when(F.col("n_tokens") < 20, 1).otherwise(0)).alias("n_short"),
+    )
