@@ -43,12 +43,33 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (F.sqrt(_dot(ad, ad)) * F.sqrt(_dot(bd, bd)))
 
 
+def _guard_broadcast_queries(queries: DataFrame, max_queries: int | None) -> None:
+    """The broadcast-contract check: every *_topk operator here broadcasts
+    the query side, which is only valid while |Q| is executor-memory-sized.
+    An unchecked oversized broadcast fails late and opaquely (executor OOM
+    mid-stage at 100 TB); this counts the SMALL side (one cheap scan,
+    negligible next to the corpus pass) and fails early with the fix.
+    Pass ``max_queries=None`` to skip the action entirely.
+    """
+    if max_queries is None:
+        return
+    n = queries.count()
+    if n > max_queries:
+        raise ValueError(
+            f"query side has {n} rows > max_queries={max_queries}: the "
+            "broadcast would scale with the corpus. Cap the query set, "
+            "batch it, or use ivf_topk / ivf_topk_indexed (bucketed probe "
+            "join). Pass max_queries=None to override deliberately."
+        )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
@@ -56,7 +77,9 @@ def cosine_topk(
     rank on round(cos, 6) desc with neighbor_id as the deterministic
     tie-break. The query side is broadcast, so the corpus is scanned once
     with no shuffle; only the tiny (|Q| * k-ish) ranked set shuffles.
+    ``max_queries`` enforces the broadcast contract up front.
     """
+    _guard_broadcast_queries(queries, max_queries)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )

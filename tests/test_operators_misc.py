@@ -777,3 +777,14 @@ def test_write_range_partitioned_total_order(spark, tmp_path):
         ]
         assert vals == sorted(vals)
         assert vals[0] == m["min"] and vals[-1] == m["max"]
+
+
+def test_cosine_topk_broadcast_guard(spark):
+    import pytest
+
+    emb = load(spark, "embeddings", SF)
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk(emb, q, k=2, max_queries=3)
+    # override works; default (100k) never triggers at test scale
+    assert cosine_topk(emb, q, k=2, max_queries=None).count() > 0
