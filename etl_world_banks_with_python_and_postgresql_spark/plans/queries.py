@@ -3539,3 +3539,38 @@ def z07(spark, sf_dir):
         F.round(F.avg("quality_score"), 4).alias("avg_quality"),
         F.sum(F.when(F.col("n_tokens") < 20, 1).otherwise(0)).alias("n_short"),
     )
+
+
+@query(
+    "z08_validate_quarantine",
+    oracle="""
+WITH v AS (
+  SELECT doc_id,
+         array_to_string(list_filter(
+           [CASE WHEN NOT (n_chars >= 100) THEN 'min_length' END,
+            CASE WHEN NOT (lang IN ('de', 'en', 'fr')) THEN 'supported_lang' END],
+           x -> x IS NOT NULL), ',') AS failed
+  FROM documents)
+SELECT failed AS failed_rules, count(*) AS n
+FROM v WHERE failed <> '' GROUP BY failed
+""",
+    description=(
+        "rule-based ingestion quarantine audit: per violated-rule-set "
+        "counts from validate_rows (named predicates, failed_rules audit "
+        "column; good rows stay pushdown-friendly filters)"
+    ),
+)
+def z08(spark, sf_dir):
+    from ..sources.robust import validate_rows
+
+    docs = load(spark, "documents", sf_dir)
+    _good, quar = validate_rows(
+        docs,
+        {
+            "min_length": F.col("n_chars") >= 100,
+            "supported_lang": F.col("lang").isin("de", "en", "fr"),
+        },
+    )
+    return quar.groupBy(
+        F.array_join("failed_rules", ",").alias("failed_rules")
+    ).agg(F.count("*").alias("n"))
