@@ -1,0 +1,43 @@
+"""Registry-wide physical-plan hygiene sweep.
+
+Every registry query's plan is linted for the anti-patterns that kill at
+cluster scale (cartesian joins, nested-loop joins, row-wise Python UDFs).
+Offenders must be explicitly whitelisted WITH a reason -- a new operator
+that regresses into an all-pairs join (the round-2 q39 class) fails here
+by name.
+"""
+
+import pytest
+
+from etl_world_banks_with_python_and_postgresql_spark.plans.lint import lint_plan
+from etl_world_banks_with_python_and_postgresql_spark.plans.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+# query -> justification for the allowed nested-loop/cartesian shape
+WHITELIST = {
+    # 5 x 5 region pairs: the cross product IS the requested result and
+    # both sides are dimension-sized forever
+    "q69_cross_region_pairs": "intentional tiny cross product",
+    # brute-force exact ANN baseline: every (query, corpus) pair must be
+    # scored by definition; the build side is the bounded broadcast query
+    # set (max_queries guard), so the 'nested loop' is the scan itself
+    "q38_ann_cosine_topk": "exact ANN: bounded broadcast query side",
+    "q77_multimodal_ann": "exact ANN: fixed-cap broadcast query side",
+    # comparisons against a single-row global aggregate: the nested-loop
+    # build side is exactly one broadcast row
+    "q55_supplier_value_share": "scalar-aggregate comparison (1-row side)",
+    "q73_top_nation_part_value": "scalar-aggregate comparison (1-row side)",
+    "q84_dormant_rich_customers": "scalar-aggregate comparison (1-row side)",
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_plan_is_scale_clean(spark, name):
+    findings = lint_plan(REGISTRY[name].fn(spark, SF))
+    if name in WHITELIST:
+        return  # allowed shape, documented above
+    assert not findings, (
+        f"{name} regressed into a scale anti-pattern: {findings}. "
+        "Fix the plan or whitelist it here with a justification."
+    )
