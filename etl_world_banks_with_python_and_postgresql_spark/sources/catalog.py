@@ -69,3 +69,58 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every TESTDATA table as a temp view for spark.sql queries."""
     for name in TABLE_NAMES:
         load(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+def parquet_footer_stats(
+    spark: SparkSession, path: str, cols: list[str]
+) -> dict[str, dict]:
+    """MIN / MAX / COUNT per column from parquet FOOTERS only -- the scan
+    reads statistics, not rows (Spark's parquet aggregate pushdown,
+    `PushedAggregation` in the plan). On a 100 TB table this is the
+    difference between a metadata pass and a full read for manifest /
+    freshness / range-discovery checks (the incremental table's pruning
+    stats and the range-export manifest are the in-repo consumers).
+
+    Pushdown needs the v2 parquet source, which the engine does NOT use
+    as its default (v2 lacks the bucketed-table support the incremental
+    base relies on), so the v2 routing is scoped to this call and the
+    previous setting is restored. Falls back transparently to a normal
+    scan when pushdown cannot apply (filters, nested columns) -- results
+    are identical either way, only the scan cost differs.
+    """
+    from pyspark.sql import functions as F
+
+    conf_key = "spark.sql.sources.useV1SourceList"
+    push_key = "spark.sql.parquet.aggregatePushdown"
+    old_v1 = spark.conf.get(conf_key, None)
+    old_push = spark.conf.get(push_key, None)
+    spark.conf.set(conf_key, "")
+    spark.conf.set(push_key, "true")
+    try:
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.min(c).alias(f"{c}__min"),
+                F.max(c).alias(f"{c}__max"),
+                F.count(c).alias(f"{c}__count"),
+            ]
+        # collect INSIDE the conf window: the plan binds its source on
+        # execution, and the restored v1 default would kill the pushdown
+        row = spark.read.parquet(path).agg(*aggs).collect()[0]
+    finally:
+        if old_v1 is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old_v1)
+        if old_push is None:
+            spark.conf.unset(push_key)
+        else:
+            spark.conf.set(push_key, old_push)
+    return {
+        c: {
+            "min": row[f"{c}__min"],
+            "max": row[f"{c}__max"],
+            "count": row[f"{c}__count"],
+        }
+        for c in cols
+    }

@@ -788,3 +788,44 @@ def test_cosine_topk_broadcast_guard(spark):
         cosine_topk(emb, q, k=2, max_queries=3)
     # override works; default (100k) never triggers at test scale
     assert cosine_topk(emb, q, k=2, max_queries=None).count() > 0
+
+
+def test_parquet_footer_stats_pushdown(spark):
+    """Footer-stats helper: results match a full scan, the aggregation is
+    actually pushed to the parquet reader, and the session's source
+    routing is restored afterwards."""
+    from etl_world_banks_with_python_and_postgresql_spark.sources.catalog import (
+        parquet_footer_stats,
+    )
+
+    path = f"{SF}/orders.parquet"
+    before = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    stats = parquet_footer_stats(spark, path, ["o_totalprice", "o_orderkey"])
+    assert spark.conf.get("spark.sql.sources.useV1SourceList", None) == before
+
+    full = spark.read.parquet(path)
+    direct = full.agg(
+        F.min("o_totalprice"), F.max("o_totalprice"), F.count("o_totalprice")
+    ).collect()[0]
+    assert stats["o_totalprice"]["min"] == direct[0]
+    assert stats["o_totalprice"]["max"] == direct[1]
+    assert stats["o_totalprice"]["count"] == direct[2]
+
+    # and the pushdown really happens under the scoped conf
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        plan = (
+            spark.read.parquet(path)
+            .agg(F.min("o_totalprice"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedAggregation: [MIN(o_totalprice)]" in plan
+    finally:
+        spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+        if before is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", before)
