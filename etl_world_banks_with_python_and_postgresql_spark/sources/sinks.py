@@ -177,19 +177,20 @@ def write_range_partitioned(
         .write.mode("overwrite")
         .parquet(path)
     )
+    from .catalog import parquet_footer_stats
+
     spark = df.sparkSession
     manifest = []
     for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
-        st = (
-            spark.read.parquet(f)
-            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"), F.count("*").alias("n"))
-            .collect()[0]
-        )
-        if st["n"] == 0:
+        # footer-stats pass: per-file [min, max, rows] without reading rows
+        st = parquet_footer_stats(spark, f, [col])[col]
+        if st["count"] == 0:
             continue
-        lo = st["lo"] if isinstance(st["lo"], (int, float)) else str(st["lo"])
-        hi = st["hi"] if isinstance(st["hi"], (int, float)) else str(st["hi"])
-        manifest.append({"file": os.path.basename(f), "min": lo, "max": hi, "rows": st["n"]})
+        lo = st["min"] if isinstance(st["min"], (int, float)) else str(st["min"])
+        hi = st["max"] if isinstance(st["max"], (int, float)) else str(st["max"])
+        manifest.append(
+            {"file": os.path.basename(f), "min": lo, "max": hi, "rows": st["count"]}
+        )
     with open(os.path.join(path, "_ranges.json"), "w") as f:
         json.dump(manifest, f)
     return manifest
