@@ -38,12 +38,20 @@ class RollupTable:
         keys: list[str] | None = None,
         ts_col: str = "ts",
         value_col: str = "value",
+        distinct_col: str | None = None,
     ) -> None:
         self.path = path
         self.bucket = bucket
         self.keys = list(keys or [])
         self.ts_col = ts_col
         self.value_col = value_col
+        # mergeable distinct counts: exact COUNT(DISTINCT) is holistic (it
+        # would need the raw values retained), but an HLL sketch is
+        # algebraic -- per-batch sketches union associatively, so the
+        # rollup can serve approximate distinct-user counts with the same
+        # O(groups) storage (Datasketches HLL via hll_sketch_agg/
+        # hll_union_agg, ~2% relative error at default lgK)
+        self.distinct_col = distinct_col
 
     def _partials(self, batch: DataFrame) -> DataFrame:
         return (
@@ -56,6 +64,11 @@ class RollupTable:
                 F.sum(self.value_col).alias("sum_value"),
                 F.min(self.value_col).alias("min_value"),
                 F.max(self.value_col).alias("max_value"),
+                *(
+                    [F.hll_sketch_agg(self.distinct_col).alias("hll")]
+                    if self.distinct_col
+                    else []
+                ),
             )
         )
 
@@ -72,18 +85,28 @@ class RollupTable:
         rows (|batches| x groups), not events.
         """
         p = spark.read.parquet(self.path)
-        return (
+        out = (
             p.groupBy("win_start", *self.keys)
             .agg(
                 F.sum("n").alias("n"),
                 F.round(F.sum("sum_value"), 4).alias("sum_value"),
                 F.min("min_value").alias("min_value"),
                 F.max("max_value").alias("max_value"),
+                *(
+                    [F.hll_union_agg("hll").alias("_hll")]
+                    if self.distinct_col
+                    else []
+                ),
             )
             .withColumn(
                 "avg_value", F.round(F.col("sum_value") / F.col("n"), 4)
             )
         )
+        if self.distinct_col:
+            out = out.withColumn(
+                "n_distinct_est", F.hll_sketch_estimate("_hll")
+            ).drop("_hll")
+        return out
 
     def n_partial_rows(self, spark: SparkSession) -> int:
         return spark.read.parquet(self.path).count()
@@ -103,6 +126,13 @@ class RollupTable:
                 F.sum("sum_value").alias("sum_value"),
                 F.min("min_value").alias("min_value"),
                 F.max("max_value").alias("max_value"),
+                *(
+                    # keep the UNIONED SKETCH (not the estimate): compacted
+                    # rows must stay mergeable with future partials
+                    [F.hll_union_agg("hll").alias("hll")]
+                    if self.distinct_col
+                    else []
+                ),
             )
         )
         staging = self.path + ".staging"

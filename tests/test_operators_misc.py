@@ -829,3 +829,44 @@ def test_parquet_footer_stats_pushdown(spark):
             spark.conf.unset("spark.sql.sources.useV1SourceList")
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", before)
+
+
+def test_rollup_hll_distinct_counts(spark, tmp_path):
+    """Mergeable distinct counts: per-group HLL estimates from 3
+    incremental ingests land within 5% of exact COUNT(DISTINCT); a
+    compaction keeps the sketches mergeable and the estimates identical."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.rollup import (
+        RollupTable,
+    )
+
+    ev = load(spark, "events", SF).select("ts", "event_type", "value", "user_id")
+    rt = RollupTable(
+        str(tmp_path / "r"), bucket="1 hour", keys=["event_type"],
+        distinct_col="user_id",
+    )
+    for m in range(3):
+        rt.ingest(ev.filter(F.pmod(F.xxhash64("ts"), F.lit(3)) == m))
+
+    est = {
+        (r["win_start"], r["event_type"]): r["n_distinct_est"]
+        for r in rt.read(spark).collect()
+    }
+    exact = {
+        (r["w"], r["event_type"]): r["d"]
+        for r in ev.groupBy(
+            F.window("ts", "1 hour").start.alias("w"), "event_type"
+        ).agg(F.countDistinct("user_id").alias("d")).collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, d in exact.items():
+        assert abs(est[k] - d) <= max(1, 0.05 * d), (k, est[k], d)
+
+    rt.compact(spark)
+    after = {
+        (r["win_start"], r["event_type"]): r["n_distinct_est"]
+        for r in rt.read(spark).collect()
+    }
+    assert after == est  # sketch union is associative; compaction is lossless
+    # and compacted rows stay mergeable with future ingests
+    rt.ingest(ev.limit(50))
+    assert rt.read(spark).count() == len(exact)
