@@ -29,15 +29,22 @@ def windowed_event_counts(
     window: str = "5 minutes",
     watermark: str = "10 minutes",
     ts_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts/sums with a watermark for late data.
+    """Tumbling (or, with ``slide``, hopping) window counts/sums with a
+    watermark for late data.
 
     Append-mode compatible: a window closes once the watermark passes its
     end, bounding state size -- the knob that matters at 100 TB/day rates.
+    A hopping window multiplies state by window/slide (each event lives in
+    that many open windows); batch twin: z04_sliding_window.
     """
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
     )

@@ -739,3 +739,36 @@ def test_streaming_novelty_sink(spark, tmp_path):
     # replay the whole input from a fresh checkpoint: nothing new appends
     run_once()
     assert spark.read.parquet(corpus).count() == 3
+
+
+def test_sliding_window_stream_equals_batch(spark, tmp_path):
+    """Hopping-window streaming agg == the z04 batch form on the same
+    events (complete mode; the batch query is the oracle-gated one)."""
+    from etl_world_banks_with_python_and_postgresql_spark.plans.queries import REGISTRY
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        windowed_event_counts,
+    )
+
+    src = str(tmp_path / "ev")
+    ev = load(spark, "events", SF).select("ts", "event_type", "value")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        windowed_event_counts(stream, window="10 minutes", slide="5 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("slide_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["win_start"], r["event_type"]): (r["n"], round(r["total_value"], 4))
+        for r in spark.sql("SELECT * FROM slide_out").collect()
+    }
+    batch = {
+        (r["win_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in REGISTRY["z04_sliding_window"].fn(spark, SF).collect()
+    }
+    assert got == batch
