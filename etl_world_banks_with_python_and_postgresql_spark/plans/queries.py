@@ -3574,3 +3574,78 @@ def z08(spark, sf_dir):
     return quar.groupBy(
         F.array_join("failed_rules", ",").alias("failed_rules")
     ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "z09_footer_stats",
+    oracle="""
+SELECT min(o_totalprice) AS price_min,
+       max(o_totalprice) AS price_max,
+       count(o_totalprice) AS n_price,
+       count(o_orderkey)  AS n_key
+FROM orders
+""",
+    description=(
+        "footer-only table stats: MIN/MAX/COUNT served from parquet "
+        "metadata via scoped aggregate pushdown (PushedAggregation) -- a "
+        "metadata pass where the oracle pays a scan"
+    ),
+)
+def z09(spark, sf_dir):
+    from ..sources.catalog import parquet_footer_stats
+
+    st = parquet_footer_stats(
+        spark, f"{sf_dir}/orders.parquet", ["o_totalprice", "o_orderkey"]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                st["o_totalprice"]["min"],
+                st["o_totalprice"]["max"],
+                st["o_totalprice"]["count"],
+                st["o_orderkey"]["count"],
+            )
+        ],
+        "price_min double, price_max double, n_price bigint, n_key bigint",
+    )
+
+
+@query(
+    "z10_token_entropy",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1)
+SELECT c.doc_id,
+       round(-sum((c.c / n.n::DOUBLE) * ln(c.c / n.n::DOUBLE)), 4) AS token_entropy,
+       count(*) AS n_distinct_tokens
+FROM c JOIN n USING (doc_id)
+GROUP BY c.doc_id
+""",
+    description=(
+        "Shannon entropy of the within-document token distribution (the "
+        "low-entropy tail is boilerplate/degenerate text): explode -> two "
+        "map-side-combined aggregations keyed by (doc, token) then doc"
+    ),
+)
+def z10(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir).filter(
+        F.length(F.trim("text")) > 0
+    )
+    c = (
+        docs.select("doc_id", F.explode(xhash.ws_tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    n = c.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        c.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 4).alias("token_entropy"),
+            F.count("*").alias("n_distinct_tokens"),
+        )
+    )
