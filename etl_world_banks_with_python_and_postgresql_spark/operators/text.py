@@ -280,3 +280,40 @@ def with_repetition(
             ).alias("top_bigram_frac"),
         )
     )
+
+
+# accent fold map shared verbatim by the Spark plan and the DuckDB oracle
+# (both engines have Postgres-style translate(str, from, to))
+ACCENT_SRC = "àáâãäåèéêëìíîïòóôõöùúûüýÿçñšžœæð"
+ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuyycnszoad"
+
+
+def canonical_text(text: Column) -> Column:
+    """Canonical form for normalize-before-dedup: lowercase, fold common
+    accents (shared literal map -- engine-reproducible, unlike locale
+    dependent ICU normalization), strip everything but [a-z0-9
+    whitespace], collapse whitespace runs, trim.
+
+    Pure codegen expression chain; the canonical string is what fuzzy /
+    exact dedup should key on so 'Crème  Brûlée!' and 'creme brulee'
+    land in the same group.
+    """
+    c = F.lower(text)
+    c = F.translate(c, ACCENT_SRC, ACCENT_DST)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def canonical_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on the CANONICAL form: one hash-groupBy (map-side
+    combined) keyed on md5(canonical_text) -- same plan shape as
+    dedup.exact_duplicates, catching the case-/accent-/punctuation-variant
+    copies byte-exact dedup misses."""
+    h = F.md5(canonical_text(F.col(text_col)))
+    return (
+        df.select(h.alias("canon_hash"), F.col(id_col))
+        .groupBy("canon_hash")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id"))
+    )

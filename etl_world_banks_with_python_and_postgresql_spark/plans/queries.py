@@ -3649,3 +3649,26 @@ def z10(spark, sf_dir):
             F.count("*").alias("n_distinct_tokens"),
         )
     )
+
+
+@query(
+    "z11_canonical_dedup",
+    oracle=f"""
+WITH c AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(
+               translate(lower(text), '{text.ACCENT_SRC}', '{text.ACCENT_DST}'),
+               '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS h
+  FROM documents)
+SELECT h AS canon_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+FROM c GROUP BY h
+""",
+    description=(
+        "exact dedup on the canonical text form (lowercase + shared-map "
+        "accent fold + punctuation strip + whitespace collapse): one "
+        "map-side-combined hash-groupBy, catches the variant copies "
+        "byte-exact dedup misses"
+    ),
+)
+def z11(spark, sf_dir):
+    return text.canonical_dedup_groups(load(spark, "documents", sf_dir))

@@ -870,3 +870,29 @@ def test_rollup_hll_distinct_counts(spark, tmp_path):
     # and compacted rows stay mergeable with future ingests
     rt.ingest(ev.limit(50))
     assert rt.read(spark).count() == len(exact)
+
+
+def test_canonical_dedup_folds_variants(spark):
+    """Accent/case/punctuation variants land in one canonical group."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.text import (
+        canonical_dedup_groups,
+        canonical_text,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Crème  Brûlée!"),
+            (2, "creme brulee"),
+            (3, "CREME, BRULEE"),
+            (4, "something else"),
+            (5, "Ñoño's   café"),
+            (6, "nono s cafe"),
+        ],
+        "doc_id long, text string",
+    )
+    canon = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", canonical_text(F.col("text")).alias("c")).collect()}
+    assert canon[1] == canon[2] == canon[3] == "creme brulee"
+    assert canon[5] == canon[6] == "nono s cafe"
+    groups = {r["keep_id"]: r["n_copies"] for r in canonical_dedup_groups(df).collect()}
+    assert groups == {1: 3, 4: 1, 5: 2}
