@@ -194,3 +194,42 @@ def test_q39_neardup_no_cartesian(spark):
     plan = formatted_plan(REGISTRY["q39_embedding_neardup"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_novel_documents_bucketed_corpus_no_exchange(spark):
+    """The incremental-dedup docstring claim, pinned: with the corpus
+    content-hash index stored bucketed on the hash, the per-batch
+    anti-join probes it WITHOUT shuffling the corpus side -- only the
+    (small) new batch exchanges. This is the steady-state O(|batch|)
+    ingest plan at 100 TB."""
+    from etl_world_banks_with_python_and_postgresql_spark.sources.bucketing import (
+        write_bucketed,
+    )
+
+    docs = load(spark, "documents", SF)
+    corpus_idx = docs.filter(F.col("source") == "src0").select(
+        F.md5("text").alias("_h")
+    ).distinct()
+    write_bucketed(corpus_idx, "b_corpus_hash", ["_h"], n_buckets=8)
+    try:
+        new = docs.filter(F.col("source") != "src0").select(
+            "doc_id", F.md5("text").alias("_h")
+        )
+        # mirror novel_documents' join against the bucketed index, with the
+        # batch side repartitioned onto the SAME hash layout
+        novel = new.repartition(8, "_h").join(
+            spark.table("b_corpus_hash"), "_h", "left_anti"
+        )
+        plan = formatted_plan(novel)
+        tree = plan.split("\n\n")[0]
+        # the corpus scan feeds the join with no Exchange above it
+        scan_side = [
+            l for l in tree.splitlines() if "b_corpus_hash" in l or "Scan" in l
+        ]
+        assert any("b_corpus_hash" in l for l in scan_side)
+        # exactly one hashpartitioning exchange in the whole plan: the
+        # batch-side repartition; none on the bucketed corpus side
+        assert tree.count("Exchange hashpartitioning") <= 1
+        assert novel.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_corpus_hash")
