@@ -50,6 +50,8 @@ HEADLINE = [
     "q49_train_pipeline",
     "q98_repetition_signals",
     "z03_minhash_novel",
+    "z06_continuous_aggregate",
+    "z11_canonical_dedup",
 ]
 
 
@@ -65,14 +67,12 @@ def bench_pipeline_e2e(spark) -> float:
         PipelineConfig,
         run_pipeline,
     )
-    from tests.test_pipeline import BANKS, RATES, banks_html, rates_html
+    from etl_world_banks_with_python_and_postgresql_spark.sources.fixtures import (
+        write_fixture_pages,
+    )
 
     with tempfile.TemporaryDirectory() as tmp:
-        b, r = f"{tmp}/banks.html", f"{tmp}/rates.html"
-        with open(b, "w") as f:
-            f.write(banks_html(BANKS))
-        with open(r, "w") as f:
-            f.write(rates_html(RATES))
+        b, r = write_fixture_pages(tmp)
         t0 = time.perf_counter()
         for i, day in enumerate((1, 2)):
             run_pipeline(
@@ -105,19 +105,17 @@ def reset_block_state(spark) -> None:
     spark.sparkContext._jvm.System.gc()
 
 
-def main() -> None:
-    spark = get_spark(app_name="bench")
-    # warmup: touch the biggest table once (JVM + codegen + FS metadata) and
-    # spin up the Python worker pool (used only by the mapInPandas queries;
-    # cold fork+import otherwise dominates their first measurement)
+def warmup(spark) -> None:
+    """One-off costs absorbed before any measurement: touch the biggest
+    table (JVM + codegen + FS metadata), spin up the Python worker pool
+    (cold fork+import otherwise dominates the first mapInPandas query),
+    and run one throwaway pipeline -- the merge/classify/snapshot plans
+    carry ~9 s of one-time codegen+JIT on this box (cold 13.5 s vs warm
+    3.5 s for identical plans)."""
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     spark.range(10_000).repartition(64).mapInPandas(
         lambda it: it, "id long"
     ).count()
-    # one throwaway pipeline run: the merge/classify/snapshot plans carry
-    # ~9 s of one-time codegen+JIT on this box (cold 13.5 s vs warm 3.5 s
-    # for identical plans); absorbing it here keeps pipeline_e2e_2runs a
-    # steady-state number, same rationale as the scan/worker-pool warmup
     import tempfile
     from datetime import datetime
 
@@ -125,31 +123,43 @@ def main() -> None:
         PipelineConfig,
         run_pipeline,
     )
-    from tests.test_pipeline import BANKS, RATES, banks_html, rates_html
+    from etl_world_banks_with_python_and_postgresql_spark.sources.fixtures import (
+        write_fixture_pages,
+    )
 
     with tempfile.TemporaryDirectory() as tmp:
-        with open(f"{tmp}/b.html", "w") as f:
-            f.write(banks_html(BANKS))
-        with open(f"{tmp}/r.html", "w") as f:
-            f.write(rates_html(RATES))
+        b, r = write_fixture_pages(tmp)
         run_pipeline(
             spark,
             PipelineConfig(
-                banks_source=f"{tmp}/b.html",
-                rates_source=f"{tmp}/r.html",
+                banks_source=b,
+                rates_source=r,
                 target_dir=f"{tmp}/warmup_wh",
                 batch_id="warmup",
                 now=datetime(2024, 8, 1, 6, 0, 0),
             ),
         )
-    reset_block_state(spark)
 
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
     # Fault isolation: one failing query must never erase the whole perf
     # record (round-2 lesson: a single loader bug aborted the suite at q22
     # and left BENCH_r02 empty). Failures are recorded in "errors" and the
-    # summary JSON line is always emitted with rc=0.
+    # summary JSON line is always emitted with rc=0. The warmup gets the
+    # SAME treatment (ADVICE r3): a warmup crash degrades the numbers to
+    # cold-start but still produces the full record.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    try:
+        warmup(spark)
+    except Exception as exc:  # noqa: BLE001 - record-and-continue, see above
+        errors["warmup"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"# warmup FAILED (numbers will be cold): {exc}", file=sys.stderr)
+    try:
+        reset_block_state(spark)
+    except Exception as exc:  # noqa: BLE001
+        errors["reset_block_state"] = f"{type(exc).__name__}: {exc}"[:500]
     try:
         timings["pipeline_e2e_2runs"] = bench_pipeline_e2e(spark)
         print(

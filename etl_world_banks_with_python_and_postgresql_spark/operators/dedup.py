@@ -41,6 +41,30 @@ from ..functions.xhash import (
 )
 
 
+def _finalize(result: DataFrame, cached: list[DataFrame], unpersist_after: bool) -> DataFrame:
+    """Release operator-internal caches without breaking the result.
+
+    The pair operators persist their shingle/signature frames because two
+    plan branches (candidate generation + verification) read them. With
+    ``unpersist_after=True`` (the library default) the result -- bounded
+    by the true near-dup pair count, never corpus-sized -- is materialized
+    with an eager localCheckpoint, which cuts its lineage to the cached
+    subplans, and the caches are dropped immediately: repeated calls in a
+    long-lived session leave no dead blocks behind (PERF.md documents
+    6-16 s heap-aging swings from exactly that). Pass
+    ``unpersist_after=False`` to get the fully lazy plan instead (the
+    registry queries do -- the plan-lint sweep must see the join strategy,
+    and the bench harness resets block state itself); the caller then owns
+    the persisted frames for the life of the returned plan.
+    """
+    if not unpersist_after:
+        return result
+    out = result.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical texts: (content md5, n_copies, keep_id).
 
@@ -83,6 +107,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     max_shingle_df: int | None = None,
     prefix_order: str = "hash",
+    unpersist_after: bool = True,
 ) -> DataFrame:
     """EXACT n-gram-Jaccard near-duplicate pairs (doc_a < doc_b, j >= t).
 
@@ -174,7 +199,7 @@ def ngram_jaccard_pairs(
     )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a"), F.col("sz").alias("sz_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b"), F.col("sz").alias("sz_b"))
-    return (
+    verified = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -187,6 +212,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return _finalize(verified, [sets], unpersist_after)
 
 
 def minhash_lsh_pairs(
@@ -197,6 +223,7 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    unpersist_after: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard-verified.
 
@@ -276,7 +303,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return verified
+    return _finalize(verified, [sets], unpersist_after)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
@@ -312,6 +339,7 @@ def simhash_multiprobe_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 16,
+    unpersist_after: bool = True,
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance 1 of the SimHash sketch,
     without any O(n^2) comparison (multi-probe LSH).
@@ -338,7 +366,7 @@ def simhash_multiprobe_pairs(
         ).alias("probe"),
     )
     idx = sk.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sk_b"))
-    return (
+    pairs = (
         probes.join(idx, probes.probe == idx.sk_b)
         .filter(F.col("id_a") != F.col("id_b"))
         .select(
@@ -348,9 +376,12 @@ def simhash_multiprobe_pairs(
         )
         .distinct()
     )
+    return _finalize(pairs, [sk], unpersist_after)
 
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame, max_iter: int = 25, on_nonconverged: str = "raise"
+) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS (connected
     components): every document in a component gets the component's
     minimum doc id as its cluster id -- the survivor a dedup pass keeps.
@@ -360,9 +391,24 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     closure is what actually decides "keep one of {A,B,C}". Implemented as
     iterative min-label propagation: each round every node takes the min
     of its own label and its neighbors' labels. Rounds needed = graph
-    diameter -- near-dup components are near-cliques, so a handful; raises
-    RuntimeError at ``max_iter`` rather than returning silently-partial
-    clusters (path-shaped adversarial graphs can exceed it).
+    diameter -- near-dup components are near-cliques, so a handful;
+    path-shaped adversarial graphs (chains of pairwise-similar docs) can
+    exceed ``max_iter``, and the iteration bound is what makes the
+    operator's cost PREDICTABLE at 100 TB, so non-convergence is never
+    silent:
+
+      * ``on_nonconverged='raise'`` (default): RuntimeError naming the
+        bound -- a batch job fails loudly instead of shipping partial
+        clusters.
+      * ``on_nonconverged='quarantine'``: returns with an extra
+        ``converged`` boolean column. Label-groups that would still
+        change (they contain a node whose neighborhood offers a smaller
+        label) are flagged ``converged=false`` -- a dedup pass keeps
+        those docs aside for a follow-up run instead of trusting their
+        cluster ids. Rows with ``converged=true`` carry their FINAL
+        cluster id: a stable group only ever changes by adopting a
+        smaller label through a boundary node, and that boundary node
+        would be flagged pending.
 
     Scale shape: per round, one shuffle of the (bounded, already-reduced)
     edge list joined to the label table + a min-aggregate; lineage is cut
@@ -370,6 +416,11 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     instead of O(iterations). This is the standard large-graph CC recipe
     (GraphFrames does the same dance) without a graph library dependency.
     """
+    if on_nonconverged not in ("raise", "quarantine"):
+        raise ValueError(
+            f"on_nonconverged must be 'raise' or 'quarantine', got "
+            f"{on_nonconverged!r}"
+        )
     edges = pairs.select(
         F.col("doc_a").cast("long").alias("src"),
         F.col("doc_b").cast("long").alias("dst"),
@@ -412,13 +463,44 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             sym.unpersist()
-            return labels.select(
+            out = labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
             )
+            if on_nonconverged == "quarantine":
+                # stable schema across outcomes in quarantine mode
+                out = out.withColumn("converged", F.lit(True))
+            return out
+    if on_nonconverged == "quarantine":
+        # pending nodes: another round would still lower their label
+        nbr = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        pending_groups = (
+            labels.join(nbr, labels.node == nbr.src)
+            .filter(F.col("nbr_label") < F.col("label"))
+            .select("label")
+            .distinct()
+        )
+        out = labels.join(
+            pending_groups.withColumnRenamed("label", "_bad"),
+            labels.label == F.col("_bad"),
+            "left",
+        ).select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            F.col("_bad").isNull().alias("converged"),
+        )
+        out = out.localCheckpoint(eager=True)  # cut lineage before unpersist
+        sym.unpersist()
+        return out
     sym.unpersist()
     raise RuntimeError(
         f"duplicate_clusters did not converge in {max_iter} iterations "
-        "(graph diameter exceeds max_iter; raise it for path-shaped graphs)"
+        "(graph diameter exceeds max_iter; raise it for path-shaped "
+        "graphs, or pass on_nonconverged='quarantine' to flag the "
+        "unfinished components instead)"
     )
 
 
@@ -457,6 +539,7 @@ def minhash_novel(
     band_size: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    unpersist_after: bool = True,
 ) -> DataFrame:
     """Incremental-ingestion NEAR-dup filter: rows of ``new_df`` with no
     corpus document at true Jaccard >= ``threshold``.
@@ -503,7 +586,16 @@ def minhash_novel(
 
     new_sets = prep(new_df).persist(StorageLevel.MEMORY_AND_DISK)
     new_sets.count()  # eager fill (see ngram_jaccard_pairs)
+    # the corpus shingle/signature pass feeds BOTH joins (band index +
+    # verify); persist it instead of recomputing the corpus scan twice --
+    # but only when this call owns the cache lifecycle (eager mode).
+    # In lazy mode a persist would outlive the call with no release point,
+    # so the recompute is the lesser cost there.
     corpus_sets = prep(corpus_df)
+    caches = [new_sets]
+    if unpersist_after:
+        corpus_sets = corpus_sets.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(corpus_sets)
 
     cand = (
         bands(new_sets)
@@ -534,6 +626,11 @@ def minhash_novel(
         .select(F.col("new_id").alias("doc_id"))
         .distinct()
     )
+    # finalize on dup_ids (bounded by |batch|), NOT on the batch-sized
+    # anti-join result: the checkpoint materializes only the duplicate id
+    # set, then both caches are released before the caller ever runs the
+    # returned plan
+    dup_ids = _finalize(dup_ids, caches, unpersist_after)
     return new_df.join(
         dup_ids.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     )

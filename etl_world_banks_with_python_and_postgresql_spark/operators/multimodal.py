@@ -2,10 +2,14 @@
 
 The Spark-side plumbing is real and tested -- binary columns, Arrow-batched
 ``mapInPandas`` with an explicit output schema, partition-sized batches.
-The actual codec calls are STUBBED (Pillow/ffmpeg are not in this
-container): ``decode_image_meta`` runs a deterministic fake "decode" that
-derives metadata purely from the byte payload, and ``decode_image_pixels``
-raises NotImplementedError at the exact point a codec would be invoked.
+The AUDIO leg is codec-REAL: ``attach_wav_binary`` builds genuine
+RIFF/WAVE 16-bit PCM payloads and ``decode_wav_meta`` /
+``wav_frame_energy`` parse them with stdlib ``wave`` (header fields and
+decoded samples, no arithmetic stand-in). The IMAGE pixel path is the one
+remaining environmental stub (Pillow/ffmpeg are not in this container):
+``decode_image_meta`` runs a deterministic fake "decode" that derives
+metadata purely from the byte payload, and ``decode_image_pixels`` raises
+NotImplementedError at the exact point a codec would be invoked.
 
 At 100 TB the pattern holds: binaries stay columnar in parquet, decode
 happens inside mapInPandas per Arrow batch (no per-row Python), and
@@ -206,6 +210,145 @@ def decode_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         df.sparkSession.sparkContext.defaultParallelism
     )
     return spread.mapInPandas(decode, AUDIO_META_SCHEMA)
+
+
+WAV_RATES = [8000, 16000, 44100, 48000]
+WAV_HEADER_BYTES = 44  # canonical PCM RIFF header (12 RIFF + 24 fmt + 8 data)
+
+
+def attach_wav_binary(
+    df: DataFrame, id_col: str = "doc_id", len_col: str = "n_chars"
+) -> DataFrame:
+    """Attach a GENUINE RIFF/WAVE payload per row (16-bit mono PCM built
+    with stdlib ``wave``), replacing the fake text-bytes blob for the
+    audio leg. Parameters are deterministic functions of existing columns
+    -- sample_rate cycles WAV_RATES by ``id_col % 4``, n_samples =
+    64 + (len_col * 7) % 1000, samples are a fixed sawtooth scaled by
+    (id % 5 + 1) -- so an oracle can predict the decoded metadata
+    arithmetically while the decoder itself must parse real headers.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for did, ln in zip(pdf[id_col], pdf[len_col]):
+                rate = WAV_RATES[int(did) % 4]
+                n_samples = 64 + (int(ln) * 7) % 1000
+                amp = int(did) % 5 + 1
+                pcm = (
+                    (np.arange(n_samples, dtype=np.int64) % 256 - 128)
+                    * 64 * amp
+                ).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(pcm.tobytes())
+                payloads.append(buf.getvalue())
+            out = pdf[[id_col, len_col]].copy()
+            out["payload"] = payloads
+            yield out
+
+    spread = df.select(id_col, len_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
+        gen, f"{id_col} long, {len_col} int, payload binary"
+    )
+
+
+WAV_META_SCHEMA = (
+    "doc_id long, n_bytes long, sample_rate int, n_channels int, "
+    "n_samples long, duration_ms long, codec string"
+)
+
+
+def decode_wav_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio header decode (stdlib ``wave``, no external codec): the
+    payload bytes are parsed as RIFF/WAVE -- rate, channels, frame count
+    come from the actual header fields, not arithmetic on byte length.
+    This is the environmental-gap closure for the audio leg; the pixel
+    path (``decode_image_pixels``) remains the only stub.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_bytes", "sample_rate", "n_channels",
+                "n_samples", "duration_ms", "codec",
+            )}
+            for did, b in zip(pdf["doc_id"], pdf[payload_col]):
+                bs = bytes(b)
+                with wave.open(io.BytesIO(bs), "rb") as w:
+                    rate = w.getframerate()
+                    n = w.getnframes()
+                    rows["doc_id"].append(did)
+                    rows["n_bytes"].append(len(bs))
+                    rows["sample_rate"].append(rate)
+                    rows["n_channels"].append(w.getnchannels())
+                    rows["n_samples"].append(n)
+                    rows["duration_ms"].append(n * 1000 // rate)
+                    rows["codec"].append(f"PCM{8 * w.getsampwidth()}")
+            pdf_out = pd.DataFrame(rows)
+            pdf_out["sample_rate"] = pdf_out["sample_rate"].astype("int32")
+            pdf_out["n_channels"] = pdf_out["n_channels"].astype("int32")
+            yield pdf_out
+
+    spread = df.select("doc_id", payload_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(decode, WAV_META_SCHEMA)
+
+
+def wav_frame_energy(
+    df: DataFrame,
+    n_frames: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL PCM feature extraction: decode 16-bit samples with stdlib
+    ``wave`` + numpy, then per-span RMS energy normalized to [0, 1] --
+    the audio twin of ``byte_histogram_features`` but over actual decoded
+    samples rather than raw blob bytes. Output feeds the ANN operators.
+    """
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            vecs = []
+            for b in pdf[payload_col]:
+                with wave.open(io.BytesIO(bytes(b)), "rb") as w:
+                    raw = w.readframes(w.getnframes())
+                a = np.frombuffer(raw, dtype="<i2").astype("float64")
+                if len(a) == 0:
+                    vecs.append([0.0] * n_frames)
+                    continue
+                spans = np.array_split(a, n_frames)
+                vecs.append(
+                    [
+                        float(np.sqrt(np.mean(s * s))) / 32768.0 if len(s) else 0.0
+                        for s in spans
+                    ]
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": vecs})
+
+    spread = df.select(id_col, payload_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(feat, f"{id_col} long, embedding array<double>")
 
 
 def frame_energy_features(

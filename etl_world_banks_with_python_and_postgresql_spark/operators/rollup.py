@@ -84,7 +84,13 @@ class RollupTable:
         from the merged sums. The second aggregation runs over partial
         rows (|batches| x groups), not events.
         """
-        p = spark.read.parquet(self.path)
+        read_path = self.path
+        if not os.path.exists(read_path) and os.path.exists(self.path + ".old"):
+            # a crash mid-compact (between the two swap renames) leaves the
+            # data only in .old; serve it rather than failing the read --
+            # the next successful compact re-establishes the primary path
+            read_path = self.path + ".old"
+        p = spark.read.parquet(read_path)
         out = (
             p.groupBy("win_start", *self.keys)
             .agg(
@@ -142,6 +148,11 @@ class RollupTable:
             shutil.rmtree(backup)
         os.rename(self.path, backup)
         os.rename(staging, self.path)
+        # drop the backup only after the swapped-in snapshot proves
+        # readable: a crash between the two renames (or a bad staging
+        # write) must leave a recoverable copy -- read() falls back to
+        # .old when the primary path is missing
+        spark.read.parquet(self.path).head(1)
         shutil.rmtree(backup)
 
     def streaming_sink(self):

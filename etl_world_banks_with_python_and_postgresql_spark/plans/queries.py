@@ -40,6 +40,41 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# ---------------------------------------------------------------------
+# Order-independent rounded aggregates.
+#
+# round(sum(<double>)) / round(avg(<double>)) over FIXED-POINT-valued
+# columns (TPC-H money/qty/discount) is partition-order-sensitive in its
+# last ulp, and fixed-point data lands *exactly* on rounding
+# half-boundaries with high probability (q86 caught by the r4
+# determinism sweep; q49 was the r3 driver red cell). Lifting each row
+# to exact decimal makes the sum associative -- partition order cannot
+# change the result -- then ONE round / ONE division happens on
+# identical exact inputs in both engines. Arbitrary-double data (events
+# `value`) is left alone: its boundary-landing probability is ~ulp-sized
+# and decimal would pretend precision the data doesn't have.
+# ---------------------------------------------------------------------
+
+_DEC = "decimal(25,6)"
+
+
+def _dsum(expr, scale=2):
+    """Order-independent rounded sum of a fixed-point double expression:
+    exact decimal sum (associative), round once, return double."""
+    return F.round(F.sum(expr.cast(_DEC)), scale).cast("double")
+
+
+def _davg(expr, scale=4):
+    """Order-independent rounded mean: exact decimal sum, one IEEE
+    division, one round."""
+    e = F.col(expr) if isinstance(expr, str) else expr
+    return F.round(F.sum(e.cast(_DEC)).cast("double") / F.count(e), scale)
+
+
+# SQL twins for the DuckDB oracles (format with e=<expr>, s=<scale>)
+_DSUM_SQL = "round(sum(CAST({e} AS DECIMAL(25,6))), {s})::DOUBLE"
+_DAVG_SQL = "round(sum(CAST({e} AS DECIMAL(25,6)))::DOUBLE / count({e}), {s})"
+
 
 def query(name: str, oracle: str | None = None, description: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
@@ -58,13 +93,18 @@ def query(name: str, oracle: str | None = None, description: str = ""):
     "q01_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 6)                                        AS avg_disc,
+       round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2)::DOUBLE         AS sum_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2)::DOUBLE    AS sum_base_price,
+       round(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(25,6))), 2)::DOUBLE                    AS sum_disc_price,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      AS DECIMAL(25,6))), 2)::DOUBLE                    AS sum_charge,
+       round(sum(CAST(l_quantity AS DECIMAL(25,6)))::DOUBLE
+             / count(l_quantity), 4)                                    AS avg_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(25,6)))::DOUBLE
+             / count(l_extendedprice), 4)                               AS avg_price,
+       round(sum(CAST(l_discount AS DECIMAL(25,6)))::DOUBLE
+             / count(l_discount), 6)                                    AS avg_disc,
        count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -78,22 +118,20 @@ def q01(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("sum_disc_price"),
+            _dsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
                 2,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _davg("l_quantity", 4).alias("avg_qty"),
+            _davg("l_extendedprice", 4).alias("avg_price"),
+            _davg("l_discount", 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -122,7 +160,8 @@ def q02(spark, sf_dir):
     "q03_shipping_priority",
     oracle="""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(25,6))), 2)::DOUBLE AS revenue,
        o_orderdate, o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -148,9 +187,9 @@ def q03(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -182,7 +221,9 @@ def q04(spark, sf_dir):
 @query(
     "q05_region_revenue",
     oracle="""
-SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT r_name, n_name,
+       round(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(25,6))), 2)::DOUBLE AS revenue
 FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
               JOIN nation   ON c_nationkey = n_nationkey
@@ -204,9 +245,9 @@ def q05(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue")
         )
     )
 
@@ -214,7 +255,8 @@ def q05(spark, sf_dir):
 @query(
     "q06_forecast_revenue",
     oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT round(sum(CAST(l_extendedprice * l_discount
+                      AS DECIMAL(25,6))), 2)::DOUBLE AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25
@@ -228,7 +270,7 @@ def q06(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_discount").between(0.03, 0.07))
         & (F.col("l_quantity") < 25)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    ).agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("revenue"))
 
 
 @query(
@@ -581,7 +623,8 @@ def q21(spark, sf_dir):
 SELECT event_type,
        count(*)                                          AS n,
        round(sum(value), 4)                              AS total_value,
-       round(avg(json_extract_string(props, '$.k')::INT), 4) AS avg_k,
+       round(sum(json_extract_string(props, '$.k')::INT)::DOUBLE
+             / count(json_extract_string(props, '$.k')::INT), 4) AS avg_k,
        min(json_extract_string(props, '$.k')::INT)       AS min_k,
        max(json_extract_string(props, '$.k')::INT)       AS max_k
 FROM events GROUP BY event_type
@@ -594,7 +637,7 @@ def q22(spark, sf_dir):
     return e.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.sum("value"), 4).alias("total_value"),
-        F.round(F.avg(k), 4).alias("avg_k"),
+        F.round(F.sum(k).cast("double") / F.count(k), 4).alias("avg_k"),
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
@@ -870,6 +913,24 @@ _POLY_SQL = (
     " (a, b) -> (a * 31 + b) % 1000000007)"
 )
 
+# Order-independent 4-dp mean of a 6-dp-rounded double column. A plain
+# avg() over doubles is partition-order-sensitive in its last ulp, so a
+# group whose true mean sits on a 4-dp half-boundary flips its rounded
+# digit between runs/engines (the q49 r3 red cell). Lifting each value to
+# exact integer micros makes the sum associative: partition order cannot
+# change the result, and the single final division + round is the same
+# IEEE operation on both engines.
+_AVG_Q4_SQL = (
+    "round(sum(CAST(round(quality_score * 1000000) AS BIGINT))"
+    " / (count(quality_score) * 1000000.0), 4)"
+)
+
+
+def _avg_q4(col="quality_score"):
+    """Spark twin of _AVG_Q4_SQL: exact-micros mean, rounded once."""
+    micros = F.round(F.col(col) * 1000000).cast("long")
+    return F.round(F.sum(micros) / (F.count(col) * F.lit(1000000.0)), 4)
+
 
 @query(
     "q30_dedup_exact",
@@ -899,7 +960,9 @@ WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
     description="EXACT 3-gram Jaccard near-dup pairs via inverted shingle index",
 )
 def q31(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(load(spark, "documents", sf_dir), threshold=0.8)
+    return dedup.ngram_jaccard_pairs(
+        load(spark, "documents", sf_dir), threshold=0.8, unpersist_after=False
+    )
 
 
 def _minhash_oracle() -> str:
@@ -939,7 +1002,9 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
     description="MinHash signatures + banded LSH candidates + exact-Jaccard verify",
 )
 def q32(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(load(spark, "documents", sf_dir), threshold=0.5)
+    return dedup.minhash_lsh_pairs(
+        load(spark, "documents", sf_dir), threshold=0.5, unpersist_after=False
+    )
 
 
 def _simhash_oracle(bits: int = 16) -> str:
@@ -2050,7 +2115,8 @@ def q67(spark, sf_dir):
     "q68_range_frame_90d",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       round(avg(o_totalprice) OVER w, 4) AS avg_90d,
+       round((sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER w)::DOUBLE
+             / (count(o_totalprice) OVER w), 4) AS avg_90d,
        count(*) OVER w                    AS n_90d
 FROM (SELECT *, date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS d
       FROM orders)
@@ -2071,7 +2137,11 @@ def q68(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.avg("o_totalprice").over(w), 4).alias("avg_90d"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double")
+            / F.count("o_totalprice").over(w),
+            4,
+        ).alias("avg_90d"),
         F.count("*").over(w).alias("n_90d"),
     )
 
@@ -2087,7 +2157,7 @@ SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'valid'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       round(avg(n_chars), 4) AS avg_chars
+       round(sum(n_chars)::DOUBLE / count(n_chars), 4) AS avg_chars
 FROM h GROUP BY 1
 """,
     description=(
@@ -2104,7 +2174,11 @@ def q11(spark, sf_dir):
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            # exact long sum / one division: avg(int) accumulates in
+            # doubles and is partition-order-sensitive under the round
+            F.round(
+                F.sum("n_chars").cast("double") / F.count("n_chars"), 4
+            ).alias("avg_chars"),
         )
     )
 
@@ -2181,7 +2255,8 @@ def q71(spark, sf_dir):
 SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#3'
-  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+  AND l.l_quantity < (SELECT (sum(CAST(l2.l_quantity AS DECIMAL(25,6)))::DOUBLE
+                              / count(l2.l_quantity)) * 0.2
                       FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
 """,
     description=(
@@ -2203,8 +2278,16 @@ def q72(spark, sf_dir):
     li_b = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
+    # threshold from an EXACT sum: a last-ulp wobble in avg() flips rows
+    # sitting exactly on the 0.2*avg boundary (integer quantities land
+    # there); decimal sum + one division + one multiply is bit-stable
+    # across partition orders and engines
     pavg = li_b.groupBy("l_partkey").agg(
-        (F.avg("l_quantity") * 0.2).alias("_qty_cap")
+        (
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double")
+            / F.count("l_quantity")
+            * 0.2
+        ).alias("_qty_cap")
     )
     return (
         li_b.join(F.broadcast(pavg), "l_partkey")
@@ -2269,7 +2352,8 @@ def q73(spark, sf_dir):
     oracle="""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l.l_shipdate)::INT AS l_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(25,6))), 2)::DOUBLE AS revenue
 FROM lineitem l
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
   JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -2314,8 +2398,8 @@ def q74(spark, sf_dir):
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue")
         )
     )
@@ -2324,7 +2408,8 @@ def q74(spark, sf_dir):
 @query(
     "q75_disjunctive_revenue",
     oracle="""
-SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+SELECT round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(25,6))), 2)::DOUBLE AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity BETWEEN 1 AND 11)
@@ -2364,8 +2449,8 @@ def q75(spark, sf_dir):
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(clause)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue")
         )
     )
@@ -2451,7 +2536,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
     ),
 )
 def q78(spark, sf_dir):
-    return dedup.simhash_multiprobe_pairs(load(spark, "documents", sf_dir), bits=32)
+    return dedup.simhash_multiprobe_pairs(
+        load(spark, "documents", sf_dir), bits=32, unpersist_after=False
+    )
 
 
 @query(
@@ -2479,7 +2566,8 @@ def q79(spark, sf_dir):
     "q80_returned_items",
     oracle="""
 SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(25,6))), 2)::DOUBLE AS revenue,
        round(c.c_acctbal, 2) AS acctbal
 FROM customer c
   JOIN orders o ON c.c_custkey = o.o_custkey
@@ -2514,8 +2602,8 @@ def q80(spark, sf_dir):
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue")
         )
         .select(
@@ -2533,10 +2621,11 @@ def q80(spark, sf_dir):
 @query(
     "q81_promo_revenue",
     oracle="""
-SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                              THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+SELECT round(100.0 * sum(CAST(CASE WHEN p.p_type = 'PROMO'
+                                   THEN l.l_extendedprice * (1 - l.l_discount)
+                                   ELSE 0 END AS DECIMAL(25,6)))::DOUBLE
+             / sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(25,6)))::DOUBLE, 4) AS promo_pct
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
   AND l.l_shipdate <  TIMESTAMP '1996-02-01'
@@ -2559,8 +2648,12 @@ def q81(spark, sf_dir):
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev)
+                    .otherwise(F.lit(0.0))
+                    .cast(_DEC)
+                ).cast("double")
+                / F.sum(rev.cast(_DEC)).cast("double"),
                 4,
             ).alias("promo_pct")
         )
@@ -2652,7 +2745,9 @@ def q83(spark, sf_dir):
 SELECT c_nationkey AS cntry, count(*) AS numcust,
        round(sum(c_acctbal), 2) AS totacctbal
 FROM customer c
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT sum(CAST(c_acctbal AS DECIMAL(25,6)))::DOUBLE
+                          / count(c_acctbal)
+                   FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '1999-01-01')
@@ -2667,7 +2762,10 @@ GROUP BY 1
 def q84(spark, sf_dir):
     cust = load(spark, "customer", sf_dir)
     thr = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("_thr")
+        (
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+            / F.count("c_acctbal")
+        ).alias("_thr")
     )
     recent = load(spark, "orders", sf_dir).filter(
         F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
@@ -2701,8 +2799,9 @@ WITH vol AS (
     JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
   WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
 SELECT o_year,
-       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-             / sum(volume), 6) AS mkt_share
+       round(sum(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                           ELSE 0 END AS DECIMAL(25,6)))::DOUBLE
+             / sum(CAST(volume AS DECIMAL(25,6)))::DOUBLE, 6) AS mkt_share
 FROM vol GROUP BY o_year
 """,
     description=(
@@ -2748,11 +2847,11 @@ def q85(spark, sf_dir):
     return vol.groupBy("o_year").agg(
         F.round(
             F.sum(
-                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
-                    F.lit(0.0)
-                )
-            )
-            / F.sum("volume"),
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                .otherwise(F.lit(0.0))
+                .cast(_DEC)
+            ).cast("double")
+            / F.sum(F.col("volume").cast(_DEC)).cast("double"),
             6,
         ).alias("mkt_share")
     )
@@ -2762,8 +2861,9 @@ def q85(spark, sf_dir):
     "q86_nation_profit",
     oracle="""
 SELECT n.n_name AS nation, year(o.o_orderdate)::INT AS o_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)
-                 - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      - 0.6 * p.p_retailprice * l.l_quantity
+                      AS DECIMAL(25,6))), 2)::DOUBLE AS profit
 FROM lineitem l
   JOIN part p ON p.p_partkey = l.l_partkey
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -2799,7 +2899,7 @@ def q86(spark, sf_dir):
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(_dsum(profit, 2).alias("profit"))
     )
 
 
@@ -2911,7 +3011,7 @@ SELECT CASE WHEN bucket < 80 THEN 'train'
        source,
        count(*) AS n_docs,
        sum(n_tokens) AS total_tokens,
-       round(avg(quality_score), 4) AS avg_quality
+       {_AVG_Q4_SQL} AS avg_quality
 FROM s GROUP BY 1, 2
 """,
     description=(
@@ -2943,7 +3043,7 @@ def q49(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            _avg_q4().alias("avg_quality"),
         )
     )
 
@@ -3020,7 +3120,7 @@ FROM reach GROUP BY node
 )
 def q45(spark, sf_dir):
     pairs = dedup.ngram_jaccard_pairs(
-        load(spark, "documents", sf_dir), threshold=0.8
+        load(spark, "documents", sf_dir), threshold=0.8, unpersist_after=False
     )
     return dedup.duplicate_clusters(pairs)
 
@@ -3086,7 +3186,8 @@ SELECT c_mktsegment,
        round(var_samp(c_acctbal), 4) AS var_acctbal,
        round(covar_samp(c_acctbal, c_nationkey), 4) AS cov_bal_nation,
        round(corr(c_acctbal, c_nationkey), 6) AS corr_bal_nation,
-       round(avg(c_acctbal), 4) AS mean_acctbal
+       round(sum(CAST(c_acctbal AS DECIMAL(25,6)))::DOUBLE
+             / count(c_acctbal), 4) AS mean_acctbal
 FROM customer
 GROUP BY c_mktsegment
 """,
@@ -3105,7 +3206,7 @@ def q93(spark, sf_dir):
             "cov_bal_nation"
         ),
         F.round(F.corr("c_acctbal", "c_nationkey"), 6).alias("corr_bal_nation"),
-        F.round(F.avg("c_acctbal"), 4).alias("mean_acctbal"),
+        _davg("c_acctbal", 4).alias("mean_acctbal"),
     )
 
 
@@ -3167,7 +3268,8 @@ SELECT count(*) AS n_rows,
        count(o_totalprice) AS price_nonnull,
        round(min(o_totalprice), 2) AS price_min,
        round(max(o_totalprice), 2) AS price_max,
-       round(avg(o_totalprice), 4) AS price_mean,
+       round(sum(CAST(o_totalprice AS DECIMAL(25,6)))::DOUBLE
+             / count(o_totalprice), 4) AS price_mean,
        count(DISTINCT o_orderstatus) AS status_distinct,
        count(DISTINCT o_orderpriority) AS priority_distinct,
        min(o_orderdate) AS date_min,
@@ -3189,7 +3291,7 @@ def q96(spark, sf_dir):
         F.count("o_totalprice").alias("price_nonnull"),
         F.round(F.min("o_totalprice"), 2).alias("price_min"),
         F.round(F.max("o_totalprice"), 2).alias("price_max"),
-        F.round(F.avg("o_totalprice"), 4).alias("price_mean"),
+        _davg("o_totalprice", 4).alias("price_mean"),
         F.countDistinct("o_orderstatus").alias("status_distinct"),
         F.countDistinct("o_orderpriority").alias("priority_distinct"),
         F.min("o_orderdate").alias("date_min"),
@@ -3409,6 +3511,7 @@ def z03(spark, sf_dir):
         docs.filter(F.col("source") != "src0"),
         docs.filter(F.col("source") == "src0"),
         threshold=0.5,
+        unpersist_after=False,
     ).select("doc_id", "source")
 
 
@@ -3445,27 +3548,34 @@ def z04(spark, sf_dir):
 @query(
     "z05_audio_meta",
     oracle="""
-WITH n AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes FROM documents)
-SELECT doc_id, n_bytes,
-       (CASE n_bytes % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                         WHEN 2 THEN 44100 ELSE 48000 END)::INT AS sample_rate,
-       (n_bytes // 2)::BIGINT AS n_samples,
-       ((n_bytes // 2) * 1000 // (CASE n_bytes % 4 WHEN 0 THEN 8000
-                                  WHEN 1 THEN 16000 WHEN 2 THEN 44100
-                                  ELSE 48000 END))::BIGINT AS duration_ms,
-       'FAKEPCM' AS codec
-FROM n
+WITH p AS (
+  SELECT doc_id,
+         (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                          WHEN 2 THEN 44100 ELSE 48000 END) AS rate,
+         64 + (n_chars * 7) % 1000 AS n_samples
+  FROM documents)
+SELECT doc_id,
+       (44 + 2 * n_samples)::BIGINT AS n_bytes,
+       rate::INT AS sample_rate,
+       1 AS n_channels,
+       n_samples::BIGINT AS n_samples,
+       (n_samples * 1000 // rate)::BIGINT AS duration_ms,
+       'PCM16' AS codec
+FROM p
 """,
     description=(
-        "audio leg of the multimodal family: binary payload -> header "
-        "metadata (sample rate / samples / duration) via Arrow-batched "
-        "mapInPandas; fake header parse is arithmetic on byte length so "
-        "the oracle verifies the distributed plumbing"
+        "audio leg of the multimodal family: REAL RIFF/WAVE payloads "
+        "(stdlib wave, 16-bit mono PCM, deterministic generation "
+        "parameters) -> REAL header decode via Arrow-batched mapInPandas. "
+        "The oracle predicts the decoded metadata arithmetically from the "
+        "generation parameters, so a decoder that misparses actual WAV "
+        "headers fails the gate; only the image pixel codec remains "
+        "environment-stubbed"
     ),
 )
 def z05(spark, sf_dir):
-    docs = multimodal.attach_fake_binary(load(spark, "documents", sf_dir))
-    return multimodal.decode_audio_meta(docs)
+    docs = multimodal.attach_wav_binary(load(spark, "documents", sf_dir))
+    return multimodal.decode_wav_meta(docs)
 
 
 @query(
@@ -3518,7 +3628,7 @@ SELECT source,
        count(*) AS n_docs,
        count(DISTINCT md5(text)) AS n_distinct_texts,
        sum(n_tokens)::BIGINT AS total_tokens,
-       round(avg(quality_score), 4) AS avg_quality,
+       {_AVG_Q4_SQL} AS avg_quality,
        sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)::BIGINT AS n_short
 FROM q GROUP BY source
 """,
@@ -3536,7 +3646,7 @@ def z07(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        _avg_q4().alias("avg_quality"),
         F.sum(F.when(F.col("n_tokens") < 20, 1).otherwise(0)).alias("n_short"),
     )
 

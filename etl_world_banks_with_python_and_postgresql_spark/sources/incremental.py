@@ -351,8 +351,18 @@ class IncrementalTable:
             stats = spark.read.parquet(path).agg(
                 F.min(self.partition_by).alias("plo"),
                 F.max(self.partition_by).alias("phi"),
+                F.sum(
+                    F.col(self.partition_by).isNull().cast("long")
+                ).alias("nulls"),
             ).collect()[0]
-            if stats["plo"] is not None:
+            # record pruning stats ONLY when every tombstone carries a
+            # partition value: min/max over a mixed batch would let
+            # _range_hits prune the whole delta for out-of-range reads and
+            # silently resurrect the null-partition deletes (null rows are
+            # partition-exempt in _resolve, but only if the delta is read
+            # at all). A stats-less delete delta is conservatively read by
+            # every range query -- correct, just unprunable.
+            if stats["plo"] is not None and not stats["nulls"]:
                 m.setdefault("delta_stats", {})[name] = {
                     "min": self._stat(stats["plo"]),
                     "max": self._stat(stats["phi"]),

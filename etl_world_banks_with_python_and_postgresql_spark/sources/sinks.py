@@ -134,6 +134,26 @@ def jdbc_upsert_sql(staging_table: str, target_table: str, keys: list[str],
     )
 
 
+def jdbc_insert_only_sql(staging_table: str, target_table: str, keys: list[str],
+                         set_cols: list[str]) -> str:
+    """`INSERT ... ON CONFLICT DO NOTHING`: the set-based equivalent of the
+    reference rates procedure's BUGGY update branch (`SQL/etl_world_banks.sql:210`
+    references a nonexistent ``update_at`` column, so every matched-row
+    update aborts into the EXCEPTION handler at sql:244-247 and is skipped
+    with a notice) -- matched keys keep their existing row, only new keys
+    insert. Pairs with ``PipelineConfig.compat_rates_update_bug``, which
+    reproduces the same semantics on the engine-side target.
+    """
+    cols = keys + set_cols
+    collist = ", ".join(cols)
+    conflict = ", ".join(keys)
+    return (
+        f"INSERT INTO {target_table} ({collist}) "
+        f"SELECT {collist} FROM {staging_table} "
+        f"ON CONFLICT ({conflict}) DO NOTHING"
+    )
+
+
 def write_jsonl_shards(
     df, path: str, docs_per_shard: int = 10000, compression: str | None = None
 ) -> None:

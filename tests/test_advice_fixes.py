@@ -120,3 +120,54 @@ def test_merge_batch_rows_counts_raw_pre_dedup(spark):
     assert row["_batch_rows"] == 3  # raw rows, not the 2 distinct keys
     assert row["new_inserts_count"] == 2  # dedup still governs the merge
     assert "_dup_n" not in res.actions.columns
+
+
+def _persisted_rdd_count(spark):
+    jsc = spark.sparkContext._jsc.sc()
+    return jsc.getPersistentRDDs().size()
+
+
+def test_dedup_pair_ops_release_caches(spark):
+    """ADVICE r3: the pair operators' internal shingle/signature caches
+    must not outlive the call in default (unpersist_after=True) mode --
+    repeated ingests in a long-lived session otherwise accumulate dead
+    blocks. Each eager call may leave exactly ONE persisted RDD (the
+    checkpointed, result-sized output the caller owns) -- never its
+    corpus-sized shingle caches. Results must equal the lazy mode."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_novel,
+        ngram_jaccard_pairs,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.sources.catalog import load
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    spark.catalog.clearCache()
+    base = _persisted_rdd_count(spark)
+
+    # hold every result alive: growth beyond one checkpoint per call
+    # means an internal cache leaked (broken code leaves 2-3 per call)
+    results = [ngram_jaccard_pairs(docs, threshold=0.8) for _ in range(2)]
+    assert _persisted_rdd_count(spark) <= base + 2
+    eager = sorted(map(tuple, results[0].collect()))
+    lazy_df = ngram_jaccard_pairs(docs, threshold=0.8, unpersist_after=False)
+    assert sorted(map(tuple, lazy_df.collect())) == eager
+    spark.catalog.clearCache()
+    base = _persisted_rdd_count(spark)
+
+    results = [minhash_lsh_pairs(docs, threshold=0.5) for _ in range(2)]
+    assert _persisted_rdd_count(spark) <= base + 2
+    eager = sorted(map(tuple, results[0].collect()))
+    lazy_df = minhash_lsh_pairs(docs, threshold=0.5, unpersist_after=False)
+    assert sorted(map(tuple, lazy_df.collect())) == eager
+    spark.catalog.clearCache()
+    base = _persisted_rdd_count(spark)
+
+    new = docs.filter(F.col("source") != "src0")
+    corpus = docs.filter(F.col("source") == "src0")
+    results = [minhash_novel(new, corpus, threshold=0.5) for _ in range(2)]
+    assert _persisted_rdd_count(spark) <= base + 2
+    eager = {r["doc_id"] for r in results[0].collect()}
+    lazy_df = minhash_novel(new, corpus, threshold=0.5, unpersist_after=False)
+    assert {r["doc_id"] for r in lazy_df.collect()} == eager
+    spark.catalog.clearCache()

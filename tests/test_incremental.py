@@ -573,3 +573,54 @@ def test_delete_keys_partitioned_range_reads(spark, tmp_path):
     assert m["delta_kinds"][last] == "delete"
     assert m["delta_stats"][last]["min"] == "2024-08-02"
     assert {r["id"] for r in t.read(spark, sch).collect()} == {1}
+
+
+def test_delete_keys_mixed_null_partition_batch_not_pruned(spark, tmp_path):
+    """ADVICE r3 (medium): a delete batch MIXING rows with and without
+    partition values must not record delta_stats -- min/max over only the
+    non-null values would let _range_hits prune the whole tombstone delta
+    for out-of-range reads and resurrect the null-partition deletes."""
+    from pyspark.sql import types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("day", T.DateType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    t = IncrementalTable(str(tmp_path / "mx"), id_col="id", partition_by="day")
+    rows = [
+        (1, date(2024, 8, 1), 1.0),
+        (2, date(2024, 8, 2), 2.0),
+        (3, date(2024, 8, 3), 3.0),
+    ]
+    t.write_delta(spark.createDataFrame(rows, sch))
+
+    # one batch: id=3 with its partition value, id=1 without (day null).
+    # Non-null min/max would be [08-03, 08-03]; a read restricted to
+    # 08-01 would then prune the delta and resurrect id=1.
+    t.delete_keys(
+        spark, sch,
+        spark.createDataFrame(
+            [(3, date(2024, 8, 3)), (1, None)], "id long, day date"
+        ),
+    )
+    m = t._load_manifest()
+    last = m["deltas"][-1]
+    assert m["delta_kinds"][last] == "delete"
+    assert last not in m.get("delta_stats", {})  # conservatively unprunable
+
+    aug1 = t.read(
+        spark, sch, partition_range=(date(2024, 8, 1), date(2024, 8, 1))
+    )
+    assert {r["id"] for r in aug1.collect()} == set()  # id=1 stays deleted
+    assert {r["id"] for r in t.read(spark, sch).collect()} == {2}
+
+    # all-valued batch on the same table still records stats
+    t.delete_keys(
+        spark, sch,
+        spark.createDataFrame([(2, date(2024, 8, 2))], "id long, day date"),
+    )
+    m = t._load_manifest()
+    assert m["delta_stats"][m["deltas"][-1]]["min"] == "2024-08-02"

@@ -421,6 +421,62 @@ def test_duplicate_clusters_raises_on_max_iter(spark):
     assert set(got.values()) == {1}
 
 
+def test_duplicate_clusters_quarantine_mode(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    # one long chain (won't converge in 2 rounds) + one already-tight
+    # clique pair (converges immediately)
+    chain = [(i, i + 1) for i in range(1, 12)]
+    pairs = spark.createDataFrame(
+        chain + [(100, 101)], "doc_a long, doc_b long"
+    )
+    rows = duplicate_clusters(
+        pairs, max_iter=2, on_nonconverged="quarantine"
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert set(by_id) == set(range(1, 13)) | {100, 101}
+
+    # the finished component is trusted and carries its final cluster id
+    assert by_id[100]["converged"] and by_id[101]["converged"]
+    assert by_id[100]["cluster_id"] == 100 and by_id[101]["cluster_id"] == 100
+
+    # the chain is (partly) unfinished; every converged=true row must
+    # already carry its FINAL cluster id (= full-convergence result)
+    final = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs, max_iter=40).collect()
+    }
+    assert any(not r["converged"] for r in rows)  # quarantine non-empty
+    for r in rows:
+        if r["converged"]:
+            assert r["cluster_id"] == final[r["doc_id"]], r
+
+    # converged runs keep the same schema in quarantine mode
+    done = duplicate_clusters(
+        spark.createDataFrame([(1, 2)], "doc_a long, doc_b long"),
+        on_nonconverged="quarantine",
+    )
+    assert done.columns == ["doc_id", "cluster_id", "converged"]
+    assert all(r["converged"] for r in done.collect())
+
+
+def test_duplicate_clusters_converges_within_diameter_rounds(spark):
+    """Iteration-bound pin: min-label propagation needs <= diameter + 1
+    rounds; a diameter-6 path must converge with max_iter=7."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(path, max_iter=8).collect()}
+    assert set(got.values()) == {1}
+
+
 def test_resample_ffill_no_invented_history(spark):
     from datetime import datetime
 
@@ -731,6 +787,43 @@ def test_rollup_table_incremental_equals_direct(spark, tmp_path):
     assert key(rt.read(spark).collect()) == key(direct.collect())
 
 
+def test_rollup_compact_crash_recovery(spark, tmp_path):
+    """ADVICE r3: a crash between compact's two swap renames leaves the
+    data only under .old -- read() must fall back to it instead of
+    failing, and a subsequent compact must restore the primary path."""
+    import os
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.rollup import (
+        RollupTable,
+    )
+
+    ev = load(spark, "events", SF).select("ts", "event_type", "value").limit(500)
+    ev = spark.createDataFrame(ev.collect(), ev.schema)  # pin rows
+    rt = RollupTable(str(tmp_path / "rc"), bucket="5 minutes", keys=["event_type"])
+    rt.ingest(ev)
+    expected = sorted(
+        (r["win_start"], r["event_type"], r["n"]) for r in rt.read(spark).collect()
+    )
+
+    # simulate the crash window: primary renamed away, staging never
+    # swapped in (exactly the state after compact's first os.rename)
+    os.rename(rt.path, rt.path + ".old")
+    got = sorted(
+        (r["win_start"], r["event_type"], r["n"]) for r in rt.read(spark).collect()
+    )
+    assert got == expected
+
+    # recovery: put the data back and compact; backup must be gone after
+    # a successful swap and reads serve the primary path again
+    os.rename(rt.path + ".old", rt.path)
+    rt.compact(spark)
+    assert not os.path.exists(rt.path + ".old")
+    got = sorted(
+        (r["win_start"], r["event_type"], r["n"]) for r in rt.read(spark).collect()
+    )
+    assert got == expected
+
+
 def test_rollup_streaming_sink(spark, tmp_path):
     from etl_world_banks_with_python_and_postgresql_spark.operators.rollup import (
         RollupTable,
@@ -896,3 +989,64 @@ def test_canonical_dedup_folds_variants(spark):
     assert canon[5] == canon[6] == "nono s cafe"
     groups = {r["keep_id"]: r["n_copies"] for r in canonical_dedup_groups(df).collect()}
     assert groups == {1: 3, 4: 1, 5: 2}
+
+
+def test_wav_codec_real_roundtrip(spark):
+    """The audio leg decodes REAL RIFF/WAVE bytes: generate genuine PCM16
+    payloads with stdlib wave, re-parse the headers distributedly, and
+    pin every decoded field against the generation parameters."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.multimodal import (
+        WAV_HEADER_BYTES,
+        WAV_RATES,
+        attach_wav_binary,
+        decode_wav_meta,
+    )
+
+    docs = load(spark, "documents", SF).limit(60)
+    wav = attach_wav_binary(docs)
+    # payloads are real WAV files: stdlib wave must parse every one
+    import io
+    import wave as wave_mod
+
+    sample = wav.limit(5).collect()
+    for r in sample:
+        with wave_mod.open(io.BytesIO(bytes(r["payload"])), "rb") as w:
+            assert w.getnchannels() == 1 and w.getsampwidth() == 2
+        assert bytes(r["payload"])[:4] == b"RIFF"
+
+    meta = {r["doc_id"]: r for r in decode_wav_meta(wav).collect()}
+    for r in docs.select("doc_id", "n_chars").collect():
+        m = meta[r["doc_id"]]
+        expect_rate = WAV_RATES[r["doc_id"] % 4]
+        expect_samples = 64 + (r["n_chars"] * 7) % 1000
+        assert m["sample_rate"] == expect_rate
+        assert m["n_samples"] == expect_samples
+        assert m["n_bytes"] == WAV_HEADER_BYTES + 2 * expect_samples
+        assert m["duration_ms"] == expect_samples * 1000 // expect_rate
+        assert m["codec"] == "PCM16" and m["n_channels"] == 1
+
+
+def test_wav_frame_energy_matches_numpy(spark):
+    """wav_frame_energy decodes the actual PCM samples: per-span RMS must
+    equal a local numpy recomputation over the same generated signal."""
+    import numpy as np
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.multimodal import (
+        attach_wav_binary,
+        wav_frame_energy,
+    )
+
+    docs = load(spark, "documents", SF).limit(20)
+    wav = attach_wav_binary(docs)
+    got = {r["doc_id"]: r["embedding"] for r in wav_frame_energy(wav, n_frames=8).collect()}
+    for r in docs.select("doc_id", "n_chars").collect():
+        n_samples = 64 + (r["n_chars"] * 7) % 1000
+        amp = r["doc_id"] % 5 + 1
+        pcm = ((np.arange(n_samples, dtype=np.int64) % 256 - 128) * 64 * amp).astype(
+            "<i2"
+        ).astype("float64")
+        expect = [
+            float(np.sqrt(np.mean(s * s))) / 32768.0
+            for s in np.array_split(pcm, 8)
+        ]
+        assert np.allclose(got[r["doc_id"]], expect, atol=1e-12)

@@ -15,41 +15,12 @@ from etl_world_banks_with_python_and_postgresql_spark.pipeline import (
     run_pipeline,
 )
 from etl_world_banks_with_python_and_postgresql_spark.sources import html_table
-
-BANKS = [(f"Bank {c}", 100.0 + i) for i, c in enumerate("ABCDEFGHIJ")]
-RATES = [(f"Country {i}", f"Cur{i}", round(0.5 + i * 0.1, 2)) for i in range(39)]
-
-
-def banks_html(banks, lastmod="1 July 2024"):
-    rows = "\n".join(
-        f"<tr><td>{i+1}</td><td>{name}</td><td> {cap} </td></tr>"
-        for i, (name, cap) in enumerate(banks)
-    )
-    filler = "<table><tbody><tr><td>nav</td></tr></tbody></table>"
-    return f"""
-<html><body>
-{filler}{filler}
-<table>
-  <thead><tr><th>Rank</th><th>Bank name</th><th>Market cap (US$ billion)</th></tr></thead>
-  <tbody>{rows}</tbody>
-</table>
-<div id="footer-info-lastmod">This page was last edited on {lastmod}, at 12:34 (UTC).</div>
-</body></html>
-"""
-
-
-def rates_html(rates, year=2023):
-    rows = "\n".join(
-        f"<tr><td>{c}</td><td>{cur}</td><td>{r}</td></tr>" for c, cur, r in rates
-    )
-    return f"""
-<html><body>
-<table>
-  <thead><tr><th>Country</th><th>Currency</th><th>{year}</th></tr></thead>
-  <tbody>{rows}</tbody>
-</table>
-</body></html>
-"""
+from etl_world_banks_with_python_and_postgresql_spark.sources.fixtures import (
+    BANKS,
+    RATES,
+    banks_html,
+    rates_html,
+)
 
 
 @pytest.fixture

@@ -94,18 +94,18 @@ KEYS = ["bank_name"]
 SET_COLS = ["market_cap_usd", "last_modified_date", "batch_id"]
 
 
-def load_staging(base: str, df, tmp_path) -> None:
+def load_staging(base: str, df, tmp_path, table: str = "staging") -> None:
     """The Spark leg: partition-parallel staging export (CSV stands in for
     write_jdbc_append -- no driver jar in the sandbox), then a bulk COPY."""
     out = str(tmp_path / "staging_csv")
     shutil.rmtree(out, ignore_errors=True)
     df.coalesce(1).write.option("nullValue", "\\N").csv(out)
     part = glob.glob(f"{out}/part-*.csv")[0]
-    psql(base, "TRUNCATE staging")
+    psql(base, f"TRUNCATE {table}")
     r = subprocess.run(
         ["psql", "-h", base, "-U", "pg", "-d", "postgres", "-X",
          "-v", "ON_ERROR_STOP=1",
-         "-c", f"\\copy staging FROM '{part}' WITH (FORMAT csv, NULL '\\N')"],
+         "-c", f"\\copy {table} FROM '{part}' WITH (FORMAT csv, NULL '\\N')"],
         capture_output=True, text=True,
     )
     assert r.returncode == 0, r.stderr
@@ -208,3 +208,136 @@ def test_merge_is_transactional(tables, spark, tmp_path):
     )
     assert r.returncode != 0  # statement rejected...
     assert target_state(pg) == before  # ...and nothing was applied
+
+
+# ---------------------------------------------------------------------
+# Exchange-rates variant: 3-part natural key (country, currency, year),
+# reference procedure SQL/etl_world_banks.sql:188-248 -- including its buggy
+# update branch (sql:210 `update_at` typo -> EXCEPTION sql:244-247 ->
+# per-row notice-and-skip), reproduced set-based as ON CONFLICT DO
+# NOTHING (sinks.jdbc_insert_only_sql).
+# ---------------------------------------------------------------------
+
+RATES_SCHEMA = (
+    "country string, currency string, year int, "
+    "exchange_rate double, batch_id string"
+)
+RATES_KEYS = ["country", "currency", "year"]
+RATES_SET = ["exchange_rate", "batch_id"]
+
+
+def rates_state(base: str, table: str) -> list[tuple]:
+    return [
+        (r[0], r[1], int(r[2]), float(r[3]), r[4])
+        for r in psql(
+            base,
+            f"SELECT country, currency, year, exchange_rate, batch_id "
+            f"FROM {table} ORDER BY country, currency, year",
+        )
+    ]
+
+
+@pytest.fixture(scope="module")
+def rates_tables(pg):
+    ddl = (
+        "country text, currency text, year int, "
+        "exchange_rate double precision, batch_id text, "
+        "PRIMARY KEY (country, currency, year)"
+    )
+    for t in ("rates_target", "rates_merge", "rates_compat"):
+        psql(pg, f"CREATE TABLE {t} ({ddl})")
+    psql(pg, "CREATE TABLE rates_staging (LIKE rates_target)")
+    return pg
+
+
+def test_rates_three_key_merge_live(rates_tables, spark, tmp_path):
+    """Both correct protocol variants (ON CONFLICT DO UPDATE, MERGE) on the
+    3-part key: insert / update / identical re-send / absent-key
+    preservation / idempotent replay, run live."""
+    pg = rates_tables
+    upsert = jdbc_upsert_sql("rates_staging", "rates_target", RATES_KEYS, RATES_SET)
+    merge = jdbc_merge_sql("rates_staging", "rates_merge", RATES_KEYS, RATES_SET)
+
+    b1 = spark.createDataFrame(
+        [
+            ("UK", "GBP", 2023, 0.80, "b1"),
+            ("France", "EUR", 2023, 0.90, "b1"),
+            ("India", "INR", 2023, 83.0, "b1"),
+            # same country+currency, different year: distinct key rows
+            ("India", "INR", 2022, 79.0, "b1"),
+        ],
+        RATES_SCHEMA,
+    )
+    load_staging(pg, b1, tmp_path, "rates_staging")
+    psql(pg, upsert)
+    psql(pg, merge)
+    expected1 = [
+        ("France", "EUR", 2023, 0.90, "b1"),
+        ("India", "INR", 2022, 79.0, "b1"),
+        ("India", "INR", 2023, 83.0, "b1"),
+        ("UK", "GBP", 2023, 0.80, "b1"),
+    ]
+    assert rates_state(pg, "rates_target") == expected1
+
+    b2 = spark.createDataFrame(
+        [
+            ("UK", "GBP", 2023, 0.82, "b2"),       # rate update
+            ("France", "EUR", 2023, 0.90, "b2"),   # identical re-send
+            ("Japan", "JPY", 2023, 150.0, "b2"),   # new key
+            # 2022 India row absent -> must be preserved
+        ],
+        RATES_SCHEMA,
+    )
+    load_staging(pg, b2, tmp_path, "rates_staging")
+    psql(pg, upsert)
+    psql(pg, merge)
+    expected2 = [
+        ("France", "EUR", 2023, 0.90, "b2"),
+        ("India", "INR", 2022, 79.0, "b1"),
+        ("India", "INR", 2023, 83.0, "b1"),
+        ("Japan", "JPY", 2023, 150.0, "b2"),
+        ("UK", "GBP", 2023, 0.82, "b2"),
+    ]
+    assert rates_state(pg, "rates_target") == expected2
+
+    # idempotent replay + variant convergence
+    psql(pg, upsert)
+    psql(pg, merge)
+    assert rates_state(pg, "rates_target") == expected2
+    assert rates_state(pg, "rates_merge") == expected2
+
+
+def test_rates_compat_update_bug_live(rates_tables, spark, tmp_path):
+    """The reference's notice-and-skip update branch, live: matched keys
+    keep their OLD row (the buggy procedure aborts every UPDATE per-row),
+    new keys still insert -- exactly what compat_rates_update_bug
+    reproduces engine-side."""
+    from etl_world_banks_with_python_and_postgresql_spark.sources.sinks import (
+        jdbc_insert_only_sql,
+    )
+
+    pg = rates_tables
+    compat = jdbc_insert_only_sql(
+        "rates_staging", "rates_compat", RATES_KEYS, RATES_SET
+    )
+
+    b1 = spark.createDataFrame(
+        [("UK", "GBP", 2023, 0.80, "b1"), ("France", "EUR", 2023, 0.90, "b1")],
+        RATES_SCHEMA,
+    )
+    load_staging(pg, b1, tmp_path, "rates_staging")
+    psql(pg, compat)
+    b2 = spark.createDataFrame(
+        [
+            ("UK", "GBP", 2023, 0.99, "b2"),      # update -> SKIPPED (bug)
+            ("Japan", "JPY", 2023, 150.0, "b2"),  # insert -> applied
+        ],
+        RATES_SCHEMA,
+    )
+    load_staging(pg, b2, tmp_path, "rates_staging")
+    psql(pg, compat)
+    assert rates_state(pg, "rates_compat") == [
+        ("France", "EUR", 2023, 0.90, "b1"),
+        ("Japan", "JPY", 2023, 150.0, "b2"),
+        ("UK", "GBP", 2023, 0.80, "b1"),  # old rate survives the "update"
+    ]
