@@ -2,14 +2,21 @@
 
 The Spark-side plumbing is real and tested -- binary columns, Arrow-batched
 ``mapInPandas`` with an explicit output schema, partition-sized batches.
-The AUDIO leg is codec-REAL: ``attach_wav_binary`` builds genuine
-RIFF/WAVE 16-bit PCM payloads and ``decode_wav_meta`` /
-``wav_frame_energy`` parse them with stdlib ``wave`` (header fields and
-decoded samples, no arithmetic stand-in). The IMAGE pixel path is the one
-remaining environmental stub (Pillow/ffmpeg are not in this container):
-``decode_image_meta`` runs a deterministic fake "decode" that derives
-metadata purely from the byte payload, and ``decode_image_pixels`` raises
-NotImplementedError at the exact point a codec would be invoked.
+Both legs are now codec-REAL via stdlib:
+
+* AUDIO: ``attach_wav_binary`` builds genuine RIFF/WAVE 16-bit PCM
+  payloads; ``decode_wav_meta`` / ``wav_frame_energy`` parse headers and
+  samples with stdlib ``wave`` (no arithmetic stand-in).
+* IMAGE: ``attach_png_binary`` builds genuine PNGs (zlib IDAT, valid
+  CRCs); ``decode_png_meta`` parses the real IHDR and
+  ``decode_image_pixels`` fully inflates + unfilters the scanlines
+  (all five PNG filters) -- stdlib ``zlib``/``struct``, no PIL.
+
+What still needs an external codec is exactly what stdlib cannot parse:
+JPEG/WebP pixels and video containers -- ``decode_image_pixels`` raises
+NotImplementedError at the precise point such a codec would plug in,
+and ``decode_image_meta`` remains the deterministic byte-length fake for
+format-agnostic blobs (kept for the q40 oracle contract).
 
 At 100 TB the pattern holds: binaries stay columnar in parquet, decode
 happens inside mapInPandas per Arrow batch (no per-row Python), and
@@ -155,19 +162,218 @@ def byte_histogram_features(
     return spread.mapInPandas(feat, f"{id_col} long, embedding array<double>")
 
 
-def decode_image_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Full pixel decode -- requires a codec library; stubbed in this image."""
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels, width: int, height: int) -> bytes:
+    """Pure-stdlib PNG encoder (8-bit grayscale, filter 0): signature +
+    IHDR + zlib IDAT + IEND with correct CRCs -- a genuine PNG any
+    standards-compliant reader opens. ``pixels`` is a row-major iterable
+    of width*height ints in [0, 255]."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    it = iter(pixels)
+    for _ in range(height):
+        raw.append(0)  # filter type 0 (None) per scanline
+        for _ in range(width):
+            raw.append(next(it) & 0xFF)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes):
+    """Pure-stdlib PNG decoder for 8-bit grayscale: validates the
+    signature and per-chunk CRCs, parses IHDR, inflates IDAT, and undoes
+    all five scanline filters (None/Sub/Up/Average/Paeth). Returns
+    (width, height, bit_depth, color_type, pixels:list[int]). Raises
+    ValueError on non-PNG bytes and NotImplementedError for color types /
+    depths that would genuinely need a heavier codec."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos, width, height, depth, ctype, idat = 8, None, None, None, None, b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or ctype != 0:
+        raise NotImplementedError(
+            f"only 8-bit grayscale PNGs are decoded here (depth={depth}, "
+            f"color_type={ctype}); other formats need a real codec library"
+        )
+    raw = zlib.decompress(idat)
+    stride = width + 1
+    out: list[int] = []
+    prev = [0] * width
+    for y in range(height):
+        row = raw[y * stride : (y + 1) * stride]
+        f, cur = row[0], list(row[1:])
+        if f == 1:  # Sub
+            for x in range(1, width):
+                cur[x] = (cur[x] + cur[x - 1]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(width):
+                cur[x] = (cur[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(width):
+                left = cur[x - 1] if x else 0
+                cur[x] = (cur[x] + (left + prev[x]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(width):
+                a = cur[x - 1] if x else 0
+                b, c = prev[x], (prev[x - 1] if x else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter {f}")
+        out.extend(cur)
+        prev = cur
+    return width, height, depth, ctype, out
+
+
+def attach_png_binary(
+    df: DataFrame, id_col: str = "doc_id", len_col: str = "n_chars"
+) -> DataFrame:
+    """Attach a GENUINE PNG payload per row (8-bit grayscale, stdlib
+    zlib/CRC encoding). Dimensions are deterministic functions of
+    existing columns -- width = 4 + id%13, height = 3 + len%11 -- and the
+    pixel pattern is ``(x*7 + y*13 + id) % 256``, so oracles predict
+    metadata arithmetically and tests recompute exact pixels."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, ln in zip(pdf[id_col], pdf[len_col]):
+                w = 4 + int(did) % 13
+                h = 3 + int(ln) % 11
+                px = [
+                    (x * 7 + y * 13 + int(did)) % 256
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                payloads.append(encode_png(px, w, h))
+            out = pdf[[id_col, len_col]].copy()
+            out["payload"] = payloads
+            yield out
+
+    spread = df.select(id_col, len_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
+        gen, f"{id_col} long, {len_col} int, payload binary"
+    )
+
+
+PNG_META_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, bit_depth int, "
+    "color_type int, format string"
+)
+
+
+def decode_png_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL image header decode: signature check + IHDR parse + CRC
+    validation on actual PNG bytes (stdlib, no PIL). The image twin of
+    ``decode_wav_meta``."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "pixel decode requires an image codec (PIL/opencv), not present "
-            "in this container; plug the real decoder into this mapInPandas"
-        )
-        yield  # pragma: no cover
+        import struct
+        import zlib as _zlib
 
-    return df.select("doc_id", payload_col).mapInPandas(
-        decode, "doc_id long, pixels array<int>"
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_bytes", "width", "height", "bit_depth",
+                "color_type", "format",
+            )}
+            for did, b in zip(pdf["doc_id"], pdf[payload_col]):
+                bs = bytes(b)
+                if bs[:8] != b"\x89PNG\r\n\x1a\n":
+                    raise ValueError("not a PNG payload")
+                (length,) = struct.unpack(">I", bs[8:12])
+                tag, body = bs[12:16], bs[16 : 16 + length]
+                (crc,) = struct.unpack(">I", bs[16 + length : 20 + length])
+                assert tag == b"IHDR" and (
+                    _zlib.crc32(tag + body) & 0xFFFFFFFF == crc
+                )
+                w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+                rows["doc_id"].append(did)
+                rows["n_bytes"].append(len(bs))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["bit_depth"].append(depth)
+                rows["color_type"].append(ctype)
+                rows["format"].append("PNG")
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "bit_depth", "color_type"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    spread = df.select("doc_id", payload_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     )
+    return spread.mapInPandas(decode, PNG_META_SCHEMA)
+
+
+def decode_image_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Full pixel decode, REAL for PNG (stdlib zlib inflate + all five
+    scanline unfilters via :func:`decode_png`). Output: one row per doc
+    with the row-major grayscale pixel array. Formats that genuinely need
+    an external codec (JPEG/WebP/...) raise NotImplementedError at the
+    exact point that codec would plug in -- the PNG path proves the
+    plumbing end-to-end with real bytes."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pixels = [], []
+            for did, b in zip(pdf["doc_id"], pdf[payload_col]):
+                bs = bytes(b)
+                if bs[:8] != b"\x89PNG\r\n\x1a\n":
+                    raise NotImplementedError(
+                        "non-PNG image bytes need an external codec "
+                        "(PIL/opencv); plug it into this mapInPandas"
+                    )
+                _w, _h, _d, _c, px = decode_png(bs)
+                ids.append(did)
+                pixels.append(px)
+            yield pd.DataFrame({"doc_id": ids, "pixels": pixels})
+
+    spread = df.select("doc_id", payload_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(decode, "doc_id long, pixels array<int>")
 
 
 AUDIO_META_SCHEMA = (

@@ -262,3 +262,41 @@ def chunk_token_windows(
         F.col("ch.n_chunk_tokens").alias("n_chunk_tokens"),
         F.col("ch.chunk_text").alias("chunk_text"),
     )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Exact-size uniform corpus sample in ONE pass: the ``k`` rows with
+    the smallest ``poly_hash(md5(salt || text))`` (ties broken by id).
+
+    The hash induces a fixed pseudo-random total order over documents, so
+    taking its bottom-k IS a uniform without-replacement sample -- but
+    unlike ``df.sample()`` it is reproducible across runs, engines,
+    partitionings AND corpus growth: a document's sort key never changes,
+    so re-sampling after appending new docs only swaps in documents that
+    genuinely hash below the old threshold (bottom-k sketches compose:
+    bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B)), the classic
+    KMV/min-wise property). ``salt`` redraws the sample.
+
+    Scale shape: Spark executes orderBy+limit as TakeOrderedAndProject --
+    per-partition partial top-k (a k-row heap per task) merged on the
+    driver side of the exchange; nothing but k rows per partition ever
+    shuffles, and there is no global sort. The same plan shape serves a
+    100 TB corpus: cost is one scan + k-row heaps.
+
+    Content-hash keying (md5 of text, like ``hash_split``) keeps equal
+    texts adjacent in the order -- a sample drawn before and after an
+    exact-dedup pass selects consistently.
+    """
+    key = char_poly_hash(F.md5(F.concat(F.lit(str(salt)), F.col(text_col))))
+    return (
+        df.withColumn("_sk", key)
+        .orderBy("_sk", id_col)
+        .limit(k)
+        .drop("_sk")
+    )

@@ -3181,32 +3181,61 @@ def q92(spark, sf_dir):
 @query(
     "q93_stat_profile",
     oracle="""
+WITH m AS (
+  SELECT c_mktsegment,
+         count(c_acctbal)::DOUBLE AS n,
+         sum(CAST(c_acctbal AS DECIMAL(25,6)))::DOUBLE AS s1,
+         sum(CAST(c_acctbal * c_acctbal AS DECIMAL(38,12)))::DOUBLE AS s2,
+         sum(CAST(c_nationkey AS DECIMAL(25,6)))::DOUBLE AS sy,
+         sum(CAST(c_nationkey * c_nationkey AS DECIMAL(38,12)))::DOUBLE AS syy,
+         sum(CAST(c_acctbal * c_nationkey AS DECIMAL(38,12)))::DOUBLE AS sxy
+  FROM customer GROUP BY c_mktsegment)
 SELECT c_mktsegment,
-       round(stddev_samp(c_acctbal), 4) AS sd_acctbal,
-       round(var_samp(c_acctbal), 4) AS var_acctbal,
-       round(covar_samp(c_acctbal, c_nationkey), 4) AS cov_bal_nation,
-       round(corr(c_acctbal, c_nationkey), 6) AS corr_bal_nation,
-       round(sum(CAST(c_acctbal AS DECIMAL(25,6)))::DOUBLE
-             / count(c_acctbal), 4) AS mean_acctbal
-FROM customer
-GROUP BY c_mktsegment
+       round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS sd_acctbal,
+       round((s2 - s1 * s1 / n) / (n - 1), 4) AS var_acctbal,
+       round((sxy - s1 * sy / n) / (n - 1), 4) AS cov_bal_nation,
+       round((n * sxy - s1 * sy)
+             / (sqrt(n * s2 - s1 * s1) * sqrt(n * syy - sy * sy)),
+             6) AS corr_bal_nation,
+       round(s1 / n, 4) AS mean_acctbal
+FROM m
 """,
     description=(
         "statistical profiling aggregates: sample stddev/variance, "
         "covariance, Pearson correlation per segment -- the numeric "
-        "column-profiling pass a data-quality stage runs before training"
+        "column-profiling pass a data-quality stage runs before training. "
+        "Built from EXACT decimal moments (n, sum x, sum x^2, sum xy) so "
+        "every statistic is a fixed IEEE expression over order-independent "
+        "sums: bit-identical across partition orders AND engines (the "
+        "built-in streaming stddev/corr accumulate doubles in partition "
+        "order and wobble in the last ulp)"
     ),
 )
 def q93(spark, sf_dir):
+    x = F.col("c_acctbal")
+    y = F.col("c_nationkey")
     c = load(spark, "customer", sf_dir)
-    return c.groupBy("c_mktsegment").agg(
-        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_acctbal"),
-        F.round(F.var_samp("c_acctbal"), 4).alias("var_acctbal"),
-        F.round(F.covar_samp("c_acctbal", "c_nationkey"), 4).alias(
-            "cov_bal_nation"
-        ),
-        F.round(F.corr("c_acctbal", "c_nationkey"), 6).alias("corr_bal_nation"),
-        _davg("c_acctbal", 4).alias("mean_acctbal"),
+    m = c.groupBy("c_mktsegment").agg(
+        F.count("c_acctbal").cast("double").alias("n"),
+        F.sum(x.cast(_DEC)).cast("double").alias("s1"),
+        F.sum((x * x).cast("decimal(38,12)")).cast("double").alias("s2"),
+        F.sum(y.cast(_DEC)).cast("double").alias("sy"),
+        F.sum((y * y).cast("decimal(38,12)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(38,12)")).cast("double").alias("sxy"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "c_mktsegment",
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 4).alias("sd_acctbal"),
+        F.round((s2 - s1 * s1 / n) / (n - 1), 4).alias("var_acctbal"),
+        F.round((sxy - s1 * sy / n) / (n - 1), 4).alias("cov_bal_nation"),
+        F.round(
+            (n * sxy - s1 * sy)
+            / (F.sqrt(n * s2 - s1 * s1) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_bal_nation"),
+        F.round(s1 / n, 4).alias("mean_acctbal"),
     )
 
 
@@ -3782,3 +3811,73 @@ FROM c GROUP BY h
 )
 def z11(spark, sf_dir):
     return text.canonical_dedup_groups(load(spark, "documents", sf_dir))
+
+
+@query(
+    "z12_image_meta",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS width,
+         3 + n_chars % 11 AS height
+  FROM documents)
+SELECT doc_id,
+       width::INT AS width, height::INT AS height,
+       8 AS bit_depth, 0 AS color_type, 'PNG' AS format,
+       (width * height)::BIGINT AS n_pixels,
+       -- exact integer sum of (x*7 + y*13 + doc_id) % 256 over the
+       -- raster, exactly as the generator lays pixels out
+       list_sum(flatten(
+         [[(x * 7 + y * 13 + doc_id) % 256
+           for x in generate_series(0, width - 1)]
+          for y in generate_series(0, height - 1)]))::BIGINT AS pixel_sum
+FROM p
+""",
+    description=(
+        "image leg, codec-REAL end to end: genuine PNG payloads (stdlib "
+        "zlib IDAT + CRCs) -> real IHDR header parse -> FULL pixel decode "
+        "(inflate + scanline unfilter) -> per-image pixel_sum. The oracle "
+        "recomputes dimensions and the exact pixel sum from the "
+        "deterministic generation parameters, so a decoder that misreads "
+        "actual PNG bytes (header, CRC, filters, raster order) fails the "
+        "gate"
+    ),
+)
+def z12(spark, sf_dir):
+    docs = multimodal.attach_png_binary(load(spark, "documents", sf_dir))
+    meta = multimodal.decode_png_meta(docs).select(
+        "doc_id", "width", "height", "bit_depth", "color_type", "format"
+    )
+    pix = multimodal.decode_image_pixels(docs).select(
+        "doc_id",
+        F.size("pixels").cast("long").alias("n_pixels"),
+        F.aggregate(
+            "pixels", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("pixel_sum"),
+    )
+    return meta.join(pix, "doc_id")
+
+
+@query(
+    "z13_deterministic_sample",
+    oracle=f"""
+SELECT doc_id, source, n_chars
+FROM (SELECT doc_id, source, n_chars,
+             {_POLY_SQL.format(x="md5('0' || text)")} AS sk
+      FROM documents)
+ORDER BY sk, doc_id
+LIMIT 50
+""",
+    description=(
+        "exact-size uniform corpus sample as a bottom-k sketch over a "
+        "portable content hash: reproducible across engines/reshuffles/"
+        "corpus growth (KMV min-wise property), executed as "
+        "TakeOrderedAndProject -- per-partition k-row heaps, no global "
+        "sort, the one-pass sampling shape a 100 TB corpus needs"
+    ),
+)
+def z13(spark, sf_dir):
+    from ..operators.train_prep import deterministic_sample
+
+    docs = load(spark, "documents", sf_dir)
+    return deterministic_sample(docs, 50).select("doc_id", "source", "n_chars")

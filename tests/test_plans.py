@@ -289,3 +289,49 @@ def test_gate_window_covers_every_family():
     assert all(n in gated for fam in families.values() for n in fam), (
         "a pinned family representative is no longer in the gated window"
     )
+
+
+def test_deterministic_sample_is_partial_topk(spark):
+    """z13's sampling plan must be TakeOrderedAndProject (per-partition
+    k-row heaps, no global Exchange+Sort): the shape that makes bottom-k
+    sampling a one-pass operation at 100 TB."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
+        deterministic_sample,
+    )
+
+    docs = load(spark, "documents", SF)
+    plan = formatted_plan(
+        deterministic_sample(docs, 50).select("doc_id", "source")
+    )
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "Exchange rangepartitioning" not in tree  # no global sort
+
+
+def test_deterministic_sample_kmv_composition(spark):
+    """Bottom-k composes: sampling the union equals sampling the union of
+    per-part samples, and growing the corpus only swaps in docs that hash
+    below the old threshold (stable under appends)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
+        deterministic_sample,
+    )
+
+    docs = load(spark, "documents", SF)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    k = 30
+    whole = {r["doc_id"] for r in deterministic_sample(docs, k).collect()}
+    merged_parts = deterministic_sample(a, k).unionByName(
+        deterministic_sample(b, k)
+    )
+    recombined = {
+        r["doc_id"] for r in deterministic_sample(merged_parts, k).collect()
+    }
+    assert whole == recombined
+
+    # append stability: the sample of a grown corpus keeps every old
+    # member whose key stays below the new threshold -- equivalently, the
+    # old sample is a superset of (new sample ∩ old corpus)
+    grown = {r["doc_id"] for r in deterministic_sample(docs, k).collect()}
+    old = {r["doc_id"] for r in deterministic_sample(a, k).collect()}
+    assert (grown & {r["doc_id"] for r in a.collect()}) <= old
