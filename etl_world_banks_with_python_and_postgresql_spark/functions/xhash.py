@@ -84,6 +84,22 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
+def word_shingle_list(tokens: Column, n: int = 3) -> Column:
+    """n-word shingles WITH multiplicity (no distinct) -- for operators
+    that count gram occurrences (duplicated-n-gram rates) rather than
+    set-membership. Same short-input guard and DuckDB twin as
+    ``word_shingles``, minus the ``list_distinct``.
+    """
+    parts = lambda i: [F.element_at(tokens, i + off) for off in range(n)]  # noqa: E731
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.concat_ws(" ", *parts(i)),
+    )
+    return F.when(F.size(tokens) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 MD5_HASH32_SQL = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
 
 

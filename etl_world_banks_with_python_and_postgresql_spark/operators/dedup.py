@@ -634,3 +634,80 @@ def minhash_novel(
     return new_df.join(
         dup_ids.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     )
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level duplicated-n-gram rate per document (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" exact-
+    substring signal, approximated at word-n-gram granularity).
+
+    A gram is "duplicated" when it occurs in >= ``min_docs`` distinct
+    documents corpus-wide. Each document is then scored by how much of it
+    is made of such boilerplate grams:
+
+      n_grams       total gram occurrences in the doc (with multiplicity)
+      n_dup_grams   occurrences whose gram is duplicated
+      dup_bp        floor(n_dup_grams * 10000 / n_grams) -- basis points,
+                    exact integer arithmetic (no float rounding to go
+                    nondeterministic across engines/partition orders)
+
+    Training pipelines threshold on dup_bp to drop template/boilerplate
+    documents that document-level dedup can never catch (every copy is
+    unique overall but 80% shared header).
+
+    Scale shape: one explode -> two aggregations, both shuffling on the
+    8-byte xxhash64 gram key with map-side combine; the doc-frequency
+    pass reduces to |distinct grams| rows and the hot-gram set (df >=
+    min_docs) is a tail of that, joined back on the gram key (AQE
+    broadcasts it when small; hot grams are few by definition -- the
+    threshold keeps only the heavy tail). No driver materialization, no
+    UDFs; everything stays in whole-stage codegen.
+
+    Docs shorter than n tokens have n_grams = 0 and report dup_bp = 0.
+    """
+    from ..functions.xhash import word_shingle_list
+
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    grams = spread.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                word_shingle_list(ws_tokens(F.col(text_col)), n),
+                lambda g: F.xxhash64(g),
+            )
+        ).alias("gram"),
+    )
+    hot = (
+        grams.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("gram")
+    )
+    per_doc = grams.join(hot.withColumn("_hot", F.lit(1)), "gram", "left").groupBy(
+        id_col
+    ).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("_hot"), F.lit(0))).alias("n_dup_grams"),
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        F.when(
+            F.coalesce("n_grams", F.lit(0)) > 0,
+            F.floor(F.col("n_dup_grams") * 10000 / F.col("n_grams")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_bp"),
+    )

@@ -3881,3 +3881,150 @@ def z13(spark, sf_dir):
 
     docs = load(spark, "documents", sf_dir)
     return deterministic_sample(docs, 50).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "z14_salted_agg",
+    oracle="""
+SELECT event_type,
+       count(*)                                            AS n_events,
+       round(sum(CAST(value AS DECIMAL(25,6))), 2)::DOUBLE AS total_value,
+       min(value)                                          AS min_value,
+       max(value)                                          AS max_value
+FROM events
+GROUP BY 1
+""",
+    description=(
+        "skew-safe two-phase aggregation: partial-agg on (key, salt) "
+        "spreads a hot key over 16 reducers, then the merge shuffle "
+        "carries only |groups|*16 partial rows. Result-identical to the "
+        "plain groupBy (exact DECIMAL sums keep two-phase == one-phase "
+        "bit-for-bit); the salt is a deterministic content hash, never "
+        "rand() (task retries must re-salt identically)"
+    ),
+)
+def z14(spark, sf_dir):
+    from ..operators.skew import salted_agg
+
+    ev = load(spark, "events", sf_dir)
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        [
+            ("n_events", "count", F.lit(1)),
+            ("_sv", "sum", F.col("value").cast("decimal(25,6)")),
+            ("min_value", "min", F.col("value")),
+            ("max_value", "max", F.col("value")),
+        ],
+        salt=F.xxhash64("event_id"),
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("_sv", 2).cast("double").alias("total_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+@query(
+    "z15_bloom_decontaminate",
+    oracle=REGISTRY["q48_decontaminate"].oracle,
+    description=(
+        "q48's decontamination for the eval-set-too-big-to-broadcast "
+        "regime: JVM-hashed Bloom prefilter (capped 128 KiB bit array "
+        "broadcast, Arrow-batched vectorized probe) kills the explode "
+        "inflation before any shuffle, then an exact SHUFFLE join against "
+        "the eval gram set removes false positives -- result-identical to "
+        "the exact operator (same oracle)"
+    ),
+)
+def z15(spark, sf_dir):
+    from ..operators.train_prep import bloom_decontaminate
+
+    docs = load(spark, "documents", sf_dir)
+    return bloom_decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=8,
+    )
+
+
+@query(
+    "z16_dup_ngram_stats",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+  FROM tok, UNNEST(generate_series(1, len(t)-5+1)) AS s(i)),
+hot AS (
+  SELECT gram
+  FROM (SELECT gram, count(DISTINCT doc_id) AS dfc FROM g GROUP BY 1)
+  WHERE dfc >= 10),
+agg AS (
+  SELECT g.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN hot.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup
+  FROM g LEFT JOIN hot ON g.gram = hot.gram
+  GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(n_grams, 0)     AS n_grams,
+       coalesce(n_dup, 0)       AS n_dup_grams,
+       CASE WHEN coalesce(n_grams, 0) > 0
+            THEN (coalesce(n_dup, 0) * 10000) // n_grams
+            ELSE 0 END          AS dup_bp
+FROM documents d LEFT JOIN agg USING (doc_id)
+""",
+    description=(
+        "corpus-level duplicated-n-gram rate per doc (Lee et al. exact-"
+        "substring dedup signal at 5-gram granularity): grams occurring "
+        "in >=10 docs are boilerplate; dup_bp = exact-integer basis "
+        "points of each doc made of them. Two gram-keyed shuffles with "
+        "map-side combine; catches 80%-shared-template docs that "
+        "document-level dedup can never see"
+    ),
+)
+def z16(spark, sf_dir):
+    return dedup.dup_ngram_stats(
+        load(spark, "documents", sf_dir), n=5, min_docs=10
+    )
+
+
+@query(
+    "z17_salted_join",
+    oracle="""
+SELECT n.n_name AS nation,
+       count(*) AS n_customers,
+       round(sum(CAST(c_acctbal AS DECIMAL(25,6))), 2)::DOUBLE AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""",
+    description=(
+        "skew-safe replicated-build equi-join: the big probe side gets a "
+        "deterministic per-row salt, the dimension is exploded n_salts "
+        "ways, and the join runs on (key, salt) so one hot key spreads "
+        "over n_salts shuffle partitions. Result-identical to the plain "
+        "join (oracle-pinned); for dims that fit in memory prefer "
+        "broadcast -- no shuffle to skew -- this is the mid-size-build "
+        "escape hatch"
+    ),
+)
+def z17(spark, sf_dir):
+    from ..operators.skew import salted_join
+
+    cust = load(spark, "customer", sf_dir).select("c_nationkey", "c_custkey", "c_acctbal")
+    nat = (
+        load(spark, "nation", sf_dir)
+        .select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
+    )
+    joined = salted_join(
+        cust, nat, on=["c_nationkey"], salt=8, salt_expr=F.xxhash64("c_custkey")
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(25,6)")), 2)
+        .cast("double")
+        .alias("total_acctbal"),
+    )
