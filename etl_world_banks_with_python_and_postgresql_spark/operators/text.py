@@ -317,3 +317,68 @@ def canonical_dedup_groups(
         .groupBy("canon_hash")
         .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id"))
     )
+
+
+def bigram_coherence(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained bigram LM fluency signal, in exact integer
+    arithmetic (the CCNet/KenLM perplexity-filter shape, with the LM
+    trained on the corpus itself instead of an external model).
+
+    Per bigram type (w1, w2), the corpus-wide conditional probability
+    estimate c(w1,w2)/c(w1·) is materialized as parts-per-million via
+    INTEGER division -- ``(c12 * 1000000) div c1`` -- so every value is
+    exact and identical across engines and partition orders (no float
+    summation anywhere; this is the q49 lesson applied from the start).
+    A document's score is the integer mean of its bigram terms:
+
+      n_bigrams       token-adjacent pairs in the doc (multiplicity)
+      coherence_ppm   div(sum(term), n_bigrams): high = the doc walks
+                      well-trodden bigram paths (fluent/templated text),
+                      low = unusual word-to-word transitions (gibberish,
+                      mixed-language, OCR noise)
+
+    Scale shape: one explode, then the bigram-type table (|distinct
+    bigrams|, not |occurrences|) is built with map-side combine; the
+    head-count table derives from IT (groupBy w1 over c12 -- never a
+    second pass over occurrences). Occurrences join the term table on
+    the (w1, w2) key and reduce to one row per doc. All shuffles are on
+    gram keys; AQE handles the zipfian skew of frequent-word buckets.
+    Docs with < 2 tokens report (0, 0).
+    """
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    toks = ws_tokens(F.col(text_col))
+    pair_t = "array<struct<w1:string,w2:string>>"
+    bg_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast(pair_t))
+    bg = spread.select(F.col(id_col), F.explode(bg_arr).alias("b")).select(
+        id_col, "b.w1", "b.w2"
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    term = c12.join(c1, "w1").select(
+        "w1", "w2", F.expr("(c12 * 1000000L) div c1").alias("term")
+    )
+    doc = (
+        bg.join(term, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"), F.sum("term").alias("s"))
+    )
+    return df.select(id_col).join(doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.expr("s div n_bigrams"), F.lit(0))
+        .cast("long")
+        .alias("coherence_ppm"),
+    )

@@ -4028,3 +4028,40 @@ def z17(spark, sf_dir):
         .cast("double")
         .alias("total_acctbal"),
     )
+
+
+@query(
+    "z18_bigram_coherence",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM tok, UNNEST(generate_series(1, len(t)-1)) AS s(i)),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+term AS (
+  SELECT w1, w2, (c12 * 1000000) // c1 AS term
+  FROM c12 JOIN c1 USING (w1)),
+doc AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams, sum(term)::BIGINT AS s
+  FROM bg JOIN term USING (w1, w2)
+  GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       CASE WHEN coalesce(n_bigrams, 0) > 0 THEN s // n_bigrams
+            ELSE 0 END AS coherence_ppm
+FROM documents d LEFT JOIN doc USING (doc_id)
+""",
+    description=(
+        "corpus-trained bigram-LM fluency score (the CCNet/KenLM "
+        "perplexity-filter shape): per-doc integer mean of exact "
+        "parts-per-million conditional probabilities c(w1,w2)/c(w1). "
+        "Pure integer arithmetic end to end -- no float summation to go "
+        "order-sensitive; bigram-type table built once with map-side "
+        "combine, head counts derived from it, occurrences join on the "
+        "gram key"
+    ),
+)
+def z18(spark, sf_dir):
+    return text.bigram_coherence(load(spark, "documents", sf_dir))

@@ -163,3 +163,23 @@ def test_dup_ngram_stats_flags_boilerplate(spark):
         assert out[i].dup_bp == (6 * 10000) // 11
     assert out[50].n_dup_grams == 0 and out[50].dup_bp == 0
     assert out[51].n_grams == 0 and out[51].dup_bp == 0
+
+
+def test_bigram_coherence_hand_computed(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.text import (
+        bigram_coherence,
+    )
+
+    # corpus: "a b" x3, "a c" x1, "x" (no bigram), "" (no tokens)
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c"), (5, "x"), (6, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_coherence(df).collect()}
+    assert len(out) == 6
+    # c(a,b)=3, c(a,c)=1, c(a.)=4 -> term(a,b)=750000, term(a,c)=250000
+    for d in (1, 2, 3):
+        assert out[d].n_bigrams == 1 and out[d].coherence_ppm == 750000
+    assert out[4].n_bigrams == 1 and out[4].coherence_ppm == 250000
+    assert out[5].n_bigrams == 0 and out[5].coherence_ppm == 0
+    assert out[6].n_bigrams == 0 and out[6].coherence_ppm == 0
