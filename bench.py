@@ -52,6 +52,9 @@ HEADLINE = [
     "z03_minhash_novel",
     "z06_continuous_aggregate",
     "z11_canonical_dedup",
+    "z19_semantic_dedup",
+    "z20_quality_classifier",
+    "z21_embedding_moments",
 ]
 
 

@@ -616,3 +616,106 @@ def cosine_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int | None = 12,
+    bits_per_band: int = 6,
+    dim: int | None = None,
+    seed: int = 0,
+    max_iter: int = 25,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: one keep/drop decision per
+    vector from embedding-space near-duplicate CLUSTERS.
+
+    Composition of two already-scale-shaped pieces: near-dup pairs from
+    ``cosine_neardup_pairs`` (banded sign-LSH candidates + exact cosine
+    verify -- never all-pairs), resolved to connected components with
+    ``dedup.duplicate_clusters`` (iterative min-label propagation, cost
+    bounded by ``max_iter``). Every vector gets its component's minimum id
+    as ``cluster_id`` (singletons: their own id); ``kept`` marks the one
+    representative a semantic dedup pass retains per cluster.
+
+    Scale shape: the pair stage touches only band-bucket collisions; the
+    CC stage shuffles only the (bounded) edge list; the final decision is
+    one equi-join of the corpus ids against the (duplicates-only) label
+    table -- the full embedding payload is never joined or shuffled.
+    """
+    from .dedup import duplicate_clusters
+
+    pairs = cosine_neardup_pairs(
+        df,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        bands=bands,
+        bits_per_band=bits_per_band,
+        dim=dim,
+        seed=seed,
+    )
+    clusters = duplicate_clusters(
+        pairs.select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        ),
+        max_iter=max_iter,
+    )
+    labels = clusters.select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id").alias("_cl")
+    )
+    return (
+        df.select(id_col)
+        .join(labels, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_cl", F.col(id_col)).alias("cluster_id"),
+            (F.coalesce("_cl", F.col(id_col)) == F.col(id_col)).alias("kept"),
+        )
+    )
+
+
+def embedding_moments(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-dimension corpus moments of an embedding column -- the
+    normalization/whitening statistics an embedding pipeline computes
+    before indexing (mean-centering, variance scaling, PCA prep).
+
+    Values are quantized to exact integer MICROS per element before any
+    summation (``round(v * 1e6)::BIGINT``), so the per-dimension sums are
+    associative integer adds: bit-identical across partition orders and
+    engines -- no float accumulation anywhere (the q49 lesson). Outputs
+    per dimension: n, sum_micro, mean_micro (integer division), and
+    sum_sq_micro2 (sum of squared micros; callers derive variance).
+
+    Scale shape: posexplode fans each row into ``dim`` (index, value)
+    pairs inside the scan projection -- no shuffle for the fan-out -- then
+    ONE groupBy over ``dim`` keys (a handful of groups) where map-side
+    combine collapses each partition to ``dim`` rows before the exchange.
+    The shuffle payload is O(dim x partitions), independent of corpus
+    size; sum_sq stays in BIGINT range for |v| <= ~1e3 up to ~1e6 rows
+    per dimension times 1e12 per element -- petabyte corpora switch the
+    squares column to DECIMAL(38,0) (one cast).
+    """
+    micro = lambda c: F.round(c.cast("double") * 1000000).cast("long")  # noqa: E731
+    e = df.select(F.posexplode(F.col(vec_col)).alias("dim_idx", "_v")).select(
+        "dim_idx", micro(F.col("_v")).alias("_m")
+    )
+    return (
+        e.groupBy("dim_idx")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_m").alias("sum_micro"),
+            F.sum(F.col("_m") * F.col("_m")).alias("sum_sq_micro2"),
+        )
+        .select(
+            "dim_idx",
+            "n",
+            "sum_micro",
+            F.expr("sum_micro div n").alias("mean_micro"),
+            "sum_sq_micro2",
+        )
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.xhash import POLY_BASE, POLY_MOD, ws_tokens
+from ..functions.xhash import POLY_BASE, POLY_MOD, md5_hash32, ws_tokens
 
 # Tiny stopword lexicons for the language-ID heuristic. Deliberately small so
 # the oracle SQL stays readable; real pipelines would swap in fastText or CLD3
@@ -381,4 +381,46 @@ def bigram_coherence(
         F.coalesce(F.expr("s div n_bigrams"), F.lit(0))
         .cast("long")
         .alias("coherence_ppm"),
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Hashed-bag-of-words linear classifier score (the fastText /
+    DSIR-style quality-filter shape, with the weight table replaced by a
+    deterministic hash so the op is self-contained and engine-portable).
+
+    Each token hashes to an INTEGER weight in [-1000, 1000] via the
+    portable md5-prefix hash (``w(t) = md5_hash32(t) % 2001 - 1000``); a
+    document's raw score is the exact BIGINT sum of its token weights --
+    no float summation, so the result is independent of partition order
+    AND bit-identical in the DuckDB oracle (the q49 lesson). ``accept``
+    is the sign of the mean weight; ``score_bp`` is the mean weight in
+    exact basis points of the weight scale (integer division).
+
+    A real deployment swaps the hash for a broadcast-joined learned
+    weight table (token -> weight) -- the plan shape is identical: pure
+    per-row projection, zero shuffles, zero UDFs; at 100 TB the filter
+    runs at scan speed inside whole-stage codegen.
+    """
+    t = F.col(text_col)
+    toks = ws_tokens(t)
+    weights = F.transform(toks, lambda tok: md5_hash32(tok) % 2001 - 1000)
+    n = token_count(t)
+    wsum = F.when(n == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(weights, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    )
+    base = df.select(
+        F.col(id_col), n.alias("n_tokens"), wsum.alias("weight_sum")
+    )
+    return base.select(
+        id_col,
+        "n_tokens",
+        "weight_sum",
+        F.when(F.col("n_tokens") > 0, F.expr("weight_sum * 10 div n_tokens"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("score_bp"),
+        (F.col("weight_sum") > 0).alias("accept"),
     )

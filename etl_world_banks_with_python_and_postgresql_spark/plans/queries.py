@@ -4065,3 +4065,98 @@ FROM documents d LEFT JOIN doc USING (doc_id)
 )
 def z18(spark, sf_dir):
     return text.bigram_coherence(load(spark, "documents", sf_dir))
+
+
+@query(
+    "z19_semantic_dedup",
+    oracle=f"""
+WITH RECURSIVE p AS (
+  SELECT vec_a, vec_b FROM (
+{_signlsh_neardup_oracle(threshold=0.45, bands=12, bits_per_band=6, dim=64)}
+  ) AS pr),
+sym AS (
+  SELECT vec_a AS src, vec_b AS dst FROM p
+  UNION
+  SELECT vec_b, vec_a FROM p),
+reach(node, lbl) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.node, s.dst FROM reach r JOIN sym s ON r.lbl = s.src),
+cl AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT e.vec_id,
+       coalesce(cl.cluster_id, e.vec_id) AS cluster_id,
+       coalesce(cl.cluster_id, e.vec_id) = e.vec_id AS kept
+FROM embeddings e LEFT JOIN cl ON cl.node = e.vec_id
+""",
+    description=(
+        "SemDeDup-shaped semantic dedup: banded sign-LSH near-dup pairs "
+        "resolved to connected components, one keep/drop decision per "
+        "vector (cluster representative = min id; singletons keep "
+        "themselves). The oracle is the recursive-CTE transitive closure "
+        "over the SAME deterministic pair set as q39"
+    ),
+)
+def z19(spark, sf_dir):
+    return similarity.semantic_dedup(
+        load(spark, "embeddings", sf_dir),
+        threshold=0.45,
+        bands=12,
+        bits_per_band=6,
+        dim=64,
+    )
+
+
+@query(
+    "z20_quality_classifier",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({_TOKENS_SQL}) END AS n_tokens,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE list_sum(list_transform({_TOKENS_SQL},
+                   s -> {xhash.MD5_HASH32_SQL.format(x='s')} % 2001 - 1000))
+         END::BIGINT AS weight_sum
+  FROM documents)
+SELECT doc_id, n_tokens, weight_sum,
+       CASE WHEN n_tokens > 0 THEN weight_sum * 10 // n_tokens
+            ELSE 0 END::BIGINT AS score_bp,
+       weight_sum > 0 AS accept
+FROM tok
+""",
+    description=(
+        "hashed-bag-of-words linear quality classifier (fastText/DSIR "
+        "filter shape, hash-derived integer weights standing in for the "
+        "learned table): exact BIGINT weight sums -- no float "
+        "accumulation, partition-order- and engine-independent; pure "
+        "scan-speed projection, zero shuffles/UDFs"
+    ),
+)
+def z20(spark, sf_dir):
+    return text.hashed_linear_score(load(spark, "documents", sf_dir))
+
+
+@query(
+    "z21_embedding_moments",
+    oracle="""
+WITH m AS (
+  SELECT i - 1 AS dim_idx,
+         round(embedding[i]::DOUBLE * 1000000)::BIGINT AS mv
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(i))
+SELECT dim_idx, count(*) AS n,
+       sum(mv)::BIGINT AS sum_micro,
+       (sum(mv)::BIGINT // count(*)) AS mean_micro,
+       sum(mv * mv)::BIGINT AS sum_sq_micro2
+FROM m GROUP BY dim_idx
+""",
+    description=(
+        "per-dimension embedding corpus moments (whitening/normalization "
+        "stats): values quantized to exact integer micros BEFORE "
+        "summation so the sums are associative -- deterministic under any "
+        "partition order; posexplode fan-out in the scan projection + one "
+        "map-side-combined groupBy over dim keys, shuffle payload "
+        "O(dim x partitions) regardless of corpus size"
+    ),
+)
+def z21(spark, sf_dir):
+    return similarity.embedding_moments(load(spark, "embeddings", sf_dir))

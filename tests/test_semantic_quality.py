@@ -1,0 +1,97 @@
+"""Unit tests for z19-z21's operators: semantic_dedup (SemDeDup shape),
+hashed_linear_score (hashed linear quality filter), embedding_moments
+(per-dimension integer-micro corpus moments).
+
+The registry-level oracle/determinism/plan-lint sweeps already gate the
+end-to-end queries; these tests pin the operator-level contracts on tiny
+hand-built inputs where the expected answer is checkable by eye.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+    embedding_moments,
+    semantic_dedup,
+)
+from etl_world_banks_with_python_and_postgresql_spark.operators.text import (
+    hashed_linear_score,
+)
+
+
+def test_semantic_dedup_clusters_and_singletons(spark):
+    # 3 near-identical vectors (one cluster), 1 orthogonal singleton.
+    base = [1.0, 0.0, 0.0, 0.0]
+    near1 = [0.999, 0.01, 0.0, 0.0]
+    near2 = [0.998, -0.01, 0.01, 0.0]
+    ortho = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, base), (2, near1), (3, near2), (9, ortho)],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup(df, threshold=0.9, bands=8, bits_per_band=4, dim=4)
+    rows = {r["vec_id"]: (r["cluster_id"], r["kept"]) for r in out.collect()}
+    assert rows[1] == (1, True)
+    assert rows[2] == (1, False)
+    assert rows[3] == (1, False)
+    assert rows[9] == (9, True)  # singleton keeps itself
+    # exactly one representative per cluster
+    kept = [v for v, (c, k) in rows.items() if k]
+    assert sorted(kept) == [1, 9]
+
+
+def test_semantic_dedup_schema_stable_when_no_pairs(spark):
+    # all-orthogonal corpus: no pairs at all; every vector is a kept singleton
+    df = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(4)]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup(df, threshold=0.9, bands=4, bits_per_band=4, dim=4)
+    assert out.columns == ["vec_id", "cluster_id", "kept"]
+    assert all(r["kept"] and r["cluster_id"] == r["vec_id"] for r in out.collect())
+
+
+def test_hashed_linear_score_exact_and_blank(spark):
+    df = spark.createDataFrame(
+        [(1, "good words here"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in hashed_linear_score(df).collect()}
+    # blank docs: zero tokens, zero sums, rejected (score strictly > 0 accepts)
+    for d in (2, 3):
+        assert rows[d]["n_tokens"] == 0
+        assert rows[d]["weight_sum"] == 0
+        assert rows[d]["score_bp"] == 0
+        assert rows[d]["accept"] is False
+    # doc 1: recompute the exact integer contract in python
+    import hashlib
+
+    def w(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    expect = sum(w(t) for t in "good words here".split())
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["weight_sum"] == expect
+    # Spark `div` truncates toward zero, matching the oracle's `//`
+    q = abs(expect * 10) // 3
+    assert rows[1]["score_bp"] == (q if expect >= 0 else -q)
+    assert rows[1]["accept"] is (expect > 0)
+
+
+def test_embedding_moments_exact_micros(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0]), (2, [0.25, 2.0]), (3, [0.0, 0.125])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["dim_idx"]: r for r in embedding_moments(df).collect()}
+    assert rows[0]["n"] == 3 and rows[1]["n"] == 3
+    assert rows[0]["sum_micro"] == 500_000 + 250_000 + 0
+    assert rows[1]["sum_micro"] == -1_000_000 + 2_000_000 + 125_000
+    assert rows[0]["mean_micro"] == rows[0]["sum_micro"] // 3
+    assert rows[0]["sum_sq_micro2"] == 500_000**2 + 250_000**2
+    assert (
+        rows[1]["sum_sq_micro2"]
+        == 1_000_000**2 + 2_000_000**2 + 125_000**2
+    )
