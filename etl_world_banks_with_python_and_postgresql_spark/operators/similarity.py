@@ -554,30 +554,59 @@ def cosine_neardup_pairs(
         dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     planes = rademacher_planes(bands * bits_per_band, dim, seed)
 
-    # one int key per band; the per-band signature is a pure codegen
-    # expression over literal planes -- no shuffle to compute it
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                signature_bits(
-                    F.col(vec_col),
-                    planes[bi * bits_per_band : (bi + 1) * bits_per_band],
-                ).alias("key"),
+    # Signature stage: Arrow-batched numpy, not per-plane HOF folds. The
+    # 72 plane dots per vector are one (n x dim) @ (dim x planes) int64
+    # matmul per batch -- SIMD inside numpy, vs ~bands*bits*dim interpreted
+    # lambda evaluations per ROW for the F.aggregate formulation (measured
+    # >2.5 s/1k rows of Catalyst+interpreted-HOF cost; the matmul is
+    # milliseconds and scan-parallel). Determinism across engines: each
+    # element is quantized to exact integer MICROS first, so the dot is an
+    # exact int64 sum -- no float-summation order anywhere, and the DuckDB
+    # oracle's list_dot_product over the same BIGINT micros is exact in
+    # double (|dot| << 2^53). Plane entries are +/-1, so micro-dots sign-
+    # agree with the float dots except within the quantization noise floor
+    # -- a bucketing choice, not a correctness one (verify is exact either
+    # way); the oracle replicates the micro formulation bit-for-bit.
+    import numpy as np
+    import pandas as pd
+
+    plane_mat = np.asarray(planes, dtype=np.int64).T  # (dim, n_planes)
+    n_bands, bpb = bands, bits_per_band
+
+    def sig_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            micros = np.rint(vecs * 1_000_000.0).astype(np.int64)
+            bits = (micros @ plane_mat) >= 0  # (n, n_planes) bool
+            keys = np.zeros((len(pdf), n_bands), dtype=np.int32)
+            for b in range(n_bands):
+                for j in range(bpb):
+                    keys[:, b] |= bits[:, b * bpb + j].astype(np.int32) << j
+            yield pd.DataFrame(
+                {
+                    "bid": np.repeat(pdf["bid"].to_numpy(), n_bands),
+                    "band": np.tile(
+                        np.arange(n_bands, dtype=np.int32), len(pdf)
+                    ),
+                    "key": keys.reshape(-1),
+                }
             )
-            for bi in range(bands)
-        ]
-    )
+
     bands_df = df.select(
-        F.col(id_col).alias("bid"), F.explode(band_keys).alias("bk")
-    )
+        F.col(id_col).alias("bid"), F.col(vec_col).alias("_v")
+    ).mapInPandas(sig_batches, "bid long, band int, key int")
     # candidates: equi-join on (band, key); the id inequality only
-    # de-duplicates within a bucket (it is NOT the join condition)
+    # de-duplicates within a bucket (it is NOT the join condition). The
+    # self-join's two sides are identical subtrees, so ReuseExchange runs
+    # the Arrow signature stage once.
     la, lb = bands_df.alias("la"), bands_df.alias("lb")
     cand = (
         la.join(
             lb,
-            (F.col("la.bk") == F.col("lb.bk"))
+            (F.col("la.band") == F.col("lb.band"))
+            & (F.col("la.key") == F.col("lb.key"))
             & (F.col("la.bid") < F.col("lb.bid")),
         )
         .select(F.col("la.bid").alias("vec_a"), F.col("lb.bid").alias("vec_b"))

@@ -1136,12 +1136,19 @@ def _signlsh_neardup_oracle(
     SAME Rademacher hyperplane literals (``rademacher_planes`` is
     deterministic), the same per-band sign-bit keys, the same
     bucket-equi-join candidates, the same exact cosine verify. Both engines
-    fold the +/-1 dot products left-to-right in double, so the sign bits --
-    and therefore the candidate set -- are bit-identical."""
+    compute each plane dot over exact integer MICROS (round(v * 1e6) as
+    BIGINT; |dot| << 2^53, so DuckDB's double list_dot_product is exact and
+    numpy's int64 matmul trivially so) -- the sign bits, and therefore the
+    candidate set, are bit-identical with NO float-summation order
+    dependence in either engine."""
     planes = similarity.rademacher_planes(bands * bits_per_band, dim, seed)
 
     def dot(p: list[float]) -> str:
-        return "list_dot_product(v, [" + ",".join(str(x) for x in p) + "])"
+        return (
+            "list_dot_product(vm, ["
+            + ",".join(str(int(x)) for x in p)
+            + "])"
+        )
 
     keys = []
     for b in range(bands):
@@ -1160,7 +1167,9 @@ def _signlsh_neardup_oracle(
         " * sqrt(list_dot_product(eb.v, eb.v))), 6)"
     )
     return f"""
-WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v,
+                  [round(x::DOUBLE * 1000000)::BIGINT for x in embedding] AS vm
+           FROM embeddings),
 sig AS (SELECT vec_id, {", ".join(keys)} FROM e),
 bands AS ({band_union}),
 cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
