@@ -389,3 +389,67 @@ def deterministic_sample(
         .limit(k)
         .drop("_sk")
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every unordered pair of
+    sources, the number of distinct word n-grams that occur in BOTH -- the
+    corpus-governance audit behind mixing decisions (which crawls/dumps
+    duplicate each other, where eval-set leakage between slices lives).
+
+    Plan shape: (source, gram) pairs are distinct-ed (one shuffle, grams
+    keyed), each gram folds to its sorted source SET (second gram-keyed
+    shuffle with map-side combine; set size is bounded by |sources|, a
+    constant ~dozens, never by corpus size), pairs are generated per gram
+    by pure array expressions, and a final tiny groupBy over source-pair
+    keys emits the matrix. No self-join of the gram table, so no gram
+    re-shuffle; the pair fan-out is |sources|^2-bounded per gram. Grams
+    stay strings for exact oracle parity -- a 100 TB deployment swaps in
+    xxhash64 gram keys (8 bytes vs ~50 chars) like ngram_contamination.
+    """
+    from ..functions.xhash import word_shingles, ws_tokens
+
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    sg = (
+        spread.select(
+            F.col(source_col).alias("src"),
+            F.explode(word_shingles(ws_tokens(F.col(text_col)), n)).alias(
+                "gram"
+            ),
+        )
+        .distinct()
+    )
+    per_gram = (
+        sg.groupBy("gram")
+        .agg(F.array_sort(F.collect_set("src")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    # all (i < j) pairs of the sorted source set, as pure array exprs
+    pairs = per_gram.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("srcs"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("srcs"), i + 2, F.size(F.col("srcs"))
+                        ),
+                        lambda y: F.struct(
+                            x.alias("src_a"), y.alias("src_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.src_a", "p.src_b").groupBy("src_a", "src_b").agg(
+        F.count("*").alias("shared_grams")
+    )

@@ -4169,3 +4169,30 @@ FROM m GROUP BY dim_idx
 )
 def z21(spark, sf_dir):
     return similarity.embedding_moments(load(spark, "embeddings", sf_dir))
+
+
+@query(
+    "z22_source_overlap",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents),
+g AS (
+  SELECT DISTINCT source AS src, array_to_string(t[i:i+7], ' ') AS gram
+  FROM tok, UNNEST(generate_series(1, len(t)-8+1)) AS s(i))
+SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared_grams
+FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+GROUP BY 1, 2
+""",
+    description=(
+        "cross-source contamination matrix: distinct shared 8-gram counts "
+        "per unordered source pair (which corpus slices duplicate each "
+        "other / leak eval content). No gram self-join on the Spark side: "
+        "each gram folds to its sorted source SET (bounded by |sources|, "
+        "not corpus size) and pairs are generated by pure array "
+        "expressions; the oracle is the equivalent gram self-join"
+    ),
+)
+def z22(spark, sf_dir):
+    from ..operators.train_prep import source_overlap_matrix
+
+    return source_overlap_matrix(load(spark, "documents", sf_dir), n=8)

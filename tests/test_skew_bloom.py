@@ -183,3 +183,25 @@ def test_bigram_coherence_hand_computed(spark):
     assert out[4].n_bigrams == 1 and out[4].coherence_ppm == 250000
     assert out[5].n_bigrams == 0 and out[5].coherence_ppm == 0
     assert out[6].n_bigrams == 0 and out[6].coherence_ppm == 0
+
+
+def test_source_overlap_matrix_exact(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
+        source_overlap_matrix,
+    )
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, f"{shared} alpha beta", "a"),
+        (2, f"{shared} gamma delta", "b"),
+        (3, f"{shared} epsilon", "c"),
+        (4, "totally different words with no overlap at all here", "d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["src_a"], r["src_b"]): r["shared_grams"]
+        for r in source_overlap_matrix(df, n=8).collect()
+    }
+    # the single shared 8-gram connects each pair of a/b/c exactly once;
+    # d shares nothing and never appears
+    assert out == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
