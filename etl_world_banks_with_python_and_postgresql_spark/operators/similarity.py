@@ -770,3 +770,34 @@ def embedding_moments(
             "sum_sq_micro2",
         )
     )
+
+
+def append_ivf_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new vector batch to an existing :func:`write_ivf_index`
+    index WITHOUT retraining or rewriting: assign each vector to its
+    nearest existing centroid (same literal-argmin expression as the
+    build) and append cell-partitioned files -- O(|batch|) write cost,
+    the incremental-ingest shape for an at-rest ANN index.
+
+    Probe results via :func:`ivf_topk_indexed` are identical to an index
+    rebuilt from scratch over the union with the SAME centroids (cell
+    assignment is a pure function of vector x centroids; verified in
+    tests). Centroids drift as the corpus grows -- production re-trains
+    periodically and rebuilds at the next compaction window, exactly like
+    IncrementalTable's delta/compact split; appends between rebuilds only
+    add files under already-probed directories, so reader pruning is
+    unaffected. (File visibility is per-file atomic; a manifest commit a
+    la sources/incremental.py would make multi-file appends atomic too.)
+    """
+    centroids = read_ivf_centroids(path)
+    cell = _nearest_cells(
+        _to_double(F.col(vec_col)), _centroid_literals(centroids), 1
+    )[0]
+    batch.withColumn("cell", cell).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)

@@ -1159,3 +1159,48 @@ def test_png_decoder_handles_all_filters():
 
     with _pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
+
+
+def test_ivf_append_matches_full_rebuild(spark, tmp_path):
+    """append_ivf_index: probe results over (build half + append half)
+    are identical to a one-shot index over the union with the SAME
+    centroids, and the append writes files only under cell directories
+    (O(batch) incremental growth, no base rewrite)."""
+    import os
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    emb = load(spark, "embeddings", SF)
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    cents = write_ivf_index(first, inc_path, n_centroids=8)
+    before_files = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(inc_path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    append_ivf_index(second, inc_path)
+    after_files = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(inc_path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    # append adds files, removes none, and every new file sits in a cell dir
+    assert before_files <= after_files
+    assert all("cell=" in f for f in after_files - before_files)
+
+    full_path = str(tmp_path / "ivf_full")
+    write_ivf_index(emb, full_path, centroids=cents)
+
+    inc = ivf_topk_indexed(spark, inc_path, queries, n_probe=2, k=5)
+    full = ivf_topk_indexed(spark, full_path, queries, n_probe=2, k=5)
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
