@@ -12,10 +12,16 @@
   * ``cosine_neardup_pairs`` all pairs with cosine >= t (embedding-space
                            near-duplicate detection).
 
-Dot products/norms are built-in higher-order functions (zip_with +
-aggregate) evaluated JVM-side -- deliberately NOT a pandas UDF: at 64-dim
-the Arrow round trip costs more than the fold, and staying in codegen keeps
-the DuckDB oracle bit-compatible (same left-to-right summation order).
+Per-PAIR dot products/norms in the topk operators are built-in higher-order
+functions (zip_with + aggregate) evaluated JVM-side, keeping the DuckDB
+oracle bit-compatible (same left-to-right summation order). The BULK
+dense-vector stages -- sign-LSH signatures and the near-dup candidate
+verify in ``cosine_neardup_pairs`` -- run as Arrow-batched numpy instead:
+HOF lambdas are interpreted (never codegen'd), and at n-vectors-at-a-time
+scale the vectorized formulation wins ~100x while preserving EXACT
+arithmetic parity (integer-micro dots are associative; the float verify
+uses a dim-indexed accumulation loop that reproduces the left-to-right
+IEEE order bit-for-bit).
 """
 
 from __future__ import annotations

@@ -275,3 +275,82 @@ def streaming_novelty_sink(corpus_path: str, text_col: str = "text"):
         novel.write.mode("append").parquet(corpus_path)
 
     return apply_batch
+
+
+def streaming_semantic_novelty_sink(
+    index_path: str,
+    threshold: float = 0.9,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch body for continuous EMBEDDING ingestion with semantic
+    dedup against a :func:`operators.similarity.write_ivf_index` index:
+    each micro-batch keeps only vectors whose nearest indexed neighbor has
+    cosine < ``threshold`` (checked over the ``n_probe`` nearest cells --
+    the IVF probe, so only those cell partitions are read), then appends
+    the novel remainder to the index via ``append_ivf_index``.
+
+    The SemDeDup counterpart of ``streaming_novelty_sink``: crawl batches
+    arrive, semantically-duplicate vectors are dropped against the
+    ever-growing index, and per-epoch cost is O(|batch| x probed-cells)
+    -- never a scan of the full index. Within-batch duplicates resolve by
+    keeping the lowest id (deterministic). Replayed epochs are absorbed:
+    a replayed vector finds its own earlier copy at cosine ~1 and is
+    dropped. Requires the index to exist (seed it with
+    ``write_ivf_index`` on the first corpus slice).
+    """
+    from ..operators.similarity import (
+        _centroid_literals,
+        _nearest_cells,
+        _to_double,
+        append_ivf_index,
+        cosine,
+        cosine_neardup_pairs,
+        read_ivf_centroids,
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # within-batch semantic dedup: keep each near-dup cluster's min id
+        pairs = cosine_neardup_pairs(
+            batch_df,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=None,
+        )
+        dup_ids = pairs.filter(F.col("vec_a") < F.col("vec_b")).select(
+            F.col("vec_b").alias(id_col)
+        ).distinct()
+        batch_uniq = batch_df.join(dup_ids, id_col, "left_anti")
+
+        cents = read_ivf_centroids(index_path)
+        cent_lits = _centroid_literals(cents)
+        probes = batch_uniq.select(
+            F.col(id_col).alias("_qid"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(
+                _nearest_cells(_to_double(F.col(vec_col)), cent_lits, n_probe)
+            ).alias("cell"),
+        )
+        probed = sorted(
+            r["cell"] for r in probes.select("cell").distinct().collect()
+        )
+        idx = (
+            spark.read.parquet(index_path)
+            .filter(F.col("cell").isin(probed))
+            .select(F.col(vec_col).alias("_iv"), F.col("cell"))
+        )
+        hit_ids = (
+            idx.join(F.broadcast(probes), on="cell")
+            .filter(cosine(F.col("_qv"), F.col("_iv")) >= threshold)
+            .select(F.col("_qid").alias(id_col))
+            .distinct()
+        )
+        novel = batch_uniq.join(hit_ids, id_col, "left_anti")
+        append_ivf_index(novel, index_path, id_col=id_col, vec_col=vec_col)
+
+    return apply_batch

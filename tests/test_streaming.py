@@ -772,3 +772,59 @@ def test_sliding_window_stream_equals_batch(spark, tmp_path):
         for r in REGISTRY["z04_sliding_window"].fn(spark, SF).collect()
     }
     assert got == batch
+
+
+def test_streaming_semantic_novelty_sink(spark, tmp_path):
+    """Continuous embedding ingestion with semantic dedup against a
+    growing IVF index: near-duplicate vectors (cos >= t) are dropped, the
+    index grows O(batch), replays are absorbed."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        write_ivf_index,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        streaming_semantic_novelty_sink,
+    )
+
+    def unit(i, dim=8):
+        return [1.0 if j == i else 0.0 for j in range(dim)]
+
+    def near(i, dim=8, eps=0.01):
+        v = unit(i, dim)
+        v[(i + 1) % dim] = eps
+        return v
+
+    schema = "vec_id long, embedding array<float>"
+    # seed index: axes 0 and 1
+    seed = spark.createDataFrame([(0, unit(0)), (1, unit(1))], schema)
+    index = str(tmp_path / "ivf")
+    write_ivf_index(seed, index, n_centroids=2)
+
+    src = str(tmp_path / "in")
+    # batch 1: a near-dup of axis 0 (dropped vs index), a fresh axis 2
+    # (kept), an in-batch near-dup pair on axis 3 (one kept)
+    spark.createDataFrame(
+        [(10, near(0)), (11, unit(2)), (12, unit(3)), (13, near(3))], schema
+    ).write.parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(seed.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_semantic_novelty_sink(index, threshold=0.9, n_probe=2)
+            )
+            .option("checkpointLocation", str(tmp_path / f"ck{run_once.i}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_once.i += 1
+        q.processAllAvailable()
+        q.stop()
+
+    run_once.i = 0
+    run_once()
+    ids = {r["vec_id"] for r in spark.read.parquet(index).collect()}
+    assert ids == {0, 1, 11, 12}  # 10 dup-vs-index, 13 dup-in-batch
+
+    # replay from a fresh checkpoint: every vector now matches the index
+    run_once()
+    assert spark.read.parquet(index).count() == 4
