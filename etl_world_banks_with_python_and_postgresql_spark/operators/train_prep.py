@@ -453,3 +453,46 @@ def source_overlap_matrix(
     return pairs.select("p.src_a", "p.src_b").groupBy("src_a", "src_b").agg(
         F.count("*").alias("shared_grams")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Exact-size weighted without-replacement sample (priority sampling,
+    Duffield/Lund/Thorup): each row draws a deterministic pseudo-uniform
+    ``u`` in (0, 1] from its content hash and gets priority ``w / u``; the
+    top-k priorities ARE a weighted sample -- heavy rows surface with
+    probability proportional to weight, and the whole draw is a pure
+    function of (content, salt): reproducible across runs, engines, and
+    partitionings, and composable under corpus growth like every bottom-k
+    sketch here (priorities never change, so appends only displace rows
+    that genuinely outrank the old cut).
+
+    ``w / u`` deliberately avoids the exponential-keys formulation
+    (``u^(1/w)``): a single IEEE division is correctly-rounded and
+    bit-identical in every engine, while ``pow``/``ln`` differ in the
+    last ulp across libms -- near-tied keys would then select different
+    rows in Spark vs the oracle.
+
+    Scale shape: same as ``deterministic_sample`` -- orderBy+limit
+    executes as TakeOrderedAndProject (k-row heap per task, only k rows
+    per partition cross the exchange, no global sort). One scan at any
+    corpus size. The corpus-mixing shape: weight by quality score, token
+    count, or source multiplier and draw the training slice directly.
+    """
+    from ..functions.xhash import md5_hash32
+
+    u = (
+        md5_hash32(F.concat(F.lit(str(salt)), F.col(text_col))) + 1
+    ) / F.lit(4294967296.0)
+    pri = F.col(weight_col).cast("double") / u
+    return (
+        df.withColumn("priority", F.round(pri, 4))
+        .orderBy(F.desc("priority"), F.asc(id_col))
+        .limit(k)
+    )

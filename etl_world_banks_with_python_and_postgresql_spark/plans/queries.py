@@ -4196,3 +4196,31 @@ def z22(spark, sf_dir):
     from ..operators.train_prep import source_overlap_matrix
 
     return source_overlap_matrix(load(spark, "documents", sf_dir), n=8)
+
+
+@query(
+    "z23_weighted_sample",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         round(n_chars::DOUBLE
+               / (({xhash.MD5_HASH32_SQL.format(x="'0' || text")} + 1)
+                  / 4294967296.0), 4) AS priority
+  FROM documents)
+SELECT doc_id, source, n_chars, priority
+FROM s ORDER BY priority DESC, doc_id LIMIT 50
+""",
+    description=(
+        "weighted without-replacement corpus sample via priority sampling "
+        "(w/u over a content-hash uniform; top-k priorities): the "
+        "corpus-mixing draw, deterministic across engines because the "
+        "single IEEE division is correctly rounded everywhere (unlike "
+        "pow/ln exponential keys). Executes as TakeOrderedAndProject -- "
+        "k-row heap per task, no global sort"
+    ),
+)
+def z23(spark, sf_dir):
+    from ..operators.train_prep import weighted_priority_sample
+
+    d = load(spark, "documents", sf_dir).select("doc_id", "source", "n_chars", "text")
+    return weighted_priority_sample(d, k=50, weight_col="n_chars").drop("text")
