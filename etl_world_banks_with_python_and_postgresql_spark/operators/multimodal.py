@@ -2,7 +2,7 @@
 
 The Spark-side plumbing is real and tested -- binary columns, Arrow-batched
 ``mapInPandas`` with an explicit output schema, partition-sized batches.
-Both legs are now codec-REAL via stdlib:
+All three legs are now codec-REAL via stdlib:
 
 * AUDIO: ``attach_wav_binary`` builds genuine RIFF/WAVE 16-bit PCM
   payloads; ``decode_wav_meta`` / ``wav_frame_energy`` parse headers and
@@ -11,9 +11,13 @@ Both legs are now codec-REAL via stdlib:
   CRCs); ``decode_png_meta`` parses the real IHDR and
   ``decode_image_pixels`` fully inflates + unfilters the scanlines
   (all five PNG filters) -- stdlib ``zlib``/``struct``, no PIL.
+* VIDEO: ``attach_mpng_binary`` packs real PNG frames into a
+  length-prefixed MPNG container; ``decode_mpng_meta`` walks the sample
+  table and parses frame headers; ``sample_mpng_frames`` emits every
+  k-th frame as genuine PNG bytes that feed the image pixel path.
 
 What still needs an external codec is exactly what stdlib cannot parse:
-JPEG/WebP pixels and video containers -- ``decode_image_pixels`` raises
+JPEG/WebP pixels -- ``decode_image_pixels`` raises
 NotImplementedError at the precise point such a codec would plug in,
 and ``decode_image_meta`` remains the deterministic byte-length fake for
 format-agnostic blobs (kept for the q40 oracle contract).
@@ -592,3 +596,166 @@ def frame_energy_features(
         df.sparkSession.sparkContext.defaultParallelism
     )
     return spread.mapInPandas(feat, f"{id_col} long, embedding array<double>")
+
+
+# ---------------------------------------------------------------------------
+# Video leg: motion-PNG container (codec-real with stdlib only).
+# Layout: b"MPNG" | u16 fps | u32 n_frames | n_frames x (u32 len | PNG bytes)
+# ---------------------------------------------------------------------------
+
+MPNG_MAGIC = b"MPNG"
+
+
+def encode_mpng(frames: list[bytes], fps: int) -> bytes:
+    """Pack real PNG frames into the MPNG container (length-prefixed,
+    like every real AV container's sample table -- the parser must walk
+    offsets, not split on markers)."""
+    import struct
+
+    out = bytearray(MPNG_MAGIC)
+    out += struct.pack(">HI", fps, len(frames))
+    for f in frames:
+        out += struct.pack(">I", len(f)) + f
+    return bytes(out)
+
+
+def attach_mpng_binary(
+    df: DataFrame, id_col: str = "doc_id", len_col: str = "n_chars"
+) -> DataFrame:
+    """Attach a GENUINE multi-frame video payload per row: n_frames real
+    stdlib-encoded PNGs in an MPNG container. All parameters are
+    deterministic functions of existing columns so oracles predict
+    metadata arithmetically: fps = 10 + id%20, n_frames = 2 + id%5,
+    frame dims = (4 + id%13) x (3 + len%11), frame f's pixels =
+    (x*7 + y*13 + id + f*31) % 256."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, ln in zip(pdf[id_col], pdf[len_col]):
+                did, ln = int(did), int(ln)
+                w, h = 4 + did % 13, 3 + ln % 11
+                frames = [
+                    encode_png(
+                        [
+                            (x * 7 + y * 13 + did + f * 31) % 256
+                            for y in range(h)
+                            for x in range(w)
+                        ],
+                        w,
+                        h,
+                    )
+                    for f in range(2 + did % 5)
+                ]
+                payloads.append(encode_mpng(frames, 10 + did % 20))
+            out = pdf[[id_col, len_col]].copy()
+            out["payload"] = payloads
+            yield out
+
+    spread = df.select(id_col, len_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
+        gen, f"{id_col} long, {len_col} int, payload binary"
+    )
+
+
+def decode_mpng_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL video-container decode: magic + header parse, a walk of every
+    length-prefixed frame, and an IHDR parse (with CRC check) of the
+    first frame. duration_ms is integer millis (n_frames * 1000 div fps)
+    -- no float anywhere, so the oracle is exact."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib as _zlib
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_frames", "fps", "width", "height",
+                "duration_ms", "format",
+            )}
+            for did, b in zip(pdf["doc_id"], pdf[payload_col]):
+                bs = bytes(b)
+                if bs[:4] != MPNG_MAGIC:
+                    raise ValueError("not an MPNG payload")
+                fps, n_frames = struct.unpack(">HI", bs[4:10])
+                pos, dims = 10, None
+                for _ in range(n_frames):
+                    (flen,) = struct.unpack(">I", bs[pos : pos + 4])
+                    frame = bs[pos + 4 : pos + 4 + flen]
+                    if dims is None:
+                        if frame[:8] != b"\x89PNG\r\n\x1a\n":
+                            raise ValueError("frame 0 is not a PNG")
+                        (ilen,) = struct.unpack(">I", frame[8:12])
+                        tag, body = frame[12:16], frame[16 : 16 + ilen]
+                        (crc,) = struct.unpack(
+                            ">I", frame[16 + ilen : 20 + ilen]
+                        )
+                        if (
+                            tag != b"IHDR"
+                            or _zlib.crc32(tag + body) & 0xFFFFFFFF != crc
+                        ):
+                            raise ValueError("frame 0 IHDR invalid")
+                        dims = struct.unpack(">II", body[:8])
+                    pos += 4 + flen
+                if pos != len(bs):
+                    raise ValueError("trailing bytes after last frame")
+                rows["doc_id"].append(did)
+                rows["n_frames"].append(n_frames)
+                rows["fps"].append(fps)
+                rows["width"].append(dims[0])
+                rows["height"].append(dims[1])
+                rows["duration_ms"].append(n_frames * 1000 // fps)
+                rows["format"].append("MPNG")
+            yield pd.DataFrame(rows)
+
+    spread = df.select("doc_id", payload_col)
+    return spread.mapInPandas(
+        decode,
+        "doc_id long, n_frames int, fps int, width int, height int, "
+        "duration_ms long, format string",
+    )
+
+
+def sample_mpng_frames(
+    df: DataFrame,
+    stride: int = 2,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyframe-style sampling from the REAL container: every
+    ``stride``-th frame is emitted as its own row of genuine PNG bytes --
+    each output row decodes with :func:`decode_png`. The 1->N
+    ``mapInPandas`` fan-out an ffmpeg sampler plugs into (same output
+    contract as :func:`sample_frames`, but the bytes are real frames,
+    not byte-range chunks)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                bs = bytes(b)
+                if bs[:4] != MPNG_MAGIC:
+                    raise ValueError("not an MPNG payload")
+                _, n_frames = struct.unpack(">HI", bs[4:10])
+                pos = 10
+                for f in range(n_frames):
+                    (flen,) = struct.unpack(">I", bs[pos : pos + 4])
+                    if f % stride == 0:
+                        ids.append(did)
+                        idxs.append(f)
+                        frames.append(bs[pos + 4 : pos + 4 + flen])
+                    pos += 4 + flen
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_bytes": frames,
+                }
+            )
+
+    spread = df.select(id_col, payload_col)
+    return spread.mapInPandas(sample, FRAME_SCHEMA)

@@ -4224,3 +4224,35 @@ def z23(spark, sf_dir):
 
     d = load(spark, "documents", sf_dir).select("doc_id", "source", "n_chars", "text")
     return weighted_priority_sample(d, k=50, weight_col="n_chars").drop("text")
+
+
+@query(
+    "z24_video_meta",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         (2 + doc_id % 5)   AS n_frames,
+         (10 + doc_id % 20) AS fps,
+         (4 + doc_id % 13)  AS width,
+         (3 + n_chars % 11) AS height
+  FROM documents)
+SELECT doc_id, n_frames::INT AS n_frames, fps::INT AS fps,
+       width::INT AS width, height::INT AS height,
+       (n_frames * 1000 // fps)::BIGINT AS duration_ms,
+       'MPNG' AS format
+FROM p
+""",
+    description=(
+        "video leg, codec-REAL end to end: genuine multi-frame payloads "
+        "(real stdlib PNGs inside a length-prefixed MPNG container) -> "
+        "real container walk + frame-0 IHDR parse with CRC check -> "
+        "n_frames/fps/dims/integer-millis duration. The oracle recomputes "
+        "every field from the deterministic generation parameters, so a "
+        "parser that mis-walks the sample table or misreads frame headers "
+        "fails the gate; sampled frames are REAL PNGs that feed the "
+        "decode_png pixel path (test-pinned)"
+    ),
+)
+def z24(spark, sf_dir):
+    docs = multimodal.attach_mpng_binary(load(spark, "documents", sf_dir))
+    return multimodal.decode_mpng_meta(docs)

@@ -1204,3 +1204,36 @@ def test_ivf_append_matches_full_rebuild(spark, tmp_path):
     inc = ivf_topk_indexed(spark, inc_path, queries, n_probe=2, k=5)
     full = ivf_topk_indexed(spark, full_path, queries, n_probe=2, k=5)
     assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_mpng_sampled_frames_are_real_pngs(spark):
+    """sample_mpng_frames emits GENUINE PNG bytes: every sampled frame
+    decodes with the full stdlib pixel decoder and matches the exact
+    generation pattern (x*7 + y*13 + id + f*31) % 256."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.multimodal import (
+        attach_mpng_binary,
+        decode_png,
+        sample_mpng_frames,
+    )
+
+    docs = load(spark, "documents", SF).limit(8)
+    n_chars = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    vids = attach_mpng_binary(docs)
+    frames = sample_mpng_frames(vids, stride=2).collect()
+    assert frames, "no frames sampled"
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+        w, h, depth, ctype, px = decode_png(bytes(r["frame_bytes"]))
+        did, f = r["doc_id"], r["frame_idx"]
+        assert (w, h) == (4 + did % 13, 3 + n_chars[did] % 11)
+        expect = [
+            (x * 7 + y * 13 + did + f * 31) % 256
+            for y in range(h)
+            for x in range(w)
+        ]
+        assert px == expect
+    # stride=2 keeps exactly the even frame indices of n_frames = 2+id%5
+    for did, idxs in by_doc.items():
+        n = 2 + did % 5
+        assert sorted(idxs) == [i for i in range(n) if i % 2 == 0]
