@@ -759,3 +759,32 @@ def sample_mpng_frames(
 
     spread = df.select(id_col, payload_col)
     return spread.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def frame_pixel_stats(frames: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-frame REAL pixel statistics: each (doc, frame) row's PNG bytes
+    go through the full stdlib decode (inflate + unfilter) and reduce to
+    width/height/pixel_sum -- the video twin of the z12 image path, at
+    frame granularity. Input contract = :data:`FRAME_SCHEMA` (the output
+    of ``sample_mpng_frames`` / ``sample_frames``)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height", "pixel_sum",
+            )}
+            for did, fi, b in zip(
+                pdf[id_col], pdf["frame_idx"], pdf["frame_bytes"]
+            ):
+                w, h, _d, _c, px = decode_png(bytes(b))
+                rows["doc_id"].append(did)
+                rows["frame_idx"].append(fi)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(sum(px))
+            yield pd.DataFrame(rows)
+
+    return frames.mapInPandas(
+        stats,
+        "doc_id long, frame_idx int, width int, height int, pixel_sum long",
+    )

@@ -4256,3 +4256,38 @@ FROM p
 def z24(spark, sf_dir):
     docs = multimodal.attach_mpng_binary(load(spark, "documents", sf_dir))
     return multimodal.decode_mpng_meta(docs)
+
+
+@query(
+    "z25_video_frame_stats",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         (2 + doc_id % 5)   AS n_frames,
+         (4 + doc_id % 13)  AS width,
+         (3 + n_chars % 11) AS height
+  FROM documents),
+f AS (
+  SELECT doc_id, width, height, i AS frame_idx
+  FROM p, UNNEST(generate_series(0, n_frames - 1)) AS s(i)
+  WHERE i % 2 = 0)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+       width::INT AS width, height::INT AS height,
+       list_sum(flatten(
+         [[(x * 7 + y * 13 + doc_id + frame_idx * 31) % 256
+           for x in generate_series(0, width - 1)]
+          for y in generate_series(0, height - 1)]))::BIGINT AS pixel_sum
+FROM f
+""",
+    description=(
+        "frame-granular video pixel decode, codec-REAL: MPNG payloads -> "
+        "keyframe sampling (stride 2) -> full stdlib PNG pixel decode per "
+        "frame -> exact per-frame pixel sums. The oracle recomputes every "
+        "sampled frame's raster arithmetically, so container walking, "
+        "frame extraction, AND pixel decoding are all gate-verified"
+    ),
+)
+def z25(spark, sf_dir):
+    vids = multimodal.attach_mpng_binary(load(spark, "documents", sf_dir))
+    frames = multimodal.sample_mpng_frames(vids, stride=2)
+    return multimodal.frame_pixel_stats(frames)
