@@ -624,3 +624,59 @@ def test_delete_keys_mixed_null_partition_batch_not_pruned(spark, tmp_path):
     )
     m = t._load_manifest()
     assert m["delta_stats"][m["deltas"][-1]]["min"] == "2024-08-02"
+
+
+def test_read_changes_cdf(spark, tmp_path):
+    """Change data feed: read_changes(since) returns exactly the rows each
+    commit changed, tagged upsert/delete with the right _commit_seq;
+    compaction commits contribute nothing; a checkpointing consumer that
+    reads (last_seq, current] sees each change exactly once."""
+    table = IncrementalTable(
+        str(tmp_path / "t"), id_col="world_bank_id", compact_after=100
+    )
+    schema = schemas.WORLD_BANK_DATA
+    for bid, now, rows in BATCHES[:2]:
+        table.merge_batch(
+            spark, schema, batch_df(spark, rows, bid), now=now,
+            batch_id=bid, deactivate=False, **MERGE_KW
+        )
+    seq_after_two = table._load_manifest()["seq"]
+
+    all_changes = table.read_changes(spark, schema, since_seq=0)
+    assert set(all_changes.columns) == set(
+        [f.name for f in schema.fields] + ["_change_type", "_commit_seq"]
+    )
+    by_seq = {
+        (r["_commit_seq"], r["bank_name"]): r["_change_type"]
+        for r in all_changes.collect()
+    }
+    # commit 1: 3 inserts; commit 2: only A changed (B noop, no deactivation)
+    assert sorted(k[1] for k in by_seq if k[0] == 1) == [
+        "Bank A", "Bank B", "Bank C",
+    ]
+    assert sorted(k[1] for k in by_seq if k[0] == 2) == ["Bank A"]
+    assert set(by_seq.values()) == {"upsert"}
+
+    # delete feeds tombstones
+    ids = spark.createDataFrame(
+        [(r["world_bank_id"],) for r in table.read(spark, schema)
+         .filter(F.col("bank_name") == "Bank C").collect()],
+        "world_bank_id long",
+    )
+    table.delete_keys(spark, schema, ids)
+    del_seq = table._load_manifest()["seq"]
+    deletes = table.read_changes(spark, schema, since_seq=seq_after_two)
+    assert {r["_change_type"] for r in deletes.collect()} == {"delete"}
+    assert {r["_commit_seq"] for r in deletes.collect()} == {del_seq}
+
+    # compaction: a new commit, but zero CDF rows
+    table.compact(spark, schema)
+    assert table.read_changes(spark, schema, since_seq=del_seq).count() == 0
+    # the pre-compaction window still reads (version manifests retained)
+    assert table.read_changes(spark, schema, since_seq=0).count() == \
+        all_changes.count() + deletes.count()
+
+    # empty window returns an empty, correctly-shaped frame
+    cur = table._load_manifest()["seq"]
+    empty = table.read_changes(spark, schema, since_seq=cur)
+    assert empty.count() == 0 and "_change_type" in empty.columns
