@@ -807,3 +807,63 @@ def append_ivf_index(
     batch.withColumn("cell", cell).write.mode("append").partitionBy(
         "cell"
     ).parquet(path)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_queries: int | None = 100_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query, the
+    top-k most-similar corpus vectors whose LABEL DIFFERS -- the nearest
+    wrong answers, which is what embedding-model training (DPR/SimCSE
+    et al.) samples as negatives.
+
+    Same plan shape as :func:`cosine_topk` (broadcast queries, one corpus
+    scan, per-partition partial top-k before the global window), with the
+    label-mismatch predicate applied INSIDE the scan join -- exclusion
+    must happen before ranking, so a post-filter on top-k output would
+    under-deliver negatives. Output: (query_id, query_label, neighbor_id,
+    neighbor_label, cos_sim, rank).
+    """
+    _guard_broadcast_queries(queries, max_queries)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("query_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("query_label")),
+        )
+        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .select("query_id", "query_label", "neighbor_id", "neighbor_label", "cos_sim")
+    )
+    order = (F.desc("cos_sim"), F.asc("neighbor_id"))
+    w_local = W.partitionBy("query_id", "_p").orderBy(*order)
+    partial = (
+        scored.withColumn("_p", F.spark_partition_id())
+        .withColumn("_r", F.row_number().over(w_local))
+        .filter(F.col("_r") <= k)
+        .drop("_p", "_r")
+    )
+    w = W.partitionBy("query_id").orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "cos_sim", "rank",
+        )
+    )

@@ -4291,3 +4291,37 @@ def z25(spark, sf_dir):
     vids = multimodal.attach_mpng_binary(load(spark, "documents", sf_dir))
     frames = multimodal.sample_mpng_frames(vids, stride=2)
     return multimodal.frame_pixel_stats(frames)
+
+
+@query(
+    "z26_hard_negatives",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+      FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT query_id, query_label, e.vec_id AS neighbor_id,
+         e.label AS neighbor_label, {_COS_SQL} AS cos_sim
+  FROM q CROSS JOIN e
+  WHERE e.vec_id != query_id AND e.label != query_label),
+r AS (SELECT *, (row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id))::INT AS rnk
+      FROM scored)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+       rnk AS rank
+FROM r WHERE rnk <= 5
+""",
+    description=(
+        "hard-negative mining for contrastive training: per query, the "
+        "top-5 most-similar vectors with a DIFFERENT label (the nearest "
+        "wrong answers DPR/SimCSE-style training samples as negatives). "
+        "Broadcast queries + label-mismatch predicate inside the scan "
+        "join + per-partition partial top-k -- one corpus scan, no "
+        "corpus shuffle"
+    ),
+)
+def z26(spark, sf_dir):
+    emb = load(spark, "embeddings", sf_dir)
+    return similarity.hard_negatives(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=5
+    )

@@ -24,6 +24,10 @@ WHITELIST = {
     # set (max_queries guard), so the 'nested loop' is the scan itself
     "q38_ann_cosine_topk": "exact ANN: bounded broadcast query side",
     "q77_multimodal_ann": "exact ANN: fixed-cap broadcast query side",
+    # same exact-scan contract as q38: the negatives are top-k over ALL
+    # label-mismatched pairs by definition; query side is broadcast and
+    # max_queries-guarded, the corpus is scanned once
+    "z26_hard_negatives": "exact hard-negative mining: bounded broadcast query side",
     # comparisons against a single-row global aggregate: the nested-loop
     # build side is exactly one broadcast row
     "q55_supplier_value_share": "scalar-aggregate comparison (1-row side)",
