@@ -205,3 +205,37 @@ def test_source_overlap_matrix_exact(spark):
     # the single shared 8-gram connects each pair of a/b/c exactly once;
     # d shares nothing and never appears
     assert out == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_weighted_priority_sample_properties(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
+        weighted_priority_sample,
+    )
+
+    rows = [(i, f"doc number {i} with text", float(1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, w double")
+
+    k = 20
+    top = weighted_priority_sample(df, k, weight_col="w")
+    got = top.collect()
+    assert len(got) == k
+    # sketch composability (the corpus-growth claim): top-k of the union ==
+    # top-k of (top-k of each half) -- priorities are per-row pure functions
+    a = df.filter(F.col("doc_id") < 100)
+    b = df.filter(F.col("doc_id") >= 100)
+    merged = weighted_priority_sample(
+        weighted_priority_sample(a, k, weight_col="w").unionByName(
+            weighted_priority_sample(b, k, weight_col="w")
+        ).drop("priority"),
+        k,
+        weight_col="w",
+    )
+    assert sorted(r["doc_id"] for r in merged.collect()) == sorted(
+        r["doc_id"] for r in got
+    )
+    # zero-weight rows can never outrank positive-weight rows
+    z = spark.createDataFrame(
+        [(1000, "zero weight row", 0.0)], "doc_id long, text string, w double"
+    )
+    with_zero = weighted_priority_sample(df.unionByName(z), k, weight_col="w")
+    assert 1000 not in {r["doc_id"] for r in with_zero.collect()}
