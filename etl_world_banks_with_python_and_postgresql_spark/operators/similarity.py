@@ -867,3 +867,35 @@ def hard_negatives(
             "cos_sim", "rank",
         )
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding centroids (class prototypes) in exact integer
+    micros: for every (label, dimension), n / sum_micro / mean_micro.
+    The prototype table behind nearest-centroid classification, cluster
+    summaries, and per-class drift monitoring.
+
+    Same determinism contract as :func:`embedding_moments` (quantize to
+    integer micros BEFORE summation; associative BIGINT adds, engine- and
+    partition-order-independent) and the same scale shape: posexplode in
+    the scan projection, one groupBy over (label x dim) keys -- map-side
+    combine collapses each partition to |labels| x dim rows, so the
+    shuffle payload is independent of corpus size.
+    """
+    micro = lambda c: F.round(c.cast("double") * 1000000).cast("long")  # noqa: E731
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim_idx", "_v"),
+    ).select("label", "dim_idx", micro(F.col("_v")).alias("_m"))
+    return (
+        e.groupBy("label", "dim_idx")
+        .agg(F.count("*").alias("n"), F.sum("_m").alias("sum_micro"))
+        .select(
+            "label", "dim_idx", "n", "sum_micro",
+            F.expr("sum_micro div n").alias("mean_micro"),
+        )
+    )

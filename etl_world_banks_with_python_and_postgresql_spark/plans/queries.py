@@ -4325,3 +4325,27 @@ def z26(spark, sf_dir):
     return similarity.hard_negatives(
         emb, emb.filter(F.col("vec_id") % 100 == 0), k=5
     )
+
+
+@query(
+    "z27_label_centroids",
+    oracle="""
+WITH m AS (
+  SELECT label, i - 1 AS dim_idx,
+         round(embedding[i]::DOUBLE * 1000000)::BIGINT AS mv
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(i))
+SELECT label, dim_idx, count(*) AS n,
+       sum(mv)::BIGINT AS sum_micro,
+       (sum(mv)::BIGINT // count(*)) AS mean_micro
+FROM m GROUP BY label, dim_idx
+""",
+    description=(
+        "per-label embedding centroids (class prototypes) in exact "
+        "integer micros -- nearest-centroid classification / per-class "
+        "drift tables. Deterministic by construction (associative BIGINT "
+        "sums); one map-side-combined groupBy over (label x dim) keys, "
+        "shuffle payload independent of corpus size"
+    ),
+)
+def z27(spark, sf_dir):
+    return similarity.label_centroids(load(spark, "embeddings", sf_dir))
