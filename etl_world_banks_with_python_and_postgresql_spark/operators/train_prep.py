@@ -496,3 +496,41 @@ def weighted_priority_sample(
         .orderBy(F.desc("priority"), F.asc(id_col))
         .limit(k)
     )
+
+
+def source_mixing_weights(
+    df: DataFrame,
+    token_cap: int = 100_000,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Corpus-mixing table: per source, document/token counts and a
+    sampling weight in exact parts-per-million, with each source's token
+    mass CAPPED before normalization -- the standard guard against one
+    dominant crawl swamping the mixture (the practical form of
+    temperature-scaled mixing, kept in pure integer arithmetic so the
+    weights are deterministic across engines and partition orders).
+
+    weight_ppm = capped_tokens * 1e6 div sum(capped_tokens); the div is
+    integer, so weights are exact and sum to <= 1e6 (the remainder is the
+    truncation dust a sampler ignores). Scale shape: one map-side-combined
+    groupBy over sources, then a single-row total broadcast back -- the
+    aggregate table is |sources|-sized, never corpus-sized.
+    """
+    per_source = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    capped = per_source.withColumn(
+        "capped_tokens", F.least(F.col("n_tokens"), F.lit(token_cap))
+    )
+    total = capped.agg(
+        F.sum("capped_tokens").alias("_total")
+    )
+    return (
+        capped.crossJoin(F.broadcast(total))
+        .select(
+            "source", "n_docs", "n_tokens", "capped_tokens",
+            F.expr("capped_tokens * 1000000L div _total").alias("weight_ppm"),
+        )
+    )

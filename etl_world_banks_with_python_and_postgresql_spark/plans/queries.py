@@ -4349,3 +4349,32 @@ FROM m GROUP BY label, dim_idx
 )
 def z27(spark, sf_dir):
     return similarity.label_centroids(load(spark, "embeddings", sf_dir))
+
+
+@query(
+    "z28_source_mixing",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len({_TOKENS_SQL}) END)::BIGINT AS n_tokens
+  FROM documents GROUP BY source),
+capped AS (
+  SELECT *, least(n_tokens, 100000) AS capped_tokens FROM per_source)
+SELECT source, n_docs, n_tokens, capped_tokens,
+       (capped_tokens * 1000000 // (SELECT sum(capped_tokens) FROM capped))::BIGINT
+         AS weight_ppm
+FROM capped
+""",
+    description=(
+        "corpus-mixing weight table: per-source doc/token counts with "
+        "capped token mass normalized to exact integer ppm weights (the "
+        "guard against one crawl dominating the mixture). Pure integer "
+        "arithmetic -- deterministic across engines/partition orders; one "
+        "map-side-combined source groupBy + a 1-row total broadcast"
+    ),
+)
+def z28(spark, sf_dir):
+    from ..operators.train_prep import source_mixing_weights
+
+    return source_mixing_weights(load(spark, "documents", sf_dir))

@@ -33,6 +33,7 @@ WHITELIST = {
     "q55_supplier_value_share": "scalar-aggregate comparison (1-row side)",
     "q73_top_nation_part_value": "scalar-aggregate comparison (1-row side)",
     "q84_dormant_rich_customers": "scalar-aggregate comparison (1-row side)",
+    "z28_source_mixing": "scalar-aggregate normalization (1-row total side)",
 }
 
 
