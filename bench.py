@@ -55,6 +55,7 @@ HEADLINE = [
     "z19_semantic_dedup",
     "z20_quality_classifier",
     "z21_embedding_moments",
+    "z22_source_overlap",
 ]
 
 
