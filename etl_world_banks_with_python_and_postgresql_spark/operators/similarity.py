@@ -899,3 +899,48 @@ def label_centroids(
             F.expr("sum_micro div n").alias("mean_micro"),
         )
     )
+
+
+def rebuild_ivf_index(
+    spark,
+    path: str,
+    n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Retrain-and-rebuild step of the IVF lifecycle: read the CURRENT
+    index contents (base + every appended batch), re-derive centroids over
+    the full corpus (or take trained ``centroids``, e.g. from
+    :func:`kmeans_centroids`), and atomically swap in a freshly
+    cell-partitioned index.
+
+    This is the compaction twin of :func:`append_ivf_index`: appends are
+    O(batch) between rebuilds, and the rebuild pays one full
+    scan + partitioned write to restore cell balance after centroid drift
+    -- exactly the delta/compact cost split of ``sources/incremental.py``.
+    The swap is staging-dir + rename (the ``sinks.write_snapshot``
+    protocol): readers never observe a half-built index, and the old index
+    serves reads until the rename.
+    """
+    import os
+    import shutil
+
+    corpus = spark.read.parquet(path).select(id_col, vec_col)
+    staging = path + ".staging"
+    backup = path + ".old"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    cents = write_ivf_index(
+        corpus, staging, n_centroids=n_centroids, centroids=centroids,
+        id_col=id_col, vec_col=vec_col,
+    )
+    # corpus is lazy over the OLD path's files: the parquet rows were
+    # already copied into staging by the write above, so the swap below
+    # never invalidates an in-flight plan of ours
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return cents

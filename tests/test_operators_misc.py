@@ -1237,3 +1237,34 @@ def test_mpng_sampled_frames_are_real_pngs(spark):
     for did, idxs in by_doc.items():
         n = 2 + did % 5
         assert sorted(idxs) == [i for i in range(n) if i % 2 == 0]
+
+
+def test_ivf_rebuild_restores_balance_and_results(spark, tmp_path):
+    """rebuild_ivf_index: after appends, a rebuild re-partitions the FULL
+    corpus under fresh centroids with an atomic swap; probe results equal
+    a from-scratch index built with the same centroids."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_topk_indexed,
+        rebuild_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = load(spark, "embeddings", SF)
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(first, path, n_centroids=4)
+    append_ivf_index(second, path)
+
+    cents = rebuild_ivf_index(spark, path, n_centroids=8)
+    assert len(cents) == 8
+    # every vector survived the rebuild
+    assert spark.read.parquet(path).count() == emb.count()
+
+    ref_path = str(tmp_path / "ivf_ref")
+    write_ivf_index(emb.select("vec_id", "embedding"), ref_path, centroids=cents)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    got = ivf_topk_indexed(spark, path, queries, n_probe=2, k=5)
+    ref = ivf_topk_indexed(spark, ref_path, queries, n_probe=2, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
