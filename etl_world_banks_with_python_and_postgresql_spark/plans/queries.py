@@ -4378,3 +4378,47 @@ def z28(spark, sf_dir):
     from ..operators.train_prep import source_mixing_weights
 
     return source_mixing_weights(load(spark, "documents", sf_dir))
+
+
+@query(
+    "z29_argmax_family",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({_TOKENS_SQL}) END AS n_tokens
+  FROM documents),
+k AS (
+  SELECT source,
+         max(n_tokens * 10000000 + doc_id) AS kmax,
+         min(n_tokens * 10000000 + doc_id) AS kmin
+  FROM t GROUP BY source)
+SELECT source,
+       (kmax // 10000000)::BIGINT AS longest_tokens,
+       (kmax % 10000000)::BIGINT  AS longest_doc_id,
+       (kmin // 10000000)::BIGINT AS shortest_tokens,
+       (kmin % 10000000)::BIGINT  AS shortest_doc_id
+FROM k
+""",
+    description=(
+        "deterministic arg-max/arg-min per group via composite integer "
+        "keys (value * 10^7 + id packed into one BIGINT): longest and "
+        "shortest doc per source with ties broken by id -- the arg-max "
+        "family without max_by's arbitrary tie behavior, and a plain "
+        "map-side-combined min/max agg instead of any window"
+    ),
+)
+def z29(spark, sf_dir):
+    d = load(spark, "documents", sf_dir)
+    n = text.token_count(F.col("text"))
+    key = n.cast("long") * 10000000 + F.col("doc_id")
+    k = d.select(F.col("source"), key.alias("_k")).groupBy("source").agg(
+        F.max("_k").alias("kmax"), F.min("_k").alias("kmin")
+    )
+    return k.select(
+        "source",
+        F.expr("kmax div 10000000").alias("longest_tokens"),
+        (F.col("kmax") % 10000000).alias("longest_doc_id"),
+        F.expr("kmin div 10000000").alias("shortest_tokens"),
+        (F.col("kmin") % 10000000).alias("shortest_doc_id"),
+    )
