@@ -828,3 +828,70 @@ def test_streaming_semantic_novelty_sink(spark, tmp_path):
     # replay from a fresh checkpoint: every vector now matches the index
     run_once()
     assert spark.read.parquet(index).count() == 4
+
+
+def test_streaming_epochs_visible_in_change_feed(spark, tmp_path):
+    """Streaming ingestion x CDF: each micro-batch epoch lands as its own
+    commit in read_changes, so a downstream incremental consumer can sync
+    per-epoch with O(changes) reads and exact commit attribution."""
+    from etl_world_banks_with_python_and_postgresql_spark.sources.incremental import (
+        IncrementalTable,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        streaming_incremental_sink,
+    )
+
+    batch_src = str(tmp_path / "cdf_batches")
+    ckpt = str(tmp_path / "cdf_ckpt")
+    os.makedirs(batch_src)
+    table = IncrementalTable(str(tmp_path / "cdf_tbl"), id_col="world_bank_id")
+
+    def start():
+        stream = spark.readStream.schema(schemas.WORLD_BANK_BATCH).parquet(batch_src)
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_incremental_sink(
+                    table,
+                    schemas.WORLD_BANK_DATA,
+                    keys=["bank_name"],
+                    compare_col="market_cap_usd",
+                    set_cols=["market_cap_usd", "last_modified_date"],
+                    table_name="world_bank_data",
+                    now=datetime(2024, 8, 1),
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [("Bank A", 100.0, date(2024, 7, 1), "x"), ("Bank B", 200.0, date(2024, 7, 1), "x")],
+        schemas.WORLD_BANK_BATCH,
+    ).write.parquet(batch_src, mode="append")
+    start()
+    seq1 = table._load_manifest()["seq"]
+    spark.createDataFrame(
+        [("Bank A", 150.0, date(2024, 7, 2), "x")],
+        schemas.WORLD_BANK_BATCH,
+    ).write.parquet(batch_src, mode="append")
+    start()
+
+    changes = table.read_changes(spark, schemas.WORLD_BANK_DATA, since_seq=0)
+    got = {
+        (r["_commit_seq"], r["bank_name"], r["batch_id"])
+        for r in changes.collect()
+    }
+    # epoch 0 -> commit 1 wrote both banks; epoch 1 -> commit 2 wrote only
+    # the updated Bank A, carrying the epoch lineage id
+    assert got == {
+        (1, "Bank A", "epoch-0"),
+        (1, "Bank B", "epoch-0"),
+        (2, "Bank A", "epoch-1"),
+    }
+    # the consumer checkpoint pattern: only the new epoch after seq1
+    tail = table.read_changes(spark, schemas.WORLD_BANK_DATA, since_seq=seq1)
+    assert [(r["bank_name"], r["_change_type"]) for r in tail.collect()] == [
+        ("Bank A", "upsert")
+    ]
