@@ -788,3 +788,81 @@ def frame_pixel_stats(frames: DataFrame, id_col: str = "doc_id") -> DataFrame:
         stats,
         "doc_id long, frame_idx int, width int, height int, pixel_sum long",
     )
+
+
+def decode_mpng_meta_robust(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Quarantine-mode video decode: like :func:`decode_mpng_meta`, but a
+    payload that fails ANY structural check (magic, frame walk, IHDR CRC,
+    trailing bytes) yields a row with NULL metadata and the error message
+    in ``_error`` instead of failing the job -- at 100 TB some corrupt
+    bytes are a certainty, and one bad blob must cost one quarantined row,
+    not a stage retry storm. Callers split on ``_error IS NULL`` (the
+    same rule-based-quarantine shape as ``sources/robust.py``).
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib as _zlib
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_frames", "fps", "width", "height",
+                "duration_ms", "format", "_error",
+            )}
+            for did, b in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    bs = bytes(b)
+                    if bs[:4] != MPNG_MAGIC:
+                        raise ValueError("not an MPNG payload")
+                    fps, n_frames = struct.unpack(">HI", bs[4:10])
+                    if fps == 0:
+                        raise ValueError("fps is zero")
+                    pos, dims = 10, None
+                    for _ in range(n_frames):
+                        if pos + 4 > len(bs):
+                            raise ValueError("truncated frame table")
+                        (flen,) = struct.unpack(">I", bs[pos : pos + 4])
+                        if pos + 4 + flen > len(bs):
+                            raise ValueError("truncated frame payload")
+                        frame = bs[pos + 4 : pos + 4 + flen]
+                        if dims is None:
+                            if frame[:8] != b"\x89PNG\r\n\x1a\n":
+                                raise ValueError("frame 0 is not a PNG")
+                            (ilen,) = struct.unpack(">I", frame[8:12])
+                            tag = frame[12:16]
+                            body = frame[16 : 16 + ilen]
+                            (crc,) = struct.unpack(
+                                ">I", frame[16 + ilen : 20 + ilen]
+                            )
+                            if (
+                                tag != b"IHDR"
+                                or _zlib.crc32(tag + body) & 0xFFFFFFFF != crc
+                            ):
+                                raise ValueError("frame 0 IHDR invalid")
+                            dims = struct.unpack(">II", body[:8])
+                        pos += 4 + flen
+                    if pos != len(bs):
+                        raise ValueError("trailing bytes after last frame")
+                    rows["doc_id"].append(did)
+                    rows["n_frames"].append(n_frames)
+                    rows["fps"].append(fps)
+                    rows["width"].append(dims[0])
+                    rows["height"].append(dims[1])
+                    rows["duration_ms"].append(n_frames * 1000 // fps)
+                    rows["format"].append("MPNG")
+                    rows["_error"].append(None)
+                except (ValueError, struct.error) as e:
+                    rows["doc_id"].append(did)
+                    for k in ("n_frames", "fps", "width", "height",
+                              "duration_ms", "format"):
+                        rows[k].append(None)
+                    rows["_error"].append(str(e))
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        decode,
+        "doc_id long, n_frames int, fps int, width int, height int, "
+        "duration_ms long, format string, _error string",
+    )

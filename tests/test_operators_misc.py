@@ -1268,3 +1268,58 @@ def test_ivf_rebuild_restores_balance_and_results(spark, tmp_path):
     got = ivf_topk_indexed(spark, path, queries, n_probe=2, k=5)
     ref = ivf_topk_indexed(spark, ref_path, queries, n_probe=2, k=5)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_mpng_robust_decode_quarantines_corrupt_payloads(spark):
+    """decode_mpng_meta_robust: good payloads decode identically to the
+    strict decoder; corrupt ones (bad magic, truncated frames, CRC
+    damage) land as one quarantined row each, never a job failure."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.multimodal import (
+        attach_mpng_binary,
+        decode_mpng_meta,
+        decode_mpng_meta_robust,
+    )
+
+    docs = load(spark, "documents", SF).limit(6)
+    vids = attach_mpng_binary(docs).collect()
+
+    def corrupt(b, mode):
+        bs = bytearray(bytes(b))
+        if mode == "magic":
+            bs[0] = 0
+        elif mode == "truncate":
+            bs = bs[: len(bs) // 2]
+        elif mode == "crc":
+            # flip a byte inside frame 0's IHDR body: container header is
+            # 10 bytes + 4-byte frame length + 8-byte PNG signature +
+            # 4-byte chunk length -> IHDR tag/body starts at offset 26
+            bs[30] ^= 0xFF
+        return bytes(bs)
+
+    rows = []
+    for i, r in enumerate(vids):
+        if i < 3:
+            rows.append((r["doc_id"], bytes(r["payload"])))
+        else:
+            mode = ["magic", "truncate", "crc"][i - 3]
+            rows.append((r["doc_id"], corrupt(r["payload"], mode)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    out = {r["doc_id"]: r for r in decode_mpng_meta_robust(df).collect()}
+    strict = {
+        r["doc_id"]: r
+        for r in decode_mpng_meta(
+            spark.createDataFrame(rows[:3], "doc_id long, payload binary")
+        ).collect()
+    }
+    good_ids = [r[0] for r in rows[:3]]
+    bad_ids = [r[0] for r in rows[3:]]
+    for d in good_ids:
+        assert out[d]["_error"] is None
+        for k in ("n_frames", "fps", "width", "height", "duration_ms"):
+            assert out[d][k] == strict[d][k]
+    for d in bad_ids:
+        assert out[d]["_error"] is not None
+        assert out[d]["n_frames"] is None
+    # exactly one row per input either way
+    assert len(out) == 6
