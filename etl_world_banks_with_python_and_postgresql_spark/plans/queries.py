@@ -2504,12 +2504,36 @@ def q76(spark, sf_dir):
 
 @query(
     "q77_multimodal_ann",
-    oracle=None,  # rows-only: numpy feature extraction has no SQL twin
+    # The corpus is ASCII (max codepoint 121, asserted by the catalog
+    # canary), so the payload BYTES equal the text's code points and the
+    # numpy byte-histogram has an exact SQL twin: per-bucket counts over
+    # unicode(c) % 64, length-normalized with the same IEEE division, then
+    # the same left-to-right cosine fold as q38. Upgraded from rows-only
+    # in round 4.
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         [(len(list_filter([unicode(c) % 64 for c in string_split(text, '')],
+                           m -> m = i)))::DOUBLE
+          / greatest(length(text), 1)
+          for i in generate_series(0, 63)] AS v
+  FROM documents),
+q AS (SELECT doc_id AS query_id, v AS qv FROM h
+      WHERE doc_id % 100 = 0 AND doc_id < 50000),
+scored AS (
+  SELECT query_id, h.doc_id AS neighbor_id, {{_COS_SQL}} AS cos_sim
+  FROM q CROSS JOIN h WHERE h.doc_id != query_id),
+r AS (SELECT *, (row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id))::INT AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, cos_sim, rnk AS rank FROM r WHERE rnk <= 3
+""".replace("{_COS_SQL}", _COS_SQL),
     description=(
         "end-to-end multimodal similarity: binary payload -> frame "
         "sampling -> byte-histogram embedding (model stand-in) -> exact "
-        "cosine top-k. Deterministic; verified in tests (self-match "
-        "sanity, frame-count law, pipeline stability)"
+        "cosine top-k, with a FULL SQL oracle (ASCII corpus makes the "
+        "byte histogram SQL-expressible; same IEEE normalization and "
+        "cosine fold)"
     ),
 )
 def q77(spark, sf_dir):

@@ -80,3 +80,21 @@ def test_loaded_schema_matches_expectation(spark, table):
                 f"(expected {t!r}) -- check sources/catalog.py load() "
                 f"normalization before debugging query failures"
             )
+
+
+def test_documents_text_is_ascii():
+    """q77's SQL oracle equates payload BYTES with text code points, which
+    is only true for pure-ASCII text. If the driver ever regenerates the
+    corpus with non-ASCII content, fail here by name instead of letting
+    q77 hash-mismatch mysteriously."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        (mx,) = duckdb.sql(
+            "SELECT max(list_max([unicode(c) for c in string_split(text, '')]))"
+            f" FROM '/root/testdata/sf{sf}/documents.parquet'"
+        ).fetchone()
+        assert mx is not None and mx < 128, (
+            f"documents at sf{sf} contain non-ASCII text (max codepoint "
+            f"{mx}); q77's byte-histogram oracle premise no longer holds"
+        )
