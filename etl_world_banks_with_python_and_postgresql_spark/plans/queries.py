@@ -3364,13 +3364,53 @@ def q96(spark, sf_dir):
 
 @query(
     "q97_ivf_indexed_ann",
-    oracle=None,  # rows-only: covers a write+read index roundtrip; result
-    # equality with the in-memory ivf_topk is pinned in
-    # tests/test_operators_misc.py
+    # Upgraded from rows-only in round 4: stride-sampled centroids, cell
+    # assignment, probing, and the final top-k are all deterministic SQL.
+    # The oracle recomputes the ENTIRE lifecycle -- the same every-
+    # ceil(N/8)-th-by-id centroids, the same (cosine, cell)-max cell
+    # assignment and n_probe=4 probe set, the same k=5 ranking -- so the
+    # disk roundtrip must be value-transparent, not merely row-shaped.
+    # (Result equality with in-memory ivf_topk + directory pruning stay
+    # pinned in tests/test_operators_misc.py.)
+    oracle="""
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM e
+  WHERE vec_id % greatest((SELECT count(*) FROM e) // 8, 1) = 0
+  ORDER BY vec_id LIMIT 8),
+cell_scores AS (
+  SELECT e.vec_id, e.v, cent.cell,
+         list_dot_product(e.v, cent.cv)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(cent.cv, cent.cv))) AS s
+  FROM e CROSS JOIN cent),
+ranked_cells AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC)
+           AS crn
+  FROM cell_scores),
+corpus_cell AS (SELECT vec_id, v, cell FROM ranked_cells WHERE crn = 1),
+query_cell AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM ranked_cells
+  WHERE crn <= 4 AND vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+  FROM corpus_cell c JOIN query_cell q USING (cell)
+  WHERE c.vec_id != q.query_id),
+r AS (SELECT *, (row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id))::INT
+                 AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, cos_sim, rnk AS rank FROM r WHERE rnk <= 5
+""",
     description=(
         "disk-backed IVF ANN: cell-partitioned parquet index + "
         "partition-pruned probe reads (the at-rest 100 TB ANN path; "
-        "plan-asserted directory pruning)"
+        "plan-asserted directory pruning), with a FULL SQL oracle "
+        "recomputing centroids, cell assignment, probe set, and top-k"
     ),
 )
 def q97(spark, sf_dir):
