@@ -534,3 +534,39 @@ def source_mixing_weights(
             F.expr("capped_tokens * 1000000L div _total").alias("weight_ppm"),
         )
     )
+
+
+def grouped_priority_sample(
+    df: DataFrame,
+    n_per_group: int,
+    weight_col: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Per-group weighted without-replacement sample: the top
+    ``n_per_group`` priority-sampling draws (w/u, see
+    :func:`weighted_priority_sample`) WITHIN each group -- the per-domain
+    quota form of corpus mixing (each source contributes its own weighted
+    slice, so one source's weight mass cannot crowd out another's quota).
+
+    One window shuffle on the group column; the same engine-portable
+    single-division keys as the global variant (no pow/ln), ties broken by
+    id. Composable under growth per group for the same reason bottom-k
+    sketches are.
+    """
+    from ..functions.xhash import md5_hash32
+
+    u = (
+        md5_hash32(F.concat(F.lit(str(salt)), F.col(text_col))) + 1
+    ) / F.lit(4294967296.0)
+    pri = F.round(F.col(weight_col).cast("double") / u, 4)
+    w = W.partitionBy(group_col).orderBy(F.desc("_pri"), F.asc(id_col))
+    return (
+        df.withColumn("_pri", pri)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .withColumnRenamed("_pri", "priority")
+        .drop("_rn")
+    )

@@ -4486,3 +4486,35 @@ def z29(spark, sf_dir):
         F.expr("kmin div 10000000").alias("shortest_tokens"),
         (F.col("kmin") % 10000000).alias("shortest_doc_id"),
     )
+
+
+@query(
+    "z30_grouped_weighted_sample",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         round(n_chars::DOUBLE
+               / (({xhash.MD5_HASH32_SQL.format(x="'0' || text")} + 1)
+                  / 4294967296.0), 4) AS priority
+  FROM documents),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY priority DESC, doc_id) AS rn
+  FROM s)
+SELECT doc_id, source, n_chars, priority FROM r WHERE rn <= 5
+""",
+    description=(
+        "per-source weighted quota sample (priority sampling within each "
+        "group): every source contributes its own top-5 weighted draws, "
+        "so no source's weight mass crowds out another's quota -- the "
+        "per-domain corpus-mixing form. One window shuffle on the group "
+        "key; the same engine-portable w/u keys as z23"
+    ),
+)
+def z30(spark, sf_dir):
+    from ..operators.train_prep import grouped_priority_sample
+
+    d = load(spark, "documents", sf_dir).select("doc_id", "source", "n_chars", "text")
+    return grouped_priority_sample(
+        d, n_per_group=5, weight_col="n_chars"
+    ).drop("text")
