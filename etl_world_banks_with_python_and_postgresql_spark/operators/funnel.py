@@ -1,0 +1,109 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+The two canonical product-analytics shapes over an events stream, built
+as pure aggregate/join plans (no windows over the full event table, no
+UDFs) so they hold at fact-table scale:
+
+  * ``funnel_counts``     users completing view -> click -> purchase IN
+                          ORDER (each stage's timestamp strictly after
+                          the previous stage's first completion)
+  * ``cohort_retention``  users active k weeks after their first-seen
+                          week, per cohort
+
+Both reduce the event table with per-user min-aggregates FIRST (map-side
+combined, one shuffle on user_id), then join the tiny per-user frames --
+the event table itself is scanned once per stage filter and never joined
+row-to-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: list[str] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel completion counts: stage i counts users whose first
+    stage-i event happens STRICTLY AFTER their first completion of stage
+    i-1 (the classic min-timestamp chaining definition -- immune to
+    out-of-order duplicates, no per-user event sorting).
+
+    Output: (stage_idx, stage, n_users), one row per stage. Plan: one
+    filtered min-aggregate per stage over the event scan (each is one
+    user_id-keyed shuffle with map-side combine), chained by |stages| - 1
+    small equi-joins of per-user frames whose size is bounded by the user
+    count, not the event count.
+    """
+    reached = None  # per-user first-completion time of the previous stage
+    out_rows = []
+    for i, st in enumerate(stages):
+        ev = events.filter(F.col(type_col) == st).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+        )
+        if reached is None:
+            cur = ev.groupBy("u").agg(F.min("t").alias("t_first"))
+        else:
+            cur = (
+                ev.join(reached, "u")
+                .filter(F.col("t") > F.col("t_first"))
+                .groupBy("u")
+                .agg(F.min("t").alias("t_next"))
+                .withColumnRenamed("t_next", "t_first")
+            )
+        reached = cur
+        out_rows.append(
+            cur.agg(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(st).alias("stage"),
+                F.count("*").alias("n_users"),
+            )
+        )
+    out = out_rows[0]
+    for df in out_rows[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the ISO week of
+    their first event; a (cohort_week, week_offset) cell counts the
+    cohort's users active in that later week.
+
+    Output: (cohort_week DATE, week_offset INT, n_users). Plan: one
+    per-user min-aggregate (the cohort assignment), one distinct over
+    (user, active-week) -- both map-side combined -- and one join of the
+    per-user cohort frame into the (user, week) activity frame; all
+    shuffles are keyed on user_id, and every intermediate is bounded by
+    |users| x |weeks|, not by event volume.
+    """
+    week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    cohorts = events.groupBy(F.col(user_col).alias("u")).agg(
+        week(F.min(ts_col)).alias("cohort_week")
+    )
+    active = (
+        events.select(
+            F.col(user_col).alias("u"), week(F.col(ts_col)).alias("active_week")
+        )
+        .distinct()
+    )
+    return (
+        active.join(cohorts, "u")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )

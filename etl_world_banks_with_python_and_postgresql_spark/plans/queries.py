@@ -4518,3 +4518,62 @@ def z30(spark, sf_dir):
     return grouped_priority_sample(
         d, n_per_group=5, weight_col="n_chars"
     ).drop("text")
+
+
+@query(
+    "z31_funnel",
+    oracle="""
+WITH e AS (SELECT user_id, event_type, ts FROM events),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view'
+       GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+SELECT 1 AS stage_idx, 'view' AS stage, (SELECT count(*) FROM s1) AS n_users
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+""",
+    description=(
+        "ordered funnel (view -> click -> purchase): stage i counts users "
+        "whose first stage-i event is strictly after their first "
+        "completion of stage i-1 (min-timestamp chaining -- no per-user "
+        "event sort). Per-stage min-aggregates over the scan + joins of "
+        "user-bounded frames; event rows are never joined row-to-row"
+    ),
+)
+def z31(spark, sf_dir):
+    from ..operators.funnel import funnel_counts
+
+    return funnel_counts(load(spark, "events", sf_dir))
+
+
+@query(
+    "z32_cohort_retention",
+    oracle="""
+WITH c AS (
+  SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
+  FROM events GROUP BY user_id),
+a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS active_week
+  FROM events)
+SELECT cohort_week,
+       (date_diff('day', cohort_week, active_week) // 7)::INT AS week_offset,
+       count(*) AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY 1, 2
+""",
+    description=(
+        "weekly cohort retention: users cohorted by first-event ISO week; "
+        "each (cohort_week, week_offset) cell counts that cohort's users "
+        "active k weeks later. Per-user min-agg + (user, week) distinct + "
+        "one user-keyed join; every intermediate bounded by users x "
+        "weeks, never event volume"
+    ),
+)
+def z32(spark, sf_dir):
+    from ..operators.funnel import cohort_retention
+
+    return cohort_retention(load(spark, "events", sf_dir))
