@@ -107,3 +107,38 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def event_paths(
+    events: DataFrame,
+    top_n: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Clickstream path mining: each user's full event-type sequence (in
+    (ts, event_id) order -- the id tie-break makes simultaneous events
+    deterministic) becomes one path string; output the ``top_n`` most
+    common paths with their user counts.
+
+    Plan: ONE user-keyed aggregate builds the per-user path (collect_list
+    of (ts, id, type) structs + an in-row array_sort -- no window, no
+    second shuffle for the ordering), then a path-keyed count and a
+    top-k. Per-user state is bounded by that user's event count; corpora
+    with pathological per-user volumes cap the sequence first (slice
+    after sort). The path table is at most |users| rows.
+    """
+    packed = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col), F.col(id_col), F.col(type_col)))
+    )
+    path = F.array_join(
+        F.transform(packed, lambda x: x[type_col]), ">"
+    )
+    per_user = events.groupBy(F.col(user_col)).agg(path.alias("path"))
+    return (
+        per_user.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(top_n)
+    )

@@ -4577,3 +4577,29 @@ def z32(spark, sf_dir):
     from ..operators.funnel import cohort_retention
 
     return cohort_retention(load(spark, "events", sf_dir))
+
+
+@query(
+    "z33_event_paths",
+    oracle="""
+WITH p AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id)
+SELECT path, count(*) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT 20
+""",
+    description=(
+        "clickstream path mining: per-user event-type sequences in "
+        "(ts, event_id) order folded to path strings, top-20 by user "
+        "count. One user-keyed aggregate with in-row array_sort (no "
+        "window, no second ordering shuffle), then a path-keyed count + "
+        "TakeOrdered top-k; the path table is |users|-bounded"
+    ),
+)
+def z33(spark, sf_dir):
+    from ..operators.funnel import event_paths
+
+    return event_paths(load(spark, "events", sf_dir))
