@@ -1323,3 +1323,35 @@ def test_mpng_robust_decode_quarantines_corrupt_payloads(spark):
         assert out[d]["n_frames"] is None
     # exactly one row per input either way
     assert len(out) == 6
+
+
+def test_funnel_strictly_after_semantics(spark):
+    """funnel_counts: a user whose purchase precedes their first click
+    must NOT count as stage 3 (order matters, not mere presence)."""
+    from datetime import datetime as dt
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.funnel import (
+        funnel_counts,
+    )
+
+    rows = [
+        # u1 completes in order: view < click < purchase
+        (1, 1, "view", dt(2024, 1, 1, 10)),
+        (2, 1, "click", dt(2024, 1, 1, 11)),
+        (3, 1, "purchase", dt(2024, 1, 1, 12)),
+        # u2 purchases BEFORE clicking: stages 1-2 only
+        (4, 2, "view", dt(2024, 1, 1, 10)),
+        (5, 2, "purchase", dt(2024, 1, 1, 11)),
+        (6, 2, "click", dt(2024, 1, 1, 12)),
+        # u3 never views: no stages at all despite click+purchase
+        (7, 3, "click", dt(2024, 1, 1, 10)),
+        (8, 3, "purchase", dt(2024, 1, 1, 11)),
+        # u4 clicks at the SAME instant as the view: strictly-after fails
+        (9, 4, "view", dt(2024, 1, 1, 10)),
+        (10, 4, "click", dt(2024, 1, 1, 10)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {r["stage"]: r["n_users"] for r in funnel_counts(df).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
