@@ -148,3 +148,40 @@ def minhash_sql_exprs(shingles_expr: str, k: int = 8) -> list[str]:
         f"coalesce(list_min([({a} * h + {b}) % {MINHASH_MOD} for h in {hash_list}]), {MINHASH_MOD})"
         for a, b in MINHASH_PARAMS[:k]
     ]
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of the low ``bits`` bits of two
+    non-negative integer columns: bit i of ``a`` lands at position 2i, bit
+    i of ``b`` at 2i+1. Rows close in BOTH dimensions get close keys, so
+    range-partitioning by the key co-locates 2-D neighborhoods -- the
+    multi-column data-layout trick (Delta ZORDER, Hudi space-filling
+    curves) that lets one file layout serve range predicates on either or
+    both columns.
+
+    Pure shift/mask expression chain (whole-stage codegen); DuckDB twin:
+    ``sum of ((a >> i) & 1) << (2*i)  |  ((b >> i) & 1) << (2*i + 1)``.
+
+    NORMALIZE FIRST: interleaving only helps when both columns occupy a
+    comparable number of bits. If one column spans 8 bits and the other
+    13, every bit above 15 comes from the wide column alone, the layout
+    degenerates to single-column order, and the narrow dimension stops
+    pruning -- scale/bucket each column into the same bit budget (the
+    standard ZORDER normalization rule; pinned by the pruning test).
+    """
+    out = None
+    for i in range(bits):
+        pa = F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        pb = F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        term = pa + pb
+        out = term if out is None else out + term
+    return out.cast("long")
+
+
+def zorder_key_sql(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`zorder_key` (exact same arithmetic)."""
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        parts.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(parts) + ")::BIGINT"

@@ -4603,3 +4603,39 @@ def z33(spark, sf_dir):
     from ..operators.funnel import event_paths
 
     return event_paths(load(spark, "events", sf_dir))
+
+
+@query(
+    "z34_zorder_key",
+    oracle=f"""
+WITH z AS (
+  SELECT {xhash.zorder_key_sql('o_custkey', '(o_orderkey % 65536)')} AS zk
+  FROM orders)
+SELECT (zk >> 20)::BIGINT AS z_bucket,
+       count(*) AS n,
+       min(zk)::BIGINT AS min_key,
+       max(zk)::BIGINT AS max_key
+FROM z GROUP BY 1
+""",
+    description=(
+        "Morton (Z-order) interleave key over two integer columns, "
+        "bucketed: the multi-column data-layout key (Delta ZORDER shape) "
+        "as a pure shift/mask codegen chain with an exact SQL twin; the "
+        "write_zordered sink range-partitions by this key so one file "
+        "layout serves 2-D box queries via manifest pruning (test-pinned)"
+    ),
+)
+def z34(spark, sf_dir):
+    o = load(spark, "orders", sf_dir)
+    zk = xhash.zorder_key(
+        F.col("o_custkey"), F.col("o_orderkey") % 65536, bits=16
+    )
+    return (
+        o.select(zk.alias("zk"))
+        .groupBy(F.expr("zk div 1048576").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("zk").alias("min_key"),
+            F.max("zk").alias("max_key"),
+        )
+    )

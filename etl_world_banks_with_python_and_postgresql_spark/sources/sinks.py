@@ -214,3 +214,85 @@ def write_range_partitioned(
     with open(os.path.join(path, "_ranges.json"), "w") as f:
         json.dump(manifest, f)
     return manifest
+
+
+def write_zordered(
+    df, path: str, col_a: str, col_b: str, n_files: int = 16, bits: int = 16
+) -> list[dict]:
+    """Z-ordered parquet export: range-partition + sort by the Morton
+    interleave of two integer columns, so each output file covers a tight
+    2-D neighborhood and a per-file manifest of BOTH columns' [min, max]
+    turns any 2-D box query into a small candidate file set -- the
+    multi-column pruning layout a single-column range export
+    (:func:`write_range_partitioned`) cannot provide.
+
+    Returns (and writes to ``_zorder.json``) the manifest:
+    ``[{file, a_min, a_max, b_min, b_max, rows}, ...]``. Candidate
+    selection for a box query is a pure manifest scan
+    (:func:`zorder_candidate_files`) -- no listing, no footer reads
+    outside the candidates. The sort runs at full parallelism
+    (repartitionByRange samples the key; each task sorts its own range).
+    """
+    import glob
+    import json
+    import os
+
+    from ..functions.xhash import zorder_key
+
+    zk = zorder_key(F.col(col_a), F.col(col_b), bits)
+    (
+        df.withColumn("_zk", zk)
+        .repartitionByRange(n_files, F.col("_zk"))
+        .sortWithinPartitions("_zk")
+        .drop("_zk")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    from .catalog import parquet_footer_stats
+
+    spark = df.sparkSession
+    manifest = []
+    for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+        st = parquet_footer_stats(spark, f, [col_a, col_b])
+        if st[col_a]["count"] == 0:
+            continue
+        manifest.append(
+            {
+                "file": os.path.basename(f),
+                "a_min": st[col_a]["min"],
+                "a_max": st[col_a]["max"],
+                "b_min": st[col_b]["min"],
+                "b_max": st[col_b]["max"],
+                "rows": st[col_a]["count"],
+            }
+        )
+    with open(os.path.join(path, "_zorder.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def zorder_candidate_files(
+    path: str, a_range: tuple | None = None, b_range: tuple | None = None
+) -> list[str]:
+    """Manifest-only candidate selection for a 2-D box query over a
+    :func:`write_zordered` export: files whose [min, max] box cannot
+    intersect the query box are skipped without listing or reading them.
+    Either range may be None (unbounded on that dimension)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_zorder.json")) as f:
+        manifest = json.load(f)
+
+    def hits(e) -> bool:
+        if a_range is not None and (
+            e["a_max"] < a_range[0] or e["a_min"] > a_range[1]
+        ):
+            return False
+        if b_range is not None and (
+            e["b_max"] < b_range[0] or e["b_min"] > b_range[1]
+        ):
+            return False
+        return True
+
+    return [os.path.join(path, e["file"]) for e in manifest if hits(e)]

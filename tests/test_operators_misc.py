@@ -1355,3 +1355,52 @@ def test_funnel_strictly_after_semantics(spark):
     )
     got = {r["stage"]: r["n_users"] for r in funnel_counts(df).collect()}
     assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_zorder_layout_prunes_2d_box_queries(spark, tmp_path):
+    """write_zordered: a 2-D box query's manifest candidate set is a
+    strict subset of the files AND reading only candidates returns
+    exactly the full filter's rows (pruning is sound and useful)."""
+    from etl_world_banks_with_python_and_postgresql_spark.sources.sinks import (
+        write_zordered,
+        zorder_candidate_files,
+    )
+
+    # BALANCED bit-widths: both dims span ~8 bits. Interleaving an 8-bit
+    # and a 13-bit column would put the wide column's high bits above all
+    # of the narrow one's -- the layout degenerates to single-column order
+    # and the narrow dim never prunes (the standard ZORDER normalization
+    # rule, documented on zorder_key).
+    o = load(spark, "orders", SF).select(
+        "o_orderkey", "o_custkey", (F.col("o_orderkey") % 256).alias("okey")
+    )
+    path = str(tmp_path / "zord")
+    manifest = write_zordered(o, path, "o_custkey", "okey", n_files=16, bits=8)
+    assert len(manifest) >= 8
+
+    a_lo, a_hi = 10, 40      # tight custkey box
+    b_lo, b_hi = 0, 60       # tight okey box
+    cand = zorder_candidate_files(path, (a_lo, a_hi), (b_lo, b_hi))
+    assert 0 < len(cand) < len(manifest), (len(cand), len(manifest))
+
+    got = (
+        spark.read.parquet(*cand)
+        .filter(
+            (F.col("o_custkey").between(a_lo, a_hi))
+            & (F.col("okey").between(b_lo, b_hi))
+        )
+        .select("o_orderkey")
+    )
+    expect = o.filter(
+        (F.col("o_custkey").between(a_lo, a_hi))
+        & (F.col("okey").between(b_lo, b_hi))
+    ).select("o_orderkey")
+    assert sorted(r[0] for r in got.collect()) == sorted(
+        r[0] for r in expect.collect()
+    )
+
+    # single-dimension queries prune too (either dimension alone)
+    cand_a = zorder_candidate_files(path, a_range=(a_lo, a_hi))
+    cand_b = zorder_candidate_files(path, b_range=(b_lo, b_hi))
+    assert len(cand_a) < len(manifest)
+    assert len(cand_b) < len(manifest)
