@@ -424,3 +424,42 @@ def hashed_linear_score(
         .alias("score_bp"),
         (F.col("weight_sum") > 0).alias("accept"),
     )
+
+
+def keyword_search(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conjunctive keyword retrieval with deterministic integer ranking:
+    documents containing ALL ``terms`` (whitespace-token match), ranked by
+    total term frequency (exact BIGINT -- no idf log, whose libm last-ulp
+    differences would break cross-engine ranking parity), ties by id.
+
+    Plan: the token explode is filtered to the query terms INSIDE the
+    scan projection (array_intersect before explode -- non-matching
+    tokens never leave the row), then one doc-keyed aggregate with a
+    distinct-term conjunction gate and a TakeOrdered top-k. This is the
+    index-less scan form; at rest, the same (term -> doc) rows dropped
+    into a hash-bucketed layout (write_zordered / IncrementalTable
+    bucket_by) serve the probe without the scan.
+    """
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+    toks = ws_tokens(F.col(text_col))
+    hits = F.filter(toks, lambda w: F.array_contains(terms_arr, w))
+    exploded = df.select(
+        F.col(id_col), F.explode(hits).alias("term")
+    )
+    return (
+        exploded.groupBy(id_col)
+        .agg(
+            F.countDistinct("term").alias("_nterms"),
+            F.count("*").alias("total_tf"),
+        )
+        .filter(F.col("_nterms") == len(terms))
+        .drop("_nterms")
+        .orderBy(F.desc("total_tf"), F.asc(id_col))
+        .limit(k)
+    )

@@ -4639,3 +4639,31 @@ def z34(spark, sf_dir):
             F.max("zk").alias("max_key"),
         )
     )
+
+
+@query(
+    "z35_keyword_search",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents),
+hits AS (
+  SELECT doc_id, w FROM tok WHERE w IN ('merge', 'window')),
+g AS (
+  SELECT doc_id, count(DISTINCT w) AS nterms, count(*) AS total_tf
+  FROM hits GROUP BY doc_id)
+SELECT doc_id, total_tf FROM g WHERE nterms = 2
+ORDER BY total_tf DESC, doc_id LIMIT 20
+""",
+    description=(
+        "conjunctive keyword retrieval ('merge' AND 'window') ranked by "
+        "exact integer total term frequency (no idf log -- libm last-ulp "
+        "differences would break cross-engine ranking), id tie-break. "
+        "Query terms are filtered inside the scan projection before the "
+        "explode, so non-matching tokens never leave the row; one "
+        "doc-keyed aggregate + TakeOrdered top-k"
+    ),
+)
+def z35(spark, sf_dir):
+    return text.keyword_search(
+        load(spark, "documents", sf_dir), terms=["merge", "window"]
+    )
