@@ -463,3 +463,294 @@ def keyword_search(
         .orderBy(F.desc("total_tf"), F.asc(id_col))
         .limit(k)
     )
+
+
+def bm25_rank(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Disjunctive BM25-style ranked retrieval, deterministic cross-engine.
+
+    Classic BM25 with ONE deliberate substitution: the idf factor is the
+    Robertson-Sparck-Jones odds ratio ``(N - df + 0.5) / (df + 0.5)``
+    WITHOUT the log. ln() is a libm transcendental whose last ulp differs
+    between engines/platforms, which breaks oracle hash parity and makes
+    ranking ties platform-dependent; the log-free odds keep the same
+    relative ordering for a single-term score and every remaining
+    operation (+ - * /) is IEEE-correctly-rounded, so an identical
+    expression tree gives bit-identical scores on any engine.
+
+    Plan shape (scan form): per-term tf columns are computed ROW-LOCALLY
+    inside the scan projection (``size(filter(tokens, = term))`` -- no
+    explode, no shuffle), corpus stats (N, sum_dl, per-term df) are one
+    tiny aggregate broadcast back with a cross join, and the score is a
+    fixed-order row-local expression followed by a TakeOrdered top-k.
+    Total cost: one pass + one scalar broadcast -- no shuffle of the
+    corpus itself. The at-rest form is :func:`bm25_indexed` over a
+    :func:`write_posting_index` layout.
+    """
+    toks = ws_tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        token_count(F.col(text_col)).cast("long").alias("_dl"),
+    )
+    # single-param lambda via factory: a 2-arg lambda (even with a bound
+    # default) is misread by PySpark's HOF binding as (element, index)
+    def _eq(t: str):
+        return lambda w: w == F.lit(t)
+
+    tf_cols = [
+        F.size(F.filter(F.col("_toks"), _eq(t)))
+        .cast("long")
+        .alias(f"_tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    wtf = base.select(F.col(id_col), F.col("_dl"), *tf_cols)
+    stats = wtf.agg(
+        F.count("*").alias("_n_docs"),
+        F.sum("_dl").alias("_sum_dl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = wtf.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sum_dl") / F.col("_n_docs")
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = (F.col("_n_docs") - F.col(f"_df{i}") + F.lit(0.5)) / (
+            F.col(f"_df{i}") + F.lit(0.5)
+        )
+        sat = (tf * F.lit(k1 + 1.0)) / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * (F.col("_dl") / avgdl))
+        )
+        term_score = F.when(F.col(f"_tf{i}") > 0, idf * sat).otherwise(
+            F.lit(0.0)
+        )
+        score = term_score if score is None else score + term_score
+    return (
+        joined.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def bm25_oracle_sql(
+    terms: list[str],
+    tokens_sql: str,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bm25_rank`, generated with repr()'d double
+    constants so the folded literals are bit-identical to the Python
+    floats Spark receives (shortest-roundtrip decimals)."""
+    tf_defs = ",\n         ".join(
+        f"len(list_filter(w, x -> x = '{t}'))::BIGINT AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_defs = ", ".join(
+        f"sum((tf_{i} > 0)::BIGINT) AS df_{i}" for i in range(len(terms))
+    )
+    score_terms = "\n       + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN "
+        f"((n_docs - df_{i} + 0.5) / (df_{i} + 0.5)) * "
+        f"((tf_{i}::DOUBLE * {k1 + 1.0!r}) / (tf_{i}::DOUBLE + {k1!r} * "
+        f"({1.0 - b!r} + {b!r} * (dl / (sum_dl / n_docs))))) "
+        f"ELSE 0.0 END)"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {tokens_sql} AS w,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len({tokens_sql}) END)::BIGINT AS dl
+  FROM {table}),
+tf AS (
+  SELECT doc_id, dl,
+         {tf_defs}
+  FROM d),
+s AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl, {df_defs}
+  FROM tf)
+SELECT doc_id,
+       round({score_terms}, 6) AS bm25
+FROM tf CROSS JOIN s
+WHERE round({score_terms}, 6) > 0
+ORDER BY bm25 DESC, doc_id LIMIT {k}
+"""
+
+
+def write_posting_index(
+    df: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist an at-rest inverted index: term-bucketed posting lists.
+
+    Layout (Hive-partitioned parquet):
+      ``bucket=<pmod(xxhash64(term), n_buckets)>/`` ->
+      rows ``(term, doc_id, tf, dl)`` -- tf exact per-doc term frequency,
+      dl the doc's whitespace token length DENORMALIZED into every
+      posting so ranked probes never re-join the corpus for lengths.
+    Corpus-level stats (n_docs, sum_dl) go to a ``_postings_stats.json``
+    sidecar (underscore-prefixed; parquet readers skip it).
+
+    A query for terms T then PARTITION-PRUNES the read to the |T| term
+    buckets (see :func:`keyword_search_indexed` / :func:`bm25_indexed`):
+    at rest, retrieval over a 100 TB corpus reads ~|T|/n_buckets of the
+    index and never scans the documents themselves. Build cost is one
+    explode + one (term, doc) aggregate -- the same shuffle a single
+    scan-form query pays, amortized over every future probe.
+    """
+    import json
+    import os
+
+    toks = ws_tokens(F.col(text_col))
+    postings = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            token_count(F.col(text_col)).cast("long").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    stats = df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col(text_col)).cast("long")).alias("sum_dl"),
+    ).collect()[0]
+    with open(os.path.join(path, "_postings_stats.json"), "w") as f:
+        json.dump(
+            {
+                "n_docs": stats["n_docs"],
+                "sum_dl": stats["sum_dl"],
+                "n_buckets": n_buckets,
+            },
+            f,
+        )
+
+
+def _read_postings(spark, path: str, terms: list[str]) -> tuple[DataFrame, dict]:
+    """Bucket-pruned posting read for a query term set + index stats."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_postings_stats.json")) as f:
+        stats = json.load(f)
+    n_buckets = stats["n_buckets"]
+    # python-side xxhash is not available; prune via a literal IN over the
+    # bucket partition column computed FROM the term literals in-plan --
+    # Catalyst folds pmod(xxhash64(lit)) to a constant, so the scan's
+    # PartitionFilters carry the concrete bucket list
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    buckets = (
+        spark.range(1)
+        .select(
+            F.explode(term_arr).alias("t")
+        )
+        .select(F.pmod(F.xxhash64("t"), F.lit(n_buckets)).alias("b"))
+        .collect()
+    )
+    bucket_ids = sorted({r["b"] for r in buckets})
+    pr = spark.read.parquet(path).where(
+        F.col("bucket").isin(bucket_ids) & F.col("term").isin(terms)
+    )
+    return pr, stats
+
+
+def keyword_search_indexed(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """Conjunctive retrieval served from a :func:`write_posting_index`
+    layout: partition-prune to the query-term buckets, filter to the
+    terms, then the same conjunction gate + integer-tf ranking as the
+    scan form (:func:`keyword_search`) -- equivalence is pinned by test.
+    The aggregate runs over |postings for T| rows, not the corpus.
+    """
+    pr, _ = _read_postings(spark, path, terms)
+    return (
+        pr.groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("_nterms"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .filter(F.col("_nterms") == len(terms))
+        .drop("_nterms")
+        .orderBy(F.desc("total_tf"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_indexed(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 (log-free odds idf, see :func:`bm25_rank`) served from the
+    posting index: bucket-pruned posting read, per-term df recomputed
+    exactly from the pruned postings, scores rebuilt with the SAME
+    fixed-order expression as the scan form so results are bit-identical
+    (equivalence pinned by test). Reads |T| buckets, never the corpus.
+    """
+    pr, stats = _read_postings(spark, path, terms)
+    n_docs, sum_dl = stats["n_docs"], stats["sum_dl"]
+    # pivot postings to fixed per-term tf columns (row-local fixed-order
+    # score needs stable term positions, not groupBy-sum float order)
+    tf_cols = [
+        F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias(f"_tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    wtf = pr.groupBy("doc_id", "dl").agg(*tf_cols)
+    dfs = wtf.agg(
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ]
+    )
+    joined = wtf.crossJoin(F.broadcast(dfs))
+    avgdl = F.lit(sum_dl).cast("long") / F.lit(n_docs).cast("long")
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = (F.lit(n_docs).cast("long") - F.col(f"_df{i}") + F.lit(0.5)) / (
+            F.col(f"_df{i}") + F.lit(0.5)
+        )
+        sat = (tf * F.lit(k1 + 1.0)) / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
+        )
+        term_score = F.when(F.col(f"_tf{i}") > 0, idf * sat).otherwise(
+            F.lit(0.0)
+        )
+        score = term_score if score is None else score + term_score
+    return (
+        joined.select(F.col("doc_id"), F.round(score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -4667,3 +4667,27 @@ def z35(spark, sf_dir):
     return text.keyword_search(
         load(spark, "documents", sf_dir), terms=["merge", "window"]
     )
+
+
+from ..operators.text import bm25_oracle_sql as _bm25_sql  # noqa: E402
+
+@query(
+    "z36_bm25_rank",
+    oracle=_bm25_sql(["merge", "window", "partition"], _TOKENS_SQL),
+    description=(
+        "BM25-style disjunctive ranked retrieval, deterministic "
+        "cross-engine: Robertson odds idf WITHOUT the log (libm "
+        "transcendentals differ in the last ulp across engines; every "
+        "remaining op is IEEE-correctly-rounded so the identical "
+        "expression tree hashes bit-for-bit). Per-term tf computed "
+        "row-locally in the scan projection (no explode), corpus stats "
+        "one broadcast scalar row, TakeOrdered top-k. At rest the same "
+        "ranking runs bucket-pruned off write_posting_index (equivalence "
+        "pinned in tests/test_operators_misc.py)"
+    ),
+)
+def z36(spark, sf_dir):
+    return text.bm25_rank(
+        load(spark, "documents", sf_dir),
+        terms=["merge", "window", "partition"],
+    )

@@ -1404,3 +1404,58 @@ def test_zorder_layout_prunes_2d_box_queries(spark, tmp_path):
     cand_b = zorder_candidate_files(path, b_range=(b_lo, b_hi))
     assert len(cand_a) < len(manifest)
     assert len(cand_b) < len(manifest)
+
+
+def test_posting_index_equivalence_and_pruning(spark, tmp_path):
+    """write_posting_index serves BOTH retrieval forms bit-identically to
+    their scan twins, and the probe read partition-prunes to the query
+    terms' buckets (the |T|/n_buckets at-rest read-fraction claim)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators import text as T
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    idx = str(tmp_path / "postings")
+    T.write_posting_index(docs, idx, n_buckets=16)
+
+    terms = ["merge", "window"]
+    scan_kw = T.keyword_search(docs, terms=terms).collect()
+    idx_kw = T.keyword_search_indexed(spark, idx, terms=terms).collect()
+    assert [tuple(r) for r in scan_kw] == [tuple(r) for r in idx_kw]
+
+    terms3 = ["merge", "window", "partition"]
+    scan_bm = T.bm25_rank(docs, terms=terms3).collect()
+    idx_bm = T.bm25_indexed(spark, idx, terms=terms3).collect()
+    assert [tuple(r) for r in scan_bm] == [tuple(r) for r in idx_bm]
+    assert len(scan_bm) > 0
+
+    # pruning: the probe plan's scan must carry bucket PartitionFilters
+    # and read at most |terms| of the 16 partitions
+    pr, _ = T._read_postings(spark, idx, terms)
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"bucket#\d+L? IN \(([0-9,]+)\)", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) <= len(terms)
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    """Semantic pin: a term present in nearly every doc contributes less
+    than a rare term at equal tf (the odds-idf ordering property that
+    survives dropping the log)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators import text as T
+
+    rows = [
+        (1, "rare common common"),
+        (2, "common common common"),
+        (3, "common word word"),
+        (4, "common filler filler"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    res = {
+        r["doc_id"]: r["bm25"]
+        for r in T.bm25_rank(df, terms=["rare", "common"], k=10).collect()
+    }
+    # doc 1 has the rare term once; doc 2 has only the ubiquitous term
+    # (3x tf). idf must dominate: rare-term doc ranks first.
+    assert res[1] > res[2]

@@ -34,6 +34,9 @@ WHITELIST = {
     "q73_top_nation_part_value": "scalar-aggregate comparison (1-row side)",
     "q84_dormant_rich_customers": "scalar-aggregate comparison (1-row side)",
     "z28_source_mixing": "scalar-aggregate normalization (1-row total side)",
+    # corpus stats (N, sum_dl, per-term df) are ONE broadcast row crossed
+    # into the row-local score expression
+    "z36_bm25_rank": "scalar-aggregate stats (1-row broadcast side)",
 }
 
 
