@@ -525,6 +525,7 @@ def cosine_neardup_pairs(
     bits_per_band: int = 6,
     dim: int | None = None,
     seed: int = 0,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding pairs (a < b) with cosine >= threshold, banded-sign-LSH
     candidate generation + exact cosine verify.
@@ -552,6 +553,26 @@ def cosine_neardup_pairs(
     bits_per_band=6 (64 keys) -> ~500-vector buckets -> ~100M pre-distinct
     join rows -> 74 s; bits_per_band=12 -> 7 s for the same recall band
     count. Rule of thumb: 2^bits >= n / 100.
+
+    ``max_bucket`` is the backstop when a caller CANNOT raise
+    ``bits_per_band`` (fixed signature layout, shared index): every
+    (band, key) bucket larger than ``max_bucket`` is deterministically
+    subdivided -- members ranked by id within the bucket, sub-bucket =
+    ``floor(rank / max_bucket)`` -- and candidates only form WITHIN a
+    sub-bucket, capping per-bucket join cost at ``max_bucket**2`` rows
+    no matter how duplicate-heavy the corpus. The price is RECALL, not
+    precision (verify stays exact; output is always a subset of the
+    uncapped output): a pair split across sub-buckets in one band can
+    still collide in any other band, so the loss follows the same
+    S-curve with effectively fewer bands for the split pairs. The rank
+    rank rule is pure integer arithmetic over ids, so the DuckDB oracle
+    replicates it bit-for-bit (``_signlsh_neardup_oracle(max_bucket)``).
+    Cost: one extra exchange per join side -- the window keys (band,
+    key) and the join keys (band, key, sub) differ, and Spark requires
+    all cluster keys for co-partitioning -- but that shuffle is LINEAR
+    in the signature table (n x bands rows); it is the price that
+    bounds the otherwise-quadratic candidate join, exactly the trade
+    you want on a duplicate-skewed corpus.
     """
     a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
@@ -612,17 +633,32 @@ def cosine_neardup_pairs(
     bands_df = df.select(
         F.col(id_col).alias("bid"), F.col(vec_col).alias("_v")
     ).mapInPandas(sig_batches, "bid long, band int, key int")
+    if max_bucket is not None:
+        sub_w = W.partitionBy("band", "key").orderBy("bid")
+        bands_df = bands_df.select(
+            "bid",
+            "band",
+            "key",
+            F.floor((F.row_number().over(sub_w) - 1) / F.lit(max_bucket))
+            .cast("int")
+            .alias("sub"),
+        )
     # candidates: equi-join on (band, key); the id inequality only
     # de-duplicates within a bucket (it is NOT the join condition). The
     # self-join's two sides are identical subtrees, so ReuseExchange runs
     # the Arrow signature stage once.
     la, lb = bands_df.alias("la"), bands_df.alias("lb")
+    join_cond = (
+        (F.col("la.band") == F.col("lb.band"))
+        & (F.col("la.key") == F.col("lb.key"))
+        & (F.col("la.bid") < F.col("lb.bid"))
+    )
+    if max_bucket is not None:
+        join_cond = join_cond & (F.col("la.sub") == F.col("lb.sub"))
     cand = (
         la.join(
             lb,
-            (F.col("la.band") == F.col("lb.band"))
-            & (F.col("la.key") == F.col("lb.key"))
-            & (F.col("la.bid") < F.col("lb.bid")),
+            join_cond,
         )
         .select(F.col("la.bid").alias("vec_a"), F.col("lb.bid").alias("vec_b"))
         .distinct()

@@ -1130,7 +1130,8 @@ _COS_SQL = (
 
 
 def _signlsh_neardup_oracle(
-    threshold: float, bands: int, bits_per_band: int, dim: int, seed: int = 0
+    threshold: float, bands: int, bits_per_band: int, dim: int, seed: int = 0,
+    max_bucket: int | None = None,
 ) -> str:
     """DuckDB twin of ``similarity.cosine_neardup_pairs`` banded mode: the
     SAME Rademacher hyperplane literals (``rademacher_planes`` is
@@ -1166,15 +1167,27 @@ def _signlsh_neardup_oracle(
         " / (sqrt(list_dot_product(ea.v, ea.v))"
         " * sqrt(list_dot_product(eb.v, eb.v))), 6)"
     )
+    if max_bucket is None:
+        sub_cte, cand_src, sub_eq = "", "bands", ""
+    else:
+        # the operator's deterministic oversize-bucket cap: rank members
+        # by id within each (band, key) bucket, sub-bucket = floor(rank /
+        # max_bucket), candidates only within a sub-bucket
+        sub_cte = (
+            "\nsubbed AS (SELECT vec_id, band, key,"
+            " ((row_number() OVER (PARTITION BY band, key ORDER BY vec_id)"
+            f" - 1) // {max_bucket})::INT AS sub FROM bands),"
+        )
+        cand_src, sub_eq = "subbed", " AND a.sub = b.sub"
     return f"""
 WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v,
                   [round(x::DOUBLE * 1000000)::BIGINT for x in embedding] AS vm
            FROM embeddings),
 sig AS (SELECT vec_id, {", ".join(keys)} FROM e),
-bands AS ({band_union}),
+bands AS ({band_union}),{sub_cte}
 cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
-         FROM bands a JOIN bands b
-           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+         FROM {cand_src} a JOIN {cand_src} b
+           ON a.band = b.band AND a.key = b.key{sub_eq} AND a.vec_id < b.vec_id)
 SELECT ia AS vec_a, ib AS vec_b, {cos} AS cos_sim
 FROM cand JOIN e ea ON ea.vec_id = ia JOIN e eb ON eb.vec_id = ib
 WHERE {cos} >= {threshold}
@@ -4690,4 +4703,31 @@ def z36(spark, sf_dir):
     return text.bm25_rank(
         load(spark, "documents", sf_dir),
         terms=["merge", "window", "partition"],
+    )
+
+
+@query(
+    "z37_capped_neardup",
+    oracle=f"""
+{_signlsh_neardup_oracle(threshold=0.45, bands=12, bits_per_band=6, dim=64,
+                         max_bucket=5)}
+""",
+    description=(
+        "sign-LSH near-dup with the oversize-bucket cap engaged "
+        "(max_bucket=5): every (band, key) bucket is deterministically "
+        "rank-subdivided so per-bucket join cost is bounded by "
+        "max_bucket^2 regardless of duplicate skew -- the backstop when "
+        "bits_per_band is fixed by a shared signature layout. Exact "
+        "verify unchanged (no false positives; capped output is a "
+        "subset of q39's). Oracle replicates the rank rule bit-for-bit"
+    ),
+)
+def z37(spark, sf_dir):
+    return similarity.cosine_neardup_pairs(
+        load(spark, "embeddings", sf_dir),
+        threshold=0.45,
+        bands=12,
+        bits_per_band=6,
+        dim=64,
+        max_bucket=5,
     )

@@ -1459,3 +1459,39 @@ def test_bm25_idf_downweights_common_terms(spark):
     # doc 1 has the rare term once; doc 2 has only the ubiquitous term
     # (3x tf). idf must dominate: rare-term doc ranks first.
     assert res[1] > res[2]
+
+
+def test_capped_neardup_subset_and_bounded_exchange_cost(spark):
+    """max_bucket trades recall only: capped pairs are a subset of the
+    uncapped output with identical cos_sim. Plan cost: under the
+    at-scale join strategy (SMJ; broadcast disabled) the cap adds
+    exactly the two LINEAR re-key exchanges (window keys (band,key) vs
+    join keys (band,key,sub)) and nothing else -- the documented price
+    for bounding the quadratic candidate join."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    emb = load(spark, "embeddings", "/root/testdata/sf0.001")
+    kw = dict(threshold=0.45, bands=12, bits_per_band=6, dim=64)
+    uncapped = cosine_neardup_pairs(emb, **kw)
+    capped = cosine_neardup_pairs(emb, **kw, max_bucket=2)
+
+    up = {(r["vec_a"], r["vec_b"]): r["cos_sim"] for r in uncapped.collect()}
+    cp = {(r["vec_a"], r["vec_b"]): r["cos_sim"] for r in capped.collect()}
+    assert set(cp) <= set(up)
+    assert all(up[k] == v for k, v in cp.items())
+    # max_bucket=2 must actually bite on this corpus (buckets avg ~n/64)
+    assert len(cp) < len(up)
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        unc = n_exchanges(cosine_neardup_pairs(emb, **kw))
+        cap = n_exchanges(cosine_neardup_pairs(emb, **kw, max_bucket=2))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert cap == unc + 2
