@@ -1495,3 +1495,53 @@ def test_capped_neardup_subset_and_bounded_exchange_cost(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert cap == unc + 2
+
+
+def test_constraint_audit_single_pass_and_edge_cases(spark):
+    """The whole scalar-check suite compiles to ONE scan (adding checks
+    adds counters, not passes); NULL check results count as violations;
+    empty tables pass everything vacuously."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators import (
+        constraints as C,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None)], ["id", "val"]
+    )
+    rep = C.audit_checks(
+        df,
+        {
+            "val_positive": F.col("val") > 0,  # row 2 fails, row 3 NULL->fails
+            "id_notnull": F.col("id").isNotNull(),
+        },
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1  # one pass for both checks
+    got = {r["constraint"]: (r["n_violations"], r["passed"]) for r in rep.collect()}
+    assert got == {"val_positive": (2, False), "id_notnull": (0, True)}
+    assert all(r["n_rows"] == 3 for r in rep.collect())
+
+    # empty table: vacuous pass, not a crash or NULL counters
+    empty = df.filter(F.lit(False))
+    got0 = {
+        r["constraint"]: (r["n_violations"], r["passed"])
+        for r in C.constraint_report(
+            empty,
+            checks={"val_positive": F.col("val") > 0},
+            unique_keys={"pk": ["id"]},
+            foreign_keys={"fk": (df, ["id"])},
+        ).collect()
+    }
+    assert got0 == {
+        "val_positive": (0, True),
+        "pk": (0, True),
+        "fk": (0, True),
+    }
+
+    # dict-mapped FK with renamed parent column + violation counting
+    child = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (9, "c")], ["order_id", "x"]
+    )
+    parent = spark.createDataFrame([(1,)], ["o_id"])
+    viols = C.fk_violations(child, parent, {"order_id": "o_id"}).collect()
+    assert [(r["order_id"], r["n_rows"]) for r in viols] == [(9, 1)]
