@@ -87,7 +87,16 @@ class IncrementalTable:
     partition value, which holds automatically when the column is one of
     the merge keys (e.g. `year`) or an event date. If an out-of-range
     delta could supersede an in-range base row, skipping it would
-    resurrect the stale row; stability is what makes the skip exact."""
+    resurrect the stale row; stability is what makes the skip exact.
+
+    ``evolve_schema=True`` (plain layout only) lets a delta ADD columns:
+    every union in the resolve/change-feed path aligns by name and fills
+    missing columns with NULL, and the next compaction bakes the evolved
+    column set into the base files. Pre-evolution versions keep their
+    original column set under time travel (each manifest's file sets
+    carry their own schema). The bucketed and partitioned layouts refuse
+    the flag: their catalog DDL / declared-schema re-projection pin the
+    column set at declaration time."""
 
     path: str
     id_col: str
@@ -96,6 +105,7 @@ class IncrementalTable:
     bucket_by: Sequence[str] | None = None
     n_buckets: int = 16
     partition_by: str | None = None
+    evolve_schema: bool = False
 
     def __post_init__(self) -> None:
         if self.partition_by and self.bucket_by:
@@ -103,6 +113,13 @@ class IncrementalTable:
                 "partition_by and bucket_by are mutually exclusive: a "
                 "partitioned base is read through parquet directory "
                 "discovery, which cannot carry the catalog bucket spec"
+            )
+        if self.evolve_schema and (self.partition_by or self.bucket_by):
+            raise ValueError(
+                "evolve_schema requires the plain layout: the bucketed "
+                "base's catalog DDL and the partitioned layout's "
+                "declared-schema re-projection both pin the column set "
+                "at table-declaration time"
             )
 
     def _manifest_path(self) -> str:
@@ -243,7 +260,13 @@ class IncrementalTable:
                 .withColumn("_seq", F.lit(i))
                 .withColumn("_del", F.lit(kinds.get(d) == "delete"))
             )
-            deltas = df if deltas is None else deltas.unionByName(df)
+            deltas = (
+                df
+                if deltas is None
+                else deltas.unionByName(
+                    df, allowMissingColumns=self.evolve_schema
+                )
+            )
         if partition_range is not None:
             # a surviving delta may still hold out-of-range rows. Delete
             # tombstones are EXEMPT from the range filter: their partition
@@ -271,7 +294,10 @@ class IncrementalTable:
         if self.broadcast_deltas:
             ids = F.broadcast(ids)
         survivors = base.join(ids, on=self.id_col, how="left_anti")
-        return survivors.unionByName(latest.filter(~F.col("_del")).drop("_del"))
+        return survivors.unionByName(
+            latest.filter(~F.col("_del")).drop("_del"),
+            allowMissingColumns=self.evolve_schema,
+        )
 
     # --- write ----------------------------------------------------------
 
@@ -594,7 +620,7 @@ def _read_changes(
             ).limit(0)
         out = frames[0]
         for f in frames[1:]:
-            out = out.unionByName(f)
+            out = out.unionByName(f, allowMissingColumns=self.evolve_schema)
         return out
 
 

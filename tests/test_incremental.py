@@ -680,3 +680,68 @@ def test_read_changes_cdf(spark, tmp_path):
     cur = table._load_manifest()["seq"]
     empty = table.read_changes(spark, schema, since_seq=cur)
     assert empty.count() == 0 and "_change_type" in empty.columns
+
+
+def test_schema_evolution_plain_layout(spark, tmp_path):
+    """evolve_schema=True: a delta may ADD columns; earlier rows read as
+    NULL for the new column, merge-on-read still dedups by id, compaction
+    bakes the evolved schema into the new base, the change feed spans the
+    boundary, and time travel to a pre-evolution version keeps the old
+    column set. Layouts that pin a declared schema (bucketed, partitioned)
+    refuse the flag loudly."""
+    import pyspark.sql.types as T
+    import pytest as _pytest
+
+    from etl_world_banks_with_python_and_postgresql_spark.sources.incremental import (
+        IncrementalTable,
+    )
+
+    v1 = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    v2 = T.StructType(
+        list(v1.fields) + [T.StructField("lang", T.StringType())]
+    )
+    t = IncrementalTable(str(tmp_path / "tbl"), id_col="id", evolve_schema=True)
+    t.write_delta(spark.createDataFrame([(1, "a"), (2, "b")], v1))
+    t.write_delta(
+        spark.createDataFrame([(2, "b2", "en"), (3, "c", "de")], v2)
+    )
+
+    cur = t.read(spark, v2)
+    assert cur.columns == ["id", "val", "lang"]
+    state = {r["id"]: (r["val"], r["lang"]) for r in cur.collect()}
+    assert state == {1: ("a", None), 2: ("b2", "en"), 3: ("c", "de")}
+
+    # time travel to the pre-evolution version: old column set, old rows
+    old = t.read_at(spark, v1, seq=1)
+    assert old.columns == ["id", "val"]
+    assert {r["id"]: r["val"] for r in old.collect()} == {1: "a", 2: "b"}
+
+    # change feed across the evolution boundary aligns by name
+    feed = t.read_changes(spark, v2, since_seq=0)
+    assert set(feed.columns) == {"id", "val", "lang", "_change_type", "_commit_seq"}
+    assert feed.count() == 4
+
+    # compaction bakes the evolved schema into the base files
+    t.compact(spark, v2)
+    base = spark.read.parquet(str(tmp_path / "tbl" / "base-000003"))
+    assert set(base.columns) == {"id", "val", "lang"}
+    post = {r["id"]: (r["val"], r["lang"]) for r in t.read(spark, v2).collect()}
+    assert post == state
+
+    # deletes still work against the evolved table
+    t.delete_keys(spark, v2, spark.createDataFrame([(1,)], "id long"))
+    assert {r["id"] for r in t.read(spark, v2).collect()} == {2, 3}
+
+    for kw in (
+        dict(bucket_by=["id"]),
+        dict(partition_by="val"),
+    ):
+        with _pytest.raises(ValueError, match="plain layout"):
+            IncrementalTable(
+                str(tmp_path / "x"), id_col="id", evolve_schema=True, **kw
+            )
