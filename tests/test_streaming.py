@@ -895,3 +895,79 @@ def test_streaming_epochs_visible_in_change_feed(spark, tmp_path):
     assert [(r["bank_name"], r["_change_type"]) for r in tail.collect()] == [
         ("Bank A", "upsert")
     ]
+
+
+def test_cdf_stream_source_matches_batch_feed(spark, tmp_path):
+    """readStream.format('incr_cdf') turns each committed delta into a
+    micro-batch: availableNow drains the full history identically to
+    read_changes, a later commit arrives as the NEXT micro-batch under
+    the same checkpoint (offset = commit seq), and delete tombstones
+    carry _change_type='delete'."""
+    import pyspark.sql.types as T
+
+    from etl_world_banks_with_python_and_postgresql_spark.sources.incremental import (
+        IncrementalTable,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.cdf_source import (
+        register_cdf_source,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    root = str(tmp_path / "tbl")
+    t = IncrementalTable(root, id_col="id")
+    t.write_delta(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    t.write_delta(spark.createDataFrame([(2, "b2")], schema))
+    t.delete_keys(spark, schema, spark.createDataFrame([(1,)], "id long"))
+
+    register_cdf_source(spark)
+    got: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        got.extend(
+            (r["id"], r["val"], r["_change_type"], r["_commit_seq"])
+            for r in batch_df.collect()
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("incr_cdf")
+            .option("path", root)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    key = lambda r: (r[0], r[1] or "", r[2], r[3])
+    expected = sorted(
+        (
+            (r["id"], r["val"], r["_change_type"], r["_commit_seq"])
+            for r in t.read_changes(spark, schema, since_seq=0).collect()
+        ),
+        key=key,
+    )
+    assert sorted(got, key=key) == expected
+    assert ("1", ) not in got  # sanity: tuples, not strings
+    assert (1, None, "delete", 3) in got
+
+    # a new commit under the SAME checkpoint yields only the new rows
+    got.clear()
+    t.write_delta(spark.createDataFrame([(4, "d")], schema))
+    drain()
+    assert sorted(got) == [(4, "d", "upsert", 4)]
+
+    # schema sniffing picked the table's real columns + CDF pair
+    cols = (
+        spark.readStream.format("incr_cdf").option("path", root).load().columns
+    )
+    assert cols == ["id", "val", "_change_type", "_commit_seq"]
