@@ -56,6 +56,8 @@ HEADLINE = [
     "z20_quality_classifier",
     "z21_embedding_moments",
     "z22_source_overlap",
+    "z36_bm25_rank",
+    "z38_constraint_audit",
 ]
 
 

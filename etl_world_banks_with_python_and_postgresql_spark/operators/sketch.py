@@ -1,0 +1,185 @@
+"""Deterministic, engine-portable approximation & profiling operators.
+
+``approx_count_distinct`` / ``percentile_approx`` (q51) are Spark-native
+sketches whose exact outputs are implementation-defined -- fine inside
+one engine, unverifiable across engines. This module provides the
+complementary shape: approximation algorithms whose RESULTS are a pure
+function of the data, so the DuckDB oracle reproduces them bit-for-bit
+and the driver's hash gate applies to approximate answers too.
+
+- :func:`kmv_sketch` / :func:`kmv_estimate` -- K-Minimum-Values distinct
+  sketch (Bar-Yossef et al. 2002): keep the k smallest values of a
+  uniform deterministic hash; estimate distinct = (k-1) / h_(k) with
+  hashes scaled to [0, 1). Deterministic because the hash is md5-derived
+  and "k smallest" has no ties (distinct hash values). MERGEABLE: the
+  k-min set of a union is the k-min of the unioned k-min sets, so
+  partial sketches from independent scans/partitions/days compose
+  without rescanning -- the property that makes sketches useful at
+  100 TB (pinned by test).
+- :func:`equi_width_histogram` -- fixed-bin histogram in two aggregate
+  passes (1-row min/max broadcast + one group count). Division + floor
+  only, so bin edges and counts are engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 48-bit md5-prefix hash: uniform enough for KMV, fits a BIGINT in both
+# engines. SQL twin mirrors functions.xhash.MD5_HASH32_SQL.
+MD5_HASH48_SQL = "('0x' || substr(md5({x}), 1, 12))::BIGINT"
+_HASH_SPACE = float(2**48)
+
+
+def md5_hash48(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    k: int = 256,
+    group_by: str | None = None,
+) -> DataFrame:
+    """The k smallest distinct 48-bit hashes of ``value_col`` (per group).
+
+    Plan: hash inside the scan projection, one distinct aggregate on
+    (group, hash), then a rank window (or TakeOrdered when ungrouped)
+    keeps k rows per group -- the sketch is k * 8 bytes however large
+    the input. Returns ``(group?, hv)`` rows, the mergeable partial.
+    """
+    h = md5_hash48(F.col(value_col)).alias("hv")
+    keys = [group_by] if group_by else []
+    hashes = df.select(*keys, h).distinct()
+    if not group_by:
+        return hashes.orderBy("hv").limit(k)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_by).orderBy("hv")
+    return (
+        hashes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_merge(
+    sketches: list[DataFrame], k: int = 256, group_by: str | None = None
+) -> DataFrame:
+    """Compose partial sketches: union, re-distinct, re-take k smallest.
+    Equals the sketch of the unioned inputs (pinned by test)."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    u = u.distinct()  # the same value may appear in several partials
+    if not group_by:
+        return u.orderBy("hv").limit(k)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_by).orderBy("hv")
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, k: int = 256, group_by: str | None = None
+) -> DataFrame:
+    """Distinct-count estimate from a k-min sketch.
+
+    Saturated sketch (k rows): ``round((k-1) * 2^48 / h_k)`` with h_k
+    the largest kept hash -- one IEEE division + one round, identical
+    cross-engine. Unsaturated: the sketch IS the distinct set, return
+    its exact size.
+    """
+    keys = [group_by] if group_by else []
+    agg = sketch.groupBy(*keys).agg(
+        F.count("*").alias("n_kept"), F.max("hv").alias("hk")
+    ) if group_by else sketch.agg(
+        F.count("*").alias("n_kept"), F.max("hv").alias("hk")
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("long")).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col("hk"))
+        .cast("long")
+    )
+    return agg.select(*keys, est.alias("est_distinct"))
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    k: int = 256,
+    group_by: str | None = None,
+) -> DataFrame:
+    """One-shot grouped approximate distinct count; see module doc."""
+    return kmv_estimate(
+        kmv_sketch(df, value_col, k=k, group_by=group_by),
+        k=k,
+        group_by=group_by,
+    )
+
+
+def kmv_oracle_sql(
+    value_sql: str,
+    k: int = 256,
+    group_by: str | None = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`kmv_distinct`."""
+    hv = MD5_HASH48_SQL.format(x=value_sql)
+    keys = f"{group_by}, " if group_by else ""
+    part = f"PARTITION BY {group_by} " if group_by else ""
+    grp = f"GROUP BY {group_by}" if group_by else ""
+    return f"""
+WITH h AS (SELECT DISTINCT {keys}{hv} AS hv FROM {table}),
+r AS (SELECT {keys}hv,
+             row_number() OVER ({part}ORDER BY hv) AS rn FROM h),
+s AS (SELECT {keys}count(*) AS n_kept, max(hv) AS hk
+      FROM r WHERE rn <= {k} {grp})
+SELECT {keys}CASE WHEN n_kept < {k} THEN n_kept
+            ELSE CAST(round({float(k - 1)!r} * {_HASH_SPACE!r} / hk) AS BIGINT)
+       END AS est_distinct
+FROM s
+"""
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 20,
+    group_by: str | None = None,
+) -> DataFrame:
+    """Equi-width histogram: global [min, max] split into ``n_bins``.
+
+    Two aggregates: a 1-row min/max broadcast-crossed back (never a
+    per-group rescan), then one count per (group?, bin). The max value
+    lands in the LAST bin (least() clamp), empty bins are absent (join
+    a generated bin spine if density matters). Bin arithmetic is
+    floor((x - min) / width) -- engine-exact.
+    """
+    v = F.col(value_col)
+    bounds = df.agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi")
+    )
+    keys = [group_by] if group_by else []
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    bin_ = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("_lo")) / width).cast("int"),
+            F.lit(n_bins - 1),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            *keys,
+            bin_.alias("bin"),
+            (F.col("_lo") + bin_ * width).alias("bin_lo"),
+            (F.col("_lo") + (bin_ + 1) * width).alias("bin_hi"),
+        )
+        .groupBy(*keys, "bin", "bin_lo", "bin_hi")
+        .agg(F.count("*").alias("n_rows"))
+    )

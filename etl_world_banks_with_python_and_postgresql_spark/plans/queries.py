@@ -4791,3 +4791,62 @@ def z38(spark, sf_dir):
             )
         },
     )
+
+
+from ..operators import sketch as _sketch  # noqa: E402
+
+
+@query(
+    "z39_kmv_distinct",
+    oracle=_sketch.kmv_oracle_sql("text", k=256, group_by="source"),
+    description=(
+        "deterministic KMV distinct sketch (Bar-Yossef et al.): per-source "
+        "approximate distinct documents from the 256 smallest md5-derived "
+        "48-bit hashes -- an APPROXIMATE answer that is still a pure "
+        "function of the data, so the oracle hash gate applies to it "
+        "(unlike approx_count_distinct, q51). Sketch is k x 8 bytes per "
+        "group and MERGEABLE (k-min of unioned k-min sets == k-min of the "
+        "union; pinned in tests), the property that lets 100 TB partial "
+        "scans compose without a rescan"
+    ),
+)
+def z39(spark, sf_dir):
+    return _sketch.kmv_distinct(
+        load(spark, "documents", sf_dir), "text", k=256, group_by="source"
+    )
+
+
+@query(
+    "z40_histogram",
+    oracle="""
+WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+           FROM lineitem),
+w AS (SELECT lo, hi, (hi - lo) / 20.0 AS width FROM b),
+binned AS (
+  SELECT l_returnflag,
+         CASE WHEN hi = lo THEN 0
+              ELSE least(floor((l_extendedprice - lo) / width)::INT, 19)
+         END AS bin,
+         lo, width
+  FROM lineitem CROSS JOIN w)
+SELECT l_returnflag, bin,
+       lo + bin * width AS bin_lo,
+       lo + (bin + 1) * width AS bin_hi,
+       count(*) AS n_rows
+FROM binned
+GROUP BY l_returnflag, bin, lo, width
+""",
+    description=(
+        "equi-width histogram per return flag: 1-row min/max aggregate "
+        "broadcast-crossed back + one group count -- two passes total, "
+        "never a per-group rescan; floor/division bin arithmetic is "
+        "engine-exact (max value clamped into the last bin)"
+    ),
+)
+def z40(spark, sf_dir):
+    return _sketch.equi_width_histogram(
+        load(spark, "lineitem", sf_dir),
+        "l_extendedprice",
+        n_bins=20,
+        group_by="l_returnflag",
+    )

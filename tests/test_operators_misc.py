@@ -1545,3 +1545,54 @@ def test_constraint_audit_single_pass_and_edge_cases(spark):
     parent = spark.createDataFrame([(1,)], ["o_id"])
     viols = C.fk_violations(child, parent, {"order_id": "o_id"}).collect()
     assert [(r["order_id"], r["n_rows"]) for r in viols] == [(9, 1)]
+
+
+def test_kmv_sketch_mergeable_and_accurate(spark):
+    """KMV invariants: (1) merging per-part sketches equals sketching the
+    union (the compose-without-rescan property); (2) a saturated k=256
+    estimate lands within ~3 std errors (1/sqrt(k) ~ 6.25%) of the exact
+    distinct count; (3) an unsaturated sketch returns the EXACT count."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators import (
+        sketch as S,
+    )
+
+    docs = load(spark, "documents", "/root/testdata/sf0.01")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    full = S.kmv_sketch(docs, "text", k=256)
+    merged = S.kmv_merge(
+        [S.kmv_sketch(half_a, "text", k=256), S.kmv_sketch(half_b, "text", k=256)],
+        k=256,
+    )
+    assert sorted(r["hv"] for r in full.collect()) == sorted(
+        r["hv"] for r in merged.collect()
+    )
+
+    exact = docs.select("text").distinct().count()
+    est = S.kmv_estimate(full, k=256).collect()[0]["est_distinct"]
+    assert exact > 256  # saturation premise
+    assert abs(est - exact) / exact < 3 * (1 / 256**0.5)
+
+    tiny = docs.limit(100)
+    est_tiny = S.kmv_distinct(tiny, "text", k=256).collect()[0]["est_distinct"]
+    assert est_tiny == tiny.select("text").distinct().count()
+
+
+def test_histogram_covers_all_rows_and_degenerate_column(spark):
+    """Bin counts sum to the row count, the max value lands in the last
+    bin (clamp), and a constant column collapses to one bin instead of
+    dividing by zero."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators import (
+        sketch as S,
+    )
+
+    li = load(spark, "lineitem", "/root/testdata/sf0.001")
+    h = S.equi_width_histogram(li, "l_extendedprice", n_bins=20).collect()
+    assert sum(r["n_rows"] for r in h) == li.count()
+    assert max(r["bin"] for r in h) == 19
+    assert min(r["bin"] for r in h) == 0
+
+    const = spark.createDataFrame([(1, 5.0)] * 4, ["id", "v"])
+    hc = S.equi_width_histogram(const, "v", n_bins=10).collect()
+    assert [(r["bin"], r["n_rows"]) for r in hc] == [(0, 4)]

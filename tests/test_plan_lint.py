@@ -37,6 +37,9 @@ WHITELIST = {
     # corpus stats (N, sum_dl, per-term df) are ONE broadcast row crossed
     # into the row-local score expression
     "z36_bm25_rank": "scalar-aggregate stats (1-row broadcast side)",
+    # global [min, max] bounds are ONE broadcast row crossed into the
+    # row-local bin expression
+    "z40_histogram": "scalar-aggregate bounds (1-row broadcast side)",
 }
 
 
