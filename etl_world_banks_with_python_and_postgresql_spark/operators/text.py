@@ -754,3 +754,49 @@ def bm25_indexed(
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def append_posting_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """O(|batch|) incremental growth of a :func:`write_posting_index`
+    layout: the batch's postings append into the same term buckets
+    (dynamic-partition parquet append touches only the buckets the batch
+    actually hits) and the stats sidecar advances by the batch's
+    (n_docs, sum_dl). Probe-side df is recomputed from the postings at
+    query time, so ranked retrieval stays EXACT after any append --
+    equivalence with a full rebuild is pinned by test. Contract:
+    append-only corpus growth; re-ingesting a doc_id double-counts it
+    (dedup upstream, the same contract as append_ivf_index).
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_postings_stats.json")) as f:
+        stats = json.load(f)
+    n_buckets = stats["n_buckets"]
+    toks = ws_tokens(F.col(text_col))
+    postings = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            token_count(F.col(text_col)).cast("long").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    postings.write.mode("append").partitionBy("bucket").parquet(path)
+    batch = df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col(text_col)).cast("long")).alias("sum_dl"),
+    ).collect()[0]
+    stats["n_docs"] += batch["n_docs"]
+    stats["sum_dl"] += batch["sum_dl"] or 0
+    tmp = os.path.join(path, "_postings_stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, os.path.join(path, "_postings_stats.json"))

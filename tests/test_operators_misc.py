@@ -1596,3 +1596,29 @@ def test_histogram_covers_all_rows_and_degenerate_column(spark):
     const = spark.createDataFrame([(1, 5.0)] * 4, ["id", "v"])
     hc = S.equi_width_histogram(const, "v", n_bins=10).collect()
     assert [(r["bin"], r["n_rows"]) for r in hc] == [(0, 4)]
+
+
+def test_posting_index_append_matches_rebuild(spark, tmp_path):
+    """Appending a batch to the posting index yields bit-identical
+    retrieval (conjunctive AND bm25) to rebuilding the index over the
+    full corpus -- O(|batch|) growth with no correctness drift."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators import text as T
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    first = docs.filter(F.col("doc_id") % 3 != 0)
+    rest = docs.filter(F.col("doc_id") % 3 == 0)
+
+    grown = str(tmp_path / "grown")
+    T.write_posting_index(first, grown, n_buckets=16)
+    T.append_posting_index(rest, grown)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    T.write_posting_index(docs, rebuilt, n_buckets=16)
+
+    for fn, terms in (
+        (T.keyword_search_indexed, ["merge", "window"]),  # 3-way AND is empty at sf0.001
+        (T.bm25_indexed, ["merge", "window", "partition"]),
+    ):
+        a = [tuple(r) for r in fn(spark, grown, terms=terms).collect()]
+        b = [tuple(r) for r in fn(spark, rebuilt, terms=terms).collect()]
+        assert a == b and len(a) > 0
