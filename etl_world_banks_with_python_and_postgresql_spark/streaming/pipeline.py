@@ -354,3 +354,65 @@ def streaming_semantic_novelty_sink(
         append_ivf_index(novel, index_path, id_col=id_col, vec_col=vec_col)
 
     return apply_batch
+
+
+def streaming_posting_index_sink(
+    index_path: str, text_col: str = "text", id_col: str = "doc_id"
+):
+    """foreachBatch body that keeps a :func:`operators.text.write_posting_index`
+    layout current as documents stream in: each micro-batch's postings
+    append O(|batch|) into the term buckets (``append_posting_index``),
+    so ranked retrieval over the index always reflects everything
+    ingested -- without ever rebuilding.
+
+    Exactly-once protocol (append_posting_index double-counts on naive
+    replay, unlike the content-keyed novelty sinks, so epochs are
+    ledgered): ``_indexed_epochs.json`` records committed epoch ids plus
+    an in-flight marker. A replay of a COMMITTED epoch is a no-op (the
+    driver-restart case). An in-flight marker found at entry means a
+    previous append tore mid-write (files visible, stats not advanced):
+    the sink raises and names the fix -- rebuild with
+    ``write_posting_index`` -- instead of silently double-counting.
+    Commit point is the single atomic ledger rename, after the data
+    append and the stats advance.
+    """
+    import json
+    import os
+
+    from ..operators.text import append_posting_index
+
+    ledger_path = os.path.join(index_path, "_indexed_epochs.json")
+
+    def _load() -> dict:
+        if os.path.exists(ledger_path):
+            with open(ledger_path) as f:
+                return json.load(f)
+        return {"committed": [], "in_flight": None}
+
+    def _store(ledger: dict) -> None:
+        tmp = ledger_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ledger, f)
+        os.replace(tmp, ledger_path)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ledger = _load()
+        if epoch_id in ledger["committed"]:
+            return  # clean replay: absorbed
+        if ledger["in_flight"] is not None:
+            raise RuntimeError(
+                f"posting index at {index_path} has a torn append for "
+                f"epoch {ledger['in_flight']} (files written, stats not "
+                "committed); rebuild with write_posting_index before "
+                "resuming the stream"
+            )
+        ledger["in_flight"] = epoch_id
+        _store(ledger)
+        append_posting_index(
+            batch_df, index_path, text_col=text_col, id_col=id_col
+        )
+        _store({"committed": ledger["committed"] + [epoch_id], "in_flight": None})
+
+    return apply_batch

@@ -971,3 +971,43 @@ def test_cdf_stream_source_matches_batch_feed(spark, tmp_path):
         spark.readStream.format("incr_cdf").option("path", root).load().columns
     )
     assert cols == ["id", "val", "_change_type", "_commit_seq"]
+
+
+def test_streaming_posting_index_sink_exactly_once(spark, tmp_path):
+    """Streamed batches keep the posting index retrieval-identical to a
+    full rebuild; a replayed committed epoch is a no-op; a torn append
+    (in-flight marker) raises instead of double-counting."""
+    import json
+
+    import pytest as _pytest
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators import text as T
+    from etl_world_banks_with_python_and_postgresql_spark.sources.catalog import load
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        streaming_posting_index_sink,
+    )
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    idx = str(tmp_path / "idx")
+    T.write_posting_index(seed, idx, n_buckets=16)
+    sink = streaming_posting_index_sink(idx)
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b1, 0)  # replayed committed epoch: must be absorbed
+
+    rebuilt = str(tmp_path / "rebuilt")
+    T.write_posting_index(docs, rebuilt, n_buckets=16)
+    a = [tuple(r) for r in T.bm25_indexed(spark, idx, terms=["merge", "window"]).collect()]
+    b = [tuple(r) for r in T.bm25_indexed(spark, rebuilt, terms=["merge", "window"]).collect()]
+    assert a == b and len(a) > 0
+
+    # torn append: simulate a crash between data append and ledger commit
+    ledger = json.load(open(f"{idx}/_indexed_epochs.json"))
+    ledger["in_flight"] = 7
+    json.dump(ledger, open(f"{idx}/_indexed_epochs.json", "w"))
+    with _pytest.raises(RuntimeError, match="torn append"):
+        sink(b2, 8)
