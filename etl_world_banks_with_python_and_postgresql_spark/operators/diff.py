@@ -58,3 +58,48 @@ def snapshot_diff(
         ],
         diff.alias("diff"),
     )
+
+
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    id_col: str,
+    seq_col: str = "_commit_seq",
+    type_col: str = "_change_type",
+) -> DataFrame:
+    """Apply a change feed to a snapshot: latest-wins per id, deletes
+    drop, upserts replace/insert (the downstream half of CDC -- the
+    consumer of ``IncrementalTable.read_changes`` / the ``incr_cdf``
+    stream materializing a dependent table; Delta's APPLY CHANGES INTO
+    shape).
+
+    ``changes`` carries the table's data columns plus ``type_col``
+    ('upsert' | 'delete') and a monotonically increasing ``seq_col``;
+    within one seq, an id appears at most once (the change-feed
+    contract). Resolution: rank each id's changes by seq descending,
+    keep the latest, anti-join ALL touched ids out of the target, union
+    back only those whose latest action is an upsert -- identical to
+    IncrementalTable._resolve's merge-on-read rule, exposed as a pure
+    operator over any pair of DataFrames.
+
+    Scale: the window and anti-join shuffle |changes| and probe the
+    target once; the target is never shuffled when the touched-id side
+    is broadcast-sized (one sync's worth of changes).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.desc(seq_col))
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    survivors = target.join(
+        F.broadcast(latest.select(id_col)), id_col, "left_anti"
+    )
+    reinserted = (
+        latest.filter(F.col(type_col) != "delete")
+        .drop(type_col, seq_col)
+        .select(*target.columns)
+    )
+    return survivors.unionByName(reinserted)

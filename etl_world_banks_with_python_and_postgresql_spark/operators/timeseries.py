@@ -66,3 +66,46 @@ def resample_ffill(
         F.last("observed", ignorenulls=True).over(w).alias("value_ffill"),
         F.col("observed").isNotNull().alias("is_observed"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "user_id",
+    k: float = 3.5,
+    keep_cols: tuple[str, ...] = ("event_id", "ts"),
+) -> DataFrame:
+    """Robust per-group outlier detection: flag rows where
+    ``|x - median| / MAD > k`` (MAD = median absolute deviation).
+
+    The robust twin of z-scoring (q46): median/MAD have a 50% breakdown
+    point, so a burst of bad readings cannot drag the baseline the way
+    it drags mean/stddev. Zero-MAD groups (>=50% identical values)
+    flag nothing -- the deviation scale is undefined there, and the
+    alternative (flagging every non-modal value) drowns the alert
+    channel; callers wanting a floor can clamp the MAD upstream.
+
+    Plan: two grouped EXACT percentile aggregates (deterministic
+    interpolation, q53's cross-engine parity) with the per-group stats
+    joined back -- both stat sides are |groups| rows (user-bounded, the
+    z31/z32 scaling argument), so at scale they broadcast and the event
+    stream is never shuffled beyond its own group aggregates. The
+    robust_z ratio is division-only, rounded once: engine-exact.
+    """
+    v = F.col(value_col)
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("_med")
+    )
+    dev = df.join(med, group_col).withColumn("_adev", F.abs(v - F.col("_med")))
+    mad = dev.groupBy(group_col).agg(F.percentile("_adev", F.lit(0.5)).alias("_mad"))
+    return (
+        dev.join(mad, group_col)
+        .filter((F.col("_mad") > 0) & (F.col("_adev") / F.col("_mad") > F.lit(k)))
+        .select(
+            group_col,
+            *keep_cols,
+            v.alias(value_col),
+            F.round(F.col("_med"), 6).alias("group_median"),
+            F.round(F.col("_adev") / F.col("_mad"), 6).alias("robust_z"),
+        )
+    )

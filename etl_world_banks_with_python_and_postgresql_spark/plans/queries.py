@@ -4850,3 +4850,91 @@ def z40(spark, sf_dir):
         n_bins=20,
         group_by="l_returnflag",
     )
+
+
+@query(
+    "z41_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY user_id),
+dev AS (
+  SELECT e.user_id, e.event_id, e.ts, e.value, m.med,
+         abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (user_id)),
+mad AS (
+  SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY user_id)
+SELECT d.user_id, d.event_id, d.ts, d.value,
+       round(d.med, 6) AS group_median,
+       round(d.adev / m.mad, 6) AS robust_z
+FROM dev d JOIN mad m USING (user_id)
+WHERE m.mad > 0 AND d.adev / m.mad > 3.5
+""",
+    description=(
+        "robust per-user outlier detection: |x - median| / MAD > 3.5 "
+        "(50% breakdown point -- a burst of bad readings cannot drag the "
+        "baseline the way it drags mean/stddev, unlike q46's z-score). "
+        "Two exact-percentile group aggregates joined back; stat sides "
+        "are user-bounded (broadcast at scale); ratio division-only, "
+        "engine-exact"
+    ),
+)
+def z41(spark, sf_dir):
+    from ..operators.timeseries import mad_outliers
+
+    return mad_outliers(load(spark, "events", sf_dir))
+
+
+@query(
+    "z42_apply_changes",
+    oracle="""
+WITH changes AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN 'delete' ELSE 'upsert' END AS ct,
+         c_acctbal + (c_custkey % 5) * 10.0 AS new_bal,
+         1 + (c_custkey % 2) AS seq
+  FROM customer WHERE c_custkey % 7 < 2),
+latest AS (
+  SELECT c_custkey, ct, new_bal,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+  FROM changes),
+l AS (SELECT * FROM latest WHERE rn = 1)
+SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment
+FROM customer c LEFT JOIN l ON c.c_custkey = l.c_custkey
+WHERE l.c_custkey IS NULL
+UNION ALL
+SELECT c.c_custkey, c.c_name, l.new_bal AS c_acctbal, c.c_mktsegment
+FROM customer c JOIN l ON c.c_custkey = l.c_custkey
+WHERE l.ct <> 'delete'
+""",
+    description=(
+        "CDC apply: latest-wins change-feed application to a snapshot "
+        "(deletes drop, upserts replace; Delta APPLY CHANGES INTO shape, "
+        "the downstream half of read_changes / the incr_cdf stream). "
+        "Changes are derived deterministically from the customer table "
+        "so the oracle replicates the feed; touched ids broadcast, the "
+        "target is never shuffled"
+    ),
+)
+def z42(spark, sf_dir):
+    from ..operators.diff import apply_changes
+
+    cust = load(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    changes = (
+        cust.filter(F.col("c_custkey") % 7 < 2)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal") + (F.col("c_custkey") % 5) * 10.0).alias(
+                "c_acctbal"
+            ),
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 3 == 0, F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("_change_type"),
+            (1 + F.col("c_custkey") % 2).cast("int").alias("_commit_seq"),
+        )
+    )
+    return apply_changes(cust, changes, id_col="c_custkey")
