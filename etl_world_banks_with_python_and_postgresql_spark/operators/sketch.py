@@ -183,3 +183,41 @@ def equi_width_histogram(
         .groupBy(*keys, "bin", "bin_lo", "bin_hi")
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equi-depth (quantile) histogram: bins hold ~equal row counts.
+
+    The scale-correct formulation: cut points are EXACT interpolated
+    percentiles (one 1-row aggregate, broadcast back -- deterministic
+    cross-engine, q53 parity), and each row's bin is the count of cut
+    points strictly below its value -- a row-local comparison sum, NOT a
+    global ntile window (which would funnel the table through one
+    partition). Rows equal to a cut point land in the lower bin;
+    heavily-tied distributions therefore yield unequal depths -- that is
+    the data's shape, not an artifact.
+    """
+    v = F.col(value_col)
+    cuts = df.agg(
+        *[
+            F.percentile(value_col, F.lit(i / n_bins)).alias(f"_c{i}")
+            for i in range(1, n_bins)
+        ]
+    )
+    bin_ = sum(
+        (v > F.col(f"_c{i}")).cast("int") for i in range(1, n_bins)
+    )
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .select(bin_.alias("bin"), v.alias("_v"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("_v").alias("bin_min"),
+            F.max("_v").alias("bin_max"),
+        )
+    )

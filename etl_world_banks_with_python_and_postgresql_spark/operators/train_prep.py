@@ -570,3 +570,36 @@ def grouped_priority_sample(
         .withColumnRenamed("_pri", "priority")
         .drop("_rn")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    group_by: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clamp ``value_col`` to its [lo, hi] exact interpolated percentiles
+    (per group if given) -- the standard outlier-clipping pass before
+    normalizing features / quality scores for training.
+
+    Plan: one grouped percentile aggregate (group-bounded, broadcast at
+    scale) joined back, then a row-local least/greatest clamp. Exact
+    percentiles are deterministic cross-engine (q53 parity); the clamp
+    takes values verbatim, so clamped rows carry exact input doubles.
+    """
+    out = out_col or f"{value_col}_winsorized"
+    v = F.col(value_col)
+    keys = [group_by] if group_by else []
+    pcts = (df.groupBy(*keys) if group_by else df.groupBy()).agg(
+        F.percentile(value_col, F.lit(lo)).alias("_plo"),
+        F.percentile(value_col, F.lit(hi)).alias("_phi"),
+    )
+    joined = (
+        df.join(F.broadcast(pcts), keys) if group_by
+        else df.crossJoin(F.broadcast(pcts))
+    )
+    return joined.withColumn(
+        out, F.least(F.greatest(v, F.col("_plo")), F.col("_phi"))
+    ).drop("_plo", "_phi")

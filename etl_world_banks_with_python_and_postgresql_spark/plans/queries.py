@@ -4938,3 +4938,75 @@ def z42(spark, sf_dir):
         )
     )
     return apply_changes(cust, changes, id_col="c_custkey")
+
+
+@query(
+    "z43_equi_depth_histogram",
+    oracle="""
+WITH cuts AS (
+  SELECT quantile_cont(o_totalprice, 0.1) AS c1,
+         quantile_cont(o_totalprice, 0.2) AS c2,
+         quantile_cont(o_totalprice, 0.3) AS c3,
+         quantile_cont(o_totalprice, 0.4) AS c4,
+         quantile_cont(o_totalprice, 0.5) AS c5,
+         quantile_cont(o_totalprice, 0.6) AS c6,
+         quantile_cont(o_totalprice, 0.7) AS c7,
+         quantile_cont(o_totalprice, 0.8) AS c8,
+         quantile_cont(o_totalprice, 0.9) AS c9
+  FROM orders),
+binned AS (
+  SELECT ((o_totalprice > c1)::INT + (o_totalprice > c2)::INT
+        + (o_totalprice > c3)::INT + (o_totalprice > c4)::INT
+        + (o_totalprice > c5)::INT + (o_totalprice > c6)::INT
+        + (o_totalprice > c7)::INT + (o_totalprice > c8)::INT
+        + (o_totalprice > c9)::INT) AS bin,
+         o_totalprice AS v
+  FROM orders CROSS JOIN cuts)
+SELECT bin, count(*) AS n_rows, min(v) AS bin_min, max(v) AS bin_max
+FROM binned GROUP BY bin
+""",
+    description=(
+        "equi-depth (decile) histogram: exact interpolated percentile cut "
+        "points (1-row aggregate broadcast back, q53 parity) + a row-local "
+        "count-of-cuts-below bin assignment -- NOT a global ntile window, "
+        "which would funnel the table through one partition at scale"
+    ),
+)
+def z43(spark, sf_dir):
+    return _sketch.equi_depth_histogram(
+        load(spark, "orders", sf_dir), "o_totalprice", n_bins=10
+    )
+
+
+@query(
+    "z44_winsorize",
+    oracle="""
+WITH p AS (
+  SELECT o_orderstatus,
+         quantile_cont(o_totalprice, 0.05) AS plo,
+         quantile_cont(o_totalprice, 0.95) AS phi
+  FROM orders GROUP BY o_orderstatus)
+SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+       least(greatest(o.o_totalprice, p.plo), p.phi) AS o_totalprice_winsorized
+FROM orders o JOIN p USING (o_orderstatus)
+""",
+    description=(
+        "per-group winsorization: clamp to the exact [p5, p95] "
+        "percentiles -- the standard outlier-clipping pass before "
+        "normalizing features/quality scores for training. One "
+        "group-bounded percentile aggregate broadcast back + a row-local "
+        "least/greatest clamp; clamped rows carry exact input doubles"
+    ),
+)
+def z44(spark, sf_dir):
+    from ..operators.train_prep import winsorize
+
+    return winsorize(
+        load(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        "o_totalprice",
+        lo=0.05,
+        hi=0.95,
+        group_by="o_orderstatus",
+    )

@@ -40,6 +40,9 @@ WHITELIST = {
     # global [min, max] bounds are ONE broadcast row crossed into the
     # row-local bin expression
     "z40_histogram": "scalar-aggregate bounds (1-row broadcast side)",
+    # percentile cut points are ONE broadcast row crossed into the
+    # row-local bin expression
+    "z43_equi_depth_histogram": "scalar-aggregate cuts (1-row broadcast side)",
 }
 
 
