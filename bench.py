@@ -58,6 +58,9 @@ HEADLINE = [
     "z22_source_overlap",
     "z36_bm25_rank",
     "z38_constraint_audit",
+    "z39_kmv_distinct",
+    "z41_mad_outliers",
+    "z42_apply_changes",
 ]
 
 
