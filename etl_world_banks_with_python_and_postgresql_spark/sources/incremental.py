@@ -395,16 +395,53 @@ class IncrementalTable:
                 }
         self._commit_manifest(m)
 
-    def compact(self, spark: SparkSession, schema, target_files: int = 8) -> None:
+    def compact(
+        self,
+        spark: SparkSession,
+        schema,
+        target_files: int = 8,
+        upto: int | None = None,
+    ) -> None:
         """Fold deltas into a new base. Superseded files stay on disk so
-        time travel keeps working; reclaim them with `vacuum`."""
+        time travel keeps working; reclaim them with `vacuum`.
+
+        ``upto=m`` folds only the OLDEST m deltas (partial / size-tiered
+        compaction): the base rewrite amortizes over the folded batches
+        while later deltas -- which still supersede by seq order --
+        remain pending, so a hot table can bound write amplification
+        instead of re-paying the full-base rewrite every cycle. Folding
+        a prefix is exact because resolution is latest-seq-wins: any id
+        rewritten by BOTH a folded and a pending delta resolves to the
+        pending version either way (equivalence pinned by test).
+        Partial compaction keeps the un-folded deltas' kinds and
+        pruning stats; read() semantics are unchanged.
+        """
         m = self._load_manifest()
         if not m["deltas"]:
             return
-        resolved = self.read(spark, schema)
+        n_fold = len(m["deltas"]) if upto is None else min(upto, len(m["deltas"]))
+        if n_fold <= 0:
+            return
+        folded, remaining = m["deltas"][:n_fold], m["deltas"][n_fold:]
+        fold_view = dict(m, deltas=folded)
+        resolved = self._resolve(spark, schema, fold_view)
         seq = m["seq"] + 1
         new_base = f"base-{seq:06d}"
-        commit = {"seq": seq, "base": new_base, "deltas": [], "max_id": m.get("max_id")}
+        commit = {
+            "seq": seq,
+            "base": new_base,
+            "deltas": remaining,
+            "max_id": m.get("max_id"),
+        }
+        if remaining:
+            kinds = m.get("delta_kinds", {})
+            stats = m.get("delta_stats", {})
+            kept_kinds = {d: kinds[d] for d in remaining if d in kinds}
+            kept_stats = {d: stats[d] for d in remaining if d in stats}
+            if kept_kinds:
+                commit["delta_kinds"] = kept_kinds
+            if kept_stats:
+                commit["delta_stats"] = kept_stats
         # compaction mints no new ids: the high-water mark carries over
         if self.bucket_by:
             name = self._table_name(seq)

@@ -780,3 +780,48 @@ def test_apply_changes_replays_feed_onto_snapshot(spark, tmp_path):
     assert sorted(tuple(r) for r in replayed.collect()) == sorted(
         tuple(r) for r in t.read(spark, schema).collect()
     )
+
+
+def test_partial_compaction_preserves_state(spark, tmp_path):
+    """compact(upto=m) folds only the oldest m deltas: resolved state is
+    unchanged at every step (latest-seq-wins makes prefix folding exact,
+    including an id rewritten by both a folded and a pending delta, and
+    a pending DELETE that must keep suppressing a folded row), pending
+    deltas keep their kinds, and a later full compact converges."""
+    import json
+
+    import pyspark.sql.types as T
+
+    from etl_world_banks_with_python_and_postgresql_spark.sources.incremental import (
+        IncrementalTable,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    t = IncrementalTable(str(tmp_path / "tbl"), id_col="id", compact_after=99)
+    t.write_delta(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema))
+    t.write_delta(spark.createDataFrame([(2, "b2"), (4, "d")], schema))
+    # pending-side changes that must survive the partial fold:
+    t.write_delta(spark.createDataFrame([(2, "b3"), (5, "e")], schema))
+    t.delete_keys(spark, schema, spark.createDataFrame([(1,)], "id long"))
+
+    def state():
+        return sorted(tuple(r) for r in t.read(spark, schema).collect())
+
+    before = state()
+    assert before == [(2, "b3"), (3, "c"), (4, "d"), (5, "e")]
+
+    t.compact(spark, schema, upto=2)  # fold the first two upsert deltas
+    m = json.load(open(f"{tmp_path}/tbl/_manifest.json"))
+    assert m["base"] is not None and len(m["deltas"]) == 2
+    assert set(m.get("delta_kinds", {}).values()) == {"delete"}
+    assert state() == before
+
+    t.compact(spark, schema)  # full fold converges
+    m = json.load(open(f"{tmp_path}/tbl/_manifest.json"))
+    assert m["deltas"] == []
+    assert state() == before
