@@ -142,3 +142,46 @@ def event_paths(
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(top_n)
     )
+
+
+def cooccurrence_pairs(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    min_support: int = 1,
+) -> DataFrame:
+    """Market-basket co-occurrence: support counts for unordered pairs of
+    event types seen by the SAME user on the SAME day (the
+    frequent-itemset k=2 pass; support = number of (user, day) baskets
+    containing both).
+
+    Plan: the event stream reduces FIRST to distinct (user, day, type)
+    baskets -- bounded by users x days x |type vocabulary|, the same
+    user-bounded-intermediate argument as the funnel/retention operators
+    (z31/z32) -- then a self equi-join on the basket key with a
+    type-order inequality to emit each unordered pair once. The
+    quadratic term is |types-per-basket|^2, bounded by the type
+    vocabulary, never by event volume; the join shuffles baskets, not
+    events. Support ordering with a (pair) tie-break is deterministic.
+    """
+    basket = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("day", F.col(ts_col)).alias("d"),
+        F.col(type_col).alias("t"),
+    ).distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.u") == F.col("b.u"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(
+            F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+        .orderBy(F.desc("support"), "type_a", "type_b")
+    )

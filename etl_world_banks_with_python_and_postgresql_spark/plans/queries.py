@@ -5010,3 +5010,33 @@ def z44(spark, sf_dir):
         hi=0.95,
         group_by="o_orderstatus",
     )
+
+
+@query(
+    "z45_event_cooccurrence",
+    oracle="""
+WITH de AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+  FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS support
+FROM de a JOIN de b
+  ON a.user_id = b.user_id AND a.day = b.day
+ AND a.event_type < b.event_type
+GROUP BY 1, 2
+HAVING count(*) >= 5
+ORDER BY support DESC, type_a, type_b
+""",
+    description=(
+        "market-basket co-occurrence (frequent-itemset k=2): support "
+        "counts for event-type pairs sharing a (user, day) basket. The "
+        "event stream reduces FIRST to distinct basket membership "
+        "(user-bounded, z31/z32 argument); the self-join's quadratic term "
+        "is |types-per-basket|^2 -- bounded by the type vocabulary, never "
+        "event volume"
+    ),
+)
+def z45(spark, sf_dir):
+    from ..operators.funnel import cooccurrence_pairs
+
+    return cooccurrence_pairs(load(spark, "events", sf_dir), min_support=5)
