@@ -185,3 +185,106 @@ def cooccurrence_pairs(
         .filter(F.col("support") >= min_support)
         .orderBy(F.desc("support"), "type_a", "type_b")
     )
+
+
+def association_metrics(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    min_support: int = 1,
+) -> DataFrame:
+    """Association-rule metrics over the k=2 co-occurrence pass:
+    for each unordered type pair, support plus CONFIDENCE in both
+    directions (P(b|a), P(a|b)) and LIFT (observed co-occurrence vs
+    independence). All ratios are single IEEE divisions over exact
+    basket counts, rounded once -- engine-exact.
+
+    Plan: the distinct-basket reduction and pair join of
+    :func:`cooccurrence_pairs`, one per-type basket-count aggregate
+    (|vocabulary| rows, broadcast), and a 1-row total-baskets aggregate.
+    Nothing in the plan scales with event volume past the first
+    distinct.
+    """
+    basket = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("day", F.col(ts_col)).alias("d"),
+        F.col(type_col).alias("t"),
+    ).distinct()
+    pair = (
+        basket.alias("a")
+        .join(
+            basket.alias("b"),
+            (F.col("a.u") == F.col("b.u"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    singles = basket.groupBy("t").agg(F.count("*").alias("n"))
+    totals = basket.select("u", "d").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    sa = singles.select(F.col("t").alias("type_a"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("t").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a",
+            "type_b",
+            "support",
+            F.round(F.col("support") / F.col("n_a"), 6).alias("conf_a_to_b"),
+            F.round(F.col("support") / F.col("n_b"), 6).alias("conf_b_to_a"),
+            F.round(
+                (F.col("support") * F.col("n_baskets"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "type_a", "type_b")
+    )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing N-day distinct active users per day (the DAU/WAU/MAU
+    family; window_days=1 is DAU, 7 is WAU).
+
+    Distinct-count windows cannot use a RANGE frame (no DISTINCT inside
+    window aggregates), a naive per-day rescan is O(days x events), and
+    a days-spine range join is a nested loop. Scale shape here: reduce
+    the stream to distinct (user, day) ONCE, then EXPLODE each activity
+    day to the ``window_days`` report days it contributes to -- a pure
+    map-side sequence fan-out, no join -- and one count-distinct per
+    day, restricted to observed days by a broadcast semi-join (so the
+    trailing horizon past the last activity day is not reported).
+    Intermediates are |users x days| then |users x days x window|,
+    never event volume.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    ud = events.select(
+        F.col(user_col).alias("u"), day.alias("d")
+    ).distinct()
+    observed = ud.select(F.col("d").alias("day")).distinct()
+    fanned = ud.select(
+        "u",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), window_days - 1)
+            )
+        ).alias("day"),
+    )
+    return (
+        fanned.join(F.broadcast(observed), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("u").alias("active_users"))
+        .orderBy("day")
+    )

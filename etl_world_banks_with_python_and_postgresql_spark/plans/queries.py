@@ -5040,3 +5040,72 @@ def z45(spark, sf_dir):
     from ..operators.funnel import cooccurrence_pairs
 
     return cooccurrence_pairs(load(spark, "events", sf_dir), min_support=5)
+
+
+@query(
+    "z46_association_rules",
+    oracle="""
+WITH de AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+  FROM events),
+pair AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS support
+  FROM de a JOIN de b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2 HAVING count(*) >= 5),
+singles AS (SELECT event_type AS t, count(*) AS n FROM de GROUP BY 1),
+totals AS (SELECT count(*) AS n_baskets
+           FROM (SELECT DISTINCT user_id, day FROM de))
+SELECT p.type_a, p.type_b, p.support,
+       round(p.support / sa.n, 6) AS conf_a_to_b,
+       round(p.support / sb.n, 6) AS conf_b_to_a,
+       round((p.support * t.n_baskets) / (sa.n * sb.n), 6) AS lift
+FROM pair p
+JOIN singles sa ON sa.t = p.type_a
+JOIN singles sb ON sb.t = p.type_b
+CROSS JOIN totals t
+ORDER BY support DESC, type_a, type_b
+""",
+    description=(
+        "association-rule metrics over the k=2 co-occurrence pass: "
+        "support, directional confidence, and lift from exact basket "
+        "counts (single IEEE divisions, rounded once). Per-type and "
+        "total-basket sides are vocabulary-/1-row-sized broadcasts; "
+        "nothing past the first distinct scales with event volume"
+    ),
+)
+def z46(spark, sf_dir):
+    from ..operators.funnel import association_metrics
+
+    return association_metrics(load(spark, "events", sf_dir), min_support=5)
+
+
+@query(
+    "z47_rolling_active_users",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS d FROM events),
+observed AS (SELECT DISTINCT d AS day FROM ud),
+fanned AS (
+  SELECT user_id,
+         unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE
+           AS day
+  FROM ud)
+SELECT f.day, count(DISTINCT f.user_id) AS active_users
+FROM fanned f JOIN observed o ON f.day = o.day
+GROUP BY f.day ORDER BY f.day
+""",
+    description=(
+        "trailing 7-day distinct active users per day (WAU; the DAU/MAU "
+        "family): distinct (user, day) once, then a map-side sequence "
+        "fan-out of each activity day to the report days it feeds -- no "
+        "range join, no per-day rescan -- one count-distinct per day, "
+        "observed-days semi-join trims the trailing horizon"
+    ),
+)
+def z47(spark, sf_dir):
+    from ..operators.funnel import rolling_active_users
+
+    return rolling_active_users(load(spark, "events", sf_dir), window_days=7)

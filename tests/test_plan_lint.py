@@ -43,6 +43,9 @@ WHITELIST = {
     # percentile cut points are ONE broadcast row crossed into the
     # row-local bin expression
     "z43_equi_depth_histogram": "scalar-aggregate cuts (1-row broadcast side)",
+    # total-basket normalizer is ONE broadcast row crossed into the
+    # row-local lift expression
+    "z46_association_rules": "scalar-aggregate normalizer (1-row broadcast side)",
 }
 
 
