@@ -288,3 +288,49 @@ def rolling_active_users(
         .agg(F.countDistinct("u").alias("active_users"))
         .orderBy("day")
     )
+
+
+def conversion_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every
+    conversion event, the first and the last non-conversion event type
+    strictly before it within the same (user, day) journey; conversions
+    with no prior touch attribute to 'direct'. Output: conversion counts
+    per (first_touch, last_touch) channel pair.
+
+    Plan: one window pass over the journey partition (user, day) ordered
+    by (ts, id) -- the id tie-break makes attribution deterministic
+    under timestamp collisions -- with IGNORE NULLS first/last over a
+    rows-preceding frame; then one small aggregate. Journeys are
+    user-day-bounded, so window state is bounded by journey length,
+    and the single shuffle is the journey repartition.
+    """
+    from pyspark.sql import Window as W
+
+    touch = F.when(
+        F.col(type_col) != conversion_type, F.col(type_col)
+    )
+    w = (
+        W.partitionBy(user_col, F.date_trunc("day", F.col(ts_col)))
+        .orderBy(ts_col, id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    attributed = (
+        events.withColumn("_first", F.first(touch, ignorenulls=True).over(w))
+        .withColumn("_last", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col(type_col) == conversion_type)
+    )
+    return (
+        attributed.groupBy(
+            F.coalesce(F.col("_first"), F.lit("direct")).alias("first_touch"),
+            F.coalesce(F.col("_last"), F.lit("direct")).alias("last_touch"),
+        )
+        .agg(F.count("*").alias("conversions"))
+        .orderBy(F.desc("conversions"), "first_touch", "last_touch")
+    )

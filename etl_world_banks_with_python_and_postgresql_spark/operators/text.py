@@ -800,3 +800,57 @@ def append_posting_index(
     with open(tmp, "w") as f:
         json.dump(stats, f)
     os.replace(tmp, os.path.join(path, "_postings_stats.json"))
+
+
+def top_terms_per_doc(
+    df: DataFrame,
+    k: int = 3,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document keyword extraction: each doc's top-k most DISTINCTIVE
+    terms by tf x odds-idf (the same log-free Robertson odds as
+    :func:`bm25_rank` -- libm-free, so ranking is bit-stable across
+    engines). Stopwords need no list: their df ~ N drives odds-idf
+    toward 0. ``min_df`` prunes hapax noise (typos, ids).
+
+    Plan: one explode -> (doc, term, tf) aggregate, a vocabulary-sized
+    (term, df) aggregate joined back ON TERM (vocabulary-bounded side),
+    score row-locally, rank per doc. Every shuffle is linear in the
+    token stream or vocabulary; deterministic tie-break (score desc,
+    term asc).
+    """
+    toks = ws_tokens(F.col(text_col))
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = df.count()  # driver scalar: one O(1)-row action at plan build
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf")
+            * (
+                (F.lit(n_docs).cast("long") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+            6,
+        ).alias("score"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "score")
+    )

@@ -5109,3 +5109,76 @@ def z47(spark, sf_dir):
     from ..operators.funnel import rolling_active_users
 
     return rolling_active_users(load(spark, "events", sf_dir), window_days=7)
+
+
+@query(
+    "z48_doc_keywords",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+  HAVING count(DISTINCT doc_id) >= 2),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ((n.n_docs - d.df + 0.5) / (d.df + 0.5)), 6) AS score
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN n),
+r AS (
+  SELECT *, (row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term))::INT AS rank
+  FROM scored)
+SELECT doc_id, rank, term, tf, score FROM r WHERE rank <= 3
+""",
+    description=(
+        "document keyword extraction: top-3 distinctive terms per doc by "
+        "tf x odds-idf (log-free Robertson odds, bit-stable ranking; "
+        "stopwords self-suppress via df ~ N, min_df=2 prunes hapax "
+        "noise). Explode -> tf aggregate, vocabulary-bounded df join, "
+        "row-local score, per-doc rank -- all shuffles linear in tokens "
+        "or vocabulary"
+    ),
+)
+def z48(spark, sf_dir):
+    return text.top_terms_per_doc(load(spark, "documents", sf_dir))
+
+
+@query(
+    "z49_attribution",
+    oracle="""
+WITH w AS (
+  SELECT event_type,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id, date_trunc('day', ts)
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_t,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id, date_trunc('day', ts)
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_t
+  FROM events)
+SELECT coalesce(first_t, 'direct') AS first_touch,
+       coalesce(last_t, 'direct') AS last_touch,
+       count(*) AS conversions
+FROM w WHERE event_type = 'purchase'
+GROUP BY 1, 2 ORDER BY conversions DESC, first_touch, last_touch
+""",
+    description=(
+        "first-/last-touch conversion attribution per (user, day) "
+        "journey: one IGNORE-NULLS window pass over a rows-preceding "
+        "frame with an (ts, event_id) tie-break -- deterministic under "
+        "timestamp collisions -- then one channel-pair aggregate; "
+        "no-prior-touch conversions attribute to 'direct'. Window state "
+        "bounded by journey length"
+    ),
+)
+def z49(spark, sf_dir):
+    from ..operators.funnel import conversion_attribution
+
+    return conversion_attribution(load(spark, "events", sf_dir))
