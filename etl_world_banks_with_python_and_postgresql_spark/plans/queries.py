@@ -5182,3 +5182,105 @@ def z49(spark, sf_dir):
     from ..operators.funnel import conversion_attribution
 
     return conversion_attribution(load(spark, "events", sf_dir))
+
+
+@query(
+    "z50_corpus_pipeline_v2",
+    oracle=f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(
+                     translate(lower(text), '{text.ACCENT_SRC}', '{text.ACCENT_DST}'),
+                     '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS h
+        FROM documents)
+  GROUP BY h),
+d AS (
+  SELECT doc_id, source, text FROM documents JOIN keep USING (doc_id)),
+t AS (SELECT doc_id, source, text, {_TOKENS_SQL} AS toks FROM d),
+q AS (
+  SELECT doc_id, source, text,
+         (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END)::INT
+           AS n_tokens,
+         round(least(length(text) / 500.0, 1.0) * 0.5
+               + least((len(list_filter(toks, w -> list_contains(
+                     ['the','a','of','and','to','in','is','that'], w)))::DOUBLE
+                     / greatest(len(toks), 1)) * 5, 1.0) * 0.3
+               + (1 - least((len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+                     / greatest(length(text), 1)) * 10, 1.0)) * 0.2, 6)
+           AS quality_score
+  FROM t),
+p AS (
+  SELECT source, quantile_cont(quality_score, 0.05) AS plo,
+         quantile_cont(quality_score, 0.95) AS phi
+  FROM q GROUP BY source),
+wq AS (
+  SELECT q.*, least(greatest(q.quality_score, p.plo), p.phi) AS q_wins
+  FROM q JOIN p USING (source)),
+s AS (
+  SELECT *, CASE WHEN {_POLY_SQL.format(x="md5(text)")} % 100 < 80 THEN 'train'
+                 WHEN {_POLY_SQL.format(x="md5(text)")} % 100 < 90 THEN 'valid'
+                 ELSE 'test' END AS split
+  FROM wq),
+stats AS (
+  SELECT split, source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         min(q_wins) AS q_min, max(q_wins) AS q_max
+  FROM s GROUP BY 1, 2),
+hv AS (
+  SELECT DISTINCT split || '/' || source AS grp,
+         ('0x' || substr(md5(text), 1, 12))::BIGINT AS hv
+  FROM s),
+r AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+      FROM hv),
+km AS (SELECT grp, count(*) AS n_kept, max(hv) AS hk
+       FROM r WHERE rn <= 256 GROUP BY grp),
+est AS (
+  SELECT grp, CASE WHEN n_kept < 256 THEN n_kept
+              ELSE CAST(round(255.0 * 281474976710656.0 / hk) AS BIGINT)
+         END AS est_distinct_texts
+  FROM km)
+SELECT st.split, st.source, st.n_docs, st.total_tokens, st.q_min, st.q_max,
+       e.est_distinct_texts
+FROM stats st JOIN est e ON e.grp = st.split || '/' || st.source
+""",
+    description=(
+        "corpus build v2, chaining the round-4 operators end-to-end: "
+        "canonical-form dedup survivor -> quality scoring -> per-source "
+        "winsorized quality (exact [p5, p95] clamp) -> leak-safe content "
+        "hash split -> per-(split, source) stats including min/max "
+        "winsorized quality (verbatim doubles, no re-rounding -- the q49 "
+        "lesson) and a mergeable KMV distinct-text estimate. Every stage "
+        "is the verified operator itself"
+    ),
+)
+def z50(spark, sf_dir):
+    from ..operators.sketch import kmv_distinct
+    from ..operators.train_prep import hash_split, winsorize
+
+    docs = load(spark, "documents", sf_dir)
+    keep = text.canonical_dedup_groups(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "source", "text"
+    )
+    enriched = text.with_quality(deduped, keep_cols=["source", "text"])
+    wins = winsorize(
+        enriched, "quality_score", lo=0.05, hi=0.95, group_by="source",
+        out_col="q_wins",
+    )
+    s = hash_split(wins)
+    stats = s.groupBy("split", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("q_wins").alias("q_min"),
+        F.max("q_wins").alias("q_max"),
+    )
+    grp = s.withColumn("grp", F.concat_ws("/", "split", "source"))
+    est = kmv_distinct(grp, "text", k=256, group_by="grp").select(
+        F.col("grp"), F.col("est_distinct").alias("est_distinct_texts")
+    )
+    return stats.join(
+        est,
+        F.concat_ws("/", "split", "source") == F.col("grp"),
+    ).drop("grp")
