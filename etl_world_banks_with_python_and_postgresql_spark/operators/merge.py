@@ -373,3 +373,37 @@ def summarize(counters_row: dict, total_records: int) -> list[str]:
         f"Number of records updated:  {counters_row['update_count']}/{total_records}",
         f"Number of records with no updates needed:  {counters_row['no_update_count']}/{total_records}",
     ]
+
+
+def with_validity_intervals(
+    history: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Intervalize a version history: per entity (``keys``), each version
+    row gains ``valid_from`` (its own timestamp), ``valid_to`` (the next
+    version's timestamp; NULL = still current) and ``is_current`` --
+    upgrading an active-flag history like the reference's
+    ``world_bank_data`` (history = inactive rows, no validity bounds,
+    SQL/etl_world_banks.sql:72-91) into a proper SCD-Type-2 table that
+    answers point-in-time questions with a range predicate instead of a
+    version scan.
+
+    One window pass per entity partition ordered by (ts, tiebreak) --
+    pass ``tiebreak_col`` when timestamps can collide so lead() is
+    deterministic. Pair with a ``valid_from <= t AND (valid_to > t OR
+    valid_to IS NULL)`` filter for as-of reads; that predicate pushes
+    into the scan.
+    """
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = W.partitionBy(*keys).orderBy(*order)
+    return (
+        history.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

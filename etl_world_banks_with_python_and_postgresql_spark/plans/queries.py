@@ -5284,3 +5284,36 @@ def z50(spark, sf_dir):
         est,
         F.concat_ws("/", "split", "source") == F.col("grp"),
     ).drop("grp")
+
+
+@query(
+    "z51_scd2_intervals",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_type, event_id, value, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) AS valid_to
+  FROM events)
+SELECT user_id, event_type, event_id, value, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM v
+""",
+    description=(
+        "SCD-Type-2 intervalization: upgrade a version history (the "
+        "reference's active-flag model, sql:72-91, answers point-in-time "
+        "questions only by scanning versions) into [valid_from, valid_to) "
+        "rows via one lead() window per entity with an event_id tie-break "
+        "-- as-of reads become a pushdown-able range predicate"
+    ),
+)
+def z51(spark, sf_dir):
+    from ..operators.merge import with_validity_intervals
+
+    return with_validity_intervals(
+        load(spark, "events", sf_dir).select(
+            "user_id", "event_type", "event_id", "value", "ts"
+        ),
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+    ).drop("ts")
