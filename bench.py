@@ -61,6 +61,7 @@ HEADLINE = [
     "z39_kmv_distinct",
     "z41_mad_outliers",
     "z42_apply_changes",
+    "z50_corpus_pipeline_v2",
 ]
 
 
