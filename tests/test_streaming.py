@@ -1011,3 +1011,76 @@ def test_streaming_posting_index_sink_exactly_once(spark, tmp_path):
     json.dump(ledger, open(f"{idx}/_indexed_epochs.json", "w"))
     with _pytest.raises(RuntimeError, match="torn append"):
         sink(b2, 8)
+
+
+def test_streaming_materialized_view_via_cdf_and_apply_changes(spark, tmp_path):
+    """The full CDC chain: an IncrementalTable's change feed streams
+    through incr_cdf, each micro-batch is applied with apply_changes to
+    a downstream materialized snapshot (foreachBatch), and after every
+    drain the materialized view equals the source table's resolved
+    state -- including across a checkpointed restart picking up only new
+    commits. This is the incremental-materialized-view loop with Spark
+    checkpointing owning progress."""
+    import pyspark.sql.types as T
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.diff import (
+        apply_changes,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.sources.incremental import (
+        IncrementalTable,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.cdf_source import (
+        register_cdf_source,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    root = str(tmp_path / "src")
+    mat = str(tmp_path / "mat")
+    t = IncrementalTable(root, id_col="id")
+    t.write_delta(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+
+    register_cdf_source(spark)
+
+    def sink(batch_df, batch_id):
+        import os
+
+        if os.path.exists(mat):
+            target = batch_df.sparkSession.read.parquet(mat)
+        else:
+            target = batch_df.sparkSession.createDataFrame([], schema)
+        updated = apply_changes(
+            target, batch_df, id_col="id"
+        ).localCheckpoint()  # materialize BEFORE overwriting the input path
+        updated.write.mode("overwrite").parquet(mat)
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("incr_cdf")
+            .option("path", root)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def assert_synced():
+        got = sorted(tuple(r) for r in spark.read.parquet(mat).collect())
+        want = sorted(tuple(r) for r in t.read(spark, schema).collect())
+        assert got == want, (got, want)
+
+    drain()
+    assert_synced()
+
+    t.write_delta(spark.createDataFrame([(2, "b2"), (3, "c")], schema))
+    t.delete_keys(spark, schema, spark.createDataFrame([(1,)], "id long"))
+    drain()  # restart from checkpoint: only the two new commits replay
+    assert_synced()
