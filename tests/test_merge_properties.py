@@ -160,3 +160,107 @@ def test_duplicate_clusters_match_union_find(edges):
         for r in duplicate_clusters(pairs, max_iter=40).collect()
     }
     assert got == _uf_components(edges)
+
+
+# --- round-4 operators: CDC apply + KMV merge ---------------------------
+
+change_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # id
+        st.sampled_from(["upsert", "delete"]),
+        st.integers(min_value=1, max_value=5),  # commit seq
+        st.text(alphabet="abc", min_size=1, max_size=3),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(changes=change_strategy)
+def test_apply_changes_matches_dict_replay(spark, changes):
+    """apply_changes == a driver-side dict replay of the feed in seq
+    order (latest-wins, deletes drop, unseen target rows survive), for
+    arbitrary feeds -- modulo the contract that an id appears at most
+    once per seq (enforced by construction here)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.diff import (
+        apply_changes,
+    )
+
+    # enforce the feed contract: one change per (id, seq)
+    seen = set()
+    feed = []
+    for i, ct, seq, val in changes:
+        if (i, seq) in seen:
+            continue
+        seen.add((i, seq))
+        feed.append((i, val, ct, seq))
+
+    target_rows = [(i, f"t{i}") for i in range(4)]
+    target = spark.createDataFrame(target_rows, ["id", "val"])
+
+    model = {i: v for i, v in target_rows}
+    for i, val, ct, seq in sorted(feed, key=lambda r: r[3]):
+        if ct == "delete":
+            model.pop(i, None)
+        else:
+            model[i] = val
+
+    if feed:
+        changes_df = spark.createDataFrame(
+            feed, ["id", "val", "_change_type", "_commit_seq"]
+        )
+        got = sorted(
+            tuple(r)
+            for r in apply_changes(target, changes_df, id_col="id").collect()
+        )
+    else:
+        got = sorted(target_rows)
+    assert got == sorted(model.items())
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.text(alphabet="xyz01", min_size=1, max_size=4),
+        min_size=1,
+        max_size=30,
+    ),
+    n_parts=st.integers(min_value=1, max_value=4),
+)
+def test_kmv_merge_associative_over_any_partitioning(spark, values, n_parts):
+    """Merging per-part KMV sketches equals sketching the whole input,
+    for ANY way of slicing the input -- the compose-without-rescan
+    property stated generally (k chosen small so saturation paths are
+    exercised)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators import (
+        sketch as S,
+    )
+
+    from pyspark.sql import functions as F
+
+    k = 4
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], ["id", "v"]
+    )
+    whole = sorted(
+        r["hv"] for r in S.kmv_sketch(df, "v", k=k).collect()
+    )
+    parts = [
+        df.filter(F.col("id") % n_parts == p) for p in range(n_parts)
+    ]
+    merged = sorted(
+        r["hv"]
+        for r in S.kmv_merge(
+            [S.kmv_sketch(p, "v", k=k) for p in parts], k=k
+        ).collect()
+    )
+    assert merged == whole
