@@ -854,3 +854,68 @@ def top_terms_per_doc(
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tf", "score")
     )
+
+
+def vocabulary_drift(
+    df: DataFrame,
+    source_a: str,
+    source_b: str,
+    k: int = 20,
+    min_count: int = 5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Term-distribution drift between two corpus slices: per-term
+    chi-square contributions (observed vs expected under homogeneity),
+    top-k drivers. The distribution-shift monitor a corpus pipeline
+    runs between crawls/sources/snapshots; chi-square instead of
+    KL-divergence because it is division-only (KL's log is libm, whose
+    last ulp breaks cross-engine bit parity -- the z36 rationale).
+
+    For term t with counts a (in A), b (in B) and totals NA, NB:
+    expected_a = (a+b) * NA/(NA+NB), contribution =
+    (a-e_a)^2/e_a + (b-e_b)^2/e_b. Terms below ``min_count`` combined
+    occurrences are pruned (chi-square is unstable on rare cells).
+
+    Plan: one token explode -> (source, term) count, pivot the two
+    sources into columns via conditional sums, totals as a 1-row
+    broadcast, row-local contribution arithmetic, TakeOrdered top-k.
+    """
+    toks = ws_tokens(F.col(text_col))
+    counts = (
+        df.filter(F.col(source_col).isin([source_a, source_b]))
+        .select(F.col(source_col).alias("_s"), F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.sum((F.col("_s") == source_a).cast("long")).alias("n_a"),
+            F.sum((F.col("_s") == source_b).cast("long")).alias("n_b"),
+        )
+        .filter((F.col("n_a") + F.col("n_b")) >= min_count)
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
+    )
+    joined = counts.crossJoin(F.broadcast(totals))
+    e_a = (
+        (F.col("n_a") + F.col("n_b"))
+        * F.col("_ta")
+        / (F.col("_ta") + F.col("_tb"))
+    )
+    e_b = (
+        (F.col("n_a") + F.col("n_b"))
+        * F.col("_tb")
+        / (F.col("_ta") + F.col("_tb"))
+    )
+    chi = (F.col("n_a") - e_a) * (F.col("n_a") - e_a) / e_a + (
+        F.col("n_b") - e_b
+    ) * (F.col("n_b") - e_b) / e_b
+    return (
+        joined.select(
+            "term",
+            "n_a",
+            "n_b",
+            F.round(chi, 6).alias("chi2"),
+        )
+        .orderBy(F.desc("chi2"), "term")
+        .limit(k)
+    )

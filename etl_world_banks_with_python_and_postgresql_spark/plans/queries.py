@@ -5317,3 +5317,41 @@ def z51(spark, sf_dir):
         ts_col="ts",
         tiebreak_col="event_id",
     ).drop("ts")
+
+
+@query(
+    "z52_vocab_drift",
+    oracle=f"""
+WITH tok AS (
+  SELECT source AS s, unnest({_TOKENS_SQL}) AS term
+  FROM documents WHERE source IN ('src0', 'src1')),
+c AS (
+  SELECT term,
+         sum((s = 'src0')::BIGINT) AS n_a,
+         sum((s = 'src1')::BIGINT) AS n_b
+  FROM tok GROUP BY term HAVING sum((s = 'src0')::BIGINT)
+                              + sum((s = 'src1')::BIGINT) >= 5),
+t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c),
+x AS (
+  SELECT term, n_a, n_b,
+         (n_a + n_b) * ta / (ta + tb) AS ea,
+         (n_a + n_b) * tb / (ta + tb) AS eb
+  FROM c CROSS JOIN t)
+SELECT term, n_a, n_b,
+       round((n_a - ea) * (n_a - ea) / ea
+             + (n_b - eb) * (n_b - eb) / eb, 6) AS chi2
+FROM x ORDER BY chi2 DESC, term LIMIT 20
+""",
+    description=(
+        "vocabulary drift between two corpus slices: per-term chi-square "
+        "contributions vs the homogeneity expectation, top-20 drivers -- "
+        "the distribution-shift monitor between crawls/sources. "
+        "Chi-square, not KL: division-only (KL's log is libm, breaking "
+        "cross-engine bit parity). One explode -> conditional-sum pivot, "
+        "1-row totals broadcast, row-local arithmetic, TakeOrdered"
+    ),
+)
+def z52(spark, sf_dir):
+    return text.vocabulary_drift(
+        load(spark, "documents", sf_dir), "src0", "src1"
+    )

@@ -46,6 +46,9 @@ WHITELIST = {
     # total-basket normalizer is ONE broadcast row crossed into the
     # row-local lift expression
     "z46_association_rules": "scalar-aggregate normalizer (1-row broadcast side)",
+    # corpus-total counts are ONE broadcast row crossed into the
+    # row-local chi-square expression
+    "z52_vocab_drift": "scalar-aggregate totals (1-row broadcast side)",
 }
 
 
