@@ -5355,3 +5355,48 @@ def z52(spark, sf_dir):
     return text.vocabulary_drift(
         load(spark, "documents", sf_dir), "src0", "src1"
     )
+
+
+@query(
+    "z53_quantized_ann",
+    oracle=f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS ev FROM embeddings),
+dims AS (SELECT i FROM generate_series(1, 64) t(i)),
+stats AS (
+  SELECT i, min(ev[i]) AS mn, max(ev[i]) AS mx
+  FROM e CROSS JOIN dims GROUP BY i),
+params AS (
+  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM stats),
+recon AS (
+  SELECT vec_id,
+         [CASE WHEN mxs[i] = mns[i] THEN mns[i]
+               ELSE mns[i] + round((ev[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]))
+                    * (mxs[i] - mns[i]) / 255.0 END
+          for i in generate_series(1, 64)] AS v
+  FROM e CROSS JOIN params),
+q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT query_id, r.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
+  FROM q CROSS JOIN recon r WHERE r.vec_id != query_id),
+rk AS (SELECT *, (row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id))::INT
+                   AS rnk
+       FROM scored)
+SELECT query_id, neighbor_id, cos_sim, rnk AS rank FROM rk WHERE rnk <= 10
+""",
+    description=(
+        "ANN over an int8-SCALAR-QUANTIZED corpus: per-dim [min, max] "
+        "codebook (dim-bounded aggregate -> literals, like IVF "
+        "centroids), 255-level linear codes reconstructed row-locally "
+        "(1 byte/dim at rest -- 4x smaller than float32, the 100 TB "
+        "embedding-store play), raw queries scored against the "
+        "reconstruction with the q38 broadcast/two-phase-top-k contract. "
+        "Recall loss IS the quantization error, not a search "
+        "approximation"
+    ),
+)
+def z53(spark, sf_dir):
+    emb = load(spark, "embeddings", sf_dir)
+    return similarity.quantized_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=10
+    )

@@ -1622,3 +1622,35 @@ def test_posting_index_append_matches_rebuild(spark, tmp_path):
         a = [tuple(r) for r in fn(spark, grown, terms=terms).collect()]
         b = [tuple(r) for r in fn(spark, rebuilt, terms=terms).collect()]
         assert a == b and len(a) > 0
+
+
+def test_quantized_ann_recall_and_compression_exactness(spark):
+    """255-level scalar quantization preserves ANN quality: recall@10 vs
+    exact full-precision top-k stays >= 0.9 on the test corpus, and
+    reconstruction is deterministic (same params -> identical vectors)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        cosine_topk,
+        quantize_reconstruct,
+        quantized_topk,
+        scalar_quantization_params,
+    )
+
+    emb = load(spark, "embeddings", "/root/testdata/sf0.001")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk(emb, q, k=10).collect()
+    quant = quantized_topk(emb, q, k=10).collect()
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    ex, qz = by_query(exact), by_query(quant)
+    recalls = [len(ex[k_] & qz[k_]) / len(ex[k_]) for k_ in ex]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    mins, maxs = scalar_quantization_params(emb)
+    a = quantize_reconstruct(emb, mins, maxs).collect()
+    b = quantize_reconstruct(emb, mins, maxs).collect()
+    assert [r["embedding"] for r in a] == [r["embedding"] for r in b]
