@@ -711,3 +711,83 @@ def dup_ngram_stats(
         .cast("long")
         .alias("dup_bp"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unpersist_after: bool = True,
+) -> DataFrame:
+    """EXACT directed containment pairs: (doc_a, doc_b) with
+    ``|sh(A) ∩ sh(B)| / |sh(A)| >= t`` -- doc A's shingles (nearly)
+    contained in B. The ASYMMETRIC near-dup detector: a short document
+    quoted/embedded inside a longer one scores low on symmetric Jaccard
+    (the union is dominated by B) but high on containment, which is
+    exactly the boilerplate-wrapping / quotation duplication a corpus
+    pipeline must catch that :func:`ngram_jaccard_pairs` cannot.
+
+    Prefix filtering adapts asymmetrically: only the PROBE side (A) can
+    take a prefix (|A| - ceil(t*|A|) + 1 rarest-by-hash shingles --
+    any pair with containment >= t must overlap inside A's prefix), the
+    INDEXED side (B) must carry all its shingles because containment
+    puts no lower bound on B's share of the overlap. Size filter:
+    |B| >= t*|A| (the overlap cannot exceed |B|). Costs one full-index
+    explode (linear in total shingles) + prefix-bounded candidate join
+    + exact verify on candidates -- no all-pairs anywhere.
+    """
+    sets = (
+        shingle_sets(df, text_col, id_col, n)
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+            ).alias("shh"),
+        )
+        .withColumn("sz", F.size("shh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sets.count()  # eager fill (see ngram_jaccard_pairs)
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).cast("int")
+    probe = sets.select(
+        "doc_id",
+        "sz",
+        F.explode(F.slice("shh", F.lit(1), prefix_len)).alias("g"),
+    )
+    index = sets.select("doc_id", "sz", F.explode("shh").alias("g"))
+    cand = (
+        probe.alias("a")
+        .join(
+            index.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .filter(F.col("b.sz") >= threshold * F.col("a.sz"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shh").alias("sh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")) / F.col("sz_a"), 6
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+    return _finalize(verified, [sets], unpersist_after)

@@ -5400,3 +5400,31 @@ def z53(spark, sf_dir):
     return similarity.quantized_topk(
         emb, emb.filter(F.col("vec_id") % 100 == 0), k=10
     )
+
+
+@query(
+    "z54_containment_pairs",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6)
+         AS containment
+FROM d a JOIN d b ON a.doc_id != b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6) >= 0.8
+""",
+    description=(
+        "EXACT directed shingle containment (|A∩B|/|A| >= 0.8): the "
+        "asymmetric near-dup detector catching short docs embedded in "
+        "longer ones, which symmetric Jaccard scores low (union dominated "
+        "by B). Asymmetric prefix filter: probe side indexes its rarest "
+        "prefix, indexed side carries all shingles (containment bounds "
+        "only A's share); |B| >= t|A| size filter; exact verify on "
+        "candidates -- no all-pairs"
+    ),
+)
+def z54(spark, sf_dir):
+    return dedup.containment_pairs(
+        load(spark, "documents", sf_dir), threshold=0.8, unpersist_after=False
+    )

@@ -1654,3 +1654,29 @@ def test_quantized_ann_recall_and_compression_exactness(spark):
     a = quantize_reconstruct(emb, mins, maxs).collect()
     b = quantize_reconstruct(emb, mins, maxs).collect()
     assert [r["embedding"] for r in a] == [r["embedding"] for r in b]
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """Semantic pin for the asymmetric detector: a short doc fully
+    embedded in a 5x-longer one has containment 1.0 but Jaccard well
+    under 0.8 -- ngram_jaccard_pairs misses it, containment_pairs finds
+    it with the correct direction (short -> long)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(12))
+    rows = [(1, short), (2, short + " " + filler), (3, "totally other words here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    jac = ngram_jaccard_pairs(df, threshold=0.8).collect()
+    assert jac == []  # symmetric metric misses the embedding
+
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.8).collect()
+    }
+    assert cont.get((1, 2)) == 1.0  # short contained in long, directed
+    assert (2, 1) not in cont  # long is NOT contained in short
