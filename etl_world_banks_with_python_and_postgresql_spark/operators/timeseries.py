@@ -109,3 +109,64 @@ def mad_outliers(
             F.round(F.col("_adev") / F.col("_mad"), 6).alias("robust_z"),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average per group over irregularly sampled values:
+    each observation holds until the next one (LOCF), so
+    ``TWA = sum(value_i * dt_i) / sum(dt_i)`` with ``dt_i`` the seconds
+    until the next observation -- the correct average for balances /
+    gauges / positions sampled at uneven intervals, where a plain avg()
+    over-weights bursty periods. Groups with a single observation (no
+    interval) return that value.
+
+    Determinism: dt is an exact integer MICROSECOND difference
+    (unix_micros -- second-granularity truncation would silently
+    misweight sub-second samples); the weighted sum is lifted to
+    DECIMAL(25,6) (associative -- partition order cannot flip the last
+    digit, the q01/q49 rule) with ONE final IEEE division and round.
+    One lag window per group + one aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(ts_col, tiebreak_col)
+    dt = (
+        F.unix_micros(F.lead(ts_col).over(w))
+        - F.unix_micros(F.col(ts_col))
+    ).cast("long")
+    weighted = df.select(
+        F.col(group_col),
+        F.col(value_col).alias("_v"),
+        dt.alias("_dt"),
+    )
+    return (
+        weighted.groupBy(group_col)
+        .agg(
+            F.sum(
+                (F.col("_v") * F.col("_dt")).cast("decimal(25,6)")
+            ).alias("_wsum"),
+            F.sum("_dt").alias("_tsum"),
+            F.count("*").alias("n_obs"),
+            F.min("_v").alias("_first_v"),
+        )
+        .select(
+            group_col,
+            "n_obs",
+            F.when(
+                F.col("_tsum").isNull() | (F.col("_tsum") == 0),
+                F.round(F.col("_first_v"), 6),
+            )
+            .otherwise(
+                F.round(
+                    F.col("_wsum").cast("double") / F.col("_tsum"), 6
+                )
+            )
+            .alias("twa"),
+        )
+    )

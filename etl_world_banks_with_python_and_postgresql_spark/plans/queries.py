@@ -5428,3 +5428,36 @@ def z54(spark, sf_dir):
     return dedup.containment_pairs(
         load(spark, "documents", sf_dir), threshold=0.8, unpersist_after=False
     )
+
+
+@query(
+    "z55_time_weighted_avg",
+    oracle="""
+WITH w AS (
+  SELECT user_id, value,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt
+  FROM events),
+a AS (
+  SELECT user_id,
+         sum(CAST(value * dt AS DECIMAL(25,6))) AS wsum,
+         sum(dt) AS tsum, count(*) AS n_obs, min(value) AS fv
+  FROM w GROUP BY user_id)
+SELECT user_id, n_obs,
+       CASE WHEN tsum IS NULL OR tsum = 0 THEN round(fv, 6)
+            ELSE round(wsum::DOUBLE / tsum, 6) END AS twa
+FROM a
+""",
+    description=(
+        "time-weighted average per user over irregular samples (LOCF "
+        "interval weighting): the correct mean for gauges/balances where "
+        "plain avg() over-weights bursty periods. Exact integer "
+        "microsecond intervals, DECIMAL-lifted weighted sum (associative "
+        "-- the q01/q49 determinism rule), one final division; "
+        "single-observation groups return their value"
+    ),
+)
+def z55(spark, sf_dir):
+    from ..operators.timeseries import time_weighted_avg
+
+    return time_weighted_avg(load(spark, "events", sf_dir))
