@@ -170,3 +170,62 @@ def time_weighted_avg(
             .alias("twa"),
         )
     )
+
+
+def trend_slope(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-group OLS trend: slope (units/day) and intercept of value
+    regressed on time -- the drift detector for per-entity metrics
+    (is this user's/sensor's level rising?).
+
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) over exact DECIMAL moments
+    (x = epoch days as exact microsecond-derived rationals lifted to
+    decimal, y = value): the sums are associative, so partition order
+    cannot change a digit (q93's exact-moment rule), and the final
+    quotient is one IEEE division. Groups with fewer than 2 distinct
+    timestamps return NULL slope (undefined). One aggregate, map-side
+    combinable; no window, no collect.
+    """
+    # x in days since epoch as ONE double division (identical IEEE op on
+    # both engines), then the q93 exact-moment pattern: every sum input
+    # is cast double -> DECIMAL (the q01-established parity cast), so the
+    # sums are associative and partition-order-free. Decimal DIVISION is
+    # deliberately avoided -- its result scale/precision rules differ
+    # between engines (measured: 4e-5 intercept drift).
+    # centered at 2024-01-01: uncentered epoch-day moments put ~1e30
+    # values into n*sxx - sx^2, and the catastrophic cancellation
+    # amplifies engine-specific last-ulp DECIMAL->double cast noise to
+    # 1e-5 in the intercept (measured). Centered, x is O(days-of-data)
+    # and the quotient is numerically clean on both engines.
+    x = (F.unix_micros(F.col(ts_col)) - F.lit(1_704_067_200_000_000)) / F.lit(
+        86_400_000_000.0
+    )
+    y = F.col(value_col).cast("double")
+    agg = df.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(25,6)")).alias("sx"),
+        F.sum(y.cast("decimal(25,6)")).alias("sy"),
+        F.sum((x * y).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,12)")).alias("sxx"),
+        F.countDistinct(ts_col).alias("_nts"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return agg.select(
+        group_col,
+        "n",
+        F.when(F.col("_nts") >= 2, F.round(slope, 6)).alias("slope_per_day"),
+        # value the fit predicts at the 2024-01-01 centering origin
+        F.when(F.col("_nts") >= 2, F.round(intercept, 6)).alias(
+            "intercept_at_origin"
+        ),
+    )

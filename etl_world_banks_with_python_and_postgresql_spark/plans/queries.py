@@ -5461,3 +5461,43 @@ def z55(spark, sf_dir):
     from ..operators.timeseries import time_weighted_avg
 
     return time_weighted_avg(load(spark, "events", sf_dir))
+
+
+@query(
+    "z56_trend_slope",
+    oracle="""
+WITH m AS (
+  SELECT user_id, count(*) AS n,
+         sum(CAST((epoch_us(ts) - 1704067200000000) / 86400000000.0 AS DECIMAL(25,6))) AS sx,
+         sum(CAST(value AS DECIMAL(25,6))) AS sy,
+         sum(CAST(((epoch_us(ts) - 1704067200000000) / 86400000000.0) * value
+                  AS DECIMAL(38,12))) AS sxy,
+         sum(CAST(((epoch_us(ts) - 1704067200000000) / 86400000000.0)
+                  * ((epoch_us(ts) - 1704067200000000) / 86400000000.0)
+                  AS DECIMAL(38,12))) AS sxx,
+         count(DISTINCT ts) AS nts
+  FROM events GROUP BY user_id)
+SELECT user_id, n,
+       CASE WHEN nts >= 2 THEN
+         round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+       END AS slope_per_day,
+       CASE WHEN nts >= 2 THEN
+         round((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+               * sx::DOUBLE) / n::DOUBLE, 6)
+       END AS intercept_at_origin
+FROM m
+""",
+    description=(
+        "per-user OLS trend (slope units/day + intercept) from exact "
+        "DECIMAL moments over exact microsecond-derived day fractions -- "
+        "associative sums, one final IEEE division (q93's exact-moment "
+        "determinism rule). The drift detector for per-entity metrics; "
+        "one map-side-combinable aggregate, no window, no collect"
+    ),
+)
+def z56(spark, sf_dir):
+    from ..operators.timeseries import trend_slope
+
+    return trend_slope(load(spark, "events", sf_dir))
