@@ -334,3 +334,45 @@ def conversion_attribution(
         .agg(F.count("*").alias("conversions"))
         .orderBy(F.desc("conversions"), "first_touch", "last_touch")
     )
+
+
+def time_to_convert(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Distribution of conversion latency: per user, seconds from the
+    FIRST ``from_type`` event to the first ``to_type`` event strictly
+    after it; summarized as converting-user count + exact p25/p50/p90
+    latency percentiles. The "how long does the funnel take" companion
+    to funnel_counts' "how many make it".
+
+    Plan: one min-aggregate per user per endpoint (conditional mins in
+    a single groupBy -- no join between the two legs), a strictly-after
+    filter, exact-percentile summary (q53 parity) over exact
+    microsecond-derived double seconds. User-bounded intermediates.
+    """
+    per_user = events.groupBy(user_col).agg(
+        F.min(
+            F.when(F.col(type_col) == from_type, F.unix_micros(F.col(ts_col)))
+        ).alias("_t0"),
+        F.min(
+            F.when(F.col(type_col) == to_type, F.unix_micros(F.col(ts_col)))
+        ).alias("_t1"),
+    )
+    lat = per_user.filter(
+        F.col("_t0").isNotNull()
+        & F.col("_t1").isNotNull()
+        & (F.col("_t1") > F.col("_t0"))
+    ).select(
+        ((F.col("_t1") - F.col("_t0")) / F.lit(1_000_000.0)).alias("_s")
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.percentile("_s", F.lit(0.25)), 4).alias("p25_seconds"),
+        F.round(F.percentile("_s", F.lit(0.5)), 4).alias("p50_seconds"),
+        F.round(F.percentile("_s", F.lit(0.9)), 4).alias("p90_seconds"),
+    )

@@ -5501,3 +5501,107 @@ def z56(spark, sf_dir):
     from ..operators.timeseries import trend_slope
 
     return trend_slope(load(spark, "events", sf_dir))
+
+
+@query(
+    "z57_time_to_convert",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t1
+  FROM events GROUP BY user_id),
+lat AS (
+  SELECT (t1 - t0) / 1000000.0 AS s
+  FROM per_user WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(s, 0.25), 4) AS p25_seconds,
+       round(quantile_cont(s, 0.5), 4) AS p50_seconds,
+       round(quantile_cont(s, 0.9), 4) AS p90_seconds
+FROM lat
+""",
+    description=(
+        "conversion-latency distribution: per user, seconds from first "
+        "'view' to first strictly-later 'purchase', summarized with "
+        "exact p25/p50/p90 (q53 percentile parity). One conditional-min "
+        "aggregate per user -- the two funnel legs never join; "
+        "user-bounded intermediates"
+    ),
+)
+def z57(spark, sf_dir):
+    from ..operators.funnel import time_to_convert
+
+    return time_to_convert(load(spark, "events", sf_dir))
+
+
+@query(
+    "z58_dedup_method_report",
+    oracle=f"""
+WITH exact_d AS (
+  SELECT count(*) AS n FROM (
+    SELECT md5(text) FROM documents GROUP BY md5(text) HAVING count(*) > 1)),
+canon_d AS (
+  SELECT count(*) AS n FROM (
+    SELECT 1 FROM (
+      SELECT md5(trim(regexp_replace(regexp_replace(
+               translate(lower(text), '{text.ACCENT_SRC}', '{text.ACCENT_DST}'),
+               '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS h
+      FROM documents) GROUP BY h HAVING count(*) > 1)),
+sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents)),
+jac_d AS (
+  SELECT count(*) AS n FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+        >= 0.8),
+cont_d AS (
+  SELECT count(*) AS n FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6) >= 0.8)
+SELECT 'exact_groups' AS method, n AS n_found FROM exact_d
+UNION ALL SELECT 'canonical_groups', n FROM canon_d
+UNION ALL SELECT 'jaccard_pairs_t80', n FROM jac_d
+UNION ALL SELECT 'containment_pairs_t80', n FROM cont_d
+""",
+    description=(
+        "dedup-method comparison report: how many duplicate groups/pairs "
+        "each detector family finds on the same corpus (byte-exact, "
+        "canonical-form, symmetric Jaccard t=0.8, directed containment "
+        "t=0.8) -- the method-selection diagnostic a pipeline runs before "
+        "committing to a dedup budget. Each leg is the verified operator "
+        "itself; counts union into one scorecard"
+    ),
+)
+def z58(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+
+    def one(name, df_count):
+        return df_count.select(
+            F.lit(name).alias("method"), F.col("n").alias("n_found")
+        )
+
+    exact_g = one(
+        "exact_groups",
+        dedup.exact_duplicates(docs)
+        .filter(F.col("n_copies") > 1)
+        .agg(F.count("*").alias("n")),
+    )
+    canon_g = one(
+        "canonical_groups",
+        text.canonical_dedup_groups(docs)
+        .filter(F.col("n_copies") > 1)
+        .agg(F.count("*").alias("n")),
+    )
+    jac = one(
+        "jaccard_pairs_t80",
+        dedup.ngram_jaccard_pairs(
+            docs, threshold=0.8, unpersist_after=False
+        ).agg(F.count("*").alias("n")),
+    )
+    cont = one(
+        "containment_pairs_t80",
+        dedup.containment_pairs(
+            docs, threshold=0.8, unpersist_after=False
+        ).agg(F.count("*").alias("n")),
+    )
+    return exact_g.unionByName(canon_g).unionByName(jac).unionByName(cont)
