@@ -919,3 +919,59 @@ def vocabulary_drift(
         .orderBy(F.desc("chi2"), "term")
         .limit(k)
     )
+
+
+def score_distribution_drift(
+    df: DataFrame,
+    source_a: str,
+    source_b: str,
+    score_fn=None,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the quality-score
+    distributions of two corpus slices: ``D = max |CDF_a(v) - CDF_b(v)|``
+    over observed score values. The numeric-distribution drift monitor
+    complementing :func:`vocabulary_drift` (chi-square catches WHAT terms
+    shifted; KS catches whether the scalar quality profile shifted).
+    All arithmetic is counts and single divisions -- engine-exact.
+
+    Plan: per-(value, side) counts first -- the ordered cumulative
+    window then runs over |distinct score values| rows (6-dp scores:
+    bounded, tiny), NEVER corpus rows, which is what makes a global
+    ordered window acceptable here. Returns one row: (n_a, n_b, ks_d).
+    ``score_fn`` defaults to the with_quality composite score.
+    """
+    from pyspark.sql import Window as W
+
+    pair = df.filter(F.col(source_col).isin([source_a, source_b]))
+    scored = with_quality(pair, text_col=text_col, keep_cols=[source_col])
+    counts = (
+        scored.groupBy("quality_score")
+        .agg(
+            F.sum((F.col(source_col) == source_a).cast("long")).alias("ca"),
+            F.sum((F.col(source_col) == source_b).cast("long")).alias("cb"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    w = W.orderBy("quality_score").rowsBetween(W.unboundedPreceding, 0)
+    cdf = counts.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    return (
+        cdf.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a") / F.col("na")
+                    - F.col("cum_b") / F.col("nb")
+                )
+            ).alias("_d"),
+            F.first("na").alias("n_a"),
+            F.first("nb").alias("n_b"),
+        )
+        .select("n_a", "n_b", F.round(F.col("_d"), 6).alias("ks_d"))
+    )

@@ -5605,3 +5605,52 @@ def z58(spark, sf_dir):
         ).agg(F.count("*").alias("n")),
     )
     return exact_g.unionByName(canon_g).unionByName(jac).unionByName(cont)
+
+
+@query(
+    "z59_ks_drift",
+    oracle="""
+WITH pair AS (
+  SELECT source, text FROM documents WHERE source IN ('src0', 'src1')),
+t AS (SELECT source, text, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM pair),
+q AS (
+  SELECT source,
+         round(least(length(text) / 500.0, 1.0) * 0.5
+               + least((len(list_filter(toks, w -> list_contains(
+                     ['the','a','of','and','to','in','is','that'], w)))::DOUBLE
+                     / greatest(len(toks), 1)) * 5, 1.0) * 0.3
+               + (1 - least((len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+                     / greatest(length(text), 1)) * 10, 1.0)) * 0.2, 6)
+           AS quality_score
+  FROM t),
+c AS (
+  SELECT quality_score,
+         sum((source = 'src0')::BIGINT) AS ca,
+         sum((source = 'src1')::BIGINT) AS cb
+  FROM q GROUP BY quality_score),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+cdf AS (
+  SELECT sum(ca) OVER (ORDER BY quality_score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_a,
+         sum(cb) OVER (ORDER BY quality_score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_b
+  FROM c)
+SELECT na AS n_a, nb AS n_b,
+       round(max(abs(cum_a / na - cum_b / nb)), 6) AS ks_d
+FROM cdf CROSS JOIN tot GROUP BY na, nb
+""",
+    description=(
+        "two-sample Kolmogorov-Smirnov distance between two sources' "
+        "quality-score distributions: the numeric-drift monitor "
+        "complementing z52's vocabulary chi-square. Counts + single "
+        "divisions only; the ordered cumulative window runs over "
+        "|distinct 6-dp score values|, never corpus rows"
+    ),
+)
+def z59(spark, sf_dir):
+    return text.score_distribution_drift(
+        load(spark, "documents", sf_dir), "src0", "src1"
+    )

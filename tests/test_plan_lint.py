@@ -50,6 +50,9 @@ WHITELIST = {
     # corpus-total counts are ONE broadcast row crossed into the
     # row-local chi-square expression
     "z52_vocab_drift": "scalar-aggregate totals (1-row broadcast side)",
+    # per-side totals are ONE broadcast row crossed into the CDF rows
+    # (themselves bounded by |distinct 6-dp score values|)
+    "z59_ks_drift": "scalar-aggregate totals (1-row broadcast side)",
 }
 
 
