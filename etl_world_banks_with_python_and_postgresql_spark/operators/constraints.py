@@ -164,3 +164,57 @@ def constraint_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def reconcile_parent_child(
+    parent: DataFrame,
+    child: DataFrame,
+    key: str,
+    parent_total: Column,
+    child_amount: Column,
+    tolerance: float = 0.01,
+) -> DataFrame:
+    """Parent/child amount reconciliation (header-vs-lines audit): per
+    parent key, recompute the total from child rows (DECIMAL-lifted sum
+    -- associative, the q01 rule -- rounded to cents) and compare to the
+    parent's stored total. One summary row:
+    ``(n_checked, n_mismatched, n_parents_without_children,
+    max_abs_deviation, total_abs_deviation)``.
+
+    Plan: one child aggregate on the key, one join to the parent (both
+    sides key-partitioned -- the natural co-partitioned shuffle), an
+    anti-join count for childless parents, and a 1-row summary. No
+    per-parent rescans; deviation stats from exact decimal sums.
+    """
+    recomputed = (
+        child.groupBy(F.col(key))
+        .agg(
+            F.round(F.sum(child_amount.cast("decimal(25,6)")), 2)
+            .cast("double")
+            .alias("_recomputed")
+        )
+    )
+    joined = parent.select(
+        F.col(key), parent_total.alias("_stored")
+    ).join(recomputed, key)
+    dev = F.abs(F.col("_stored") - F.col("_recomputed"))
+    summary = joined.agg(
+        F.count("*").alias("n_checked"),
+        F.sum((dev > tolerance).cast("long")).alias("n_mismatched"),
+        F.max(dev).alias("max_abs_deviation"),
+        F.round(F.sum(dev.cast("decimal(25,6)")), 2)
+        .cast("double")
+        .alias("total_abs_deviation"),
+    )
+    childless = (
+        parent.select(F.col(key))
+        .join(child.select(F.col(key)).distinct(), key, "left_anti")
+        .agg(F.count("*").alias("n_parents_without_children"))
+    )
+    return summary.crossJoin(F.broadcast(childless)).select(
+        "n_checked",
+        "n_mismatched",
+        "n_parents_without_children",
+        F.round(F.col("max_abs_deviation"), 6).alias("max_abs_deviation"),
+        "total_abs_deviation",
+    )

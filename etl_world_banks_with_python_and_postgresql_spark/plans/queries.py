@@ -5654,3 +5654,58 @@ def z59(spark, sf_dir):
     return text.score_distribution_drift(
         load(spark, "documents", sf_dir), "src0", "src1"
     )
+
+
+@query(
+    "z60_reconciliation",
+    oracle="""
+WITH l AS (
+  SELECT l_orderkey,
+         round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                        AS DECIMAL(25,6))), 2)::DOUBLE AS recomputed
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT o.o_totalprice AS stored, l.recomputed
+  FROM orders o JOIN l ON o.o_orderkey = l.l_orderkey),
+s AS (
+  SELECT count(*) AS n_checked,
+         sum((abs(stored - recomputed) > 0.01)::BIGINT) AS n_mismatched,
+         max(abs(stored - recomputed)) AS mx,
+         round(sum(CAST(abs(stored - recomputed) AS DECIMAL(25,6))), 2)::DOUBLE
+           AS total_abs_deviation
+  FROM j),
+c AS (
+  SELECT count(*) AS n_parents_without_children
+  FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem li WHERE li.l_orderkey = o.o_orderkey))
+SELECT n_checked, n_mismatched, n_parents_without_children,
+       round(mx, 6) AS max_abs_deviation, total_abs_deviation
+FROM s CROSS JOIN c
+""",
+    description=(
+        "header-vs-lines reconciliation audit: recompute each order's "
+        "total from its lines (decimal-lifted associative sum, rounded "
+        "to cents) and compare to the stored header total; summary "
+        "counts + deviation stats + childless-parent count. One child "
+        "aggregate + one co-partitioned join + an anti-join -- no "
+        "per-parent rescans. (The synthetic orders total is independent "
+        "of its lines, so every order mismatches -- the audit's job is "
+        "to SAY so)"
+    ),
+)
+def z60(spark, sf_dir):
+    from ..operators.constraints import reconcile_parent_child
+
+    li = load(spark, "lineitem", sf_dir)
+    orders = load(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    return reconcile_parent_child(
+        orders,
+        li,
+        key="l_orderkey",
+        parent_total=F.col("o_totalprice"),
+        child_amount=F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax")),
+    )

@@ -53,6 +53,9 @@ WHITELIST = {
     # per-side totals are ONE broadcast row crossed into the CDF rows
     # (themselves bounded by |distinct 6-dp score values|)
     "z59_ks_drift": "scalar-aggregate totals (1-row broadcast side)",
+    # the childless-parent count is ONE broadcast row crossed into the
+    # 1-row deviation summary
+    "z60_reconciliation": "two 1-row aggregate sides crossed",
 }
 
 
