@@ -229,3 +229,56 @@ def trend_slope(
             "intercept_at_origin"
         ),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_col: str = "user_id",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Coalesce overlapping/touching intervals per group (the
+    islands-and-gaps pattern): summary per group of merged-interval
+    count and total COVERED microseconds -- double-counting overlaps is
+    the classic bug in naive duration sums (uptime, billing, activity
+    coverage), and interval union is what fixes it.
+
+    Plan: one window pass per group ordered by (start, tiebreak): an
+    interval starts a new island iff its start exceeds the running max
+    of all previous ends (cumulative-max window, exact integer micros);
+    island ids are a running sum of those breaks; then one aggregate to
+    island spans and one to group totals. No joins, no self-pairing --
+    the O(n log n) shape, never the O(n^2) overlap join.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        group_col,
+        F.unix_micros(F.col(start_col)).alias("_s"),
+        F.unix_micros(F.col(end_col)).alias("_e"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+    )
+    order = [F.col("_s")] + ([F.col("_tb")] if tiebreak_col else [])
+    w = W.partitionBy(group_col).orderBy(*order)
+    prev_max_end = F.max("_e").over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    new_island = (
+        prev_max_end.isNull() | (F.col("_s") > prev_max_end)
+    ).cast("long")
+    islands = (
+        base.withColumn(
+            "_island",
+            F.sum(new_island).over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy(group_col, "_island")
+        .agg(F.min("_s").alias("_is"), F.max("_e").alias("_ie"))
+    )
+    return (
+        islands.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(F.col("_ie") - F.col("_is")).alias("covered_micros"),
+        )
+    )

@@ -5709,3 +5709,53 @@ def z60(spark, sf_dir):
         * (1 - F.col("l_discount"))
         * (1 + F.col("l_tax")),
     )
+
+
+@query(
+    "z61_interval_union",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts + INTERVAL 5 MINUTE) AS e
+  FROM events),
+m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pme
+  FROM iv),
+isl AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM m),
+spans AS (
+  SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
+  FROM isl GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_intervals,
+       sum(i_e - i_s) AS covered_micros
+FROM spans GROUP BY user_id
+""",
+    description=(
+        "overlapping-interval coalescing (islands-and-gaps): each event "
+        "extended to a 5-minute activity interval, per-user merged "
+        "span count + total COVERED microseconds -- interval union, the "
+        "fix for double-counted durations in uptime/billing/coverage "
+        "sums. One cumulative-max window + running-sum island ids over "
+        "exact integer micros; O(n log n), never the O(n^2) overlap join"
+    ),
+)
+def z61(spark, sf_dir):
+    from ..operators.timeseries import merge_intervals
+
+    ev = load(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end_ts"),
+    )
+    return merge_intervals(
+        ev, "start_ts", "end_ts", tiebreak_col="event_id"
+    )
