@@ -221,3 +221,43 @@ def equi_depth_histogram(
             F.max("_v").alias("bin_max"),
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_by: str,
+) -> DataFrame:
+    """Weighted median per group: the smallest value whose cumulative
+    weight reaches half the group's total weight (lower weighted
+    median -- deterministic, no interpolation ambiguity).
+
+    Plan: pre-aggregate weights per DISTINCT (group, value) first, so
+    the ordered cumulative window runs over distinct values per group,
+    not raw rows -- the same bounded-window trick as the KS CDF. Weights
+    sum as exact longs (cast), the half-total comparison is integer,
+    and the pick is min() over qualifying values: engine-exact
+    throughout.
+    """
+    from pyspark.sql import Window as W
+
+    per_value = (
+        df.groupBy(group_by, value_col)
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("_w"))
+    )
+    w = W.partitionBy(group_by).orderBy(value_col).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    tot = W.partitionBy(group_by)
+    cum = per_value.select(
+        group_by,
+        F.col(value_col),
+        F.sum("_w").over(w).alias("_cw"),
+        F.sum("_w").over(tot).alias("_tw"),
+    )
+    return (
+        cum.filter(F.col("_cw") * 2 >= F.col("_tw"))
+        .groupBy(group_by)
+        .agg(F.min(value_col).alias("weighted_median"))
+    )

@@ -5759,3 +5759,69 @@ def z61(spark, sf_dir):
     return merge_intervals(
         ev, "start_ts", "end_ts", tiebreak_col="event_id"
     )
+
+
+@query(
+    "z62_weighted_median",
+    oracle="""
+WITH pv AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         sum(l_quantity::BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+c AS (
+  SELECT l_returnflag, v,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM pv)
+SELECT l_returnflag, min(v) AS weighted_median
+FROM c WHERE cw * 2 >= tw GROUP BY l_returnflag
+""",
+    description=(
+        "quantity-weighted median price per return flag (lower weighted "
+        "median -- no interpolation ambiguity): weights pre-aggregated "
+        "per DISTINCT (group, value) so the cumulative window runs over "
+        "distinct values, not raw rows (the z59 bounded-window trick); "
+        "integer weight sums, integer half-total comparison -- "
+        "engine-exact"
+    ),
+)
+def z62(spark, sf_dir):
+    from ..operators.sketch import weighted_median
+
+    return weighted_median(
+        load(spark, "lineitem", sf_dir),
+        "l_extendedprice",
+        "l_quantity",
+        "l_returnflag",
+    )
+
+
+@query(
+    "z63_harmonic_mean",
+    oracle="""
+SELECT l_returnflag,
+       round(count(l_extendedprice)
+             / sum(CAST(1.0 / l_extendedprice AS DECIMAL(25,18)))::DOUBLE,
+             6) AS harmonic_mean_price,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    description=(
+        "harmonic mean price per return flag (the correct average for "
+        "rates/ratios): n / sum(1/x) with the reciprocal sum lifted to "
+        "DECIMAL(25,18) -- associative, partition-order-free (the "
+        "q01/q49 rule; a raw double sum wobbles in the last ulp) -- and "
+        "one final IEEE division"
+    ),
+)
+def z63(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir)
+    inv = (F.lit(1.0) / F.col("l_extendedprice")).cast("decimal(25,18)")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.count("l_extendedprice") / F.sum(inv).cast("double"), 6
+        ).alias("harmonic_mean_price"),
+        F.count("*").alias("n_rows"),
+    )
