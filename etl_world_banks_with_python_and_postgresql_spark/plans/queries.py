@@ -5825,3 +5825,76 @@ def z63(spark, sf_dir):
         ).alias("harmonic_mean_price"),
         F.count("*").alias("n_rows"),
     )
+
+
+@query(
+    "z64_soft_dedup_weights",
+    oracle="""
+WITH g AS (
+  SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
+  FROM documents GROUP BY md5(text))
+SELECT keep_id, n AS n_copies,
+       round(sqrt(n::DOUBLE), 6) AS sample_weight
+FROM g
+""",
+    description=(
+        "soft dedup: instead of hard-dropping duplicates, each exact-dup "
+        "cluster's survivor carries weight sqrt(n) -- the sub-linear "
+        "duplicate weighting that keeps popular content influential "
+        "without letting it dominate training. sqrt is IEEE-correctly-"
+        "rounded (NOT a libm transcendental), so the weights are "
+        "engine-exact; one hash-groupBy, same plan as exact dedup"
+    ),
+)
+def z64(spark, sf_dir):
+    g = dedup.exact_duplicates(load(spark, "documents", sf_dir))
+    return g.select(
+        "keep_id",
+        F.col("n_copies"),
+        F.round(F.sqrt(F.col("n_copies").cast("double")), 6).alias(
+            "sample_weight"
+        ),
+    )
+
+
+@query(
+    "z65_minmax_scale",
+    oracle="""
+WITH b AS (
+  SELECT o_orderstatus, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+  FROM orders GROUP BY o_orderstatus)
+SELECT o.o_orderkey, o.o_orderstatus,
+       CASE WHEN b.hi = b.lo THEN 0.0
+            ELSE round((o.o_totalprice - b.lo) / (b.hi - b.lo), 6)
+       END AS price_scaled
+FROM orders o JOIN b USING (o_orderstatus)
+""",
+    description=(
+        "per-group min-max feature scaling to [0, 1]: group bounds from "
+        "one aggregate broadcast back, row-local (x - lo) / (hi - lo) "
+        "-- single IEEE division, engine-exact; constant groups scale "
+        "to 0 (no div-by-zero). The normalization staple next to "
+        "z44's winsorize and q46's z-score"
+    ),
+)
+def z65(spark, sf_dir):
+    o = load(spark, "orders", sf_dir)
+    b = o.groupBy("o_orderstatus").agg(
+        F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
+    )
+    return (
+        o.join(F.broadcast(b), "o_orderstatus")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (F.col("o_totalprice") - F.col("_lo"))
+                    / (F.col("_hi") - F.col("_lo")),
+                    6,
+                )
+            )
+            .alias("price_scaled"),
+        )
+    )
