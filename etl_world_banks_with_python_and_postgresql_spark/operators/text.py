@@ -975,3 +975,48 @@ def score_distribution_drift(
         )
         .select("n_a", "n_b", F.round(F.col("_d"), 6).alias("ks_d"))
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase retrieval: documents containing the token sequence
+    ``phrase`` contiguously, ranked by occurrence count (exact integer,
+    id tie-break). The positional upgrade of conjunctive
+    :func:`keyword_search` -- AND-of-terms cannot distinguish
+    "window join" from "join ... window".
+
+    Plan: per-term position lists are row-local index-filter
+    transforms inside the scan projection, and phrase matching is a
+    fold of ``intersect(positions(t_i) + 1, positions(t_{i+1}))`` --
+    after the fold, the surviving positions ARE the phrase-end
+    positions, so the match count falls out as size(). No explode, no
+    shuffle until the TakeOrdered top-k; the positional posting index
+    serves the same verify at rest.
+    """
+    toks = ws_tokens(F.col(text_col))
+
+    def positions(term: str):
+        # 1-based token positions of `term`; the (w, i) 2-arg HOF lambda
+        # is the (element, index) binding, deliberately
+        return F.filter(
+            F.transform(
+                toks, lambda w, i: F.when(w == F.lit(term), i + 1)
+            ),
+            lambda p: p.isNotNull(),
+        )
+
+    cur = positions(phrase[0])
+    for t in phrase[1:]:
+        nxt = F.transform(cur, lambda p: p + 1)
+        cur = F.array_intersect(nxt, positions(t))
+    return (
+        df.select(F.col(id_col), F.size(cur).alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+        .orderBy(F.desc("n_matches"), F.asc(id_col))
+        .limit(k)
+    )

@@ -5898,3 +5898,33 @@ def z65(spark, sf_dir):
             .alias("price_scaled"),
         )
     )
+
+
+@query(
+    "z66_phrase_search",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+p AS (
+  SELECT doc_id,
+         len(list_intersect(
+           [p + 1 for p in
+             [i for i in generate_series(1, len(w)) if w[i] = 'window']],
+           [i for i in generate_series(1, len(w)) if w[i] = 'join']))
+           AS n_matches
+  FROM d)
+SELECT doc_id, n_matches FROM p WHERE n_matches > 0
+ORDER BY n_matches DESC, doc_id LIMIT 20
+""",
+    description=(
+        "exact phrase retrieval ('window join' contiguously): per-term "
+        "position lists are row-local index-filter transforms inside the "
+        "scan projection, phrase matching is a positions(t_i)+1 ∩ "
+        "positions(t_{{i+1}}) fold whose survivors ARE the match "
+        "positions -- the positional upgrade AND-of-terms retrieval "
+        "cannot express. No explode, no shuffle before the top-k"
+    ),
+)
+def z66(spark, sf_dir):
+    return text.phrase_search(
+        load(spark, "documents", sf_dir), phrase=["window", "join"]
+    )

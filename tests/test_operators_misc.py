@@ -1680,3 +1680,25 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
     }
     assert cont.get((1, 2)) == 1.0  # short contained in long, directed
     assert (2, 1) not in cont  # long is NOT contained in short
+
+
+def test_phrase_search_orders_matter(spark):
+    """Phrase retrieval distinguishes adjacency + order where conjunctive
+    AND cannot: 'window join' as a phrase matches only the contiguous
+    occurrence, counts repeats, and misses the reversed/split forms."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators import text as T
+
+    rows = [
+        (1, "window join now window join later"),  # 2 phrase hits
+        (2, "join the window"),                    # both words, wrong order
+        (3, "window then a join"),                 # both words, split
+        (4, "nothing relevant"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    phrase = {
+        r["doc_id"]: r["n_matches"]
+        for r in T.phrase_search(df, ["window", "join"]).collect()
+    }
+    assert phrase == {1: 2}
+    conj = {r["doc_id"] for r in T.keyword_search(df, ["window", "join"]).collect()}
+    assert conj == {1, 2, 3}  # AND-of-terms cannot tell them apart
