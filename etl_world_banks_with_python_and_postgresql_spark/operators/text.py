@@ -598,6 +598,7 @@ def write_posting_index(
     n_buckets: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    positional: bool = False,
 ) -> None:
     """Persist an at-rest inverted index: term-bucketed posting lists.
 
@@ -620,16 +621,7 @@ def write_posting_index(
     import os
 
     toks = ws_tokens(F.col(text_col))
-    postings = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            token_count(F.col(text_col)).cast("long").alias("dl"),
-            F.explode(toks).alias("term"),
-        )
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
-    )
+    postings = _build_postings(df, toks, text_col, id_col, n_buckets, positional)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
     stats = df.agg(
         F.count("*").alias("n_docs"),
@@ -641,9 +633,35 @@ def write_posting_index(
                 "n_docs": stats["n_docs"],
                 "sum_dl": stats["sum_dl"],
                 "n_buckets": n_buckets,
+                "positional": positional,
             },
             f,
         )
+
+
+def _build_postings(df, toks, text_col, id_col, n_buckets, positional):
+    """(term, doc_id, dl, tf[, positions]) rows, term-bucketed.
+
+    ``positional=True`` additionally stores each term's sorted 1-based
+    token positions -- the phrase-search payload; index size grows from
+    O(distinct terms/doc) to O(tokens/doc), the standard positional-
+    index trade."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).cast("long").alias("dl"),
+        F.posexplode(toks).alias("pos", "term"),
+    )
+    grouped = base.groupBy("term", "doc_id", "dl")
+    if positional:
+        postings = grouped.agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos") + 1)).alias("positions"),
+        )
+    else:
+        postings = grouped.agg(F.count("*").alias("tf"))
+    return postings.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    )
 
 
 def _read_postings(spark, path: str, terms: list[str]) -> tuple[DataFrame, dict]:
@@ -779,15 +797,8 @@ def append_posting_index(
         stats = json.load(f)
     n_buckets = stats["n_buckets"]
     toks = ws_tokens(F.col(text_col))
-    postings = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            token_count(F.col(text_col)).cast("long").alias("dl"),
-            F.explode(toks).alias("term"),
-        )
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    postings = _build_postings(
+        df, toks, text_col, id_col, n_buckets, stats.get("positional", False)
     )
     postings.write.mode("append").partitionBy("bucket").parquet(path)
     batch = df.agg(
@@ -1018,5 +1029,53 @@ def phrase_search(
         df.select(F.col(id_col), F.size(cur).alias("n_matches"))
         .filter(F.col("n_matches") > 0)
         .orderBy(F.desc("n_matches"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def phrase_search_indexed(
+    spark,
+    path: str,
+    phrase: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """Exact phrase retrieval served from a POSITIONAL posting index
+    (``write_posting_index(positional=True)``): bucket-prune to the
+    phrase terms, pivot each candidate doc's per-term position lists
+    into columns, run the same positions+1 ∩ positions fold as the scan
+    form (:func:`phrase_search`) -- results are bit-identical
+    (equivalence pinned by test) while reading |phrase|/n_buckets of
+    the index and never the corpus.
+    """
+    pr, stats = _read_postings(spark, path, phrase)
+    if not stats.get("positional", False):
+        raise ValueError(
+            f"posting index at {path} was built without positions; "
+            "rebuild with write_posting_index(positional=True) to serve "
+            "phrase queries"
+        )
+    pivoted = pr.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("positions"))).alias(
+                f"_p{i}"
+            )
+            for i, t in enumerate(phrase)
+        ]
+    )
+    # conjunction gate: every term present
+    cond = None
+    for i in range(len(phrase)):
+        c = F.col(f"_p{i}").isNotNull()
+        cond = c if cond is None else (cond & c)
+    cur = F.col("_p0")
+    for i in range(1, len(phrase)):
+        cur = F.array_intersect(
+            F.transform(cur, lambda p: p + 1), F.col(f"_p{i}")
+        )
+    return (
+        pivoted.filter(cond)
+        .select("doc_id", F.size(cur).alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+        .orderBy(F.desc("n_matches"), F.asc("doc_id"))
         .limit(k)
     )

@@ -1702,3 +1702,35 @@ def test_phrase_search_orders_matter(spark):
     assert phrase == {1: 2}
     conj = {r["doc_id"] for r in T.keyword_search(df, ["window", "join"]).collect()}
     assert conj == {1, 2, 3}  # AND-of-terms cannot tell them apart
+
+
+def test_positional_index_serves_phrase_queries(spark, tmp_path):
+    """A positional posting index answers phrase queries bit-identically
+    to the scan form (including after an O(batch) append), the
+    non-positional index refuses phrase queries loudly, and the
+    positional payload keeps BM25/conjunctive retrieval unchanged."""
+    import pytest as _pytest
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators import text as T
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+
+    idx = str(tmp_path / "pos_idx")
+    T.write_posting_index(first, idx, n_buckets=16, positional=True)
+    T.append_posting_index(rest, idx)
+
+    phrase = ["window", "join"]
+    scan = [tuple(r) for r in T.phrase_search(docs, phrase).collect()]
+    idxr = [tuple(r) for r in T.phrase_search_indexed(spark, idx, phrase).collect()]
+    assert scan == idxr and len(scan) > 0
+
+    bm_scan = [tuple(r) for r in T.bm25_rank(docs, terms=phrase).collect()]
+    bm_idx = [tuple(r) for r in T.bm25_indexed(spark, idx, terms=phrase).collect()]
+    assert bm_scan == bm_idx
+
+    flat = str(tmp_path / "flat_idx")
+    T.write_posting_index(docs, flat, n_buckets=16)
+    with _pytest.raises(ValueError, match="without positions"):
+        T.phrase_search_indexed(spark, flat, phrase)
