@@ -5928,3 +5928,41 @@ def z66(spark, sf_dir):
     return text.phrase_search(
         load(spark, "documents", sf_dir), phrase=["window", "join"]
     )
+
+
+_Z67_SQL = """
+SELECT n.n_name AS nation,
+       count(DISTINCT c.c_custkey) AS n_customers,
+       round(sum(CAST(o.o_totalprice AS DECIMAL(25,6))), 2) AS total_revenue
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus <> 'F'
+GROUP BY n.n_name
+HAVING count(*) >= 5
+ORDER BY total_revenue DESC, nation
+"""
+
+
+@query(
+    "z67_sql_surface",
+    oracle=f"""
+SELECT nation, n_customers, total_revenue::DOUBLE AS total_revenue
+FROM ({_Z67_SQL.replace(chr(10), ' ')}) t
+""",
+    description=(
+        "the spark.sql() TEXT surface: the registry's DataFrame plans "
+        "and raw ANSI SQL compile to the same Catalyst plans -- this "
+        "entry registers the catalog tables as temp views and runs ONE "
+        "SQL string that executes verbatim on BOTH engines (join + "
+        "distinct-count + decimal-lifted sum + HAVING + order). A user "
+        "of the reference's SQL files can paste their queries at this "
+        "surface unchanged"
+    ),
+)
+def z67(spark, sf_dir):
+    for t in ("customer", "nation", "orders"):
+        load(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(_Z67_SQL).withColumn(
+        "total_revenue", F.col("total_revenue").cast("double")
+    )
