@@ -5966,3 +5966,55 @@ def z67(spark, sf_dir):
     return spark.sql(_Z67_SQL).withColumn(
         "total_revenue", F.col("total_revenue").cast("double")
     )
+
+
+@query(
+    "z68_decayed_score",
+    oracle="""
+WITH w AS (
+  SELECT user_id, value,
+         date_diff('day', ts::DATE, DATE '2024-01-31') // 7 AS age_weeks
+  FROM events),
+s AS (
+  SELECT user_id, value,
+         CASE age_weeks WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+                        WHEN 2 THEN 0.25 WHEN 3 THEN 0.125
+                        WHEN 4 THEN 0.0625 ELSE 0.0 END AS decay
+  FROM w)
+SELECT user_id,
+       round(sum(CAST(value * decay AS DECIMAL(25,6))), 4)::DOUBLE
+         AS decayed_score,
+       count(*) AS n_events
+FROM s GROUP BY user_id
+""",
+    description=(
+        "half-life-decayed engagement score per user (1-week half-life "
+        "against a fixed as-of date): recency weighting WITHOUT libm -- "
+        "exp-decay's exp() differs in the last ulp across engines, but "
+        "dyadic weights 2^-k for integer week ages are EXACT doubles in "
+        "a literal CASE. Weighted sum decimal-lifted (associative), one "
+        "final round; one group aggregate, map-side combinable"
+    ),
+)
+def z68(spark, sf_dir):
+    age_weeks = (
+        F.datediff(F.lit("2024-01-31").cast("date"), F.col("ts").cast("date"))
+        / 7
+    ).cast("int")
+    decay = F.when(age_weeks == 0, F.lit(1.0))
+    for k in range(1, 5):
+        decay = decay.when(age_weeks == k, F.lit(2.0 ** -k))
+    decay = decay.otherwise(F.lit(0.0))
+    return (
+        load(spark, "events", sf_dir)
+        .select("user_id", "value", decay.alias("_d"))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum((F.col("value") * F.col("_d")).cast("decimal(25,6)")), 4
+            )
+            .cast("double")
+            .alias("decayed_score"),
+            F.count("*").alias("n_events"),
+        )
+    )
