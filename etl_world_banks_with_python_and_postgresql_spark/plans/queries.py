@@ -6018,3 +6018,45 @@ def z68(spark, sf_dir):
             F.count("*").alias("n_events"),
         )
     )
+
+
+@query(
+    "z69_session_funnel",
+    oracle="""
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type
+           FROM events),
+g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, (sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+  FROM g),
+ps AS (
+  SELECT user_id, session_idx,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t1
+  FROM s GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions,
+       sum((t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0)::BIGINT)
+         AS n_converted,
+       round(sum((t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0)::BIGINT)
+             / count(*), 6) AS conversion_rate
+FROM ps GROUP BY user_id
+""",
+    description=(
+        "WITHIN-session conversion funnel (view -> strictly-later "
+        "purchase in the SAME gap-based session): day-/lifetime-scoped "
+        "funnels over-credit conversions spanning visits. Event-level "
+        "session assignment (one window) + conditional mins per session "
+        "in ONE aggregate (legs never join) + per-user rollup; "
+        "user-bounded intermediates"
+    ),
+)
+def z69(spark, sf_dir):
+    from ..operators.sessionize import session_funnel
+
+    return session_funnel(load(spark, "events", sf_dir))
