@@ -6060,3 +6060,65 @@ def z69(spark, sf_dir):
     from ..operators.sessionize import session_funnel
 
     return session_funnel(load(spark, "events", sf_dir))
+
+
+@query(
+    "z70_intersession_gaps",
+    oracle="""
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM events),
+g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, (sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+  FROM g),
+spans AS (
+  SELECT user_id, session_idx,
+         min(epoch_us(ts)) AS s0, max(epoch_us(ts)) AS s1
+  FROM s GROUP BY 1, 2),
+gaps AS (
+  SELECT user_id,
+         (s0 - lag(s1) OVER (PARTITION BY user_id ORDER BY session_idx))
+           / 3600000000.0 AS gap_hours
+  FROM spans)
+SELECT count(*) AS n_gaps,
+       round(quantile_cont(gap_hours, 0.5), 4) AS p50_hours,
+       round(quantile_cont(gap_hours, 0.9), 4) AS p90_hours
+FROM gaps WHERE gap_hours IS NOT NULL
+""",
+    description=(
+        "return-visit cadence: distribution of gaps between consecutive "
+        "sessions per user (session spans from the q25 gap-based "
+        "sessionization, inter-span lag, exact p50/p90 over "
+        "microsecond-derived hours). The engagement-cadence metric next "
+        "to z32's cohort retention; user-bounded intermediates"
+    ),
+)
+def z70(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.sessionize import assign_sessions
+
+    spans = (
+        assign_sessions(load(spark, "events", sf_dir))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("_s0"),
+            F.max(F.unix_micros("ts")).alias("_s1"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("session_idx")
+    gaps = spans.select(
+        (
+            (F.col("_s0") - F.lag("_s1").over(w)) / F.lit(3_600_000_000.0)
+        ).alias("gap_hours")
+    ).filter(F.col("gap_hours").isNotNull())
+    return gaps.agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.percentile("gap_hours", F.lit(0.5)), 4).alias("p50_hours"),
+        F.round(F.percentile("gap_hours", F.lit(0.9)), 4).alias("p90_hours"),
+    )

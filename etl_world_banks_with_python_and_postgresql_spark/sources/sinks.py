@@ -296,3 +296,51 @@ def zorder_candidate_files(
         return True
 
     return [os.path.join(path, e["file"]) for e in manifest if hits(e)]
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """OPTIMIZE-style small-file compaction for a plain parquet
+    directory: rewrite the data into ceil(total_bytes /
+    ``target_file_bytes``) files (the bin-packing file-count heuristic)
+    behind the same staging + backup + atomic-swap protocol as
+    :func:`write_snapshot`, so readers never see a half-compacted
+    directory and a crash mid-swap leaves the backup restorable.
+
+    Many small files are the slow death of a big-data directory: task
+    scheduling, file listing, and footer reads all scale with file
+    COUNT, not bytes. Streaming sinks and frequent small appends
+    (posting-index/IVF appends, foreachBatch epochs) accrete them; this
+    is the maintenance pass that pays the rewrite once to make every
+    later scan cheap. No-ops (returns the stats, rewrites nothing) when
+    the directory already has fewer than ``min_files`` files or fewer
+    files than the target count. Returns
+    ``{files_before, files_after, bytes}``.
+    """
+    import glob as _glob
+
+    files = sorted(
+        f
+        for f in _glob.glob(os.path.join(path, "*.parquet"))
+        if os.path.isfile(f)
+    )
+    total = sum(os.path.getsize(f) for f in files)
+    target_n = max(1, -(-total // target_file_bytes))
+    if len(files) < min_files or len(files) <= target_n:
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "bytes": total,
+        }
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(path)
+    write_snapshot(df, path, target_files=int(target_n))
+    after = len(
+        [f for f in _glob.glob(os.path.join(path, "*.parquet")) if os.path.isfile(f)]
+    )
+    return {"files_before": len(files), "files_after": after, "bytes": total}

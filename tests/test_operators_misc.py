@@ -1734,3 +1734,26 @@ def test_positional_index_serves_phrase_queries(spark, tmp_path):
     T.write_posting_index(docs, flat, n_buckets=16)
     with _pytest.raises(ValueError, match="without positions"):
         T.phrase_search_indexed(spark, flat, phrase)
+
+
+def test_compact_small_files_preserves_data(spark, tmp_path):
+    """OPTIMIZE pass: many tiny appended files rewrite into the
+    bin-packed target count behind the atomic swap, rows bit-identical;
+    an already-compact directory no-ops."""
+    from etl_world_banks_with_python_and_postgresql_spark.sources.sinks import (
+        compact_small_files,
+    )
+
+    p = str(tmp_path / "t")
+    for i in range(8):  # 8 tiny appends = 8+ files
+        spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(p)
+    before = sorted(r["id"] for r in spark.read.parquet(p).collect())
+
+    stats = compact_small_files(spark, p, target_file_bytes=1 << 30)
+    assert stats["files_before"] >= 8 and stats["files_after"] == 1
+    assert sorted(r["id"] for r in spark.read.parquet(p).collect()) == before
+
+    again = compact_small_files(spark, p, target_file_bytes=1 << 30)
+    assert again["files_before"] == again["files_after"] == 1  # no-op
