@@ -218,3 +218,32 @@ def reconcile_parent_child(
         F.round(F.col("max_abs_deviation"), 6).alias("max_abs_deviation"),
         "total_abs_deviation",
     )
+
+
+def join_fanout_audit(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str] | dict[str, str],
+    k: int = 10,
+) -> DataFrame:
+    """Pre-join cardinality audit: for an equi-join on ``keys``, the
+    top-k keys by OUTPUT fan-out (rows_left * rows_right) plus both
+    sides' multiplicities -- the check that catches an accidental
+    many-to-many (a duplicated dimension key turning a join into a row
+    explosion) BEFORE the join runs it. Cost: one count-aggregate per
+    side on the join key (each orders of magnitude smaller than the
+    join itself) + a key-equi join of the two count tables.
+    """
+    mapping = {kk: kk for kk in keys} if isinstance(keys, list) else dict(keys)
+    lc = left.groupBy(*[F.col(c) for c in mapping]).agg(
+        F.count("*").alias("rows_left")
+    )
+    rc = right.groupBy(
+        *[F.col(p).alias(c) for c, p in mapping.items()]
+    ).agg(F.count("*").alias("rows_right"))
+    return (
+        lc.join(rc, list(mapping))
+        .withColumn("fanout", F.col("rows_left") * F.col("rows_right"))
+        .orderBy(F.desc("fanout"), *list(mapping))
+        .limit(k)
+    )

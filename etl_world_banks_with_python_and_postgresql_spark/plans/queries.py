@@ -6122,3 +6122,78 @@ def z70(spark, sf_dir):
         F.round(F.percentile("gap_hours", F.lit(0.5)), 4).alias("p50_hours"),
         F.round(F.percentile("gap_hours", F.lit(0.9)), 4).alias("p90_hours"),
     )
+
+
+@query(
+    "z71_freshness_sla",
+    oracle="""
+WITH f AS (
+  SELECT event_type, max(epoch_us(ts)) AS last_us, count(*) AS n_events
+  FROM events GROUP BY event_type),
+g AS (SELECT max(last_us) AS now_us FROM f)
+SELECT event_type, n_events,
+       round((now_us - last_us) / 3600000000.0, 4) AS hours_behind,
+       (now_us - last_us) <= 24 * 3600000000 AS within_sla
+FROM f CROSS JOIN g
+""",
+    description=(
+        "per-stream freshness SLA report: hours since each event type's "
+        "latest arrival, measured against the newest timestamp in the "
+        "table (clock-free -- a wall-clock 'now' would make the check "
+        "nondeterministic AND flaky in backfills), with a 24h SLA flag. "
+        "One group aggregate + a 1-row global max broadcast; the "
+        "staleness monitor an ingest pipeline alerts on"
+    ),
+)
+def z71(spark, sf_dir):
+    f = (
+        load(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("_last"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    g = f.agg(F.max("_last").alias("_now"))
+    return (
+        f.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_events",
+            F.round(
+                (F.col("_now") - F.col("_last")) / F.lit(3_600_000_000.0), 4
+            ).alias("hours_behind"),
+            (
+                (F.col("_now") - F.col("_last"))
+                <= F.lit(24 * 3_600_000_000)
+            ).alias("within_sla"),
+        )
+    )
+
+
+@query(
+    "z72_join_fanout",
+    oracle="""
+WITH lc AS (
+  SELECT l_partkey, count(*) AS rows_left FROM lineitem GROUP BY 1),
+rc AS (
+  SELECT l_partkey, count(*) AS rows_right FROM lineitem GROUP BY 1)
+SELECT lc.l_partkey, rows_left, rows_right,
+       rows_left * rows_right AS fanout
+FROM lc JOIN rc USING (l_partkey)
+ORDER BY fanout DESC, l_partkey LIMIT 10
+""",
+    description=(
+        "pre-join cardinality audit: top keys by output fan-out "
+        "(rows_left * rows_right) for an equi-join -- catches an "
+        "accidental many-to-many row explosion BEFORE paying for it "
+        "(here lineitem self-joined on partkey, the worst realistic "
+        "key). One count-aggregate per side + a key join of the two "
+        "count tables"
+    ),
+)
+def z72(spark, sf_dir):
+    from ..operators.constraints import join_fanout_audit
+
+    li = load(spark, "lineitem", sf_dir)
+    return join_fanout_audit(li, li, ["l_partkey"])

@@ -56,6 +56,9 @@ WHITELIST = {
     # the childless-parent count is ONE broadcast row crossed into the
     # 1-row deviation summary
     "z60_reconciliation": "two 1-row aggregate sides crossed",
+    # the global newest-timestamp is ONE broadcast row crossed into the
+    # per-stream staleness expression
+    "z71_freshness_sla": "scalar-aggregate now-marker (1-row broadcast side)",
 }
 
 
