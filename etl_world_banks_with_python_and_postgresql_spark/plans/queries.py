@@ -6197,3 +6197,41 @@ def z72(spark, sf_dir):
 
     li = load(spark, "lineitem", sf_dir)
     return join_fanout_audit(li, li, ["l_partkey"])
+
+
+@query(
+    "z73_user_growth",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS w FROM events GROUP BY 1),
+per_week AS (
+  SELECT w, count(*) AS new_users FROM first_seen GROUP BY w)
+SELECT w AS week, new_users,
+       (sum(new_users) OVER (ORDER BY w
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       )::BIGINT AS cumulative_users
+FROM per_week
+""",
+    description=(
+        "cumulative acquisition curve: first-seen week per user -> new "
+        "users per week -> running total. Exact cumulative DISTINCT "
+        "users without running-distinct state: first-seen reduction "
+        "makes the cumsum additive; the ordered window runs over "
+        "|weeks| rows, never users or events"
+    ),
+)
+def z73(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    first_seen = (
+        load(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", F.col("ts")).cast("date")).alias("w"))
+    )
+    per_week = first_seen.groupBy("w").agg(F.count("*").alias("new_users"))
+    win = W.orderBy("w").rowsBetween(W.unboundedPreceding, 0)
+    return per_week.select(
+        F.col("w").alias("week"),
+        "new_users",
+        F.sum("new_users").over(win).cast("long").alias("cumulative_users"),
+    )
