@@ -6235,3 +6235,67 @@ def z73(spark, sf_dir):
         "new_users",
         F.sum("new_users").over(win).cast("long").alias("cumulative_users"),
     )
+
+
+@query(
+    "z74_revenue_pareto",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(25,6))) AS r
+  FROM orders GROUP BY o_custkey),
+cuts AS (
+  SELECT quantile_cont(r::DOUBLE, 0.1) AS c1, quantile_cont(r::DOUBLE, 0.2) AS c2,
+         quantile_cont(r::DOUBLE, 0.3) AS c3, quantile_cont(r::DOUBLE, 0.4) AS c4,
+         quantile_cont(r::DOUBLE, 0.5) AS c5, quantile_cont(r::DOUBLE, 0.6) AS c6,
+         quantile_cont(r::DOUBLE, 0.7) AS c7, quantile_cont(r::DOUBLE, 0.8) AS c8,
+         quantile_cont(r::DOUBLE, 0.9) AS c9
+  FROM rev),
+t AS (SELECT sum(r) AS total FROM rev),
+d AS (
+  SELECT ((r::DOUBLE > c1)::INT + (r::DOUBLE > c2)::INT + (r::DOUBLE > c3)::INT
+        + (r::DOUBLE > c4)::INT + (r::DOUBLE > c5)::INT + (r::DOUBLE > c6)::INT
+        + (r::DOUBLE > c7)::INT + (r::DOUBLE > c8)::INT + (r::DOUBLE > c9)::INT)
+           AS decile,
+         r
+  FROM rev CROSS JOIN cuts)
+SELECT decile, count(*) AS n_customers,
+       round(sum(r)::DOUBLE / t.total::DOUBLE, 6) AS revenue_share
+FROM d CROSS JOIN t GROUP BY decile, t.total
+""",
+    description=(
+        "revenue concentration (Pareto) by customer decile: per-customer "
+        "revenue (decimal-lifted), decile assignment via 9 exact "
+        "percentile cuts broadcast back (count-of-cuts-below, the z43 "
+        "scale-correct formulation -- no global rank window over "
+        "customers), per-decile share of exact total. The "
+        "'do 10% of customers carry 40% of revenue' diagnostic"
+    ),
+)
+def z74(spark, sf_dir):
+    rev = (
+        load(spark, "orders", sf_dir)
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("_r"))
+    )
+    rd = F.col("_r").cast("double")
+    cuts = rev.agg(
+        *[
+            F.percentile(rd, F.lit(i / 10)).alias(f"_c{i}")
+            for i in range(1, 10)
+        ]
+    )
+    total = rev.agg(F.sum("_r").alias("_total"))
+    decile = sum((rd > F.col(f"_c{i}")).cast("int") for i in range(1, 10))
+    return (
+        rev.crossJoin(F.broadcast(cuts))
+        .select(decile.alias("decile"), F.col("_r"))
+        .crossJoin(F.broadcast(total))
+        .groupBy("decile", "_total")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum("_r").cast("double") / F.col("_total").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .drop("_total")
+    )

@@ -59,6 +59,9 @@ WHITELIST = {
     # the global newest-timestamp is ONE broadcast row crossed into the
     # per-stream staleness expression
     "z71_freshness_sla": "scalar-aggregate now-marker (1-row broadcast side)",
+    # percentile cuts and the grand total are each ONE broadcast row
+    # crossed into the row-local decile/share expressions
+    "z74_revenue_pareto": "two 1-row broadcast sides (cuts + total)",
 }
 
 
