@@ -6299,3 +6299,82 @@ def z74(spark, sf_dir):
         )
         .drop("_total")
     )
+
+
+@query(
+    "z75_quantization_recall",
+    oracle=f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS ev FROM embeddings),
+dims AS (SELECT i FROM generate_series(1, 64) t(i)),
+stats AS (
+  SELECT i, min(ev[i]) AS mn, max(ev[i]) AS mx
+  FROM e CROSS JOIN dims GROUP BY i),
+params AS (
+  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM stats),
+recon AS (
+  SELECT vec_id,
+         [CASE WHEN mxs[i] = mns[i] THEN mns[i]
+               ELSE mns[i] + round((ev[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]))
+                    * (mxs[i] - mns[i]) / 255.0 END
+          for i in generate_series(1, 64)] AS v
+  FROM e CROSS JOIN params),
+q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id % 100 = 0),
+exact_scored AS (
+  SELECT query_id, e2.vec_id AS neighbor_id,
+         round(list_dot_product(qv, e2.ev)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(e2.ev, e2.ev))), 6) AS cos_sim
+  FROM q CROSS JOIN e e2 WHERE e2.vec_id != query_id),
+exact_k AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM exact_scored) WHERE rnk <= 10),
+quant_scored AS (
+  SELECT query_id, r.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
+  FROM q CROSS JOIN recon r WHERE r.vec_id != query_id),
+quant_k AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id) AS rnk
+    FROM quant_scored) WHERE rnk <= 10),
+ov AS (
+  SELECT a.query_id, count(*) AS hits
+  FROM exact_k a JOIN quant_k b
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+  GROUP BY a.query_id)
+SELECT e.query_id, round(coalesce(ov.hits, 0) / 10.0, 6) AS recall_at_10
+FROM (SELECT DISTINCT query_id FROM exact_k) e
+LEFT JOIN ov ON ov.query_id = e.query_id
+""",
+    description=(
+        "self-evaluation under the oracle gate: per-query recall@10 of "
+        "the int8-quantized ANN (z53) against exact full-precision "
+        "top-k (q38) -- the measure-your-own-index harness as a "
+        "first-class verified query, not a side script. Both legs are "
+        "the verified operators; overlap join + one division"
+    ),
+)
+def z75(spark, sf_dir):
+    emb = load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = similarity.cosine_topk(emb, q, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    quant = similarity.quantized_topk(emb, q, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ov = exact.join(quant, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("_hits"))
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("_hits"), F.lit(0)) / F.lit(10.0), 6
+            ).alias("recall_at_10"),
+        )
+    )

@@ -25,6 +25,7 @@ WHITELIST = {
     "q38_ann_cosine_topk": "exact ANN: bounded broadcast query side",
     "q77_multimodal_ann": "exact ANN: fixed-cap broadcast query side",
     "z53_quantized_ann": "exact ANN: bounded broadcast query side (quantized corpus)",
+    "z75_quantization_recall": "exact ANN eval: both legs bounded broadcast query sides",
     # same exact-scan contract as q38: the negatives are top-k over ALL
     # label-mismatched pairs by definition; query side is broadcast and
     # max_queries-guarded, the corpus is scanned once
