@@ -6378,3 +6378,47 @@ def z75(spark, sf_dir):
             ).alias("recall_at_10"),
         )
     )
+
+
+@query(
+    "z76_lsh_pair_recall",
+    oracle=f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+exact_pairs AS (
+  SELECT a.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45),
+banded AS ({_signlsh_neardup_oracle(threshold=0.45, bands=12,
+                                    bits_per_band=6, dim=64)}),
+ne AS (SELECT count(*) AS n_exact FROM exact_pairs),
+nb AS (SELECT count(*) AS n_banded FROM banded)
+SELECT n_exact, n_banded,
+       round(n_banded / greatest(n_exact, 1), 6) AS pair_recall
+FROM ne CROSS JOIN nb
+""",
+    description=(
+        "in-gate LSH quality evaluation: banded sign-LSH near-dup pairs "
+        "(q39, no false positives by construction) counted against the "
+        "exact all-pairs ground truth, recall = n_banded/n_exact -- the "
+        "S-curve recall claim in cosine_neardup_pairs' docstring, "
+        "MEASURED under the oracle hash gate. The all-pairs leg is the "
+        "test-scale-only baseline (whitelisted cartesian), the banded "
+        "leg is the scale path"
+    ),
+)
+def z76(spark, sf_dir):
+    emb = load(spark, "embeddings", sf_dir)
+    exact = similarity.cosine_neardup_pairs(emb, threshold=0.45, bands=None)
+    banded = similarity.cosine_neardup_pairs(
+        emb, threshold=0.45, bands=12, bits_per_band=6, dim=64
+    )
+    ne = exact.agg(F.count("*").alias("n_exact"))
+    nb = banded.agg(F.count("*").alias("n_banded"))
+    return ne.crossJoin(F.broadcast(nb)).select(
+        "n_exact",
+        "n_banded",
+        F.round(
+            F.col("n_banded") / F.greatest(F.col("n_exact"), F.lit(1)), 6
+        ).alias("pair_recall"),
+    )

@@ -26,6 +26,9 @@ WHITELIST = {
     "q77_multimodal_ann": "exact ANN: fixed-cap broadcast query side",
     "z53_quantized_ann": "exact ANN: bounded broadcast query side (quantized corpus)",
     "z75_quantization_recall": "exact ANN eval: both legs bounded broadcast query sides",
+    # the ground-truth leg is the deliberate test-scale-only all-pairs
+    # baseline the banded path is being measured against
+    "z76_lsh_pair_recall": "recall eval: exact all-pairs ground-truth leg",
     # same exact-scan contract as q38: the negatives are top-k over ALL
     # label-mismatched pairs by definition; query side is broadcast and
     # max_queries-guarded, the corpus is scanned once
