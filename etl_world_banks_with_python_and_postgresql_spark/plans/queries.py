@@ -6422,3 +6422,47 @@ def z76(spark, sf_dir):
             F.col("n_banded") / F.greatest(F.col("n_exact"), F.lit(1)), 6
         ).alias("pair_recall"),
     )
+
+
+@query(
+    "z77_minhash_pair_recall",
+    oracle=f"""
+WITH exact_pairs AS (
+  SELECT 1 FROM (
+    WITH d AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents))
+    SELECT a.doc_id FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                6) >= 0.5)),
+mh AS ({_minhash_oracle()}),
+ne AS (SELECT count(*) AS n_exact FROM exact_pairs),
+nb AS (SELECT count(*) AS n_minhash FROM mh)
+SELECT n_exact, n_minhash,
+       round(n_minhash / greatest(n_exact, 1), 6) AS pair_recall
+FROM ne CROSS JOIN nb
+""",
+    description=(
+        "in-gate MinHash-LSH quality evaluation: banded-MinHash near-dup "
+        "pairs (q32; exact-Jaccard verified, so no false positives) "
+        "counted against the exact inverted-index ground truth at the "
+        "same threshold -- recall measured under the oracle hash gate, "
+        "the q31/q32 quality contract as a verified query"
+    ),
+)
+def z77(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    exact = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.5, unpersist_after=False
+    )
+    mh = dedup.minhash_lsh_pairs(docs, threshold=0.5, unpersist_after=False)
+    ne = exact.agg(F.count("*").alias("n_exact"))
+    nb = mh.agg(F.count("*").alias("n_minhash"))
+    return ne.crossJoin(F.broadcast(nb)).select(
+        "n_exact",
+        "n_minhash",
+        F.round(
+            F.col("n_minhash") / F.greatest(F.col("n_exact"), F.lit(1)), 6
+        ).alias("pair_recall"),
+    )
