@@ -29,6 +29,8 @@ WHITELIST = {
     # the ground-truth leg is the deliberate test-scale-only all-pairs
     # baseline the banded path is being measured against
     "z76_lsh_pair_recall": "recall eval: exact all-pairs ground-truth leg",
+    # two 1-row count aggregates crossed into the summary row
+    "z77_minhash_pair_recall": "two 1-row aggregate sides crossed",
     # same exact-scan contract as q38: the negatives are top-k over ALL
     # label-mismatched pairs by definition; query side is broadcast and
     # max_queries-guarded, the corpus is scanned once
