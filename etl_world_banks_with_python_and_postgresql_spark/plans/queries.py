@@ -6466,3 +6466,56 @@ def z77(spark, sf_dir):
             F.col("n_minhash") / F.greatest(F.col("n_exact"), F.lit(1)), 6
         ).alias("pair_recall"),
     )
+
+
+@query(
+    "z78_catalog_summary",
+    oracle="""
+SELECT 'customer' AS table_name, count(*) AS n_rows,
+       count(DISTINCT c_custkey) AS n_distinct_pk FROM customer
+UNION ALL SELECT 'events', count(*), count(DISTINCT event_id) FROM events
+UNION ALL SELECT 'lineitem', count(*),
+                 count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+UNION ALL SELECT 'nation', count(*), count(DISTINCT n_nationkey) FROM nation
+UNION ALL SELECT 'orders', count(*), count(DISTINCT o_orderkey) FROM orders
+UNION ALL SELECT 'region', count(*), count(DISTINCT r_regionkey) FROM region
+UNION ALL SELECT 'supplier', count(*), count(DISTINCT s_suppkey) FROM supplier
+UNION ALL SELECT 'documents', count(*), count(DISTINCT doc_id) FROM documents
+UNION ALL SELECT 'embeddings', count(*), count(DISTINCT vec_id) FROM embeddings
+UNION ALL SELECT 'part', count(*), count(DISTINCT p_partkey) FROM part
+""",
+    description=(
+        "catalog health sweep: per-table row count and distinct-PK count "
+        "in one union of per-table aggregates -- the first query a "
+        "migration/verification run fires (row parity + key integrity "
+        "across the whole catalog at a glance; the lineitem composite PK "
+        "is genuinely non-unique in the synthetic data and the sweep "
+        "shows it)"
+    ),
+)
+def z78(spark, sf_dir):
+    pks = {
+        "customer": ["c_custkey"],
+        "events": ["event_id"],
+        "lineitem": ["l_orderkey", "l_linenumber"],
+        "nation": ["n_nationkey"],
+        "orders": ["o_orderkey"],
+        "region": ["r_regionkey"],
+        "supplier": ["s_suppkey"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+        "part": ["p_partkey"],
+    }
+    parts = []
+    for t, keys in sorted(pks.items()):
+        df = load(spark, t, sf_dir)
+        parts.append(
+            df.agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct(*keys).alias("n_distinct_pk"),
+            ).select(F.lit(t).alias("table_name"), "n_rows", "n_distinct_pk")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
