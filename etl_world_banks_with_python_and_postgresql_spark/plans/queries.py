@@ -6519,3 +6519,75 @@ def z78(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "z79_fk_sweep",
+    oracle="""
+SELECT 'customer->nation' AS fk, count(*) AS n_violating_rows FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+UNION ALL
+SELECT 'lineitem->orders', count(*) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem->part', count(*) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'lineitem->supplier', count(*) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+UNION ALL
+SELECT 'nation->region', count(*) FROM nation n
+  WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)
+UNION ALL
+SELECT 'orders->customer', count(*) FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'supplier->nation', count(*) FROM supplier s
+  WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+""",
+    description=(
+        "catalog-wide referential-integrity sweep: every declared FK "
+        "relation checked in one report (child side distinct-reduced "
+        "before each anti join -- the fk_violations plan -- so shuffles "
+        "carry keys, not fact rows; dimension parents broadcast). The "
+        "z78 row-parity sweep's join-integrity companion"
+    ),
+)
+def z79(spark, sf_dir):
+    from ..operators.constraints import fk_violations
+
+    t = {n: load(spark, n, sf_dir) for n in (
+        "customer", "nation", "region", "orders", "lineitem", "part",
+        "supplier",
+    )}
+    rels = [
+        ("customer->nation", t["customer"], t["nation"],
+         {"c_nationkey": "n_nationkey"}),
+        ("lineitem->orders", t["lineitem"], t["orders"],
+         {"l_orderkey": "o_orderkey"}),
+        ("lineitem->part", t["lineitem"], t["part"],
+         {"l_partkey": "p_partkey"}),
+        ("lineitem->supplier", t["lineitem"], t["supplier"],
+         {"l_suppkey": "s_suppkey"}),
+        ("nation->region", t["nation"], t["region"],
+         {"n_regionkey": "r_regionkey"}),
+        ("orders->customer", t["orders"], t["customer"],
+         {"o_custkey": "c_custkey"}),
+        ("supplier->nation", t["supplier"], t["nation"],
+         {"s_nationkey": "n_nationkey"}),
+    ]
+    parts = []
+    for name, child, parent, mapping in rels:
+        parts.append(
+            fk_violations(child, parent, mapping)
+            .agg(
+                F.coalesce(F.sum("n_rows"), F.lit(0))
+                .cast("long")
+                .alias("n_violating_rows")
+            )
+            .select(F.lit(name).alias("fk"), "n_violating_rows")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
