@@ -6591,3 +6591,46 @@ def z79(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "z80_token_budget",
+    oracle=f"""
+WITH t AS (
+  SELECT source,
+         sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len({_TOKENS_SQL}) END)::BIGINT AS n_tokens,
+         count(*) AS n_docs
+  FROM documents GROUP BY source),
+g AS (SELECT sum(n_tokens) AS total FROM t)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / g.total::DOUBLE, 6) AS token_share
+FROM t CROSS JOIN g
+""",
+    description=(
+        "per-source token budget table: docs, exact whitespace tokens, "
+        "and share of the corpus total -- the planning table a training "
+        "mix is negotiated over (the input z28's capped mixing weights "
+        "consume). One group aggregate + a 1-row total broadcast"
+    ),
+)
+def z80(spark, sf_dir):
+    t = (
+        load(spark, "documents", sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(text.token_count(F.col("text")).cast("long")).alias(
+                "n_tokens"
+            ),
+        )
+    )
+    g = t.agg(F.sum("n_tokens").alias("_total"))
+    return t.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") / F.col("_total").cast("double"), 6
+        ).alias("token_share"),
+    )

@@ -31,6 +31,9 @@ WHITELIST = {
     "z76_lsh_pair_recall": "recall eval: exact all-pairs ground-truth leg",
     # two 1-row count aggregates crossed into the summary row
     "z77_minhash_pair_recall": "two 1-row aggregate sides crossed",
+    # the corpus-total token count is ONE broadcast row crossed into the
+    # per-source share expression
+    "z80_token_budget": "scalar-aggregate total (1-row broadcast side)",
     # same exact-scan contract as q38: the negatives are top-k over ALL
     # label-mismatched pairs by definition; query side is broadcast and
     # max_queries-guarded, the corpus is scanned once
