@@ -6634,3 +6634,55 @@ def z80(spark, sf_dir):
             F.col("n_tokens") / F.col("_total").cast("double"), 6
         ).alias("token_share"),
     )
+
+
+@query(
+    "z81_split_leakage",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh,
+         CASE WHEN {_POLY_SQL.format(x="md5(text)")} % 100 < 80 THEN 'train'
+              WHEN {_POLY_SQL.format(x="md5(text)")} % 100 < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, text, {_TOKENS_SQL} AS w FROM documents))
+SELECT a.doc_id AS doc_a, a.split AS split_a,
+       b.doc_id AS doc_b, b.split AS split_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.split != b.split
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+      >= 0.8
+""",
+    description=(
+        "train/test split leakage audit: near-duplicate pairs (exact "
+        "n-gram Jaccard >= 0.8, the q31 inverted-index plan) that landed "
+        "in DIFFERENT hash splits. The content-hash split guarantees "
+        "identical text cannot leak -- but near-duplicate VARIANTS can "
+        "and do (6/14 pairs at sf0.001/0.01), which is exactly what "
+        "eval-set contamination looks like in practice; this is the "
+        "audit a split pipeline gates on (fix: split by near-dup "
+        "CLUSTER id, q45, instead of raw content hash)"
+    ),
+)
+def z81(spark, sf_dir):
+    from ..operators.train_prep import hash_split
+
+    docs = load(spark, "documents", sf_dir)
+    labels = hash_split(docs).select("doc_id", "split")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.8, unpersist_after=False
+    )
+    la = labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
+    )
