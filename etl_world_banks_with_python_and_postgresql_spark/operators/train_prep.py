@@ -603,3 +603,53 @@ def winsorize(
     return joined.withColumn(
         out, F.least(F.greatest(v, F.col("_plo")), F.col("_phi"))
     ).drop("_plo", "_phi")
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    threshold: float = 0.8,
+    train_pct: int = 80,
+    valid_pct: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leak-proof train/valid/test split: documents are split by their
+    NEAR-DUP CLUSTER id, not their own content hash, so near-duplicate
+    variants land in the same split BY CONSTRUCTION -- closing the
+    leakage channel :func:`hash_split` provably leaves open (z81: a
+    content-hash split keeps identical text together but scatters
+    variant copies across splits, i.e. eval contamination).
+
+    Plan: near-dup pairs (the q31 inverted-index plan) -> connected
+    components (q45) -> cluster id joined back (singletons keep their
+    own id -- the left join's NULL coalesce) -> the SAME md5-poly bucket
+    rule as hash_split, applied to the cluster id. Leakage = 0 is
+    pinned by test, not just claimed.
+    """
+    from ..functions.xhash import char_poly_hash
+    from .dedup_imports import duplicate_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(df, threshold=threshold, text_col=text_col,
+                                id_col=id_col, unpersist_after=False)
+    clusters = duplicate_clusters(pairs)
+    labeled = (
+        df.join(
+            clusters.select(
+                F.col("doc_id").alias(id_col),
+                F.col("cluster_id").alias("_cid"),
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn("cluster_id", F.coalesce(F.col("_cid"), F.col(id_col)))
+        .drop("_cid")
+    )
+    bucket = (
+        char_poly_hash(F.md5(F.col("cluster_id").cast("string"))) % 100
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return labeled.withColumn("split", split)

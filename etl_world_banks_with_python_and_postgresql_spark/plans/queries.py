@@ -6686,3 +6686,56 @@ def z81(spark, sf_dir):
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
     )
+
+
+@query(
+    "z82_cluster_safe_split",
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+        >= 0.8),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.node, s.dst FROM reach r JOIN sym s ON r.lbl = s.src),
+cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+labeled AS (
+  SELECT doc.doc_id, coalesce(cc.cluster_id, doc.doc_id) AS cluster_id
+  FROM documents doc LEFT JOIN cc ON cc.doc_id = doc.doc_id),
+s AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN {_POLY_SQL.format(x="md5(cluster_id::VARCHAR)")} % 100 < 80
+                THEN 'train'
+              WHEN {_POLY_SQL.format(x="md5(cluster_id::VARCHAR)")} % 100 < 90
+                THEN 'valid'
+              ELSE 'test' END AS split
+  FROM labeled)
+SELECT split, count(*) AS n_docs,
+       count(DISTINCT cluster_id) AS n_clusters
+FROM s GROUP BY split
+""",
+    description=(
+        "leak-proof split: documents split by NEAR-DUP CLUSTER id "
+        "(pairs -> connected components -> cluster hash bucket), so "
+        "variant copies land in the same split by construction -- the "
+        "fix for the z81 leakage channel, with leakage = 0 pinned by "
+        "test. Output: per-split doc and cluster counts"
+    ),
+)
+def z82(spark, sf_dir):
+    from ..operators.train_prep import cluster_safe_split
+
+    s = cluster_safe_split(load(spark, "documents", sf_dir))
+    return s.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )

@@ -1757,3 +1757,41 @@ def test_compact_small_files_preserves_data(spark, tmp_path):
 
     again = compact_small_files(spark, p, target_file_bytes=1 << 30)
     assert again["files_before"] == again["files_after"] == 1  # no-op
+
+
+def test_cluster_safe_split_has_zero_leakage(spark):
+    """The z81->z82 contract: hash_split provably leaks near-dup pairs
+    across splits on this corpus; cluster_safe_split leaks NONE (every
+    near-dup pair shares a split), while still producing all three
+    splits."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
+        cluster_safe_split,
+        hash_split,
+    )
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, unpersist_after=False)
+
+    def leaked(split_df):
+        la = split_df.select(
+            F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+        )
+        lb = split_df.select(
+            F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+        )
+        return (
+            pairs.join(la, "doc_a")
+            .join(lb, "doc_b")
+            .filter(F.col("sa") != F.col("sb"))
+            .count()
+        )
+
+    assert leaked(hash_split(docs)) > 0  # the z81 finding
+    safe = cluster_safe_split(docs)
+    assert leaked(safe) == 0
+    assert {r["split"] for r in safe.select("split").distinct().collect()} == {
+        "train", "valid", "test",
+    }
