@@ -1,0 +1,73 @@
+"""Cross-engine exact integer arithmetic column builders.
+
+The one durable determinism lesson of rounds 3-4 (the q49 red cell):
+``round(<double>, s)`` is NOT portable across engines. Spark rounds the
+shortest decimal representation HALF_UP; DuckDB rounds the binary value --
+when the true rational sits on (or within an ulp of) a decimal
+half-boundary that binary cannot represent (1/640 = 0.0015625), the two
+engines legitimately disagree in the last digit. The portable construction
+is:
+
+  1. do ALL arithmetic in exact BIGINT (counts, micros, basis points);
+  2. round ONCE in integer space (HALF_UP = ``(2a + b) div (2b)``);
+  3. if a double is wanted for presentation, emit ``k / 10^s.0`` -- a
+     single IEEE division of exact integers is correctly rounded to the
+     same bits in every engine.
+
+Every helper has an exact DuckDB twin (the *_SQL strings) so operators
+built on them verify hash-for-hash in the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MICROS = 1_000_000
+
+
+def floordiv_nonneg(a: Column, b: Column) -> Column:
+    """Exact floor division of nonnegative BIGINT columns.
+
+    ``(a - a % b) / b`` keeps every intermediate an exact integer; the one
+    IEEE division divides exactly-divisible longs (< 2^53), whose true
+    quotient is an integer and therefore correctly rounded to itself in
+    every engine. Mirrors DuckDB's ``//`` for nonnegative operands.
+    """
+    return ((a - a % b) / b).cast("long")
+
+
+def ratio_scaled_halfup(num: Column, den: Column, scale: int) -> Column:
+    """HALF_UP-rounded ``num/den`` scaled by 10^scale (BIGINT, exact).
+
+    Nonnegative operands only. ``ratio_scaled_halfup(n, d, 4) /
+    F.lit(1e4)`` presents a bit-stable 4-dp double.
+    """
+    a = F.lit(2 * 10**scale) * num.cast("long") + den.cast("long")
+    b = F.lit(2) * den.cast("long")
+    return floordiv_nonneg(a, b)
+
+
+def ratio_scaled_sql(num: str, den: str, scale: int) -> str:
+    """DuckDB twin of ratio_scaled_halfup presented as a double."""
+    p = 10**scale
+    return (
+        f"((2 * {p} * ({num}) + ({den})) // (2 * ({den}))) / {p}.0"
+    )
+
+
+def ratio_micros_halfup(num: Column, den: Column) -> Column:
+    """HALF_UP-rounded ``num/den`` in integer micros (BIGINT, exact).
+
+    Nonnegative operands only. Present as a bit-stable double with
+    ``ratio_micros_halfup(...) / F.lit(1e6)``.
+    """
+    a = F.lit(2 * MICROS) * num.cast("long") + den.cast("long")
+    b = F.lit(2) * den.cast("long")
+    return floordiv_nonneg(a, b)
+
+
+# DuckDB twins (str.format with num=..., den=...). `//` == floordiv_nonneg
+# for nonnegative BIGINTs.
+RATIO_MICROS_SQL = "((2000000 * ({num}) + ({den})) // (2 * ({den})))"
+RATIO_DOUBLE_SQL = RATIO_MICROS_SQL + " / 1000000.0"

@@ -32,6 +32,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..functions.exactnum import ratio_micros_halfup as _ratio_micros_halfup
 from ..functions.xhash import (
     MINHASH_MOD,
     md5_hash32,
@@ -63,6 +64,21 @@ def _finalize(result: DataFrame, cached: list[DataFrame], unpersist_after: bool)
     for c in cached:
         c.unpersist()
     return out
+
+
+def _jaccard_micro_cols(common, sz_a, sz_b, threshold: float):
+    """(jaccard double column, exact keep-predicate) for a verified pair.
+
+    The predicate compares true Jaccard to the threshold entirely in
+    BIGINT (``common * 1e6 >= union * round(t*1e6)``) -- no rounded double
+    ever gates a row. The display column is the HALF_UP-micros ratio
+    presented as a double (bit-identical cross-engine).
+    """
+    union = (sz_a + sz_b - common).cast("long")
+    t_micros = round(threshold * 1_000_000)
+    keep = common.cast("long") * F.lit(1_000_000) >= union * F.lit(t_micros)
+    jac = _ratio_micros_halfup(common, union) / F.lit(1_000_000.0)
+    return jac, keep
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -199,18 +215,15 @@ def ngram_jaccard_pairs(
     )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a"), F.col("sz").alias("sz_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b"), F.col("sz").alias("sz_b"))
+    jac, keep = _jaccard_micro_cols(
+        F.col("common"), F.col("sz_a"), F.col("sz_b"), threshold
+    )
     verified = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(keep)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
     return _finalize(verified, [sets], unpersist_after)
 
@@ -288,20 +301,15 @@ def minhash_lsh_pairs(
 
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a"), F.col("sz").alias("sz_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b"), F.col("sz").alias("sz_b"))
+    jac, keep = _jaccard_micro_cols(
+        F.col("common"), F.col("sz_a"), F.col("sz_b"), threshold
+    )
     verified = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(keep)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
     return _finalize(verified, [sets], unpersist_after)
 
@@ -614,15 +622,14 @@ def minhash_novel(
         F.col("shh").alias("sh_b"),
         F.col("sz").alias("sz_b"),
     )
+    _, keep = _jaccard_micro_cols(
+        F.col("common"), F.col("sz_a"), F.col("sz_b"), threshold
+    )
     dup_ids = (
         cand.join(sa, "new_id")
         .join(sb, "corpus_id")
         .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(keep)
         .select(F.col("new_id").alias("doc_id"))
         .distinct()
     )
@@ -778,16 +785,24 @@ def containment_pairs(
         F.col("sz").alias("sz_a"),
     )
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    t_micros = round(threshold * 1_000_000)
     verified = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "containment",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")) / F.col("sz_a"), 6
-            ),
+        .withColumn("common", common)
+        # exact BIGINT gate + HALF_UP-micros display (q49 determinism rule)
+        .filter(
+            F.col("common").cast("long") * F.lit(1_000_000)
+            >= F.col("sz_a").cast("long") * F.lit(t_micros)
         )
-        .filter(F.col("containment") >= threshold)
-        .select("doc_a", "doc_b", "containment")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                _ratio_micros_halfup(F.col("common"), F.col("sz_a"))
+                / F.lit(1_000_000.0)
+            ).alias("containment"),
+        )
     )
     return _finalize(verified, [sets], unpersist_after)

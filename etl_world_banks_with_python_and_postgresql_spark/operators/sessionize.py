@@ -32,7 +32,12 @@ def sessionize(
             F.count("*").alias("n_events"),
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # exact decimal sum: order-independent and engine-exact
+            # (2-dp fixed-point data; a raw double sum wobbles in the
+            # last ulp at scale -- the q01/q49 determinism rule)
+            F.round(F.sum(F.col("value").cast("decimal(25,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
         )
     )
 

@@ -14,6 +14,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exactnum import (
+    floordiv_nonneg as _floordiv,
+    ratio_micros_halfup as _ratio_micros_halfup,
+    ratio_scaled_halfup as _ratio_scaled,
+)
 from ..functions.xhash import POLY_BASE, POLY_MOD, md5_hash32, ws_tokens
 
 # Tiny stopword lexicons for the language-ID heuristic. Deliberately small so
@@ -61,10 +66,15 @@ def with_token_stats(
         *(keep_cols or []),
         token_count(t).alias("n_tokens"),
         F.length(t).alias("n_chars_measured"),
-        F.round(
-            F.aggregate(toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
-            / F.greatest(F.size(toks), F.lit(1)),
-            4,
+        # exact-BIGINT HALF_UP at 4 dp, presented via one IEEE division
+        # (cross-engine bit-stable; see functions.exactnum)
+        (
+            _ratio_scaled(
+                F.aggregate(toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)),
+                F.greatest(F.size(toks), F.lit(1)),
+                4,
+            )
+            / F.lit(10000.0)
         ).alias("avg_token_len"),
     )
 
@@ -78,7 +88,10 @@ def with_bpe_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         token_count(t).alias("ws_tokens"),
         bpe.cast("int").alias("bpe_tokens"),
-        F.round(F.length(t) / F.greatest(bpe, F.lit(1)), 4).alias("chars_per_token"),
+        (
+            _ratio_scaled(F.length(t), F.greatest(bpe, F.lit(1)), 4)
+            / F.lit(10000.0)
+        ).alias("chars_per_token"),
     )
 
 
@@ -95,27 +108,91 @@ def with_quality(
     t = F.col(text_col)
     toks = ws_tokens(t)
     en = F.array(*[F.lit(w) for w in LANG_LEXICONS["en"]])
-    n_tok = F.greatest(F.size(toks), F.lit(1))
-    # keep ratios RAW inside the composite: rounding an intermediate puts
-    # the scaled value on exact decimal .5 boundaries where Spark
-    # (shortest-repr HALF_UP) and the DuckDB oracle (binary-value rounding)
-    # legitimately disagree; raw rationals avoid the boundary entirely
-    punct_raw = F.regexp_count(t, F.lit(PUNCT_CLASS)) / F.greatest(F.length(t), F.lit(1))
-    stop_raw = F.size(F.filter(toks, lambda w: F.array_contains(en, w))) / n_tok
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("long")
+    n_chars = F.greatest(F.length(t), F.lit(1)).cast("long")
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(en, w))).cast("long")
+    n_punct = F.regexp_count(t, F.lit(PUNCT_CLASS)).cast("long")
+    # every ratio is HALF_UP-rounded in exact BIGINT micros, then presented
+    # as a double via ONE IEEE division of exact integers -- bit-identical
+    # across engines/partitions by construction. round(<double ratio>, 6)
+    # diverges cross-engine when the rational sits on a half-boundary
+    # non-representable in binary (1/640 = 0.0015625): the q49 red-cell
+    # class, structurally dead here.
+    punct_micros = _ratio_micros_halfup(n_punct, n_chars)
+    stop_micros = _ratio_micros_halfup(n_stop, n_tok)
     return df.select(
         "doc_id",
         *(keep_cols or []),
         F.length(t).alias("n_chars_measured"),
         token_count(t).alias("n_tokens"),
-        F.round(punct_raw, 6).alias("punct_ratio"),
-        F.round(stop_raw, 6).alias("stopword_ratio"),
+        (punct_micros / F.lit(1_000_000.0)).alias("punct_ratio"),
+        (stop_micros / F.lit(1_000_000.0)).alias("stopword_ratio"),
         # heuristic quality: long enough, some stopwords, not punctuation soup
-        F.round(
-            F.least(F.length(t) / F.lit(500.0), F.lit(1.0)) * 0.5
-            + F.least(stop_raw * 5, F.lit(1.0)) * 0.3
-            + (1 - F.least(punct_raw * 10, F.lit(1.0))) * 0.2,
-            6,
-        ).alias("quality_score"),
+        (quality_score_micros(t) / F.lit(1_000_000.0)).alias("quality_score"),
+    )
+
+
+def quality_score_micros(text_col: Column) -> Column:
+    """Composite quality score in exact integer micros (BIGINT, 0..1e6).
+
+    Same heuristic as :func:`with_quality` (length + stopword-ratio +
+    punctuation-soup terms) but every term is computed in integer
+    arithmetic -- the three ratios are small-denominator rationals, so the
+    score is exactly representable as micros with one floor division per
+    term. No double appears anywhere: the value is bit-identical across
+    engines, partitions, and platforms *by construction* (the q49
+    determinism fix; see VERDICT r4 task #1 and the z20 classifier, which
+    pioneered the exact-BIGINT pattern).
+
+    Term decomposition (score = len_term + stop_term + punct_term):
+      len_term    = min(length/500, 1) * 0.5      -> min(length*1000, 500000)
+      stop_term   = min(5*stop_ratio, 1) * 0.3    -> 300000*min(5*n_stop, n_tok) // n_tok
+      punct_term  = (1 - min(10*punct_ratio,1))*0.2
+                  -> 200000*(n_chars - min(10*n_punct, n_chars)) // n_chars
+    """
+    t = text_col
+    toks = ws_tokens(t)
+    en = F.array(*[F.lit(w) for w in LANG_LEXICONS["en"]])
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("long")
+    n_chars = F.greatest(F.length(t), F.lit(1)).cast("long")
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(en, w))).cast("long")
+    n_punct = F.regexp_count(t, F.lit(PUNCT_CLASS)).cast("long")
+    len_term = F.least(F.length(t).cast("long") * 1000, F.lit(500000).cast("long"))
+    stop_term = _floordiv(F.lit(300000) * F.least(n_stop * 5, n_tok), n_tok)
+    punct_term = _floordiv(
+        F.lit(200000) * (n_chars - F.least(n_punct * 10, n_chars)), n_chars
+    )
+    return (len_term + stop_term + punct_term).cast("long")
+
+
+# DuckDB twin of quality_score_micros ('{t}' = text column/expression).
+# `//` on nonnegative BIGINTs == the Spark _floordiv; every term integer.
+QUALITY_MICROS_SQL = (
+    "(least(length({t})::BIGINT * 1000, 500000)"
+    " + 300000::BIGINT * least(5 * len(list_filter(string_split_regex("
+    "trim(lower({t})), '\\s+'), w -> list_contains("
+    "['the','a','of','and','to','in','is','that'], w)))::BIGINT,"
+    " greatest(len(string_split_regex(trim(lower({t})), '\\s+')), 1)::BIGINT)"
+    " // greatest(len(string_split_regex(trim(lower({t})), '\\s+')), 1)::BIGINT"
+    " + 200000::BIGINT * (greatest(length({t}), 1)::BIGINT"
+    " - least(10 * len(regexp_extract_all({t}, '[.,!?;:]'))::BIGINT,"
+    " greatest(length({t}), 1)::BIGINT))"
+    " // greatest(length({t}), 1)::BIGINT)"
+)
+
+
+def with_quality_micros(
+    df: DataFrame, text_col: str = "text", keep_cols: list[str] | None = None
+) -> DataFrame:
+    """Row-local quality pass emitting the exact-integer ``score_micros``
+    (BIGINT) next to ``n_tokens`` -- the determinism-safe feed for gated
+    pipelines (q49): filters compare integers, aggregates sum integers."""
+    t = F.col(text_col)
+    return df.select(
+        "doc_id",
+        *(keep_cols or []),
+        token_count(t).alias("n_tokens"),
+        quality_score_micros(t).alias("score_micros"),
     )
 
 
@@ -951,12 +1028,20 @@ def score_distribution_drift(
     window then runs over |distinct score values| rows (6-dp scores:
     bounded, tiny), NEVER corpus rows, which is what makes a global
     ordered window acceptable here. Returns one row: (n_a, n_b, ks_d).
-    ``score_fn`` defaults to the with_quality composite score.
+    ``score_fn(df, text_col, keep_cols) -> DataFrame with a
+    'quality_score' column`` overrides the scorer; ``None`` uses the
+    :func:`with_quality` composite score.
+
+    ks_d is computed entirely in BIGINT -- ``max |cum_a*nb - cum_b*na|``
+    over the ordered distinct values, then one HALF_UP-micros ratio over
+    ``na*nb`` -- and presented as a double via one IEEE division of exact
+    integers (cross-engine bit-identical; the q49 determinism rule).
     """
     from pyspark.sql import Window as W
 
     pair = df.filter(F.col(source_col).isin([source_a, source_b]))
-    scored = with_quality(pair, text_col=text_col, keep_cols=[source_col])
+    scorer = score_fn if score_fn is not None else with_quality
+    scored = pair.transform(scorer, text_col, [source_col])
     counts = (
         scored.groupBy("quality_score")
         .agg(
@@ -976,15 +1061,19 @@ def score_distribution_drift(
         cdf.crossJoin(F.broadcast(totals))
         .agg(
             F.max(
-                F.abs(
-                    F.col("cum_a") / F.col("na")
-                    - F.col("cum_b") / F.col("nb")
-                )
-            ).alias("_d"),
+                F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
+            ).alias("_dnum"),
             F.first("na").alias("n_a"),
             F.first("nb").alias("n_b"),
         )
-        .select("n_a", "n_b", F.round(F.col("_d"), 6).alias("ks_d"))
+        .select(
+            "n_a",
+            "n_b",
+            (
+                _ratio_micros_halfup(F.col("_dnum"), F.col("n_a") * F.col("n_b"))
+                / F.lit(1_000_000.0)
+            ).alias("ks_d"),
+        )
     )
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions import xhash
+from ..functions import exactnum, xhash
 from ..operators import dedup, multimodal, sessionize, similarity, text
 from ..operators.merge import classify
 from ..sources.catalog import load
@@ -65,15 +65,92 @@ def _dsum(expr, scale=2):
 
 
 def _davg(expr, scale=4):
-    """Order-independent rounded mean: exact decimal sum, one IEEE
-    division, one round."""
+    """Cross-engine-exact rounded mean of a fixed-point double column.
+
+    The r4 _davg rounded the IEEE quotient ``sum/count`` -- a double whose
+    4-dp rounding can snap differently across engines when it lands within
+    an ulp of a half-boundary (Spark rounds the shortest decimal repr,
+    DuckDB the binary value: the q49 red-cell class). This version never
+    rounds a double: the exact decimal sum is lifted to integer micros,
+    HALF_UP-rounded to the target scale in pure BIGINT arithmetic
+    (sign-aware ``(2a + b) div (2b)``), and presented as a double via ONE
+    IEEE division of exact integers -- correctly rounded to the same bits
+    in every engine. Partition order cannot change it; no engine rounding
+    rule is involved.
+    """
     e = F.col(expr) if isinstance(expr, str) else expr
-    return F.round(F.sum(e.cast(_DEC)).cast("double") / F.count(e), scale)
+    a = (F.sum(e.cast(_DEC)) * F.lit(1000000)).cast("long")
+    b = F.count(e) * F.lit(10 ** (6 - scale))
+    mag = F.abs(a)
+    half_up = ((F.lit(2) * mag + b) - (F.lit(2) * mag + b) % (F.lit(2) * b)) / (
+        F.lit(2) * b
+    )
+    return (
+        F.signum(a).cast("long") * half_up.cast("long") / F.lit(10**scale)
+    )
 
 
-# SQL twins for the DuckDB oracles (format with e=<expr>, s=<scale>)
+# SQL twins for the DuckDB oracles (format with e=<expr>, s=<scale>).
+# _DAVG_SQL mirrors _davg exactly: integer-micros sum, BIGINT HALF_UP at
+# the target scale, one final IEEE division (see _davg docstring).
 _DSUM_SQL = "round(sum(CAST({e} AS DECIMAL(25,6))), {s})::DOUBLE"
-_DAVG_SQL = "round(sum(CAST({e} AS DECIMAL(25,6)))::DOUBLE / count({e}), {s})"
+_DAVG_SQL = (
+    "(CASE WHEN CAST(sum(CAST({e} AS DECIMAL(25,6))) * 1000000 AS BIGINT) >= 0"
+    " THEN 1 ELSE -1 END"
+    " * ((2 * abs(CAST(sum(CAST({e} AS DECIMAL(25,6))) * 1000000 AS BIGINT))"
+    "     + count({e}) * POW_REST)"
+    "    // (2 * count({e}) * POW_REST)))"
+    " / POW_SCALE"
+)
+
+
+def _davg_sql(e: str, s: int) -> str:
+    """Render _DAVG_SQL for expression ``e`` at scale ``s``."""
+    return (
+        _DAVG_SQL.replace("{e}", e)
+        .replace("POW_REST", str(10 ** (6 - s)))
+        .replace("POW_SCALE", f"{10**s}.0")
+    )
+
+
+# ---------------------------------------------------------------------
+# Exact-integer ratio SQL builders (DuckDB twins of functions.exactnum).
+# Jaccard / containment / ratio columns and their threshold gates are
+# computed entirely in BIGINT -- no round(<double>) anywhere -- then
+# presented as doubles via one IEEE division of exact integers, which is
+# bit-identical across engines (the q49 determinism rule).
+# ---------------------------------------------------------------------
+
+
+def _ratio_sql(num: str, den: str, scale: int = 6) -> str:
+    """HALF_UP num/den at 10^-scale, presented as a double."""
+    p = 10**scale
+    return f"((2 * {p} * ({num}) + ({den})) // (2 * ({den}))) / {p}.0"
+
+
+def _jacc_parts(a: str, b: str) -> tuple[str, str]:
+    inter = f"len(list_intersect({a}, {b}))"
+    union = f"(len({a}) + len({b}) - {inter})"
+    return inter, union
+
+
+def _jacc_sql(a: str, b: str) -> str:
+    """Exact HALF_UP-micros Jaccard of two list columns, as a double."""
+    inter, union = _jacc_parts(a, b)
+    return _ratio_sql(inter, union)
+
+
+def _jacc_pred_sql(a: str, b: str, t: float) -> str:
+    """Exact BIGINT gate: true Jaccard >= t (no double involved)."""
+    inter, union = _jacc_parts(a, b)
+    return f"{inter} * 1000000 >= {union} * {round(t * 1_000_000)}"
+
+
+_BPE_SQL = (
+    "len(regexp_extract_all(text,"
+    " ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+'))"
+)
+_BPE_RATIO_SQL = _ratio_sql("length(text)", f"greatest({_BPE_SQL}, 1)", 4)
 
 
 def query(name: str, oracle: str | None = None, description: str = ""):
@@ -91,7 +168,7 @@ def query(name: str, oracle: str | None = None, description: str = ""):
 
 @query(
     "q01_pricing_summary",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2)::DOUBLE         AS sum_qty,
        round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2)::DOUBLE    AS sum_base_price,
@@ -99,12 +176,9 @@ SELECT l_returnflag, l_linestatus,
                       AS DECIMAL(25,6))), 2)::DOUBLE                    AS sum_disc_price,
        round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
                       AS DECIMAL(25,6))), 2)::DOUBLE                    AS sum_charge,
-       round(sum(CAST(l_quantity AS DECIMAL(25,6)))::DOUBLE
-             / count(l_quantity), 4)                                    AS avg_qty,
-       round(sum(CAST(l_extendedprice AS DECIMAL(25,6)))::DOUBLE
-             / count(l_extendedprice), 4)                               AS avg_price,
-       round(sum(CAST(l_discount AS DECIMAL(25,6)))::DOUBLE
-             / count(l_discount), 6)                                    AS avg_disc,
+       {_davg_sql("l_quantity", 4)}                                     AS avg_qty,
+       {_davg_sql("l_extendedprice", 4)}                                AS avg_price,
+       {_davg_sql("l_discount", 6)}                                     AS avg_disc,
        count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -619,12 +693,12 @@ def q21(spark, sf_dir):
 
 @query(
     "q22_json_extract",
-    oracle="""
+    oracle=f"""
 SELECT event_type,
        count(*)                                          AS n,
-       round(sum(value), 4)                              AS total_value,
-       round(sum(json_extract_string(props, '$.k')::INT)::DOUBLE
-             / count(json_extract_string(props, '$.k')::INT), 4) AS avg_k,
+       round(sum(CAST(value AS DECIMAL(25,6))), 4)::DOUBLE                              AS total_value,
+       {_ratio_sql("sum(json_extract_string(props, '$.k')::INT)",
+                   "count(json_extract_string(props, '$.k')::INT)", 4)} AS avg_k,
        min(json_extract_string(props, '$.k')::INT)       AS min_k,
        max(json_extract_string(props, '$.k')::INT)       AS max_k
 FROM events GROUP BY event_type
@@ -632,12 +706,17 @@ FROM events GROUP BY event_type
     description="semi-structured JSON column extraction + agg",
 )
 def q22(spark, sf_dir):
+    from ..functions.exactnum import ratio_scaled_halfup
+
     e = load(spark, "events", sf_dir)
     k = F.get_json_object("props", "$.k").cast("int")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 4).alias("total_value"),
-        F.round(F.sum(k).cast("double") / F.count(k), 4).alias("avg_k"),
+        _dsum(F.col("value"), 4).alias("total_value"),
+        # exact-BIGINT HALF_UP mean of an int column (q49 determinism rule)
+        (ratio_scaled_halfup(F.sum(k), F.count(k), 4) / F.lit(10000.0)).alias(
+            "avg_k"
+        ),
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
@@ -669,7 +748,7 @@ def q23(spark, sf_dir):
     "q24_tumbling_window",
     oracle="""
 SELECT time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP) AS win_start, event_type,
-       count(*) AS n, round(sum(value), 4) AS total_value
+       count(*) AS n, round(sum(CAST(value AS DECIMAL(25,6))), 4)::DOUBLE AS total_value
 FROM events GROUP BY 1, 2
 """,
     description="tumbling event-time window aggregation (batch form of streaming agg)",
@@ -678,7 +757,7 @@ def q24(spark, sf_dir):
     e = load(spark, "events", sf_dir)
     return (
         e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n"), _dsum(F.col("value"), 4).alias("total_value"))
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
     )
 
@@ -699,7 +778,7 @@ s AS (
   FROM g)
 SELECT user_id, session_idx, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
-       round(sum(value), 4) AS total_value
+       round(sum(CAST(value AS DECIMAL(25,6))), 4)::DOUBLE AS total_value
 FROM s GROUP BY user_id, session_idx
 """,
     description="gap-based sessionization (lag + conditional cumsum)",
@@ -913,24 +992,6 @@ _POLY_SQL = (
     " (a, b) -> (a * 31 + b) % 1000000007)"
 )
 
-# Order-independent 4-dp mean of a 6-dp-rounded double column. A plain
-# avg() over doubles is partition-order-sensitive in its last ulp, so a
-# group whose true mean sits on a 4-dp half-boundary flips its rounded
-# digit between runs/engines (the q49 r3 red cell). Lifting each value to
-# exact integer micros makes the sum associative: partition order cannot
-# change the result, and the single final division + round is the same
-# IEEE operation on both engines.
-_AVG_Q4_SQL = (
-    "round(sum(CAST(round(quality_score * 1000000) AS BIGINT))"
-    " / (count(quality_score) * 1000000.0), 4)"
-)
-
-
-def _avg_q4(col="quality_score"):
-    """Spark twin of _AVG_Q4_SQL: exact-micros mean, rounded once."""
-    micros = F.round(F.col(col) * 1000000).cast("long")
-    return F.round(F.sum(micros) / (F.count(col) * F.lit(1000000.0)), 4)
-
 
 @query(
     "q30_dedup_exact",
@@ -951,11 +1012,9 @@ WITH d AS (
   SELECT doc_id, {_SHINGLES_SQL} AS sh
   FROM (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.sh, b.sh))::DOUBLE
-             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       {_jacc_sql("a.sh", "b.sh")} AS jaccard
 FROM d a JOIN d b ON a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8
+WHERE {_jacc_pred_sql("a.sh", "b.sh", 0.8)}
 """,
     description="EXACT 3-gram Jaccard near-dup pairs via inverted shingle index",
 )
@@ -988,11 +1047,11 @@ cand AS (
                            AND a.doc_id < b.doc_id),
 verified AS (
   SELECT doc_a, doc_b,
-         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+         {_jacc_sql("sa.sh", "sb.sh")} AS jaccard
   FROM cand JOIN d sa ON cand.doc_a = sa.doc_id
-            JOIN d sb ON cand.doc_b = sb.doc_id)
-SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
+            JOIN d sb ON cand.doc_b = sb.doc_id
+  WHERE {_jacc_pred_sql("sa.sh", "sb.sh", 0.5)})
+SELECT doc_a, doc_b, jaccard FROM verified
 """
 
 
@@ -1038,8 +1097,8 @@ def q33(spark, sf_dir):
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS_SQL}) END AS n_tokens,
        length(text) AS n_chars_measured,
-       round(list_sum([length(x) for x in {_TOKENS_SQL}])
-             / greatest(len({_TOKENS_SQL}), 1), 4) AS avg_token_len
+       {_ratio_sql(f"list_sum([length(x) for x in {_TOKENS_SQL}])",
+                   f"greatest(len({_TOKENS_SQL}), 1)", 4)} AS avg_token_len
 FROM documents
 """,
     description="token counting (whitespace tokenizer) + length stats",
@@ -1055,17 +1114,12 @@ WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents)
 SELECT doc_id,
        length(text)::INT AS n_chars_measured,
        (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END)::INT AS n_tokens,
-       round(len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
-             / greatest(length(text), 1), 6) AS punct_ratio,
-       round(len(list_filter(toks, w -> list_contains(
-             ['the','a','of','and','to','in','is','that'], w)))::DOUBLE
-             / greatest(len(toks), 1), 6) AS stopword_ratio,
-       round(least(length(text) / 500.0, 1.0) * 0.5
-             + least((len(list_filter(toks, w -> list_contains(
-                   ['the','a','of','and','to','in','is','that'], w)))::DOUBLE
-                   / greatest(len(toks), 1)) * 5, 1.0) * 0.3
-             + (1 - least((len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
-                   / greatest(length(text), 1)) * 10, 1.0)) * 0.2, 6) AS quality_score
+       {_ratio_sql("len(regexp_extract_all(text, '[.,!?;:]'))",
+                   "greatest(length(text), 1)")} AS punct_ratio,
+       {_ratio_sql("len(list_filter(toks, w -> list_contains("
+                   "['the','a','of','and','to','in','is','that'], w)))",
+                   "greatest(len(toks), 1)")} AS stopword_ratio,
+       {text.QUALITY_MICROS_SQL.format(t="text")} / 1000000.0 AS quality_score
 FROM t
 """,
     description="quality scoring: length/punct/stopword ratios + composite",
@@ -1589,11 +1643,11 @@ def q50(spark, sf_dir):
     "q42_hypertable_rollup",
     oracle="""
 SELECT 'hour' AS granularity, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS bucket,
-       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+       event_type, count(*) AS n, round(sum(CAST(value AS DECIMAL(25,6))), 4)::DOUBLE AS total_value
 FROM events GROUP BY 2, 3
 UNION ALL
 SELECT 'day', time_bucket(INTERVAL '1 day', ts::TIMESTAMP), event_type,
-       count(*), round(sum(value), 4)
+       count(*), round(sum(CAST(value AS DECIMAL(25,6))), 4)::DOUBLE
 FROM events GROUP BY 2, 3
 """,
     description="hypertable-style multi-granularity rollup (continuous-aggregate shape)",
@@ -1604,7 +1658,7 @@ def q42(spark, sf_dir):
     def agg_at(granularity: str, label: str):
         return (
             e.groupBy(F.window("ts", granularity).alias("w"), "event_type")
-            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+            .agg(F.count("*").alias("n"), _dsum(F.col("value"), 4).alias("total_value"))
             .select(
                 F.lit(label).alias("granularity"),
                 F.col("w.start").alias("bucket"),
@@ -2179,7 +2233,7 @@ SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'valid'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       round(sum(n_chars)::DOUBLE / count(n_chars), 4) AS avg_chars
+       {_ratio_sql("sum(n_chars)", "count(n_chars)", 4)} AS avg_chars
 FROM h GROUP BY 1
 """,
     description=(
@@ -2196,10 +2250,13 @@ def q11(spark, sf_dir):
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
-            # exact long sum / one division: avg(int) accumulates in
-            # doubles and is partition-order-sensitive under the round
-            F.round(
-                F.sum("n_chars").cast("double") / F.count("n_chars"), 4
+            # exact-BIGINT HALF_UP mean (q49 determinism rule): no double
+            # is ever rounded, so the value is engine-exact by construction
+            (
+                exactnum.ratio_scaled_halfup(
+                    F.sum("n_chars"), F.count("n_chars"), 4
+                )
+                / F.lit(10000.0)
             ).alias("avg_chars"),
         )
     )
@@ -2594,8 +2651,7 @@ SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS_SQL}) END AS ws_tokens,
        len(regexp_extract_all(text,
            ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+'))::INT AS bpe_tokens,
-       round(length(text) / greatest(len(regexp_extract_all(text,
-           ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+')), 1), 4) AS chars_per_token
+       {_BPE_RATIO_SQL} AS chars_per_token
 FROM documents
 """,
     description=(
@@ -3035,42 +3091,39 @@ WITH keep AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
 d AS (
   SELECT doc_id, source, text FROM documents JOIN keep USING (doc_id)),
-t AS (SELECT doc_id, source, text, {_TOKENS_SQL} AS toks FROM d),
 q AS (
   SELECT doc_id, source, text,
-         (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END)::INT
-           AS n_tokens,
-         round(least(length(text) / 500.0, 1.0) * 0.5
-               + least((len(list_filter(toks, w -> list_contains(
-                     ['the','a','of','and','to','in','is','that'], w)))::DOUBLE
-                     / greatest(len(toks), 1)) * 5, 1.0) * 0.3
-               + (1 - least((len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
-                     / greatest(length(text), 1)) * 10, 1.0)) * 0.2, 6)
-           AS quality_score
-  FROM t),
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len({_TOKENS_SQL}) END)::INT AS n_tokens,
+         {text.QUALITY_MICROS_SQL.format(t="text")} AS score_micros
+  FROM d),
 s AS (
   SELECT *, {_POLY_SQL.format(x="md5(text)")} % 100 AS bucket FROM q
-  WHERE quality_score >= 0.5)
+  WHERE score_micros >= 500000)
 SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'valid'
             ELSE 'test' END AS split,
        source,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
-       {_AVG_Q4_SQL} AS avg_quality
+       sum(n_tokens)::BIGINT AS total_tokens,
+       sum(score_micros)::BIGINT AS sum_quality_micros,
+       (sum(score_micros) // count(*))::BIGINT AS avg_quality_micros
 FROM s GROUP BY 1, 2
 """,
     description=(
         "end-to-end training-corpus preparation composed from the "
         "north-star operators: exact dedup (content-hash survivor) -> "
-        "quality scoring + threshold filter -> deterministic hash split "
-        "-> per-(split, source) corpus stats. Every stage is the verified "
-        "operator itself (dedup.exact_duplicates, text.with_quality, "
-        "train_prep.hash_split), composed the way a real 100 TB corpus "
-        "build chains them"
+        "exact-integer quality scoring + threshold filter -> deterministic "
+        "hash split -> per-(split, source) corpus stats. Every stage is the "
+        "verified operator itself (dedup.exact_duplicates, "
+        "text.with_quality_micros, train_prep.hash_split). The gated "
+        "output and the filter are pure BIGINT -- no double anywhere, so "
+        "the result is bit-identical across engines by construction "
+        "(the r3/r4 red-cell class is structurally dead)"
     ),
 )
 def q49(spark, sf_dir):
+    from ..operators.text import _floordiv
     from ..operators.train_prep import hash_split
 
     docs = load(spark, "documents", sf_dir)
@@ -3080,16 +3133,20 @@ def q49(spark, sf_dir):
     )
     # keep_cols threads source/text through the quality pass: ONE row-local
     # projection instead of a corpus-wide re-join on doc_id
-    enriched = text.with_quality(deduped, keep_cols=["source", "text"]).filter(
-        F.col("quality_score") >= 0.5
-    )
+    enriched = text.with_quality_micros(
+        deduped, keep_cols=["source", "text"]
+    ).filter(F.col("score_micros") >= 500000)
     return (
         hash_split(enriched)
         .groupBy("split", "source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            _avg_q4().alias("avg_quality"),
+            F.sum("score_micros").alias("sum_quality_micros"),
+        )
+        .withColumn(
+            "avg_quality_micros",
+            _floordiv(F.col("sum_quality_micros"), F.col("n_docs")),
         )
     )
 
@@ -3142,9 +3199,7 @@ WITH RECURSIVE d AS (
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM d a JOIN d b ON a.doc_id < b.doc_id
-  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
-              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-        >= 0.8),
+  WHERE {_jacc_pred_sql("a.sh", "b.sh", 0.8)}),
 sym AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
@@ -3338,13 +3393,12 @@ def q95(spark, sf_dir):
 
 @query(
     "q96_column_profile",
-    oracle="""
+    oracle=f"""
 SELECT count(*) AS n_rows,
        count(o_totalprice) AS price_nonnull,
        round(min(o_totalprice), 2) AS price_min,
        round(max(o_totalprice), 2) AS price_max,
-       round(sum(CAST(o_totalprice AS DECIMAL(25,6)))::DOUBLE
-             / count(o_totalprice), 4) AS price_mean,
+       {_davg_sql("o_totalprice", 4)} AS price_mean,
        count(DISTINCT o_orderstatus) AS status_distinct,
        count(DISTINCT o_orderpriority) AS priority_distinct,
        min(o_orderdate) AS date_min,
@@ -3602,9 +3656,7 @@ dup AS (
   SELECT DISTINCT new_id
   FROM cand JOIN d sa ON cand.new_id = sa.doc_id
             JOIN d sb ON cand.corpus_id = sb.doc_id
-  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
-        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
-        >= {threshold})
+  WHERE {_jacc_pred_sql("sa.sh", "sb.sh", threshold)})
 SELECT doc_id, source FROM documents
 WHERE source <> 'src0' AND doc_id NOT IN (SELECT new_id FROM dup)
 """
@@ -3639,7 +3691,7 @@ WITH w AS (
          event_type, value
   FROM events, (SELECT unnest([0, 1]) AS k) k)
 SELECT win_start, event_type,
-       count(*) AS n, round(sum(value), 4) AS total_value
+       count(*) AS n, round(sum(CAST(value AS DECIMAL(25,6))), 4)::DOUBLE AS total_value
 FROM w GROUP BY 1, 2
 """,
     description=(
@@ -3655,7 +3707,7 @@ def z04(spark, sf_dir):
         e.groupBy(
             F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n"), _dsum(F.col("value"), 4).alias("total_value"))
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
     )
 
@@ -3728,41 +3780,46 @@ def z06(spark, sf_dir):
 @query(
     "z07_corpus_manifest",
     oracle=f"""
-WITH t AS (SELECT doc_id, source, text, {_TOKENS_SQL} AS toks FROM documents),
-q AS (
+WITH q AS (
   SELECT source, text,
-         (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) AS n_tokens,
-         round(least(length(text) / 500.0, 1.0) * 0.5
-               + least((len(list_filter(toks, w -> list_contains(
-                     ['the','a','of','and','to','in','is','that'], w)))::DOUBLE
-                     / greatest(len(toks), 1)) * 5, 1.0) * 0.3
-               + (1 - least((len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
-                     / greatest(length(text), 1)) * 10, 1.0)) * 0.2, 6) AS quality_score
-  FROM t)
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len({_TOKENS_SQL}) END) AS n_tokens,
+         {text.QUALITY_MICROS_SQL.format(t="text")} AS score_micros
+  FROM documents)
 SELECT source,
        count(*) AS n_docs,
        count(DISTINCT md5(text)) AS n_distinct_texts,
        sum(n_tokens)::BIGINT AS total_tokens,
-       {_AVG_Q4_SQL} AS avg_quality,
+       (sum(score_micros) // count(*))::BIGINT AS avg_quality_micros,
        sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)::BIGINT AS n_short
 FROM q GROUP BY source
 """,
     description=(
         "per-source corpus manifest in one pass: doc/distinct-text/token "
-        "counts, mean composite quality, short-doc tally -- the report a "
-        "corpus owner reads before mixing sources (single scan, one "
-        "map-side-combined aggregation)"
+        "counts, mean composite quality (exact integer micros -- the q49 "
+        "determinism rule), short-doc tally -- the report a corpus owner "
+        "reads before mixing sources (single scan, one map-side-combined "
+        "aggregation)"
     ),
 )
 def z07(spark, sf_dir):
+    from ..operators.text import _floordiv
+
     docs = load(spark, "documents", sf_dir)
-    q = text.with_quality(docs, keep_cols=["source", "text"])
-    return q.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
-        F.sum("n_tokens").alias("total_tokens"),
-        _avg_q4().alias("avg_quality"),
-        F.sum(F.when(F.col("n_tokens") < 20, 1).otherwise(0)).alias("n_short"),
+    q = text.with_quality_micros(docs, keep_cols=["source", "text"])
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("score_micros").alias("sum_micros"),
+            F.sum(F.when(F.col("n_tokens") < 20, 1).otherwise(0)).alias("n_short"),
+        )
+        .withColumn(
+            "avg_quality_micros", _floordiv(F.col("sum_micros"), F.col("n_docs"))
+        )
+        .drop("sum_micros")
     )
 
 
@@ -5197,19 +5254,13 @@ WITH keep AS (
   GROUP BY h),
 d AS (
   SELECT doc_id, source, text FROM documents JOIN keep USING (doc_id)),
-t AS (SELECT doc_id, source, text, {_TOKENS_SQL} AS toks FROM d),
 q AS (
   SELECT doc_id, source, text,
-         (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END)::INT
-           AS n_tokens,
-         round(least(length(text) / 500.0, 1.0) * 0.5
-               + least((len(list_filter(toks, w -> list_contains(
-                     ['the','a','of','and','to','in','is','that'], w)))::DOUBLE
-                     / greatest(len(toks), 1)) * 5, 1.0) * 0.3
-               + (1 - least((len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
-                     / greatest(length(text), 1)) * 10, 1.0)) * 0.2, 6)
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len({_TOKENS_SQL}) END)::INT AS n_tokens,
+         {text.QUALITY_MICROS_SQL.format(t="text")} / 1000000.0
            AS quality_score
-  FROM t),
+  FROM d),
 p AS (
   SELECT source, quantile_cont(quality_score, 0.05) AS plo,
          quantile_cont(quality_score, 0.95) AS phi
@@ -5409,10 +5460,10 @@ WITH d AS (
   SELECT doc_id, {_SHINGLES_SQL} AS sh
   FROM (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6)
+       {_ratio_sql("len(list_intersect(a.sh, b.sh))", "len(a.sh)")}
          AS containment
 FROM d a JOIN d b ON a.doc_id != b.doc_id
-WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6) >= 0.8
+WHERE len(list_intersect(a.sh, b.sh)) * 1000000 >= len(a.sh) * 800000
 """,
     description=(
         "EXACT directed shingle containment (|A∩B|/|A| >= 0.8): the "
@@ -5552,12 +5603,10 @@ sh AS (
   FROM (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents)),
 jac_d AS (
   SELECT count(*) AS n FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
-              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-        >= 0.8),
+  WHERE {_jacc_pred_sql("a.sh", "b.sh", 0.8)}),
 cont_d AS (
   SELECT count(*) AS n FROM sh a JOIN sh b ON a.doc_id != b.doc_id
-  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 6) >= 0.8)
+  WHERE len(list_intersect(a.sh, b.sh)) * 1000000 >= len(a.sh) * 800000)
 SELECT 'exact_groups' AS method, n AS n_found FROM exact_d
 UNION ALL SELECT 'canonical_groups', n FROM canon_d
 UNION ALL SELECT 'jaccard_pairs_t80', n FROM jac_d
@@ -5609,27 +5658,20 @@ def z58(spark, sf_dir):
 
 @query(
     "z59_ks_drift",
-    oracle="""
+    oracle=f"""
 WITH pair AS (
   SELECT source, text FROM documents WHERE source IN ('src0', 'src1')),
-t AS (SELECT source, text, string_split_regex(trim(lower(text)), '\\s+') AS toks
-      FROM pair),
 q AS (
   SELECT source,
-         round(least(length(text) / 500.0, 1.0) * 0.5
-               + least((len(list_filter(toks, w -> list_contains(
-                     ['the','a','of','and','to','in','is','that'], w)))::DOUBLE
-                     / greatest(len(toks), 1)) * 5, 1.0) * 0.3
-               + (1 - least((len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
-                     / greatest(length(text), 1)) * 10, 1.0)) * 0.2, 6)
+         {text.QUALITY_MICROS_SQL.format(t="text")} / 1000000.0
            AS quality_score
-  FROM t),
+  FROM pair),
 c AS (
   SELECT quality_score,
          sum((source = 'src0')::BIGINT) AS ca,
          sum((source = 'src1')::BIGINT) AS cb
   FROM q GROUP BY quality_score),
-tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM c),
 cdf AS (
   SELECT sum(ca) OVER (ORDER BY quality_score
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -5639,7 +5681,7 @@ cdf AS (
            AS cum_b
   FROM c)
 SELECT na AS n_a, nb AS n_b,
-       round(max(abs(cum_a / na - cum_b / nb)), 6) AS ks_d
+       {_ratio_sql("max(abs(cum_a * nb - cum_b * na))", "na * nb")} AS ks_d
 FROM cdf CROSS JOIN tot GROUP BY na, nb
 """,
     description=(
@@ -6394,7 +6436,7 @@ banded AS ({_signlsh_neardup_oracle(threshold=0.45, bands=12,
 ne AS (SELECT count(*) AS n_exact FROM exact_pairs),
 nb AS (SELECT count(*) AS n_banded FROM banded)
 SELECT n_exact, n_banded,
-       round(n_banded / greatest(n_exact, 1), 6) AS pair_recall
+       {_ratio_sql("n_banded", "greatest(n_exact, 1)")} AS pair_recall
 FROM ne CROSS JOIN nb
 """,
     description=(
@@ -6418,8 +6460,11 @@ def z76(spark, sf_dir):
     return ne.crossJoin(F.broadcast(nb)).select(
         "n_exact",
         "n_banded",
-        F.round(
-            F.col("n_banded") / F.greatest(F.col("n_exact"), F.lit(1)), 6
+        (
+            exactnum.ratio_micros_halfup(
+                F.col("n_banded"), F.greatest(F.col("n_exact"), F.lit(1))
+            )
+            / F.lit(1000000.0)
         ).alias("pair_recall"),
     )
 
@@ -6433,14 +6478,12 @@ WITH exact_pairs AS (
       SELECT doc_id, {_SHINGLES_SQL} AS sh
       FROM (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents))
     SELECT a.doc_id FROM d a JOIN d b ON a.doc_id < b.doc_id
-    WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
-                6) >= 0.5)),
+    WHERE {_jacc_pred_sql("a.sh", "b.sh", 0.5)})),
 mh AS ({_minhash_oracle()}),
 ne AS (SELECT count(*) AS n_exact FROM exact_pairs),
 nb AS (SELECT count(*) AS n_minhash FROM mh)
 SELECT n_exact, n_minhash,
-       round(n_minhash / greatest(n_exact, 1), 6) AS pair_recall
+       {_ratio_sql("n_minhash", "greatest(n_exact, 1)")} AS pair_recall
 FROM ne CROSS JOIN nb
 """,
     description=(
@@ -6462,8 +6505,11 @@ def z77(spark, sf_dir):
     return ne.crossJoin(F.broadcast(nb)).select(
         "n_exact",
         "n_minhash",
-        F.round(
-            F.col("n_minhash") / F.greatest(F.col("n_exact"), F.lit(1)), 6
+        (
+            exactnum.ratio_micros_halfup(
+                F.col("n_minhash"), F.greatest(F.col("n_exact"), F.lit(1))
+            )
+            / F.lit(1000000.0)
         ).alias("pair_recall"),
     )
 
@@ -6647,13 +6693,9 @@ WITH d AS (
   FROM (SELECT doc_id, text, {_TOKENS_SQL} AS w FROM documents))
 SELECT a.doc_id AS doc_a, a.split AS split_a,
        b.doc_id AS doc_b, b.split AS split_b,
-       round(len(list_intersect(a.sh, b.sh))::DOUBLE
-             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-         AS jaccard
+       {_jacc_sql("a.sh", "b.sh")} AS jaccard
 FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.split != b.split
-WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-      >= 0.8
+WHERE {_jacc_pred_sql("a.sh", "b.sh", 0.8)}
 """,
     description=(
         "train/test split leakage audit: near-duplicate pairs (exact "
@@ -6697,9 +6739,7 @@ WITH RECURSIVE d AS (
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM d a JOIN d b ON a.doc_id < b.doc_id
-  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
-              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-        >= 0.8),
+  WHERE {_jacc_pred_sql("a.sh", "b.sh", 0.8)}),
 sym AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs),
