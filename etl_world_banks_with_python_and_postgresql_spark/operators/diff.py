@@ -66,6 +66,7 @@ def apply_changes(
     id_col: str,
     seq_col: str = "_commit_seq",
     type_col: str = "_change_type",
+    broadcast_changes: bool = True,
 ) -> DataFrame:
     """Apply a change feed to a snapshot: latest-wins per id, deletes
     drop, upserts replace/insert (the downstream half of CDC -- the
@@ -83,8 +84,12 @@ def apply_changes(
     operator over any pair of DataFrames.
 
     Scale: the window and anti-join shuffle |changes| and probe the
-    target once; the target is never shuffled when the touched-id side
-    is broadcast-sized (one sync's worth of changes).
+    target once; with ``broadcast_changes`` (default, right for one
+    sync's worth of changes) the target is never shuffled. Pass
+    ``broadcast_changes=False`` for a large backfill-sized feed so the
+    anti-join plans a shuffle join instead of force-broadcasting a
+    frame that could OOM the driver (mirrors
+    IncrementalTable.broadcast_deltas).
     """
     from pyspark.sql import Window as W
 
@@ -94,9 +99,10 @@ def apply_changes(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    survivors = target.join(
-        F.broadcast(latest.select(id_col)), id_col, "left_anti"
-    )
+    touched = latest.select(id_col)
+    if broadcast_changes:
+        touched = F.broadcast(touched)
+    survivors = target.join(touched, id_col, "left_anti")
     reinserted = (
         latest.filter(F.col(type_col) != "delete")
         .drop(type_col, seq_col)

@@ -5761,7 +5761,7 @@ WITH iv AS (
          epoch_us(ts + INTERVAL 5 MINUTE) AS e
   FROM events),
 m AS (
-  SELECT user_id, s, e,
+  SELECT user_id, event_id, s, e,
          max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS pme
@@ -5769,7 +5769,7 @@ m AS (
 isl AS (
   SELECT user_id, s, e,
          sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY s, e
+           OVER (PARTITION BY user_id ORDER BY s, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS island
   FROM m),
@@ -6015,7 +6015,8 @@ def z67(spark, sf_dir):
     oracle="""
 WITH w AS (
   SELECT user_id, value,
-         date_diff('day', ts::DATE, DATE '2024-01-31') // 7 AS age_weeks
+         greatest(date_diff('day', ts::DATE, DATE '2024-01-31'), 0) // 7
+           AS age_weeks
   FROM events),
 s AS (
   SELECT user_id, value,
@@ -6039,8 +6040,17 @@ FROM s GROUP BY user_id
     ),
 )
 def z68(spark, sf_dir):
-    age_weeks = (
-        F.datediff(F.lit("2024-01-31").cast("date"), F.col("ts").cast("date"))
+    # clamp negative ages (post-as-of events) to 0 BEFORE the division:
+    # negative integer division is truncate-toward-zero in Spark but
+    # engine/version-dependent elsewhere -- clamping keeps both sides in
+    # the nonnegative range where floor == truncate everywhere
+    age_weeks = F.floor(
+        F.greatest(
+            F.datediff(
+                F.lit("2024-01-31").cast("date"), F.col("ts").cast("date")
+            ),
+            F.lit(0),
+        )
         / 7
     ).cast("int")
     decay = F.when(age_weeks == 0, F.lit(1.0))
