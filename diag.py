@@ -1,0 +1,182 @@
+"""Gate-mirror diagnostic dump: make driver-side correctness failures
+attributable instead of guessable.
+
+For each named registry query (default: the driver's gated window = the
+first 50 sorted names), runs BOTH engines the way the driver does
+(column-name-sorted, order-insensitive rows) and writes one JSON artifact
+per query containing the exact rows from each engine, with every float
+annotated with its raw IEEE-754 bit pattern and its ulp-distance to the
+nearest decimal rounding half-boundary. If a CORRECTNESS cell ever reds
+again, the next round diffs exact bits against the driver's view instead
+of speculating (VERDICT r4, task #2).
+
+Usage:
+    python diag.py                     # gated 50 -> DIAG_r<N>/ (auto N)
+    python diag.py q49_train_pipeline  # one query
+    python diag.py --sf-dir /root/testdata/sf0.01 --out DIAG_r05
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import math
+import os
+import re
+import struct
+import sys
+
+
+def float_bits(v: float) -> str:
+    return struct.pack(">d", v).hex()
+
+
+def ulp(v: float) -> float:
+    return math.ulp(v) if v != 0 else math.ulp(0.0)
+
+
+def ulp_to_half_boundary(v: float, scales=(2, 4, 6)) -> float | None:
+    """Min distance (in ulps of v) from v to the nearest x.5*10^-s decimal
+    rounding half-boundary across the given scales. Small values flag the
+    cross-engine round-divergence class; None = comfortably far (>1e6)."""
+    if not math.isfinite(v):
+        return None
+    best = None
+    for s in scales:
+        p = 10**s
+        # nearest half-boundary: (k + 0.5) / p for integer k
+        k = math.floor(v * p)
+        for kk in (k - 1, k, k + 1):
+            b = (kk + 0.5) / p
+            d = abs(v - b) / ulp(v)
+            if best is None or d < best:
+                best = d
+    return round(best, 3) if best is not None and best < 1e6 else None
+
+
+def norm_cell(v):
+    """JSON-safe cell with float forensics."""
+    if isinstance(v, bool) or v is None or isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return {"f": "nan"}
+        out = {"f": repr(v), "bits": float_bits(v)}
+        d = ulp_to_half_boundary(v)
+        if d is not None:
+            out["ulp_to_half_boundary"] = d
+        return out
+    return str(v)
+
+
+def row_sort_key(row):
+    return [(str(type(c)), str(c)) for c in row]
+
+
+def dump_query(spark, con, qs, osql, name: str, out_dir: str) -> dict:
+    sdf = qs[name](spark, SF_DIR)
+    cols = sdf.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    s_rows = sorted(
+        [tuple(r[i] for i in order) for r in sdf.collect()], key=row_sort_key
+    )
+    sql = osql.get(name)
+    d_rows, d_cols = None, None
+    if sql:
+        res = con.execute(sql)
+        d_cols = [d[0] for d in res.description]
+        dorder = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+        d_rows = sorted(
+            [tuple(r[i] for i in dorder) for r in res.fetchall()],
+            key=row_sort_key,
+        )
+    mismatches = []
+    if d_rows is not None and len(s_rows) == len(d_rows):
+        for ri, (ra, rb) in enumerate(zip(s_rows, d_rows)):
+            for ci, (a, b) in enumerate(zip(ra, rb)):
+                same = (
+                    struct.pack(">d", a) == struct.pack(">d", b)
+                    if isinstance(a, float) and isinstance(b, float)
+                    else a == b
+                )
+                if not same:
+                    mismatches.append(
+                        {"row": ri, "col": sorted(cols)[ci],
+                         "spark": norm_cell(a), "oracle": norm_cell(b)}
+                    )
+    art = {
+        "query": name,
+        "sf_dir": SF_DIR,
+        "columns": sorted(cols),
+        "n_rows_spark": len(s_rows),
+        "n_rows_oracle": len(d_rows) if d_rows is not None else None,
+        "bit_exact": d_rows is not None
+        and len(s_rows) == len(d_rows)
+        and not mismatches,
+        "mismatches": mismatches[:50],
+        "spark_rows": [[norm_cell(c) for c in r] for r in s_rows],
+        "oracle_rows": (
+            [[norm_cell(c) for c in r] for r in d_rows]
+            if d_rows is not None
+            else None
+        ),
+    }
+    with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
+        json.dump(art, f, separators=(",", ":"))
+    return {
+        "bit_exact": art["bit_exact"],
+        "rows": len(s_rows),
+        "n_mismatch": len(mismatches),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", help="registry query names (default: gated 50)")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    global SF_DIR
+    SF_DIR = args.sf_dir
+
+    out_dir = args.out
+    if out_dir is None:
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob("CORRECTNESS_r*.json")
+            if (m := re.search(r"r(\d+)", p))
+        ]
+        out_dir = f"DIAG_r{(max(rounds) + 1) if rounds else 1:02d}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    import duckdb
+
+    import __spark_entry__ as E
+    from etl_world_banks_with_python_and_postgresql_spark.session import get_spark
+    from etl_world_banks_with_python_and_postgresql_spark.sources.catalog import TABLE_NAMES
+
+    spark = get_spark()
+    qs, osql = E.queries(), E.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    names = args.names or sorted(qs)[:50]
+    summary = {}
+    for name in names:
+        try:
+            summary[name] = dump_query(spark, con, qs, osql, name, out_dir)
+        except Exception as exc:  # keep going; the summary records the error
+            summary[name] = {"error": str(exc)[:300]}
+        status = summary[name]
+        print(f"{name}: {status}", file=sys.stderr)
+    with open(os.path.join(out_dir, "SUMMARY.json"), "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    n_bad = sum(1 for v in summary.values() if not v.get("bit_exact"))
+    print(json.dumps({"out": out_dir, "n_queries": len(names), "n_not_bit_exact": n_bad}))
+
+
+if __name__ == "__main__":
+    main()
