@@ -26,6 +26,8 @@ IEEE order bit-for-bit).
 
 from __future__ import annotations
 
+import math
+
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -522,7 +524,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bands: int | None = 12,
-    bits_per_band: int = 6,
+    bits_per_band: int | None = None,
     dim: int | None = None,
     seed: int = 0,
     max_bucket: int | None = None,
@@ -552,7 +554,14 @@ def cosine_neardup_pairs(
     coarse bands hardest. Measured on a 16x-replicated 32k corpus:
     bits_per_band=6 (64 keys) -> ~500-vector buckets -> ~100M pre-distinct
     join rows -> 74 s; bits_per_band=12 -> 7 s for the same recall band
-    count. Rule of thumb: 2^bits >= n / 100.
+    count. Rule of thumb: 2^bits >= n / 100 -- ENFORCED IN CODE: the
+    default ``bits_per_band=None`` sizes itself as
+    ``max(6, ceil(log2(n / 100)))`` from one cheap count() (capped at 24
+    so keys stay comfortable int32), so a duplicate-heavy corpus cannot
+    hit the 74 s cliff by omission. Pass an explicit int to pin the
+    signature layout (the oracle-paired registry queries do -- the DuckDB
+    twin must replicate the banding bit-for-bit, which needs a scale-
+    independent layout).
 
     ``max_bucket`` is the backstop when a caller CANNOT raise
     ``bits_per_band`` (fixed signature layout, shared index): every
@@ -584,6 +593,12 @@ def cosine_neardup_pairs(
             .select("vec_a", "vec_b", "cos_sim")
         )
 
+    if bits_per_band is None:
+        # 2^bits >= n/100: one scalar count() action at plan-build time
+        # buys freedom from the quadratic bucket cliff (docstring SIZING)
+        n = df.count()
+        bits_per_band = min(24, max(6, math.ceil(math.log2(max(n, 1) / 100))
+                                    if n > 100 else 6))
     if dim is None:
         # bounded O(1) action; callers that know the dim pass it to keep
         # the plan build action-free
@@ -717,7 +732,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bands: int | None = 12,
-    bits_per_band: int = 6,
+    bits_per_band: int | None = None,
     dim: int | None = None,
     seed: int = 0,
     max_iter: int = 25,
