@@ -4002,6 +4002,66 @@ def z12(spark, sf_dir):
 
 
 @query(
+    "z83_bmp_pixel_stats",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w,
+         3 + n_chars % 11 AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, w * h AS n,
+         flatten([[(x * 7 + y * 13 + doc_id) % 256
+                   for x in generate_series(0, w - 1)]
+                  for y in generate_series(0, h - 1)]) AS pb,
+         flatten([[(x * 3 + y * 5 + 2 * doc_id) % 256
+                   for x in generate_series(0, w - 1)]
+                  for y in generate_series(0, h - 1)]) AS pg,
+         flatten([[(x * 11 + y + 3 * doc_id) % 256
+                   for x in generate_series(0, w - 1)]
+                  for y in generate_series(0, h - 1)]) AS pr
+  FROM p),
+s AS (
+  SELECT doc_id, w, h, n,
+         list_sum(pb)::BIGINT AS sum_b,
+         list_sum(pg)::BIGINT AS sum_g,
+         list_sum(pr)::BIGINT AS sum_r,
+         list_sum([v * v for v in pb])::BIGINT AS sq_b,
+         list_sum([v * v for v in pg])::BIGINT AS sq_g,
+         list_sum([v * v for v in pr])::BIGINT AS sq_r
+  FROM px)
+SELECT doc_id, w::INT AS width, h::INT AS height, n::BIGINT AS n_pixels,
+       sum_b, sum_g, sum_r,
+       ((2 * 1000000 * sum_b + n) // (2 * n))::BIGINT AS mean_b_micros,
+       ((2 * 1000000 * sum_g + n) // (2 * n))::BIGINT AS mean_g_micros,
+       ((2 * 1000000 * sum_r + n) // (2 * n))::BIGINT AS mean_r_micros,
+       ((2 * 1000000 * (n * sq_b - sum_b * sum_b) + n * n)
+        // (2 * n * n))::BIGINT AS var_b_micros,
+       ((2 * 1000000 * (n * sq_g - sum_g * sum_g) + n * n)
+        // (2 * n * n))::BIGINT AS var_g_micros,
+       ((2 * 1000000 * (n * sq_r - sum_r * sum_r) + n * n)
+        // (2 * n * n))::BIGINT AS var_r_micros
+FROM s
+""",
+    description=(
+        "COLOR image leg, codec-REAL end to end: genuine 24-bit BMP "
+        "payloads (stdlib struct, bottom-up raster, row padding) -> full "
+        "pixel decode with dimensions MEASURED against the raster (a "
+        "lying header raises) -> per-channel sum + exact-integer-micros "
+        "mean/variance from actual decoded pixels. The oracle recomputes "
+        "every statistic arithmetically from the deterministic generation "
+        "parameters, so a decoder that misreads real BMP bytes (padding, "
+        "bottom-up order, BGR layout) fails the gate. Closes the r4 "
+        "pixel-stub gap: NotImplementedError now remains only for "
+        "externally-coded formats (JPEG/WebP)"
+    ),
+)
+def z83(spark, sf_dir):
+    docs = multimodal.attach_bmp_binary(load(spark, "documents", sf_dir))
+    return multimodal.decode_bmp_pixel_stats(docs)
+
+
+@query(
     "z13_deterministic_sample",
     oracle=f"""
 SELECT doc_id, source, n_chars

@@ -1795,3 +1795,96 @@ def test_cluster_safe_split_has_zero_leakage(spark):
     assert {r["split"] for r in safe.select("split").distinct().collect()} == {
         "train", "valid", "test",
     }
+
+
+def test_bmp_codec_real_roundtrip():
+    """encode_bmp -> decode_bmp must reproduce exact pixels through the
+    real format mechanics (bottom-up raster, 4-byte row padding, BGR)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    w, h = 5, 3  # stride 15 -> padded to 16: exercises row padding
+    px = [((x * 7 + y) % 256, (x + y * 5) % 256, (x * 3 + y * 11) % 256)
+          for y in range(h) for x in range(w)]
+    data = encode_bmp(px, w, h)
+    assert data[:2] == b"BM"
+    gw, gh, gpx = decode_bmp(data)
+    assert (gw, gh) == (w, h)
+    assert gpx == px
+
+
+def test_bmp_decoder_rejects_corruption_and_exotics():
+    from etl_world_banks_with_python_and_postgresql_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+    import pytest as _pytest
+    import struct
+
+    data = encode_bmp([(1, 2, 3)] * 12, 4, 3)
+    with _pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"XX" + data[2:])
+    # header claims more rows than the raster holds -> measured, not trusted
+    grown = data[:18] + struct.pack("<ii", 4, 99) + data[26:]
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(grown)
+    # 8-bit variant needs a palette -> honest NotImplementedError
+    eight = data[:28] + struct.pack("<H", 8) + data[30:]
+    with _pytest.raises(NotImplementedError, match="24-bit"):
+        decode_bmp(eight)
+
+
+def test_bmp_pixel_stats_exact(spark):
+    """decode_bmp_pixel_stats values must equal an independent exact
+    recomputation from the generation pattern (BIGINT micros)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.multimodal import (
+        attach_bmp_binary,
+        decode_bmp_pixel_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, 23), (12, 5)], "doc_id long, n_chars int"
+    )
+    got = {r["doc_id"]: r for r in
+           decode_bmp_pixel_stats(attach_bmp_binary(docs)).collect()}
+    for did, ln in [(7, 23), (12, 5)]:
+        w, h = 4 + did % 13, 3 + ln % 11
+        chans = {
+            "b": [(x * 7 + y * 13 + did) % 256 for y in range(h) for x in range(w)],
+            "g": [(x * 3 + y * 5 + 2 * did) % 256 for y in range(h) for x in range(w)],
+            "r": [(x * 11 + y + 3 * did) % 256 for y in range(h) for x in range(w)],
+        }
+        n = w * h
+        r = got[did]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, n)
+        for ch, vals in chans.items():
+            s, sq = sum(vals), sum(v * v for v in vals)
+            assert r[f"sum_{ch}"] == s
+            assert r[f"mean_{ch}_micros"] == (2 * 10**6 * s + n) // (2 * n)
+            assert r[f"var_{ch}_micros"] == (
+                (2 * 10**6 * (n * sq - s * s) + n * n) // (2 * n * n)
+            )
+
+
+def test_decode_image_pixels_bmp_luma(spark):
+    """decode_image_pixels routes BMP through the real color decode and
+    emits exact integer luma; unknown formats still raise."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.multimodal import (
+        attach_bmp_binary,
+        decode_image_pixels,
+    )
+
+    docs = spark.createDataFrame([(3, 8)], "doc_id long, n_chars int")
+    out = decode_image_pixels(attach_bmp_binary(docs)).collect()[0]
+    w, h = 4 + 3 % 13, 3 + 8 % 11
+    expect = [
+        (
+            (x * 7 + y * 13 + 3) % 256
+            + (x * 3 + y * 5 + 6) % 256
+            + (x * 11 + y + 9) % 256
+        ) // 3
+        for y in range(h) for x in range(w)
+    ]
+    assert list(out["pixels"]) == expect
