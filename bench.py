@@ -24,6 +24,37 @@ from etl_world_banks_with_python_and_postgresql_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Fixed regression set (the r3 24-entry suite + pipeline_e2e): frozen so
+# round-over-round comparison has a stable denominator while the full
+# HEADLINE list grows. Emitted as `shared_total` alongside the suite
+# total (VERDICT r4 task #8). Do not add to this list; add to HEADLINE.
+SHARED_24 = [
+    "pipeline_e2e_2runs",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q12_rollup",
+    "q15_distinct_agg",
+    "q16_window_topk_per_group",
+    "q22_json_extract",
+    "q25_sessionize",
+    "q26_scd_classify",
+    "q28_scd_snapshot",
+    "q30_dedup_exact",
+    "q31_dedup_ngram_jaccard",
+    "q32_dedup_minhash_lsh",
+    "q37_text_fingerprint",
+    "q38_ann_cosine_topk",
+    "q40_multimodal_meta",
+    "q48_decontaminate",
+    "q49_train_pipeline",
+    "q83_large_orders",
+    "q85_market_share",
+    "q98_repetition_signals",
+    "z03_minhash_novel",
+]
+
 # Headline set: one per operator family, weighted toward the shapes that
 # dominate at scale (joins, aggs, windows, dedup, similarity, merge).
 HEADLINE = [
@@ -198,6 +229,9 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "shared_total": round(
+            sum(t for n, t in timings.items() if n in SHARED_24), 3
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

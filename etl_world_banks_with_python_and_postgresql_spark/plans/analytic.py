@@ -1,0 +1,450 @@
+"""Window/analytic surface: ranking, running frames, percentiles,
+distribution functions, QUALIFY/RANGE shapes.
+
+Split from the monolithic plans/queries.py (round 5, VERDICT r4
+task #7); registration order is irrelevant -- every consumer
+sorts REGISTRY by name. Helpers and SQL twins live in
+plans.base.
+"""
+
+from .base import *  # noqa: F401,F403 -- registry, helpers, spark/operator imports
+
+
+
+@query(
+    "q16_window_topk_per_group",
+    oracle="""
+SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         (row_number() OVER (PARTITION BY p_brand
+                             ORDER BY p_retailprice DESC, p_partkey))::INT AS rnk
+  FROM part) WHERE rnk <= 3
+""",
+    description="top-k per group via ranking window",
+)
+def q16(spark, sf_dir):
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        load(spark, "part", sf_dir)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+    )
+
+
+@query(
+    "q17_window_running",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+       lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       (rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))::INT AS price_rank
+FROM orders WHERE o_custkey % 100 = 0
+""",
+    description="running sum + lag + rank analytic windows",
+)
+def q17(spark, sf_dir):
+    o = load(spark, "orders", sf_dir).filter(F.col("o_custkey") % 100 == 0)
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(wo.rowsBetween(W.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+        F.lag("o_totalprice").over(wo).alias("prev_price"),
+        F.rank().over(wr).alias("price_rank"),
+    )
+
+
+@query(
+    "q53_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderstatus
+""",
+    description="exact interpolated percentiles (median/p90/p99) per group",
+)
+def q53(spark, sf_dir):
+    o = load(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query(
+    "q46_zscore_groupmap",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+             / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 6) AS zscore
+FROM customer
+""",
+    description="applyInPandas grouped-map (per-segment z-score) vs window-fn oracle",
+)
+def q46(spark, sf_dir):
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["c_acctbal"].mean()
+        sd = pdf["c_acctbal"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "zscore": ((pdf["c_acctbal"] - mu) / sd).round(6),
+            }
+        )
+
+    c = load(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment", "c_acctbal")
+    return c.groupBy("c_mktsegment").applyInPandas(
+        zscore, "c_custkey long, c_mktsegment string, zscore double"
+    )
+
+
+@query(
+    "q51_approx_sketches",
+    oracle=None,  # approximate algorithms differ across engines by design;
+    # bounded-error equivalence vs exact values is asserted in
+    # tests/test_operators_misc.py::test_approx_sketches_within_tolerance
+    description="approximate sketches: approx_count_distinct + percentile_approx",
+)
+def q51(spark, sf_dir):
+    li = load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# =====================================================================
+# Round-2 additions: window-share, lateral join, QUALIFY shape, RANGE
+# frames, and training-prep operators (hash split, sequence packing)
+# =====================================================================
+
+
+@query(
+    "q65_share_of_total",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_regionkey, n.n_name, sum(o.o_totalprice) AS nat_rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_regionkey, n.n_name)
+SELECT n_name,
+       round(nat_rev, 2) AS nation_revenue,
+       round(nat_rev / sum(nat_rev) OVER (PARTITION BY n_regionkey), 6) AS region_share
+FROM rev
+""",
+    description=(
+        "percent-of-total via unordered window aggregate (ratio_to_report "
+        "shape): nation revenue share within its region"
+    ),
+)
+def q65(spark, sf_dir):
+    o = load(spark, "orders", sf_dir)
+    c = load(spark, "customer", sf_dir)
+    n = load(spark, "nation", sf_dir)
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.sum("o_totalprice").alias("nat_rev"))
+    )
+    w = W.partitionBy("n_regionkey")
+    return rev.select(
+        "n_name",
+        F.round("nat_rev", 2).alias("nation_revenue"),
+        F.round(F.col("nat_rev") / F.sum("nat_rev").over(w), 6).alias("region_share"),
+    )
+
+
+@query(
+    "q67_qualify_latest_order",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (
+  PARTITION BY o_custkey
+  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+""",
+    description=(
+        "QUALIFY-style window filter (latest order per customer); Spark "
+        "side is the window+filter rewrite QUALIFY desugars to"
+    ),
+)
+def q67(spark, sf_dir):
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        load(spark, "orders", sf_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@query(
+    "q68_range_frame_90d",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round((sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER w)::DOUBLE
+             / (count(o_totalprice) OVER w), 4) AS avg_90d,
+       count(*) OVER w                    AS n_90d
+FROM (SELECT *, date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS d
+      FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+""",
+    description=(
+        "value-based RANGE window frame: per customer, average order value "
+        "over the trailing 90 days (frame bounds by day value, not row "
+        "count -- same-day ties share a frame deterministically)"
+    ),
+)
+def q68(spark, sf_dir):
+    o = load(spark, "orders", sf_dir).withColumn(
+        "d", F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    )
+    w = W.partitionBy("o_custkey").orderBy("d").rangeBetween(-90, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double")
+            / F.count("o_totalprice").over(w),
+            4,
+        ).alias("avg_90d"),
+        F.count("*").over(w).alias("n_90d"),
+    )
+
+
+@query(
+    "q94_rank_family",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       ntile(10) OVER w AS decile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cum_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+    description=(
+        "distribution-rank window family: ntile decile bucketing + "
+        "percent_rank + cume_dist per segment (deterministic total order "
+        "via the key tie-break)"
+    ),
+)
+def q94(spark, sf_dir):
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return load(spark, "customer", sf_dir).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@query(
+    "z42_apply_changes",
+    oracle="""
+WITH changes AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN 'delete' ELSE 'upsert' END AS ct,
+         c_acctbal + (c_custkey % 5) * 10.0 AS new_bal,
+         1 + (c_custkey % 2) AS seq
+  FROM customer WHERE c_custkey % 7 < 2),
+latest AS (
+  SELECT c_custkey, ct, new_bal,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+  FROM changes),
+l AS (SELECT * FROM latest WHERE rn = 1)
+SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment
+FROM customer c LEFT JOIN l ON c.c_custkey = l.c_custkey
+WHERE l.c_custkey IS NULL
+UNION ALL
+SELECT c.c_custkey, c.c_name, l.new_bal AS c_acctbal, c.c_mktsegment
+FROM customer c JOIN l ON c.c_custkey = l.c_custkey
+WHERE l.ct <> 'delete'
+""",
+    description=(
+        "CDC apply: latest-wins change-feed application to a snapshot "
+        "(deletes drop, upserts replace; Delta APPLY CHANGES INTO shape, "
+        "the downstream half of read_changes / the incr_cdf stream). "
+        "Changes are derived deterministically from the customer table "
+        "so the oracle replicates the feed; touched ids broadcast, the "
+        "target is never shuffled"
+    ),
+)
+def z42(spark, sf_dir):
+    from ..operators.diff import apply_changes
+
+    cust = load(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    changes = (
+        cust.filter(F.col("c_custkey") % 7 < 2)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal") + (F.col("c_custkey") % 5) * 10.0).alias(
+                "c_acctbal"
+            ),
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 3 == 0, F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("_change_type"),
+            (1 + F.col("c_custkey") % 2).cast("int").alias("_commit_seq"),
+        )
+    )
+    return apply_changes(cust, changes, id_col="c_custkey")
+
+
+@query(
+    "z43_equi_depth_histogram",
+    oracle="""
+WITH cuts AS (
+  SELECT quantile_cont(o_totalprice, 0.1) AS c1,
+         quantile_cont(o_totalprice, 0.2) AS c2,
+         quantile_cont(o_totalprice, 0.3) AS c3,
+         quantile_cont(o_totalprice, 0.4) AS c4,
+         quantile_cont(o_totalprice, 0.5) AS c5,
+         quantile_cont(o_totalprice, 0.6) AS c6,
+         quantile_cont(o_totalprice, 0.7) AS c7,
+         quantile_cont(o_totalprice, 0.8) AS c8,
+         quantile_cont(o_totalprice, 0.9) AS c9
+  FROM orders),
+binned AS (
+  SELECT ((o_totalprice > c1)::INT + (o_totalprice > c2)::INT
+        + (o_totalprice > c3)::INT + (o_totalprice > c4)::INT
+        + (o_totalprice > c5)::INT + (o_totalprice > c6)::INT
+        + (o_totalprice > c7)::INT + (o_totalprice > c8)::INT
+        + (o_totalprice > c9)::INT) AS bin,
+         o_totalprice AS v
+  FROM orders CROSS JOIN cuts)
+SELECT bin, count(*) AS n_rows, min(v) AS bin_min, max(v) AS bin_max
+FROM binned GROUP BY bin
+""",
+    description=(
+        "equi-depth (decile) histogram: exact interpolated percentile cut "
+        "points (1-row aggregate broadcast back, q53 parity) + a row-local "
+        "count-of-cuts-below bin assignment -- NOT a global ntile window, "
+        "which would funnel the table through one partition at scale"
+    ),
+)
+def z43(spark, sf_dir):
+    return _sketch.equi_depth_histogram(
+        load(spark, "orders", sf_dir), "o_totalprice", n_bins=10
+    )
+
+
+@query(
+    "z62_weighted_median",
+    oracle="""
+WITH pv AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         sum(l_quantity::BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+c AS (
+  SELECT l_returnflag, v,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM pv)
+SELECT l_returnflag, min(v) AS weighted_median
+FROM c WHERE cw * 2 >= tw GROUP BY l_returnflag
+""",
+    description=(
+        "quantity-weighted median price per return flag (lower weighted "
+        "median -- no interpolation ambiguity): weights pre-aggregated "
+        "per DISTINCT (group, value) so the cumulative window runs over "
+        "distinct values, not raw rows (the z59 bounded-window trick); "
+        "integer weight sums, integer half-total comparison -- "
+        "engine-exact"
+    ),
+)
+def z62(spark, sf_dir):
+    from ..operators.sketch import weighted_median
+
+    return weighted_median(
+        load(spark, "lineitem", sf_dir),
+        "l_extendedprice",
+        "l_quantity",
+        "l_returnflag",
+    )
+
+
+@query(
+    "z74_revenue_pareto",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(25,6))) AS r
+  FROM orders GROUP BY o_custkey),
+cuts AS (
+  SELECT quantile_cont(r::DOUBLE, 0.1) AS c1, quantile_cont(r::DOUBLE, 0.2) AS c2,
+         quantile_cont(r::DOUBLE, 0.3) AS c3, quantile_cont(r::DOUBLE, 0.4) AS c4,
+         quantile_cont(r::DOUBLE, 0.5) AS c5, quantile_cont(r::DOUBLE, 0.6) AS c6,
+         quantile_cont(r::DOUBLE, 0.7) AS c7, quantile_cont(r::DOUBLE, 0.8) AS c8,
+         quantile_cont(r::DOUBLE, 0.9) AS c9
+  FROM rev),
+t AS (SELECT sum(r) AS total FROM rev),
+d AS (
+  SELECT ((r::DOUBLE > c1)::INT + (r::DOUBLE > c2)::INT + (r::DOUBLE > c3)::INT
+        + (r::DOUBLE > c4)::INT + (r::DOUBLE > c5)::INT + (r::DOUBLE > c6)::INT
+        + (r::DOUBLE > c7)::INT + (r::DOUBLE > c8)::INT + (r::DOUBLE > c9)::INT)
+           AS decile,
+         r
+  FROM rev CROSS JOIN cuts)
+SELECT decile, count(*) AS n_customers,
+       round(sum(r)::DOUBLE / t.total::DOUBLE, 6) AS revenue_share
+FROM d CROSS JOIN t GROUP BY decile, t.total
+""",
+    description=(
+        "revenue concentration (Pareto) by customer decile: per-customer "
+        "revenue (decimal-lifted), decile assignment via 9 exact "
+        "percentile cuts broadcast back (count-of-cuts-below, the z43 "
+        "scale-correct formulation -- no global rank window over "
+        "customers), per-decile share of exact total. The "
+        "'do 10% of customers carry 40% of revenue' diagnostic"
+    ),
+)
+def z74(spark, sf_dir):
+    rev = (
+        load(spark, "orders", sf_dir)
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("_r"))
+    )
+    rd = F.col("_r").cast("double")
+    cuts = rev.agg(
+        *[
+            F.percentile(rd, F.lit(i / 10)).alias(f"_c{i}")
+            for i in range(1, 10)
+        ]
+    )
+    total = rev.agg(F.sum("_r").alias("_total"))
+    decile = sum((rd > F.col(f"_c{i}")).cast("int") for i in range(1, 10))
+    return (
+        rev.crossJoin(F.broadcast(cuts))
+        .select(decile.alias("decile"), F.col("_r"))
+        .crossJoin(F.broadcast(total))
+        .groupBy("decile", "_total")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum("_r").cast("double") / F.col("_total").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .drop("_total")
+    )

@@ -1,0 +1,1342 @@
+"""Text analysis + training-prep surface: token/quality/lang-id/
+fingerprint scoring, decontamination, splits, packing, sampling,
+corpus pipelines.
+
+Split from the monolithic plans/queries.py (round 5, VERDICT r4
+task #7); registration order is irrelevant -- every consumer
+sorts REGISTRY by name. Helpers and SQL twins live in
+plans.base.
+"""
+
+from .base import *  # noqa: F401,F403 -- registry, helpers, spark/operator imports
+
+
+
+@query(
+    "q34_text_tokens",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS_SQL}) END AS n_tokens,
+       length(text) AS n_chars_measured,
+       {_ratio_sql(f"list_sum([length(x) for x in {_TOKENS_SQL}])",
+                   f"greatest(len({_TOKENS_SQL}), 1)", 4)} AS avg_token_len
+FROM documents
+""",
+    description="token counting (whitespace tokenizer) + length stats",
+)
+def q34(spark, sf_dir):
+    return text.with_token_stats(load(spark, "documents", sf_dir))
+
+
+@query(
+    "q35_text_quality",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       length(text)::INT AS n_chars_measured,
+       (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END)::INT AS n_tokens,
+       {_ratio_sql("len(regexp_extract_all(text, '[.,!?;:]'))",
+                   "greatest(length(text), 1)")} AS punct_ratio,
+       {_ratio_sql("len(list_filter(toks, w -> list_contains("
+                   "['the','a','of','and','to','in','is','that'], w)))",
+                   "greatest(len(toks), 1)")} AS stopword_ratio,
+       {text.QUALITY_MICROS_SQL.format(t="text")} / 1000000.0 AS quality_score
+FROM t
+""",
+    description="quality scoring: length/punct/stopword ratios + composite",
+)
+def q35(spark, sf_dir):
+    return text.with_quality(load(spark, "documents", sf_dir))
+
+
+@query(
+    "q36_text_langid",
+    oracle=_langid_oracle(),
+    description="n-gram/stopword-heuristic language identification",
+)
+def q36(spark, sf_dir):
+    return text.with_lang_id(load(spark, "documents", sf_dir))
+
+
+@query(
+    "q37_text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       {_POLY_SQL.format(x="substring(trim(lower(text)), 1, 64)")} AS fingerprint
+FROM documents
+""",
+    description="polynomial rolling-hash document fingerprint (prefix 64)",
+)
+def q37(spark, sf_dir):
+    return text.with_fingerprint(load(spark, "documents", sf_dir))
+
+
+@query(
+    "q61_top_tokens",
+    oracle=f"""
+SELECT token, count(*) AS n FROM (
+  SELECT unnest({_TOKENS_SQL}) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+""",
+    description="explode (flatten) token arrays + global top-k",
+)
+def q61(spark, sf_dir):
+    from ..functions.xhash import ws_tokens
+
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "q91_array_funcs",
+    oracle="""
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings)
+SELECT vec_id,
+       len(v)::INT                                   AS dim,
+       round(sqrt(list_dot_product(v, v)), 6)        AS l2_norm,
+       round(list_max(v), 6)                         AS vmax,
+       round(list_min(v), 6)                         AS vmin,
+       round(list_sum(v[1:8]), 6)                    AS head_sum,
+       round(list_sum([abs(x) for x in v]), 6)       AS l1_norm
+FROM e
+""",
+    description="array function family: size/min/max/slice/transform/aggregate",
+)
+def q91(spark, sf_dir):
+    emb = load(spark, "embeddings", sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(dot), 6).alias("l2_norm"),
+        F.round(F.array_max(v), 6).alias("vmax"),
+        F.round(F.array_min(v), 6).alias("vmin"),
+        F.round(
+            F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda s, x: s + x), 6
+        ).alias("head_sum"),
+        F.round(
+            F.aggregate(F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda s, x: s + x),
+            6,
+        ).alias("l1_norm"),
+    )
+
+
+@query(
+    "q11_hash_split",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         {_POLY_SQL.format(x="md5(text)")} % 100 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       {_ratio_sql("sum(n_chars)", "count(n_chars)", 4)} AS avg_chars
+FROM h GROUP BY 1
+""",
+    description=(
+        "deterministic content-hash train/valid/test split (80/10/10): "
+        "bucket = poly_hash(md5(text)) %% 100 -- stable across engines and "
+        "reshuffles, equal texts land in the same split"
+    ),
+)
+def q11(spark, sf_dir):
+    from ..operators.train_prep import hash_split
+
+    return (
+        hash_split(load(spark, "documents", sf_dir))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            # exact-BIGINT HALF_UP mean (q49 determinism rule): no double
+            # is ever rounded, so the value is engine-exact by construction
+            (
+                exactnum.ratio_scaled_halfup(
+                    F.sum("n_chars"), F.count("n_chars"), 4
+                )
+                / F.lit(10000.0)
+            ).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "q70_pack_token_bins",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({_TOKENS_SQL}) END AS n_tokens
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t)
+SELECT source, floor((cum - n_tokens) / 2048)::BIGINT AS bin_id,
+       count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY source, bin_id
+""",
+    description=(
+        "pretraining sequence packing: greedy per-source token bins of "
+        "2048 (cumsum window partitioned by source shard -- no global "
+        "single-partition window at scale)"
+    ),
+)
+def q70(spark, sf_dir):
+    from ..operators.train_prep import pack_token_bins
+
+    return pack_token_bins(load(spark, "documents", sf_dir), budget=2048)
+
+
+@query(
+    "q76_weighted_sample",
+    oracle=f"""
+WITH w AS (
+  SELECT source, doc_id,
+         {_POLY_SQL.format(x="md5(text)")} % 10000 AS bucket,
+         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+              THEN 0.3 ELSE 0.9 END AS wt
+  FROM documents)
+SELECT source, count(*) AS n_kept
+FROM w WHERE bucket < CAST(wt * 10000 AS BIGINT)
+GROUP BY source
+""",
+    description=(
+        "corpus mixing: deterministic per-source Bernoulli sampling "
+        "(keep 30% of even-numbered sources, 90% of odd) gated on a "
+        "content hash -- reproducible across engines/reshuffles, equal "
+        "texts kept or dropped together"
+    ),
+)
+def q76(spark, sf_dir):
+    from ..operators.train_prep import weighted_sample
+
+    docs = load(spark, "documents", sf_dir)
+    # weight as a pure row expression -- no driver collect, no action in
+    # the plan build (round-2 advice: the distinct+collect was bounded but
+    # unnecessary)
+    wt = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(0.3)
+    ).otherwise(F.lit(0.9))
+    return (
+        weighted_sample(docs, wt)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+@query(
+    "q79_text_bpe_tokens",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS_SQL}) END AS ws_tokens,
+       len(regexp_extract_all(text,
+           ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+'))::INT AS bpe_tokens,
+       {_BPE_RATIO_SQL} AS chars_per_token
+FROM documents
+""",
+    description=(
+        "BPE-style pre-tokenization counts (GPT-2-shape regex, lookahead-"
+        "free so Java regex and RE2 count identical matches) + "
+        "chars-per-token corpus sizing ratio"
+    ),
+)
+def q79(spark, sf_dir):
+    return text.with_bpe_stats(load(spark, "documents", sf_dir))
+
+
+@query(
+    "q48_decontaminate",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id, source, array_to_string(t[i:i+7], ' ') AS gram
+  FROM tok, UNNEST(generate_series(1, len(t)-8+1)) AS g(i)),
+ev AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0')
+SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_grams
+FROM grams g JOIN ev USING (gram)
+WHERE g.source <> 'src0'
+GROUP BY 1
+""",
+    description=(
+        "benchmark decontamination: training docs (source<>src0) sharing "
+        "any 8-word n-gram with the held-out eval corpus (source=src0). "
+        "Eval gram set broadcasts; the explode inflation dies at the "
+        "broadcast join, one doc-id groupBy"
+    ),
+)
+def q48(spark, sf_dir):
+    from ..operators.train_prep import ngram_contamination
+
+    docs = load(spark, "documents", sf_dir)
+    return ngram_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=8,
+    )
+
+
+@query(
+    "q88_pii_redaction",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@example.com ref '
+              || (1000000 + doc_id * 97)::VARCHAR AS t
+  FROM documents),
+e AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+  FROM aug)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_EMAIL_RE}'))::INT AS n_emails,
+       len(regexp_extract_all(no_email, '{_DIGIT_RUN_RE}'))::INT AS n_long_numbers,
+       regexp_replace(no_email, '{_DIGIT_RUN_RE}', '<NUM>', 'g') AS redacted
+FROM e
+""",
+    description=(
+        "PII masking: emails then 6+ digit runs replaced with typed "
+        "placeholders + per-row audit counters, over a deterministic "
+        "synthetic contact line (the raw corpus has no PII, so the "
+        "fixture column makes the check non-trivial). Pure regexp "
+        "codegen, no Python"
+    ),
+)
+def q88(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ref "),
+            (F.lit(1000000) + F.col("doc_id") * 97).cast("string"),
+        ).alias("t"),
+    )
+    return text.redact_pii(aug, text_col="t").select(
+        "doc_id", "n_emails", "n_long_numbers", "redacted"
+    )
+
+
+@query(
+    "q95_stratified_take",
+    oracle="""
+SELECT doc_id, source
+FROM (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(text), doc_id) AS rn
+      FROM documents)
+WHERE rn <= 5
+""",
+    description=(
+        "deterministic exact-count stratified sample: first 5 docs per "
+        "source in content-hash order -- exact counts (unlike sampleBy) "
+        "and selection stable across reruns/reshuffles/engines"
+    ),
+)
+def q95(spark, sf_dir):
+    from ..operators.train_prep import stratified_take
+
+    return stratified_take(
+        load(spark, "documents", sf_dir), n_per_group=5
+    ).select("doc_id", "source")
+
+
+@query(
+    "q98_repetition_signals",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w
+  FROM documents),
+arrs AS (
+  SELECT doc_id, w, len(w) AS n,
+         [w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)] AS bg,
+         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+          FOR i IN generate_series(1, len(w) - 2)] AS tg
+  FROM tok),
+bgc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(bg) AS g FROM arrs)
+  GROUP BY 1, 2),
+bga AS (SELECT doc_id, max(c) AS m, sum(c) AS s FROM bgc GROUP BY 1)
+SELECT a.doc_id,
+       a.n::INT AS n_tokens,
+       CASE WHEN a.n <= 0 THEN 0.0
+            ELSE round(1.0 - len(list_distinct(a.w)) / a.n::DOUBLE, 4)
+       END AS dup_token_frac,
+       CASE WHEN len(a.tg) <= 0 THEN 0.0
+            ELSE round(1.0 - len(list_distinct(a.tg)) / len(a.tg)::DOUBLE, 4)
+       END AS dup_trigram_frac,
+       coalesce(round(bga.m / bga.s::DOUBLE, 4), 0.0) AS top_bigram_frac
+FROM arrs a LEFT JOIN bga USING (doc_id)
+""",
+    description=(
+        "Gopher-style repetition quality gates: duplicate-token and "
+        "duplicate-trigram fractions (per-row expressions, no shuffle) + "
+        "top-bigram occurrence fraction (explode -> two map-side-combined "
+        "aggs keyed by (doc, gram) then doc)"
+    ),
+)
+def q98(spark, sf_dir):
+    return text.with_repetition(load(spark, "documents", sf_dir))
+
+
+@query(
+    "z01_chunk_windows",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w
+  FROM documents),
+st AS (
+  SELECT doc_id, w, len(w) AS n,
+         list_filter(generate_series(0, len(w) - 1, 48),
+                     s -> s = 0 OR s + 16 < len(w)) AS starts
+  FROM tok WHERE len(w) > 0),
+e AS (
+  SELECT doc_id, (g.i - 1)::INT AS chunk_id, starts[g.i] AS s, n, w
+  FROM st CROSS JOIN UNNEST(generate_series(1, len(starts))) g(i))
+SELECT doc_id, chunk_id,
+       s::INT AS start_token,
+       least(64, n - s)::INT AS n_chunk_tokens,
+       array_to_string(w[s + 1 : s + 64], ' ') AS chunk_text
+FROM e
+""",
+    description=(
+        "sliding token-window chunking (window=64, stride=48; overlap 16) "
+        "for context-window prep: per-row sequence+slice+posexplode, "
+        "map-only fan-out, no shuffle"
+    ),
+)
+def z01(spark, sf_dir):
+    from ..operators.train_prep import chunk_token_windows
+
+    return chunk_token_windows(
+        load(spark, "documents", sf_dir), window=64, stride=48
+    )
+
+
+@query(
+    "z07_corpus_manifest",
+    oracle=f"""
+WITH q AS (
+  SELECT source, text,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len({_TOKENS_SQL}) END) AS n_tokens,
+         {text.QUALITY_MICROS_SQL.format(t="text")} AS score_micros
+  FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct_texts,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       (sum(score_micros) // count(*))::BIGINT AS avg_quality_micros,
+       sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)::BIGINT AS n_short
+FROM q GROUP BY source
+""",
+    description=(
+        "per-source corpus manifest in one pass: doc/distinct-text/token "
+        "counts, mean composite quality (exact integer micros -- the q49 "
+        "determinism rule), short-doc tally -- the report a corpus owner "
+        "reads before mixing sources (single scan, one map-side-combined "
+        "aggregation)"
+    ),
+)
+def z07(spark, sf_dir):
+    from ..operators.text import _floordiv
+
+    docs = load(spark, "documents", sf_dir)
+    q = text.with_quality_micros(docs, keep_cols=["source", "text"])
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("score_micros").alias("sum_micros"),
+            F.sum(F.when(F.col("n_tokens") < 20, 1).otherwise(0)).alias("n_short"),
+        )
+        .withColumn(
+            "avg_quality_micros", _floordiv(F.col("sum_micros"), F.col("n_docs"))
+        )
+        .drop("sum_micros")
+    )
+
+
+@query(
+    "z08_validate_quarantine",
+    oracle="""
+WITH v AS (
+  SELECT doc_id,
+         array_to_string(list_filter(
+           [CASE WHEN NOT (n_chars >= 100) THEN 'min_length' END,
+            CASE WHEN NOT (lang IN ('de', 'en', 'fr')) THEN 'supported_lang' END],
+           x -> x IS NOT NULL), ',') AS failed
+  FROM documents)
+SELECT failed AS failed_rules, count(*) AS n
+FROM v WHERE failed <> '' GROUP BY failed
+""",
+    description=(
+        "rule-based ingestion quarantine audit: per violated-rule-set "
+        "counts from validate_rows (named predicates, failed_rules audit "
+        "column; good rows stay pushdown-friendly filters)"
+    ),
+)
+def z08(spark, sf_dir):
+    from ..sources.robust import validate_rows
+
+    docs = load(spark, "documents", sf_dir)
+    _good, quar = validate_rows(
+        docs,
+        {
+            "min_length": F.col("n_chars") >= 100,
+            "supported_lang": F.col("lang").isin("de", "en", "fr"),
+        },
+    )
+    return quar.groupBy(
+        F.array_join("failed_rules", ",").alias("failed_rules")
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "z10_token_entropy",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1)
+SELECT c.doc_id,
+       round(-sum((c.c / n.n::DOUBLE) * ln(c.c / n.n::DOUBLE)), 4) AS token_entropy,
+       count(*) AS n_distinct_tokens
+FROM c JOIN n USING (doc_id)
+GROUP BY c.doc_id
+""",
+    description=(
+        "Shannon entropy of the within-document token distribution (the "
+        "low-entropy tail is boilerplate/degenerate text): explode -> two "
+        "map-side-combined aggregations keyed by (doc, token) then doc"
+    ),
+)
+def z10(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir).filter(
+        F.length(F.trim("text")) > 0
+    )
+    c = (
+        docs.select("doc_id", F.explode(xhash.ws_tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    n = c.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        c.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 4).alias("token_entropy"),
+            F.count("*").alias("n_distinct_tokens"),
+        )
+    )
+
+
+@query(
+    "z11_canonical_dedup",
+    oracle=f"""
+WITH c AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(
+               translate(lower(text), '{text.ACCENT_SRC}', '{text.ACCENT_DST}'),
+               '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS h
+  FROM documents)
+SELECT h AS canon_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+FROM c GROUP BY h
+""",
+    description=(
+        "exact dedup on the canonical text form (lowercase + shared-map "
+        "accent fold + punctuation strip + whitespace collapse): one "
+        "map-side-combined hash-groupBy, catches the variant copies "
+        "byte-exact dedup misses"
+    ),
+)
+def z11(spark, sf_dir):
+    return text.canonical_dedup_groups(load(spark, "documents", sf_dir))
+
+
+@query(
+    "z13_deterministic_sample",
+    oracle=f"""
+SELECT doc_id, source, n_chars
+FROM (SELECT doc_id, source, n_chars,
+             {_POLY_SQL.format(x="md5('0' || text)")} AS sk
+      FROM documents)
+ORDER BY sk, doc_id
+LIMIT 50
+""",
+    description=(
+        "exact-size uniform corpus sample as a bottom-k sketch over a "
+        "portable content hash: reproducible across engines/reshuffles/"
+        "corpus growth (KMV min-wise property), executed as "
+        "TakeOrderedAndProject -- per-partition k-row heaps, no global "
+        "sort, the one-pass sampling shape a 100 TB corpus needs"
+    ),
+)
+def z13(spark, sf_dir):
+    from ..operators.train_prep import deterministic_sample
+
+    docs = load(spark, "documents", sf_dir)
+    return deterministic_sample(docs, 50).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "z15_bloom_decontaminate",
+    oracle=REGISTRY["q48_decontaminate"].oracle,
+    description=(
+        "q48's decontamination for the eval-set-too-big-to-broadcast "
+        "regime: JVM-hashed Bloom prefilter (capped 128 KiB bit array "
+        "broadcast, Arrow-batched vectorized probe) kills the explode "
+        "inflation before any shuffle, then an exact SHUFFLE join against "
+        "the eval gram set removes false positives -- result-identical to "
+        "the exact operator (same oracle)"
+    ),
+)
+def z15(spark, sf_dir):
+    from ..operators.train_prep import bloom_decontaminate
+
+    docs = load(spark, "documents", sf_dir)
+    return bloom_decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=8,
+    )
+
+
+@query(
+    "z18_bigram_coherence",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM tok, UNNEST(generate_series(1, len(t)-1)) AS s(i)),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+term AS (
+  SELECT w1, w2, (c12 * 1000000) // c1 AS term
+  FROM c12 JOIN c1 USING (w1)),
+doc AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams, sum(term)::BIGINT AS s
+  FROM bg JOIN term USING (w1, w2)
+  GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       CASE WHEN coalesce(n_bigrams, 0) > 0 THEN s // n_bigrams
+            ELSE 0 END AS coherence_ppm
+FROM documents d LEFT JOIN doc USING (doc_id)
+""",
+    description=(
+        "corpus-trained bigram-LM fluency score (the CCNet/KenLM "
+        "perplexity-filter shape): per-doc integer mean of exact "
+        "parts-per-million conditional probabilities c(w1,w2)/c(w1). "
+        "Pure integer arithmetic end to end -- no float summation to go "
+        "order-sensitive; bigram-type table built once with map-side "
+        "combine, head counts derived from it, occurrences join on the "
+        "gram key"
+    ),
+)
+def z18(spark, sf_dir):
+    return text.bigram_coherence(load(spark, "documents", sf_dir))
+
+
+@query(
+    "z20_quality_classifier",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({_TOKENS_SQL}) END AS n_tokens,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE list_sum(list_transform({_TOKENS_SQL},
+                   s -> {xhash.MD5_HASH32_SQL.format(x='s')} % 2001 - 1000))
+         END::BIGINT AS weight_sum
+  FROM documents)
+SELECT doc_id, n_tokens, weight_sum,
+       CASE WHEN n_tokens > 0 THEN weight_sum * 10 // n_tokens
+            ELSE 0 END::BIGINT AS score_bp,
+       weight_sum > 0 AS accept
+FROM tok
+""",
+    description=(
+        "hashed-bag-of-words linear quality classifier (fastText/DSIR "
+        "filter shape, hash-derived integer weights standing in for the "
+        "learned table): exact BIGINT weight sums -- no float "
+        "accumulation, partition-order- and engine-independent; pure "
+        "scan-speed projection, zero shuffles/UDFs"
+    ),
+)
+def z20(spark, sf_dir):
+    return text.hashed_linear_score(load(spark, "documents", sf_dir))
+
+
+@query(
+    "z22_source_overlap",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, {_TOKENS_SQL} AS t FROM documents),
+g AS (
+  SELECT DISTINCT source AS src, array_to_string(t[i:i+7], ' ') AS gram
+  FROM tok, UNNEST(generate_series(1, len(t)-8+1)) AS s(i))
+SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared_grams
+FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+GROUP BY 1, 2
+""",
+    description=(
+        "cross-source contamination matrix: distinct shared 8-gram counts "
+        "per unordered source pair (which corpus slices duplicate each "
+        "other / leak eval content). No gram self-join on the Spark side: "
+        "each gram folds to its sorted source SET (bounded by |sources|, "
+        "not corpus size) and pairs are generated by pure array "
+        "expressions; the oracle is the equivalent gram self-join"
+    ),
+)
+def z22(spark, sf_dir):
+    from ..operators.train_prep import source_overlap_matrix
+
+    return source_overlap_matrix(load(spark, "documents", sf_dir), n=8)
+
+
+@query(
+    "z23_weighted_sample",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         round(n_chars::DOUBLE
+               / (({xhash.MD5_HASH32_SQL.format(x="'0' || text")} + 1)
+                  / 4294967296.0), 4) AS priority
+  FROM documents)
+SELECT doc_id, source, n_chars, priority
+FROM s ORDER BY priority DESC, doc_id LIMIT 50
+""",
+    description=(
+        "weighted without-replacement corpus sample via priority sampling "
+        "(w/u over a content-hash uniform; top-k priorities): the "
+        "corpus-mixing draw, deterministic across engines because the "
+        "single IEEE division is correctly rounded everywhere (unlike "
+        "pow/ln exponential keys). Executes as TakeOrderedAndProject -- "
+        "k-row heap per task, no global sort"
+    ),
+)
+def z23(spark, sf_dir):
+    from ..operators.train_prep import weighted_priority_sample
+
+    d = load(spark, "documents", sf_dir).select("doc_id", "source", "n_chars", "text")
+    return weighted_priority_sample(d, k=50, weight_col="n_chars").drop("text")
+
+
+@query(
+    "z28_source_mixing",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len({_TOKENS_SQL}) END)::BIGINT AS n_tokens
+  FROM documents GROUP BY source),
+capped AS (
+  SELECT *, least(n_tokens, 100000) AS capped_tokens FROM per_source)
+SELECT source, n_docs, n_tokens, capped_tokens,
+       (capped_tokens * 1000000 // (SELECT sum(capped_tokens) FROM capped))::BIGINT
+         AS weight_ppm
+FROM capped
+""",
+    description=(
+        "corpus-mixing weight table: per-source doc/token counts with "
+        "capped token mass normalized to exact integer ppm weights (the "
+        "guard against one crawl dominating the mixture). Pure integer "
+        "arithmetic -- deterministic across engines/partition orders; one "
+        "map-side-combined source groupBy + a 1-row total broadcast"
+    ),
+)
+def z28(spark, sf_dir):
+    from ..operators.train_prep import source_mixing_weights
+
+    return source_mixing_weights(load(spark, "documents", sf_dir))
+
+
+@query(
+    "z29_argmax_family",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({_TOKENS_SQL}) END AS n_tokens
+  FROM documents),
+k AS (
+  SELECT source,
+         max(n_tokens * 10000000 + doc_id) AS kmax,
+         min(n_tokens * 10000000 + doc_id) AS kmin
+  FROM t GROUP BY source)
+SELECT source,
+       (kmax // 10000000)::BIGINT AS longest_tokens,
+       (kmax % 10000000)::BIGINT  AS longest_doc_id,
+       (kmin // 10000000)::BIGINT AS shortest_tokens,
+       (kmin % 10000000)::BIGINT  AS shortest_doc_id
+FROM k
+""",
+    description=(
+        "deterministic arg-max/arg-min per group via composite integer "
+        "keys (value * 10^7 + id packed into one BIGINT): longest and "
+        "shortest doc per source with ties broken by id -- the arg-max "
+        "family without max_by's arbitrary tie behavior, and a plain "
+        "map-side-combined min/max agg instead of any window"
+    ),
+)
+def z29(spark, sf_dir):
+    d = load(spark, "documents", sf_dir)
+    n = text.token_count(F.col("text"))
+    key = n.cast("long") * 10000000 + F.col("doc_id")
+    k = d.select(F.col("source"), key.alias("_k")).groupBy("source").agg(
+        F.max("_k").alias("kmax"), F.min("_k").alias("kmin")
+    )
+    return k.select(
+        "source",
+        F.expr("kmax div 10000000").alias("longest_tokens"),
+        (F.col("kmax") % 10000000).alias("longest_doc_id"),
+        F.expr("kmin div 10000000").alias("shortest_tokens"),
+        (F.col("kmin") % 10000000).alias("shortest_doc_id"),
+    )
+
+
+@query(
+    "z30_grouped_weighted_sample",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         round(n_chars::DOUBLE
+               / (({xhash.MD5_HASH32_SQL.format(x="'0' || text")} + 1)
+                  / 4294967296.0), 4) AS priority
+  FROM documents),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY priority DESC, doc_id) AS rn
+  FROM s)
+SELECT doc_id, source, n_chars, priority FROM r WHERE rn <= 5
+""",
+    description=(
+        "per-source weighted quota sample (priority sampling within each "
+        "group): every source contributes its own top-5 weighted draws, "
+        "so no source's weight mass crowds out another's quota -- the "
+        "per-domain corpus-mixing form. One window shuffle on the group "
+        "key; the same engine-portable w/u keys as z23"
+    ),
+)
+def z30(spark, sf_dir):
+    from ..operators.train_prep import grouped_priority_sample
+
+    d = load(spark, "documents", sf_dir).select("doc_id", "source", "n_chars", "text")
+    return grouped_priority_sample(
+        d, n_per_group=5, weight_col="n_chars"
+    ).drop("text")
+
+
+@query(
+    "z35_keyword_search",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents),
+hits AS (
+  SELECT doc_id, w FROM tok WHERE w IN ('merge', 'window')),
+g AS (
+  SELECT doc_id, count(DISTINCT w) AS nterms, count(*) AS total_tf
+  FROM hits GROUP BY doc_id)
+SELECT doc_id, total_tf FROM g WHERE nterms = 2
+ORDER BY total_tf DESC, doc_id LIMIT 20
+""",
+    description=(
+        "conjunctive keyword retrieval ('merge' AND 'window') ranked by "
+        "exact integer total term frequency (no idf log -- libm last-ulp "
+        "differences would break cross-engine ranking), id tie-break. "
+        "Query terms are filtered inside the scan projection before the "
+        "explode, so non-matching tokens never leave the row; one "
+        "doc-keyed aggregate + TakeOrdered top-k"
+    ),
+)
+def z35(spark, sf_dir):
+    return text.keyword_search(
+        load(spark, "documents", sf_dir), terms=["merge", "window"]
+    )
+
+@query(
+    "z36_bm25_rank",
+    oracle=_bm25_sql(["merge", "window", "partition"], _TOKENS_SQL),
+    description=(
+        "BM25-style disjunctive ranked retrieval, deterministic "
+        "cross-engine: Robertson odds idf WITHOUT the log (libm "
+        "transcendentals differ in the last ulp across engines; every "
+        "remaining op is IEEE-correctly-rounded so the identical "
+        "expression tree hashes bit-for-bit). Per-term tf computed "
+        "row-locally in the scan projection (no explode), corpus stats "
+        "one broadcast scalar row, TakeOrdered top-k. At rest the same "
+        "ranking runs bucket-pruned off write_posting_index (equivalence "
+        "pinned in tests/test_operators_misc.py)"
+    ),
+)
+def z36(spark, sf_dir):
+    return text.bm25_rank(
+        load(spark, "documents", sf_dir),
+        terms=["merge", "window", "partition"],
+    )
+
+
+@query(
+    "z39_kmv_distinct",
+    oracle=_sketch.kmv_oracle_sql("text", k=256, group_by="source"),
+    description=(
+        "deterministic KMV distinct sketch (Bar-Yossef et al.): per-source "
+        "approximate distinct documents from the 256 smallest md5-derived "
+        "48-bit hashes -- an APPROXIMATE answer that is still a pure "
+        "function of the data, so the oracle hash gate applies to it "
+        "(unlike approx_count_distinct, q51). Sketch is k x 8 bytes per "
+        "group and MERGEABLE (k-min of unioned k-min sets == k-min of the "
+        "union; pinned in tests), the property that lets 100 TB partial "
+        "scans compose without a rescan"
+    ),
+)
+def z39(spark, sf_dir):
+    return _sketch.kmv_distinct(
+        load(spark, "documents", sf_dir), "text", k=256, group_by="source"
+    )
+
+
+@query(
+    "z44_winsorize",
+    oracle="""
+WITH p AS (
+  SELECT o_orderstatus,
+         quantile_cont(o_totalprice, 0.05) AS plo,
+         quantile_cont(o_totalprice, 0.95) AS phi
+  FROM orders GROUP BY o_orderstatus)
+SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+       least(greatest(o.o_totalprice, p.plo), p.phi) AS o_totalprice_winsorized
+FROM orders o JOIN p USING (o_orderstatus)
+""",
+    description=(
+        "per-group winsorization: clamp to the exact [p5, p95] "
+        "percentiles -- the standard outlier-clipping pass before "
+        "normalizing features/quality scores for training. One "
+        "group-bounded percentile aggregate broadcast back + a row-local "
+        "least/greatest clamp; clamped rows carry exact input doubles"
+    ),
+)
+def z44(spark, sf_dir):
+    from ..operators.train_prep import winsorize
+
+    return winsorize(
+        load(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        "o_totalprice",
+        lo=0.05,
+        hi=0.95,
+        group_by="o_orderstatus",
+    )
+
+
+@query(
+    "z48_doc_keywords",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+  HAVING count(DISTINCT doc_id) >= 2),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ((n.n_docs - d.df + 0.5) / (d.df + 0.5)), 6) AS score
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN n),
+r AS (
+  SELECT *, (row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term))::INT AS rank
+  FROM scored)
+SELECT doc_id, rank, term, tf, score FROM r WHERE rank <= 3
+""",
+    description=(
+        "document keyword extraction: top-3 distinctive terms per doc by "
+        "tf x odds-idf (log-free Robertson odds, bit-stable ranking; "
+        "stopwords self-suppress via df ~ N, min_df=2 prunes hapax "
+        "noise). Explode -> tf aggregate, vocabulary-bounded df join, "
+        "row-local score, per-doc rank -- all shuffles linear in tokens "
+        "or vocabulary"
+    ),
+)
+def z48(spark, sf_dir):
+    return text.top_terms_per_doc(load(spark, "documents", sf_dir))
+
+
+@query(
+    "z50_corpus_pipeline_v2",
+    oracle=f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(
+                     translate(lower(text), '{text.ACCENT_SRC}', '{text.ACCENT_DST}'),
+                     '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS h
+        FROM documents)
+  GROUP BY h),
+d AS (
+  SELECT doc_id, source, text FROM documents JOIN keep USING (doc_id)),
+q AS (
+  SELECT doc_id, source, text,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len({_TOKENS_SQL}) END)::INT AS n_tokens,
+         {text.QUALITY_MICROS_SQL.format(t="text")} / 1000000.0
+           AS quality_score
+  FROM d),
+p AS (
+  SELECT source, quantile_cont(quality_score, 0.05) AS plo,
+         quantile_cont(quality_score, 0.95) AS phi
+  FROM q GROUP BY source),
+wq AS (
+  SELECT q.*, least(greatest(q.quality_score, p.plo), p.phi) AS q_wins
+  FROM q JOIN p USING (source)),
+s AS (
+  SELECT *, CASE WHEN {_POLY_SQL.format(x="md5(text)")} % 100 < 80 THEN 'train'
+                 WHEN {_POLY_SQL.format(x="md5(text)")} % 100 < 90 THEN 'valid'
+                 ELSE 'test' END AS split
+  FROM wq),
+stats AS (
+  SELECT split, source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         min(q_wins) AS q_min, max(q_wins) AS q_max
+  FROM s GROUP BY 1, 2),
+hv AS (
+  SELECT DISTINCT split || '/' || source AS grp,
+         ('0x' || substr(md5(text), 1, 12))::BIGINT AS hv
+  FROM s),
+r AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+      FROM hv),
+km AS (SELECT grp, count(*) AS n_kept, max(hv) AS hk
+       FROM r WHERE rn <= 256 GROUP BY grp),
+est AS (
+  SELECT grp, CASE WHEN n_kept < 256 THEN n_kept
+              ELSE CAST(round(255.0 * 281474976710656.0 / hk) AS BIGINT)
+         END AS est_distinct_texts
+  FROM km)
+SELECT st.split, st.source, st.n_docs, st.total_tokens, st.q_min, st.q_max,
+       e.est_distinct_texts
+FROM stats st JOIN est e ON e.grp = st.split || '/' || st.source
+""",
+    description=(
+        "corpus build v2, chaining the round-4 operators end-to-end: "
+        "canonical-form dedup survivor -> quality scoring -> per-source "
+        "winsorized quality (exact [p5, p95] clamp) -> leak-safe content "
+        "hash split -> per-(split, source) stats including min/max "
+        "winsorized quality (verbatim doubles, no re-rounding -- the q49 "
+        "lesson) and a mergeable KMV distinct-text estimate. Every stage "
+        "is the verified operator itself"
+    ),
+)
+def z50(spark, sf_dir):
+    from ..operators.sketch import kmv_distinct
+    from ..operators.train_prep import hash_split, winsorize
+
+    docs = load(spark, "documents", sf_dir)
+    keep = text.canonical_dedup_groups(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "source", "text"
+    )
+    enriched = text.with_quality(deduped, keep_cols=["source", "text"])
+    wins = winsorize(
+        enriched, "quality_score", lo=0.05, hi=0.95, group_by="source",
+        out_col="q_wins",
+    )
+    s = hash_split(wins)
+    stats = s.groupBy("split", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("q_wins").alias("q_min"),
+        F.max("q_wins").alias("q_max"),
+    )
+    grp = s.withColumn("grp", F.concat_ws("/", "split", "source"))
+    est = kmv_distinct(grp, "text", k=256, group_by="grp").select(
+        F.col("grp"), F.col("est_distinct").alias("est_distinct_texts")
+    )
+    return stats.join(
+        est,
+        F.concat_ws("/", "split", "source") == F.col("grp"),
+    ).drop("grp")
+
+
+@query(
+    "z52_vocab_drift",
+    oracle=f"""
+WITH tok AS (
+  SELECT source AS s, unnest({_TOKENS_SQL}) AS term
+  FROM documents WHERE source IN ('src0', 'src1')),
+c AS (
+  SELECT term,
+         sum((s = 'src0')::BIGINT) AS n_a,
+         sum((s = 'src1')::BIGINT) AS n_b
+  FROM tok GROUP BY term HAVING sum((s = 'src0')::BIGINT)
+                              + sum((s = 'src1')::BIGINT) >= 5),
+t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c),
+x AS (
+  SELECT term, n_a, n_b,
+         (n_a + n_b) * ta / (ta + tb) AS ea,
+         (n_a + n_b) * tb / (ta + tb) AS eb
+  FROM c CROSS JOIN t)
+SELECT term, n_a, n_b,
+       round((n_a - ea) * (n_a - ea) / ea
+             + (n_b - eb) * (n_b - eb) / eb, 6) AS chi2
+FROM x ORDER BY chi2 DESC, term LIMIT 20
+""",
+    description=(
+        "vocabulary drift between two corpus slices: per-term chi-square "
+        "contributions vs the homogeneity expectation, top-20 drivers -- "
+        "the distribution-shift monitor between crawls/sources. "
+        "Chi-square, not KL: division-only (KL's log is libm, breaking "
+        "cross-engine bit parity). One explode -> conditional-sum pivot, "
+        "1-row totals broadcast, row-local arithmetic, TakeOrdered"
+    ),
+)
+def z52(spark, sf_dir):
+    return text.vocabulary_drift(
+        load(spark, "documents", sf_dir), "src0", "src1"
+    )
+
+
+@query(
+    "z59_ks_drift",
+    oracle=f"""
+WITH pair AS (
+  SELECT source, text FROM documents WHERE source IN ('src0', 'src1')),
+q AS (
+  SELECT source,
+         {text.QUALITY_MICROS_SQL.format(t="text")} / 1000000.0
+           AS quality_score
+  FROM pair),
+c AS (
+  SELECT quality_score,
+         sum((source = 'src0')::BIGINT) AS ca,
+         sum((source = 'src1')::BIGINT) AS cb
+  FROM q GROUP BY quality_score),
+tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM c),
+cdf AS (
+  SELECT sum(ca) OVER (ORDER BY quality_score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_a,
+         sum(cb) OVER (ORDER BY quality_score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_b
+  FROM c)
+SELECT na AS n_a, nb AS n_b,
+       {_ratio_sql("max(abs(cum_a * nb - cum_b * na))", "na * nb")} AS ks_d
+FROM cdf CROSS JOIN tot GROUP BY na, nb
+""",
+    description=(
+        "two-sample Kolmogorov-Smirnov distance between two sources' "
+        "quality-score distributions: the numeric-drift monitor "
+        "complementing z52's vocabulary chi-square. Counts + single "
+        "divisions only; the ordered cumulative window runs over "
+        "|distinct 6-dp score values|, never corpus rows"
+    ),
+)
+def z59(spark, sf_dir):
+    return text.score_distribution_drift(
+        load(spark, "documents", sf_dir), "src0", "src1"
+    )
+
+
+@query(
+    "z66_phrase_search",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+p AS (
+  SELECT doc_id,
+         len(list_intersect(
+           [p + 1 for p in
+             [i for i in generate_series(1, len(w)) if w[i] = 'window']],
+           [i for i in generate_series(1, len(w)) if w[i] = 'join']))
+           AS n_matches
+  FROM d)
+SELECT doc_id, n_matches FROM p WHERE n_matches > 0
+ORDER BY n_matches DESC, doc_id LIMIT 20
+""",
+    description=(
+        "exact phrase retrieval ('window join' contiguously): per-term "
+        "position lists are row-local index-filter transforms inside the "
+        "scan projection, phrase matching is a positions(t_i)+1 ∩ "
+        "positions(t_{{i+1}}) fold whose survivors ARE the match "
+        "positions -- the positional upgrade AND-of-terms retrieval "
+        "cannot express. No explode, no shuffle before the top-k"
+    ),
+)
+def z66(spark, sf_dir):
+    return text.phrase_search(
+        load(spark, "documents", sf_dir), phrase=["window", "join"]
+    )
+
+
+@query(
+    "z78_catalog_summary",
+    oracle="""
+SELECT 'customer' AS table_name, count(*) AS n_rows,
+       count(DISTINCT c_custkey) AS n_distinct_pk FROM customer
+UNION ALL SELECT 'events', count(*), count(DISTINCT event_id) FROM events
+UNION ALL SELECT 'lineitem', count(*),
+                 count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+UNION ALL SELECT 'nation', count(*), count(DISTINCT n_nationkey) FROM nation
+UNION ALL SELECT 'orders', count(*), count(DISTINCT o_orderkey) FROM orders
+UNION ALL SELECT 'region', count(*), count(DISTINCT r_regionkey) FROM region
+UNION ALL SELECT 'supplier', count(*), count(DISTINCT s_suppkey) FROM supplier
+UNION ALL SELECT 'documents', count(*), count(DISTINCT doc_id) FROM documents
+UNION ALL SELECT 'embeddings', count(*), count(DISTINCT vec_id) FROM embeddings
+UNION ALL SELECT 'part', count(*), count(DISTINCT p_partkey) FROM part
+""",
+    description=(
+        "catalog health sweep: per-table row count and distinct-PK count "
+        "in one union of per-table aggregates -- the first query a "
+        "migration/verification run fires (row parity + key integrity "
+        "across the whole catalog at a glance; the lineitem composite PK "
+        "is genuinely non-unique in the synthetic data and the sweep "
+        "shows it)"
+    ),
+)
+def z78(spark, sf_dir):
+    pks = {
+        "customer": ["c_custkey"],
+        "events": ["event_id"],
+        "lineitem": ["l_orderkey", "l_linenumber"],
+        "nation": ["n_nationkey"],
+        "orders": ["o_orderkey"],
+        "region": ["r_regionkey"],
+        "supplier": ["s_suppkey"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+        "part": ["p_partkey"],
+    }
+    parts = []
+    for t, keys in sorted(pks.items()):
+        df = load(spark, t, sf_dir)
+        parts.append(
+            df.agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct(*keys).alias("n_distinct_pk"),
+            ).select(F.lit(t).alias("table_name"), "n_rows", "n_distinct_pk")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "z80_token_budget",
+    oracle=f"""
+WITH t AS (
+  SELECT source,
+         sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len({_TOKENS_SQL}) END)::BIGINT AS n_tokens,
+         count(*) AS n_docs
+  FROM documents GROUP BY source),
+g AS (SELECT sum(n_tokens) AS total FROM t)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / g.total::DOUBLE, 6) AS token_share
+FROM t CROSS JOIN g
+""",
+    description=(
+        "per-source token budget table: docs, exact whitespace tokens, "
+        "and share of the corpus total -- the planning table a training "
+        "mix is negotiated over (the input z28's capped mixing weights "
+        "consume). One group aggregate + a 1-row total broadcast"
+    ),
+)
+def z80(spark, sf_dir):
+    t = (
+        load(spark, "documents", sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(text.token_count(F.col("text")).cast("long")).alias(
+                "n_tokens"
+            ),
+        )
+    )
+    g = t.agg(F.sum("n_tokens").alias("_total"))
+    return t.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") / F.col("_total").cast("double"), 6
+        ).alias("token_share"),
+    )
+
+
+@query(
+    "z82_cluster_safe_split",
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE {_jacc_pred_sql("a.sh", "b.sh", 0.8)}),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.node, s.dst FROM reach r JOIN sym s ON r.lbl = s.src),
+cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+labeled AS (
+  SELECT doc.doc_id, coalesce(cc.cluster_id, doc.doc_id) AS cluster_id
+  FROM documents doc LEFT JOIN cc ON cc.doc_id = doc.doc_id),
+s AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN {_POLY_SQL.format(x="md5(cluster_id::VARCHAR)")} % 100 < 80
+                THEN 'train'
+              WHEN {_POLY_SQL.format(x="md5(cluster_id::VARCHAR)")} % 100 < 90
+                THEN 'valid'
+              ELSE 'test' END AS split
+  FROM labeled)
+SELECT split, count(*) AS n_docs,
+       count(DISTINCT cluster_id) AS n_clusters
+FROM s GROUP BY split
+""",
+    description=(
+        "leak-proof split: documents split by NEAR-DUP CLUSTER id "
+        "(pairs -> connected components -> cluster hash bucket), so "
+        "variant copies land in the same split by construction -- the "
+        "fix for the z81 leakage channel, with leakage = 0 pinned by "
+        "test. Output: per-split doc and cluster counts"
+    ),
+)
+def z82(spark, sf_dir):
+    from ..operators.train_prep import cluster_safe_split
+
+    s = cluster_safe_split(load(spark, "documents", sf_dir))
+    return s.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )

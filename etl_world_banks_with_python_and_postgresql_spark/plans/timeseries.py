@@ -1,0 +1,1025 @@
+"""Event/time-series surface: tumbling windows, sessionization,
+as-of/range joins, resampling, interval algebra, rollups.
+
+Split from the monolithic plans/queries.py (round 5, VERDICT r4
+task #7); registration order is irrelevant -- every consumer
+sorts REGISTRY by name. Helpers and SQL twins live in
+plans.base.
+"""
+
+from .base import *  # noqa: F401,F403 -- registry, helpers, spark/operator imports
+
+
+
+@query(
+    "q22_json_extract",
+    oracle=f"""
+SELECT event_type,
+       count(*)                                          AS n,
+       round(sum(CAST(value AS DECIMAL(25,6))), 4)::DOUBLE                              AS total_value,
+       {_ratio_sql("sum(json_extract_string(props, '$.k')::INT)",
+                   "count(json_extract_string(props, '$.k')::INT)", 4)} AS avg_k,
+       min(json_extract_string(props, '$.k')::INT)       AS min_k,
+       max(json_extract_string(props, '$.k')::INT)       AS max_k
+FROM events GROUP BY event_type
+""",
+    description="semi-structured JSON column extraction + agg",
+)
+def q22(spark, sf_dir):
+    from ..functions.exactnum import ratio_scaled_halfup
+
+    e = load(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("value"), 4).alias("total_value"),
+        # exact-BIGINT HALF_UP mean of an int column (q49 determinism rule)
+        (ratio_scaled_halfup(F.sum(k), F.count(k), 4) / F.lit(10000.0)).alias(
+            "avg_k"
+        ),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "q24_tumbling_window",
+    oracle="""
+SELECT time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP) AS win_start, event_type,
+       count(*) AS n, round(sum(CAST(value AS DECIMAL(25,6))), 4)::DOUBLE AS total_value
+FROM events GROUP BY 1, 2
+""",
+    description="tumbling event-time window aggregation (batch form of streaming agg)",
+)
+def q24(spark, sf_dir):
+    e = load(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), _dsum(F.col("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+@query(
+    "q25_sessionize",
+    oracle="""
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, value FROM events),
+g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, (sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+  FROM g)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(CAST(value AS DECIMAL(25,6))), 4)::DOUBLE AS total_value
+FROM s GROUP BY user_id, session_idx
+""",
+    description="gap-based sessionization (lag + conditional cumsum)",
+)
+def q25(spark, sf_dir):
+    return sessionize.sessionize(load(spark, "events", sf_dir), gap_minutes=30)
+
+
+# =====================================================================
+# Extended operator families: as-of join, percentiles, explode, unpivot,
+# array functions (rounding out SURVEY §2.6's "covered by Spark built-ins")
+# =====================================================================
+
+
+@query(
+    "q41_asof_join",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type, value FROM events),
+purchases AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+clicks AS (SELECT user_id, ts, max(value) AS last_click_value
+           FROM e WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, p.ts, round(c.last_click_value, 4) AS last_click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    description="as-of (point-in-time) join via union+last-value window",
+)
+def q41(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    e = load(spark, "events", sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("last_click_value")
+    )
+    joined = asof_join(purchases, clicks, key="user_id", ts="ts",
+                       value_cols=["last_click_value"])
+    return joined.select(
+        "event_id", "user_id", "ts", F.round("last_click_value", 4).alias("last_click_value")
+    )
+
+
+@query(
+    "q42_hypertable_rollup",
+    oracle="""
+SELECT 'hour' AS granularity, time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS bucket,
+       event_type, count(*) AS n, round(sum(CAST(value AS DECIMAL(25,6))), 4)::DOUBLE AS total_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', time_bucket(INTERVAL '1 day', ts::TIMESTAMP), event_type,
+       count(*), round(sum(CAST(value AS DECIMAL(25,6))), 4)::DOUBLE
+FROM events GROUP BY 2, 3
+""",
+    description="hypertable-style multi-granularity rollup (continuous-aggregate shape)",
+)
+def q42(spark, sf_dir):
+    e = load(spark, "events", sf_dir)
+
+    def agg_at(granularity: str, label: str):
+        return (
+            e.groupBy(F.window("ts", granularity).alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), _dsum(F.col("value"), 4).alias("total_value"))
+            .select(
+                F.lit(label).alias("granularity"),
+                F.col("w.start").alias("bucket"),
+                "event_type",
+                "n",
+                "total_value",
+            )
+        )
+
+    # at scale: compute the fine granularity once, then re-aggregate coarser
+    # levels from it (sums/counts compose); here the data is small enough to
+    # keep both oracle-parallel for clarity
+    return agg_at("1 hour", "hour").unionByName(agg_at("1 day", "day"))
+
+
+@query(
+    "q43_event_time_join",
+    oracle="""
+SELECT p.user_id,
+       p.ts::TIMESTAMP  AS l_ts,
+       c.ts::TIMESTAMP  AS r_ts,
+       p.event_id       AS l_event_id,
+       c.event_id       AS r_event_id
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+""",
+    description=(
+        "event-time interval join (purchase <- clicks within the preceding "
+        "hour); same operator drives the watermarked stream-stream join in "
+        "streaming/pipeline.py"
+    ),
+)
+def q43(spark, sf_dir):
+    from ..streaming.pipeline import event_time_join
+
+    ev = load(spark, "events", sf_dir)
+    purchases = ev.filter("event_type = 'purchase'").select("user_id", "ts", "event_id")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+    return event_time_join(purchases, clicks, key="user_id", max_delay="1 hour")
+
+
+@query(
+    "q44_resample_ffill",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket,
+         round(avg(value), 4) AS observed
+  FROM events GROUP BY 1, 2),
+cal AS (
+  SELECT u.user_id, d.bucket
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                            TIMESTAMP '2024-01-30',
+                                            INTERVAL 1 DAY)) AS bucket) d),
+j AS (
+  SELECT c.user_id, c.bucket, d.observed
+  FROM cal c LEFT JOIN daily d
+    ON c.user_id = d.user_id AND c.bucket = d.bucket)
+SELECT user_id, bucket,
+       last_value(observed IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       observed IS NOT NULL AS is_observed
+FROM j
+""",
+    description=(
+        "time-series regularization: sparse events -> dense per-user daily "
+        "calendar (generated, never scanned) -> forward fill via IGNORE "
+        "NULLS window. Leading buckets before a user's first observation "
+        "stay NULL (no invented history)"
+    ),
+)
+def q44(spark, sf_dir):
+    from ..operators.timeseries import resample_ffill
+
+    return resample_ffill(
+        load(spark, "events", sf_dir), start="2024-01-01", end="2024-01-30"
+    )
+
+
+@query(
+    "z04_sliding_window",
+    oracle="""
+WITH w AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP)
+           - (k.k * INTERVAL '5 minutes') AS win_start,
+         event_type, value
+  FROM events, (SELECT unnest([0, 1]) AS k) k)
+SELECT win_start, event_type,
+       count(*) AS n, round(sum(CAST(value AS DECIMAL(25,6))), 4)::DOUBLE AS total_value
+FROM w GROUP BY 1, 2
+""",
+    description=(
+        "sliding (hopping) event-time window: 10-minute windows every 5 "
+        "minutes -- each event lands in exactly window/slide buckets; the "
+        "oracle derives the same 2 windows per event from the 5-minute "
+        "bucket, batch form of the streaming hopping aggregation"
+    ),
+)
+def z04(spark, sf_dir):
+    e = load(spark, "events", sf_dir)
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), _dsum(F.col("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+@query(
+    "z06_continuous_aggregate",
+    oracle="""
+SELECT time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP) AS win_start, event_type,
+       count(*) AS n, min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2
+""",
+    description=(
+        "continuous aggregate: 3 incremental partial-aggregate ingests + "
+        "merge-on-read must equal one direct aggregation over all events "
+        "(count/min/max merge exactly; float sums are pinned in tests "
+        "instead, where tolerance applies)"
+    ),
+)
+def z06(spark, sf_dir):
+    import tempfile
+
+    from ..operators.rollup import RollupTable
+
+    ev = load(spark, "events", sf_dir).select("ts", "event_type", "value")
+    with tempfile.TemporaryDirectory() as tmp:
+        rt = RollupTable(f"{tmp}/r", bucket="5 minutes", keys=["event_type"])
+        for m in range(3):
+            rt.ingest(ev.filter(F.pmod(F.xxhash64("ts"), F.lit(3)) == m))
+        out = rt.read(spark).select(
+            "win_start", "event_type", "n", "min_value", "max_value"
+        )
+        # materialize before the temp index vanishes (bounded: one row per
+        # (bucket, type) group -- the same volume the driver collects)
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
+    "z14_salted_agg",
+    oracle="""
+SELECT event_type,
+       count(*)                                            AS n_events,
+       round(sum(CAST(value AS DECIMAL(25,6))), 2)::DOUBLE AS total_value,
+       min(value)                                          AS min_value,
+       max(value)                                          AS max_value
+FROM events
+GROUP BY 1
+""",
+    description=(
+        "skew-safe two-phase aggregation: partial-agg on (key, salt) "
+        "spreads a hot key over 16 reducers, then the merge shuffle "
+        "carries only |groups|*16 partial rows. Result-identical to the "
+        "plain groupBy (exact DECIMAL sums keep two-phase == one-phase "
+        "bit-for-bit); the salt is a deterministic content hash, never "
+        "rand() (task retries must re-salt identically)"
+    ),
+)
+def z14(spark, sf_dir):
+    from ..operators.skew import salted_agg
+
+    ev = load(spark, "events", sf_dir)
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        [
+            ("n_events", "count", F.lit(1)),
+            ("_sv", "sum", F.col("value").cast("decimal(25,6)")),
+            ("min_value", "min", F.col("value")),
+            ("max_value", "max", F.col("value")),
+        ],
+        salt=F.xxhash64("event_id"),
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("_sv", 2).cast("double").alias("total_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+@query(
+    "z31_funnel",
+    oracle="""
+WITH e AS (SELECT user_id, event_type, ts FROM events),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view'
+       GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+SELECT 1 AS stage_idx, 'view' AS stage, (SELECT count(*) FROM s1) AS n_users
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+""",
+    description=(
+        "ordered funnel (view -> click -> purchase): stage i counts users "
+        "whose first stage-i event is strictly after their first "
+        "completion of stage i-1 (min-timestamp chaining -- no per-user "
+        "event sort). Per-stage min-aggregates over the scan + joins of "
+        "user-bounded frames; event rows are never joined row-to-row"
+    ),
+)
+def z31(spark, sf_dir):
+    from ..operators.funnel import funnel_counts
+
+    return funnel_counts(load(spark, "events", sf_dir))
+
+
+@query(
+    "z32_cohort_retention",
+    oracle="""
+WITH c AS (
+  SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
+  FROM events GROUP BY user_id),
+a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS active_week
+  FROM events)
+SELECT cohort_week,
+       (date_diff('day', cohort_week, active_week) // 7)::INT AS week_offset,
+       count(*) AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY 1, 2
+""",
+    description=(
+        "weekly cohort retention: users cohorted by first-event ISO week; "
+        "each (cohort_week, week_offset) cell counts that cohort's users "
+        "active k weeks later. Per-user min-agg + (user, week) distinct + "
+        "one user-keyed join; every intermediate bounded by users x "
+        "weeks, never event volume"
+    ),
+)
+def z32(spark, sf_dir):
+    from ..operators.funnel import cohort_retention
+
+    return cohort_retention(load(spark, "events", sf_dir))
+
+
+@query(
+    "z33_event_paths",
+    oracle="""
+WITH p AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id)
+SELECT path, count(*) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT 20
+""",
+    description=(
+        "clickstream path mining: per-user event-type sequences in "
+        "(ts, event_id) order folded to path strings, top-20 by user "
+        "count. One user-keyed aggregate with in-row array_sort (no "
+        "window, no second ordering shuffle), then a path-keyed count + "
+        "TakeOrdered top-k; the path table is |users|-bounded"
+    ),
+)
+def z33(spark, sf_dir):
+    from ..operators.funnel import event_paths
+
+    return event_paths(load(spark, "events", sf_dir))
+
+
+@query(
+    "z41_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY user_id),
+dev AS (
+  SELECT e.user_id, e.event_id, e.ts, e.value, m.med,
+         abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (user_id)),
+mad AS (
+  SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY user_id)
+SELECT d.user_id, d.event_id, d.ts, d.value,
+       round(d.med, 6) AS group_median,
+       round(d.adev / m.mad, 6) AS robust_z
+FROM dev d JOIN mad m USING (user_id)
+WHERE m.mad > 0 AND d.adev / m.mad > 3.5
+""",
+    description=(
+        "robust per-user outlier detection: |x - median| / MAD > 3.5 "
+        "(50% breakdown point -- a burst of bad readings cannot drag the "
+        "baseline the way it drags mean/stddev, unlike q46's z-score). "
+        "Two exact-percentile group aggregates joined back; stat sides "
+        "are user-bounded (broadcast at scale); ratio division-only, "
+        "engine-exact"
+    ),
+)
+def z41(spark, sf_dir):
+    from ..operators.timeseries import mad_outliers
+
+    return mad_outliers(load(spark, "events", sf_dir))
+
+
+@query(
+    "z45_event_cooccurrence",
+    oracle="""
+WITH de AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+  FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS support
+FROM de a JOIN de b
+  ON a.user_id = b.user_id AND a.day = b.day
+ AND a.event_type < b.event_type
+GROUP BY 1, 2
+HAVING count(*) >= 5
+ORDER BY support DESC, type_a, type_b
+""",
+    description=(
+        "market-basket co-occurrence (frequent-itemset k=2): support "
+        "counts for event-type pairs sharing a (user, day) basket. The "
+        "event stream reduces FIRST to distinct basket membership "
+        "(user-bounded, z31/z32 argument); the self-join's quadratic term "
+        "is |types-per-basket|^2 -- bounded by the type vocabulary, never "
+        "event volume"
+    ),
+)
+def z45(spark, sf_dir):
+    from ..operators.funnel import cooccurrence_pairs
+
+    return cooccurrence_pairs(load(spark, "events", sf_dir), min_support=5)
+
+
+@query(
+    "z46_association_rules",
+    oracle="""
+WITH de AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+  FROM events),
+pair AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS support
+  FROM de a JOIN de b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2 HAVING count(*) >= 5),
+singles AS (SELECT event_type AS t, count(*) AS n FROM de GROUP BY 1),
+totals AS (SELECT count(*) AS n_baskets
+           FROM (SELECT DISTINCT user_id, day FROM de))
+SELECT p.type_a, p.type_b, p.support,
+       round(p.support / sa.n, 6) AS conf_a_to_b,
+       round(p.support / sb.n, 6) AS conf_b_to_a,
+       round((p.support * t.n_baskets) / (sa.n * sb.n), 6) AS lift
+FROM pair p
+JOIN singles sa ON sa.t = p.type_a
+JOIN singles sb ON sb.t = p.type_b
+CROSS JOIN totals t
+ORDER BY support DESC, type_a, type_b
+""",
+    description=(
+        "association-rule metrics over the k=2 co-occurrence pass: "
+        "support, directional confidence, and lift from exact basket "
+        "counts (single IEEE divisions, rounded once). Per-type and "
+        "total-basket sides are vocabulary-/1-row-sized broadcasts; "
+        "nothing past the first distinct scales with event volume"
+    ),
+)
+def z46(spark, sf_dir):
+    from ..operators.funnel import association_metrics
+
+    return association_metrics(load(spark, "events", sf_dir), min_support=5)
+
+
+@query(
+    "z47_rolling_active_users",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS d FROM events),
+observed AS (SELECT DISTINCT d AS day FROM ud),
+fanned AS (
+  SELECT user_id,
+         unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE
+           AS day
+  FROM ud)
+SELECT f.day, count(DISTINCT f.user_id) AS active_users
+FROM fanned f JOIN observed o ON f.day = o.day
+GROUP BY f.day ORDER BY f.day
+""",
+    description=(
+        "trailing 7-day distinct active users per day (WAU; the DAU/MAU "
+        "family): distinct (user, day) once, then a map-side sequence "
+        "fan-out of each activity day to the report days it feeds -- no "
+        "range join, no per-day rescan -- one count-distinct per day, "
+        "observed-days semi-join trims the trailing horizon"
+    ),
+)
+def z47(spark, sf_dir):
+    from ..operators.funnel import rolling_active_users
+
+    return rolling_active_users(load(spark, "events", sf_dir), window_days=7)
+
+
+@query(
+    "z49_attribution",
+    oracle="""
+WITH w AS (
+  SELECT event_type,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id, date_trunc('day', ts)
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_t,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id, date_trunc('day', ts)
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_t
+  FROM events)
+SELECT coalesce(first_t, 'direct') AS first_touch,
+       coalesce(last_t, 'direct') AS last_touch,
+       count(*) AS conversions
+FROM w WHERE event_type = 'purchase'
+GROUP BY 1, 2 ORDER BY conversions DESC, first_touch, last_touch
+""",
+    description=(
+        "first-/last-touch conversion attribution per (user, day) "
+        "journey: one IGNORE-NULLS window pass over a rows-preceding "
+        "frame with an (ts, event_id) tie-break -- deterministic under "
+        "timestamp collisions -- then one channel-pair aggregate; "
+        "no-prior-touch conversions attribute to 'direct'. Window state "
+        "bounded by journey length"
+    ),
+)
+def z49(spark, sf_dir):
+    from ..operators.funnel import conversion_attribution
+
+    return conversion_attribution(load(spark, "events", sf_dir))
+
+
+@query(
+    "z51_scd2_intervals",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_type, event_id, value, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) AS valid_to
+  FROM events)
+SELECT user_id, event_type, event_id, value, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM v
+""",
+    description=(
+        "SCD-Type-2 intervalization: upgrade a version history (the "
+        "reference's active-flag model, sql:72-91, answers point-in-time "
+        "questions only by scanning versions) into [valid_from, valid_to) "
+        "rows via one lead() window per entity with an event_id tie-break "
+        "-- as-of reads become a pushdown-able range predicate"
+    ),
+)
+def z51(spark, sf_dir):
+    from ..operators.merge import with_validity_intervals
+
+    return with_validity_intervals(
+        load(spark, "events", sf_dir).select(
+            "user_id", "event_type", "event_id", "value", "ts"
+        ),
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+    ).drop("ts")
+
+
+@query(
+    "z55_time_weighted_avg",
+    oracle="""
+WITH w AS (
+  SELECT user_id, value,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt
+  FROM events),
+a AS (
+  SELECT user_id,
+         sum(CAST(value * dt AS DECIMAL(25,6))) AS wsum,
+         sum(dt) AS tsum, count(*) AS n_obs, min(value) AS fv
+  FROM w GROUP BY user_id)
+SELECT user_id, n_obs,
+       CASE WHEN tsum IS NULL OR tsum = 0 THEN round(fv, 6)
+            ELSE round(wsum::DOUBLE / tsum, 6) END AS twa
+FROM a
+""",
+    description=(
+        "time-weighted average per user over irregular samples (LOCF "
+        "interval weighting): the correct mean for gauges/balances where "
+        "plain avg() over-weights bursty periods. Exact integer "
+        "microsecond intervals, DECIMAL-lifted weighted sum (associative "
+        "-- the q01/q49 determinism rule), one final division; "
+        "single-observation groups return their value"
+    ),
+)
+def z55(spark, sf_dir):
+    from ..operators.timeseries import time_weighted_avg
+
+    return time_weighted_avg(load(spark, "events", sf_dir))
+
+
+@query(
+    "z56_trend_slope",
+    oracle="""
+WITH m AS (
+  SELECT user_id, count(*) AS n,
+         sum(CAST((epoch_us(ts) - 1704067200000000) / 86400000000.0 AS DECIMAL(25,6))) AS sx,
+         sum(CAST(value AS DECIMAL(25,6))) AS sy,
+         sum(CAST(((epoch_us(ts) - 1704067200000000) / 86400000000.0) * value
+                  AS DECIMAL(38,12))) AS sxy,
+         sum(CAST(((epoch_us(ts) - 1704067200000000) / 86400000000.0)
+                  * ((epoch_us(ts) - 1704067200000000) / 86400000000.0)
+                  AS DECIMAL(38,12))) AS sxx,
+         count(DISTINCT ts) AS nts
+  FROM events GROUP BY user_id)
+SELECT user_id, n,
+       CASE WHEN nts >= 2 THEN
+         round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+       END AS slope_per_day,
+       CASE WHEN nts >= 2 THEN
+         round((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+               * sx::DOUBLE) / n::DOUBLE, 6)
+       END AS intercept_at_origin
+FROM m
+""",
+    description=(
+        "per-user OLS trend (slope units/day + intercept) from exact "
+        "DECIMAL moments over exact microsecond-derived day fractions -- "
+        "associative sums, one final IEEE division (q93's exact-moment "
+        "determinism rule). The drift detector for per-entity metrics; "
+        "one map-side-combinable aggregate, no window, no collect"
+    ),
+)
+def z56(spark, sf_dir):
+    from ..operators.timeseries import trend_slope
+
+    return trend_slope(load(spark, "events", sf_dir))
+
+
+@query(
+    "z57_time_to_convert",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t1
+  FROM events GROUP BY user_id),
+lat AS (
+  SELECT (t1 - t0) / 1000000.0 AS s
+  FROM per_user WHERE t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(s, 0.25), 4) AS p25_seconds,
+       round(quantile_cont(s, 0.5), 4) AS p50_seconds,
+       round(quantile_cont(s, 0.9), 4) AS p90_seconds
+FROM lat
+""",
+    description=(
+        "conversion-latency distribution: per user, seconds from first "
+        "'view' to first strictly-later 'purchase', summarized with "
+        "exact p25/p50/p90 (q53 percentile parity). One conditional-min "
+        "aggregate per user -- the two funnel legs never join; "
+        "user-bounded intermediates"
+    ),
+)
+def z57(spark, sf_dir):
+    from ..operators.funnel import time_to_convert
+
+    return time_to_convert(load(spark, "events", sf_dir))
+
+
+@query(
+    "z61_interval_union",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts + INTERVAL 5 MINUTE) AS e
+  FROM events),
+m AS (
+  SELECT user_id, event_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pme
+  FROM iv),
+isl AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM m),
+spans AS (
+  SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
+  FROM isl GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_intervals,
+       sum(i_e - i_s) AS covered_micros
+FROM spans GROUP BY user_id
+""",
+    description=(
+        "overlapping-interval coalescing (islands-and-gaps): each event "
+        "extended to a 5-minute activity interval, per-user merged "
+        "span count + total COVERED microseconds -- interval union, the "
+        "fix for double-counted durations in uptime/billing/coverage "
+        "sums. One cumulative-max window + running-sum island ids over "
+        "exact integer micros; O(n log n), never the O(n^2) overlap join"
+    ),
+)
+def z61(spark, sf_dir):
+    from ..operators.timeseries import merge_intervals
+
+    ev = load(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end_ts"),
+    )
+    return merge_intervals(
+        ev, "start_ts", "end_ts", tiebreak_col="event_id"
+    )
+
+
+@query(
+    "z68_decayed_score",
+    oracle="""
+WITH w AS (
+  SELECT user_id, value,
+         greatest(date_diff('day', ts::DATE, DATE '2024-01-31'), 0) // 7
+           AS age_weeks
+  FROM events),
+s AS (
+  SELECT user_id, value,
+         CASE age_weeks WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+                        WHEN 2 THEN 0.25 WHEN 3 THEN 0.125
+                        WHEN 4 THEN 0.0625 ELSE 0.0 END AS decay
+  FROM w)
+SELECT user_id,
+       round(sum(CAST(value * decay AS DECIMAL(25,6))), 4)::DOUBLE
+         AS decayed_score,
+       count(*) AS n_events
+FROM s GROUP BY user_id
+""",
+    description=(
+        "half-life-decayed engagement score per user (1-week half-life "
+        "against a fixed as-of date): recency weighting WITHOUT libm -- "
+        "exp-decay's exp() differs in the last ulp across engines, but "
+        "dyadic weights 2^-k for integer week ages are EXACT doubles in "
+        "a literal CASE. Weighted sum decimal-lifted (associative), one "
+        "final round; one group aggregate, map-side combinable"
+    ),
+)
+def z68(spark, sf_dir):
+    # clamp negative ages (post-as-of events) to 0 BEFORE the division:
+    # negative integer division is truncate-toward-zero in Spark but
+    # engine/version-dependent elsewhere -- clamping keeps both sides in
+    # the nonnegative range where floor == truncate everywhere
+    age_weeks = F.floor(
+        F.greatest(
+            F.datediff(
+                F.lit("2024-01-31").cast("date"), F.col("ts").cast("date")
+            ),
+            F.lit(0),
+        )
+        / 7
+    ).cast("int")
+    decay = F.when(age_weeks == 0, F.lit(1.0))
+    for k in range(1, 5):
+        decay = decay.when(age_weeks == k, F.lit(2.0 ** -k))
+    decay = decay.otherwise(F.lit(0.0))
+    return (
+        load(spark, "events", sf_dir)
+        .select("user_id", "value", decay.alias("_d"))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum((F.col("value") * F.col("_d")).cast("decimal(25,6)")), 4
+            )
+            .cast("double")
+            .alias("decayed_score"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "z69_session_funnel",
+    oracle="""
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type
+           FROM events),
+g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, (sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+  FROM g),
+ps AS (
+  SELECT user_id, session_idx,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t1
+  FROM s GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions,
+       sum((t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0)::BIGINT)
+         AS n_converted,
+       round(sum((t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0)::BIGINT)
+             / count(*), 6) AS conversion_rate
+FROM ps GROUP BY user_id
+""",
+    description=(
+        "WITHIN-session conversion funnel (view -> strictly-later "
+        "purchase in the SAME gap-based session): day-/lifetime-scoped "
+        "funnels over-credit conversions spanning visits. Event-level "
+        "session assignment (one window) + conditional mins per session "
+        "in ONE aggregate (legs never join) + per-user rollup; "
+        "user-bounded intermediates"
+    ),
+)
+def z69(spark, sf_dir):
+    from ..operators.sessionize import session_funnel
+
+    return session_funnel(load(spark, "events", sf_dir))
+
+
+@query(
+    "z70_intersession_gaps",
+    oracle="""
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM events),
+g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, (sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+  FROM g),
+spans AS (
+  SELECT user_id, session_idx,
+         min(epoch_us(ts)) AS s0, max(epoch_us(ts)) AS s1
+  FROM s GROUP BY 1, 2),
+gaps AS (
+  SELECT user_id,
+         (s0 - lag(s1) OVER (PARTITION BY user_id ORDER BY session_idx))
+           / 3600000000.0 AS gap_hours
+  FROM spans)
+SELECT count(*) AS n_gaps,
+       round(quantile_cont(gap_hours, 0.5), 4) AS p50_hours,
+       round(quantile_cont(gap_hours, 0.9), 4) AS p90_hours
+FROM gaps WHERE gap_hours IS NOT NULL
+""",
+    description=(
+        "return-visit cadence: distribution of gaps between consecutive "
+        "sessions per user (session spans from the q25 gap-based "
+        "sessionization, inter-span lag, exact p50/p90 over "
+        "microsecond-derived hours). The engagement-cadence metric next "
+        "to z32's cohort retention; user-bounded intermediates"
+    ),
+)
+def z70(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..operators.sessionize import assign_sessions
+
+    spans = (
+        assign_sessions(load(spark, "events", sf_dir))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("_s0"),
+            F.max(F.unix_micros("ts")).alias("_s1"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("session_idx")
+    gaps = spans.select(
+        (
+            (F.col("_s0") - F.lag("_s1").over(w)) / F.lit(3_600_000_000.0)
+        ).alias("gap_hours")
+    ).filter(F.col("gap_hours").isNotNull())
+    return gaps.agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.percentile("gap_hours", F.lit(0.5)), 4).alias("p50_hours"),
+        F.round(F.percentile("gap_hours", F.lit(0.9)), 4).alias("p90_hours"),
+    )
+
+
+@query(
+    "z71_freshness_sla",
+    oracle="""
+WITH f AS (
+  SELECT event_type, max(epoch_us(ts)) AS last_us, count(*) AS n_events
+  FROM events GROUP BY event_type),
+g AS (SELECT max(last_us) AS now_us FROM f)
+SELECT event_type, n_events,
+       round((now_us - last_us) / 3600000000.0, 4) AS hours_behind,
+       (now_us - last_us) <= 24 * 3600000000 AS within_sla
+FROM f CROSS JOIN g
+""",
+    description=(
+        "per-stream freshness SLA report: hours since each event type's "
+        "latest arrival, measured against the newest timestamp in the "
+        "table (clock-free -- a wall-clock 'now' would make the check "
+        "nondeterministic AND flaky in backfills), with a 24h SLA flag. "
+        "One group aggregate + a 1-row global max broadcast; the "
+        "staleness monitor an ingest pipeline alerts on"
+    ),
+)
+def z71(spark, sf_dir):
+    f = (
+        load(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("_last"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    g = f.agg(F.max("_last").alias("_now"))
+    return (
+        f.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_events",
+            F.round(
+                (F.col("_now") - F.col("_last")) / F.lit(3_600_000_000.0), 4
+            ).alias("hours_behind"),
+            (
+                (F.col("_now") - F.col("_last"))
+                <= F.lit(24 * 3_600_000_000)
+            ).alias("within_sla"),
+        )
+    )
+
+
+@query(
+    "z73_user_growth",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS w FROM events GROUP BY 1),
+per_week AS (
+  SELECT w, count(*) AS new_users FROM first_seen GROUP BY w)
+SELECT w AS week, new_users,
+       (sum(new_users) OVER (ORDER BY w
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       )::BIGINT AS cumulative_users
+FROM per_week
+""",
+    description=(
+        "cumulative acquisition curve: first-seen week per user -> new "
+        "users per week -> running total. Exact cumulative DISTINCT "
+        "users without running-distinct state: first-seen reduction "
+        "makes the cumsum additive; the ordered window runs over "
+        "|weeks| rows, never users or events"
+    ),
+)
+def z73(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    first_seen = (
+        load(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", F.col("ts")).cast("date")).alias("w"))
+    )
+    per_week = first_seen.groupBy("w").agg(F.count("*").alias("new_users"))
+    win = W.orderBy("w").rowsBetween(W.unboundedPreceding, 0)
+    return per_week.select(
+        F.col("w").alias("week"),
+        "new_users",
+        F.sum("new_users").over(win).cast("long").alias("cumulative_users"),
+    )
