@@ -448,3 +448,124 @@ def z74(spark, sf_dir):
         )
         .drop("_total")
     )
+
+
+@query(
+    "z86_trimmed_mean",
+    oracle="""
+WITH c AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c),
+k AS (
+  SELECT event_type, n, cents
+  FROM r WHERE rn > n // 10 AND rn <= n - n // 10)
+SELECT event_type,
+       max(n)::BIGINT AS n_total,
+       count(*)::BIGINT AS n_kept,
+       ((2 * 1000000 * sum(cents) + 100 * count(*))
+        // (2 * 100 * count(*)))::BIGINT AS trimmed_mean_micros
+FROM k GROUP BY event_type
+""",
+    description=(
+        "10%-trimmed mean per event type in exact integers: 2-dp values "
+        "lifted to BIGINT cents, rank-trimmed by COUNT (not by value "
+        "quantile -- identical row sets in both engines via the "
+        "(cents, event_id) total order), mean as one HALF_UP-micros "
+        "rational. The outlier-robust aggregate a metrics pipeline "
+        "wants when p99 sensors misreport; one window + one aggregate, "
+        "both partitioned on the group key"
+    ),
+)
+def z86(spark, sf_dir):
+    ev = load(spark, "events", sf_dir).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = W.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    tenth = (F.col("n") - F.col("n") % 10) / 10
+    k = r.filter(
+        (F.col("rn") > tenth) & (F.col("rn") <= F.col("n") - tenth)
+    )
+    den = F.lit(100) * F.count("*")
+    num = F.sum("cents")
+    return k.groupBy("event_type").agg(
+        F.max("n").alias("n_total"),
+        F.count("*").alias("n_kept"),
+        (
+            (
+                (F.lit(2_000_000) * num + den)
+                - (F.lit(2_000_000) * num + den) % (F.lit(2) * den)
+            )
+            / (F.lit(2) * den)
+        )
+        .cast("long")
+        .alias("trimmed_mean_micros"),
+    )
+
+
+@query(
+    "z87_percentile_disc",
+    oracle="""
+WITH r AS (
+  SELECT o_orderstatus, o_totalprice, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders)
+SELECT o_orderstatus,
+       max(n)::BIGINT AS n_orders,
+       max(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS p50,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN o_totalprice END) AS p90,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN o_totalprice END) AS p99
+FROM r GROUP BY o_orderstatus
+""",
+    description=(
+        "exact discrete percentiles (percentile_disc semantics, idx = "
+        "ceil(p*n) via integer arithmetic): the reported value IS an "
+        "actual data element taken verbatim from the column -- no "
+        "interpolation, no rounding, engine-exact by construction. The "
+        "p50/p90/p99 latency-report shape; one rank window per group + "
+        "one aggregate"
+    ),
+)
+def z87(spark, sf_dir):
+    o = load(spark, "orders", sf_dir)
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wn = W.partitionBy("o_orderstatus")
+    r = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def _ceil_idx(mult: int, div: int):
+        # ceil(mult*n/div) = (mult*n + div - 1 - (mult*n - 1) % div ... use
+        # (mult*(n+1)-1)//div form mirrored in the oracle: (mult*n+mult)//div
+        num = F.col("n") * mult + mult
+        return ((num - num % div) / div).cast("long")
+
+    picks = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+    aggs = [F.max("n").alias("n_orders")]
+    for name, m, d in picks:
+        aggs.append(
+            F.max(
+                F.when(F.col("rn") == _ceil_idx(m, d), F.col("o_totalprice"))
+            ).alias(name)
+        )
+    return r.groupBy("o_orderstatus").agg(*aggs)

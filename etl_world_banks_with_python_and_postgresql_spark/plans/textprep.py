@@ -1340,3 +1340,136 @@ def z82(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.countDistinct("cluster_id").alias("n_clusters"),
     )
+
+
+@query(
+    "z84_oov_rate",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+freq AS (
+  SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+vocab AS (
+  SELECT term FROM freq
+  ORDER BY cnt DESC, term ASC LIMIT 100),
+scored AS (
+  SELECT t.doc_id,
+         count(*) AS n_tok,
+         sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM tok t LEFT JOIN vocab v USING (term)
+  GROUP BY t.doc_id)
+SELECT doc_id, n_tok::BIGINT AS n_tok, n_oov::BIGINT AS n_oov,
+       {_ratio_sql("n_oov", "n_tok")} AS oov_rate
+FROM scored
+""",
+    description=(
+        "out-of-vocabulary-rate quality filter: corpus top-100 token "
+        "vocabulary (count desc, term asc tiebreak) -> per-doc fraction "
+        "of token occurrences outside it, exact HALF_UP micros. The "
+        "fastText-style garbage detector: high OOV = boilerplate/noise/"
+        "wrong-language. Scale: vocabulary is one tiny broadcast (100 "
+        "terms); the explode is linear and dies into a map-side-combined "
+        "per-doc aggregate -- no corpus-wide shuffle beyond the doc "
+        "groupBy"
+    ),
+)
+def z84(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(xhash.ws_tokens(F.col("text"))).alias("term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(100)
+        .select("term", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_oov",
+            (
+                exactnum.ratio_micros_halfup(F.col("n_oov"), F.col("n_tok"))
+                / F.lit(1_000_000.0)
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@query(
+    "z85_tfidf_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         ((2 * 1000000 * (tf.tf * n.n_docs)
+           + (df.df * dl.doc_len))
+          // (2 * (df.df * dl.doc_len)))::BIGINT AS score_micros
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n),
+r AS (
+  SELECT doc_id, term, score_micros,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_micros DESC, term ASC) AS rn
+  FROM s)
+SELECT doc_id, rn::INT AS rn, term, score_micros
+FROM r WHERE rn <= 3
+""",
+    description=(
+        "log-free TF-IDF keyword extraction: score = tf/doc_len * N/df "
+        "as ONE exact HALF_UP-micros rational (no log, no float -- "
+        "ranking by tf*N/(df*len) preserves the tf-idf order for the "
+        "top-k cut and stays engine-exact), top-3 terms per doc with "
+        "deterministic (score desc, term asc) tiebreak. Scale: df is a "
+        "term-keyed aggregate (map-side combined), the per-doc window "
+        "partitions on doc_id over |doc x distinct-term| rows -- both "
+        "linear in the posting count"
+    ),
+)
+def z85(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(xhash.ws_tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    s = (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            exactnum.ratio_micros_halfup(
+                F.col("tf") * F.col("n_docs"),
+                F.col("df") * F.col("doc_len"),
+            ).alias("score_micros"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("score_micros"), F.asc("term")
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "rn", "term", "score_micros")
+    )
