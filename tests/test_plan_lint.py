@@ -47,6 +47,9 @@ WHITELIST = {
     # corpus stats (N, sum_dl, per-term df) are ONE broadcast row crossed
     # into the row-local score expression
     "z36_bm25_rank": "scalar-aggregate stats (1-row broadcast side)",
+    # the doc-count N is ONE broadcast row crossed into the row-local
+    # tf-idf score expression
+    "z85_tfidf_terms": "scalar-aggregate N (1-row broadcast side)",
     # global [min, max] bounds are ONE broadcast row crossed into the
     # row-local bin expression
     "z40_histogram": "scalar-aggregate bounds (1-row broadcast side)",
