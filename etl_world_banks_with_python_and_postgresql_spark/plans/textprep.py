@@ -1473,3 +1473,78 @@ def z85(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "rn", "term", "score_micros")
     )
+
+
+@query(
+    "z88_bigram_lm_score",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+bg AS (
+  SELECT doc_id, w[i] AS h, w[i] || ' ' || w[i+1] AS b
+  FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS g(i)),
+cb AS (SELECT b, count(*) AS c_bg FROM bg GROUP BY b),
+ch AS (SELECT h, count(*) AS c_head FROM bg GROUP BY h),
+p AS (
+  SELECT bg.doc_id,
+         ((2 * 1000000 * cb.c_bg + ch.c_head)
+          // (2 * ch.c_head))::BIGINT AS p_micros
+  FROM bg JOIN cb USING (b) JOIN ch USING (h))
+SELECT doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       ((2 * sum(p_micros) + count(*)) // (2 * count(*)))::BIGINT
+         AS lm_score_micros
+FROM p GROUP BY doc_id
+""",
+    description=(
+        "corpus-bigram language-model fluency score (the KenLM-filter "
+        "shape without logs): P(w2|w1) = c(w1 w2)/c(w1-as-head) as exact "
+        "HALF_UP micros per adjacent pair, doc score = integer mean. "
+        "Low score = token sequences the corpus itself finds improbable "
+        "(mojibake, shuffled text, wrong language) -- the perplexity "
+        "proxy a quality gate thresholds on, engine-exact end to end. "
+        "Scale: two count aggregates (map-side combined) + two linear "
+        "equi-joins on the position list; no corpus-quadratic anything"
+    ),
+)
+def z88(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    toks = xhash.ws_tokens(F.col("text"))
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("h"),
+                        F.concat_ws(
+                            " ",
+                            F.element_at(toks, i),
+                            F.element_at(toks, i + 1),
+                        ).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("p"),
+    ).select("doc_id", F.col("p.h").alias("h"), F.col("p.b").alias("b"))
+    cb = bg.groupBy("b").agg(F.count("*").alias("c_bg"))
+    ch = bg.groupBy("h").agg(F.count("*").alias("c_head"))
+    p = (
+        bg.join(cb, "b")
+        .join(ch, "h")
+        .select(
+            "doc_id",
+            exactnum.ratio_micros_halfup(
+                F.col("c_bg"), F.col("c_head")
+            ).alias("p_micros"),
+        )
+    )
+    num, den = F.sum("p_micros"), F.count("*")
+    mean = (
+        (F.lit(2) * num + den) - (F.lit(2) * num + den) % (F.lit(2) * den)
+    ) / (F.lit(2) * den)
+    return p.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        mean.cast("long").alias("lm_score_micros"),
+    )
