@@ -1888,3 +1888,33 @@ def test_decode_image_pixels_bmp_luma(spark):
         for y in range(h) for x in range(w)
     ]
     assert list(out["pixels"]) == expect
+
+
+def test_incremental_join_view_delta_rule(spark, tmp_path):
+    """Each joined pair must be emitted exactly once (by the later
+    arrival), across interleaved left/right appends; the accumulated
+    view equals the from-scratch join after every ingest."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        IncrementalJoinView,
+    )
+
+    v = IncrementalJoinView(str(tmp_path / "v"), key="k")
+    L = spark.createDataFrame
+    v.ingest_left(L([(1, "a1"), (2, "a2")], "k int, a string"))
+    v.ingest_right(L([(1, "b1")], "k int, b string"))
+    assert sorted(tuple(r) for r in v.read(spark).collect()) == [(1, "a1", "b1")]
+
+    # late left row joins existing right; duplicate-key right row fans out
+    v.ingest_left(L([(1, "a3")], "k int, a string"))
+    v.ingest_right(L([(2, "b2"), (1, "b3")], "k int, b string"))
+    got = sorted(tuple(r) for r in v.read(spark).collect())
+    assert got == sorted(
+        [(1, "a1", "b1"), (1, "a3", "b1"),
+         (1, "a1", "b3"), (1, "a3", "b3"),
+         (2, "a2", "b2")]
+    )
+    # equivalently: view == full join of everything ingested so far
+    allL = L([(1, "a1"), (2, "a2"), (1, "a3")], "k int, a string")
+    allR = L([(1, "b1"), (2, "b2"), (1, "b3")], "k int, b string")
+    direct = sorted(tuple(r) for r in allL.join(allR, "k").collect())
+    assert got == direct
