@@ -11,7 +11,31 @@ regression class this pins down).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+# `Window [exprs], [partition], [order]` = partitioned+ordered; `Window
+# [exprs], [partition]` = partitioned, unordered; `Window [exprs],
+# [order]` = GLOBAL: every row moves to ONE partition (Spark itself warns
+# "No Partition Defined ... serious performance degradation"). Fine over a
+# bounded pre-aggregated frame, fatal over corpus-sized input. Window
+# exprs never contain brackets, so split the line's "], [" groups; the
+# global form has exactly TWO groups with the second being an ORDER spec
+# (it carries ASC/DESC markers, which a partition group never does).
+_WINDOW_LINE = re.compile(r"\bWindow \[")
+
+
+def _has_global_window(plan: str) -> bool:
+    for line in plan.splitlines():
+        if not _WINDOW_LINE.search(line):
+            continue
+        groups = line.split("], [")
+        if len(groups) == 2 and (
+            " ASC" in groups[1] or " DESC" in groups[1]
+        ):
+            return True
+    return False
 
 # plan-node substring -> finding description
 _CHECKS = {
@@ -39,4 +63,11 @@ def lint_plan(df: DataFrame) -> list[str]:
     is the sanctioned escape hatch.
     """
     s = df._jdf.queryExecution().executedPlan().toString()
-    return [desc for node, desc in _CHECKS.items() if node in s]
+    findings = [desc for node, desc in _CHECKS.items() if node in s]
+    if _has_global_window(s):
+        findings.append(
+            "global window (no PARTITION BY: every row moves to one "
+            "partition; partition it, or justify that the windowed frame "
+            "is bounded by a prior aggregation)"
+        )
+    return findings

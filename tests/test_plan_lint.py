@@ -50,6 +50,10 @@ WHITELIST = {
     # the doc-count N is ONE broadcast row crossed into the row-local
     # tf-idf score expression
     "z85_tfidf_terms": "scalar-aggregate N (1-row broadcast side)",
+    # the ordered global window runs over |distinct weeks| rows AFTER two
+    # reductions (user -> first week -> per-week counts): bounded by the
+    # calendar, never by users or events
+    "z73_user_growth": "global window over the pre-aggregated week axis",
     # global [min, max] bounds are ONE broadcast row crossed into the
     # row-local bin expression
     "z40_histogram": "scalar-aggregate bounds (1-row broadcast side)",
