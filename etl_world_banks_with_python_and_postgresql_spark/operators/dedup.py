@@ -109,9 +109,13 @@ def shingle_sets(
     the shuffle the whole pipeline would run at input-split parallelism.
     """
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    return spread.select(
+    # materialize the token array BEFORE shingling: word_shingles indexes
+    # the array per shingle position, and element_at over the raw
+    # ws_tokens() expression re-runs the split per access -- O(len^2)
+    # per doc (measured 9-13 s -> 0.5 s for the sf0.1 shingle stage)
+    return spread.withColumn("_toks", ws_tokens(F.col(text_col))).select(
         F.col(id_col).alias("doc_id"),
-        word_shingles(ws_tokens(F.col(text_col)), n=n).alias("sh"),
+        word_shingles(F.col("_toks"), n=n).alias("sh"),
     )
 
 
@@ -683,11 +687,12 @@ def dup_ngram_stats(
     spread = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, id_col
     )
-    grams = spread.select(
+    # materialized tokens first (see shingle_sets: O(len^2) otherwise)
+    grams = spread.withColumn("_toks", ws_tokens(F.col(text_col))).select(
         F.col(id_col),
         F.explode(
             F.transform(
-                word_shingle_list(ws_tokens(F.col(text_col)), n),
+                word_shingle_list(F.col("_toks"), n),
                 lambda g: F.xxhash64(g),
             )
         ).alias("gram"),

@@ -195,8 +195,9 @@ def _doc_grams(d: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     from ..functions.xhash import word_shingles, ws_tokens
 
     spread = d.repartition(d.sparkSession.sparkContext.defaultParallelism, id_col)
-    sh = word_shingles(ws_tokens(F.col(text_col)), n)
-    return spread.select(
+    # materialized tokens first (see dedup.shingle_sets: O(len^2) otherwise)
+    sh = word_shingles(F.col("_toks"), n)
+    return spread.withColumn("_toks", ws_tokens(F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.transform(sh, lambda g: F.xxhash64(g))).alias("gram"),
     )
@@ -419,11 +420,11 @@ def source_overlap_matrix(
         df.sparkSession.sparkContext.defaultParallelism, id_col
     )
     sg = (
-        spread.select(
+        # materialized tokens first (see dedup.shingle_sets)
+        spread.withColumn("_toks", ws_tokens(F.col(text_col)))
+        .select(
             F.col(source_col).alias("src"),
-            F.explode(word_shingles(ws_tokens(F.col(text_col)), n)).alias(
-                "gram"
-            ),
+            F.explode(word_shingles(F.col("_toks"), n)).alias("gram"),
         )
         .distinct()
     )
