@@ -309,7 +309,9 @@ def with_repetition(
     on book-length docs). All fractions rounded to 4 dp; degenerate
     inputs (too few tokens) report 0.0.
     """
-    toks = ws_tokens(F.col(text_col))
+    # materialized token column (the word_shingles PERF CONTRACT: indexed
+    # access over a raw ws_tokens() expression re-splits per position)
+    toks = F.col("_toks")
     n_tok = token_count(F.col(text_col))
     tri = _word_ngrams_all(toks, 3)
     bi = _word_ngrams_all(toks, 2)
@@ -322,7 +324,7 @@ def with_repetition(
             )
         )
 
-    base = df.select(
+    base = df.withColumn("_toks", ws_tokens(F.col(text_col))).select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         F.when(n_tok <= 0, F.lit(0.0))
@@ -426,17 +428,17 @@ def bigram_coherence(
     """
     spread = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, id_col
-    )
-    toks = ws_tokens(F.col(text_col))
+    ).withColumn("_toks", ws_tokens(F.col(text_col)))
+    # materialized column (word_shingles PERF CONTRACT); arrays_zip of two
+    # slices builds all adjacent pairs in one codegen'd pass
+    toks = F.col("_toks")
+    sz = F.size(toks)
     pair_t = "array<struct<w1:string,w2:string>>"
     bg_arr = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
+        sz >= 2,
+        F.arrays_zip(
+            F.slice(toks, 1, sz - 1).alias("w1"),
+            F.slice(toks, 2, sz - 1).alias("w2"),
         ),
     ).otherwise(F.array().cast(pair_t))
     bg = spread.select(F.col(id_col), F.explode(bg_arr).alias("b")).select(
