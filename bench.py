@@ -93,6 +93,12 @@ HEADLINE = [
     "z41_mad_outliers",
     "z42_apply_changes",
     "z50_corpus_pipeline_v2",
+    "z83_bmp_pixel_stats",
+    "z84_oov_rate",
+    "z85_tfidf_terms",
+    "z86_trimmed_mean",
+    "z88_bigram_lm_score",
+    "z89_incremental_join_view",
 ]
 
 

@@ -32,7 +32,16 @@ def duck():
 
 
 def normalize(rows, columns):
-    """Sort columns by name, normalize cell values, sort rows."""
+    """Sort columns by name, normalize cell values, sort rows.
+
+    Floats compare by EXACT IEEE-754 bits (round 5): every gated numeric
+    is integer-derived, so both engines must produce identical doubles --
+    a 9-dp tolerance would only hide a reintroduced rounding-divergence
+    bug until the driver's hash gate (which has no tolerance) reds it.
+    Only -0.0 is collapsed (sign of zero is presentation, not value).
+    """
+    import struct
+
     order = sorted(range(len(columns)), key=lambda i: columns[i])
 
     def norm(v):
@@ -41,10 +50,13 @@ def normalize(rows, columns):
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
-            # collapse -0.0 and absorb <1e-9 representation noise
-            return round(v + 0.0, 9)
+            return ("f", struct.pack(">d", v + 0.0).hex())
         if isinstance(v, int):
-            return float(v) if abs(v) < 2**52 else v
+            # int-vs-float column-type skew across engines is tolerated
+            # (exactly) by lifting small ints to their double bit pattern
+            if abs(v) < 2**52:
+                return ("f", struct.pack(">d", float(v)).hex())
+            return v
         return str(v)
 
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
