@@ -1546,3 +1546,74 @@ def z88(spark, sf_dir):
         F.count("*").alias("n_bigrams"),
         mean.cast("long").alias("lm_score_micros"),
     )
+
+
+@query(
+    "z90_scalable_cumsum",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len({_TOKENS_SQL}) END)::BIGINT AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+       (sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+FROM t
+""",
+    description=(
+        "scalable prefix sum: running corpus token total in doc_id order "
+        "WITHOUT the global ordered window (the plans.lint anti-pattern "
+        "-- all rows on one partition). Two-level scan: fixed-range "
+        "buckets of the order key -> per-bucket totals -> exclusive "
+        "offsets over the BUCKET axis (n/width rows, recursively "
+        "bucketable) -> broadcast offsets + within-bucket windows, "
+        "parallel across buckets. Exact integers; the oracle IS the "
+        "naive global-window definition"
+    ),
+)
+def z90(spark, sf_dir):
+    from ..operators.prefix import bucketed_cumsum
+
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return bucketed_cumsum(docs, "doc_id", "n_tokens", bucket_width=64)
+
+
+@query(
+    "z91_token_shards",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len({_TOKENS_SQL}) END)::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           - n_tokens AS excl
+  FROM t)
+SELECT (excl // 20000)::BIGINT AS shard_id,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c GROUP BY 1
+""",
+    description=(
+        "token-budget shard manifest: documents in doc_id order cut into "
+        "~20k-token shards (a doc never splits; shard = floor(exclusive "
+        "running total / budget)), one exact-integer manifest row per "
+        "shard -- the pre-tokenization sharding step of a training-data "
+        "build, on the scalable-cumsum primitive instead of a global "
+        "window"
+    ),
+)
+def z91(spark, sf_dir):
+    from ..operators.prefix import token_shards
+
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return token_shards(docs, budget_tokens=20000, bucket_width=64)

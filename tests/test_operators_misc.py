@@ -1918,3 +1918,45 @@ def test_incremental_join_view_delta_rule(spark, tmp_path):
     allR = L([(1, "b1"), (2, "b2"), (1, "b3")], "k int, b string")
     direct = sorted(tuple(r) for r in allL.join(allR, "k").collect())
     assert got == direct
+
+
+def test_bucketed_cumsum_matches_global_window(spark):
+    """Two-level prefix sum must equal the naive global-window definition
+    on sparse, non-dense, bucket-straddling keys."""
+    from pyspark.sql import Window as W
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.prefix import (
+        bucketed_cumsum,
+        token_shards,
+    )
+
+    rows = [(k, (k * 7) % 13 + 1) for k in
+            [0, 1, 5, 63, 64, 65, 127, 128, 1000, 1001, 4096]]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {
+        r["doc_id"]: r["cum"]
+        for r in bucketed_cumsum(df, "doc_id", "n", bucket_width=64).collect()
+    }
+    naive = {
+        r["doc_id"]: r["c"]
+        for r in df.withColumn(
+            "c",
+            F.sum("n").over(
+                W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    assert got == naive
+
+    # shards: never split a doc; shard boundaries at floor(excl/budget)
+    m = {r["shard_id"]: r for r in
+         token_shards(df, budget_tokens=20, token_col="n",
+                      bucket_width=64).collect()}
+    total = sum(n for _, n in rows)
+    assert sum(r["n_docs"] for r in m.values()) == len(rows)
+    assert sum(r["n_tokens"] for r in m.values()) == total
+    # shard ids contiguous from 0 and doc ranges non-overlapping/ordered
+    sids = sorted(m)
+    assert sids == list(range(len(sids)))
+    for a, b in zip(sids, sids[1:]):
+        assert m[a]["last_doc"] < m[b]["first_doc"]

@@ -54,6 +54,10 @@ WHITELIST = {
     # reductions (user -> first week -> per-week counts): bounded by the
     # calendar, never by users or events
     "z73_user_growth": "global window over the pre-aggregated week axis",
+    # the scalable-cumsum BUCKET-offset window is the bounded recursive
+    # level: n/bucket_width rows, not n (that is the operator's point)
+    "z90_scalable_cumsum": "global window over the bucket axis only",
+    "z91_token_shards": "global window over the bucket axis only",
     # global [min, max] bounds are ONE broadcast row crossed into the
     # row-local bin expression
     "z40_histogram": "scalar-aggregate bounds (1-row broadcast side)",
