@@ -27,14 +27,18 @@ MICROS = 1_000_000
 
 
 def floordiv_nonneg(a: Column, b: Column) -> Column:
-    """Exact floor division of nonnegative BIGINT columns.
+    """Exact floor division of nonnegative BIGINT columns, for the FULL
+    int64 range.
 
-    ``(a - a % b) / b`` keeps every intermediate an exact integer; the one
-    IEEE division divides exactly-divisible longs (< 2^53), whose true
-    quotient is an integer and therefore correctly rounded to itself in
-    every engine. Mirrors DuckDB's ``//`` for nonnegative operands.
+    ``a - a % b`` is exactly divisible by ``b``; the division runs in
+    DECIMAL(38,0), where an exactly-divisible quotient has no fraction to
+    round -- exact even when the quotient exceeds 2^53 (an IEEE double
+    division silently loses low bits there: caught by
+    tests/test_exactnum.py's 2^40/3 case). Mirrors DuckDB's ``//`` for
+    nonnegative operands.
     """
-    return ((a - a % b) / b).cast("long")
+    exact = (a - a % b).cast("decimal(38,0)")
+    return (exact / b.cast("decimal(38,0)")).cast("long")
 
 
 def ratio_scaled_halfup(num: Column, den: Column, scale: int) -> Column:

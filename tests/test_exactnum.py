@@ -1,0 +1,115 @@
+"""Property-based contracts for functions.exactnum -- the arithmetic the
+whole round-5 determinism architecture rests on.
+
+Hypothesis drives the CLAIMS (HALF_UP == Fraction ground truth; the
+presentation division is bit-exact; floordiv == Python //) over wide
+integer ranges, including the 2^53 neighborhood where naive float
+shortcuts break. Spark-side evaluation is then pinned against the pure-
+Python ground truth on a deterministic sample (one JVM round trip, not
+one per example).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+MICROS = 1_000_000
+
+
+def py_floordiv(a: int, b: int) -> int:
+    return (a - a % b) // b
+
+
+def py_ratio_scaled_halfup(num: int, den: int, scale: int) -> int:
+    a = 2 * 10**scale * num + den
+    b = 2 * den
+    return (a - a % b) // b
+
+
+def halfup_ground_truth(num: int, den: int, scale: int) -> int:
+    """ROUND_HALF_UP of num/den at 10^-scale via exact Fractions."""
+    q = Fraction(num * 10**scale, den)
+    floor = q.numerator // q.denominator
+    rem = q - floor
+    return floor + (1 if rem >= Fraction(1, 2) else 0)
+
+
+@given(
+    num=st.integers(min_value=0, max_value=10**12),
+    den=st.integers(min_value=1, max_value=10**9),
+    scale=st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=500, deadline=None)
+def test_ratio_scaled_halfup_matches_fraction_ground_truth(num, den, scale):
+    assert py_ratio_scaled_halfup(num, den, scale) == halfup_ground_truth(
+        num, den, scale
+    )
+
+
+@given(
+    k=st.integers(min_value=0, max_value=10**7),
+    scale=st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_presentation_division_is_bit_exact(k, scale):
+    """k / 10^scale as one IEEE division must be the correctly-rounded
+    double of the rational -- i.e. equal to Python's exact-decimal float
+    construction, in bits."""
+    import struct
+
+    shown = k / float(10**scale)
+    via_decimal = float(
+        __import__("decimal").Decimal(k) / (10**scale)
+    )
+    assert struct.pack(">d", shown) == struct.pack(">d", via_decimal)
+
+
+@given(
+    a=st.integers(min_value=0, max_value=2**52),
+    b=st.integers(min_value=1, max_value=2**31),
+)
+@settings(max_examples=300, deadline=None)
+def test_floordiv_matches_python(a, b):
+    assert py_floordiv(a, b) == a // b
+
+
+def test_spark_side_matches_python_ground_truth(spark):
+    """One JVM round trip pinning the Column implementations against the
+    pure-Python twins on adversarial cases: half boundaries, the 1/640
+    class, large magnitudes near the exactness envelope."""
+    from pyspark.sql import functions as F
+
+    from etl_world_banks_with_python_and_postgresql_spark.functions.exactnum import (
+        floordiv_nonneg,
+        ratio_micros_halfup,
+        ratio_scaled_halfup,
+    )
+
+    cases = [
+        (1, 640),          # the canonical boundary rational
+        (1, 2),            # exact half
+        (3, 2),
+        (0, 7),
+        (5, 128),
+        (999_999, 1_000_000),
+        (1_000_001, 1_000_000),
+        (123_456_789, 997),
+        (2**40, 3),
+        (7, 10**9),
+    ]
+    df = spark.createDataFrame(cases, "num long, den long")
+    got = df.select(
+        "num",
+        "den",
+        ratio_micros_halfup(F.col("num"), F.col("den")).alias("rm"),
+        ratio_scaled_halfup(F.col("num"), F.col("den"), 4).alias("r4"),
+        floordiv_nonneg(F.col("num"), F.col("den")).alias("fd"),
+    ).collect()
+    for r in got:
+        num, den = r["num"], r["den"]
+        assert r["rm"] == halfup_ground_truth(num, den, 6), (num, den)
+        assert r["r4"] == halfup_ground_truth(num, den, 4), (num, den)
+        assert r["fd"] == num // den, (num, den)
