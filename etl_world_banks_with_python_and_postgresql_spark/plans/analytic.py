@@ -506,15 +506,9 @@ def z86(spark, sf_dir):
     return k.groupBy("event_type").agg(
         F.max("n").alias("n_total"),
         F.count("*").alias("n_kept"),
-        (
-            (
-                (F.lit(2_000_000) * num + den)
-                - (F.lit(2_000_000) * num + den) % (F.lit(2) * den)
-            )
-            / (F.lit(2) * den)
-        )
-        .cast("long")
-        .alias("trimmed_mean_micros"),
+        exactnum.floordiv_nonneg(
+            F.lit(2_000_000) * num + den, F.lit(2) * den
+        ).alias("trimmed_mean_micros"),
     )
 
 
@@ -555,10 +549,10 @@ def z87(spark, sf_dir):
     )
 
     def _ceil_idx(mult: int, div: int):
-        # ceil(mult*n/div) = (mult*n + div - 1 - (mult*n - 1) % div ... use
-        # (mult*(n+1)-1)//div form mirrored in the oracle: (mult*n+mult)//div
+        # ceil(mult*n/div) == (mult*n + mult)//div for these picks (each
+        # mult == div - 1), mirrored literally in the oracle
         num = F.col("n") * mult + mult
-        return ((num - num % div) / div).cast("long")
+        return exactnum.floordiv_nonneg(num, F.lit(div))
 
     picks = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
     aggs = [F.max("n").alias("n_orders")]

@@ -73,12 +73,8 @@ def _davg(expr, scale=4):
     a = (F.sum(e.cast(_DEC)) * F.lit(1000000)).cast("long")
     b = F.count(e) * F.lit(10 ** (6 - scale))
     mag = F.abs(a)
-    half_up = ((F.lit(2) * mag + b) - (F.lit(2) * mag + b) % (F.lit(2) * b)) / (
-        F.lit(2) * b
-    )
-    return (
-        F.signum(a).cast("long") * half_up.cast("long") / F.lit(10**scale)
-    )
+    half_up = exactnum.floordiv_nonneg(F.lit(2) * mag + b, F.lit(2) * b)
+    return F.signum(a).cast("long") * half_up / F.lit(10**scale)
 
 
 # SQL twins for the DuckDB oracles (format with e=<expr>, s=<scale>).

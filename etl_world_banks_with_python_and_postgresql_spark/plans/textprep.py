@@ -1539,12 +1539,11 @@ def z88(spark, sf_dir):
         )
     )
     num, den = F.sum("p_micros"), F.count("*")
-    mean = (
-        (F.lit(2) * num + den) - (F.lit(2) * num + den) % (F.lit(2) * den)
-    ) / (F.lit(2) * den)
     return p.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
-        mean.cast("long").alias("lm_score_micros"),
+        exactnum.floordiv_nonneg(
+            F.lit(2) * num + den, F.lit(2) * den
+        ).alias("lm_score_micros"),
     )
 
 
