@@ -1616,3 +1616,120 @@ def z91(spark, sf_dir):
         "doc_id", text.token_count(F.col("text")).cast("long").alias("n_tokens")
     )
     return token_shards(docs, budget_tokens=20000, bucket_width=64)
+
+
+@query(
+    "z92_largest_remainder_mix",
+    oracle=f"""
+WITH t AS (
+  SELECT source,
+         sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len({_TOKENS_SQL}) END)::BIGINT AS tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(tokens)::BIGINT AS T FROM t),
+q AS (
+  SELECT source, tokens,
+         (100000 * tokens) // T AS base,
+         (100000 * tokens) % T AS rem
+  FROM t CROSS JOIN tot),
+lo AS (SELECT 100000 - sum(base) AS leftover FROM q),
+r AS (
+  SELECT source, tokens, base, rem,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+  FROM q)
+SELECT source, tokens,
+       (base + CASE WHEN rk <= (SELECT leftover FROM lo)
+                    THEN 1 ELSE 0 END)::BIGINT AS quota
+FROM r
+""",
+    description=(
+        "corpus-mixing quota allocation by the largest-remainder "
+        "(Hamilton) method: a 100k-token budget split proportionally to "
+        "per-source token mass in EXACT integer arithmetic -- base = "
+        "B*t//T, leftovers to the largest remainders (rem desc, source "
+        "asc tiebreak), so quotas sum to the budget exactly (float "
+        "proportions never do). Per-source aggregate + a window over "
+        "|sources| rows; engine-exact by construction"
+    ),
+)
+def z92(spark, sf_dir):
+    B = 100000
+    docs = load(spark, "documents", sf_dir)
+    t = docs.groupBy("source").agg(
+        F.sum(text.token_count(F.col("text")).cast("long")).alias("tokens")
+    )
+    tot = t.agg(F.sum("tokens").alias("T"))
+    q = t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        exactnum.floordiv_nonneg(F.lit(B) * F.col("tokens"), F.col("T")).alias(
+            "base"
+        ),
+        ((F.lit(B) * F.col("tokens")) % F.col("T")).alias("rem"),
+    )
+    lo = q.agg((F.lit(B) - F.sum("base")).alias("leftover"))
+    w = W.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        q.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            "tokens",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("quota"),
+        )
+    )
+
+
+@query(
+    "z93_quota_sample",
+    oracle=f"""
+WITH d AS (
+  SELECT source, doc_id,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len({_TOKENS_SQL}) END)::BIGINT AS n_tokens,
+         md5(text) AS h
+  FROM documents),
+c AS (
+  SELECT source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d)
+SELECT source,
+       count(*) FILTER (WHERE cum <= 20000)::BIGINT AS n_docs_selected,
+       coalesce(sum(n_tokens) FILTER (WHERE cum <= 20000), 0)::BIGINT
+         AS tokens_selected
+FROM c GROUP BY source
+""",
+    description=(
+        "per-source quota-bounded selection: docs ordered by content "
+        "hash (deterministic, unbiased by id order) and taken while the "
+        "per-source running token total stays within a 20k quota -- the "
+        "down-sampling step that follows z92's allocation. The cumsum "
+        "window partitions by source (parallel across sources; within a "
+        "source the bucketed-cumsum primitive applies at 100 TB). Exact "
+        "integers end to end"
+    ),
+)
+def z93(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir).select(
+        "source",
+        "doc_id",
+        text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = docs.withColumn("cum", F.sum("n_tokens").over(w))
+    sel = F.col("cum") <= 20000
+    return c.groupBy("source").agg(
+        F.sum(sel.cast("long")).alias("n_docs_selected"),
+        F.coalesce(
+            F.sum(F.when(sel, F.col("n_tokens"))), F.lit(0)
+        ).alias("tokens_selected"),
+    )

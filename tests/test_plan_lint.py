@@ -58,6 +58,9 @@ WHITELIST = {
     # level: n/bucket_width rows, not n (that is the operator's point)
     "z90_scalable_cumsum": "global window over the bucket axis only",
     "z91_token_shards": "global window over the bucket axis only",
+    # two 1-row broadcast sides (grand total T, leftover seats) and a
+    # remainder-ranking window over |sources| rows
+    "z92_largest_remainder_mix": "1-row broadcasts + window over the source axis",
     # global [min, max] bounds are ONE broadcast row crossed into the
     # row-local bin expression
     "z40_histogram": "scalar-aggregate bounds (1-row broadcast side)",
