@@ -74,7 +74,8 @@ def row_sort_key(row):
     return [(str(type(c)), str(c)) for c in row]
 
 
-def dump_query(spark, con, qs, osql, name: str, out_dir: str) -> dict:
+def dump_query(spark, con, qs, osql, name: str, out_dir: str,
+               summary_only: bool = False) -> dict:
     sdf = qs[name](spark, SF_DIR)
     cols = sdf.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -122,8 +123,9 @@ def dump_query(spark, con, qs, osql, name: str, out_dir: str) -> dict:
             else None
         ),
     }
-    with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
-        json.dump(art, f, separators=(",", ":"))
+    if not summary_only:
+        with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
+            json.dump(art, f, separators=(",", ":"))
     return {
         "bit_exact": art["bit_exact"],
         "rows": len(s_rows),
@@ -136,6 +138,10 @@ def main():
     ap.add_argument("names", nargs="*", help="registry query names (default: gated 50)")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--summary-only", action="store_true",
+        help="write only SUMMARY.json (bit-exact flags), no row dumps",
+    )
     args = ap.parse_args()
 
     global SF_DIR
@@ -164,10 +170,14 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     names = args.names or sorted(qs)[:50]
+    if args.names == ["all"]:
+        names = [n for n in sorted(qs) if osql.get(n)]
     summary = {}
     for name in names:
         try:
-            summary[name] = dump_query(spark, con, qs, osql, name, out_dir)
+            summary[name] = dump_query(
+                spark, con, qs, osql, name, out_dir, args.summary_only
+            )
         except Exception as exc:  # keep going; the summary records the error
             summary[name] = {"error": str(exc)[:300]}
         status = summary[name]
