@@ -416,3 +416,27 @@ def streaming_posting_index_sink(
         _store({"committed": ledger["committed"] + [epoch_id], "in_flight": None})
 
     return apply_batch
+
+
+def streaming_join_view_sink(view, side: str = "left"):
+    """foreachBatch body maintaining an ``operators.ivm.IncrementalJoinView``.
+
+    Each micro-batch is one IVM delta: the epoch's rows join the OTHER
+    side's store (O(|batch| x |other store|)) and append to the view --
+    the streaming materialized-join shape, with the same once-per-pair
+    contract as the batch operator (a pair is emitted by whichever side's
+    epoch arrives later). Replayed epochs are the caller's concern
+    (exactly-once needs an epoch ledger like streaming_posting_index_sink
+    keeps); with availableNow file sources the checkpoint already
+    guarantees each file is processed once.
+    """
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if side == "left":
+            view.ingest_left(batch_df)
+        else:
+            view.ingest_right(batch_df)
+
+    return apply_batch

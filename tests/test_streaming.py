@@ -1084,3 +1084,56 @@ def test_streaming_materialized_view_via_cdf_and_apply_changes(spark, tmp_path):
     t.delete_keys(spark, schema, spark.createDataFrame([(1,)], "id long"))
     drain()  # restart from checkpoint: only the two new commits replay
     assert_synced()
+
+
+def test_streaming_join_view_equals_batch_join(spark, tmp_path):
+    """Streaming IVM: the right side pre-ingested, the left side arriving
+    as two availableNow epochs through foreachBatch -- the maintained view
+    must equal the from-scratch batch join, each pair exactly once."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        IncrementalJoinView,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        streaming_join_view_sink,
+    )
+
+    src = str(tmp_path / "jv_left")
+    ckpt = str(tmp_path / "jv_ckpt")
+    os.makedirs(src)
+    view = IncrementalJoinView(str(tmp_path / "jv"), key="k")
+
+    right = spark.createDataFrame(
+        [(1, "r1"), (2, "r2"), (1, "r3")], "k int, r string"
+    )
+    view.ingest_right(right)
+
+    def drain():
+        stream = spark.readStream.schema("k int, l string").parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_join_view_sink(view, side="left")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    left1 = spark.createDataFrame([(1, "a"), (3, "c")], "k int, l string")
+    left1.write.parquet(src, mode="append")
+    drain()
+    left2 = spark.createDataFrame([(2, "b"), (1, "d")], "k int, l string")
+    left2.write.parquet(src, mode="append")
+    drain()
+
+    got = sorted(
+        tuple(r) for r in view.read(spark).select("k", "l", "r").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in left1.unionByName(left2)
+        .join(right, "k")
+        .select("k", "l", "r")
+        .collect()
+    )
+    assert got == want and len(got) == 5
