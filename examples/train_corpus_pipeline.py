@@ -17,9 +17,12 @@ Stages (each is an oracle- or property-verified operator on its own):
   5. quality filter     composite score >= 0.5        text.with_quality
   6. language ID        tag pred_lang                 text.with_lang_id
   6.5 repetition gate   Gopher dup-token/top-bigram   text.with_repetition
+  6.6 fluency gate      corpus-bigram LM score        plans (z88 shape)
   7. split              content-hash 80/10/10         train_prep.hash_split
   8. packing            2048-token bins per source    train_prep.pack_token_bins
   9. chunking           64-token windows, stride 48   train_prep.chunk_token_windows
+  10. mixing quota      largest-remainder allocation  plans (z92 shape)
+  11. shard manifest    token-budget shards           prefix.token_shards
 
 Prints per-stage survivor counts and the final per-(split, source) corpus
 manifest as JSON lines. Total shuffle budget: one content-hash groupBy
@@ -119,12 +122,26 @@ def main() -> None:
         docs.filter(F.col("split") == "train"), window=64, stride=48
     )
 
+    # 10-11. token-budget shard manifest of the train split (z91 shape):
+    # the pre-tokenization sharding step, on the scalable-cumsum primitive
+    from etl_world_banks_with_python_and_postgresql_spark.operators.prefix import (
+        token_shards,
+    )
+
+    shards = token_shards(
+        docs.filter(F.col("split") == "train").select(
+            "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+        ),
+        budget_tokens=20000,
+    )
+
     print(
         json.dumps(
             {
                 "stage_counts": stage,
                 "train_bins": bins.count(),
                 "train_chunks": chunks.count(),
+                "train_shards": shards.count(),
             }
         )
     )
