@@ -5,9 +5,18 @@ dA arriving, the view grows by exactly ``dA join B_so_far`` -- each
 joined pair (a, b) is emitted ONCE, by whichever side arrives later.
 This is the materialized-join shape (order enrichment views, feature
 joins) that a naive pipeline rebuilds from scratch every sync; here each
-ingest costs O(|delta| join |other side so far|) and the view store is
+ingest costs O(|delta| join |other side so far|) and storage is
 append-only parquet, mirroring `sources.incremental.IncrementalTable`'s
 O(batch) write-amplification contract.
+
+Exactly-once under crashes (the IncrementalTable manifest pattern):
+every ingest writes its outputs under batch-id-named directories with
+OVERWRITE semantics, then commits the batch id to a ledger via
+tmp-file + atomic rename. Readers resolve state THROUGH the ledger, so
+a crash anywhere before the ledger commit leaves invisible partial
+files, and a retried ingest overwrites them and commits once -- no
+duplicate pairs, no lost pairs (pinned by
+tests/test_operators_misc.py::test_incremental_join_view_crash_replay).
 
 Reference anchor: the reference recomputes its joined/enriched outputs
 per run (`SQL/etl_world_banks.sql` re-reads whole tables); this operator is the
@@ -15,18 +24,18 @@ per run (`SQL/etl_world_banks.sql` re-reads whole tables); this operator is the
 
 Scale notes:
 - The per-ingest join shuffles |delta| plus a scan of the other side's
-  store. At production scale both stores should be written bucketed on
-  the join key (`sources.bucketing`) so the delta join co-locates
-  without exchanging the stored side; the local parquet layout here
-  keeps the operator self-contained.
+  ledgered store. At production scale both stores should be written
+  bucketed on the join key (`sources.bucketing`) so the delta join
+  co-locates without exchanging the stored side.
 - Inserts-only by design (the streaming-join append contract). Updates
-  and deletes belong to `IncrementalTable.merge_batch` + `diff.apply_changes`,
-  which maintain single-table state; composing them with this view is
-  the standard CDC topology.
+  and deletes belong to `IncrementalTable.merge_batch` +
+  `diff.apply_changes`; composing them with this view is the standard
+  CDC topology.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
 
@@ -38,47 +47,96 @@ class IncrementalJoinView:
     path: str
     key: str
 
-    def _dir(self, side: str) -> str:
-        return os.path.join(self.path, side)
+    # ---- ledger -----------------------------------------------------
 
-    def _has(self, side: str) -> bool:
-        d = self._dir(side)
-        return os.path.isdir(d) and any(
-            f.endswith(".parquet") for f in os.listdir(d)
-        )
+    def _ledger_path(self) -> str:
+        return os.path.join(self.path, "_ledger.json")
+
+    def _load_ledger(self) -> list[list[str]]:
+        try:
+            with open(self._ledger_path()) as f:
+                return json.load(f)["applied"]
+        except FileNotFoundError:
+            return []
+
+    def _commit_ledger(self, applied: list[list[str]]) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._ledger_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"applied": applied}, f)
+        os.replace(tmp, self._ledger_path())  # atomic on POSIX
+
+    # ---- storage ----------------------------------------------------
+
+    def _batch_dir(self, kind: str, side: str, batch_id: str) -> str:
+        return os.path.join(self.path, kind, f"batch={side}-{batch_id}")
+
+    def _read_dirs(self, spark: SparkSession, dirs: list[str]) -> DataFrame | None:
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        return spark.read.parquet(*dirs) if dirs else None
 
     def _read_side(self, spark: SparkSession, side: str) -> DataFrame | None:
-        return (
-            spark.read.parquet(self._dir(side)) if self._has(side) else None
-        )
+        dirs = [
+            self._batch_dir("store", s, b)
+            for s, b in self._load_ledger()
+            if s == side
+        ]
+        return self._read_dirs(spark, dirs)
 
-    def _ingest(self, delta: DataFrame, side: str, other: str) -> None:
+    # ---- ingest -----------------------------------------------------
+
+    def _ingest(self, delta: DataFrame, side: str, other: str, batch_id) -> None:
+        applied = self._load_ledger()
+        bid = str(batch_id) if batch_id is not None else str(
+            sum(1 for s, _ in applied if s == side)
+        )
+        if [side, bid] in applied:
+            return  # replayed batch: already committed, nothing to do
         spark = delta.sparkSession
-        # 1. view delta: the new rows joined against the OTHER side so far
-        #    (pairs within this same batch against other-side history only:
-        #    each pair is emitted exactly once, by the later arrival)
+        # 1. view delta: new rows joined against the OTHER side's LEDGERED
+        #    state (pairs within this same batch never self-join: the batch
+        #    is not in any ledgered store yet) -- each pair is emitted
+        #    exactly once, by the later arrival
         other_df = self._read_side(spark, other)
         if other_df is not None:
-            left, right = (delta, other_df) if side == "left" else (other_df, delta)
-            view_delta = left.join(right, self.key)
-            view_delta.write.mode("append").parquet(self._dir("view"))
-        # 2. append the delta to its own store AFTER the join (so the batch
-        #    cannot self-join through the store)
-        delta.write.mode("append").parquet(self._dir(side))
+            left, right = (
+                (delta, other_df) if side == "left" else (other_df, delta)
+            )
+            left.join(right, self.key).write.mode("overwrite").parquet(
+                self._batch_dir("view", side, bid)
+            )
+        # 2. the delta's own store dir (overwrite: a retry after a crash
+        #    rewrites both dirs identically)
+        delta.write.mode("overwrite").parquet(
+            self._batch_dir("store", side, bid)
+        )
+        # 3. ledger commit LAST: before this point nothing is visible, so
+        #    a crash anywhere above leaves the view unchanged and a retry
+        #    is a clean overwrite
+        self._commit_ledger(applied + [[side, bid]])
 
-    def ingest_left(self, delta: DataFrame) -> None:
-        self._ingest(delta, "left", "right")
+    def ingest_left(self, delta: DataFrame, batch_id=None) -> None:
+        self._ingest(delta, "left", "right", batch_id)
 
-    def ingest_right(self, delta: DataFrame) -> None:
-        self._ingest(delta, "right", "left")
+    def ingest_right(self, delta: DataFrame, batch_id=None) -> None:
+        self._ingest(delta, "right", "left", batch_id)
+
+    # ---- read -------------------------------------------------------
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """The maintained view: the union of all view deltas. Equal to
-        left-so-far JOIN right-so-far, never recomputed from scratch."""
-        if not self._has("view"):
-            left = self._read_side(spark, "left")
-            schema_hint = left.limit(0) if left is not None else None
-            if schema_hint is None:
-                raise ValueError("empty view: no ingests yet")
-            return schema_hint.join(schema_hint.select(self.key).limit(0), self.key)
-        return spark.read.parquet(self._dir("view"))
+        """The maintained view: the union of all LEDGERED view deltas.
+        Equal to left-so-far JOIN right-so-far, never recomputed from
+        scratch."""
+        dirs = [
+            self._batch_dir("view", s, b) for s, b in self._load_ledger()
+        ]
+        view = self._read_dirs(spark, dirs)
+        if view is not None:
+            return view
+        left = self._read_side(spark, "left")
+        right = self._read_side(spark, "right")
+        if left is not None and right is not None:
+            return left.join(right, self.key).limit(0)
+        if left is not None:
+            return left.join(left.select(self.key), self.key).limit(0)
+        raise ValueError("empty view: no ingests yet")

@@ -1960,3 +1960,42 @@ def test_bucketed_cumsum_matches_global_window(spark):
     assert sids == list(range(len(sids)))
     for a, b in zip(sids, sids[1:]):
         assert m[a]["last_doc"] < m[b]["first_doc"]
+
+
+def test_incremental_join_view_crash_replay(spark, tmp_path):
+    """Exactly-once under crashes: a crash AFTER the view-delta write but
+    BEFORE the ledger commit must leave the view unchanged (partial files
+    invisible), and the retried ingest must emit each pair exactly once."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        IncrementalJoinView,
+    )
+
+    L = spark.createDataFrame
+    v = IncrementalJoinView(str(tmp_path / "v"), key="k")
+    v.ingest_right(L([(1, "b1"), (2, "b2")], "k int, b string"), batch_id="r0")
+
+    batch = L([(1, "a1"), (2, "a2")], "k int, a string")
+
+    # simulate the crash: run the write steps but NOT the ledger commit
+    applied = v._load_ledger()
+    other = v._read_side(spark, "right")
+    batch.join(other, "k").write.mode("overwrite").parquet(
+        v._batch_dir("view", "left", "l0")
+    )
+    # (crashed before store write + ledger commit)
+    assert v._load_ledger() == applied
+    # the partial view delta is INVISIBLE: ledger-gated read
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty view"):
+        v.read(spark)
+
+    # retry the same batch id: clean overwrite, single commit
+    v.ingest_left(batch, batch_id="l0")
+    got = sorted(tuple(r) for r in v.read(spark).select("k", "a", "b").collect())
+    assert got == [(1, "a1", "b1"), (2, "a2", "b2")]
+
+    # replaying a COMMITTED batch is a no-op
+    v.ingest_left(batch, batch_id="l0")
+    got2 = sorted(tuple(r) for r in v.read(spark).select("k", "a", "b").collect())
+    assert got2 == got
