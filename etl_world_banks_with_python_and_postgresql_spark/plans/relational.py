@@ -2243,7 +2243,7 @@ FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
     ),
 )
 def z89(spark, sf_dir):
-    import tempfile
+    import shutil
 
     from ..operators.ivm import IncrementalJoinView
 
@@ -2251,17 +2251,20 @@ def z89(spark, sf_dir):
     orders = load(spark, "orders", sf_dir).select(
         F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
     )
-    with tempfile.TemporaryDirectory() as tmp:
-        v = IncrementalJoinView(f"{tmp}/v", key="c_custkey")
-        # interleaved arrival: half the customers, half the orders, rest
-        # of the customers, rest of the orders -- every delta-rule branch
-        # (dA x B_so_far, A_so_far x dB) is exercised
-        v.ingest_left(cust.filter(F.col("c_custkey") % 2 == 0))
-        v.ingest_right(orders.filter(F.col("o_orderkey") % 2 == 0))
-        v.ingest_left(cust.filter(F.col("c_custkey") % 2 == 1))
-        v.ingest_right(orders.filter(F.col("o_orderkey") % 2 == 1))
-        out = v.read(spark).select(
-            "c_custkey", "c_name", "o_orderkey", "o_totalprice"
-        )
-        # materialize before the tempdir vanishes (the z06 pattern)
-        return spark.createDataFrame(out.collect(), out.schema)
+    # persistent scratch under the warehouse dir (NOT a tempdir+collect:
+    # the view is corpus-sized, and funneling it through the driver is
+    # exactly the anti-pattern this operator exists to avoid) -- wiped
+    # first so every invocation rebuilds the same four-batch history
+    path = "spark-warehouse/z89_join_view"
+    shutil.rmtree(path, ignore_errors=True)
+    v = IncrementalJoinView(path, key="c_custkey")
+    # interleaved arrival: half the customers, half the orders, rest
+    # of the customers, rest of the orders -- every delta-rule branch
+    # (dA x B_so_far, A_so_far x dB) is exercised
+    v.ingest_left(cust.filter(F.col("c_custkey") % 2 == 0))
+    v.ingest_right(orders.filter(F.col("o_orderkey") % 2 == 0))
+    v.ingest_left(cust.filter(F.col("c_custkey") % 2 == 1))
+    v.ingest_right(orders.filter(F.col("o_orderkey") % 2 == 1))
+    return v.read(spark).select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
