@@ -366,18 +366,19 @@ SELECT query_id, neighbor_id, cos_sim, rnk AS rank FROM r WHERE rnk <= 5
     ),
 )
 def q97(spark, sf_dir):
-    import tempfile
+    import shutil
 
     from ..operators import similarity
 
     emb = load(spark, "embeddings", sf_dir)
     queries_side = emb.filter(F.col("vec_id") % 100 == 0)
-    with tempfile.TemporaryDirectory() as tmp:
-        path = f"{tmp}/ivf_index"
-        similarity.write_ivf_index(emb, path, n_centroids=8)
-        out = similarity.ivf_topk_indexed(spark, path, queries_side, n_probe=4, k=5)
-        # materialize before the index directory vanishes
-        return spark.createDataFrame(out.collect(), out.schema)
+    # persistent warehouse scratch (not tempdir+collect): the probe plan
+    # stays lazy, so the lint sweep sees the partition-pruned reads and
+    # nothing funnels through the driver
+    path = "spark-warehouse/q97_ivf_index"
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.write_ivf_index(emb, path, n_centroids=8)
+    return similarity.ivf_topk_indexed(spark, path, queries_side, n_probe=4, k=5)
 
 
 @query(
