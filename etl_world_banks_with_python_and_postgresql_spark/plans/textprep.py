@@ -1733,3 +1733,169 @@ def z93(spark, sf_dir):
             F.sum(F.when(sel, F.col("n_tokens"))), F.lit(0)
         ).alias("tokens_selected"),
     )
+
+
+@query(
+    "z94_length_batching",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len({_TOKENS_SQL}) END)::BIGINT AS n
+  FROM documents),
+len_b AS (
+  SELECT doc_id, n, n // 64 AS bkt,
+         (row_number() OVER (PARTITION BY n // 64 ORDER BY n, doc_id) - 1)
+           // 16 AS batch
+  FROM t),
+id_b AS (
+  SELECT doc_id, n, doc_id // 64 AS bkt,
+         (row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id) - 1)
+           // 16 AS batch
+  FROM t),
+lw AS (
+  SELECT count(DISTINCT (bkt, batch)) AS n_batches,
+         sum(mx - n)::BIGINT AS padding
+  FROM (SELECT n, bkt, batch,
+               max(n) OVER (PARTITION BY bkt, batch) AS mx FROM len_b)),
+iw AS (
+  SELECT count(DISTINCT (bkt, batch)) AS n_batches,
+         sum(mx - n)::BIGINT AS padding
+  FROM (SELECT n, bkt, batch,
+               max(n) OVER (PARTITION BY bkt, batch) AS mx FROM id_b))
+SELECT 'length_bucketed' AS strategy, n_batches, padding FROM lw
+UNION ALL
+SELECT 'arrival_order', n_batches, padding FROM iw
+""",
+    description=(
+        "length-bucketed dynamic batching vs arrival-order batching: "
+        "docs grouped into 16-doc batches either within 64-token length "
+        "buckets (similar lengths together) or by id order, padding "
+        "waste = sum(batch_max - len). The padded-token accounting that "
+        "motivates length-aware batching in training loaders, in exact "
+        "integers; every window partitions by a bucket key (parallel, "
+        "no global ordering)"
+    ),
+)
+def z94(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id", text.token_count(F.col("text")).cast("long").alias("n")
+    )
+
+    def strategy(bkt_col, order_cols, name):
+        w = W.partitionBy("bkt").orderBy(*order_cols)
+        batched = docs.withColumn("bkt", bkt_col).withColumn(
+            "batch",
+            exactnum.floordiv_nonneg(
+                F.row_number().over(w) - 1, F.lit(16)
+            ),
+        )
+        mx = F.max("n").over(W.partitionBy("bkt", "batch"))
+        per = batched.withColumn("mx", mx)
+        return per.agg(
+            F.lit(name).alias("strategy"),
+            F.countDistinct("bkt", "batch").alias("n_batches"),
+            F.sum(F.col("mx") - F.col("n")).alias("padding"),
+        )
+
+    by_len = strategy(
+        exactnum.floordiv_nonneg(F.col("n"), F.lit(64)),
+        [F.col("n"), F.col("doc_id")],
+        "length_bucketed",
+    )
+    by_id = strategy(
+        exactnum.floordiv_nonneg(F.col("doc_id"), F.lit(64)),
+        [F.col("doc_id")],
+        "arrival_order",
+    )
+    return by_len.unionByName(by_id)
+
+
+def _cms_hash_sql(i: int, term: str = "term") -> str:
+    h32 = xhash.MD5_HASH32_SQL.format(x=f"'{i}|' || {term}")
+    return f"({h32} % 1024)"
+
+
+@query(
+    "z95_countmin_tokens",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({_TOKENS_SQL}) AS term FROM documents),
+exact_c AS (
+  SELECT term, count(*)::BIGINT AS true_count FROM tok GROUP BY term),
+top20 AS (
+  SELECT term, true_count FROM exact_c
+  ORDER BY true_count DESC, term ASC LIMIT 20),
+cms AS (
+  SELECT row_i, bucket, count(*)::BIGINT AS c
+  FROM (
+    SELECT 0 AS row_i, {_cms_hash_sql(0)} AS bucket FROM tok
+    UNION ALL SELECT 1, {_cms_hash_sql(1)} FROM tok
+    UNION ALL SELECT 2, {_cms_hash_sql(2)} FROM tok
+    UNION ALL SELECT 3, {_cms_hash_sql(3)} FROM tok)
+  GROUP BY row_i, bucket),
+est AS (
+  SELECT t.term, t.true_count, min(c.c)::BIGINT AS cms_estimate
+  FROM top20 t
+  JOIN cms c ON (
+       (c.row_i = 0 AND c.bucket = {_cms_hash_sql(0, "t.term")})
+    OR (c.row_i = 1 AND c.bucket = {_cms_hash_sql(1, "t.term")})
+    OR (c.row_i = 2 AND c.bucket = {_cms_hash_sql(2, "t.term")})
+    OR (c.row_i = 3 AND c.bucket = {_cms_hash_sql(3, "t.term")}))
+  GROUP BY t.term, t.true_count)
+SELECT term, true_count, cms_estimate,
+       (cms_estimate >= true_count) AS never_underestimates
+FROM est
+""",
+    description=(
+        "Count-Min sketch heavy hitters, in-gate evaluated: a 4 x 1024 "
+        "CMS over corpus tokens (portable md5-derived row hashes, so the "
+        "oracle rebuilds the identical sketch), estimates for the exact "
+        "top-20 tokens next to their true counts, plus the CMS "
+        "soundness invariant (estimate >= truth, always). The sketch "
+        "build is ONE map-side-combined aggregate over 4 x 1024 cells "
+        "-- mergeable across partitions/batches by cell-wise addition, "
+        "the streaming-friendly frequency summary KMV/HLL do not give"
+    ),
+)
+def z95(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    tok = docs.select(F.explode(xhash.ws_tokens(F.col("text"))).alias("term"))
+
+    def bucket(i, col=None):
+        c = F.col("term") if col is None else col
+        return (
+            xhash.md5_hash32(F.concat(F.lit(f"{i}|"), c)) % 1024
+        ).alias("bucket")
+
+    cells = None
+    for i in range(4):
+        part = tok.select(F.lit(i).alias("row_i"), bucket(i))
+        cells = part if cells is None else cells.unionByName(part)
+    cms = cells.groupBy("row_i", "bucket").agg(F.count("*").alias("c"))
+
+    exact_c = tok.groupBy("term").agg(F.count("*").alias("true_count"))
+    top20 = exact_c.orderBy(
+        F.desc("true_count"), F.asc("term")
+    ).limit(20)
+    # probe: the 20 candidates explode to (term, row_i, bucket) and join
+    # the (tiny, 4x1024-bounded) sketch; min over rows = the CMS estimate
+    probes = None
+    for i in range(4):
+        p = top20.select(
+            "term", "true_count", F.lit(i).alias("row_i"), bucket(i)
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    est = (
+        probes.join(F.broadcast(cms), ["row_i", "bucket"])
+        .groupBy("term", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        "term",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("true_count")).alias(
+            "never_underestimates"
+        ),
+    )
