@@ -255,6 +255,32 @@ EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 DIGIT_RUN_PATTERN = "[0-9]{6,}"
 
 
+CONTROL_CLASS = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def scrub_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """Ingest hygiene: strip control characters (keep \t \n \r),
+    collapse whitespace runs to single spaces, trim -- with exact audit
+    counters (n_control, n_ws_collapsed) so a quality gate can threshold
+    on "how dirty was this doc". Pure regexp codegen; DuckDB twin uses
+    the identical character classes, so the gate verifies byte-for-byte.
+    """
+    t = F.col(text_col)
+    no_ctl = F.regexp_replace(t, CONTROL_CLASS, "")
+    collapsed = F.trim(F.regexp_replace(no_ctl, r"\s+", " "))
+    return df.withColumns(
+        {
+            "n_control": F.regexp_count(t, F.lit(CONTROL_CLASS)).cast("int"),
+            "n_ws_collapsed": F.regexp_count(no_ctl, F.lit(r"\s{2,}")).cast(
+                "int"
+            ),
+            out_col: collapsed,
+        }
+    )
+
+
 def redact_pii(
     df: DataFrame, text_col: str = "text", out_col: str = "redacted"
 ) -> DataFrame:

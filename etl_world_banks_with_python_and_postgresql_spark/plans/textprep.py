@@ -1899,3 +1899,48 @@ def z95(spark, sf_dir):
             "never_underestimates"
         ),
     )
+
+
+@query(
+    "z96_text_scrub",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id,
+         text || chr(7) || '  tail' || chr(31) || chr(9) || 'x' AS t
+  FROM documents),
+e AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')
+           AS no_ctl
+  FROM aug)
+SELECT doc_id,
+       len(regexp_extract_all(t,
+           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]'))::INT AS n_control,
+       len(regexp_extract_all(no_ctl, '\\s{2,}'))::INT AS n_ws_collapsed,
+       trim(regexp_replace(no_ctl, '\\s+', ' ', 'g')) AS scrubbed
+FROM e
+""",
+    description=(
+        "ingest text hygiene: strip control characters, collapse "
+        "whitespace runs, trim -- with exact per-doc audit counters over "
+        "a deterministic dirty-fixture suffix (the raw corpus is clean, "
+        "so the appended BEL/US/TAB bytes make the scrub non-trivial). "
+        "Pure regexp codegen on identical character classes both engines"
+    ),
+)
+def z96(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\x07"),
+            F.lit("  tail"),
+            F.lit("\x1f"),
+            F.lit("\t"),
+            F.lit("x"),
+        ).alias("t"),
+    )
+    return text.scrub_text(aug, text_col="t").select(
+        "doc_id", "n_control", "n_ws_collapsed", "scrubbed"
+    )
