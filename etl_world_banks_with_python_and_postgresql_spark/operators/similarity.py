@@ -1067,3 +1067,43 @@ def quantized_topk(
         recon, queries, k=k, id_col=id_col, vec_col=vec_col,
         max_queries=max_queries,
     )
+
+
+def diversity_sample(
+    df: DataFrame,
+    per_cell: int = 2,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space diversity subset: the ``per_cell`` most central
+    vectors of each stride-centroid cell (the SemDeDup-adjacent "keep the
+    cluster representatives" selection; the cheap coreset a curriculum /
+    eval-set builder wants when it cannot afford facility location).
+
+    Deterministic end to end -- stride-sampled centroids (same scheme as
+    ``write_ivf_index``; no Lloyd, so the DuckDB oracle replicates the
+    assignment bit-for-bit), argmax-cosine cell assignment with the q97
+    tiebreak (higher cell id wins ties), per-cell rank by (centroid
+    cosine desc, id). Plan shape: centroid literals baked into a codegen
+    expression (no join/shuffle for assignment), one window partitioned
+    by cell.
+    """
+    cents = _stride_sample_centroids(df, n_centroids, id_col, vec_col)
+    lits = _centroid_literals(cents)
+    vec_d = _to_double(F.col(vec_col))
+    cell = _nearest_cells(vec_d, lits, 1)[0]
+    assigned = df.select(
+        F.col(id_col),
+        cell.alias("cell"),
+        F.round(F.element_at(F.array(*[cosine(vec_d, c) for c in lits]),
+                             cell + 1), 6).alias("cos_to_centroid"),
+    )
+    w = W.partitionBy("cell").orderBy(
+        F.desc("cos_to_centroid"), F.asc(id_col)
+    )
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_cell)
+        .select("cell", "rank", id_col, "cos_to_centroid")
+    )

@@ -1248,3 +1248,49 @@ def z81(spark, sf_dir):
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
     )
+
+
+@query(
+    "z97_diversity_sample",
+    oracle="""
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM e
+  WHERE vec_id % greatest((SELECT count(*) FROM e) // 8, 1) = 0
+  ORDER BY vec_id LIMIT 8),
+cell_scores AS (
+  SELECT e.vec_id, cent.cell,
+         list_dot_product(e.v, cent.cv)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(cent.cv, cent.cv))) AS s
+  FROM e CROSS JOIN cent),
+assigned AS (
+  SELECT vec_id, cell, s,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC)
+           AS crn
+  FROM cell_scores),
+own AS (SELECT vec_id, cell, round(s, 6) AS cos_to_centroid
+        FROM assigned WHERE crn = 1),
+r AS (
+  SELECT cell, vec_id, cos_to_centroid,
+         (row_number() OVER (PARTITION BY cell
+                             ORDER BY cos_to_centroid DESC, vec_id))::INT
+           AS rank
+  FROM own)
+SELECT cell, rank, vec_id, cos_to_centroid FROM r WHERE rank <= 2
+""",
+    description=(
+        "embedding-space diversity subset: the 2 most central vectors of "
+        "each stride-centroid cell (SemDeDup-adjacent cluster "
+        "representatives -- the cheap coreset for curriculum/eval-set "
+        "building). Centroid literals baked into a codegen assignment "
+        "expression (no shuffle), one per-cell window; stride sampling "
+        "keeps the whole lifecycle SQL-replicable, so the oracle "
+        "recomputes centroids, assignment (q97 tiebreak), and ranks"
+    ),
+)
+def z97(spark, sf_dir):
+    return similarity.diversity_sample(
+        load(spark, "embeddings", sf_dir), per_cell=2, n_centroids=8
+    )
