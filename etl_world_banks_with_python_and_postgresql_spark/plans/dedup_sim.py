@@ -1294,3 +1294,73 @@ def z97(spark, sf_dir):
     return similarity.diversity_sample(
         load(spark, "embeddings", sf_dir), per_cell=2, n_centroids=8
     )
+
+
+def _source_minhash_oracle() -> str:
+    doc_sig = ",\n         ".join(
+        f"{e} AS s{i}" for i, e in enumerate(xhash.minhash_sql_exprs("sh", k=8))
+    )
+    src_sig = ", ".join(f"min(s{i}) AS m{i}" for i in range(8))
+    agree = " + ".join(
+        f"(a.m{i} = b.m{i})::INT" for i in range(8)
+    )
+    return f"""
+WITH d AS (
+  SELECT source, {_SHINGLES_SQL} AS sh
+  FROM (SELECT source, {_TOKENS_SQL} AS w FROM documents)),
+sig AS (
+  SELECT source,
+         {doc_sig}
+  FROM d),
+ssig AS (
+  SELECT source, {src_sig} FROM sig GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b,
+       ({agree})::INT AS n_agree,
+       ((2000000 * ({agree}) + 8) // 16) / 1000000.0 AS est_jaccard
+FROM ssig a JOIN ssig b ON a.source < b.source
+"""
+
+
+@query(
+    "z98_source_minhash_similarity",
+    oracle=_source_minhash_oracle(),
+    description=(
+        "corpus-level MERGEABLE MinHash: a source's 8-element signature "
+        "is the elementwise min over its documents' signatures -- the "
+        "same fold works per partition, per batch, per day, and unions "
+        "combine by another elementwise min (the sketch property exact "
+        "counts lack). Pairwise source similarity = component agreement "
+        "/ k as an exact HALF_UP-micros ratio; the |sources|^2 join is "
+        "dimension-sized. The cross-batch corpus-overlap monitor that "
+        "never rescans history"
+    ),
+)
+def z98(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    # materialized tokens (word_shingles PERF CONTRACT), then per-doc
+    # portable signatures, then the per-source elementwise-min fold
+    sh = docs.withColumn("_toks", xhash.ws_tokens(F.col("text"))).select(
+        "source", xhash.word_shingles(F.col("_toks"), 3).alias("sh")
+    )
+    sig = sh.select(
+        "source", xhash.minhash_signature(F.col("sh"), k=8).alias("sig")
+    )
+    ssig = sig.groupBy("source").agg(
+        *[F.min(F.col("sig")[i]).alias(f"m{i}") for i in range(8)]
+    )
+    a, b = ssig.alias("a"), ssig.alias("b")
+    agree = sum(
+        (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("int") for i in range(8)
+    )
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            agree.alias("n_agree"),
+            (
+                exactnum.ratio_micros_halfup(agree.cast("long"), F.lit(8))
+                / F.lit(1_000_000.0)
+            ).alias("est_jaccard"),
+        )
+    )

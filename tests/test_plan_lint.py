@@ -61,6 +61,9 @@ WHITELIST = {
     # two 1-row broadcast sides (grand total T, leftover seats) and a
     # remainder-ranking window over |sources| rows
     "z92_largest_remainder_mix": "1-row broadcasts + window over the source axis",
+    # both join sides are per-source signature rows (|sources|, a
+    # dimension bounded by catalog design, never corpus-sized)
+    "z98_source_minhash_similarity": "dimension-sized source-pair join",
     # global [min, max] bounds are ONE broadcast row crossed into the
     # row-local bin expression
     "z40_histogram": "scalar-aggregate bounds (1-row broadcast side)",
