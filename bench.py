@@ -99,6 +99,10 @@ HEADLINE = [
     "z86_trimmed_mean",
     "z88_bigram_lm_score",
     "z89_incremental_join_view",
+    "z90_scalable_cumsum",
+    "z95_countmin_tokens",
+    "z97_diversity_sample",
+    "z98_source_minhash_similarity",
 ]
 
 
