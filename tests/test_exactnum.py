@@ -113,3 +113,45 @@ def test_spark_side_matches_python_ground_truth(spark):
         assert r["rm"] == halfup_ground_truth(num, den, 6), (num, den)
         assert r["r4"] == halfup_ground_truth(num, den, 4), (num, den)
         assert r["fd"] == num // den, (num, den)
+
+
+def test_quality_score_micros_hand_computed(spark):
+    """Semantic pin: the exact-integer quality score must equal a
+    by-hand derivation of the heuristic on crafted inputs -- cross-engine
+    agreement alone cannot catch a bug shared by both twins."""
+    from pyspark.sql import functions as F
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.text import (
+        quality_score_micros,
+    )
+
+    cases = {
+        # 1: "the a of" -> 3 tokens all stopwords, 8 chars, 0 punct:
+        #   len:  min(8*1000, 500000)                      = 8000
+        #   stop: 300000 * min(15, 3) // 3                 = 300000
+        #   punct: 200000 * (8 - 0) // 8                   = 200000
+        1: ("the a of", 8000 + 300000 + 200000),
+        # 2: 600 x's -> len capped, 0 stopwords, 0 punct
+        2: ("x" * 600, 500000 + 0 + 200000),
+        # 3: "a.b,c!d" -> ONE whitespace token (not a stopword), 7 chars,
+        #   3 punct marks:
+        #   len: 7000; stop: 0; punct: 200000*(7 - min(30,7))//7 = 0
+        3: ("a.b,c!d", 7000 + 0 + 0),
+        # 4: empty text -> tokens [''], n_tok=1, n_chars=max(0,1)=1:
+        #   len: 0; stop: 0; punct: 200000*(1-0)//1 = 200000
+        4: ("", 0 + 0 + 200000),
+        # 5: "the x" -> 2 tokens 1 stopword, 5 chars, 0 punct:
+        #   len: 5000; stop: 300000*min(5,2)//2 = 300000; punct: 200000
+        5: ("the x", 5000 + 300000 + 200000),
+    }
+    df = spark.createDataFrame(
+        [(k, t) for k, (t, _) in cases.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["m"]
+        for r in df.select(
+            "doc_id", quality_score_micros(F.col("text")).alias("m")
+        ).collect()
+    }
+    for k, (_, want) in cases.items():
+        assert got[k] == want, (k, got[k], want)
