@@ -27,8 +27,8 @@ MICROS = 1_000_000
 
 
 def floordiv_nonneg(a: Column, b: Column) -> Column:
-    """Exact floor division of nonnegative BIGINT columns, for the FULL
-    int64 range.
+    """Exact floor division of nonnegative integer columns (BIGINT or
+    DECIMAL(38,0)), for the FULL int64 range and beyond.
 
     ``a - a % b`` is exactly divisible by ``b``; the division runs in
     DECIMAL(38,0), where an exactly-divisible quotient has no fraction to
@@ -37,18 +37,27 @@ def floordiv_nonneg(a: Column, b: Column) -> Column:
     tests/test_exactnum.py's 2^40/3 case). Mirrors DuckDB's ``//`` for
     nonnegative operands.
     """
-    exact = (a - a % b).cast("decimal(38,0)")
-    return (exact / b.cast("decimal(38,0)")).cast("long")
+    a = a.cast("decimal(38,0)")
+    b = b.cast("decimal(38,0)")
+    exact = a - a % b
+    return (exact / b).cast("long")
 
 
 def ratio_scaled_halfup(num: Column, den: Column, scale: int) -> Column:
     """HALF_UP-rounded ``num/den`` scaled by 10^scale (BIGINT, exact).
 
-    Nonnegative operands only. ``ratio_scaled_halfup(n, d, 4) /
+    Nonnegative operands only, but valid for the FULL int64 magnitude
+    range: the ``2*10^scale*num + den`` step runs in DECIMAL(38,0)
+    (max ~2e6 * 2^63 ~ 1.8e25 << 10^38), so corpus-scale token/byte
+    sums cannot silently wrap the way a LongType product would past
+    ~2^63/(2*10^scale). Overflow-range property-pinned in
+    tests/test_exactnum.py. ``ratio_scaled_halfup(n, d, 4) /
     F.lit(1e4)`` presents a bit-stable 4-dp double.
     """
-    a = F.lit(2 * 10**scale) * num.cast("long") + den.cast("long")
-    b = F.lit(2) * den.cast("long")
+    n = num.cast("decimal(38,0)")
+    d = den.cast("decimal(38,0)")
+    a = F.lit(2 * 10**scale).cast("decimal(38,0)") * n + d
+    b = F.lit(2).cast("decimal(38,0)") * d
     return floordiv_nonneg(a, b)
 
 
@@ -63,12 +72,11 @@ def ratio_scaled_sql(num: str, den: str, scale: int) -> str:
 def ratio_micros_halfup(num: Column, den: Column) -> Column:
     """HALF_UP-rounded ``num/den`` in integer micros (BIGINT, exact).
 
-    Nonnegative operands only. Present as a bit-stable double with
-    ``ratio_micros_halfup(...) / F.lit(1e6)``.
+    Nonnegative operands only; full int64 magnitude range (the scaled
+    sum runs in DECIMAL(38,0) -- see ratio_scaled_halfup). Present as a
+    bit-stable double with ``ratio_micros_halfup(...) / F.lit(1e6)``.
     """
-    a = F.lit(2 * MICROS) * num.cast("long") + den.cast("long")
-    b = F.lit(2) * den.cast("long")
-    return floordiv_nonneg(a, b)
+    return ratio_scaled_halfup(num, den, 6)
 
 
 # DuckDB twins (str.format with num=..., den=...). `//` == floordiv_nonneg

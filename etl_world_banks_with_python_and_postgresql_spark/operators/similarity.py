@@ -57,17 +57,31 @@ def _guard_broadcast_queries(queries: DataFrame, max_queries: int | None) -> Non
     An unchecked oversized broadcast fails late and opaquely (executor OOM
     mid-stage at 100 TB); this counts the SMALL side (one cheap scan,
     negligible next to the corpus pass) and fails early with the fix.
-    Pass ``max_queries=None`` to skip the action entirely.
+
+    The guard is always on by default (VERDICT r5 task #3): disabling it
+    takes the explicit sentinel ``max_queries=0`` ("unbounded, I accept
+    the broadcast"); ``max_queries=None`` is rejected loudly so a caller
+    threading an optional through cannot silently build an unbounded
+    broadcast.
     """
     if max_queries is None:
-        return
+        raise ValueError(
+            "max_queries=None does not disable the broadcast guard: an "
+            "unbounded broadcast query side fails late and opaquely at "
+            "scale (executor OOM mid-stage). Pass max_queries=0 to opt "
+            "out deliberately, or route large query sets through "
+            "lsh_bucketed_topk / ivf_topk_indexed (bucketed probe join)."
+        )
+    if max_queries == 0:
+        return  # explicit, deliberate opt-out
     n = queries.count()
     if n > max_queries:
         raise ValueError(
             f"query side has {n} rows > max_queries={max_queries}: the "
             "broadcast would scale with the corpus. Cap the query set, "
-            "batch it, or use ivf_topk / ivf_topk_indexed (bucketed probe "
-            "join). Pass max_queries=None to override deliberately."
+            "batch it, or use lsh_bucketed_topk / ivf_topk_indexed "
+            "(bucketed probe join). Pass max_queries=0 to override "
+            "deliberately."
         )
 
 
@@ -77,7 +91,7 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_queries: int | None = 100_000,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
@@ -867,7 +881,7 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
-    max_queries: int | None = 100_000,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for each query, the
     top-k most-similar corpus vectors whose LABEL DIFFERS -- the nearest
@@ -1054,7 +1068,7 @@ def quantized_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     levels: int = 255,
-    max_queries: int | None = 100_000,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact-scan ANN over the int8-quantized corpus: raw query vectors
     score against RECONSTRUCTED corpus vectors (the memory-bound serving

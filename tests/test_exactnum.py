@@ -155,3 +155,39 @@ def test_quality_score_micros_hand_computed(spark):
     }
     for k, (_, want) in cases.items():
         assert got[k] == want, (k, got[k], want)
+
+
+def test_ratio_halfup_survives_past_long_product_range(spark):
+    """ADVICE r5 overflow hole: 2*10^scale*num in LongType silently wraps
+    (non-ANSI Spark) once num exceeds ~2^63/(2*10^scale) ~ 4.6e12 at
+    scale 6 -- plausible for corpus-level token/byte sums. The scaled sum
+    now runs in DECIMAL(38,0); pin exactness across the FULL int64
+    operand range, including the exact wrap threshold neighborhood."""
+    from pyspark.sql import functions as F
+
+    from etl_world_banks_with_python_and_postgresql_spark.functions.exactnum import (
+        ratio_micros_halfup,
+        ratio_scaled_halfup,
+    )
+
+    wrap6 = (2**63) // (2 * 10**6)  # first num where the old long path wraps
+    cases = [
+        (wrap6, 1),
+        (wrap6 + 1, 1),
+        (wrap6 * 1000, 10**6),
+        (2**62, 10**6),
+        (2**63 - 1, 10**9),
+        (2**63 - 1, 2**63 - 1),
+        (10**18, 999_999_937),
+    ]
+    df = spark.createDataFrame(cases, "num long, den long")
+    got = df.select(
+        "num",
+        "den",
+        ratio_micros_halfup(F.col("num"), F.col("den")).alias("rm"),
+        ratio_scaled_halfup(F.col("num"), F.col("den"), 4).alias("r4"),
+    ).collect()
+    for r in got:
+        num, den = r["num"], r["den"]
+        assert r["rm"] == halfup_ground_truth(num, den, 6), (num, den)
+        assert r["r4"] == halfup_ground_truth(num, den, 4), (num, den)

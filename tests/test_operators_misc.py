@@ -877,10 +877,16 @@ def test_cosine_topk_broadcast_guard(spark):
 
     emb = load(spark, "embeddings", SF)
     q = emb.filter(F.col("vec_id") % 25 == 0)
-    with pytest.raises(ValueError, match="max_queries"):
+    # oversize query set: fail early, redirecting to the bucketed paths
+    with pytest.raises(ValueError, match="lsh_bucketed_topk"):
         cosine_topk(emb, q, k=2, max_queries=3)
-    # override works; default (100k) never triggers at test scale
-    assert cosine_topk(emb, q, k=2, max_queries=None).count() > 0
+    # None is NOT a silent disable (VERDICT r5 task #3): the optional-
+    # threading hole is closed loudly, with the redirect in the message
+    with pytest.raises(ValueError, match="max_queries=0"):
+        cosine_topk(emb, q, k=2, max_queries=None)
+    # the explicit opt-out sentinel works; default (100k) never triggers
+    # at test scale
+    assert cosine_topk(emb, q, k=2, max_queries=0).count() > 0
 
 
 def test_parquet_footer_stats_pushdown(spark):
