@@ -183,11 +183,15 @@ class CdfStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def read(self, start: dict):
+        # the protocol wants an ITERATOR: on a no-progress poll (end ==
+        # start) the engine's prefetch wrapper probes emptiness with
+        # next(it), which TypeErrors on a bare list (caught by
+        # tests/test_streaming.py::test_cdf_streams_maintain_join_view_across_restart)
         cur = _load_manifest(self.root)["seq"]
-        return self._rows(start["seq"], cur), {"seq": cur}
+        return iter(self._rows(start["seq"], cur)), {"seq": cur}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return self._rows(start["seq"], end["seq"])
+        return iter(self._rows(start["seq"], end["seq"]))
 
 
 def register_cdf_source(spark) -> None:

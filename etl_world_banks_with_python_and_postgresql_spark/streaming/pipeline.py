@@ -422,21 +422,25 @@ def streaming_join_view_sink(view, side: str = "left"):
     """foreachBatch body maintaining an ``operators.ivm.IncrementalJoinView``.
 
     Each micro-batch is one IVM delta: the epoch's rows join the OTHER
-    side's store (O(|batch| x |other store|)) and append to the view --
-    the streaming materialized-join shape, with the same once-per-pair
-    contract as the batch operator (a pair is emitted by whichever side's
-    epoch arrives later). Replayed epochs are the caller's concern
-    (exactly-once needs an epoch ledger like streaming_posting_index_sink
-    keeps); with availableNow file sources the checkpoint already
-    guarantees each file is processed once.
+    side's store (bucket/range-pruned -- operators/ivm.py docstring) and
+    append to the view -- the streaming materialized-join shape, with
+    the same once-per-pair contract as the batch operator (a pair is
+    emitted by whichever side's epoch arrives later).
+
+    Exactly-once under foreachBatch's at-least-once replay (ADVICE r5):
+    the EPOCH id is the view's batch id, so a crash between the view's
+    ledger commit and the stream's checkpoint commit replays the epoch
+    into ``IncrementalJoinView``'s ``[side, bid] in applied`` ledger
+    check and becomes a no-op -- no duplicated pairs (pinned by
+    tests/test_streaming.py::test_streaming_join_view_epoch_replay_is_noop).
     """
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if side == "left":
-            view.ingest_left(batch_df)
+            view.ingest_left(batch_df, batch_id=f"epoch-{epoch_id}")
         else:
-            view.ingest_right(batch_df)
+            view.ingest_right(batch_df, batch_id=f"epoch-{epoch_id}")
 
     return apply_batch

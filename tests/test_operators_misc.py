@@ -1990,11 +1990,10 @@ def test_incremental_join_view_crash_replay(spark, tmp_path):
     )
     # (crashed before store write + ledger commit)
     assert v._load_ledger() == applied
-    # the partial view delta is INVISIBLE: ledger-gated read
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="empty view"):
-        v.read(spark)
+    # the partial view delta is INVISIBLE: ledger-gated read -- with a
+    # right-only history the view is an EMPTY frame in the right side's
+    # shape (symmetric with left-only, ADVICE r5), never the partial rows
+    assert v.read(spark).count() == 0
 
     # retry the same batch id: clean overwrite, single commit
     v.ingest_left(batch, batch_id="l0")
@@ -2005,3 +2004,59 @@ def test_incremental_join_view_crash_replay(spark, tmp_path):
     v.ingest_left(batch, batch_id="l0")
     got2 = sorted(tuple(r) for r in v.read(spark).select("k", "a", "b").collect())
     assert got2 == got
+
+
+def test_incremental_join_view_prunes_store_reads(spark, tmp_path):
+    """Bounded ingest IO (VERDICT r5 task #1): with bucketed stores and
+    per-batch key-range manifests, an ingest whose delta overlaps only
+    one historical batch's key range must read a STRICT subset of the
+    other side's store files -- and the subset must stay FLAT as
+    non-overlapping history accrues. Pruning must not change the view."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        IncrementalJoinView,
+    )
+
+    v = IncrementalJoinView(str(tmp_path / "v"), key="k", n_buckets=8)
+    L = spark.createDataFrame
+
+    def mk_right(lo, hi):
+        return L([(k, f"b{k}") for k in range(lo, hi)], "k int, b string")
+
+    v.ingest_right(mk_right(0, 100), batch_id="r0")
+    v.ingest_right(mk_right(100, 200), batch_id="r1")
+    v.ingest_right(mk_right(200, 300), batch_id="r2")
+    all_leafs = {
+        leaf
+        for d in v._store_batch_dirs("right")
+        for leaf in v._leaf_dirs(d)
+    }
+
+    # a delta overlapping ONLY r2's key range
+    delta = L([(k, f"a{k}") for k in range(250, 260)], "k int, a string")
+    v.ingest_left(delta, batch_id="l0")
+    ranges = v._bucket_manifest(v._batch_dir("store", "left", "l0"))
+    pruned = set(v._pruned_store_paths("right", ranges))
+    assert pruned, "ingest must still read the matching buckets"
+    assert pruned < all_leafs, "must be a STRICT subset of the store"
+    assert all("batch=right-r2" in p for p in pruned), (
+        "r0/r1 key ranges cannot intersect the delta; their buckets "
+        f"must be range-pruned: {sorted(pruned)}"
+    )
+
+    # pruning is IO-only: the maintained view equals the full join
+    got = sorted(
+        tuple(r) for r in v.read(spark).select("k", "a", "b").collect()
+    )
+    assert got == [(k, f"a{k}", f"b{k}") for k in range(250, 260)]
+
+    # per-ingest IO stays FLAT as non-overlapping history grows
+    v.ingest_right(mk_right(300, 400), batch_id="r3")
+    v.ingest_right(mk_right(400, 500), batch_id="r4")
+    assert set(v._pruned_store_paths("right", ranges)) == pruned
+
+    # legacy flat (manifest-less) store dirs are read whole, never dropped
+    import os
+
+    legacy = v._batch_dir("store", "right", "r0")
+    os.remove(os.path.join(legacy, "_buckets.json"))
+    assert legacy in v._pruned_store_paths("right", ranges)
