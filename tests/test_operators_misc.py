@@ -2060,3 +2060,35 @@ def test_incremental_join_view_prunes_store_reads(spark, tmp_path):
     legacy = v._batch_dir("store", "right", "r0")
     os.remove(os.path.join(legacy, "_buckets.json"))
     assert legacy in v._pruned_store_paths("right", ranges)
+
+
+def test_ivm_footer_ranges_string_key_and_conservative(spark, tmp_path):
+    """The bucket manifests come from parquet FOOTER stats (no Spark
+    job). For string keys the harvested [lo, hi] must bound the real
+    per-bucket min/max, and an unknown range ([None, None]) must be
+    treated as always-intersecting -- pruning may widen, never drop."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        IncrementalJoinView,
+        _ranges_intersect,
+    )
+
+    v = IncrementalJoinView(str(tmp_path / "v"), key="k", n_buckets=4)
+    rows = [(f"key-{i:03d}", i) for i in range(50)]
+    v.ingest_left(spark.createDataFrame(rows, "k string, a int"), batch_id="l0")
+    m = v._bucket_manifest(v._batch_dir("store", "left", "l0"))
+    assert m, "manifest must exist"
+    got = {}
+    df = v._read_side(spark, "left")
+    for r in df.selectExpr(
+        "pmod(xxhash64(k), 4) AS b", "k"
+    ).groupBy("b").agg(
+        {"k": "min"}
+    ).collect():
+        got[int(r["b"])] = r["min(k)"]
+    for b, (lo, hi) in m.items():
+        assert lo is not None and hi is not None
+        assert lo <= got[b] <= hi
+
+    # unknown ranges are conservative: always intersect
+    assert _ranges_intersect(None, None, "a", "z")
+    assert _ranges_intersect("a", "z", None, None)
