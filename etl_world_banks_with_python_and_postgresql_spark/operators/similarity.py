@@ -532,6 +532,43 @@ def ivf_topk_indexed(
     )
 
 
+def _auto_lsh_layout(
+    n: int, bands: int, threshold: float, max_band_factor: int = 8
+) -> tuple[int, int]:
+    """Auto-size the sign-LSH layout ``(bits_per_band, bands)`` from the
+    corpus size while HOLDING the recall operating point (ADVICE r5).
+
+    bits: smallest with ``2^bits >= n/100`` (floor 6, cap 24) keeps the
+    expected bucket size ~100 -- the guard against the quadratic
+    candidate-join cliff (SIZING note in ``cosine_neardup_pairs``).
+
+    bands: raising bits alone lowers the per-band collision probability
+    ``s^bits`` at the threshold's angular similarity
+    ``s = 1 - acos(t)/pi``, so the S-curve recall
+    ``1 - (1 - s^bits)^bands`` would silently drop for default callers
+    (t=0.9, 12 bands: 6 -> 14 bits is ~1.0 -> ~0.63 recall at s=t).
+    We therefore scale bands to the smallest B restoring the recall the
+    6-bit floor gave, capped at ``max_band_factor`` x the requested
+    bands: band cost is LINEAR (signature width, explode rows, join
+    probes) and the cap bounds it; past the cap -- billion-vector
+    corpora at loose thresholds -- recall degrades gracefully and the
+    right moves are a higher threshold, an explicit pinned layout, or
+    the ``max_bucket`` backstop. At t >= 0.9 the cap is not binding
+    until bits ~ 18 (n ~ 26M); recall at s=t is the curve's WORST
+    point -- true near-dups above t collide strictly more often.
+    """
+    bits = min(24, max(6, math.ceil(math.log2(n / 100)) if n > 100 else 6))
+    if bits <= 6:
+        return bits, bands
+    s = 1.0 - math.acos(max(-1.0, min(threshold, 0.999999))) / math.pi
+    miss_floor = 1.0 - s**6  # per-band miss prob at the 6-bit floor
+    miss = 1.0 - s**bits
+    if not (0.0 < miss < 1.0 and 0.0 < miss_floor < 1.0):
+        return bits, bands
+    want = math.ceil(bands * math.log(miss_floor) / math.log(miss))
+    return bits, max(bands, min(bands * max_band_factor, want))
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -569,10 +606,15 @@ def cosine_neardup_pairs(
     bits_per_band=6 (64 keys) -> ~500-vector buckets -> ~100M pre-distinct
     join rows -> 74 s; bits_per_band=12 -> 7 s for the same recall band
     count. Rule of thumb: 2^bits >= n / 100 -- ENFORCED IN CODE: the
-    default ``bits_per_band=None`` sizes itself as
-    ``max(6, ceil(log2(n / 100)))`` from one cheap count() (capped at 24
-    so keys stay comfortable int32), so a duplicate-heavy corpus cannot
-    hit the 74 s cliff by omission. Pass an explicit int to pin the
+    default ``bits_per_band=None`` sizes itself via ``_auto_lsh_layout``
+    from one cheap count() (bits ``max(6, ceil(log2(n/100)))`` capped at
+    24 so keys stay comfortable int32), so a duplicate-heavy corpus
+    cannot hit the 74 s cliff by omission -- AND scales ``bands`` up
+    alongside the bits to hold the S-curve recall at the caller's
+    threshold (more bits per band alone would silently cut near-dup
+    recall, e.g. t=0.9 with 12 bands: 6 -> 14 bits is ~1.0 -> ~0.63 at
+    s=t; the band growth is capped at 8x -- see ``_auto_lsh_layout`` for
+    the beyond-cap story). Pass an explicit int to pin the
     signature layout (the oracle-paired registry queries do -- the DuckDB
     twin must replicate the banding bit-for-bit, which needs a scale-
     independent layout).
@@ -609,10 +651,11 @@ def cosine_neardup_pairs(
 
     if bits_per_band is None:
         # 2^bits >= n/100: one scalar count() action at plan-build time
-        # buys freedom from the quadratic bucket cliff (docstring SIZING)
+        # buys freedom from the quadratic bucket cliff (docstring SIZING).
+        # Bands scale WITH the bits so the default caller's recall
+        # operating point holds (ADVICE r5; see _auto_lsh_layout).
         n = df.count()
-        bits_per_band = min(24, max(6, math.ceil(math.log2(max(n, 1) / 100))
-                                    if n > 100 else 6))
+        bits_per_band, bands = _auto_lsh_layout(max(n, 1), bands, threshold)
     if dim is None:
         # bounded O(1) action; callers that know the dim pass it to keep
         # the plan build action-free

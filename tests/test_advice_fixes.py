@@ -171,3 +171,43 @@ def test_dedup_pair_ops_release_caches(spark):
     lazy_df = minhash_novel(new, corpus, threshold=0.5, unpersist_after=False)
     assert {r["doc_id"] for r in lazy_df.collect()} == eager
     spark.catalog.clearCache()
+
+
+def test_auto_lsh_layout_holds_recall_operating_point():
+    """ADVICE r5: auto-sizing bits_per_band up from the 6-bit floor must
+    scale bands alongside, so the S-curve recall 1-(1-s^r)^B at the
+    caller's threshold does not silently drop for default callers."""
+    import math
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        _auto_lsh_layout,
+    )
+
+    def recall(bits, bands, t):
+        s = 1.0 - math.acos(t) / math.pi
+        return 1.0 - (1.0 - s**bits) ** bands
+
+    # small corpora: unchanged floor layout
+    assert _auto_lsh_layout(1_000, 12, 0.9) == (6, 12)
+
+    for n in (100_000, 1_000_000, 10_000_000):
+        for t in (0.9, 0.95):
+            bits, bands = _auto_lsh_layout(n, 12, t)
+            # bucket-cliff guard holds
+            assert 2**bits >= min(n, 2**24 * 100) / 100
+            # recall at the operating point >= what the 6-bit floor
+            # with the caller's 12 bands gave (cap not binding here)
+            assert bands <= 12 * 8
+            assert recall(bits, bands, t) >= recall(6, 12, t) - 1e-9, (
+                n, t, bits, bands,
+            )
+
+    # beyond the cap: graceful degradation, bands pinned at 8x
+    bits, bands = _auto_lsh_layout(2**24 * 100, 12, 0.85)
+    assert bits == 24 and bands == 96
+
+    # bands never shrink below the caller's request
+    for n in (10, 10**9):
+        for t in (0.5, 0.99):
+            _, b = _auto_lsh_layout(n, 12, t)
+            assert b >= 12

@@ -106,6 +106,7 @@ def test_auto_bits_sizing_rule_and_adversarial_replicas(spark):
     import time
 
     from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        _auto_lsh_layout,
         cosine_neardup_pairs,
     )
 
@@ -127,6 +128,10 @@ def test_auto_bits_sizing_rule_and_adversarial_replicas(spark):
     n = emb.count()
     expected_bits = min(24, max(6, math.ceil(math.log2(n / 100))))
     assert expected_bits == 7  # 12800/100 = 128 -> ceil(log2) = 7 > default 6
+    # the auto path also scales BANDS to hold the recall operating point
+    # (ADVICE r5): at t=0.999 the 6->7 bit step costs one extra band
+    exp_bits, exp_bands = _auto_lsh_layout(n, 4, 0.999)
+    assert (exp_bits, exp_bands) == (7, 5)
 
     t0 = time.monotonic()
     auto = cosine_neardup_pairs(emb, threshold=0.999, bands=4, dim=16)
@@ -135,7 +140,7 @@ def test_auto_bits_sizing_rule_and_adversarial_replicas(spark):
     assert wall < 120, f"auto-sized near-dup run took {wall:.1f}s"
 
     pinned = cosine_neardup_pairs(
-        emb, threshold=0.999, bands=4, bits_per_band=expected_bits, dim=16
+        emb, threshold=0.999, bands=exp_bands, bits_per_band=exp_bits, dim=16
     )
     assert auto_rows == sorted(tuple(r) for r in pinned.collect())
     # replicas of the same base vector must be found as near-dups
