@@ -54,6 +54,72 @@ _CHECKS = {
 }
 
 
+# cheap prefilter for the expensive JVM tree walk in lint_exact_output:
+# matches the expression renderings `round(...)` / `bround(...)` in a
+# plan string; never an alias (those render as `AS name#id`, no paren)
+_ROUND_CALL = re.compile(r"\bb?round\(")
+
+
+def _iter_jseq(seq):
+    it = seq.iterator()
+    while it.hasNext():
+        yield it.next()
+
+
+def _round_over_float_types(jplan, out: list[str]) -> None:
+    """Collect the child dataTypes of every Round/BRound expression in
+    the plan tree whose argument is double/float (py4j walk)."""
+    for e in _iter_jseq(jplan.expressions()):
+        stack = [e]
+        while stack:
+            x = stack.pop()
+            if x.getClass().getSimpleName() in ("Round", "BRound"):
+                t = x.child().dataType().typeName()
+                if t in ("double", "float"):
+                    out.append(f"round(<{t}>) at: {x.toString()[:120]}")
+            stack.extend(_iter_jseq(x.children()))
+    for ch in _iter_jseq(jplan.children()):
+        _round_over_float_types(ch, out)
+
+
+def lint_exact_output(df: DataFrame) -> list[str]:
+    """The q49-class cross-engine determinism lint (VERDICT r5 task #5).
+
+    ``round(<double>, s)`` is not portable across engines: Spark rounds
+    the shortest decimal representation HALF_UP while DuckDB rounds the
+    binary value, so a true rational within an ulp of a decimal
+    half-boundary legitimately rounds differently (three rounds of q49
+    reds). The portable constructions are (a) ``round`` over DECIMAL --
+    exact integer-space arithmetic, the pattern the relational queries
+    use -- and (b) `functions/exactnum`: BIGINT arithmetic, ONE
+    integer-space HALF_UP, presented as ``k / 10^s.0`` (no round call at
+    all). This lint flags a query whose OUTPUT carries double/float
+    columns while its optimized plan rounds a DOUBLE/FLOAT-typed
+    expression (checked on the JVM expression tree, so decimal rounding
+    never false-positives); survivors must be whitelisted with a
+    bit-stability justification (e.g. the rounded double is produced by
+    arithmetic pinned bit-identical across engines, the cos_sim
+    pattern).
+    """
+    if not any(
+        f.dataType.typeName() in ("double", "float") for f in df.schema.fields
+    ):
+        return []
+    qe = df._jdf.queryExecution()
+    if not _ROUND_CALL.search(qe.optimizedPlan().toString()):
+        return []  # no round anywhere: skip the py4j tree walk
+    hits: list[str] = []
+    _round_over_float_types(qe.optimizedPlan(), hits)
+    return [
+        "double output fed by round(<double>): not cross-engine stable "
+        "at decimal half-boundaries (the q49 class); round a DECIMAL or "
+        "derive the value in exact BIGINT via functions/exactnum and "
+        "present as k / 10^s.0, or whitelist with a bit-stability "
+        f"justification -- {h}"
+        for h in hits
+    ]
+
+
 def lint_plan(df: DataFrame) -> list[str]:
     """Findings for the DataFrame's physical plan; empty list = clean.
 

@@ -8,8 +8,12 @@ by name.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
-from etl_world_banks_with_python_and_postgresql_spark.plans.lint import lint_plan
+from etl_world_banks_with_python_and_postgresql_spark.plans.lint import (
+    lint_exact_output,
+    lint_plan,
+)
 from etl_world_banks_with_python_and_postgresql_spark.plans.queries import REGISTRY
 
 SF = "/root/testdata/sf0.001"
@@ -91,12 +95,78 @@ WHITELIST = {
 }
 
 
+# The q49-class determinism lint (VERDICT r5 task #5): entries whose
+# gated output rounds a DOUBLE (not a decimal / exactnum BIGINT). This
+# set is the FROZEN pre-round-6 inventory -- every name is bit-exact vs
+# DuckDB at sf0.01 (DIAG_r05_full attestation) because both engines
+# perform the identical IEEE op sequence before the round, and
+# tests/test_determinism_duckdb.py re-sweeps their gated floats for
+# rounding-half-boundary proximity. DO NOT ADD NAMES: a new entry that
+# rounds a double goes red here by design; derive new numeric outputs in
+# exact BIGINT via functions/exactnum and present as k / 10^s.0.
+EXACT_ROUND_FROZEN = {
+    "q07_customer_order_stats", "q12_rollup", "q13_cube",
+    "q14_grouping_sets", "q17_window_running", "q18_pivot",
+    "q26_scd_classify", "q28_scd_snapshot", "q29_enrich_currency",
+    "q38_ann_cosine_topk", "q41_asof_join", "q44_resample_ffill",
+    "q47_correlated_scalar_subquery", "q50_range_join",
+    "q53_percentiles", "q54_min_cost_per_part",
+    "q55_supplier_value_share", "q58_map_column", "q60_ivf_kmeans_topk",
+    "q65_share_of_total", "q68_range_frame_90d", "q72_small_qty_revenue",
+    "q77_multimodal_ann", "q80_returned_items", "q81_promo_revenue",
+    "q83_large_orders", "q84_dormant_rich_customers", "q85_market_share",
+    "q89_null_semantics", "q91_array_funcs", "q93_stat_profile",
+    "q94_rank_family", "q96_column_profile", "q97_ivf_indexed_ann",
+    "q98_repetition_signals", "z10_token_entropy", "z23_weighted_sample",
+    "z26_hard_negatives", "z30_grouped_weighted_sample", "z36_bm25_rank",
+    "z41_mad_outliers", "z46_association_rules", "z48_doc_keywords",
+    "z50_corpus_pipeline_v2", "z52_vocab_drift", "z53_quantized_ann",
+    "z55_time_weighted_avg", "z56_trend_slope", "z57_time_to_convert",
+    "z60_reconciliation", "z63_harmonic_mean", "z64_soft_dedup_weights",
+    "z65_minmax_scale", "z69_session_funnel", "z70_intersession_gaps",
+    "z71_freshness_sla", "z74_revenue_pareto", "z75_quantization_recall",
+    "z76_lsh_pair_recall", "z80_token_budget", "z97_diversity_sample",
+}
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_plan_is_scale_clean(spark, name):
-    findings = lint_plan(REGISTRY[name].fn(spark, SF))
-    if name in WHITELIST:
-        return  # allowed shape, documented above
-    assert not findings, (
-        f"{name} regressed into a scale anti-pattern: {findings}. "
-        "Fix the plan or whitelist it here with a justification."
+    df = REGISTRY[name].fn(spark, SF)
+    findings = lint_plan(df)
+    if name not in WHITELIST:
+        assert not findings, (
+            f"{name} regressed into a scale anti-pattern: {findings}. "
+            "Fix the plan or whitelist it here with a justification."
+        )
+    exact = lint_exact_output(df)
+    if name not in EXACT_ROUND_FROZEN:
+        assert not exact, (
+            f"{name} rounds a DOUBLE in a gated output: {exact[:2]}. "
+            "Use functions/exactnum (BIGINT HALF_UP, present as "
+            "k / 10^s.0) or round a DECIMAL; EXACT_ROUND_FROZEN is "
+            "frozen -- do not add names."
+        )
+
+
+def test_exact_lint_reds_on_seeded_round_double(spark):
+    """The lint must red a fresh round(<double>) gated output (VERDICT
+    r5 task #5 done-criterion) and stay green for the two sanctioned
+    constructions: decimal rounding and the exactnum presentation."""
+    bad = spark.range(5).select(F.round(F.col("id") / 3, 2).alias("r"))
+    assert lint_exact_output(bad), "seeded round(double) must be flagged"
+
+    dec = spark.range(5).select(
+        F.round(F.col("id").cast("decimal(20,6)") / 3, 2)
+        .cast("double")
+        .alias("r")
     )
+    assert not lint_exact_output(dec), "decimal rounding is sanctioned"
+
+    from etl_world_banks_with_python_and_postgresql_spark.functions.exactnum import (
+        ratio_micros_halfup,
+    )
+
+    ex = spark.range(1, 5).select(
+        (ratio_micros_halfup(F.col("id"), F.lit(7)) / F.lit(1e6)).alias("r")
+    )
+    assert not lint_exact_output(ex), "exactnum presentation is sanctioned"
