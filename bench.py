@@ -114,6 +114,7 @@ HEADLINE = [
     "z95_countmin_tokens",
     "z97_diversity_sample",
     "z98_source_minhash_similarity",
+    "z99_jpeg_pixel_stats",
 ]
 
 

@@ -1,0 +1,722 @@
+"""Pure-stdlib(+numpy) baseline JPEG codec (VERDICT r5 task #4).
+
+Closes the last honest codec stub in the multimodal leg: JFIF baseline
+sequential DCT (SOF0/SOF1) now encodes AND decodes here for real --
+marker parse, DQT/DHT table handling (any canonical tables, 8- or
+16-bit quant), interleaved MCU scan with per-component sampling factors
+(4:4:4 / 4:2:2 / 4:2:0), restart markers, Huffman DC-diff/AC-RLE
+entropy coding, dequantize + IDCT, chroma upsampling, YCbCr->RGB.
+``NotImplementedError`` remains ONLY for the genuinely out-of-scope
+compression modes (progressive SOF2, lossless, arithmetic coding) and
+for WebP -- the environment's honest externally-coded boundary.
+
+Determinism: every quantity is derived through fixed-op-order float64
+(DCT basis built from ``math.cos`` literals; per-image block batches go
+through one numpy matmul) followed by a single round+clip to uint8.
+Constant-valued blocks round-trip EXACTLY at high quality (the DCT of
+a constant is a lone DC coefficient; with the q>=90 DC step the
+reconstruction error stays under half an intensity level --
+hand-pinned in tests), which gives the test suite true hand-computed
+anchors; smooth gradients round-trip within a small quantization bound.
+
+Scale shape: the codec is plain bytes->arrays Python, always invoked
+INSIDE Arrow-batched ``mapInPandas`` (operators/multimodal.py), so the
+work distributes with the scan and no pixel ever crosses the driver.
+
+Reference anchor: the reference repo has no media path at all
+(pandas/bs4 over HTML tables); this leg exists for the LLM-pipeline
+surface (SURVEY.md section on multimodal training data).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# ---------------------------------------------------------------------
+# Tables
+# ---------------------------------------------------------------------
+
+# zigzag sequence: position i in the scan -> natural (row-major) index
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex-K-shaped base quantization tables (natural order)
+QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Huffman table specs: (bits[1..16] code-length counts, symbol list).
+# Encoder and decoder share these through the same canonical-code
+# builder, and the decoder additionally accepts ANY valid DHT tables --
+# internal validity (Kraft + counts) is asserted by the test suite.
+HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    _AC_LUMA_VALS,
+)
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    _AC_CHROMA_VALS,
+)
+
+
+def canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) under JPEG canonical code assignment.
+
+    ValueError when the spec is inconsistent (counts != symbols) or
+    overflows the code space (Kraft violation) -- the decoder runs this
+    on DHT payloads, so malformed tables fail loudly instead of
+    decoding garbage.
+    """
+    if sum(bits) != len(values):
+        raise ValueError("huffman spec: count/symbol mismatch")
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("huffman spec overflows code space")
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_map(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the bit-serial decoder."""
+    return {
+        (ln, code): sym for sym, (code, ln) in canonical_codes(bits, values).items()
+    }
+
+
+def _dct_matrix():
+    import numpy as np
+
+    t = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        s = math.sqrt(0.125) if u == 0 else math.sqrt(0.25)
+        for x in range(8):
+            t[u, x] = s * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return t
+
+
+def _scaled_quant(base: list[int], quality: int) -> list[int]:
+    """IJG quality scaling, clamped to the 8-bit DQT range."""
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return [max(1, min(255, (b * scale + 50) // 100)) for b in base]
+
+
+# ---------------------------------------------------------------------
+# Bit IO
+# ---------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            b = (self._acc >> self._n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        """Pad the partial byte with 1-bits (spec fill) and emit."""
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    """MSB-first entropy-segment reader with 0xFF00 unstuffing; stops at
+    any real marker and records it in ``self.marker``."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+        self.marker: int | None = None
+
+    def _feed(self) -> None:
+        if self.marker is not None:
+            raise ValueError("jpeg: entropy data truncated at marker")
+        if self.pos >= len(self.data):
+            raise ValueError("jpeg: entropy data truncated")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: dangling 0xFF")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed literal 0xFF
+            else:
+                self.pos -= 1  # leave marker unconsumed
+                self.marker = nxt
+                raise ValueError("jpeg: entropy data truncated at marker")
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            self._feed()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self, expect: int) -> None:
+        """Consume a restart marker at an MCU-run boundary."""
+        self._acc = 0
+        self._n = 0
+        self.marker = None
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + expect
+        ):
+            raise ValueError(
+                f"jpeg: expected RST{expect} at offset {self.pos}"
+            )
+        self.pos += 2
+
+
+def _decode_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+# ---------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------
+
+
+def encode_jpeg(
+    pixels,
+    width: int,
+    height: int,
+    quality: int = 95,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder. ``pixels`` is a row-major top-down list of
+    (r, g, b) tuples, or of ints for a single-component grayscale image.
+    ``subsample``: '444' (no chroma subsampling) or '420' (2x2 box-mean
+    chroma). ``restart_interval`` > 0 emits DRI + RSTn markers every
+    that many MCUs.
+    """
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError("pixel count != width*height")
+    if subsample not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsample!r}")
+    gray = not isinstance(pixels[0], (tuple, list))
+    t_mat = _dct_matrix()
+
+    if gray:
+        plane = np.asarray(pixels, dtype=np.float64).reshape(height, width)
+        comps = [(1, 1, 0, plane)]  # (h, v, quant_id, plane)
+        hmax = vmax = 1
+    else:
+        rgb = np.asarray(pixels, dtype=np.float64).reshape(height, width, 3)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+        if subsample == "420":
+            hmax = vmax = 2
+            comps = [(2, 2, 0, y), (1, 1, 1, cb), (1, 1, 1, cr)]
+        else:
+            hmax = vmax = 1
+            comps = [(1, 1, 0, y), (1, 1, 1, cb), (1, 1, 1, cr)]
+
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+
+    q_luma = _scaled_quant(QUANT_LUMA, quality)
+    q_chroma = _scaled_quant(QUANT_CHROMA, quality)
+    q_tabs = [
+        np.asarray(q_luma, dtype=np.float64).reshape(8, 8),
+        np.asarray(q_chroma, dtype=np.float64).reshape(8, 8),
+    ]
+
+    # pad planes (edge replication) and downsample chroma by box mean
+    sampled = []
+    for h_i, v_i, qid, plane in comps:
+        full_w, full_h = mcus_x * mcu_w, mcus_y * mcu_h
+        padded = np.pad(
+            plane,
+            ((0, full_h - plane.shape[0]), (0, full_w - plane.shape[1])),
+            mode="edge",
+        )
+        fx, fy = hmax // h_i, vmax // v_i
+        if fx > 1 or fy > 1:
+            padded = padded.reshape(
+                padded.shape[0] // fy, fy, padded.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+        sampled.append((h_i, v_i, qid, padded))
+
+    # quantized coefficient blocks, in interleaved MCU order
+    def block_coeffs(plane, bx, by, qid):
+        blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        f = t_mat @ blk @ t_mat.T
+        return np.rint(f / q_tabs[qid]).astype(np.int64)
+
+    dc_specs = [HUFF_DC_LUMA, HUFF_DC_CHROMA]
+    ac_specs = [HUFF_AC_LUMA, HUFF_AC_CHROMA]
+    dc_codes = [canonical_codes(*s) for s in dc_specs]
+    ac_codes = [canonical_codes(*s) for s in ac_specs]
+
+    w = _BitWriter()
+    preds = [0] * len(comps)
+    mcu_count = 0
+    rst_idx = 0
+    segments = []  # bytes chunks (entropy + restart markers)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                w.flush()
+                segments.append(bytes(w.out))
+                segments.append(bytes([0xFF, 0xD0 + rst_idx]))
+                rst_idx = (rst_idx + 1) % 8
+                w = _BitWriter()
+                preds = [0] * len(comps)
+            for ci, (h_i, v_i, qid, plane) in enumerate(sampled):
+                tid = 0 if ci == 0 else 1
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        coeffs = block_coeffs(
+                            plane, mx * h_i + bx, my * v_i + by, qid
+                        )
+                        flat = coeffs.reshape(64)
+                        zz = [int(flat[ZIGZAG[i]]) for i in range(64)]
+                        # DC
+                        diff = zz[0] - preds[ci]
+                        preds[ci] = zz[0]
+                        t = _category(diff)
+                        code, ln = dc_codes[tid][t]
+                        w.write(code, ln)
+                        if t:
+                            w.write(
+                                diff if diff >= 0 else diff + (1 << t) - 1, t
+                            )
+                        # AC
+                        run = 0
+                        for k in range(1, 64):
+                            v = zz[k]
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_codes[tid][0xF0]  # ZRL
+                                w.write(code, ln)
+                                run -= 16
+                            t = _category(v)
+                            code, ln = ac_codes[tid][(run << 4) | t]
+                            w.write(code, ln)
+                            w.write(v if v >= 0 else v + (1 << t) - 1, t)
+                            run = 0
+                        if run:
+                            code, ln = ac_codes[tid][0x00]  # EOB
+                            w.write(code, ln)
+            mcu_count += 1
+    w.flush()
+    segments.append(bytes(w.out))
+    entropy = b"".join(segments)
+
+    # ---- headers ----
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(
+        ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
+    )  # APP0
+    n_q = 1 if gray else 2
+    for qid, tab in enumerate([q_luma, q_chroma][:n_q]):
+        zz_tab = bytes(tab[ZIGZAG[i]] for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">HB", 67, qid) + zz_tab
+    # SOF0
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp)
+    for ci in range(ncomp):
+        h_i, v_i, qid, _ = sampled[ci]
+        sof += struct.pack(">BBB", ci + 1, (h_i << 4) | v_i, qid)
+    out += b"\xff\xc0" + sof
+    # DHT
+    tables = [(0x00, dc_specs[0]), (0x10, ac_specs[0])]
+    if not gray:
+        tables += [(0x01, dc_specs[1]), (0x11, ac_specs[1])]
+    for tc_th, (bits, vals) in tables:
+        body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        td_ta = 0x00 if ci == 0 else 0x11
+        sos += struct.pack(">BB", ci + 1, td_ta)
+    sos += struct.pack(">BBB", 0, 63, 0)
+    out += b"\xff\xda" + sos
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------
+
+_PROGRESSIVE_SOFS = {
+    0xC2: "progressive DCT (SOF2)",
+    0xC3: "lossless (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic sequential (SOF9)",
+    0xCA: "arithmetic progressive (SOF10)",
+    0xCB: "arithmetic lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+def decode_jpeg_meta(data: bytes) -> tuple[int, int, int, str]:
+    """Header-only parse: (width, height, n_components, mode). Walks the
+    marker stream to the first SOF without touching entropy data."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: marker desync in header walk")
+        marker = data[pos + 1]
+        if marker in (0xC0, 0xC1):
+            h, w_, nc = struct.unpack(">HHB", data[pos + 5 : pos + 10])
+            return w_, h, nc, "baseline"
+        if marker in _PROGRESSIVE_SOFS:
+            h, w_, nc = struct.unpack(">HHB", data[pos + 5 : pos + 10])
+            return w_, h, nc, _PROGRESSIVE_SOFS[marker].split(" (")[0]
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        pos += 2 + seg_len
+    raise ValueError("jpeg: no SOF marker found")
+
+
+def decode_jpeg(data: bytes):
+    """Full baseline decode. Returns ``(width, height, n_components,
+    pixels)``: pixels is a row-major top-down list of ints (grayscale)
+    or (r, g, b) tuples (color). ValueError on corrupt bytes;
+    NotImplementedError for progressive / lossless / arithmetic modes.
+    """
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("jpeg: truncated before SOS")
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: marker desync")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD8:
+            continue
+        if marker == 0xD9:
+            raise ValueError("jpeg: EOI before scan data")
+        seg_len = struct.unpack(">H", data[pos : pos + 2])[0]
+        body = data[pos + 2 : pos + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("jpeg: truncated segment")
+        if marker in _PROGRESSIVE_SOFS:
+            raise NotImplementedError(
+                f"jpeg {_PROGRESSIVE_SOFS[marker]} decoding needs an "
+                "external codec; only baseline sequential (SOF0/SOF1) "
+                "is decoded here"
+            )
+        if marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            precision, h, w_, nc = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise NotImplementedError(
+                    f"jpeg {precision}-bit precision not decoded here"
+                )
+            comps = []
+            for ci in range(nc):
+                cid, hv, qid = struct.unpack(
+                    ">BBB", body[6 + 3 * ci : 9 + 3 * ci]
+                )
+                comps.append((cid, hv >> 4, hv & 0xF, qid))
+            sof = (w_, h, comps)
+        elif marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                n = 64 * (2 if pq else 1)
+                raw = body[i : i + n]
+                if len(raw) < n:
+                    raise ValueError("jpeg: truncated DQT")
+                if pq:
+                    vals = list(struct.unpack(f">{64}H", raw))
+                else:
+                    vals = list(raw)
+                nat = [0] * 64
+                for k in range(64):
+                    nat[ZIGZAG[k]] = vals[k]
+                quant[tq] = nat
+                i += n
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _decode_map(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            mapping = []
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
+                mapping.append((cs, tdta >> 4, tdta & 0xF))
+            scan = mapping
+            pos += seg_len
+            break
+        # APPn / COM / others: skip
+        pos += seg_len
+
+    if sof is None:
+        raise ValueError("jpeg: SOS before SOF")
+    w_, h, comps = sof
+    if w_ <= 0 or h <= 0:
+        raise ValueError("jpeg: non-positive dimensions")
+    if len(scan) != len(comps):
+        raise NotImplementedError(
+            "jpeg multi-scan (non-interleaved) streams not decoded here"
+        )
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w_ + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    by_id = {cid: (h_i, v_i, qid) for cid, h_i, v_i, qid in comps}
+    order = []  # (comp_index, dc_table, ac_table, h_i, v_i, qid)
+    for ci, (cs, td, ta) in enumerate(scan):
+        if cs not in by_id:
+            raise ValueError("jpeg: scan references unknown component")
+        h_i, v_i, qid = by_id[cs]
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("jpeg: scan references missing Huffman table")
+        if qid not in quant:
+            raise ValueError("jpeg: component references missing DQT")
+        order.append((ci, huff[(0, td)], huff[(1, ta)], h_i, v_i, qid))
+
+    reader = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    # per component: flat list of zigzag-coeff blocks in raster order
+    nblocks = [
+        (mcus_x * h_i, mcus_y * v_i) for _, _, _, h_i, v_i, _ in order
+    ]
+    coeff_store = [
+        np.zeros((bw * bh, 64), dtype=np.int32) for bw, bh in nblocks
+    ]
+    mcu_count = 0
+    rst_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                reader.align_restart(rst_idx)
+                rst_idx = (rst_idx + 1) % 8
+                preds = [0] * len(comps)
+            for slot, (ci, dc_t, ac_t, h_i, v_i, _qid) in enumerate(order):
+                bw = nblocks[slot][0]
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        zz = [0] * 64
+                        t = _decode_huffman(reader, dc_t)
+                        diff = _extend(reader.read_bits(t), t) if t else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huffman(reader, ac_t)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("jpeg: AC index overrun")
+                            zz[k] = _extend(reader.read_bits(size), size)
+                            k += 1
+                        row = my * v_i + by
+                        col = mx * h_i + bx
+                        coeff_store[slot][row * bw + col] = zz
+            mcu_count += 1
+
+    # dequantize + batched IDCT + assemble planes
+    t_mat = _dct_matrix()
+    planes = []
+    for slot, (ci, _dc, _ac, h_i, v_i, qid) in enumerate(order):
+        bw, bh = nblocks[slot]
+        zz = coeff_store[slot].astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[:, ZIGZAG] = zz  # de-zigzag: natural[ZIGZAG[k]] = zz[k]
+        q = np.asarray(quant[qid], dtype=np.float64)
+        blocks = (nat * q).reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", t_mat, blocks, t_mat) + 128.0
+        plane = np.zeros((bh * 8, bw * 8))
+        for i in range(bh):
+            for j in range(bw):
+                plane[i * 8 : i * 8 + 8, j * 8 : j * 8 + 8] = spatial[
+                    i * bw + j
+                ]
+        fx, fy = hmax // h_i, vmax // v_i
+        if fx > 1 or fy > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:h, :w_])
+
+    if len(planes) == 1:
+        px = np.clip(np.rint(planes[0]), 0, 255).astype(np.int64)
+        return w_, h, 1, [int(v) for v in px.reshape(-1)]
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    rgb = np.clip(
+        np.rint(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.int64)
+    flat = rgb.reshape(-1, 3)
+    return w_, h, 3, [tuple(int(c) for c in p) for p in flat]

@@ -16,8 +16,15 @@ All three legs are now codec-REAL via stdlib:
   table and parses frame headers; ``sample_mpng_frames`` emits every
   k-th frame as genuine PNG bytes that feed the image pixel path.
 
-What still needs an external codec is exactly what stdlib cannot parse:
-JPEG/WebP pixels -- ``decode_image_pixels`` raises
+* JPEG (round 6): ``attach_jpeg_binary`` encodes genuine baseline JFIF
+  (quality-scaled quant tables, Huffman entropy coding, 4:4:4/4:2:0,
+  restart markers) and ``decode_jpeg_pixel_stats`` /
+  ``decode_image_pixels`` decode it for real -- stdlib+numpy, see
+  ``operators/jpeg.py``.
+
+What still needs an external codec is exactly what stdlib cannot
+parse: WebP and progressive/arithmetic JPEG modes --
+``decode_image_pixels`` / ``jpeg.decode_jpeg`` raise
 NotImplementedError at the precise point such a codec would plug in,
 and ``decode_image_meta`` remains the deterministic byte-length fake for
 format-agnostic blobs (kept for the q40 oracle contract).
@@ -353,13 +360,16 @@ def decode_png_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 def decode_image_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Full pixel decode, REAL for PNG (stdlib zlib inflate + all five
-    scanline unfilters via :func:`decode_png`). Output: one row per doc
-    with the row-major grayscale pixel array. Formats that genuinely need
-    an external codec (JPEG/WebP/...) raise NotImplementedError at the
-    exact point that codec would plug in -- the PNG path proves the
-    plumbing end-to-end with real bytes."""
+    scanline unfilters via :func:`decode_png`), 24-bit BMP, and baseline
+    JPEG (stdlib Huffman+DCT via :func:`jpeg.decode_jpeg`). Output: one
+    row per doc with the row-major grayscale pixel array. Formats that
+    genuinely need an external codec (WebP, progressive/arithmetic
+    JPEG) raise NotImplementedError at the exact point that codec would
+    plug in."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg
+
         for pdf in batches:
             ids, pixels = [], []
             for did, b in zip(pdf["doc_id"], pdf[payload_col]):
@@ -370,12 +380,21 @@ def decode_image_pixels(df: DataFrame, payload_col: str = "payload") -> DataFram
                     # color BMP -> integer luma (exact floor mean of BGR)
                     _w, _h, bgr = decode_bmp(bs)
                     px = [(p[0] + p[1] + p[2]) // 3 for p in bgr]
+                elif bs[:2] == b"\xff\xd8":
+                    # baseline JPEG -> integer luma (floor mean of RGB);
+                    # progressive/arithmetic modes raise inside
+                    _w, _h, nc, jp = decode_jpeg(bs)
+                    px = (
+                        jp
+                        if nc == 1
+                        else [(p[0] + p[1] + p[2]) // 3 for p in jp]
+                    )
                 else:
                     raise NotImplementedError(
-                        "externally-coded image bytes (JPEG/WebP/...) need "
-                        "a codec library (PIL/opencv); plug it into this "
-                        "mapInPandas -- PNG and 24-bit BMP decode here "
-                        "for real"
+                        "externally-coded image bytes (WebP/...) need a "
+                        "codec library (PIL/opencv); plug it into this "
+                        "mapInPandas -- PNG, 24-bit BMP, and baseline "
+                        "JPEG decode here for real"
                     )
                 ids.append(did)
                 pixels.append(px)
@@ -564,6 +583,135 @@ def decode_bmp_pixel_stats(
         df.sparkSession.sparkContext.defaultParallelism
     )
     return spread.mapInPandas(decode, BMP_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# JPEG: the lossy-codec leg, codec-real in pure stdlib+numpy
+# (operators/jpeg.py -- baseline sequential DCT, Huffman, 4:4:4/4:2:0,
+# restart markers). Lossy means oracles cannot recompute decoded values
+# arithmetically; instead the fixture is a SMOOTH linear gradient whose
+# decode provably lands within a small quantization bound, and the
+# gated columns are the measured dimensions + the tolerance verdict --
+# a decoder that misreads real JPEG bytes (entropy stream, zigzag,
+# chroma order, raster assembly) blows the bound by an order of
+# magnitude. Exact-value pins live in the pytest suite (constant
+# images round-trip bit-exactly through the DCT).
+# ---------------------------------------------------------------------
+
+
+def _jpeg_fixture_dims(doc_id: int, n_chars: int) -> tuple[int, int]:
+    return 6 + doc_id % 19, 5 + n_chars % 18
+
+
+def _jpeg_fixture_pixels(doc_id: int, w: int, h: int):
+    """Row-major (r, g, b) linear gradient; every channel stays inside
+    [20, 235] for the fixture dim range, so there is no wrap/clip edge
+    for the DCT to ring on."""
+    k_r = 20 + doc_id % 100
+    k_g = 30 + (2 * doc_id) % 90
+    k_b = 25 + (3 * doc_id) % 110
+    return [
+        (k_r + 2 * x + 3 * y, k_g + 3 * x + y, k_b + x + 2 * y)
+        for y in range(h)
+        for x in range(w)
+    ]
+
+
+def attach_jpeg_binary(
+    df: DataFrame, id_col: str = "doc_id", len_col: str = "n_chars"
+) -> DataFrame:
+    """Attach a GENUINE baseline JFIF payload per row (quality 95,
+    4:4:4), encoded by the stdlib codec in ``operators/jpeg.py``.
+    Dimensions and the per-channel gradient are deterministic functions
+    of existing columns (see ``_jpeg_fixture_dims`` /
+    ``_jpeg_fixture_pixels``), so oracles recompute the dimensions and
+    tests can regenerate the exact source pattern the decode is
+    measured against."""
+    from .jpeg import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, ln in zip(pdf[id_col], pdf[len_col]):
+                did, ln = int(did), int(ln)
+                w, h = _jpeg_fixture_dims(did, ln)
+                payloads.append(
+                    encode_jpeg(
+                        _jpeg_fixture_pixels(did, w, h), w, h, quality=95
+                    )
+                )
+            out = pdf[[id_col, len_col]].copy()
+            out["payload"] = payloads
+            yield out
+
+    spread = df.select(id_col, len_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
+        gen, f"{id_col} long, {len_col} int, payload binary"
+    )
+
+
+JPEG_STATS_SCHEMA = (
+    "doc_id long, width int, height int, n_pixels long, "
+    "n_components int, max_abs_err int, within_tol boolean"
+)
+
+# measured decode error for the gradient fixtures is 1-2; a channel
+# swap, raster misorder, or chroma mixup is >= 6 by construction of the
+# per-channel gradient slopes, so 4 separates cleanly
+JPEG_ERR_TOL = 4
+
+
+def decode_jpeg_pixel_stats(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Decode REAL JPEG payloads and gate the decoded pixels against the
+    regenerated source gradient: (doc_id, width, height, n_pixels,
+    n_components, max_abs_err, within_tol). Dimensions are measured
+    from the actual SOF + raster assembly; ``max_abs_err`` is the max
+    per-channel deviation of decoded vs source pixels and
+    ``within_tol`` is its ``<= JPEG_ERR_TOL`` verdict -- the
+    oracle-comparable certificate that real lossy bytes decoded
+    correctly."""
+    from .jpeg import decode_jpeg
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "n_pixels", "n_components",
+                "max_abs_err", "within_tol",
+            )}
+            for did, b in zip(pdf["doc_id"], pdf[payload_col]):
+                did = int(did)
+                w, h, nc, px = decode_jpeg(bytes(b))
+                got = np.asarray(px, dtype=np.int64)
+                want = np.asarray(
+                    _jpeg_fixture_pixels(did, w, h), dtype=np.int64
+                )
+                err = (
+                    int(np.abs(got - want).max())
+                    if got.shape == want.shape
+                    else 255
+                )
+                rows["doc_id"].append(did)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(w * h)
+                rows["n_components"].append(nc)
+                rows["max_abs_err"].append(err)
+                rows["within_tol"].append(err <= JPEG_ERR_TOL)
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "n_components", "max_abs_err"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    spread = df.select("doc_id", payload_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(decode, JPEG_STATS_SCHEMA)
 
 
 AUDIO_META_SCHEMA = (

@@ -1364,3 +1364,37 @@ def z98(spark, sf_dir):
             ).alias("est_jaccard"),
         )
     )
+
+
+@query(
+    "z99_jpeg_pixel_stats",
+    oracle="""
+SELECT doc_id,
+       (6 + doc_id % 19)::INT AS width,
+       (5 + n_chars % 18)::INT AS height,
+       ((6 + doc_id % 19) * (5 + n_chars % 18))::BIGINT AS n_pixels,
+       3::INT AS n_components,
+       TRUE AS within_tol
+FROM documents
+""",
+    description=(
+        "LOSSY image leg, codec-REAL end to end (VERDICT r5 task #4): "
+        "genuine baseline JFIF payloads (operators/jpeg.py -- "
+        "quality-scaled quant tables, canonical Huffman entropy coding, "
+        "byte stuffing) -> full stdlib Huffman+IDCT decode -> decoded "
+        "pixels gated against the regenerated source gradient within "
+        "the quantization tolerance. Lossy coding means the oracle "
+        "cannot recompute decoded values arithmetically; it verifies "
+        "the MEASURED dimensions (SOF + raster assembly) and the "
+        "tolerance certificate, which a decoder that misreads real "
+        "JPEG bytes (entropy stream, zigzag, component order, raster "
+        "assembly) fails by an order of magnitude. Exact-value anchors "
+        "(constant blocks round-trip bit-exactly through the DCT) live "
+        "in tests/test_operators_misc.py"
+    ),
+)
+def z99(spark, sf_dir):
+    docs = multimodal.attach_jpeg_binary(load(spark, "documents", sf_dir))
+    return multimodal.decode_jpeg_pixel_stats(docs).select(
+        "doc_id", "width", "height", "n_pixels", "n_components", "within_tol"
+    )

@@ -2092,3 +2092,166 @@ def test_ivm_footer_ranges_string_key_and_conservative(spark, tmp_path):
     # unknown ranges are conservative: always intersect
     assert _ranges_intersect(None, None, "a", "z")
     assert _ranges_intersect("a", "z", None, None)
+
+
+# ---------------------------------------------------------------------
+# JPEG codec (operators/jpeg.py, VERDICT r5 task #4)
+# ---------------------------------------------------------------------
+
+
+def test_jpeg_constant_images_roundtrip_exactly():
+    """Hand-computed anchor: the DCT of a constant block is a lone DC
+    coefficient (square row sums of the basis vanish for u>0). At high
+    quality the DC step is <= 3, so the worst reconstruction error per
+    channel (step/16 through the color matrix, < 0.5) vanishes in the
+    final rint -- constant images round-trip BIT-EXACTLY, including
+    non-multiple-of-8 dims. (At q50 the 16-wide DC step makes even
+    constants off-by-one: lossy means lossy.)"""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for w, h in ((8, 8), (11, 9), (17, 23)):
+        for val in ((120, 64, 200), (0, 255, 128)):
+            px = [val] * (w * h)
+            for q in (90, 95, 100):
+                got_w, got_h, nc, out = decode_jpeg(
+                    encode_jpeg(px, w, h, quality=q)
+                )
+                assert (got_w, got_h, nc) == (w, h, 3)
+                assert out == px, (w, h, val, q)
+    # grayscale too
+    g = [77] * (13 * 7)
+    assert decode_jpeg(encode_jpeg(g, 13, 7))[3] == g
+
+
+def test_jpeg_handcrafted_minimal_stream_decodes_per_spec():
+    """A minimal 8x8 grayscale baseline stream built BY HAND (not via
+    the encoder): quant all-ones, one DC coefficient 576, AC all zero.
+    Dequantized DC 576 -> IDCT 576/8 = 72 -> +128 = constant 200. This
+    pins the decoder against the spec independently of the encoder (a
+    shared systematic error -- e.g. a mirrored zigzag on both sides --
+    cannot cancel here)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_meta,
+    )
+
+    dqt = b"\xff\xdb" + bytes([0, 67, 0]) + bytes([1] * 64)
+    sof = b"\xff\xc0" + bytes([0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    dht_dc = (
+        b"\xff\xc4"
+        + bytes([0, 20, 0x00])
+        + bytes([0, 1] + [0] * 14)  # one code of length 2 -> '00'
+        + bytes([10])  # symbol: DC category 10
+    )
+    dht_ac = (
+        b"\xff\xc4"
+        + bytes([0, 20, 0x10])
+        + bytes([1] + [0] * 15)  # one code of length 1 -> '0'
+        + bytes([0x00])  # symbol: EOB
+    )
+    sos = b"\xff\xda" + bytes([0, 8, 1, 1, 0x00, 0, 63, 0])
+    # bits: DC code '00', magnitude 576 = '1001000000', EOB '0', pad 111
+    entropy = bytes([0b00100100, 0b00000111])
+    data = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + entropy
+        + b"\xff\xd9"
+    )
+    assert decode_jpeg_meta(data) == (8, 8, 1, "baseline")
+    w, h, nc, px = decode_jpeg(data)
+    assert (w, h, nc) == (8, 8, 1)
+    assert px == [200] * 64
+
+
+def test_jpeg_gradient_within_quantization_bound():
+    """Smooth linear gradients (the z99 fixture pattern) decode within
+    a tight bound at q95 in both 4:4:4 and 4:2:0, and restart-marker
+    streams decode IDENTICALLY (same coefficients, segmented entropy)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 22, 17
+    px = [
+        (20 + 2 * x + 3 * y, 30 + 3 * x + y, 25 + x + 2 * y)
+        for y in range(h)
+        for x in range(w)
+    ]
+
+    def max_err(out):
+        return max(
+            max(abs(a - b) for a, b in zip(p, q)) for p, q in zip(px, out)
+        )
+
+    out_444 = decode_jpeg(encode_jpeg(px, w, h, quality=95))[3]
+    assert max_err(out_444) <= 4
+    out_420 = decode_jpeg(encode_jpeg(px, w, h, quality=95, subsample="420"))[3]
+    assert max_err(out_420) <= 4
+    out_rst = decode_jpeg(
+        encode_jpeg(px, w, h, quality=95, restart_interval=2)
+    )[3]
+    assert out_rst == out_444
+
+
+def test_jpeg_error_paths_and_table_validity():
+    from etl_world_banks_with_python_and_postgresql_spark.operators import jpeg
+
+    # Huffman specs are internally valid canonical tables
+    for bits, vals in (
+        jpeg.HUFF_DC_LUMA, jpeg.HUFF_DC_CHROMA,
+        jpeg.HUFF_AC_LUMA, jpeg.HUFF_AC_CHROMA,
+    ):
+        codes = jpeg.canonical_codes(bits, vals)
+        assert len(codes) == len(vals)
+        assert len({(c, l) for c, l in codes.values()}) == len(vals)
+
+    data = jpeg.encode_jpeg([(9, 9, 9)] * 64, 8, 8)
+    # progressive SOF2 -> NotImplementedError at the plug point
+    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        jpeg.decode_jpeg(prog)
+    # truncation -> ValueError
+    with _pytest.raises(ValueError):
+        jpeg.decode_jpeg(data[: len(data) // 2])
+    with _pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg(b"not a jpeg at all")
+
+
+def test_jpeg_pixel_stats_operator(spark):
+    """Spark leg: attach real JFIF payloads, decode, gate vs source."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(i, 100 + 17 * i) for i in range(20)], "doc_id long, n_chars long"
+    )
+    got = (
+        multimodal.decode_jpeg_pixel_stats(
+            multimodal.attach_jpeg_binary(docs)
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert len(got) == 20
+    for r in got:
+        assert r["width"] == 6 + r["doc_id"] % 19
+        assert r["n_pixels"] == r["width"] * r["height"]
+        assert r["n_components"] == 3
+        assert r["within_tol"] and r["max_abs_err"] <= 4
+
+    # decode_image_pixels takes the same payloads through the luma path
+    px = (
+        multimodal.decode_image_pixels(
+            multimodal.attach_jpeg_binary(docs)
+        )
+        .selectExpr("doc_id", "size(pixels) AS n")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["n"] for r in px] == [
+        (6 + i % 19) * (5 + (100 + 17 * i) % 18) for i in range(20)
+    ]
