@@ -506,12 +506,16 @@ def decode_jpeg_meta(data: bytes) -> tuple[int, int, int, str]:
         if data[pos] != 0xFF:
             raise ValueError("jpeg: marker desync in header walk")
         marker = data[pos + 1]
-        if marker in (0xC0, 0xC1):
+        if marker in (0xC0, 0xC1) or marker in _PROGRESSIVE_SOFS:
+            if pos + 10 > len(data):
+                raise ValueError("jpeg: truncated SOF in header walk")
             h, w_, nc = struct.unpack(">HHB", data[pos + 5 : pos + 10])
-            return w_, h, nc, "baseline"
-        if marker in _PROGRESSIVE_SOFS:
-            h, w_, nc = struct.unpack(">HHB", data[pos + 5 : pos + 10])
-            return w_, h, nc, _PROGRESSIVE_SOFS[marker].split(" (")[0]
+            mode = (
+                "baseline"
+                if marker in (0xC0, 0xC1)
+                else _PROGRESSIVE_SOFS[marker].split(" (")[0]
+            )
+            return w_, h, nc, mode
         if marker == 0xD9 or marker == 0xDA:
             break
         seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
@@ -519,11 +523,17 @@ def decode_jpeg_meta(data: bytes) -> tuple[int, int, int, str]:
     raise ValueError("jpeg: no SOF marker found")
 
 
-def decode_jpeg(data: bytes):
+def decode_jpeg(data: bytes, max_pixels: int = 1 << 26):
     """Full baseline decode. Returns ``(width, height, n_components,
     pixels)``: pixels is a row-major top-down list of ints (grayscale)
     or (r, g, b) tuples (color). ValueError on corrupt bytes;
     NotImplementedError for progressive / lossless / arithmetic modes.
+
+    ``max_pixels`` (default 64M) is the decompression-bomb guard every
+    real decoder carries: a corrupt/hostile SOF claiming 65535 x 65535
+    would otherwise commit the worker to billions of MCU iterations
+    before the (truncated) entropy data could object. Raise it for
+    genuinely huge images.
     """
     import numpy as np
 
@@ -546,6 +556,8 @@ def decode_jpeg(data: bytes):
             continue
         if marker == 0xD9:
             raise ValueError("jpeg: EOI before scan data")
+        if pos + 2 > len(data):
+            raise ValueError("jpeg: truncated segment length")
         seg_len = struct.unpack(">H", data[pos : pos + 2])[0]
         body = data[pos + 2 : pos + seg_len]
         if len(body) != seg_len - 2:
@@ -557,7 +569,11 @@ def decode_jpeg(data: bytes):
                 "is decoded here"
             )
         if marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            if len(body) < 6:
+                raise ValueError("jpeg: truncated SOF")
             precision, h, w_, nc = struct.unpack(">BHHB", body[:6])
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("jpeg: SOF shorter than component list")
             if precision != 8:
                 raise NotImplementedError(
                     f"jpeg {precision}-bit precision not decoded here"
@@ -591,14 +607,22 @@ def decode_jpeg(data: bytes):
             i = 0
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0xF
+                if tc > 1:
+                    raise ValueError("jpeg: DHT class must be 0 or 1")
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
+                if len(bits) < 16 or len(body) < i + 17 + n:
+                    raise ValueError("jpeg: truncated DHT")
                 vals = list(body[i + 17 : i + 17 + n])
                 huff[(tc, th)] = _decode_map(bits, vals)
                 i += 17 + n
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("jpeg: truncated DRI")
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
+            if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("jpeg: truncated SOS header")
             ns = body[0]
             mapping = []
             for si in range(ns):
@@ -615,6 +639,17 @@ def decode_jpeg(data: bytes):
     w_, h, comps = sof
     if w_ <= 0 or h <= 0:
         raise ValueError("jpeg: non-positive dimensions")
+    if w_ * h > max_pixels:
+        raise ValueError(
+            f"jpeg: {w_}x{h} exceeds max_pixels={max_pixels} "
+            "(decompression-bomb guard; pass a larger max_pixels for "
+            "genuinely huge images)"
+        )
+    if not comps or len(comps) > 4:
+        raise ValueError(f"jpeg: unsupported component count {len(comps)}")
+    for _cid, h_i, v_i, _qid in comps:
+        if not (1 <= h_i <= 4 and 1 <= v_i <= 4):
+            raise ValueError("jpeg: sampling factors out of range")
     if len(scan) != len(comps):
         raise NotImplementedError(
             "jpeg multi-scan (non-interleaved) streams not decoded here"
@@ -664,8 +699,17 @@ def decode_jpeg(data: bytes):
                     for bx in range(h_i):
                         zz = [0] * 64
                         t = _decode_huffman(reader, dc_t)
+                        if t > 15:
+                            # spec bound (<=11 for 8-bit baseline); a
+                            # corrupt DHT can map any byte here, and an
+                            # unbounded t means an unbounded magnitude
+                            raise ValueError(
+                                f"jpeg: DC category {t} out of range"
+                            )
                         diff = _extend(reader.read_bits(t), t) if t else 0
                         preds[ci] += diff
+                        if abs(preds[ci]) > (1 << 20):
+                            raise ValueError("jpeg: DC predictor diverged")
                         zz[0] = preds[ci]
                         k = 1
                         while k < 64:

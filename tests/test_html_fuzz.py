@@ -120,3 +120,42 @@ def test_sniff_year_finds_first_4_digit(years):
         None,
     )
     assert sniff_year(years) == want
+
+
+# ---------------------------------------------------------------------
+# JPEG decoder fuzz (same contract as the HTML source fuzz above: no
+# input may hang, crash the worker, or escape with a non-contract
+# exception -- corrupt bytes must surface as ValueError /
+# NotImplementedError, never IndexError/KeyError/struct.error/hangs)
+# ---------------------------------------------------------------------
+
+
+@given(st.data())
+@settings(max_examples=300, deadline=None)
+def test_jpeg_decoder_survives_byte_mutations(data):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 13, 10
+    px = [
+        (20 + 2 * x + 3 * y, 30 + 3 * x + y, 25 + x + 2 * y)
+        for y in range(h)
+        for x in range(w)
+    ]
+    valid = encode_jpeg(px, w, h, quality=90)
+    mutated = bytearray(valid)
+    n_mut = data.draw(st.integers(1, 6))
+    for _ in range(n_mut):
+        i = data.draw(st.integers(0, len(mutated) - 1))
+        mutated[i] = data.draw(st.integers(0, 255))
+    if data.draw(st.booleans()):
+        mutated = mutated[: data.draw(st.integers(0, len(mutated)))]
+    try:
+        got = decode_jpeg(bytes(mutated), max_pixels=1 << 20)
+    except (ValueError, NotImplementedError):
+        return  # contract: corrupt bytes fail loudly with these two
+    gw, gh, nc, out = got
+    assert len(out) == gw * gh
+    assert nc in (1, 3)
