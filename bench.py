@@ -115,6 +115,7 @@ HEADLINE = [
     "z97_diversity_sample",
     "z98_source_minhash_similarity",
     "z99_jpeg_pixel_stats",
+    "z100_exact_substring_dedup",
 ]
 
 

@@ -37,6 +37,7 @@ from ..functions.xhash import (
     MINHASH_MOD,
     md5_hash32,
     minhash_signature,
+    word_shingle_list,
     word_shingles,
     ws_tokens,
 )
@@ -811,3 +812,94 @@ def containment_pairs(
         )
     )
     return _finalize(verified, [sets], unpersist_after)
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    k: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring deduplication with SPAN REMOVAL (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): every token covered by a k-token gram that occurs
+    MORE THAN ONCE in the corpus (cross-doc or repeated within one doc)
+    is removed, and the surviving tokens are re-joined. This is the
+    operator the z16 duplicated-n-gram RATE only measures: the actual
+    cleaning pass a training pipeline runs.
+
+    Output: (doc_id, n_tokens, n_dup_tokens, cleaned_text) with
+    ``cleaned_text`` the whitespace-normalized (lower + collapsed)
+    surviving tokens in original order. The covered-token rule is pure
+    set algebra -- token t is covered iff a duplicated gram STARTS in
+    [t-k+1, t] -- so no interval merging is needed and the DuckDB
+    oracle replicates it exactly.
+
+    Scale shape (the paper's suffix-array construction is a
+    single-machine algorithm; this is its shuffle-native equivalent at
+    token-k-gram granularity):
+      * gram explode is LINEAR (n_tokens rows per doc, k-token concat);
+      * one groupBy(gram) count -- the dominant shuffle, standard
+        map-side-combined aggregation;
+      * duplicated-gram starts join back by gram (equi-join), covered
+        positions explode at k x |dup starts| (bounded), and removal is
+        a LEFT ANTI join on (doc, idx) -- every step is linear in its
+        input, nothing is quadratic, nothing collects.
+    True arbitrary-length exact-substring matching (not multiples of
+    token grams) needs the suffix-array formulation; at cluster scale
+    the k-gram pass is what production pipelines run first anyway.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), ws_tokens(F.col(text_col)).alias("_toks")
+    )
+    # PERF CONTRACT (word_shingles): grams built from the materialized
+    # _toks column, never the raw split expression
+    grams = tok.select(
+        "doc_id",
+        F.posexplode(word_shingle_list(F.col("_toks"), k)).alias(
+            "pos", "gram"
+        ),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    tokpos = tok.select(
+        "doc_id", F.posexplode(F.col("_toks")).alias("idx", "tokn")
+    )
+    kept = tokpos.join(covered, ["doc_id", "idx"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("idx"), F.col("tokn")))
+                ),
+                lambda s: s["tokn"],
+            ),
+        ).alias("_cleaned"),
+    )
+    return (
+        tok.join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            (
+                F.size("_toks") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("long").alias("n_dup_tokens"),
+            F.coalesce(F.col("_cleaned"), F.lit("")).alias("cleaned_text"),
+        )
+    )

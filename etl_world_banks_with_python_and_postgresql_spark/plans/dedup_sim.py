@@ -1398,3 +1398,49 @@ def z99(spark, sf_dir):
     return multimodal.decode_jpeg_pixel_stats(docs).select(
         "doc_id", "width", "height", "n_pixels", "n_components", "within_tol"
     )
+
+
+@query(
+    "z100_exact_substring_dedup",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+5], ' ') AS gram
+  FROM tok, UNNEST(generate_series(1, greatest(len(w) - 5, 0))) AS s(i)),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + d.i AS idx
+  FROM g JOIN dup USING (gram), UNNEST(generate_series(0, 5)) AS d(i)),
+tp AS (
+  SELECT doc_id, i - 1 AS idx, w[i] AS tokn
+  FROM tok, UNNEST(generate_series(1, len(w))) AS s(i)),
+kept AS (
+  SELECT tp.doc_id, tp.idx, tp.tokn
+  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.idx = cov.idx
+  WHERE cov.doc_id IS NULL),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tokn, ' ' ORDER BY idx) AS cleaned
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       len(t.w)::BIGINT AS n_tokens,
+       (len(t.w) - coalesce(a.n_kept, 0))::BIGINT AS n_dup_tokens,
+       coalesce(a.cleaned, '') AS cleaned_text
+FROM tok t LEFT JOIN agg a USING (doc_id)
+""",
+    description=(
+        "exact-substring dedup with SPAN REMOVAL (Lee et al. 2107.06499, "
+        "the operator z16's duplicated-n-gram rate only measures): every "
+        "token covered by a corpus-duplicated 6-token gram is removed "
+        "and survivors re-joined in order. Covered-token rule is pure "
+        "set algebra (a duplicated gram STARTS within k-1 positions), "
+        "so no interval merging; gram explode linear, one groupBy(gram) "
+        "shuffle, anti-join removal -- the shuffle-native equivalent of "
+        "the paper's single-machine suffix-array pass at token-gram "
+        "granularity"
+    ),
+)
+def z100(spark, sf_dir):
+    return dedup.exact_substring_dedup(load(spark, "documents", sf_dir), k=6)

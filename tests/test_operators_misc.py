@@ -2255,3 +2255,43 @@ def test_jpeg_pixel_stats_operator(spark):
     assert [r["n"] for r in px] == [
         (6 + i % 19) * (5 + (100 + 17 * i) % 18) for i in range(20)
     ]
+
+
+def test_exact_substring_dedup_semantics(spark):
+    """Lee-et-al span removal pinned on hand-built docs: cross-doc
+    duplicated grams removed from BOTH docs, within-doc repeats count
+    as duplicated (total occurrences >= 2), unique text survives
+    verbatim (lower/whitespace-normalized), and a fully-duplicated doc
+    cleans to the empty string."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    shared = "alpha beta gamma delta"  # 4 tokens: one 4-gram
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} unique one tail"),
+            (2, f"other head {shared}"),
+            (3, "totally fresh words nobody repeats"),
+            (4, f"{shared}"),
+            (5, "x y x y x y x y"),  # within-doc repeated grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(docs, k=4).collect()
+    }
+    assert got[1]["cleaned_text"] == "unique one tail"
+    assert got[1]["n_dup_tokens"] == 4
+    assert got[2]["cleaned_text"] == "other head"
+    assert got[3]["cleaned_text"] == "totally fresh words nobody repeats"
+    assert got[3]["n_dup_tokens"] == 0
+    assert got[4]["cleaned_text"] == "" and got[4]["n_dup_tokens"] == 4
+    # "x y x y" starts at 0,2,4 (and "y x y x" at 1,3): every 4-gram
+    # occurs >= 2 times -> whole doc covered
+    assert got[5]["cleaned_text"] == "" and got[5]["n_dup_tokens"] == 8
+    for r in got.values():
+        assert r["n_tokens"] - r["n_dup_tokens"] == (
+            len(r["cleaned_text"].split()) if r["cleaned_text"] else 0
+        )
