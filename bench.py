@@ -116,6 +116,7 @@ HEADLINE = [
     "z98_source_minhash_similarity",
     "z99_jpeg_pixel_stats",
     "z100_exact_substring_dedup",
+    "z101_cdc_join_view",
 ]
 
 

@@ -51,10 +51,13 @@ Scale notes:
   sized by the matching buckets, not the full history. On a cluster the
   same layout upgrades to catalog-bucketed tables (`sources.bucketing`)
   to drop the exchange too.
-- Inserts-only by design (the streaming-join append contract). Updates
-  and deletes belong to `IncrementalTable.merge_batch` +
-  `diff.apply_changes`; composing them with this view is the standard
-  CDC topology.
+- `IncrementalJoinView` is inserts-only (the streaming-join append
+  contract). Updates and deletes are handled INCREMENTALLY by
+  :class:`CdcJoinView` below: the DBSP / Differential Dataflow z-set
+  formulation -- deltas carry signed multiplicities (+1 insert, -1
+  delete), the view-pair multiplicity is their product, and reads
+  consolidate net-positive rows merge-on-read. Same storage, ledger,
+  and pruning; no store rewrite on update/delete ever.
 """
 
 from __future__ import annotations
@@ -257,7 +260,13 @@ class IncrementalJoinView:
         os.replace(tmp, os.path.join(batch_dir, _BUCKETS_MANIFEST))
         return manifest
 
+    def _validate_delta(self, delta: DataFrame) -> None:
+        """Subclass hook: reject malformed deltas BEFORE anything is
+        written (the CDC variant requires the signed multiplicity
+        column even when pruning would skip the join entirely)."""
+
     def _ingest(self, delta: DataFrame, side: str, other: str, batch_id) -> None:
+        self._validate_delta(delta)
         applied = self._load_ledger()
         bid = str(batch_id) if batch_id is not None else str(
             sum(1 for s, _ in applied if s == side)
@@ -288,13 +297,18 @@ class IncrementalJoinView:
                 if side == "left"
                 else (other_df, delta_back)
             )
-            left.join(right, self.key).write.mode("overwrite").parquet(
+            self._pair(left, right).write.mode("overwrite").parquet(
                 self._batch_dir("view", side, bid)
             )
         # 3. ledger commit LAST: before this point nothing is visible, so
         #    a crash anywhere above leaves the view unchanged and a retry
         #    is a clean overwrite
         self._commit_ledger(applied + [[side, bid]])
+
+    def _pair(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        """The view-delta join for one ingest; subclass hook (the CDC
+        variant multiplies signed multiplicities here)."""
+        return left.join(right, self.key)
 
     def ingest_left(self, delta: DataFrame, batch_id=None) -> None:
         self._ingest(delta, "left", "right", batch_id)
@@ -325,3 +339,87 @@ class IncrementalJoinView:
         if only is not None:
             return only.join(only.select(self.key), self.key).limit(0)
         raise ValueError("empty view: no ingests yet")
+
+
+MULT_COL = "_mult"
+
+
+def signed(df: DataFrame, mult: int) -> DataFrame:
+    """Tag a change batch with a signed multiplicity: +1 for inserts,
+    -1 for deletes; an update is the -1 old row and the +1 new row in
+    the same batch (the `diff.apply_changes` decomposition)."""
+    return df.withColumn(MULT_COL, F.lit(int(mult)))
+
+
+class CdcJoinView(IncrementalJoinView):
+    """Retraction-capable incremental join view: the DBSP / Differential
+    Dataflow z-set formulation over the same bucketed, ledgered,
+    footer-stat-pruned storage as :class:`IncrementalJoinView`.
+
+    Every ingested delta row carries a signed multiplicity
+    (``MULT_COL``: +1 insert, -1 delete; an update is both rows in one
+    batch -- build with :func:`signed`). The delta rule is unchanged --
+    each ingest joins the other side's ledgered history once, so every
+    (left-batch, right-batch) pair is joined exactly once by the later
+    arrival -- and the view-pair multiplicity is the PRODUCT of the row
+    multiplicities. Summed over history that telescopes to
+    ``(sum mA) * (sum mB)``: the net multiplicity of a joined pair in
+    the CURRENT state, with no store rewrite on update/delete ever.
+
+    ``read()`` is merge-on-read: it consolidates the ledgered view
+    deltas with one groupBy-sum and keeps net-positive rows (for
+    primary-keyed CDC inputs net is always 0 or 1; ``n_copies`` exposes
+    the multiset count for the general case). At scale the groupBy is
+    one exchange over the view deltas -- the same consolidation
+    `IncrementalTable`'s merge-on-read deletes pay -- and a periodic
+    compaction (rewrite the consolidated view as a fresh insert-only
+    history) bounds it; inserts-only histories never pay it (use the
+    parent class).
+
+    Crash/replay semantics, bucket pruning, and the exactly-once ledger
+    are all inherited untouched -- retraction batches are just batches.
+    """
+
+    def _validate_delta(self, delta: DataFrame) -> None:
+        if MULT_COL not in delta.columns:
+            raise ValueError(
+                f"CdcJoinView deltas must carry the signed {MULT_COL} "
+                "column; wrap batches with ivm.signed(df, +1/-1)"
+            )
+
+    def _pair(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        l_df = left.withColumnRenamed(MULT_COL, "_ml")
+        r_df = right.withColumnRenamed(MULT_COL, "_mr")
+        return (
+            l_df.join(r_df, self.key)
+            .withColumn(MULT_COL, F.col("_ml") * F.col("_mr"))
+            .drop("_ml", "_mr")
+        )
+
+    def read(self, spark: SparkSession, copies_col: str = "n_copies") -> DataFrame:
+        dirs = [
+            self._batch_dir("view", s, b) for s, b in self._load_ledger()
+        ]
+        view = self._read_dirs(spark, dirs)
+        if view is not None:
+            cols = [c for c in view.columns if c != MULT_COL]
+            return (
+                view.groupBy(*cols)
+                .agg(F.sum(MULT_COL).cast("long").alias(copies_col))
+                .filter(F.col(copies_col) > 0)
+            )
+        # no joined pairs yet: an EMPTY frame in the joined shape
+        left = self._read_side(spark, "left")
+        right = self._read_side(spark, "right")
+        if left is not None and right is not None:
+            empty = self._pair(left, right)
+        else:
+            only = left if left is not None else right
+            if only is None:
+                raise ValueError("empty view: no ingests yet")
+            empty = only.join(only.select(self.key), self.key)
+        return (
+            empty.drop(MULT_COL)
+            .withColumn(copies_col, F.lit(0).cast("long"))
+            .limit(0)
+        )

@@ -2268,3 +2268,61 @@ def z89(spark, sf_dir):
     return v.read(spark).select(
         "c_custkey", "c_name", "o_orderkey", "o_totalprice"
     )
+
+
+@query(
+    "z101_cdc_join_view",
+    oracle="""
+WITH cust AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 3 THEN c_name || ' (updated)'
+              ELSE c_name END AS c_name
+  FROM customer),
+ord AS (
+  SELECT o_custkey, o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+       1::BIGINT AS n_copies
+FROM cust c JOIN ord o ON o.o_custkey = c.c_custkey
+""",
+    description=(
+        "RETRACTION-capable incremental join view (DBSP z-set "
+        "formulation, operators/ivm.py CdcJoinView): customers and "
+        "orders inserted, then a customer-name UPDATE wave (-old +new "
+        "multiplicities, one batch) and an order DELETE wave (-1) "
+        "maintained incrementally -- no store rewrite, merge-on-read "
+        "consolidation. The accumulated view must equal the "
+        "from-scratch join of the CURRENT state the oracle computes. "
+        "Extends z89 (insert-only delta rule) to the full CDC surface"
+    ),
+)
+def z101(spark, sf_dir):
+    import shutil
+
+    from ..operators.ivm import CdcJoinView, signed
+
+    cust = load(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    orders = load(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    path = "spark-warehouse/z101_cdc_join_view"
+    shutil.rmtree(path, ignore_errors=True)
+    v = CdcJoinView(path, key="c_custkey")
+    v.ingest_left(signed(cust, +1), batch_id="c0")
+    v.ingest_right(signed(orders, +1), batch_id="o0")
+    # update wave: every custkey ending in 3 gets a new name
+    old = cust.filter(F.col("c_custkey") % 10 == 3)
+    new = old.withColumn(
+        "c_name", F.concat(F.col("c_name"), F.lit(" (updated)"))
+    )
+    v.ingest_left(
+        signed(old, -1).unionByName(signed(new, +1)), batch_id="c1"
+    )
+    # delete wave: every 7th order retracted
+    v.ingest_right(
+        signed(orders.filter(F.col("o_orderkey") % 7 == 0), -1),
+        batch_id="o1",
+    )
+    return v.read(spark).select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice", "n_copies"
+    )

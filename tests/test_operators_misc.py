@@ -2295,3 +2295,61 @@ def test_exact_substring_dedup_semantics(spark):
         assert r["n_tokens"] - r["n_dup_tokens"] == (
             len(r["cleaned_text"].split()) if r["cleaned_text"] else 0
         )
+
+
+def test_cdc_join_view_updates_and_deletes(spark, tmp_path):
+    """Retraction-capable IVM (z-set formulation): updates (-old +new)
+    and deletes (-row) maintained incrementally -- the final view must
+    equal the from-scratch join of the CURRENT table states, with no
+    store rewrite; a replayed batch stays a no-op; pair multiplicities
+    telescope to (sum mA)(sum mB)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        CdcJoinView,
+        signed,
+    )
+
+    v = CdcJoinView(str(tmp_path / "v"), key="k", n_buckets=8)
+    L = spark.createDataFrame
+
+    cust0 = L([(1, "ann"), (2, "bob"), (3, "cal")], "k int, name string")
+    ord0 = L(
+        [(1, 10), (1, 11), (2, 20), (3, 30)], "k int, order_id int"
+    )
+    v.ingest_left(signed(cust0, +1), batch_id="c0")
+    v.ingest_right(signed(ord0, +1), batch_id="o0")
+
+    # update customer 2's name: retract old, insert new, ONE batch
+    upd = signed(L([(2, "bob")], "k int, name string"), -1).unionByName(
+        signed(L([(2, "robert")], "k int, name string"), +1)
+    )
+    v.ingest_left(upd, batch_id="c1")
+    # delete order 11 and customer 3 entirely
+    v.ingest_right(signed(L([(1, 11)], "k int, order_id int"), -1), "o1")
+    v.ingest_left(signed(L([(3, "cal")], "k int, name string"), -1), "c2")
+
+    got = sorted(
+        tuple(r)
+        for r in v.read(spark).select("k", "name", "order_id", "n_copies").collect()
+    )
+    assert got == [(1, "ann", 10, 1), (2, "robert", 20, 1)]
+
+    # replayed retraction batch: ledger no-op, view unchanged
+    v.ingest_left(signed(L([(3, "cal")], "k int, name string"), -1), "c2")
+    assert sorted(
+        tuple(r)
+        for r in v.read(spark).select("k", "name", "order_id", "n_copies").collect()
+    ) == got
+
+    # multiset semantics: net multiplicity is the product-sum, exposed
+    v.ingest_right(signed(L([(1, 10)], "k int, order_id int"), +1), "o2")
+    rows = {
+        (r["k"], r["order_id"]): r["n_copies"]
+        for r in v.read(spark).collect()
+    }
+    assert rows[(1, 10)] == 2  # order row now present twice
+
+    # missing multiplicity column fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="_mult"):
+        v.ingest_left(L([(9, "eve")], "k int, name string"), "bad")
