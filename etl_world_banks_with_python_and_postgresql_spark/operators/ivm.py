@@ -94,18 +94,34 @@ class IncrementalJoinView:
     def _ledger_path(self) -> str:
         return os.path.join(self.path, "_ledger.json")
 
-    def _load_ledger(self) -> list[list[str]]:
+    def _load_ledger_full(self) -> dict:
         try:
             with open(self._ledger_path()) as f:
-                return json.load(f)["applied"]
+                d = json.load(f)
+                return {"applied": d["applied"], "seen": d.get("seen", [])}
         except FileNotFoundError:
-            return []
+            return {"applied": [], "seen": []}
 
-    def _commit_ledger(self, applied: list[list[str]]) -> None:
+    def _load_ledger(self) -> list[list[str]]:
+        return self._load_ledger_full()["applied"]
+
+    def _load_seen(self) -> list[list[str]]:
+        """Every batch id EVER applied, including batches folded away by
+        compaction ("tombstones"): the replay check must consult this
+        superset, or a pre-compaction batch replayed after a compaction
+        would double-apply."""
+        d = self._load_ledger_full()
+        return d["applied"] + d["seen"]
+
+    def _commit_ledger(
+        self, applied: list[list[str]], seen: list[list[str]] | None = None
+    ) -> None:
         os.makedirs(self.path, exist_ok=True)
+        if seen is None:
+            seen = self._load_ledger_full()["seen"]
         tmp = self._ledger_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"applied": applied}, f)
+            json.dump({"applied": applied, "seen": seen}, f)
         os.replace(tmp, self._ledger_path())  # atomic on POSIX
 
     # ---- storage ----------------------------------------------------
@@ -271,8 +287,8 @@ class IncrementalJoinView:
         bid = str(batch_id) if batch_id is not None else str(
             sum(1 for s, _ in applied if s == side)
         )
-        if [side, bid] in applied:
-            return  # replayed batch: already committed, nothing to do
+        if [side, bid] in self._load_seen():
+            return  # replayed batch (possibly compacted away): no-op
         spark = delta.sparkSession
         store_dir = self._batch_dir("store", side, bid)
         # 1. the delta's own bucketed store dir FIRST (invisible until the
@@ -423,3 +439,71 @@ class CdcJoinView(IncrementalJoinView):
             .withColumn(copies_col, F.lit(0).cast("long"))
             .limit(0)
         )
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold the ledgered history into ONE net-consolidated store
+        batch per side plus one consolidated view batch, bounding the
+        merge-on-read cost that grows with retraction history.
+
+        Crash-safe by the same discipline as ingest: every compacted
+        dir is written under a fresh ``compact-N`` batch id that is NOT
+        in the ledger (invisible), then ONE atomic ledger swap makes the
+        compacted batches the entire applied history. A crash anywhere
+        before the swap leaves the old ledger -- and therefore the old,
+        still-correct state -- in place; a rerun overwrites the same
+        dirs. Previously-applied batch ids move to the ledger's "seen"
+        tombstone list so a late replay of a compacted-away batch stays
+        a no-op. Old dirs are removed best-effort AFTER the swap
+        (nothing resolves through them anymore).
+        """
+        full = self._load_ledger_full()
+        applied = full["applied"]
+        if len(applied) <= 2:
+            return  # nothing to fold
+        cid = f"compact-{len(applied) + len(full['seen'])}"
+        new_applied: list[list[str]] = []
+        for side in ("left", "right"):
+            sdf = self._read_side(spark, side)
+            if sdf is None:
+                continue
+            cols = [c for c in sdf.columns if c != MULT_COL]
+            net = (
+                sdf.groupBy(*cols)
+                .agg(F.sum(MULT_COL).cast("int").alias(MULT_COL))
+                .filter(F.col(MULT_COL) != 0)
+            )
+            self._write_store_batch(
+                net, self._batch_dir("store", side, cid)
+            )
+            new_applied.append([side, cid])
+        view_dirs = [
+            self._batch_dir("view", s, b) for s, b in applied
+        ]
+        view = self._read_dirs(spark, view_dirs)
+        if view is not None and new_applied:
+            # park the consolidated view under a LEDGERED batch id so
+            # the GC below never touches it
+            vside = new_applied[0][0]
+            vcols = [c for c in view.columns if c != MULT_COL]
+            (
+                view.groupBy(*vcols)
+                .agg(F.sum(MULT_COL).cast("int").alias(MULT_COL))
+                .filter(F.col(MULT_COL) != 0)
+                .write.mode("overwrite")
+                .parquet(self._batch_dir("view", vside, cid))
+            )
+        # THE atomic cutover
+        self._commit_ledger(
+            new_applied, seen=full["seen"] + applied
+        )
+        # best-effort garbage collection of unreferenced batch dirs
+        import shutil
+
+        keep = {f"batch={s}-{b}" for s, b in new_applied}
+        for kind in ("store", "view"):
+            root = os.path.join(self.path, kind)
+            if not os.path.isdir(root):
+                continue
+            for name in os.listdir(root):
+                if name.startswith("batch=") and name not in keep:
+                    shutil.rmtree(os.path.join(root, name), ignore_errors=True)

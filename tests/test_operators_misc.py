@@ -2353,3 +2353,52 @@ def test_cdc_join_view_updates_and_deletes(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="_mult"):
         v.ingest_left(L([(9, "eve")], "k int, name string"), "bad")
+
+
+def test_cdc_join_view_compaction(spark, tmp_path):
+    """compact() folds the history into one net batch per side + one
+    consolidated view batch: the view is unchanged, future ingests keep
+    working against the compacted stores, a replay of a compacted-away
+    batch id is STILL a no-op (seen-tombstones), and the old batch dirs
+    are gone from disk."""
+    import os
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        CdcJoinView,
+        signed,
+    )
+
+    L = spark.createDataFrame
+    v = CdcJoinView(str(tmp_path / "v"), key="k", n_buckets=8)
+    v.ingest_left(signed(L([(1, "a"), (2, "b")], "k int, name string"), +1), "c0")
+    v.ingest_right(signed(L([(1, 10), (2, 20)], "k int, oid int"), +1), "o0")
+    v.ingest_left(  # update k=2
+        signed(L([(2, "b")], "k int, name string"), -1).unionByName(
+            signed(L([(2, "bee")], "k int, name string"), +1)
+        ),
+        "c1",
+    )
+    before = sorted(tuple(r) for r in v.read(spark).collect())
+
+    v.compact(spark)
+    assert sorted(tuple(r) for r in v.read(spark).collect()) == before
+    # ONE batch per side remains on disk
+    for side in ("left", "right"):
+        dirs = os.listdir(os.path.join(str(tmp_path / "v"), "store"))
+        assert sum(1 for d in dirs if d.startswith(f"batch={side}-")) == 1
+
+    # replay of a pre-compaction batch id: tombstoned, still a no-op
+    v.ingest_left(
+        signed(L([(2, "b")], "k int, name string"), -1).unionByName(
+            signed(L([(2, "bee")], "k int, name string"), +1)
+        ),
+        "c1",
+    )
+    assert sorted(tuple(r) for r in v.read(spark).collect()) == before
+
+    # history continues against the compacted stores
+    v.ingest_right(signed(L([(2, 21)], "k int, oid int"), +1), "o1")
+    after = sorted(tuple(r) for r in v.read(spark).collect())
+    assert after == sorted(
+        before + [(2, "bee", 21, 1)]
+    )
