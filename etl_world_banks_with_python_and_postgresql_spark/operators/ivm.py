@@ -83,13 +83,12 @@ def _ranges_intersect(lo_a, hi_a, lo_b, hi_b) -> bool:
         return True
 
 
-@dataclass
-class IncrementalJoinView:
-    path: str
-    key: str
-    n_buckets: int = 32
+class _Ledgered:
+    """The exactly-once ledger shared by every IVM view in this module:
+    batch ids commit via tmp-file + atomic rename; replays consult
+    applied + compaction tombstones. Requires a ``path`` attribute."""
 
-    # ---- ledger -----------------------------------------------------
+    path: str
 
     def _ledger_path(self) -> str:
         return os.path.join(self.path, "_ledger.json")
@@ -123,6 +122,13 @@ class IncrementalJoinView:
         with open(tmp, "w") as f:
             json.dump({"applied": applied, "seen": seen}, f)
         os.replace(tmp, self._ledger_path())  # atomic on POSIX
+
+
+@dataclass
+class IncrementalJoinView(_Ledgered):
+    path: str
+    key: str
+    n_buckets: int = 32
 
     # ---- storage ----------------------------------------------------
 
@@ -507,3 +513,137 @@ class CdcJoinView(IncrementalJoinView):
             for name in os.listdir(root):
                 if name.startswith("batch=") and name not in keep:
                     shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
+@dataclass
+class CdcAggView(_Ledgered):
+    """Retraction-capable incremental GROUPED AGGREGATION view: the
+    linear-aggregate half of the DBSP z-set story (:class:`CdcJoinView`
+    is the bilinear join half).
+
+    Maintains ``SELECT keys, count(*), sum(expr)... GROUP BY keys`` over
+    a CDC stream of signed deltas (``MULT_COL``: +1 insert, -1 delete;
+    an update is both rows in one batch -- build with :func:`signed`).
+    Because count and sum are LINEAR in the z-set, each ingest reduces
+    to one map-side partial aggregate over the delta alone::
+
+        partial = delta.groupBy(keys).agg(sum(m), sum(m * expr)...)
+
+    written as an append-only partial batch -- O(|delta|) work, ZERO
+    reads of prior state (the join view must probe the other side's
+    history; an aggregate view need not). ``read()`` merges the
+    ledgered partials with one groupBy-sum and keeps net-live groups
+    (``count > 0``); ``compact()`` folds the partial history into one
+    batch under the same atomic-ledger-cutover + replay-tombstone
+    discipline as :meth:`CdcJoinView.compact`, bounding merge-on-read.
+
+    Exactness contract: measures should be EXACT-typed expressions
+    (DECIMAL casts or BIGINT micros, ``functions/exactnum.py``) so that
+    a retraction cancels its insertion bit-for-bit; float sums are not
+    retraction-exact (addition order changes the result) and are
+    rejected. min/max are NOT linear -- a retraction of the current
+    extremum needs the full row history -- so they are out of scope
+    here by design; keep the rows in a :class:`CdcJoinView`-style store
+    (or ``IncrementalTable``) and aggregate on read when you need them.
+
+    At 100 TB: per-ingest cost is one shuffle of the delta sized by
+    |delta| and bounded above by the group count; partial batches are
+    group-count-sized regardless of input size, so a year of ingests
+    into a 1e6-group view is ~1e6 rows x n_batches of parquet, folded
+    flat by compaction. Crash/replay semantics inherited from the
+    ledger: overwrite-write the partial dir, then one atomic commit.
+
+    Reference anchor: the reference recomputes its summary counts from
+    whole tables every run (`SQL/etl_world_banks.sql` counter updates);
+    this is the deltas-in / counters-maintained replacement.
+    """
+
+    path: str
+    keys: tuple | list
+    measures: dict  # out_col -> SQL expression string summed per group
+    count_col: str = "n_rows"
+    n_partitions: int = 8
+
+    def _batch_dir(self, batch_id: str) -> str:
+        return os.path.join(self.path, "partial", f"batch={batch_id}")
+
+    def _partial(self, delta: DataFrame) -> DataFrame:
+        aggs = [F.sum(MULT_COL).cast("long").alias(self.count_col)]
+        for out, expr in self.measures.items():
+            e = F.expr(expr)
+            aggs.append(F.sum(F.col(MULT_COL) * e).alias(out))
+        p = delta.groupBy(*self.keys).agg(*aggs)
+        for out in self.measures:
+            t = p.schema[out].dataType.typeName()
+            if t in ("double", "float"):
+                raise ValueError(
+                    f"measure {out!r} sums to {t}: float sums are not "
+                    "retraction-exact (a -1 delta cannot cancel its +1 "
+                    "bit-for-bit under reordered addition). Cast the "
+                    "expression to DECIMAL or BIGINT micros "
+                    "(functions/exactnum.py) first."
+                )
+        return p
+
+    def ingest(self, delta: DataFrame, batch_id=None) -> None:
+        if MULT_COL not in delta.columns:
+            raise ValueError(
+                f"CdcAggView deltas must carry the signed {MULT_COL} "
+                "column; wrap batches with ivm.signed(df, +1/-1)"
+            )
+        full = self._load_ledger_full()
+        applied = full["applied"]
+        bid = str(batch_id) if batch_id is not None else str(len(applied))
+        if ["agg", bid] in self._load_seen():
+            return  # replayed batch (possibly compacted away): no-op
+        # partial batches are group-count-sized; bound the file count
+        (
+            self._partial(delta)
+            .repartition(self.n_partitions, *self.keys)
+            .write.mode("overwrite")
+            .parquet(self._batch_dir(bid))
+        )
+        self._commit_ledger(applied + [["agg", bid]], seen=full["seen"])
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        dirs = [
+            self._batch_dir(b)
+            for _, b in self._load_ledger()
+            if os.path.isdir(self._batch_dir(b))
+        ]
+        if not dirs:
+            raise ValueError("empty view: no ingests yet")
+        merged = (
+            spark.read.parquet(*dirs)
+            .groupBy(*self.keys)
+            .agg(
+                F.sum(self.count_col).cast("long").alias(self.count_col),
+                *[F.sum(c).alias(c) for c in self.measures],
+            )
+        )
+        return merged.filter(F.col(self.count_col) > 0)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold the ledgered partial history into ONE batch: read the
+        current merged state (live groups only), write it under a fresh
+        ``compact-N`` id, atomic ledger cutover, tombstone the folded
+        ids, then best-effort GC of the old dirs -- a crash before the
+        cutover leaves the old (still-correct) ledger in force."""
+        full = self._load_ledger_full()
+        applied = full["applied"]
+        if len(applied) <= 1:
+            return
+        cid = f"compact-{len(applied) + len(full['seen'])}"
+        (
+            self.read(spark)
+            .repartition(self.n_partitions, *self.keys)
+            .write.mode("overwrite")
+            .parquet(self._batch_dir(cid))
+        )
+        self._commit_ledger([["agg", cid]], seen=full["seen"] + applied)
+        import shutil
+
+        root = os.path.join(self.path, "partial")
+        for name in os.listdir(root):
+            if name.startswith("batch=") and name != f"batch={cid}":
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)

@@ -2326,3 +2326,60 @@ def z101(spark, sf_dir):
     return v.read(spark).select(
         "c_custkey", "c_name", "o_orderkey", "o_totalprice", "n_copies"
     )
+
+
+@query(
+    "z102_cdc_agg_view",
+    oracle="""
+WITH state AS (
+  SELECT CASE WHEN event_id % 11 = 3 THEN 'reclassified'
+              ELSE event_type END AS event_type,
+         value
+  FROM events WHERE event_id % 11 <> 0)
+SELECT event_type, count(*) AS n_rows,
+       round(sum(CAST(value AS DECIMAL(25,6))), 2)::DOUBLE AS total_value
+FROM state GROUP BY 1
+""",
+    description=(
+        "RETRACTION-capable incremental aggregate view (DBSP linear "
+        "aggregates, operators/ivm.py CdcAggView): events inserted in "
+        "two waves, then an UPDATE wave reclassifying every 11th-mod-3 "
+        "event (-old +new) and a DELETE wave (-1) -- each ingest is one "
+        "O(|delta|) partial aggregate with ZERO reads of prior state; "
+        "an in-gate compaction folds the partial history to one batch. "
+        "The maintained counters must equal a from-scratch aggregate "
+        "of the net state the oracle computes. Completes the z-set IVM "
+        "pair: z101 is the bilinear join half, this the linear half"
+    ),
+)
+def z102(spark, sf_dir):
+    import shutil
+
+    from ..operators.ivm import CdcAggView, signed
+
+    ev = load(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    path = "spark-warehouse/z102_cdc_agg_view"
+    shutil.rmtree(path, ignore_errors=True)
+    v = CdcAggView(
+        path,
+        keys=["event_type"],
+        measures={"total_value": "CAST(value AS DECIMAL(25,6))"},
+    )
+    v.ingest(signed(ev.filter(F.col("event_id") % 2 == 0), +1), "i0")
+    v.ingest(signed(ev.filter(F.col("event_id") % 2 == 1), +1), "i1")
+    # update wave: every event_id % 11 == 3 reclassified (group move)
+    old = ev.filter(F.col("event_id") % 11 == 3)
+    v.ingest(
+        signed(old, -1).unionByName(
+            signed(old.withColumn("event_type", F.lit("reclassified")), +1)
+        ),
+        "u0",
+    )
+    # delete wave: every event_id % 11 == 0 retracted
+    v.ingest(signed(ev.filter(F.col("event_id") % 11 == 0), -1), "d0")
+    v.compact(spark)  # merge-on-read bound exercised in-gate
+    return v.read(spark).select(
+        "event_type",
+        "n_rows",
+        F.round("total_value", 2).cast("double").alias("total_value"),
+    )

@@ -2402,3 +2402,72 @@ def test_cdc_join_view_compaction(spark, tmp_path):
     assert after == sorted(
         before + [(2, "bee", 21, 1)]
     )
+
+
+def test_cdc_agg_view_insert_update_delete(spark, tmp_path):
+    """Linear-aggregate IVM: signed ingests maintain groupBy count/sum
+    with NO reads of prior state; read() equals a from-scratch
+    aggregate of the net state; replays and compaction preserve it."""
+    import os
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        CdcAggView,
+        signed,
+    )
+
+    L = spark.createDataFrame
+    rows = [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)]
+    schema = "id int, grp string, v int"
+    v = CdcAggView(
+        str(tmp_path / "v"),
+        keys=["grp"],
+        measures={"total": "CAST(v AS DECIMAL(20,0))"},
+        n_partitions=2,
+    )
+    v.ingest(signed(L(rows[:2], schema), +1), "b0")
+    v.ingest(signed(L(rows[2:], schema), +1), "b1")
+    # update id=2: v 20 -> 25; delete id=3
+    v.ingest(
+        signed(L([(2, "a", 20)], schema), -1)
+        .unionByName(signed(L([(2, "a", 25)], schema), +1))
+        .unionByName(signed(L([(3, "b", 30)], schema), -1)),
+        "b2",
+    )
+    got = {r["grp"]: (r["n_rows"], int(r["total"])) for r in v.read(spark).collect()}
+    assert got == {"a": (2, 35), "b": (1, 40)}
+
+    # replay of an applied batch: no-op
+    v.ingest(signed(L([(3, "b", 30)], schema), -1), "b2")
+    assert {r["grp"]: (r["n_rows"], int(r["total"])) for r in v.read(spark).collect()} == got
+
+    # delete the last 'b' row: the group goes net-dead and disappears
+    v.ingest(signed(L([(4, "b", 40)], schema), -1), "b3")
+    assert [r["grp"] for r in v.read(spark).collect()] == ["a"]
+
+    # compaction folds 4 partial batches into 1; state + tombstones hold
+    v.compact(spark)
+    pdirs = os.listdir(os.path.join(str(tmp_path / "v"), "partial"))
+    assert len([d for d in pdirs if d.startswith("batch=")]) == 1
+    assert {r["grp"]: (r["n_rows"], int(r["total"])) for r in v.read(spark).collect()} == {
+        "a": (2, 35)
+    }
+    v.ingest(signed(L([(4, "b", 40)], schema), -1), "b3")  # compacted-away id
+    assert [r["grp"] for r in v.read(spark).collect()] == ["a"]
+
+
+def test_cdc_agg_view_rejects_float_measures(spark, tmp_path):
+    import pytest as _pytest
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        CdcAggView,
+        signed,
+    )
+
+    v = CdcAggView(str(tmp_path / "v"), keys=["grp"], measures={"t": "v"})
+    delta = signed(
+        spark.createDataFrame([(1, "a", 1.5)], "id int, grp string, v double"), +1
+    )
+    with _pytest.raises(ValueError, match="retraction-exact"):
+        v.ingest(delta, "b0")
+    with _pytest.raises(ValueError, match="_mult"):
+        v.ingest(delta.drop("_mult"), "b1")
