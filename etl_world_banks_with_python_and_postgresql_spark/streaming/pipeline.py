@@ -444,3 +444,27 @@ def streaming_join_view_sink(view, side: str = "left"):
             view.ingest_right(batch_df, batch_id=f"epoch-{epoch_id}")
 
     return apply_batch
+
+
+def streaming_agg_view_sink(view):
+    """foreachBatch body maintaining an ``operators.ivm.CdcAggView``.
+
+    Each micro-batch of SIGNED change rows (``ivm.signed`` / a CDF
+    stream's +1/-1 decomposition) becomes one O(|delta|) partial
+    aggregate -- the streaming maintained-counters shape, with no reads
+    of prior state per epoch (contrast the join sink, which must probe
+    the other side's store).
+
+    Exactly-once under foreachBatch's at-least-once replay by the same
+    epoch-as-batch-id discipline as ``streaming_join_view_sink``: a
+    replayed epoch hits ``CdcAggView``'s applied/seen ledger check and
+    is a no-op, so counters are never double-applied (pinned by
+    tests/test_streaming.py::test_cdf_stream_maintains_agg_view).
+    """
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        view.ingest(batch_df, batch_id=f"epoch-{epoch_id}")
+
+    return apply_batch

@@ -1258,3 +1258,110 @@ def test_cdf_streams_maintain_join_view_across_restart(spark, tmp_path):
     drain(lroot, lckpt, "left")
     drain(rroot, rckpt, "right")
     assert view.read(spark).count() == len(want)
+
+
+def test_cdf_stream_maintains_agg_view(spark, tmp_path):
+    """End-to-end streaming CDC -> maintained aggregate (the linear-IVM
+    leg of test_cdf_streams_maintain_join_view_across_restart): an
+    IncrementalTable change feed drives a CdcAggView through
+    foreachBatch, upserts as +1 and full-row delete tombstones as -1
+    (CDC with before-images -- delete_keys accepts the full row, so the
+    retraction can cancel the measure exactly). After a second wave and
+    a RESTART from the checkpoint the maintained counters must equal a
+    from-scratch aggregate of the table; a no-commit re-drain and a
+    forced epoch replay are both no-ops via the ledger."""
+    import pyspark.sql.types as T
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        MULT_COL,
+        CdcAggView,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.sources.incremental import (
+        IncrementalTable,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.cdf_source import (
+        register_cdf_source,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        streaming_agg_view_sink,
+    )
+
+    register_cdf_source(spark)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    root = str(tmp_path / "tbl")
+    tbl = IncrementalTable(root, id_col="id")
+    view = CdcAggView(
+        str(tmp_path / "av"),
+        keys=["grp"],
+        measures={"total": "CAST(v AS DECIMAL(20,0))"},
+        n_partitions=2,
+    )
+    inner = streaming_agg_view_sink(view)
+
+    def apply_batch(bdf, eid):
+        signed_delta = bdf.withColumn(
+            MULT_COL,
+            F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(
+                F.lit(1)
+            ),
+        ).drop("_change_type", "_commit_seq")
+        inner(signed_delta, eid)
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("incr_cdf")
+            .option("path", root)
+            .load()
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    C = spark.createDataFrame
+    tbl.write_delta(C([(1, "a", 10), (2, "a", 20), (3, "b", 30)], schema))
+    drain()
+    # wave 2: delete id=2 WITH its before-image, insert id=4; restart
+    tbl.delete_keys(spark, schema, C([(2, "a", 20)], schema))
+    tbl.write_delta(C([(4, "b", 40)], schema))
+    drain()
+
+    def state():
+        return {
+            r["grp"]: (r["n_rows"], int(r["total"]))
+            for r in view.read(spark).collect()
+        }
+
+    want = {
+        r["grp"]: (r["n"], int(r["t"]))
+        for r in tbl.read(spark, schema)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(20,0)")).alias("t"),
+        )
+        .collect()
+    }
+    assert state() == want == {"a": (1, 10), "b": (2, 70)}
+
+    drain()  # no new commits: nothing replays
+    assert state() == want
+    # forced replay of an already-applied epoch: ledger makes it a no-op
+    applied = view._load_ledger()
+    last_eid = int(applied[-1][1].split("-", 1)[1])
+    apply_batch(
+        C([(4, "b", 40)], schema)
+        .withColumn("_change_type", F.lit("upsert"))
+        .withColumn("_commit_seq", F.lit(99)),
+        last_eid,
+    )
+    assert state() == want
