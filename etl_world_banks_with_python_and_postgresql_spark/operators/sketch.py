@@ -261,3 +261,141 @@ def weighted_median(
         .groupBy(group_by)
         .agg(F.min(value_col).alias("weighted_median"))
     )
+
+
+def kmv_source_overlap(
+    df: DataFrame,
+    value_col: str,
+    source_col: str = "source",
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise DISTINCT-value overlap between sources from KMV sketches
+    (Beyer et al., SIGMOD'07: synopses under multiset operations).
+
+    For every source pair (a < b): build the pair's UNION sketch (the k
+    smallest hashes of sketch_a union sketch_b), count how many of its
+    members appear in both sides (``n_common``), and derive
+
+      * ``est_union``      ~ |A u B|  =  (k-1) * 2^48 DIV h_k
+      * ``est_intersect``  ~ |A n B|  =  n_common * q DIV h_k,
+        q = (k-1) * 2^48 DIV k   (the n_common/k Jaccard share of the
+        union estimate)
+      * ``jaccard_micros``          =  n_common * 1e6 DIV k
+
+    all in PURE INT64 arithmetic -- deliberately floor-divided rather
+    than the float round of :func:`kmv_estimate` so the result is
+    bit-identical on any engine with 64-bit integers (no IEEE division
+    anywhere). Unsaturated union sketches (n_kept < k) hold the entire
+    distinct hash set, so the counts are exact and are returned as-is.
+
+    Plan shape at scale: ONE distinct-aggregate shuffle over
+    (source, hash48) -- the same heavy pass :func:`kmv_sketch` already
+    pays -- then everything downstream is sketch-sized: k rows per
+    source, |sources|^2 broadcast pairs, one window per pair. 100 TB of
+    documents reduce to k * |sources| longs before any pairwise work.
+    """
+    q = ((k - 1) * (2**48)) // k
+    c_union = (k - 1) * (2**48)
+    sk = kmv_sketch(df, value_col, k=k, group_by=source_col)
+    srcs = df.select(F.col(source_col).alias("_s")).distinct()
+    pairs = (
+        srcs.select(F.col("_s").alias("source_a"))
+        .crossJoin(srcs.select(F.col("_s").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    e = (
+        F.broadcast(pairs)
+        .join(
+            sk,
+            (F.col(source_col) == F.col("source_a"))
+            | (F.col(source_col) == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "hv")
+        .agg(
+            F.max(
+                F.when(F.col(source_col) == F.col("source_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col(source_col) == F.col("source_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source_a", "source_b").orderBy("hv")
+    s = (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.max("hv").alias("hk"),
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_common"),
+        )
+    )
+    unsat = F.col("n_kept") < k
+    return s.select(
+        "source_a",
+        "source_b",
+        "n_kept",
+        "n_common",
+        F.when(unsat, F.col("n_kept"))
+        .otherwise(F.expr(f"{c_union} DIV hk"))
+        .cast("long")
+        .alias("est_union"),
+        F.when(unsat, F.col("n_common"))
+        .otherwise(F.expr(f"(n_common * {q}) DIV hk"))
+        .cast("long")
+        .alias("est_intersect"),
+        F.when(
+            unsat, F.expr("(n_common * 1000000) DIV n_kept")
+        )
+        .otherwise(F.expr(f"(n_common * 1000000) DIV {k}"))
+        .cast("long")
+        .alias("jaccard_micros"),
+    )
+
+
+def kmv_source_overlap_oracle_sql(
+    value_sql: str,
+    source_col: str = "source",
+    k: int = 256,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`kmv_source_overlap` (integer-exact)."""
+    hv = MD5_HASH48_SQL.format(x=value_sql)
+    q = ((k - 1) * (2**48)) // k
+    c_union = (k - 1) * (2**48)
+    return f"""
+WITH h AS (SELECT DISTINCT {source_col} AS src, {hv} AS hv FROM {table}),
+r AS (SELECT src, hv,
+             row_number() OVER (PARTITION BY src ORDER BY hv) AS rn FROM h),
+sk AS (SELECT src, hv FROM r WHERE rn <= {k}),
+srcs AS (SELECT DISTINCT {source_col} AS src FROM {table}),
+p AS (SELECT a.src AS source_a, b.src AS source_b
+      FROM srcs a JOIN srcs b ON a.src < b.src),
+e AS (SELECT p.source_a, p.source_b, sk.hv,
+             max(CASE WHEN sk.src = p.source_a THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN sk.src = p.source_b THEN 1 ELSE 0 END) AS in_b
+      FROM p JOIN sk ON sk.src IN (p.source_a, p.source_b)
+      GROUP BY 1, 2, 3),
+u AS (SELECT *, row_number() OVER
+        (PARTITION BY source_a, source_b ORDER BY hv) AS rn FROM e),
+s AS (SELECT source_a, source_b,
+             count(*)::BIGINT AS n_kept, max(hv) AS hk,
+             sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_common
+      FROM u WHERE rn <= {k} GROUP BY 1, 2)
+SELECT source_a, source_b, n_kept, n_common,
+       (CASE WHEN n_kept < {k} THEN n_kept
+             ELSE {c_union} // hk END)::BIGINT AS est_union,
+       (CASE WHEN n_kept < {k} THEN n_common
+             ELSE (n_common * {q}) // hk END)::BIGINT AS est_intersect,
+       (CASE WHEN n_kept < {k} THEN (n_common * 1000000) // n_kept
+             ELSE (n_common * 1000000) // {k} END)::BIGINT AS jaccard_micros
+FROM s
+"""

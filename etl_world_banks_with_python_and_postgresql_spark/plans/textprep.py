@@ -1944,3 +1944,26 @@ def z96(spark, sf_dir):
     return text.scrub_text(aug, text_col="t").select(
         "doc_id", "n_control", "n_ws_collapsed", "scrubbed"
     )
+
+
+@query(
+    "z103_kmv_source_overlap",
+    oracle=_sketch.kmv_source_overlap_oracle_sql("text", k=256),
+    description=(
+        "pairwise distinct-document overlap between sources from KMV "
+        "sketches (Beyer et al. SIGMOD'07 multiset synopses): per pair, "
+        "the k-smallest-hash UNION sketch yields est_union, and the "
+        "fraction of its members present in BOTH sides yields "
+        "est_intersect and an exact-integer Jaccard (micros). All "
+        "estimates are PURE INT64 floor arithmetic (no IEEE division, "
+        "no round(double)) so the approximate answer is still "
+        "bit-portable across engines. One distinct shuffle over "
+        "(source, hash48); everything pairwise is sketch-sized "
+        "(k rows/source), the shape that lets 100 TB cross-source "
+        "audits run off k*8-byte synopses"
+    ),
+)
+def z103(spark, sf_dir):
+    return _sketch.kmv_source_overlap(
+        load(spark, "documents", sf_dir), "text", source_col="source", k=256
+    )

@@ -2471,3 +2471,33 @@ def test_cdc_agg_view_rejects_float_measures(spark, tmp_path):
         v.ingest(delta, "b0")
     with _pytest.raises(ValueError, match="_mult"):
         v.ingest(delta.drop("_mult"), "b1")
+
+
+def test_kmv_source_overlap_exact_when_unsaturated_and_bounded_when_not(spark):
+    """Unsaturated pair sketches (union distinct < k) return EXACT
+    union/intersection/Jaccard; saturated ones estimate within the
+    standard KMV relative-error band (~1/sqrt(k))."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.sketch import (
+        kmv_source_overlap,
+    )
+
+    # small: A = 0..59, B = 30..89 -> union 90, intersect 30, J = 1/3
+    rows = [("A", f"v{i}") for i in range(60)] + [
+        ("B", f"v{i}") for i in range(30, 90)
+    ]
+    df = spark.createDataFrame(rows, "source string, val string")
+    r = kmv_source_overlap(df, "val", k=256).collect()[0]
+    assert (r["n_kept"], r["est_union"], r["est_intersect"]) == (90, 90, 30)
+    assert r["jaccard_micros"] == (30 * 1_000_000) // 90
+
+    # large: A = 0..1999, B = 1000..2999 -> union 3000, intersect 1000
+    rows = [("A", f"v{i}") for i in range(2000)] + [
+        ("B", f"v{i}") for i in range(1000, 3000)
+    ]
+    df = spark.createDataFrame(rows, "source string, val string")
+    r = kmv_source_overlap(df, "val", k=256).collect()[0]
+    assert r["n_kept"] == 256
+    # 1/sqrt(256) ~ 6% band; allow 4 sigma
+    assert abs(r["est_union"] - 3000) < 3000 * 0.25
+    assert abs(r["est_intersect"] - 1000) < 1000 * 0.5
+    assert abs(r["jaccard_micros"] / 1e6 - 1 / 3) < 0.15
