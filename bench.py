@@ -117,6 +117,8 @@ HEADLINE = [
     "z99_jpeg_pixel_stats",
     "z100_exact_substring_dedup",
     "z101_cdc_join_view",
+    "z102_cdc_agg_view",
+    "z103_kmv_source_overlap",
 ]
 
 
