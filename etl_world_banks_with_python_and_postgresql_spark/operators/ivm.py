@@ -362,6 +362,74 @@ class IncrementalJoinView(_Ledgered):
             return only.join(only.select(self.key), self.key).limit(0)
         raise ValueError("empty view: no ingests yet")
 
+    # ---- compaction -------------------------------------------------
+
+    def _consolidate(self, df: DataFrame) -> DataFrame:
+        """Insert-only batches are already net state: folding is a plain
+        rewrite (fewer dirs/files, same rows). CdcJoinView overrides
+        this with the z-set groupBy-sum."""
+        return df
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold the ledgered history into ONE consolidated store batch
+        per side plus one consolidated view batch, bounding the
+        merge-on-read dir/file count (and, for z-set views, the
+        retraction history) that grows with ingests.
+
+        Crash-safe by the same discipline as ingest: every compacted
+        dir is written under a fresh ``compact-N`` batch id that is NOT
+        in the ledger (invisible), then ONE atomic ledger swap makes the
+        compacted batches the entire applied history. A crash anywhere
+        before the swap leaves the old ledger -- and therefore the old,
+        still-correct state -- in place; a rerun overwrites the same
+        dirs. Previously-applied batch ids move to the ledger's "seen"
+        tombstone list so a late replay of a compacted-away batch stays
+        a no-op. Old dirs are removed best-effort AFTER the swap
+        (nothing resolves through them anymore).
+        """
+        full = self._load_ledger_full()
+        applied = full["applied"]
+        if len(applied) <= 2:
+            return  # nothing to fold
+        cid = f"compact-{len(applied) + len(full['seen'])}"
+        new_applied: list[list[str]] = []
+        for side in ("left", "right"):
+            sdf = self._read_side(spark, side)
+            if sdf is None:
+                continue
+            self._write_store_batch(
+                self._consolidate(sdf), self._batch_dir("store", side, cid)
+            )
+            new_applied.append([side, cid])
+        view_dirs = [
+            self._batch_dir("view", s, b) for s, b in applied
+        ]
+        view = self._read_dirs(spark, view_dirs)
+        if view is not None and new_applied:
+            # park the consolidated view under a LEDGERED batch id so
+            # the GC below never touches it
+            vside = new_applied[0][0]
+            (
+                self._consolidate(view)
+                .write.mode("overwrite")
+                .parquet(self._batch_dir("view", vside, cid))
+            )
+        # THE atomic cutover
+        self._commit_ledger(
+            new_applied, seen=full["seen"] + applied
+        )
+        # best-effort garbage collection of unreferenced batch dirs
+        import shutil
+
+        keep = {f"batch={s}-{b}" for s, b in new_applied}
+        for kind in ("store", "view"):
+            root = os.path.join(self.path, kind)
+            if not os.path.isdir(root):
+                continue
+            for name in os.listdir(root):
+                if name.startswith("batch=") and name not in keep:
+                    shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
 
 MULT_COL = "_mult"
 
@@ -446,73 +514,15 @@ class CdcJoinView(IncrementalJoinView):
             .limit(0)
         )
 
-    def compact(self, spark: SparkSession) -> None:
-        """Fold the ledgered history into ONE net-consolidated store
-        batch per side plus one consolidated view batch, bounding the
-        merge-on-read cost that grows with retraction history.
-
-        Crash-safe by the same discipline as ingest: every compacted
-        dir is written under a fresh ``compact-N`` batch id that is NOT
-        in the ledger (invisible), then ONE atomic ledger swap makes the
-        compacted batches the entire applied history. A crash anywhere
-        before the swap leaves the old ledger -- and therefore the old,
-        still-correct state -- in place; a rerun overwrites the same
-        dirs. Previously-applied batch ids move to the ledger's "seen"
-        tombstone list so a late replay of a compacted-away batch stays
-        a no-op. Old dirs are removed best-effort AFTER the swap
-        (nothing resolves through them anymore).
-        """
-        full = self._load_ledger_full()
-        applied = full["applied"]
-        if len(applied) <= 2:
-            return  # nothing to fold
-        cid = f"compact-{len(applied) + len(full['seen'])}"
-        new_applied: list[list[str]] = []
-        for side in ("left", "right"):
-            sdf = self._read_side(spark, side)
-            if sdf is None:
-                continue
-            cols = [c for c in sdf.columns if c != MULT_COL]
-            net = (
-                sdf.groupBy(*cols)
-                .agg(F.sum(MULT_COL).cast("int").alias(MULT_COL))
-                .filter(F.col(MULT_COL) != 0)
-            )
-            self._write_store_batch(
-                net, self._batch_dir("store", side, cid)
-            )
-            new_applied.append([side, cid])
-        view_dirs = [
-            self._batch_dir("view", s, b) for s, b in applied
-        ]
-        view = self._read_dirs(spark, view_dirs)
-        if view is not None and new_applied:
-            # park the consolidated view under a LEDGERED batch id so
-            # the GC below never touches it
-            vside = new_applied[0][0]
-            vcols = [c for c in view.columns if c != MULT_COL]
-            (
-                view.groupBy(*vcols)
-                .agg(F.sum(MULT_COL).cast("int").alias(MULT_COL))
-                .filter(F.col(MULT_COL) != 0)
-                .write.mode("overwrite")
-                .parquet(self._batch_dir("view", vside, cid))
-            )
-        # THE atomic cutover
-        self._commit_ledger(
-            new_applied, seen=full["seen"] + applied
+    def _consolidate(self, df: DataFrame) -> DataFrame:
+        """Net-consolidate a union of ledgered batches: signed z-set
+        multiplicities fold with one groupBy-sum keeping nonzero rows."""
+        cols = [c for c in df.columns if c != MULT_COL]
+        return (
+            df.groupBy(*cols)
+            .agg(F.sum(MULT_COL).cast("int").alias(MULT_COL))
+            .filter(F.col(MULT_COL) != 0)
         )
-        # best-effort garbage collection of unreferenced batch dirs
-        import shutil
-
-        keep = {f"batch={s}-{b}" for s, b in new_applied}
-        for kind in ("store", "view"):
-            root = os.path.join(self.path, kind)
-            if not os.path.isdir(root):
-                continue
-            for name in os.listdir(root):
-                if name.startswith("batch=") and name not in keep:
-                    shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
 @dataclass

@@ -2501,3 +2501,38 @@ def test_kmv_source_overlap_exact_when_unsaturated_and_bounded_when_not(spark):
     assert abs(r["est_union"] - 3000) < 3000 * 0.25
     assert abs(r["est_intersect"] - 1000) < 1000 * 0.5
     assert abs(r["jaccard_micros"] / 1e6 - 1 / 3) < 0.15
+
+
+def test_incremental_join_view_compaction(spark, tmp_path):
+    """Insert-only compaction: history folds to one store batch per side
+    + one view batch (a plain rewrite, no z-set math), the view is
+    unchanged, compacted-away batch ids replay as no-ops, and future
+    ingests keep joining against the folded stores."""
+    import os
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        IncrementalJoinView,
+    )
+
+    L = spark.createDataFrame
+    v = IncrementalJoinView(str(tmp_path / "v"), key="k", n_buckets=4)
+    v.ingest_left(L([(1, "a"), (2, "b")], "k int, name string"), "c0")
+    v.ingest_right(L([(1, 10)], "k int, oid int"), "o0")
+    v.ingest_left(L([(3, "c")], "k int, name string"), "c1")
+    v.ingest_right(L([(2, 20), (3, 30)], "k int, oid int"), "o1")
+    before = sorted(tuple(r) for r in v.read(spark).collect())
+    assert len(before) == 3
+
+    v.compact(spark)
+    dirs = os.listdir(os.path.join(str(tmp_path / "v"), "store"))
+    for side in ("left", "right"):
+        assert sum(1 for d in dirs if d.startswith(f"batch={side}-")) == 1
+    assert sorted(tuple(r) for r in v.read(spark).collect()) == before
+
+    v.ingest_left(L([(3, "c")], "k int, name string"), "c1")  # tombstoned
+    assert sorted(tuple(r) for r in v.read(spark).collect()) == before
+
+    v.ingest_right(L([(1, 11)], "k int, oid int"), "o2")
+    assert sorted(tuple(r) for r in v.read(spark).collect()) == sorted(
+        before + [(1, "a", 11)]
+    )
