@@ -264,3 +264,94 @@ def test_kmv_merge_associative_over_any_partitioning(spark, values, n_parts):
         ).collect()
     )
     assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# CDC view invariants: any signed history == from-scratch recompute
+# ---------------------------------------------------------------------------
+
+# an op is (kind, id, grp, value); histories are VALID CDC streams:
+# insert only absent ids, delete/update only present ids (z-set views
+# assume a keyed upstream emitting consistent before-images)
+_cdc_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["ins", "del", "upd"]),
+        st.integers(min_value=0, max_value=14),
+        st.sampled_from(["g1", "g2", "g3"]),
+        st.integers(min_value=0, max_value=99),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(ops=_cdc_ops, batch_cuts=st.sets(st.integers(0, 23), max_size=4))
+def test_cdc_agg_view_matches_recompute(tmp_path_factory, ops, batch_cuts):
+    """ANY valid signed history, arbitrarily chopped into ingest
+    batches (with an interleaved compaction), maintains counters equal
+    to a from-scratch aggregate of the final state."""
+    import shutil
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        MULT_COL,
+        CdcAggView,
+    )
+
+    spark = _get_spark()
+    root = str(tmp_path_factory.mktemp("cdcagg"))
+    shutil.rmtree(root, ignore_errors=True)
+    v = CdcAggView(
+        root + "/v",
+        keys=["grp"],
+        measures={"total": "CAST(v AS DECIMAL(20,0))"},
+        n_partitions=2,
+    )
+    state: dict[int, tuple[str, int]] = {}
+    delta_rows: list[tuple[int, str, int, int]] = []
+    n_batches = 0
+
+    def flush():
+        nonlocal delta_rows, n_batches
+        if not delta_rows:
+            return
+        df = spark.createDataFrame(
+            delta_rows, f"id int, grp string, v int, {MULT_COL} int"
+        )
+        v.ingest(df, f"b{n_batches}")
+        n_batches += 1
+        delta_rows = []
+
+    for i, (kind, rid, grp, val) in enumerate(ops):
+        if kind == "ins" and rid not in state:
+            state[rid] = (grp, val)
+            delta_rows.append((rid, grp, val, +1))
+        elif kind == "del" and rid in state:
+            og, ov = state.pop(rid)
+            delta_rows.append((rid, og, ov, -1))
+        elif kind == "upd" and rid in state:
+            og, ov = state[rid]
+            state[rid] = (grp, val)
+            delta_rows.append((rid, og, ov, -1))
+            delta_rows.append((rid, grp, val, +1))
+        if i in batch_cuts:
+            flush()
+            if n_batches == 2:
+                v.compact(spark)
+    flush()
+
+    want: dict[str, tuple[int, int]] = {}
+    for grp, val in state.values():
+        n, t = want.get(grp, (0, 0))
+        want[grp] = (n + 1, t + val)
+    if n_batches == 0:
+        return
+    got = {
+        r["grp"]: (r["n_rows"], int(r["total"]))
+        for r in v.read(spark).collect()
+    }
+    assert got == want
