@@ -340,13 +340,20 @@ class IncrementalJoinView(_Ledgered):
 
     # ---- read -------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
         """The maintained view: the union of all LEDGERED view deltas.
         Equal to left-so-far JOIN right-so-far, never recomputed from
-        scratch."""
-        dirs = [
-            self._batch_dir("view", s, b) for s, b in self._load_ledger()
-        ]
+        scratch.
+
+        ``as_of=n`` time-travels to the state after the first n applied
+        ledger entries (the ``IncrementalTable.read_at`` counterpart,
+        indexed by ledger position rather than version seq). Valid
+        until a ``compact()`` collapses the history -- compaction is
+        the views' vacuum: folded batches are no longer addressable."""
+        applied = self._load_ledger()
+        if as_of is not None:
+            applied = applied[:as_of]
+        dirs = [self._batch_dir("view", s, b) for s, b in applied]
         view = self._read_dirs(spark, dirs)
         if view is not None:
             return view
@@ -486,10 +493,16 @@ class CdcJoinView(IncrementalJoinView):
             .drop("_ml", "_mr")
         )
 
-    def read(self, spark: SparkSession, copies_col: str = "n_copies") -> DataFrame:
-        dirs = [
-            self._batch_dir("view", s, b) for s, b in self._load_ledger()
-        ]
+    def read(
+        self,
+        spark: SparkSession,
+        copies_col: str = "n_copies",
+        as_of: int | None = None,
+    ) -> DataFrame:
+        applied = self._load_ledger()
+        if as_of is not None:
+            applied = applied[:as_of]
+        dirs = [self._batch_dir("view", s, b) for s, b in applied]
         view = self._read_dirs(spark, dirs)
         if view is not None:
             cols = [c for c in view.columns if c != MULT_COL]
@@ -615,10 +628,13 @@ class CdcAggView(_Ledgered):
         )
         self._commit_ledger(applied + [["agg", bid]], seen=full["seen"])
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
+        applied = self._load_ledger()
+        if as_of is not None:
+            applied = applied[:as_of]
         dirs = [
             self._batch_dir(b)
-            for _, b in self._load_ledger()
+            for _, b in applied
             if os.path.isdir(self._batch_dir(b))
         ]
         if not dirs:

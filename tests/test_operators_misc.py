@@ -2536,3 +2536,33 @@ def test_incremental_join_view_compaction(spark, tmp_path):
     assert sorted(tuple(r) for r in v.read(spark).collect()) == sorted(
         before + [(1, "a", 11)]
     )
+
+
+def test_ivm_views_as_of_time_travel(spark, tmp_path):
+    """read(as_of=n) returns the state after the first n ledger entries
+    for all three view flavors; compaction collapses the addressable
+    history (the views' vacuum)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        CdcAggView,
+        CdcJoinView,
+        signed,
+    )
+
+    L = spark.createDataFrame
+    j = CdcJoinView(str(tmp_path / "j"), key="k", n_buckets=4)
+    j.ingest_left(signed(L([(1, "a"), (2, "b")], "k int, n string"), +1), "c0")
+    j.ingest_right(signed(L([(1, 10), (2, 20)], "k int, o int"), +1), "o0")
+    j.ingest_right(signed(L([(2, 20)], "k int, o int"), -1), "o1")
+    assert j.read(spark, as_of=2).count() == 2  # before the delete wave
+    assert j.read(spark).count() == 1
+
+    a = CdcAggView(
+        str(tmp_path / "a"), keys=["g"], measures={}, n_partitions=2
+    )
+    a.ingest(signed(L([(1, "x"), (2, "x")], "id int, g string"), +1), "b0")
+    a.ingest(signed(L([(2, "x")], "id int, g string"), -1), "b1")
+    assert a.read(spark, as_of=1).collect()[0]["n_rows"] == 2
+    assert a.read(spark).collect()[0]["n_rows"] == 1
+
+    a.compact(spark)  # history collapses: as_of=1 is now the whole state
+    assert a.read(spark, as_of=1).collect()[0]["n_rows"] == 1
