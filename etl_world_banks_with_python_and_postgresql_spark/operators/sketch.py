@@ -303,13 +303,18 @@ def kmv_source_overlap(
         .crossJoin(srcs.select(F.col("_s").alias("source_b")))
         .filter(F.col("source_a") < F.col("source_b"))
     )
+    # pair membership EXPLODED to an equi-join key: an OR-of-equalities
+    # join condition compiles to a broadcast nested-loop (every sketch
+    # row scans all |sources|^2 pairs); (pair, member) rows keep it a
+    # broadcast HASH join at 2 rows per pair
+    memb = pairs.select(
+        "source_a",
+        "source_b",
+        F.explode(F.array("source_a", "source_b")).alias("_member"),
+    )
     e = (
-        F.broadcast(pairs)
-        .join(
-            sk,
-            (F.col(source_col) == F.col("source_a"))
-            | (F.col(source_col) == F.col("source_b")),
-        )
+        F.broadcast(memb)
+        .join(sk, F.col("_member") == F.col(source_col))
         .groupBy("source_a", "source_b", "hv")
         .agg(
             F.max(

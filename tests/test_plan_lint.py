@@ -58,6 +58,10 @@ WHITELIST = {
     # reductions (user -> first week -> per-week counts): bounded by the
     # calendar, never by users or events
     "z73_user_growth": "global window over the pre-aggregated week axis",
+    # the (a < b) source-pair cross product is the requested output axis
+    # and both sides are |distinct sources| rows (dimension-sized); all
+    # DATA-sized work upstream is the equi-join hash-sketch path
+    "z103_kmv_source_overlap": "intentional source-pair cross product (dimension-sized sides)",
     # the scalable-cumsum BUCKET-offset window is the bounded recursive
     # level: n/bucket_width rows, not n (that is the operator's point)
     "z90_scalable_cumsum": "global window over the bucket axis only",
