@@ -418,7 +418,7 @@ def streaming_posting_index_sink(
     return apply_batch
 
 
-def streaming_join_view_sink(view, side: str = "left"):
+def streaming_join_view_sink(view, side: str = "left", name: str | None = None):
     """foreachBatch body maintaining an ``operators.ivm.IncrementalJoinView``.
 
     Each micro-batch is one IVM delta: the epoch's rows join the OTHER
@@ -433,20 +433,28 @@ def streaming_join_view_sink(view, side: str = "left"):
     into ``IncrementalJoinView``'s ``[side, bid] in applied`` ledger
     check and becomes a no-op -- no duplicated pairs (pinned by
     tests/test_streaming.py::test_streaming_join_view_epoch_replay_is_noop).
+
+    ``name`` namespaces the batch ids: epoch counters are PER-QUERY, so
+    two different streams feeding the SAME side of one view would both
+    produce ``epoch-0, epoch-1, ...`` and the later stream's epochs
+    would be silently dropped as replays. Any fan-in of multiple
+    streams must give each its own name (one stream per side needs
+    none -- the ledger already separates sides).
     """
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        bid = f"{name}-epoch-{epoch_id}" if name else f"epoch-{epoch_id}"
         if side == "left":
-            view.ingest_left(batch_df, batch_id=f"epoch-{epoch_id}")
+            view.ingest_left(batch_df, batch_id=bid)
         else:
-            view.ingest_right(batch_df, batch_id=f"epoch-{epoch_id}")
+            view.ingest_right(batch_df, batch_id=bid)
 
     return apply_batch
 
 
-def streaming_agg_view_sink(view):
+def streaming_agg_view_sink(view, name: str | None = None):
     """foreachBatch body maintaining an ``operators.ivm.CdcAggView``.
 
     Each micro-batch of SIGNED change rows (``ivm.signed`` / a CDF
@@ -460,11 +468,17 @@ def streaming_agg_view_sink(view):
     replayed epoch hits ``CdcAggView``'s applied/seen ledger check and
     is a no-op, so counters are never double-applied (pinned by
     tests/test_streaming.py::test_cdf_stream_maintains_agg_view).
+
+    The agg view has a SINGLE ledger side, so fanning several streams
+    into one view REQUIRES a distinct ``name`` per stream -- without it
+    their per-query epoch counters collide and later streams' epochs
+    are silently dropped as replays.
     """
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        view.ingest(batch_df, batch_id=f"epoch-{epoch_id}")
+        bid = f"{name}-epoch-{epoch_id}" if name else f"epoch-{epoch_id}"
+        view.ingest(batch_df, batch_id=bid)
 
     return apply_batch

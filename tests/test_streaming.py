@@ -1365,3 +1365,30 @@ def test_cdf_stream_maintains_agg_view(spark, tmp_path):
         last_eid,
     )
     assert state() == want
+
+
+def test_agg_view_sink_name_namespaces_epochs(spark, tmp_path):
+    """Two streams fanning into ONE agg view must namespace their epoch
+    counters via name=: both deliver epoch 0, and with distinct names
+    both apply (unnamed, the second would be dropped as a replay)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        CdcAggView,
+        signed,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        streaming_agg_view_sink,
+    )
+
+    v = CdcAggView(
+        str(tmp_path / "v"), keys=["g"], measures={}, n_partitions=2
+    )
+    s1 = streaming_agg_view_sink(v, name="s1")
+    s2 = streaming_agg_view_sink(v, name="s2")
+    d = lambda n: signed(  # noqa: E731
+        spark.createDataFrame([(n, "x")], "id int, g string"), +1
+    )
+    s1(d(1), 0)
+    s2(d(2), 0)  # same epoch number, different stream
+    assert v.read(spark).collect()[0]["n_rows"] == 2
+    s2(d(3), 0)  # genuine replay of s2's epoch 0: dropped
+    assert v.read(spark).collect()[0]["n_rows"] == 2
