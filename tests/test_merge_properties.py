@@ -355,3 +355,80 @@ def test_cdc_agg_view_matches_recompute(tmp_path_factory, ops, batch_cuts):
         for r in v.read(spark).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    lops=_cdc_ops,
+    rops=_cdc_ops,
+    batch_cuts=st.sets(st.integers(0, 23), max_size=3),
+)
+def test_cdc_join_view_matches_recompute(tmp_path_factory, lops, rops, batch_cuts):
+    """ANY pair of valid signed histories, arbitrarily interleaved into
+    ingest batches on both sides, maintains a join view equal to the
+    from-scratch join of the two final states (z-set product rule)."""
+    import shutil
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        MULT_COL,
+        CdcJoinView,
+    )
+
+    spark = _get_spark()
+    root = str(tmp_path_factory.mktemp("cdcjoin"))
+    shutil.rmtree(root, ignore_errors=True)
+    v = CdcJoinView(root + "/v", key="k", n_buckets=4)
+    states: dict[str, dict[int, tuple[str, int]]] = {"left": {}, "right": {}}
+    pending: dict[str, list] = {"left": [], "right": []}
+    n_batches = 0
+
+    def flush(side):
+        nonlocal n_batches
+        if not pending[side]:
+            return
+        # non-key columns must be DISJOINT across sides (join-output
+        # contract; Spark rejects duplicate names at the view write)
+        cols = "g string, v int" if side == "left" else "rg string, rv int"
+        df = spark.createDataFrame(pending[side], f"k int, {cols}, {MULT_COL} int")
+        if side == "left":
+            v.ingest_left(df, f"l{n_batches}")
+        else:
+            v.ingest_right(df, f"r{n_batches}")
+        n_batches += 1
+        pending[side] = []
+
+    for side, ops in (("left", lops), ("right", rops)):
+        state = states[side]
+        for i, (kind, rid, grp, val) in enumerate(ops):
+            if kind == "ins" and rid not in state:
+                state[rid] = (grp, val)
+                pending[side].append((rid, grp, val, +1))
+            elif kind == "del" and rid in state:
+                og, ov = state.pop(rid)
+                pending[side].append((rid, og, ov, -1))
+            elif kind == "upd" and rid in state:
+                og, ov = state[rid]
+                state[rid] = (grp, val)
+                pending[side].append((rid, og, ov, -1))
+                pending[side].append((rid, grp, val, +1))
+            if i in batch_cuts:
+                flush(side)
+        flush(side)
+    if n_batches == 0:
+        return
+
+    want = sorted(
+        (k, lg, lv, rg, rv)
+        for k, (lg, lv) in states["left"].items()
+        for rk, (rg, rv) in states["right"].items()
+        if k == rk
+    )
+    got = sorted(
+        (r["k"], r["g"], r["v"], r["rg"], r["rv"])
+        for r in v.read(spark).collect()
+    )
+    assert got == want
