@@ -123,6 +123,21 @@ class _Ledgered:
             json.dump({"applied": applied, "seen": seen}, f)
         os.replace(tmp, self._ledger_path())  # atomic on POSIX
 
+    def maybe_compact(
+        self, spark: SparkSession, max_applied: int = 16
+    ) -> bool:
+        """Push-button bounding policy: fold the history whenever the
+        applied ledger exceeds ``max_applied`` entries. Call after
+        ingests (or from a maintenance tick) to keep merge-on-read cost
+        amortized O(1) per batch -- each compaction pays one rewrite of
+        current state, i.e. every row is rewritten once per
+        ``max_applied`` batches. Returns True when a compaction ran.
+        NOTE: compaction truncates ``read(as_of=...)`` history."""
+        if len(self._load_ledger()) <= max_applied:
+            return False
+        self.compact(spark)
+        return True
+
 
 @dataclass
 class IncrementalJoinView(_Ledgered):

@@ -2566,3 +2566,61 @@ def test_ivm_views_as_of_time_travel(spark, tmp_path):
 
     a.compact(spark)  # history collapses: as_of=1 is now the whole state
     assert a.read(spark, as_of=1).collect()[0]["n_rows"] == 1
+
+
+def test_compaction_crash_leaves_old_state_readable(spark, tmp_path):
+    """A crash ANYWHERE before compaction's atomic ledger swap leaves
+    the old ledger in force: reads still see the pre-compact state, and
+    a rerun completes the fold cleanly (overwrite semantics)."""
+    import pytest as _pytest
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        CdcJoinView,
+        signed,
+    )
+
+    L = spark.createDataFrame
+    v = CdcJoinView(str(tmp_path / "v"), key="k", n_buckets=4)
+    v.ingest_left(signed(L([(1, "a"), (2, "b")], "k int, n string"), +1), "c0")
+    v.ingest_right(signed(L([(1, 10), (2, 20)], "k int, o int"), +1), "o0")
+    v.ingest_right(signed(L([(2, 20)], "k int, o int"), -1), "o1")
+    before = sorted(tuple(r) for r in v.read(spark).collect())
+    ledger_before = v._load_ledger()
+
+    real = v._commit_ledger
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash before the atomic cutover")
+
+    v._commit_ledger = boom
+    with _pytest.raises(RuntimeError, match="cutover"):
+        v.compact(spark)
+    v._commit_ledger = real
+    # old ledger still in force: state unchanged, history intact
+    assert v._load_ledger() == ledger_before
+    assert sorted(tuple(r) for r in v.read(spark).collect()) == before
+
+    v.compact(spark)  # rerun completes
+    assert len(v._load_ledger()) == 2
+    assert sorted(tuple(r) for r in v.read(spark).collect()) == before
+
+
+def test_maybe_compact_policy(spark, tmp_path):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        CdcAggView,
+        signed,
+    )
+
+    v = CdcAggView(str(tmp_path / "v"), keys=["g"], measures={}, n_partitions=2)
+    for i in range(5):
+        v.ingest(
+            signed(spark.createDataFrame([(i, "x")], "id int, g string"), +1),
+            f"b{i}",
+        )
+        # only i=3 crosses the threshold; after its fold the ledger is
+        # 1 entry again, so i=4 correctly does not compact
+        assert v.maybe_compact(spark, max_applied=3) == (i == 3)
+    # after the i=3 compaction (4 entries -> 1), i=4 adds one more (2);
+    # state is intact throughout
+    assert len(v._load_ledger()) == 2
+    assert v.read(spark).collect()[0]["n_rows"] == 5
