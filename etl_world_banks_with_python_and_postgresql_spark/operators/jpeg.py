@@ -496,6 +496,81 @@ _PROGRESSIVE_SOFS = {
 }
 
 
+def _parse_dqt(body: bytes, quant: dict[int, list[int]]) -> None:
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0xF
+        i += 1
+        n = 64 * (2 if pq else 1)
+        raw = body[i : i + n]
+        if len(raw) < n:
+            raise ValueError("jpeg: truncated DQT")
+        if pq:
+            vals = list(struct.unpack(f">{64}H", raw))
+        else:
+            vals = list(raw)
+        nat = [0] * 64
+        for k in range(64):
+            nat[ZIGZAG[k]] = vals[k]
+        quant[tq] = nat
+        i += n
+
+
+def _parse_dht(body: bytes, huff: dict) -> None:
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 0xF
+        if tc > 1:
+            raise ValueError("jpeg: DHT class must be 0 or 1")
+        bits = list(body[i + 1 : i + 17])
+        n = sum(bits)
+        if len(bits) < 16 or len(body) < i + 17 + n:
+            raise ValueError("jpeg: truncated DHT")
+        vals = list(body[i + 17 : i + 17 + n])
+        huff[(tc, th)] = _decode_map(bits, vals)
+        i += 17 + n
+
+
+def _reconstruct_pixels(plane_specs, quant, w_, h, hmax, vmax):
+    """Shared dequantize + batched IDCT + upsample + color-convert tail
+    of both decode paths. ``plane_specs``: per component in SOF order,
+    (coeff_rows x 64 int array, bw, bh, h_i, v_i, qid)."""
+    import numpy as np
+
+    t_mat = _dct_matrix()
+    planes = []
+    for coeffs, bw, bh, h_i, v_i, qid in plane_specs:
+        zz = coeffs.astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[:, ZIGZAG] = zz  # de-zigzag: natural[ZIGZAG[k]] = zz[k]
+        q = np.asarray(quant[qid], dtype=np.float64)
+        blocks = (nat * q).reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", t_mat, blocks, t_mat) + 128.0
+        plane = np.zeros((bh * 8, bw * 8))
+        for i in range(bh):
+            for j in range(bw):
+                plane[i * 8 : i * 8 + 8, j * 8 : j * 8 + 8] = spatial[
+                    i * bw + j
+                ]
+        fx, fy = hmax // h_i, vmax // v_i
+        if fx > 1 or fy > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:h, :w_])
+
+    if len(planes) == 1:
+        px = np.clip(np.rint(planes[0]), 0, 255).astype(np.int64)
+        return w_, h, 1, [int(v) for v in px.reshape(-1)]
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    rgb = np.clip(
+        np.rint(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.int64)
+    flat = rgb.reshape(-1, 3)
+    return w_, h, 3, [tuple(int(c) for c in p) for p in flat]
+
+
 def decode_jpeg_meta(data: bytes) -> tuple[int, int, int, str]:
     """Header-only parse: (width, height, n_components, mode). Walks the
     marker stream to the first SOF without touching entropy data."""
@@ -545,6 +620,7 @@ def decode_jpeg(data: bytes, max_pixels: int = 1 << 26):
     sof = None
     restart_interval = 0
     scan = None
+    progressive = False
     while True:
         if pos + 2 > len(data):
             raise ValueError("jpeg: truncated before SOS")
@@ -562,13 +638,16 @@ def decode_jpeg(data: bytes, max_pixels: int = 1 << 26):
         body = data[pos + 2 : pos + seg_len]
         if len(body) != seg_len - 2:
             raise ValueError("jpeg: truncated segment")
-        if marker in _PROGRESSIVE_SOFS:
+        if marker in _PROGRESSIVE_SOFS and marker != 0xC2:
             raise NotImplementedError(
                 f"jpeg {_PROGRESSIVE_SOFS[marker]} decoding needs an "
-                "external codec; only baseline sequential (SOF0/SOF1) "
-                "is decoded here"
+                "external codec; baseline sequential (SOF0/SOF1) and "
+                "progressive Huffman (SOF2) are decoded here"
             )
-        if marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        if marker == 0xC2:
+            progressive = True
+            marker = 0xC0  # parse the identical frame header below
+        if marker in (0xC0, 0xC1):  # SOF0 / SOF1 (or SOF2 frame header)
             if len(body) < 6:
                 raise ValueError("jpeg: truncated SOF")
             precision, h, w_, nc = struct.unpack(">BHHB", body[:6])
@@ -586,41 +665,22 @@ def decode_jpeg(data: bytes, max_pixels: int = 1 << 26):
                 comps.append((cid, hv >> 4, hv & 0xF, qid))
             sof = (w_, h, comps)
         elif marker == 0xDB:  # DQT (possibly several tables)
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0xF
-                i += 1
-                n = 64 * (2 if pq else 1)
-                raw = body[i : i + n]
-                if len(raw) < n:
-                    raise ValueError("jpeg: truncated DQT")
-                if pq:
-                    vals = list(struct.unpack(f">{64}H", raw))
-                else:
-                    vals = list(raw)
-                nat = [0] * 64
-                for k in range(64):
-                    nat[ZIGZAG[k]] = vals[k]
-                quant[tq] = nat
-                i += n
+            _parse_dqt(body, quant)
         elif marker == 0xC4:  # DHT (possibly several tables)
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0xF
-                if tc > 1:
-                    raise ValueError("jpeg: DHT class must be 0 or 1")
-                bits = list(body[i + 1 : i + 17])
-                n = sum(bits)
-                if len(bits) < 16 or len(body) < i + 17 + n:
-                    raise ValueError("jpeg: truncated DHT")
-                vals = list(body[i + 17 : i + 17 + n])
-                huff[(tc, th)] = _decode_map(bits, vals)
-                i += 17 + n
+            _parse_dht(body, huff)
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 raise ValueError("jpeg: truncated DRI")
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
+            if progressive:
+                # hand the whole scan sequence (incl. this SOS and any
+                # inter-scan DHT/DQT/DRI) to the progressive decoder;
+                # pos - 2 points back at the 0xFF of this SOS marker
+                return _decode_progressive(
+                    data, pos - 2, sof, quant, huff,
+                    restart_interval, max_pixels,
+                )
             if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
                 raise ValueError("jpeg: truncated SOS header")
             ns = body[0]
@@ -730,37 +790,276 @@ def decode_jpeg(data: bytes, max_pixels: int = 1 << 26):
                         coeff_store[slot][row * bw + col] = zz
             mcu_count += 1
 
-    # dequantize + batched IDCT + assemble planes
-    t_mat = _dct_matrix()
-    planes = []
-    for slot, (ci, _dc, _ac, h_i, v_i, qid) in enumerate(order):
-        bw, bh = nblocks[slot]
-        zz = coeff_store[slot].astype(np.float64)
-        nat = np.zeros_like(zz)
-        nat[:, ZIGZAG] = zz  # de-zigzag: natural[ZIGZAG[k]] = zz[k]
-        q = np.asarray(quant[qid], dtype=np.float64)
-        blocks = (nat * q).reshape(-1, 8, 8)
-        spatial = np.einsum("ux,nuv,vy->nxy", t_mat, blocks, t_mat) + 128.0
-        plane = np.zeros((bh * 8, bw * 8))
-        for i in range(bh):
-            for j in range(bw):
-                plane[i * 8 : i * 8 + 8, j * 8 : j * 8 + 8] = spatial[
-                    i * bw + j
-                ]
-        fx, fy = hmax // h_i, vmax // v_i
-        if fx > 1 or fy > 1:
-            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
-        planes.append(plane[:h, :w_])
+    # dequantize + batched IDCT + assemble planes (shared tail)
+    plane_specs = [
+        (coeff_store[slot], nblocks[slot][0], nblocks[slot][1], h_i, v_i, qid)
+        for slot, (_ci, _dc, _ac, h_i, v_i, qid) in enumerate(order)
+    ]
+    return _reconstruct_pixels(plane_specs, quant, w_, h, hmax, vmax)
 
-    if len(planes) == 1:
-        px = np.clip(np.rint(planes[0]), 0, 255).astype(np.int64)
-        return w_, h, 1, [int(v) for v in px.reshape(-1)]
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136286 * cb - 0.714136286 * cr
-    b = y + 1.772 * cb
-    rgb = np.clip(
-        np.rint(np.stack([r, g, b], axis=-1)), 0, 255
-    ).astype(np.int64)
-    flat = rgb.reshape(-1, 3)
-    return w_, h, 3, [tuple(int(c) for c in p) for p in flat]
+
+def _decode_progressive(
+    data: bytes,
+    pos: int,
+    sof,
+    quant: dict,
+    huff: dict,
+    restart_interval: int,
+    max_pixels: int,
+):
+    """Progressive (SOF2) scan-sequence decoder: spectral selection +
+    successive approximation per ITU T.81 Annex G, including EOB runs,
+    DC/AC refinement passes, inter-scan DHT/DQT/DRI updates and restart
+    markers. ``pos`` points at the 0xFF of the FIRST SOS marker; state
+    parsed so far (frame header, tables) is passed in. Coefficients
+    accumulate per component across scans; reconstruction reuses the
+    baseline dequant + IDCT tail."""
+    import numpy as np
+
+    if sof is None:
+        raise ValueError("jpeg: SOS before SOF")
+    w_, h, comps = sof
+    if w_ <= 0 or h <= 0:
+        raise ValueError("jpeg: non-positive dimensions")
+    if w_ * h > max_pixels:
+        raise ValueError(
+            f"jpeg: {w_}x{h} exceeds max_pixels={max_pixels} "
+            "(decompression-bomb guard; pass a larger max_pixels for "
+            "genuinely huge images)"
+        )
+    if not comps or len(comps) > 4:
+        raise ValueError(f"jpeg: unsupported component count {len(comps)}")
+    for _cid, h_i, v_i, _qid in comps:
+        if not (1 <= h_i <= 4 and 1 <= v_i <= 4):
+            raise ValueError("jpeg: sampling factors out of range")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w_ + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    by_id: dict[int, int] = {}
+    geom = []  # per ci: (h_i, v_i, qid, bw, bh, nb_x, nb_y)
+    stores = []
+    for ci, (cid, h_i, v_i, qid) in enumerate(comps):
+        by_id[cid] = ci
+        bw, bh = mcus_x * h_i, mcus_y * v_i
+        comp_w = (w_ * h_i + hmax - 1) // hmax
+        comp_h = (h * v_i + vmax - 1) // vmax
+        nb_x, nb_y = (comp_w + 7) // 8, (comp_h + 7) // 8
+        geom.append((h_i, v_i, qid, bw, bh, nb_x, nb_y))
+        stores.append(np.zeros((bw * bh, 64), dtype=np.int32))
+    preds = [0] * len(comps)  # reset at each scan start / restart
+
+    def decode_scan(scomps, ss, se, ah, al, start_pos):
+        nonlocal preds
+        reader = _BitReader(data, start_pos)
+        eobrun = 0
+        preds = [0] * len(comps)
+        rst_idx = 0
+        unit = 0
+
+        def maybe_restart():
+            nonlocal rst_idx, eobrun, preds
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader.align_restart(rst_idx)
+                rst_idx = (rst_idx + 1) % 8
+                preds = [0] * len(comps)
+                eobrun = 0
+
+        def dc_block(ci, td, coef):
+            if ah == 0:
+                t = _decode_huffman(reader, huff[(0, td)])
+                if t > 15:
+                    raise ValueError(f"jpeg: DC category {t} out of range")
+                diff = _extend(reader.read_bits(t), t) if t else 0
+                preds[ci] += diff
+                if abs(preds[ci]) > (1 << 20):
+                    raise ValueError("jpeg: DC predictor diverged")
+                coef[0] = preds[ci] << al
+            else:
+                if reader.read_bit():
+                    coef[0] |= 1 << al
+
+        def ac_first(ta, coef):
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _decode_huffman(reader, huff[(1, ta)])
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += 16  # ZRL
+                else:
+                    k += r
+                    if k > se:
+                        raise ValueError("jpeg: AC band index overrun")
+                    coef[k] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+
+        def ac_refine(ta, coef):
+            nonlocal eobrun
+            p1, m1 = 1 << al, -(1 << al)
+
+            def correct(k):
+                if reader.read_bit() and (coef[k] & p1) == 0:
+                    coef[k] = coef[k] + (p1 if coef[k] >= 0 else m1)
+
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _decode_huffman(reader, huff[(1, ta)])
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        val = 0  # ZRL: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "jpeg: AC refinement magnitude must be 1"
+                            )
+                        val = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        if coef[k] != 0:
+                            correct(k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s:
+                        if k > se:
+                            raise ValueError(
+                                "jpeg: AC refinement placement overrun"
+                            )
+                        coef[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if coef[k] != 0:
+                        correct(k)
+                    k += 1
+                eobrun -= 1
+
+        if ss == 0:  # DC scan (interleaved when ns > 1)
+            if se != 0:
+                raise ValueError("jpeg: DC scan must have Se = 0")
+            if len(scomps) > 1:
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        maybe_restart()
+                        for ci, td, _ta in scomps:
+                            h_i, v_i, _q, bw = geom[ci][:4]
+                            st = stores[ci]
+                            for by in range(v_i):
+                                for bx in range(h_i):
+                                    row = my * v_i + by
+                                    col = mx * h_i + bx
+                                    dc_block(ci, td, st[row * bw + col])
+                        unit += 1
+            else:
+                ci, td, _ta = scomps[0]
+                _h, _v, _q, bw, _bh, nb_x, nb_y = geom[ci]
+                st = stores[ci]
+                for row in range(nb_y):
+                    for col in range(nb_x):
+                        maybe_restart()
+                        dc_block(ci, td, st[row * bw + col])
+                        unit += 1
+        else:  # AC scan: always non-interleaved
+            if len(scomps) != 1:
+                raise ValueError("jpeg: AC scans must have one component")
+            if not (1 <= ss <= se <= 63):
+                raise ValueError("jpeg: bad spectral band")
+            ci, _td, ta = scomps[0]
+            _h, _v, _q, bw, _bh, nb_x, nb_y = geom[ci]
+            st = stores[ci]
+            body = ac_refine if ah else ac_first
+            for row in range(nb_y):
+                for col in range(nb_x):
+                    maybe_restart()
+                    body(ta, st[row * bw + col])
+                    unit += 1
+        return reader.pos
+
+    # ---- marker walk over the scan sequence ----
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("jpeg: truncated scan sequence")
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: marker desync in scan sequence")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 2 > len(data):
+            raise ValueError("jpeg: truncated segment length")
+        seg_len = struct.unpack(">H", data[pos : pos + 2])[0]
+        body = data[pos + 2 : pos + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("jpeg: truncated segment")
+        if marker == 0xDB:
+            _parse_dqt(body, quant)
+        elif marker == 0xC4:
+            _parse_dht(body, huff)
+        elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("jpeg: truncated DRI")
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("jpeg: truncated SOS header")
+            ns = body[0]
+            scomps = []
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
+                if cs not in by_id:
+                    raise ValueError("jpeg: scan references unknown component")
+                ci, td, ta = by_id[cs], tdta >> 4, tdta & 0xF
+                scomps.append((ci, td, ta))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            # table presence: DC first needs its DC table, AC scans
+            # their AC table; refinement DC scans read raw bits only
+            for ci, td, ta in scomps:
+                if ss == 0 and ah == 0 and (0, td) not in huff:
+                    raise ValueError("jpeg: missing DC Huffman table")
+                if ss > 0 and (1, ta) not in huff:
+                    raise ValueError("jpeg: missing AC Huffman table")
+            end = decode_scan(scomps, ss, se, ah, al, pos + seg_len)
+            # resume the marker walk at the next true marker (skip
+            # entropy fill bytes and any stray RSTn)
+            p = end
+            while True:
+                if p + 1 >= len(data):
+                    raise ValueError("jpeg: truncated after scan")
+                if data[p] == 0xFF and data[p + 1] != 0x00:
+                    if 0xD0 <= data[p + 1] <= 0xD7:
+                        p += 2
+                        continue
+                    break
+                p += 1
+            pos = p
+            continue
+        elif marker in (0xC0, 0xC1, 0xC2) or marker in _PROGRESSIVE_SOFS:
+            raise ValueError("jpeg: second frame header in scan sequence")
+        pos += seg_len
+
+    for _h_i, _v_i, qid, *_ in geom:
+        if qid not in quant:
+            raise ValueError("jpeg: component references missing DQT")
+    plane_specs = [
+        (stores[ci], bw, bh, h_i, v_i, qid)
+        for ci, (h_i, v_i, qid, bw, bh, _nx, _ny) in enumerate(geom)
+    ]
+    return _reconstruct_pixels(plane_specs, quant, w_, h, hmax, vmax)
