@@ -6,8 +6,14 @@ marker parse, DQT/DHT table handling (any canonical tables, 8- or
 16-bit quant), interleaved MCU scan with per-component sampling factors
 (4:4:4 / 4:2:2 / 4:2:0), restart markers, Huffman DC-diff/AC-RLE
 entropy coding, dequantize + IDCT, chroma upsampling, YCbCr->RGB.
+Progressive Huffman (SOF2, ITU T.81 Annex G) both encodes
+(``encode_jpeg_progressive``: spectral selection + successive
+approximation scan script, per-scan Huffman tables, EOB runs, restart
+markers) and decodes (``_decode_progressive``); the two legs are pinned
+against each other -- a progressive re-encode of the same quantized
+coefficients must decode bit-identically to the baseline decode.
 ``NotImplementedError`` remains ONLY for the genuinely out-of-scope
-compression modes (progressive SOF2, lossless, arithmetic coding) and
+compression modes (lossless, hierarchical, arithmetic coding) and
 for WebP -- the environment's honest externally-coded boundary.
 
 Determinism: every quantity is derived through fixed-op-order float64
@@ -301,19 +307,16 @@ def _category(v: int) -> int:
 # ---------------------------------------------------------------------
 
 
-def encode_jpeg(
-    pixels,
-    width: int,
-    height: int,
-    quality: int = 95,
-    subsample: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline JFIF encoder. ``pixels`` is a row-major top-down list of
-    (r, g, b) tuples, or of ints for a single-component grayscale image.
-    ``subsample``: '444' (no chroma subsampling) or '420' (2x2 box-mean
-    chroma). ``restart_interval`` > 0 emits DRI + RSTn markers every
-    that many MCUs.
+def _prep_components(pixels, width, height, quality, subsample):
+    """Shared encoder front half (baseline AND progressive): color
+    transform, chroma subsampling, edge padding to the MCU grid, DCT +
+    quantization. Returns ``(gray, comps, grids, q_luma, q_chroma,
+    hmax, vmax, mcus_x, mcus_y)`` where ``comps`` is a list of
+    ``(h_i, v_i, qid)`` and ``grids[ci]`` is an int64 array of shape
+    ``(bh*bw, 64)`` -- one zigzag-ordered quantized block per row, in
+    raster order over the padded ``bh x bw`` block grid
+    (``bw = mcus_x*h_i``). Both encoders index the SAME grids, which is
+    what makes the progressive-vs-baseline bit-exactness test possible.
     """
     import numpy as np
 
@@ -352,8 +355,10 @@ def encode_jpeg(
         np.asarray(q_chroma, dtype=np.float64).reshape(8, 8),
     ]
 
-    # pad planes (edge replication) and downsample chroma by box mean
-    sampled = []
+    # pad planes (edge replication), downsample chroma by box mean,
+    # then batch-DCT + quantize every 8x8 block of each plane at once
+    meta = []
+    grids = []
     for h_i, v_i, qid, plane in comps:
         full_w, full_h = mcus_x * mcu_w, mcus_y * mcu_h
         padded = np.pad(
@@ -366,13 +371,55 @@ def encode_jpeg(
             padded = padded.reshape(
                 padded.shape[0] // fy, fy, padded.shape[1] // fx, fx
             ).mean(axis=(1, 3))
-        sampled.append((h_i, v_i, qid, padded))
+        bh, bw = padded.shape[0] // 8, padded.shape[1] // 8
+        blk = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        f = np.einsum("ij,rcjk,lk->rcil", t_mat, blk, t_mat)
+        q = np.rint(f / q_tabs[qid]).astype(np.int64).reshape(bh * bw, 64)
+        grids.append(q[:, ZIGZAG])
+        meta.append((h_i, v_i, qid))
+    return gray, meta, grids, q_luma, q_chroma, hmax, vmax, mcus_x, mcus_y
 
-    # quantized coefficient blocks, in interleaved MCU order
-    def block_coeffs(plane, bx, by, qid):
-        blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-        f = t_mat @ blk @ t_mat.T
-        return np.rint(f / q_tabs[qid]).astype(np.int64)
+
+def _frame_headers(
+    gray, comps, q_luma, q_chroma, width, height, sof_marker
+) -> bytearray:
+    """SOI + APP0 + DQT(s) + SOFn header prefix shared by the baseline
+    (``sof_marker=0xC0``) and progressive (``0xC2``) encoders."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(
+        ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
+    )  # APP0
+    n_q = 1 if gray else 2
+    for qid, tab in enumerate([q_luma, q_chroma][:n_q]):
+        zz_tab = bytes(tab[ZIGZAG[i]] for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">HB", 67, qid) + zz_tab
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp)
+    for ci in range(ncomp):
+        h_i, v_i, qid = comps[ci]
+        sof += struct.pack(">BBB", ci + 1, (h_i << 4) | v_i, qid)
+    out += bytes([0xFF, sof_marker]) + sof
+    return out
+
+
+def encode_jpeg(
+    pixels,
+    width: int,
+    height: int,
+    quality: int = 95,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder. ``pixels`` is a row-major top-down list of
+    (r, g, b) tuples, or of ints for a single-component grayscale image.
+    ``subsample``: '444' (no chroma subsampling) or '420' (2x2 box-mean
+    chroma). ``restart_interval`` > 0 emits DRI + RSTn markers every
+    that many MCUs.
+    """
+    (gray, comps, grids, q_luma, q_chroma,
+     hmax, vmax, mcus_x, mcus_y) = _prep_components(
+        pixels, width, height, quality, subsample
+    )
 
     dc_specs = [HUFF_DC_LUMA, HUFF_DC_CHROMA]
     ac_specs = [HUFF_AC_LUMA, HUFF_AC_CHROMA]
@@ -397,15 +444,14 @@ def encode_jpeg(
                 rst_idx = (rst_idx + 1) % 8
                 w = _BitWriter()
                 preds = [0] * len(comps)
-            for ci, (h_i, v_i, qid, plane) in enumerate(sampled):
+            for ci, (h_i, v_i, _qid) in enumerate(comps):
                 tid = 0 if ci == 0 else 1
+                bw_ci = mcus_x * h_i
                 for by in range(v_i):
                     for bx in range(h_i):
-                        coeffs = block_coeffs(
-                            plane, mx * h_i + bx, my * v_i + by, qid
-                        )
-                        flat = coeffs.reshape(64)
-                        zz = [int(flat[ZIGZAG[i]]) for i in range(64)]
+                        row = my * v_i + by
+                        col = mx * h_i + bx
+                        zz = grids[ci][row * bw_ci + col].tolist()
                         # DC
                         diff = zz[0] - preds[ci]
                         preds[ci] = zz[0]
@@ -441,21 +487,7 @@ def encode_jpeg(
     entropy = b"".join(segments)
 
     # ---- headers ----
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(
-        ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
-    )  # APP0
-    n_q = 1 if gray else 2
-    for qid, tab in enumerate([q_luma, q_chroma][:n_q]):
-        zz_tab = bytes(tab[ZIGZAG[i]] for i in range(64))
-        out += b"\xff\xdb" + struct.pack(">HB", 67, qid) + zz_tab
-    # SOF0
-    ncomp = 1 if gray else 3
-    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp)
-    for ci in range(ncomp):
-        h_i, v_i, qid, _ = sampled[ci]
-        sof += struct.pack(">BBB", ci + 1, (h_i << 4) | v_i, qid)
-    out += b"\xff\xc0" + sof
+    out = _frame_headers(gray, comps, q_luma, q_chroma, width, height, 0xC0)
     # DHT
     tables = [(0x00, dc_specs[0]), (0x10, ac_specs[0])]
     if not gray:
@@ -466,6 +498,7 @@ def encode_jpeg(
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
+    ncomp = len(comps)
     sos = struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
         td_ta = 0x00 if ci == 0 else 0x11
@@ -473,6 +506,320 @@ def encode_jpeg(
     sos += struct.pack(">BBB", 0, 63, 0)
     out += b"\xff\xda" + sos
     out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _scan_huff_table(symbols):
+    """Canonical Huffman table covering exactly one progressive scan's
+    symbol set: every symbol gets the same code length L with
+    2**L > n so the all-ones code stays unused (T.81 Annex C
+    recommendation). Progressive streams carry per-scan DHTs because
+    the EOBn symbols (r<<4 for r>0) don't exist in the standard
+    baseline tables."""
+    syms = sorted(set(symbols))
+    if not syms:
+        syms = [0x00]
+    n = len(syms)
+    length = 8
+    while (1 << length) <= n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, syms
+
+
+def encode_jpeg_progressive(
+    pixels,
+    width: int,
+    height: int,
+    quality: int = 95,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive (SOF2) JFIF encoder, ITU T.81 Annex G: spectral
+    selection + successive approximation. Emits the SAME quantized
+    coefficients as ``encode_jpeg`` (shared ``_prep_components``), so
+    ``decode_jpeg`` of the progressive stream is bit-identical to the
+    baseline decode of the same pixels -- the property the test suite
+    pins. Scan script (color): interleaved DC first (Al=1), per-
+    component AC first scans with split spectral bands at Al=2/1, DC
+    refinement, then AC refinement passes down to Al=0, with per-scan
+    Huffman tables (exercises inter-scan DHT), EOB runs, and optional
+    restart markers (``restart_interval`` counts MCUs in interleaved DC
+    scans, blocks elsewhere -- the T.81 data-unit rule).
+
+    The refinement encoders are written as a positional simulation of
+    the decoder's walk, so correction bits land exactly where
+    ``_decode_progressive`` reads them.
+    """
+    (gray, comps, grids, q_luma, q_chroma,
+     hmax, vmax, mcus_x, mcus_y) = _prep_components(
+        pixels, width, height, quality, subsample
+    )
+    ncomp = len(comps)
+    geom = []  # per ci: (h_i, v_i, bw, nb_x, nb_y)
+    for ci, (h_i, v_i, _qid) in enumerate(comps):
+        bw = mcus_x * h_i
+        comp_w = (width * h_i + hmax - 1) // hmax
+        comp_h = (height * v_i + vmax - 1) // vmax
+        geom.append((h_i, v_i, bw, (comp_w + 7) // 8, (comp_h + 7) // 8))
+
+    if gray:
+        script = [
+            ([0], 0, 0, 0, 1),    # DC first (single-component path)
+            ([0], 1, 63, 0, 1),   # AC first
+            ([0], 0, 0, 1, 0),    # DC refinement
+            ([0], 1, 63, 1, 0),   # AC refinement
+        ]
+    else:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),  # DC first, interleaved
+            ([0], 1, 5, 0, 2),        # Y low band first @ Al=2
+            ([1], 1, 63, 0, 1),       # Cb first
+            ([2], 1, 63, 0, 1),       # Cr first
+            ([0], 6, 63, 0, 2),       # Y high band first @ Al=2
+            ([0], 1, 63, 2, 1),       # Y refine 2 -> 1
+            ([0, 1, 2], 0, 0, 1, 0),  # DC refinement
+            ([1], 1, 63, 1, 0),       # Cb refine 1 -> 0
+            ([2], 1, 63, 1, 0),       # Cr refine 1 -> 0
+            ([0], 1, 63, 1, 0),       # Y refine 1 -> 0
+        ]
+
+    def dc_ops(scomps, ah, al, ops):
+        preds = [0] * ncomp
+        unit = 0
+
+        def block(ci, idx):
+            v = int(grids[ci][idx][0])
+            if ah == 0:
+                tv = v >> al  # DC point transform is arithmetic shift
+                diff = tv - preds[ci]
+                preds[ci] = tv
+                t = _category(diff)
+                ops.append(("s", (0, 0 if ci == 0 else 1), t))
+                if t:
+                    ops.append(
+                        ("b", diff if diff >= 0 else diff + (1 << t) - 1, t)
+                    )
+            else:
+                ops.append(("b", (v >> al) & 1, 1))
+
+        def maybe_rst():
+            nonlocal preds
+            if restart_interval and unit and unit % restart_interval == 0:
+                ops.append(("rst",))
+                preds = [0] * ncomp
+
+        if len(scomps) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    maybe_rst()
+                    for ci in scomps:
+                        h_i, v_i, bw = geom[ci][:3]
+                        for by in range(v_i):
+                            for bx in range(h_i):
+                                block(
+                                    ci,
+                                    (my * v_i + by) * bw + (mx * h_i + bx),
+                                )
+                    unit += 1
+        else:
+            ci = scomps[0]
+            _h, _v, bw, nb_x, nb_y = geom[ci]
+            for row in range(nb_y):
+                for col in range(nb_x):
+                    maybe_rst()
+                    block(ci, row * bw + col)
+                    unit += 1
+
+    def ac_first_ops(ci, ss, se, al, ops):
+        key = (1, 0 if ci == 0 else 1)
+        _h, _v, bw, nb_x, nb_y = geom[ci]
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                ops.append(("s", key, r << 4))
+                if r:
+                    ops.append(("b", eobrun - (1 << r), r))
+                eobrun = 0
+
+        unit = 0
+        for row in range(nb_y):
+            for col in range(nb_x):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    flush_eob()
+                    ops.append(("rst",))
+                zz = grids[ci][row * bw + col]
+                band = []
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    m = abs(v) >> al  # magnitude shift per G.1.2.2
+                    band.append(m if v >= 0 else -m)
+                last = -1
+                for i, tv in enumerate(band):
+                    if tv:
+                        last = i
+                if last < 0:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush_eob()
+                else:
+                    flush_eob()
+                    r = 0
+                    for i in range(last + 1):
+                        tv = band[i]
+                        if tv == 0:
+                            r += 1
+                            continue
+                        while r > 15:
+                            ops.append(("s", key, 0xF0))  # ZRL
+                            r -= 16
+                        s = _category(tv)
+                        ops.append(("s", key, (r << 4) | s))
+                        ops.append(
+                            ("b", tv if tv >= 0 else tv + (1 << s) - 1, s)
+                        )
+                        r = 0
+                    if last < len(band) - 1:
+                        eobrun += 1
+                        if eobrun == 32767:
+                            flush_eob()
+                unit += 1
+        flush_eob()
+
+    def ac_refine_ops(ci, ss, se, al, ops):
+        key = (1, 0 if ci == 0 else 1)
+        _h, _v, bw, nb_x, nb_y = geom[ci]
+        eobrun = 0
+        pending: list[int] = []  # correction bits across EOB-run blocks
+
+        def flush_eob():
+            nonlocal eobrun, pending
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                ops.append(("s", key, r << 4))
+                if r:
+                    ops.append(("b", eobrun - (1 << r), r))
+                for b in pending:
+                    ops.append(("b", b, 1))
+                eobrun = 0
+                pending = []
+
+        unit = 0
+        for row in range(nb_y):
+            for col in range(nb_x):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    flush_eob()
+                    ops.append(("rst",))
+                zz = grids[ci][row * bw + col]
+                # t: magnitude at this stage; hist: nonzero before this
+                # scan; new: becomes nonzero in this scan (t == 1)
+                t, sign = [], []
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t.append(abs(v) >> al)
+                    sign.append(1 if v >= 0 else 0)
+                n = len(t)
+                cursor = 0
+                while True:
+                    np_i = -1
+                    for i in range(cursor, n):
+                        if t[i] == 1:
+                            np_i = i
+                            break
+                    if np_i < 0:
+                        break
+                    flush_eob()
+                    z = sum(
+                        1 for i in range(cursor, np_i) if t[i] <= 1
+                    )  # zero-history coefs to skip (t==1 impossible here)
+                    while z > 15:
+                        # ZRL: decoder walks forward correcting history
+                        # coefs until 16 zero-history are consumed
+                        ops.append(("s", key, 0xF0))
+                        consumed = 0
+                        while consumed < 16:
+                            if t[cursor] > 1:
+                                ops.append(("b", t[cursor] & 1, 1))
+                            else:
+                                consumed += 1
+                            cursor += 1
+                        z -= 16
+                    ops.append(("s", key, (z << 4) | 1))
+                    ops.append(("b", sign[np_i], 1))
+                    # corrections for history coefs the decoder passes
+                    # between cursor and the placement position
+                    for i in range(cursor, np_i):
+                        if t[i] > 1:
+                            ops.append(("b", t[i] & 1, 1))
+                    cursor = np_i + 1
+                if cursor < n:
+                    # remaining positions: EOB covers them; history
+                    # corrections ride in the post-EOBn bit budget
+                    eobrun += 1
+                    pending.extend(
+                        t[i] & 1 for i in range(cursor, n) if t[i] > 1
+                    )
+                    if eobrun == 32767 or len(pending) > 4000:
+                        flush_eob()
+                unit += 1
+        flush_eob()
+
+    # ---- assemble: per-scan symbol stats -> per-scan DHT + SOS ----
+    out = _frame_headers(gray, comps, q_luma, q_chroma, width, height, 0xC2)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    for scomps, ss, se, ah, al in script:
+        ops: list[tuple] = []
+        if ss == 0:
+            dc_ops(scomps, ah, al, ops)
+        elif ah == 0:
+            ac_first_ops(scomps[0], ss, se, al, ops)
+        else:
+            ac_refine_ops(scomps[0], ss, se, al, ops)
+        # per-scan Huffman tables from actual symbol usage
+        by_key: dict[tuple[int, int], list[int]] = {}
+        for op in ops:
+            if op[0] == "s":
+                by_key.setdefault(op[1], []).append(op[2])
+        codes = {}
+        for key_tc_th in sorted(by_key):
+            bits, vals = _scan_huff_table(by_key[key_tc_th])
+            codes[key_tc_th] = canonical_codes(bits, vals)
+            tc, th = key_tc_th
+            body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        # SOS header
+        ns = len(scomps)
+        sos = struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in scomps:
+            tid = 0 if ci == 0 else 1
+            td = tid if (ss == 0 and ah == 0) else 0
+            ta = tid if ss > 0 else 0
+            sos += struct.pack(">BB", ci + 1, (td << 4) | ta)
+        sos += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        out += b"\xff\xda" + sos
+        # entropy-coded segment
+        w = _BitWriter()
+        rst_idx = 0
+        for op in ops:
+            if op[0] == "s":
+                code, ln = codes[op[1]][op[2]]
+                w.write(code, ln)
+            elif op[0] == "b":
+                w.write(op[1], op[2])
+            else:  # restart
+                w.flush()
+                out += bytes(w.out)
+                out += bytes([0xFF, 0xD0 + rst_idx])
+                rst_idx = (rst_idx + 1) % 8
+                w = _BitWriter()
+        w.flush()
+        out += bytes(w.out)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -599,10 +946,11 @@ def decode_jpeg_meta(data: bytes) -> tuple[int, int, int, str]:
 
 
 def decode_jpeg(data: bytes, max_pixels: int = 1 << 26):
-    """Full baseline decode. Returns ``(width, height, n_components,
-    pixels)``: pixels is a row-major top-down list of ints (grayscale)
-    or (r, g, b) tuples (color). ValueError on corrupt bytes;
-    NotImplementedError for progressive / lossless / arithmetic modes.
+    """Full decode: baseline sequential (SOF0/SOF1) and progressive
+    Huffman (SOF2). Returns ``(width, height, n_components, pixels)``:
+    pixels is a row-major top-down list of ints (grayscale) or
+    (r, g, b) tuples (color). ValueError on corrupt bytes;
+    NotImplementedError for lossless / hierarchical / arithmetic modes.
 
     ``max_pixels`` (default 64M) is the decompression-bomb guard every
     real decoder carries: a corrupt/hostile SOF claiming 65535 x 65535

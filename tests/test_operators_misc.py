@@ -2209,12 +2209,23 @@ def test_jpeg_error_paths_and_table_validity():
         assert len({(c, l) for c, l in codes.values()}) == len(vals)
 
     data = jpeg.encode_jpeg([(9, 9, 9)] * 64, 8, 8)
-    # progressive SOF2 -> NotImplementedError at the plug point
-    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="progressive"):
-        jpeg.decode_jpeg(prog)
+    # genuinely unsupported modes -> NotImplementedError at the plug
+    # point (SOF2 progressive is now decoded for real, see
+    # test_jpeg_progressive_* below)
+    lossless = data.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with _pytest.raises(NotImplementedError, match="lossless"):
+        jpeg.decode_jpeg(lossless)
+    arith = data.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        jpeg.decode_jpeg(arith)
+    # a baseline stream relabeled SOF2 has a scan header that is
+    # invalid for a progressive DC scan (Se must be 0) -> ValueError,
+    # not a silent wrong decode
+    relabeled = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError):
+        jpeg.decode_jpeg(relabeled)
     # truncation -> ValueError
     with _pytest.raises(ValueError):
         jpeg.decode_jpeg(data[: len(data) // 2])
