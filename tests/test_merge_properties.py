@@ -322,7 +322,12 @@ def test_cdc_agg_view_matches_recompute(tmp_path_factory, ops, batch_cuts):
         df = spark.createDataFrame(
             delta_rows, f"id int, grp string, v int, {MULT_COL} int"
         )
-        v.ingest(df, f"b{n_batches}")
+        # alternate explicit and AUTO-derived batch ids: auto ids must
+        # stay fresh across the interleaved compaction below (round-6
+        # regression: the auto counter restarted post-compact and the
+        # tombstone replay check silently dropped the batch)
+        bid = f"b{n_batches}" if n_batches % 2 == 0 else None
+        assert v.ingest(df, bid) == "applied"
         n_batches += 1
         delta_rows = []
 
@@ -394,10 +399,16 @@ def test_cdc_join_view_matches_recompute(tmp_path_factory, lops, rops, batch_cut
         # contract; Spark rejects duplicate names at the view write)
         cols = "g string, v int" if side == "left" else "rg string, rv int"
         df = spark.createDataFrame(pending[side], f"k int, {cols}, {MULT_COL} int")
+        # alternate explicit and auto ids (round-6 compaction regression)
+        bid = (
+            (f"l{n_batches}" if side == "left" else f"r{n_batches}")
+            if n_batches % 2 == 0
+            else None
+        )
         if side == "left":
-            v.ingest_left(df, f"l{n_batches}")
+            assert v.ingest_left(df, bid) == "applied"
         else:
-            v.ingest_right(df, f"r{n_batches}")
+            assert v.ingest_right(df, bid) == "applied"
         n_batches += 1
         pending[side] = []
 
@@ -417,6 +428,8 @@ def test_cdc_join_view_matches_recompute(tmp_path_factory, lops, rops, batch_cut
                 pending[side].append((rid, grp, val, +1))
             if i in batch_cuts:
                 flush(side)
+                if n_batches == 2:
+                    v.compact(spark)
         flush(side)
     if n_batches == 0:
         return

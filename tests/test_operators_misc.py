@@ -2635,3 +2635,129 @@ def test_maybe_compact_policy(spark, tmp_path):
     # state is intact throughout
     assert len(v._load_ledger()) == 2
     assert v.read(spark).collect()[0]["n_rows"] == 5
+
+
+def test_auto_batch_ids_survive_compaction(spark, tmp_path):
+    """REGRESSION (round-6 verdict, confirmed data loss): auto-derived
+    batch ids must stay monotonic ACROSS compaction. Before the fix the
+    auto counter restarted from the collapsed applied list, regenerated
+    an id already in the compaction tombstones, and the replay check
+    silently dropped the new delta -- permanently, for every subsequent
+    auto-id ingest. All three view classes share the pattern."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        CdcAggView,
+        CdcJoinView,
+        IncrementalJoinView,
+        signed,
+    )
+
+    L = spark.createDataFrame
+
+    # --- CdcAggView: the verdict's live repro ---
+    a = CdcAggView(str(tmp_path / "a"), keys=["g"], measures={}, n_partitions=2)
+    for i in range(3):
+        assert a.ingest(
+            signed(L([(i, "x")], "id int, g string"), +1)
+        ) == "applied"
+    a.compact(spark)
+    assert a.ingest(
+        signed(L([(99, "x")], "id int, g string"), +1)
+    ) == "applied"
+    assert a.read(spark).collect()[0]["n_rows"] == 4  # was 3 (dropped)
+    # and it keeps working on every later auto-id ingest
+    assert a.ingest(
+        signed(L([(100, "x")], "id int, g string"), +1)
+    ) == "applied"
+    assert a.read(spark).collect()[0]["n_rows"] == 5
+
+    # --- CdcJoinView ---
+    j = CdcJoinView(str(tmp_path / "j"), key="k", n_buckets=4)
+    assert j.ingest_left(
+        signed(L([(1, "a"), (2, "b")], "k int, n string"), +1)
+    ) == "applied"
+    assert j.ingest_right(signed(L([(1, 10)], "k int, o int"), +1)) == "applied"
+    assert j.ingest_right(signed(L([(2, 20)], "k int, o int"), +1)) == "applied"
+    j.compact(spark)
+    assert j.ingest_left(
+        signed(L([(3, "c")], "k int, n string"), +1)
+    ) == "applied"
+    assert j.ingest_right(signed(L([(3, 30)], "k int, o int"), +1)) == "applied"
+    got = sorted((r["k"], r["n"], r["o"]) for r in j.read(spark).collect())
+    assert got == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+
+    # --- IncrementalJoinView (insert-only parent) ---
+    v = IncrementalJoinView(str(tmp_path / "v"), key="k", n_buckets=4)
+    assert v.ingest_left(L([(1, "a")], "k int, n string")) == "applied"
+    assert v.ingest_left(L([(2, "b")], "k int, n string")) == "applied"
+    assert v.ingest_left(L([(3, "c")], "k int, n string")) == "applied"
+    assert v.ingest_right(L([(1, 10), (2, 20), (3, 30)], "k int, o int")) == "applied"
+    v.compact(spark)
+    assert v.ingest_left(L([(4, "d")], "k int, n string")) == "applied"
+    assert v.ingest_right(L([(4, 40)], "k int, o int")) == "applied"
+    assert v.read(spark).count() == 4
+
+
+def test_ingest_replay_status_is_observable(spark, tmp_path):
+    """A replayed batch id must be reported, not silently absorbed: the
+    round-6 data-loss bug survived 1,000+ tests precisely because a
+    dropped ingest was indistinguishable from an applied one."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        CdcAggView,
+        CdcJoinView,
+        signed,
+    )
+
+    L = spark.createDataFrame
+    a = CdcAggView(str(tmp_path / "a"), keys=["g"], measures={}, n_partitions=2)
+    d = signed(L([(1, "x")], "id int, g string"), +1)
+    assert a.ingest(d, batch_id="b0") == "applied"
+    assert a.ingest(d, batch_id="b0") == "replayed"
+    # tombstoned ids replay too (post-compaction late retry)
+    a.ingest(signed(L([(2, "x")], "id int, g string"), +1), batch_id="b1")
+    a.compact(spark)
+    assert a.ingest(d, batch_id="b0") == "replayed"
+    assert a.read(spark).collect()[0]["n_rows"] == 2
+
+    j = CdcJoinView(str(tmp_path / "j"), key="k", n_buckets=4)
+    dl = signed(L([(1, "a")], "k int, n string"), +1)
+    assert j.ingest_left(dl, batch_id="c0") == "applied"
+    assert j.ingest_left(dl, batch_id="c0") == "replayed"
+
+
+def test_footer_stats_unordered_types_never_prune(spark, tmp_path):
+    """DECIMAL (and any other type whose parquet footer stat does not
+    round-trip to a natively-ordered Python value) must degrade its
+    bucket manifest to [None, None] = always-intersecting, NOT fall
+    back to str(): lexicographic '99' > '110' would invert min/max and
+    range-prune buckets that DO contain matching join keys (ADVICE r6:
+    silently dropped pairs). Pinned: decimal-key manifests are fully
+    unknown, and the join over values straddling the 99-vs-110 string
+    trap is complete."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        IncrementalJoinView,
+    )
+
+    v = IncrementalJoinView(str(tmp_path / "v"), key="k", n_buckets=2)
+    left = spark.createDataFrame(
+        [(99, "a"), (110, "b"), (500, "c")], "k0 int, n string"
+    ).selectExpr("CAST(k0 AS DECIMAL(10,0)) AS k", "n")
+    right = spark.createDataFrame(
+        [(110, 1), (500, 2)], "k0 int, o int"
+    ).selectExpr("CAST(k0 AS DECIMAL(10,0)) AS k", "o")
+    v.ingest_left(left, "l0")
+    # every decimal bucket manifest entry is [None, None]
+    for s, b in v._load_ledger():
+        m = v._bucket_manifest(v._batch_dir("store", s, b))
+        assert m and all(entry == [None, None] for entry in m.values())
+    v.ingest_right(right, "r0")
+    got = sorted((int(r["k"]), r["n"], r["o"]) for r in v.read(spark).collect())
+    assert got == [(110, "b", 1), (500, "c", 2)]
+
+    # int keys still produce real (ordered, prunable) manifests
+    v2 = IncrementalJoinView(str(tmp_path / "v2"), key="k", n_buckets=2)
+    v2.ingest_left(spark.createDataFrame([(99, "a"), (110, "b")], "k int, n string"), "l0")
+    m = v2._bucket_manifest(v2._batch_dir("store", "left", "l0"))
+    assert any(entry != [None, None] for entry in m.values())
+    for lo, hi in m.values():
+        if lo is not None:
+            assert lo <= hi

@@ -1392,3 +1392,198 @@ def test_agg_view_sink_name_namespaces_epochs(spark, tmp_path):
     assert v.read(spark).collect()[0]["n_rows"] == 2
     s2(d(3), 0)  # genuine replay of s2's epoch 0: dropped
     assert v.read(spark).collect()[0]["n_rows"] == 2
+
+
+def test_agg_view_sink_compacts_mid_stream(spark, tmp_path):
+    """``compact_every=N`` on the agg-view sink folds the partial
+    history from INSIDE the stream (no external maintenance tick), and
+    the maintained counters still equal a from-scratch aggregate after
+    more epochs land post-compaction -- including epochs whose batch
+    ids are minted AFTER the fold (the round-6 auto-id regression
+    surface, here exercised through the epoch-id path) and a restart
+    re-drain from the checkpoint."""
+    import pyspark.sql.types as T
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        MULT_COL,
+        CdcAggView,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.sources.incremental import (
+        IncrementalTable,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.cdf_source import (
+        register_cdf_source,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        streaming_agg_view_sink,
+    )
+
+    register_cdf_source(spark)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    root = str(tmp_path / "tbl")
+    tbl = IncrementalTable(root, id_col="id")
+    view = CdcAggView(
+        str(tmp_path / "av"),
+        keys=["grp"],
+        measures={"total": "CAST(v AS DECIMAL(20,0))"},
+        n_partitions=2,
+    )
+    inner = streaming_agg_view_sink(view, compact_every=2)
+
+    def apply_batch(bdf, eid):
+        inner(
+            bdf.withColumn(
+                MULT_COL,
+                F.when(
+                    F.col("_change_type") == "delete", F.lit(-1)
+                ).otherwise(F.lit(1)),
+            ).drop("_change_type", "_commit_seq"),
+            eid,
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("incr_cdf")
+            .option("path", root)
+            .load()
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    C = spark.createDataFrame
+    # 5 single-commit waves drained separately -> 5 epochs; the sink
+    # must compact at least once (ledger bound) while staying correct
+    tbl.write_delta(C([(1, "a", 10), (2, "a", 20)], schema))
+    drain()
+    tbl.write_delta(C([(3, "b", 30)], schema))
+    drain()
+    tbl.delete_keys(spark, schema, C([(2, "a", 20)], schema))
+    drain()
+    tbl.write_delta(C([(4, "b", 40), (5, "c", 50)], schema))
+    drain()
+    tbl.write_delta(C([(6, "c", 60)], schema))
+    drain()
+
+    # the bound held: ledger never grows past compact_every + 1
+    assert len(view._load_ledger()) <= 3
+    # and at least one fold actually happened (tombstones exist)
+    assert view._load_ledger_full()["seen"]
+
+    want = {
+        r["grp"]: (r["n"], int(r["t"]))
+        for r in tbl.read(spark, schema)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(20,0)")).alias("t"),
+        )
+        .collect()
+    }
+    got = {
+        r["grp"]: (r["n_rows"], int(r["total"]))
+        for r in view.read(spark).collect()
+    }
+    assert got == want == {"a": (1, 10), "b": (2, 70), "c": (2, 110)}
+
+    drain()  # restart re-drain: nothing new, nothing double-applied
+    got2 = {
+        r["grp"]: (r["n_rows"], int(r["total"]))
+        for r in view.read(spark).collect()
+    }
+    assert got2 == want
+
+
+def test_join_view_sink_compacts_mid_stream(spark, tmp_path):
+    """Join-view leg of the mid-stream compaction contract: one CDC
+    stream feeds the LEFT side with compact_every bounding, the right
+    side ingests in batch; the merged view equals the from-scratch
+    join throughout."""
+    import pyspark.sql.types as T
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        MULT_COL,
+        CdcJoinView,
+        signed,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.sources.incremental import (
+        IncrementalTable,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.cdf_source import (
+        register_cdf_source,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        streaming_join_view_sink,
+    )
+
+    register_cdf_source(spark)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("n", T.StringType()),
+        ]
+    )
+    root = str(tmp_path / "tbl")
+    tbl = IncrementalTable(root, id_col="k")
+    view = CdcJoinView(str(tmp_path / "jv"), key="k", n_buckets=4)
+    view.ingest_right(
+        signed(
+            spark.createDataFrame(
+                [(1, 10), (2, 20), (3, 30), (4, 40)], "k long, o int"
+            ),
+            +1,
+        ),
+        "dim0",
+    )
+    inner = streaming_join_view_sink(view, side="left", compact_every=2)
+
+    def apply_batch(bdf, eid):
+        inner(
+            bdf.withColumn(
+                MULT_COL,
+                F.when(
+                    F.col("_change_type") == "delete", F.lit(-1)
+                ).otherwise(F.lit(1)),
+            ).drop("_change_type", "_commit_seq"),
+            eid,
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("incr_cdf")
+            .option("path", root)
+            .load()
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    C = spark.createDataFrame
+    tbl.write_delta(C([(1, "a"), (2, "b")], schema))
+    drain()
+    tbl.write_delta(C([(3, "c")], schema))
+    drain()
+    tbl.delete_keys(spark, schema, C([(2, "b")], schema))
+    drain()
+    tbl.write_delta(C([(4, "d")], schema))
+    drain()
+
+    assert view._load_ledger_full()["seen"]  # a fold fired mid-stream
+    got = sorted(
+        (r["k"], r["n"], r["o"]) for r in view.read(spark).collect()
+    )
+    assert got == [(1, "a", 10), (3, "c", 30), (4, "d", 40)]
