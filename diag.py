@@ -14,6 +14,12 @@ Usage:
     python diag.py                     # gated 50 -> DIAG_r<N>/ (auto N)
     python diag.py q49_train_pipeline  # one query
     python diag.py --sf-dir /root/testdata/sf0.01 --out DIAG_r05
+    python diag.py --changed-since <gitref>   # every registry entry whose
+        # implementation (transitively, via the package import graph)
+        # touches a file changed since <gitref> -- the mechanical
+        # end-of-round attestation mode (VERDICT r7 task #3): run before
+        # the snapshot commit so DIAG_r<N> covers exactly what the round
+        # touched, generated at HEAD.
 """
 
 from __future__ import annotations
@@ -133,6 +139,94 @@ def dump_query(spark, con, qs, osql, name: str, out_dir: str,
     }
 
 
+PKG = "etl_world_banks_with_python_and_postgresql_spark"
+
+
+def _module_of(path: str) -> str | None:
+    """repo-relative .py path -> dotted module name, package files only."""
+    if not (path.startswith(PKG + os.sep) or path.startswith(PKG + "/")):
+        return None
+    if not path.endswith(".py"):
+        return None
+    mod = path[:-3].replace("/", ".").replace(os.sep, ".")
+    return mod[:-9] if mod.endswith(".__init__") else mod
+
+
+def _package_import_graph() -> dict[str, set[str]]:
+    """Static (ast-level) module -> imported-package-modules graph over
+    the whole package; the transitive closure of an entry's defining
+    module is its implementation surface."""
+    import ast
+
+    graph: dict[str, set[str]] = {}
+    for root, _dirs, files in os.walk(PKG):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            mod = _module_of(os.path.relpath(path))
+            if mod is None:
+                continue
+            deps: set[str] = set()
+            tree = ast.parse(open(path).read(), filename=path)
+            pkg_parts = mod.split(".")[:-1]
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Import):
+                    for a in node.names:
+                        if a.name.startswith(PKG):
+                            deps.add(a.name)
+                elif isinstance(node, ast.ImportFrom):
+                    if node.level:  # relative: resolve against pkg_parts
+                        base = pkg_parts[: len(pkg_parts) - node.level + 1]
+                        stem = ".".join(base + ([node.module] if node.module else []))
+                    else:
+                        stem = node.module or ""
+                    if stem.startswith(PKG):
+                        deps.add(stem)
+                        # `from .operators import ivm` imports MODULES too
+                        for a in node.names:
+                            deps.add(f"{stem}.{a.name}")
+            graph[mod] = deps
+    # prune names that aren't actual package modules (class/function froms)
+    mods = set(graph)
+    return {m: {d for d in deps if d in mods} for m, deps in graph.items()}
+
+
+def _closure(mod: str, graph: dict[str, set[str]]) -> set[str]:
+    seen, stack = set(), [mod]
+    while stack:
+        m = stack.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        stack.extend(graph.get(m, ()))
+    return seen
+
+
+def changed_entries(gitref: str, qs: dict) -> list[str]:
+    """Registry entries whose defining module's transitive package
+    import closure intersects the files changed since ``gitref``.
+    A change to __spark_entry__.py itself selects everything."""
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "diff", "--name-only", gitref, "--", "*.py"],
+        capture_output=True, text=True, check=True,
+    ).stdout.split()
+    if "__spark_entry__.py" in out:
+        return sorted(qs)
+    changed = {m for p in out if (m := _module_of(p))}
+    if not changed:
+        return []
+    graph = _package_import_graph()
+    hits = []
+    for name, fn in qs.items():
+        mod = getattr(fn, "__module__", "")
+        if mod and _closure(mod, graph) & changed:
+            hits.append(name)
+    return sorted(hits)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", help="registry query names (default: gated 50)")
@@ -141,6 +235,11 @@ def main():
     ap.add_argument(
         "--summary-only", action="store_true",
         help="write only SUMMARY.json (bit-exact flags), no row dumps",
+    )
+    ap.add_argument(
+        "--changed-since", default=None, metavar="GITREF",
+        help="select every registry entry whose implementation touches a "
+             "file changed since GITREF (transitive package imports)",
     )
     args = ap.parse_args()
 
@@ -172,6 +271,19 @@ def main():
     names = args.names or sorted(qs)[:50]
     if args.names == ["all"]:
         names = [n for n in sorted(qs) if osql.get(n)]
+    if args.changed_since:
+        hits = changed_entries(args.changed_since, qs)
+        skipped = [n for n in hits if not osql.get(n)]
+        if skipped:
+            print(
+                f"unpaired (rows-only, skipped here): {skipped}",
+                file=sys.stderr,
+            )
+        names = [n for n in hits if osql.get(n)]
+        print(
+            f"--changed-since {args.changed_since}: {len(names)} "
+            "oracle-paired entries selected", file=sys.stderr,
+        )
     summary = {}
     for name in names:
         try:

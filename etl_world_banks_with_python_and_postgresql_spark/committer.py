@@ -1,0 +1,177 @@
+"""Pluggable atomic commit seam for every JSON ledger / manifest in the
+engine.
+
+Every piece of metadata that makes state visible -- the IVM ledgers
+(`operators/ivm.py`), the incremental-table manifest
+(`sources/incremental.py`), the streaming epoch ledger and posting-index
+stats (`streaming/pipeline.py`, `operators/text.py`) -- commits through
+this module instead of hand-rolled ``tmp + os.replace``. That buys two
+things the scattered call sites could not give:
+
+1. **One documented durability contract** (below) instead of five
+   implicit ones.
+2. **A stale-read guard**: ``load_json`` returns a :class:`Token`
+   (content etag) alongside the object; passing it back as
+   ``commit_json(..., expect=token)`` turns the write into a
+   compare-and-swap that raises :class:`ConcurrentCommitError` if the
+   file changed since the load -- the read-modify-write race between
+   two writers can no longer silently drop a ledger entry.
+
+Durability / concurrency contract (the POSIX default)
+------------------------------------------------------
+* A commit is ONE ``os.replace`` of a fully-written temp file: readers
+  see the old bytes or the new bytes, never a mix (atomic rename on one
+  POSIX filesystem).
+* Guarded commits (``expect=``) serialize the check-and-swap through an
+  ``flock``-ed sidecar ``<path>.lock`` file, so they are safe between
+  cooperating processes ON ONE HOST / ONE POSIX FILESYSTEM. Across
+  hosts on NFS-without-flock the guard degrades to best-effort; the
+  engine's baseline contract there is SINGLE WRITER per ledger path
+  (one driver owns a view/table; concurrent readers are always safe).
+* Unguarded commits (no ``expect``) are last-writer-wins. They are used
+  only where the payload is derived deterministically from an
+  overwrite-idempotent data write (per-batch-dir bucket manifests): two
+  racing writers write identical bytes, so order cannot matter.
+
+Object-store mapping (the 100 TB deployment)
+--------------------------------------------
+Plain S3-style rename is copy+delete and NOT atomic; deploying the
+ledgers on an object store requires swapping this seam, not the call
+sites. Implement :class:`JsonCommitter` with the store's conditional
+write and install it via :func:`set_default_committer`:
+
+* ``load``    -> GET, etag from the response.
+* guarded commit -> conditional PUT: ``If-Match: <etag>`` for an
+  existing file, ``If-None-Match: *`` when ``expect is ABSENT``
+  (S3 and GCS both support these as of 2024; on stores without
+  conditional PUT, route commits through a log-store / DynamoDB-style
+  lock table, the Delta-on-S3 pattern).
+* unguarded commit -> plain PUT (whole-object PUT is atomic on every
+  major object store).
+
+The parquet DATA files never need this seam: they are written under
+batch-/version-named directories that are invisible until the metadata
+commit points at them, so eventually-consistent or non-atomic data
+writes are already safe.
+"""
+
+from __future__ import annotations
+
+import fcntl
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+
+
+class ConcurrentCommitError(RuntimeError):
+    """A guarded commit found the file changed since it was loaded:
+    another writer committed in between. The caller's in-memory state
+    is stale -- reload, re-derive, retry (or surface the single-writer
+    contract violation)."""
+
+
+@dataclass(frozen=True)
+class Token:
+    """Opaque version tag for compare-and-swap commits. ``etag=None``
+    means the file did not exist at load time (commit then requires it
+    still not to exist)."""
+
+    etag: str | None
+
+
+#: Token meaning "the file must not exist yet" (create-if-absent).
+ABSENT = Token(etag=None)
+
+
+def _etag(data: bytes) -> str:
+    return hashlib.sha256(data).hexdigest()
+
+
+class JsonCommitter:
+    """Interface + POSIX default. Subclass and
+    :func:`set_default_committer` to deploy on an object store (module
+    docstring has the GET/conditional-PUT mapping)."""
+
+    def load(self, path: str) -> tuple[dict | list | None, Token]:
+        """Read ``path`` -> ``(obj, token)``; ``(None, ABSENT)`` when
+        the file does not exist. The token captures exactly the bytes
+        the object was parsed from."""
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except FileNotFoundError:
+            return None, ABSENT
+        return json.loads(data), Token(_etag(data))
+
+    def commit(self, path: str, obj, *, expect: Token | None = None) -> Token:
+        """Atomically publish ``obj`` as the new contents of ``path``.
+
+        ``expect=None``   -> unguarded, last-writer-wins.
+        ``expect=token``  -> compare-and-swap: raises
+        :class:`ConcurrentCommitError` unless the file's current etag
+        still equals the token's (``ABSENT`` = must not exist).
+        Returns the new file's token.
+        """
+        data = json.dumps(obj).encode()
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        if expect is None:
+            self._replace(path, data)
+            return Token(_etag(data))
+        # guarded: serialize check-and-swap through the sidecar lock
+        lock_path = path + ".lock"
+        with open(lock_path, "a+") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                _, current = self.load(path)
+                if current.etag != expect.etag:
+                    raise ConcurrentCommitError(
+                        f"{path} changed since load (expected etag "
+                        f"{expect.etag!r}, found {current.etag!r}): "
+                        "another writer committed; reload and retry, or "
+                        "enforce the single-writer contract"
+                    )
+                self._replace(path, data)
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+        return Token(_etag(data))
+
+    @staticmethod
+    def _replace(path: str, data: bytes) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic on POSIX
+
+
+#: The POSIX default; swap with :func:`set_default_committer`.
+_default: JsonCommitter = JsonCommitter()
+
+
+def get_default_committer() -> JsonCommitter:
+    return _default
+
+
+def set_default_committer(committer: JsonCommitter) -> None:
+    """Install an alternative committer (e.g. an object-store
+    conditional-PUT implementation) engine-wide. All ledger/manifest
+    commit points resolve the committer at call time, so this takes
+    effect immediately."""
+    global _default
+    _default = committer
+
+
+def load_json(path: str, committer: JsonCommitter | None = None):
+    """``(obj, token)`` -- see :meth:`JsonCommitter.load`."""
+    return (committer or _default).load(path)
+
+
+def commit_json(
+    path: str,
+    obj,
+    *,
+    expect: Token | None = None,
+    committer: JsonCommitter | None = None,
+) -> Token:
+    """Atomic publish -- see :meth:`JsonCommitter.commit`."""
+    return (committer or _default).commit(path, obj, expect=expect)

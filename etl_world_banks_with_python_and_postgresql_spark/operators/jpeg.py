@@ -521,6 +521,15 @@ def _scan_huff_table(symbols):
     if not syms:
         syms = [0x00]
     n = len(syms)
+    if n > 255:
+        # bits[] entries are single bytes in the DHT segment; a scan
+        # alphabet can't exceed 256 symbols for 8-bit precision anyway
+        # (ADVICE r7: guard the impossible case loudly, bytes(bits)
+        # would otherwise raise an opaque ValueError at encode time)
+        raise ValueError(
+            f"scan alphabet has {n} symbols; a single-length canonical "
+            "DHT holds at most 255 -- unreachable for 8-bit JPEG"
+        )
     length = 8
     while (1 << length) <= n:
         length += 1
@@ -1411,3 +1420,52 @@ def _decode_progressive(
         for ci, (h_i, v_i, qid, bw, bh, _nx, _ny) in enumerate(geom)
     ]
     return _reconstruct_pixels(plane_specs, quant, w_, h, hmax, vmax)
+
+
+# ---------------------------------------------------------------------------
+# Hand-assembled progressive conformance fixture (ITU T.81 Annex G)
+# ---------------------------------------------------------------------------
+# A 16x8 grayscale SOF2 stream built BY HAND, byte by byte, from the spec
+# -- NOT produced by encode_jpeg_progressive -- so decoding it pins
+# _decode_progressive against T.81 itself, the same way the baseline
+# decoder is pinned by the hand-crafted stream in
+# tests/test_operators_misc.py::test_jpeg_handcrafted_minimal_stream_decodes_per_spec
+# (VERDICT r7 task #2: break the progressive encoder<->decoder
+# self-reference).
+#
+# Construction (all quant values 1, two 8x8 blocks side by side):
+#   DQT    all-ones table 0
+#   SOF2   8-bit, 8 rows, 16 cols, one component, 1x1 sampling
+#   DHT DC two codes of length 2: '00'->category 8, '01'->category 9
+#   DHT AC one code of length 1:  '0' ->0x10 (EOBn with r=1)
+#   scan 1 DC first (Ss=Se=0, Ah=0, Al=1): block A diff +288
+#          (cat 9, bits 100100000), block B diff -128 (cat 8, encoded
+#          as 288-128=160 minus pred: bits 01111111); entropy
+#          01|100100000|00|01111111 + 1-pad = 64 03 FF(00-stuffed)
+#   scan 2 DC refinement (Ah=1, Al=0): one raw LSB per block, both 0
+#   scan 3 AC first (Ss=1, Se=63, Al=1): one EOBn r=1 code + 1 ext bit
+#          0 -> EOB run of 2, covering both (all-zero-AC) blocks
+#   scan 4 AC refinement (Ah=1, Al=0): same EOBn, corrects nothing
+# Final coefficients: DC_A = 288<<1 = 576, DC_B = (288-128)<<1 = 320,
+# all AC zero. With quant 1 the IDCT of a DC-only block is the constant
+# DC/8 + 128: block A = 576/8+128 = 200, block B = 320/8+128 = 168 --
+# EXACT integers, no rounding ambiguity anywhere.
+ANNEX_G_FIXTURE = bytes.fromhex(
+    "ffd8"
+    "ffdb00430001010101010101010101010101010101010101010101010101010101"
+    "01010101010101010101010101010101010101010101010101010101010101010101"
+    "0101"
+    "ffc2000b080008001001011100"
+    "ffc4001500000200000000000000000000000000000809"
+    "ffc40014100100000000000000000000000000000010"
+    "ffda000801010000000164"
+    "03ff00"
+    "ffda00080101000000103f"
+    "ffda0008010100013f013f"
+    "ffda0008010100013f103f"
+    "ffd9"
+)
+
+#: Expected decode of ANNEX_G_FIXTURE: row-major 16x8 grayscale, left
+#: block 200, right block 168 (derivation above).
+ANNEX_G_FIXTURE_PIXELS = ([200] * 8 + [168] * 8) * 8

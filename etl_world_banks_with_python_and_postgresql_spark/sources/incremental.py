@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..committer import Token, commit_json, load_json
 from ..operators import merge as merge_ops
 
 _MANIFEST = "_manifest.json"
@@ -125,26 +126,34 @@ class IncrementalTable:
     def _manifest_path(self) -> str:
         return os.path.join(self.path, _MANIFEST)
 
-    def _load_manifest(self) -> dict:
-        p = self._manifest_path()
-        if not os.path.exists(p):
-            return {"seq": 0, "base": None, "deltas": []}
-        with open(p) as f:
-            return json.load(f)
+    def _load_manifest_state(self) -> tuple[dict, Token]:
+        """Manifest plus the CAS token of the bytes it was parsed from;
+        every write path loads through here and commits with the token,
+        so a concurrent writer raises ``ConcurrentCommitError`` instead
+        of silently dropping this writer's version (single-writer
+        contract, enforced -- committer module docstring)."""
+        m, tok = load_json(self._manifest_path())
+        if m is None:
+            return {"seq": 0, "base": None, "deltas": []}, tok
+        return m, tok
 
-    def _commit_manifest(self, m: dict) -> None:
-        """Atomic commit point: readers see the old or the new file set,
-        never a mix (single rename on one filesystem). Every committed
+    def _load_manifest(self) -> dict:
+        return self._load_manifest_state()[0]
+
+    def _commit_manifest(self, m: dict, expect: Token | None = None) -> None:
+        """Atomic commit point through the :mod:`..committer` seam:
+        readers see the old or the new file set, never a mix. Pass the
+        token from :meth:`_load_manifest_state` as ``expect`` to make
+        the read-modify-write a compare-and-swap. Every committed
         version is also retained as _manifest-<seq>.json, which is what
         makes `read_at` (time travel) possible."""
-        tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, self._manifest_path())
-        with open(
-            os.path.join(self.path, f"_manifest-{m['seq']:06d}.json"), "w"
-        ) as f:
-            json.dump(m, f)
+        commit_json(self._manifest_path(), m, expect=expect)
+        # the per-version snapshot is write-once at a fresh seq-named
+        # path (no reader resolves through it until read_at names it),
+        # so an unguarded publish is safe
+        commit_json(
+            os.path.join(self.path, f"_manifest-{m['seq']:06d}.json"), m
+        )
 
     # --- read -----------------------------------------------------------
 
@@ -308,7 +317,7 @@ class IncrementalTable:
         just-written delta (a scan of the small delta files only), so the
         NEXT merge_batch can skip the full-target max-id pass entirely.
         """
-        m = self._load_manifest()
+        m, tok = self._load_manifest_state()
         seq = m["seq"] + 1
         name = f"delta-{seq:06d}"
         path = os.path.join(self.path, name)
@@ -334,7 +343,7 @@ class IncrementalTable:
                 "min": None if stats["plo"] is None else self._stat(stats["plo"]),
                 "max": None if stats["phi"] is None else self._stat(stats["phi"]),
             }
-        self._commit_manifest(m)
+        self._commit_manifest(m, expect=tok)
 
     def delete_keys(
         self, spark: SparkSession, schema, ids: DataFrame, target_files: int = 1
@@ -353,7 +362,7 @@ class IncrementalTable:
         by a later upsert of the same id re-inserts it; a trailing delete
         wins.
         """
-        m = self._load_manifest()
+        m, tok = self._load_manifest_state()
         seq = m["seq"] + 1
         name = f"delta-{seq:06d}"
         path = os.path.join(self.path, name)
@@ -393,7 +402,7 @@ class IncrementalTable:
                     "min": self._stat(stats["plo"]),
                     "max": self._stat(stats["phi"]),
                 }
-        self._commit_manifest(m)
+        self._commit_manifest(m, expect=tok)
 
     def compact(
         self,
@@ -416,7 +425,7 @@ class IncrementalTable:
         Partial compaction keeps the un-folded deltas' kinds and
         pruning stats; read() semantics are unchanged.
         """
-        m = self._load_manifest()
+        m, tok = self._load_manifest_state()
         if not m["deltas"]:
             return
         n_fold = len(m["deltas"]) if upto is None else min(upto, len(m["deltas"]))
@@ -476,7 +485,7 @@ class IncrementalTable:
             resolved.coalesce(target_files).write.mode("overwrite").parquet(
                 os.path.join(self.path, new_base)
             )
-        self._commit_manifest(commit)
+        self._commit_manifest(commit, expect=tok)
 
     def vacuum(self) -> None:
         """Delete file-set members and version manifests not referenced by

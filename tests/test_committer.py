@@ -1,0 +1,301 @@
+"""The pluggable atomic-commit seam (VERDICT r7 task #1): one
+``commit_json``/``load_json`` interface behind every ledger/manifest,
+POSIX-rename default, CAS tokens turning read-modify-write into
+compare-and-swap, and the loud batch-id-collision failure for streaming
+view sinks (r7 task #6)."""
+
+import json
+import os
+import threading
+
+import pytest
+
+from etl_world_banks_with_python_and_postgresql_spark.committer import (
+    ABSENT,
+    ConcurrentCommitError,
+    JsonCommitter,
+    Token,
+    commit_json,
+    get_default_committer,
+    load_json,
+    set_default_committer,
+)
+
+
+# ---------------------------------------------------------------- unit
+
+
+def test_load_absent(tmp_path):
+    obj, tok = load_json(str(tmp_path / "nope.json"))
+    assert obj is None
+    assert tok == ABSENT
+
+
+def test_commit_load_roundtrip(tmp_path):
+    p = str(tmp_path / "m.json")
+    tok = commit_json(p, {"seq": 1, "deltas": ["a"]})
+    obj, tok2 = load_json(p)
+    assert obj == {"seq": 1, "deltas": ["a"]}
+    assert tok2 == tok  # etag derives from content bytes
+
+
+def test_commit_is_atomic_rename(tmp_path):
+    # the temp file never survives a successful commit
+    p = str(tmp_path / "m.json")
+    commit_json(p, [1, 2, 3])
+    assert not os.path.exists(p + ".tmp")
+    assert json.load(open(p)) == [1, 2, 3]
+
+
+def test_guarded_create_if_absent(tmp_path):
+    p = str(tmp_path / "m.json")
+    commit_json(p, {"v": 0}, expect=ABSENT)
+    # second create-if-absent must fail: the file now exists
+    with pytest.raises(ConcurrentCommitError):
+        commit_json(p, {"v": 1}, expect=ABSENT)
+
+
+def test_guarded_commit_stale_token_raises(tmp_path):
+    """THE concurrent-commit scenario: writer A loads, writer B commits,
+    writer A's commit with the stale token raises instead of silently
+    erasing B's entry."""
+    p = str(tmp_path / "ledger.json")
+    commit_json(p, {"applied": []})
+    _, tok_a = load_json(p)  # writer A snapshots
+    commit_json(p, {"applied": [["left", "0"]]})  # writer B wins the race
+    with pytest.raises(ConcurrentCommitError, match="changed since load"):
+        commit_json(p, {"applied": [["right", "0"]]}, expect=tok_a)
+    # B's commit is intact
+    assert load_json(p)[0] == {"applied": [["left", "0"]]}
+
+
+def test_guarded_commit_fresh_token_succeeds(tmp_path):
+    p = str(tmp_path / "ledger.json")
+    t0 = commit_json(p, {"n": 0})
+    t1 = commit_json(p, {"n": 1}, expect=t0)
+    t2 = commit_json(p, {"n": 2}, expect=t1)
+    assert load_json(p) == ({"n": 2}, t2)
+
+
+def test_guarded_commits_race_exactly_one_winner(tmp_path):
+    """N threads all load the same version and try to CAS-commit:
+    exactly one wins, the rest raise -- no lost update, ever."""
+    p = str(tmp_path / "hot.json")
+    base = commit_json(p, {"owner": None})
+    results = []
+
+    def contender(i):
+        try:
+            commit_json(p, {"owner": i}, expect=base)
+            results.append(("win", i))
+        except ConcurrentCommitError:
+            results.append(("lose", i))
+
+    threads = [threading.Thread(target=contender, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wins = [i for s, i in results if s == "win"]
+    assert len(wins) == 1
+    assert load_json(p)[0] == {"owner": wins[0]}
+
+
+def test_pluggable_default_committer(tmp_path):
+    """set_default_committer installs an alternative engine-wide -- the
+    object-store seam: all call sites resolve it at call time."""
+
+    class Recording(JsonCommitter):
+        commits: list = []
+
+        def commit(self, path, obj, *, expect=None):
+            Recording.commits.append(path)
+            return super().commit(path, obj, expect=expect)
+
+    original = get_default_committer()
+    try:
+        set_default_committer(Recording())
+        p = str(tmp_path / "x.json")
+        commit_json(p, {"a": 1})
+        assert Recording.commits == [p]
+    finally:
+        set_default_committer(original)
+
+
+def test_token_is_content_etag(tmp_path):
+    # same bytes -> same token, regardless of when/where written
+    p1, p2 = str(tmp_path / "a.json"), str(tmp_path / "b.json")
+    assert commit_json(p1, {"x": 1}) == commit_json(p2, {"x": 1})
+    assert commit_json(p1, {"x": 2}) != commit_json(p2, {"x": 1})
+
+
+# ------------------------------------------- integration: IVM ledgers
+
+
+def test_ivm_ingest_guarded_against_concurrent_ledger_write(spark, tmp_path):
+    """Two writers interleaving a ledger read-modify-write: the second
+    commit (stale token) raises instead of silently dropping the first
+    writer's entry -- the single-writer contract is now ENFORCED, not
+    documented (VERDICT r7 task #1)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import CdcAggView, signed
+
+    v = CdcAggView(
+        path=str(tmp_path / "agg"),
+        keys=["k"],
+        measures={"s": "cast(x as decimal(18,2))"},
+    )
+    delta = signed(spark.createDataFrame([(1, 10.0)], "k int, x double"), +1)
+    v.ingest(delta, batch_id="b0")
+
+    # writer A snapshots the ledger state mid-ingest...
+    full_a, tok_a = v._load_ledger_state()
+    # ...writer B lands a full ingest in between...
+    v.ingest(delta, batch_id="b1")
+    # ...A's commit must now fail loudly, not erase b1
+    with pytest.raises(ConcurrentCommitError):
+        v._commit_ledger(
+            full_a["applied"] + [["agg", "bX"]],
+            seen=full_a["seen"],
+            expect=tok_a,
+        )
+    assert ["agg", "b1"] in v._load_ledger()
+
+
+def test_incremental_table_guarded_manifest(spark, tmp_path):
+    """Same contract for IncrementalTable: a stale manifest token cannot
+    clobber a committed version."""
+    from etl_world_banks_with_python_and_postgresql_spark.sources.incremental import IncrementalTable
+
+    t = IncrementalTable(path=str(tmp_path / "t"), id_col="id")
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    t.write_delta(df)
+    m_a, tok_a = t._load_manifest_state()
+    t.write_delta(spark.createDataFrame([(2, "b")], "id int, v string"))
+    with pytest.raises(ConcurrentCommitError):
+        t._commit_manifest(dict(m_a, seq=m_a["seq"] + 1), expect=tok_a)
+    assert len(t._load_manifest()["deltas"]) == 2
+
+
+# --------------------------- integration: streaming collision is loud
+
+
+def test_two_streams_same_view_without_names_fail_loudly(spark, tmp_path):
+    """r7 task #6: two sinks feeding one CdcAggView without distinct
+    names collide on epoch ids. Previously only a docstring warning;
+    now the colliding epoch (same id, DIFFERENT content) raises."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import CdcAggView, signed
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import streaming_agg_view_sink
+
+    view = CdcAggView(
+        path=str(tmp_path / "v"),
+        keys=["k"],
+        measures={"s": "cast(x as decimal(18,2))"},
+    )
+    sink = streaming_agg_view_sink(view)  # no name: stream 1
+    sink2 = streaming_agg_view_sink(view)  # no name: stream 2 -- collides
+
+    b1 = signed(spark.createDataFrame([(1, 1.0)], "k int, x double"), +1)
+    b2 = signed(spark.createDataFrame([(2, 99.0)], "k int, x double"), +1)
+    sink(b1, 0)  # stream 1, epoch 0: applied
+    with pytest.raises(RuntimeError, match="batch id collision"):
+        sink2(b2, 0)  # stream 2, epoch 0: SAME id, different rows
+
+    # with distinct names both apply cleanly
+    named1 = streaming_agg_view_sink(view, name="s1")
+    named2 = streaming_agg_view_sink(view, name="s2")
+    named1(b1, 1)
+    named2(b2, 1)
+    got = {
+        r["k"]: r["n_rows"]
+        for r in view.read(spark).collect()
+    }
+    assert got == {1: 2, 2: 1}
+
+
+def test_genuine_replay_same_content_stays_noop(spark, tmp_path):
+    """A driver-restart replay re-delivers the SAME epoch content: must
+    stay a silent no-op (not a false collision)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import CdcAggView, signed
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import streaming_agg_view_sink
+
+    view = CdcAggView(
+        path=str(tmp_path / "v"),
+        keys=["k"],
+        measures={"s": "cast(x as decimal(18,2))"},
+    )
+    sink = streaming_agg_view_sink(view)
+    batch = signed(spark.createDataFrame([(1, 1.0)], "k int, x double"), +1)
+    sink(batch, 0)
+    sink(batch, 0)  # replay: no raise, no double-apply
+    [row] = view.read(spark).collect()
+    assert row["n_rows"] == 1
+
+
+def test_join_view_collision_fails_loudly(spark, tmp_path):
+    """Same loud failure for the join-view sink (store-batch content
+    comparison instead of partial recompute)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import IncrementalJoinView
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import streaming_join_view_sink
+
+    view = IncrementalJoinView(path=str(tmp_path / "jv"), key="k")
+    s1 = streaming_join_view_sink(view, side="left")
+    s2 = streaming_join_view_sink(view, side="left")  # same side, no name
+
+    a = spark.createDataFrame([(1, "a")], "k int, l string")
+    b = spark.createDataFrame([(1, "DIFFERENT")], "k int, l string")
+    s1(a, 0)
+    with pytest.raises(RuntimeError, match="batch id collision"):
+        s2(b, 0)
+    s1(a, 0)  # genuine replay: no-op, no raise
+
+
+def test_posting_sink_ledger_cas_guarded(spark, tmp_path):
+    """The posting-index epoch ledger commits are CAS-guarded: an
+    out-of-band ledger write between load and commit raises instead of
+    being clobbered."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.text import write_posting_index
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import streaming_posting_index_sink
+
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id int, text string"
+    )
+    write_posting_index(docs, idx)
+    sink = streaming_posting_index_sink(idx)
+    more = spark.createDataFrame([(3, "alpha gamma")], "doc_id int, text string")
+    sink(more, 0)
+    obj, _ = load_json(os.path.join(idx, "_indexed_epochs.json"))
+    assert obj == {"committed": [0], "in_flight": None}
+    sink(more, 0)  # committed replay: absorbed
+    assert load_json(os.path.join(idx, "_indexed_epochs.json"))[0] == obj
+
+
+def test_crash_between_store_write_and_ledger_commit_still_safe(
+    spark, tmp_path
+):
+    """The seam preserves the crash contract the old os.replace code
+    pinned: a failure before the ledger commit leaves state unchanged
+    and the retry applies cleanly."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import CdcAggView, signed
+
+    v = CdcAggView(
+        path=str(tmp_path / "agg"),
+        keys=["k"],
+        measures={"s": "cast(x as decimal(18,2))"},
+    )
+    delta = signed(spark.createDataFrame([(1, 5.0)], "k int, x double"), +1)
+    v.ingest(delta, batch_id="b0")
+
+    real = v._commit_ledger
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before ledger commit")
+
+    v._commit_ledger = boom
+    with pytest.raises(RuntimeError, match="crash"):
+        v.ingest(delta, batch_id="b1")
+    v._commit_ledger = real
+    assert v._load_ledger() == [["agg", "b0"]]  # unchanged
+    assert v.ingest(delta, batch_id="b1") == "applied"  # clean retry
+    [row] = v.read(spark).collect()
+    assert row["n_rows"] == 2

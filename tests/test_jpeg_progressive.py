@@ -137,3 +137,52 @@ def test_progressive_bitflip_fuzz_never_hangs():
             assert len(out[3]) == out[0] * out[1]
         except (ValueError, NotImplementedError):
             pass
+
+
+# ------------------------------------------------------------------
+# External conformance anchor (VERDICT r7 task #2): a progressive
+# stream NOT produced by this repo's encoder.
+# ------------------------------------------------------------------
+
+
+def test_annex_g_handassembled_fixture_decodes_byte_exact():
+    """The hand-assembled T.81 Annex G stream (built byte-by-byte from
+    the spec -- DC first @ Al=1 with a negative cross-block diff, DC
+    refinement bits, AC-first and AC-refinement EOB runs spanning two
+    blocks) decodes to the EXACT hand-derived pixels. Breaks the
+    encoder<->decoder self-reference: a mirrored systematic error in
+    both legs cannot cancel here."""
+    assert jpeg.decode_jpeg_meta(jpeg.ANNEX_G_FIXTURE) == (
+        16, 8, 1, "progressive DCT",
+    )
+    w, h, nc, px = jpeg.decode_jpeg(jpeg.ANNEX_G_FIXTURE)
+    assert (w, h, nc) == (16, 8, 1)
+    assert px == jpeg.ANNEX_G_FIXTURE_PIXELS
+    # derivation sanity: DC-only blocks are the constant DC/8 + 128
+    assert jpeg.ANNEX_G_FIXTURE_PIXELS[:16] == [576 // 8 + 128] * 8 + [320 // 8 + 128] * 8
+
+
+def test_annex_g_fixture_reencodes_and_survives_mutation():
+    """Round the fixture's pixels through OUR progressive encoder and
+    back: same pixels (constant blocks are DCT-exact at q95). And a
+    truncated fixture fails loudly, not with a wrong decode."""
+    px = [(v, v, v) for v in jpeg.ANNEX_G_FIXTURE_PIXELS]
+    enc = jpeg.encode_jpeg_progressive(px, 16, 8, quality=95)
+    assert jpeg.decode_jpeg(enc)[3] == px
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(jpeg.ANNEX_G_FIXTURE[:100])
+
+
+def test_progressive_fixture_stats_operator(spark):
+    """Spark leg of z104: the mapInPandas plumbing reports the exact
+    hand-derived stats for every row."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    rows = multimodal.decode_progressive_fixture_stats(docs).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert (
+            r["width"], r["height"], r["n_components"], r["n_pixels"],
+            r["min_px"], r["max_px"], r["sum_px"],
+        ) == (16, 8, 1, 128, 168, 200, 23552)

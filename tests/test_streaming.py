@@ -1303,6 +1303,7 @@ def test_cdf_stream_maintains_agg_view(spark, tmp_path):
         n_partitions=2,
     )
     inner = streaming_agg_view_sink(view)
+    seen_epochs: dict = {}  # eid -> the signed rows actually delivered
 
     def apply_batch(bdf, eid):
         signed_delta = bdf.withColumn(
@@ -1311,6 +1312,7 @@ def test_cdf_stream_maintains_agg_view(spark, tmp_path):
                 F.lit(1)
             ),
         ).drop("_change_type", "_commit_seq")
+        seen_epochs[eid] = signed_delta.collect()
         inner(signed_delta, eid)
 
     ckpt = str(tmp_path / "ckpt")
@@ -1355,15 +1357,20 @@ def test_cdf_stream_maintains_agg_view(spark, tmp_path):
 
     drain()  # no new commits: nothing replays
     assert state() == want
-    # forced replay of an already-applied epoch: ledger makes it a no-op
+    # forced replay of an already-applied epoch WITH ITS TRUE CONTENT
+    # (real foreachBatch replays re-deliver the same rows): ledger
+    # makes it a no-op
     applied = view._load_ledger()
     last_eid = int(applied[-1][1].split("-", 1)[1])
-    apply_batch(
-        C([(4, "b", 40)], schema)
-        .withColumn("_change_type", F.lit("upsert"))
-        .withColumn("_commit_seq", F.lit(99)),
-        last_eid,
-    )
+    inner(C(seen_epochs[last_eid]), last_eid)
+    assert state() == want
+    # a same-id "replay" carrying DIFFERENT rows is a batch-id
+    # collision (two unnamed streams on one view) and fails loudly
+    import pytest as _pytest
+
+    wrong = C([(99, "zz", 1)], schema).withColumn(MULT_COL, F.lit(1))
+    with _pytest.raises(RuntimeError, match="batch id collision"):
+        inner(wrong, last_eid)
     assert state() == want
 
 
