@@ -204,12 +204,13 @@ class IncrementalJoinView(_Ledgered):
 
     def _bucket_manifest(self, batch_dir: str) -> dict[int, list] | None:
         """bucket -> [min_key, max_key] for a store batch dir, or None
-        for a pre-bucketing legacy dir (read whole)."""
-        p = os.path.join(batch_dir, _BUCKETS_MANIFEST)
-        if not os.path.exists(p):
+        for a pre-bucketing legacy dir (read whole). Read through the
+        committer seam (the manifest is committed through it, so a
+        swapped object-store committer must serve the read too)."""
+        m, _tok = load_json(os.path.join(batch_dir, _BUCKETS_MANIFEST))
+        if m is None:
             return None
-        with open(p) as f:
-            return {int(k): v for k, v in json.load(f).items()}
+        return {int(k): v for k, v in m.items()}
 
     def _leaf_dirs(self, batch_dir: str, buckets=None) -> list[str]:
         """Readable leaf dirs of a store batch: its ``_b=K`` partition

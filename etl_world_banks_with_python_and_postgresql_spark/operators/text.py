@@ -772,11 +772,13 @@ def _build_postings(df, toks, text_col, id_col, n_buckets, positional):
 
 def _read_postings(spark, path: str, terms: list[str]) -> tuple[DataFrame, dict]:
     """Bucket-pruned posting read for a query term set + index stats."""
-    import json
     import os
 
-    with open(os.path.join(path, "_postings_stats.json")) as f:
-        stats = json.load(f)
+    from ..committer import load_json
+
+    stats, _tok = load_json(os.path.join(path, "_postings_stats.json"))
+    if stats is None:
+        raise FileNotFoundError(f"no posting index stats at {path}")
     n_buckets = stats["n_buckets"]
     # python-side xxhash is not available; prune via a literal IN over the
     # bucket partition column computed FROM the term literals in-plan --

@@ -162,11 +162,11 @@ class IncrementalTable:
         (each write_delta/compact commit is one version). Valid as long as
         the version's files haven't been vacuumed; raises FileNotFoundError
         with the missing piece otherwise."""
-        p = os.path.join(self.path, f"_manifest-{seq:06d}.json")
-        if not os.path.exists(p):
+        m, _tok = load_json(
+            os.path.join(self.path, f"_manifest-{seq:06d}.json")
+        )
+        if m is None:
             raise FileNotFoundError(f"no committed version {seq} at {self.path}")
-        with open(p) as f:
-            m = json.load(f)
         for d in ([m["base"]] if m["base"] else []) + m["deltas"]:
             if not os.path.exists(os.path.join(self.path, d)):
                 raise FileNotFoundError(
@@ -641,13 +641,13 @@ def _read_changes(
         until = m["seq"] if until_seq is None else until_seq
         frames = []
         for s in range(since_seq + 1, until + 1):
-            p = os.path.join(self.path, f"_manifest-{s:06d}.json")
-            if not os.path.exists(p):
+            vm, _tok = load_json(
+                os.path.join(self.path, f"_manifest-{s:06d}.json")
+            )
+            if vm is None:
                 raise FileNotFoundError(
                     f"no committed version {s} at {self.path}"
                 )
-            with open(p) as f:
-                vm = json.load(f)
             name = f"delta-{s:06d}"
             if name not in vm["deltas"]:
                 continue  # compaction/no-op commit: files moved, no rows changed

@@ -94,8 +94,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     # grand-total view: empty key list means one global counter row
     aview.keys = ["_all"]
-    join_sink = streaming_join_view_sink(jview, side="left")
-    agg_sink = streaming_agg_view_sink(aview)
+    # compact_every=4: the push-button merge-on-read bound -- after any
+    # applied epoch that leaves more than 4 ledgered batches the sink
+    # folds history itself, so a long-running stream never needs an
+    # external compaction tick (truncates read(as_of=...) history, which
+    # is why the as-of audit below runs BEFORE the fold fires)
+    join_sink = streaming_join_view_sink(jview, side="left", compact_every=4)
+    agg_sink = streaming_agg_view_sink(aview, compact_every=4)
 
     def fanout(bdf, eid):
         delta = bdf.withColumn(
