@@ -11,10 +11,16 @@ Progressive Huffman (SOF2, ITU T.81 Annex G) both encodes
 approximation scan script, per-scan Huffman tables, EOB runs, restart
 markers) and decodes (``_decode_progressive``); the two legs are pinned
 against each other -- a progressive re-encode of the same quantized
-coefficients must decode bit-identically to the baseline decode.
-``NotImplementedError`` remains ONLY for the genuinely out-of-scope
-compression modes (lossless, hierarchical, arithmetic coding) and
-for WebP -- the environment's honest externally-coded boundary.
+coefficients must decode bit-identically to the baseline decode -- AND
+against a hand-assembled Annex G stream (``ANNEX_G_FIXTURE``).
+Lossless Huffman (SOF3, ITU T.81 Annex H) both encodes
+(``encode_jpeg_lossless``: DPCM over the 7 spec predictors, 2..16-bit
+precision, restart markers) and decodes (``_decode_lossless``);
+round-trips are EXACT by construction and additionally pinned by a
+hand-assembled Annex H stream. ``NotImplementedError`` remains ONLY
+for the genuinely out-of-scope compression modes (differential,
+hierarchical, arithmetic coding, subsampled-lossless MCUs) and for
+WebP -- the environment's honest externally-coded boundary.
 
 Determinism: every quantity is derived through fixed-op-order float64
 (DCT basis built from ``math.cos`` literals; per-image block batches go
@@ -978,6 +984,7 @@ def decode_jpeg(data: bytes, max_pixels: int = 1 << 26):
     restart_interval = 0
     scan = None
     progressive = False
+    lossless_sof = None
     while True:
         if pos + 2 > len(data):
             raise ValueError("jpeg: truncated before SOS")
@@ -995,12 +1002,34 @@ def decode_jpeg(data: bytes, max_pixels: int = 1 << 26):
         body = data[pos + 2 : pos + seg_len]
         if len(body) != seg_len - 2:
             raise ValueError("jpeg: truncated segment")
-        if marker in _PROGRESSIVE_SOFS and marker != 0xC2:
+        if marker in _PROGRESSIVE_SOFS and marker not in (0xC2, 0xC3):
             raise NotImplementedError(
                 f"jpeg {_PROGRESSIVE_SOFS[marker]} decoding needs an "
-                "external codec; baseline sequential (SOF0/SOF1) and "
-                "progressive Huffman (SOF2) are decoded here"
+                "external codec; baseline sequential (SOF0/SOF1), "
+                "progressive Huffman (SOF2) and lossless Huffman (SOF3) "
+                "are decoded here"
             )
+        if marker == 0xC3:  # lossless: own frame-header rules (P up to 16)
+            if len(body) < 6:
+                raise ValueError("jpeg: truncated SOF")
+            precision, h, w_, nc = struct.unpack(">BHHB", body[:6])
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("jpeg: SOF shorter than component list")
+            if not (2 <= precision <= 16):
+                raise ValueError(
+                    f"jpeg: lossless precision {precision} out of the "
+                    "spec's 2..16 range"
+                )
+            comps = []
+            for ci in range(nc):
+                cid, hv, _tq = struct.unpack(
+                    ">BBB", body[6 + 3 * ci : 9 + 3 * ci]
+                )
+                comps.append((cid, hv >> 4, hv & 0xF))
+            lossless_sof = (precision, w_, h, comps)
+            sof = (w_, h, [(c, hh, vv, 0) for c, hh, vv in comps])
+            pos += seg_len
+            continue
         if marker == 0xC2:
             progressive = True
             marker = 0xC0  # parse the identical frame header below
@@ -1030,6 +1059,13 @@ def decode_jpeg(data: bytes, max_pixels: int = 1 << 26):
                 raise ValueError("jpeg: truncated DRI")
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
+            if lossless_sof is not None:
+                # hand the whole scan sequence to the lossless decoder
+                # (pos - 2 points back at the 0xFF of this SOS marker)
+                return _decode_lossless(
+                    data, pos - 2, lossless_sof, huff,
+                    restart_interval, max_pixels,
+                )
             if progressive:
                 # hand the whole scan sequence (incl. this SOS and any
                 # inter-scan DHT/DQT/DRI) to the progressive decoder;
@@ -1420,6 +1456,299 @@ def _decode_progressive(
         for ci, (h_i, v_i, qid, bw, bh, _nx, _ny) in enumerate(geom)
     ]
     return _reconstruct_pixels(plane_specs, quant, w_, h, hmax, vmax)
+
+
+# ---------------------------------------------------------------------
+# Lossless JPEG (SOF3, ITU T.81 Annex H): DPCM prediction + Huffman
+# ---------------------------------------------------------------------
+
+#: T.81 H.1.2.1 predictor selections (Ss in a lossless scan header).
+#: Ra = left, Rb = above, Rc = above-left; integer arithmetic exactly
+#: as specified (>> is the spec's shift-right).
+LOSSLESS_PREDICTORS = {
+    1: lambda ra, rb, rc: ra,
+    2: lambda ra, rb, rc: rb,
+    3: lambda ra, rb, rc: rc,
+    4: lambda ra, rb, rc: ra + rb - rc,
+    5: lambda ra, rb, rc: ra + ((rb - rc) >> 1),
+    6: lambda ra, rb, rc: rb + ((ra - rc) >> 1),
+    7: lambda ra, rb, rc: (ra + rb) >> 1,
+}
+
+
+def _decode_lossless(
+    data: bytes,
+    pos: int,
+    sof,
+    huff: dict,
+    restart_interval: int,
+    max_pixels: int,
+):
+    """Lossless (SOF3) scan-sequence decoder per ITU T.81 Annex H:
+    per-sample DPCM with the 7 spec predictors, Huffman-coded
+    difference categories (SSSS up to 16, where 16 means diff=32768
+    with no extra bits), modulo-2^16 reconstruction, point transform,
+    restart markers, and inter-scan DHT/DRI updates. ``pos`` points at
+    the 0xFF of the first SOS. Components are returned AS STORED --
+    T.81 defines no color transform for the lossless process.
+
+    Scope: sampling factors must be 1x1 (the overwhelmingly common
+    lossless layout; subsampled lossless MCUs raise
+    NotImplementedError rather than decode wrongly)."""
+    precision, w_, h, comps = sof
+    if w_ <= 0 or h <= 0:
+        raise ValueError("jpeg: non-positive dimensions")
+    if w_ * h > max_pixels:
+        raise ValueError(
+            f"jpeg: {w_}x{h} exceeds max_pixels={max_pixels} "
+            "(decompression-bomb guard)"
+        )
+    if not comps or len(comps) > 4:
+        raise ValueError(f"jpeg: unsupported component count {len(comps)}")
+    for _cid, h_i, v_i in comps:
+        if (h_i, v_i) != (1, 1):
+            raise NotImplementedError(
+                "jpeg lossless with subsampled components is not decoded "
+                "here (1x1 sampling only)"
+            )
+    by_id = {cid: ci for ci, (cid, _h, _v) in enumerate(comps)}
+    planes = [[0] * (w_ * h) for _ in comps]  # point-transformed domain
+    pt_of = [0] * len(comps)
+    scanned: set[int] = set()
+
+    def decode_scan(scomps, pred_sel, pt, start_pos):
+        reader = _BitReader(data, start_pos)
+        default = 1 << (precision - pt - 1)
+        fresh = {ci: True for ci, _td in scomps}  # scan start / restart
+        rst_idx = 0
+        unit = 0
+        predict = LOSSLESS_PREDICTORS[pred_sel]
+
+        def sample(ci, td, x, y):
+            t = _decode_huffman(reader, huff[(0, td)])
+            if t > 16:
+                raise ValueError(f"jpeg: lossless SSSS {t} out of range")
+            diff = 32768 if t == 16 else _extend(reader.read_bits(t), t)
+            plane = planes[ci]
+            if fresh[ci]:
+                px = default
+                fresh[ci] = False
+            elif y == 0:
+                px = plane[y * w_ + x - 1]  # first line: Ra
+            elif x == 0:
+                px = plane[(y - 1) * w_ + x]  # first column: Rb
+            else:
+                px = predict(
+                    plane[y * w_ + x - 1],
+                    plane[(y - 1) * w_ + x],
+                    plane[(y - 1) * w_ + x - 1],
+                )
+            plane[y * w_ + x] = (px + diff) & 0xFFFF  # mod 2^16 (H.1.2.2)
+
+        for y in range(h):
+            for x in range(w_):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.align_restart(rst_idx)
+                    rst_idx = (rst_idx + 1) % 8
+                    for ci, _td in scomps:
+                        fresh[ci] = True
+                for ci, td in scomps:
+                    sample(ci, td, x, y)
+                unit += 1
+        return reader.pos
+
+    # ---- marker walk over the scan sequence (same shape as progressive)
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("jpeg: truncated scan sequence")
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: marker desync in scan sequence")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 2 > len(data):
+            raise ValueError("jpeg: truncated segment length")
+        seg_len = struct.unpack(">H", data[pos : pos + 2])[0]
+        body = data[pos + 2 : pos + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("jpeg: truncated segment")
+        if marker == 0xC4:
+            _parse_dht(body, huff)
+        elif marker == 0xDD:
+            if len(body) < 2:
+                raise ValueError("jpeg: truncated DRI")
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("jpeg: truncated SOS header")
+            ns = body[0]
+            scomps = []
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
+                if cs not in by_id:
+                    raise ValueError("jpeg: scan references unknown component")
+                ci, td = by_id[cs], tdta >> 4
+                if (0, td) not in huff:
+                    raise ValueError("jpeg: missing DC Huffman table")
+                scomps.append((ci, td))
+            pred_sel, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            pt = ahal & 0xF
+            if pred_sel not in LOSSLESS_PREDICTORS:
+                raise ValueError(
+                    f"jpeg: lossless predictor {pred_sel} out of 1..7"
+                )
+            if se != 0 or (ahal >> 4) != 0:
+                raise ValueError("jpeg: bad lossless scan header (Se/Ah)")
+            if pt >= precision:
+                raise ValueError("jpeg: point transform >= precision")
+            for ci, _td in scomps:
+                pt_of[ci] = pt
+                scanned.add(ci)
+            end = decode_scan(scomps, pred_sel, pt, pos + seg_len)
+            p = end
+            while True:
+                if p + 1 >= len(data):
+                    raise ValueError("jpeg: truncated after scan")
+                if data[p] == 0xFF and data[p + 1] != 0x00:
+                    if 0xD0 <= data[p + 1] <= 0xD7:
+                        p += 2
+                        continue
+                    break
+                p += 1
+            pos = p
+            continue
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3) or marker in _PROGRESSIVE_SOFS:
+            raise ValueError("jpeg: second frame header in scan sequence")
+        pos += seg_len
+
+    if scanned != set(range(len(comps))):
+        raise ValueError("jpeg: lossless stream left components unscanned")
+    out_planes = [
+        [v << pt_of[ci] for v in plane] for ci, plane in enumerate(planes)
+    ]
+    if len(comps) == 1:
+        return w_, h, 1, out_planes[0]
+    px = list(zip(*out_planes))
+    return w_, h, len(comps), px
+
+
+def encode_jpeg_lossless(
+    pixels,
+    width: int,
+    height: int,
+    predictor: int = 1,
+    precision: int = 8,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """Lossless (SOF3) encoder, ITU T.81 Annex H: DPCM with the selected
+    predictor (1..7), canonical Huffman difference categories, optional
+    restart markers. ``decode_jpeg`` of the output reproduces the input
+    EXACTLY (bit-for-bit) when ``point_transform`` is 0 -- the property
+    the tests pin for every predictor. ``pixels`` is a row-major list of
+    ints (one component) or equal-length tuples (2..4 components,
+    stored as given -- lossless JPEG defines no color transform)."""
+    if predictor not in LOSSLESS_PREDICTORS:
+        raise ValueError(f"predictor {predictor} out of 1..7")
+    if not (2 <= precision <= 16):
+        raise ValueError("precision out of 2..16")
+    if not (0 <= point_transform < precision):
+        raise ValueError("point transform out of range")
+    if len(pixels) != width * height:
+        raise ValueError("pixel count != width*height")
+    first = pixels[0]
+    if isinstance(first, (tuple, list)):
+        ncomp = len(first)
+        planes = [[int(p[c]) for p in pixels] for c in range(ncomp)]
+    else:
+        ncomp = 1
+        planes = [[int(p) for p in pixels]]
+    if not (1 <= ncomp <= 4):
+        raise ValueError(f"{ncomp} components out of 1..4")
+    maxval = (1 << precision) - 1
+    for plane in planes:
+        for v in plane:
+            if not (0 <= v <= maxval):
+                raise ValueError(
+                    f"sample {v} out of range for {precision}-bit precision"
+                )
+    pt = point_transform
+    planes = [[v >> pt for v in plane] for plane in planes]
+    default = 1 << (precision - pt - 1)
+    predict = LOSSLESS_PREDICTORS[predictor]
+
+    # ---- DPCM difference pass (mirrors _decode_lossless exactly) ----
+    diffs: list[tuple[int, int]] = []  # (category, extra-bits value)
+    sym_used: set[int] = set()
+    fresh = [True] * ncomp
+    unit = 0
+    boundaries = []  # entropy-run split points for restart markers
+    for y in range(height):
+        for x in range(width):
+            if restart_interval and unit and unit % restart_interval == 0:
+                boundaries.append(len(diffs))
+                fresh = [True] * ncomp
+            for ci, plane in enumerate(planes):
+                if fresh[ci]:
+                    px = default
+                    fresh[ci] = False
+                elif y == 0:
+                    px = plane[y * width + x - 1]
+                elif x == 0:
+                    px = plane[(y - 1) * width + x]
+                else:
+                    px = predict(
+                        plane[y * width + x - 1],
+                        plane[(y - 1) * width + x],
+                        plane[(y - 1) * width + x - 1],
+                    )
+                d = plane[y * width + x] - px
+                d = ((d + 32768) & 0xFFFF) - 32768  # mod-2^16 canonical
+                if d == -32768:
+                    diffs.append((16, 0))  # SSSS=16: diff 32768, no bits
+                    sym_used.add(16)
+                else:
+                    t = _category(d)
+                    bits = d if d >= 0 else d + (1 << t) - 1
+                    diffs.append((t, bits))
+                    sym_used.add(t)
+            unit += 1
+
+    bits_spec, vals = _scan_huff_table(sorted(sym_used))
+    codes = canonical_codes(bits_spec, vals)
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", precision, height, width, ncomp)
+    for ci in range(ncomp):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0)
+    out += b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + sof
+    dht = bytes([0x00]) + bytes(bits_spec) + bytes(vals)
+    out += b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += struct.pack(">BB", ci + 1, 0x00)
+    sos += struct.pack(">BBB", predictor, 0, pt)
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    splits = boundaries + [len(diffs)]
+    start = 0
+    for run_idx, end in enumerate(splits):
+        if run_idx:
+            out += bytes([0xFF, 0xD0 + ((run_idx - 1) % 8)])
+        w = _BitWriter()
+        for t, bits in diffs[start:end]:
+            code, ln = codes[t]
+            w.write(code, ln)
+            if t and t != 16:
+                w.write(bits, t)
+        w.flush()
+        out += w.out
+        start = end
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

@@ -757,6 +757,69 @@ def decode_progressive_fixture_stats(df: DataFrame) -> DataFrame:
     return spread.mapInPandas(decode, PROGRESSIVE_FIXTURE_SCHEMA)
 
 
+LOSSLESS_ROUNDTRIP_SCHEMA = (
+    "doc_id long, width int, height int, n_pixels long, "
+    "sum_px long, min_px int, max_px int, exact_roundtrip boolean"
+)
+
+
+def lossless_jpeg_roundtrip_stats(df: DataFrame) -> DataFrame:
+    """Per-doc LOSSLESS JPEG round-trip through the real Arrow-batched
+    plumbing: a deterministic doc_id-seeded gradient is encoded with
+    ``encode_jpeg_lossless`` (predictor cycling 1..7 by doc_id, so every
+    Annex H predictor is exercised across the corpus), decoded back,
+    and compared bit-for-bit. Because the codec is lossless the decoded
+    pixel statistics equal the SOURCE gradient's statistics, which the
+    DuckDB oracle recomputes arithmetically -- a zero-tolerance gate on
+    the full encode+decode path (contrast z99, where lossy coding
+    limits the oracle to dimensions + a tolerance certificate).
+
+    Gradient: width = 6 + doc_id % 13, height = 5 + doc_id % 11,
+    v(x, y) = (doc_id*7 + 3x + 5y) % 256.
+    """
+    from .jpeg import decode_jpeg, encode_jpeg_lossless
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "n_pixels",
+                "sum_px", "min_px", "max_px", "exact_roundtrip",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 6 + did % 13, 5 + did % 11
+                src = [
+                    (did * 7 + 3 * x + 5 * y) % 256
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                enc = encode_jpeg_lossless(
+                    src, w, h, predictor=1 + did % 7
+                )
+                gw, gh, nc, got = decode_jpeg(enc)
+                rows["doc_id"].append(did)
+                rows["width"].append(gw)
+                rows["height"].append(gh)
+                rows["n_pixels"].append(gw * gh)
+                rows["sum_px"].append(sum(got))
+                rows["min_px"].append(min(got))
+                rows["max_px"].append(max(got))
+                rows["exact_roundtrip"].append(
+                    (gw, gh, nc) == (w, h, 1) and list(got) == src
+                )
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "min_px", "max_px"):
+                out[c] = out[c].astype("int32")
+            for c in ("doc_id", "n_pixels", "sum_px"):
+                out[c] = out[c].astype("int64")
+            yield out
+
+    spread = df.select("doc_id").repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(run, LOSSLESS_ROUNDTRIP_SCHEMA)
+
+
 AUDIO_META_SCHEMA = (
     "doc_id long, n_bytes long, sample_rate int, n_samples long, "
     "duration_ms long, codec string"

@@ -1478,3 +1478,45 @@ def z104(spark, sf_dir):
     return multimodal.decode_progressive_fixture_stats(
         load(spark, "documents", sf_dir)
     )
+
+
+@query(
+    "z105_lossless_jpeg_roundtrip",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         (6 + doc_id % 13)::INT AS w,
+         (5 + doc_id % 11)::INT AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h,
+         ((doc_id * 7 + 3 * (x - 1) + 5 * (y - 1)) % 256)::BIGINT AS v
+  FROM dims,
+       UNNEST(generate_series(1, w)) AS sx(x),
+       UNNEST(generate_series(1, h)) AS sy(y))
+SELECT doc_id,
+       any_value(w)::INT AS width,
+       any_value(h)::INT AS height,
+       (any_value(w) * any_value(h))::BIGINT AS n_pixels,
+       sum(v)::BIGINT AS sum_px,
+       min(v)::INT AS min_px,
+       max(v)::INT AS max_px,
+       TRUE AS exact_roundtrip
+FROM px GROUP BY doc_id
+""",
+    description=(
+        "LOSSLESS image leg (SOF3, ITU T.81 Annex H), codec-real end to "
+        "end: per doc a deterministic gradient is DPCM-encoded "
+        "(predictor cycling 1..7 by doc_id -- every Annex H predictor "
+        "exercised across the corpus), Huffman-coded, decoded back, and "
+        "compared bit-for-bit inside Arrow-batched mapInPandas. The "
+        "oracle recomputes the gradient's exact pixel statistics "
+        "arithmetically in SQL, so ANY encode or decode defect breaks "
+        "bit-exactness -- a zero-tolerance gate the lossy legs (z99 "
+        "tolerance certificate) structurally cannot provide"
+    ),
+)
+def z105(spark, sf_dir):
+    return multimodal.lossless_jpeg_roundtrip_stats(
+        load(spark, "documents", sf_dir)
+    )

@@ -2212,14 +2212,19 @@ def test_jpeg_error_paths_and_table_validity():
     import pytest as _pytest
 
     # genuinely unsupported modes -> NotImplementedError at the plug
-    # point (SOF2 progressive is now decoded for real, see
-    # test_jpeg_progressive_* below)
-    lossless = data.replace(b"\xff\xc0", b"\xff\xc3", 1)
-    with _pytest.raises(NotImplementedError, match="lossless"):
-        jpeg.decode_jpeg(lossless)
+    # point (SOF2 progressive and SOF3 lossless are now decoded for
+    # real, see test_jpeg_progressive_* / test_jpeg_lossless_*)
+    diff_seq = data.replace(b"\xff\xc0", b"\xff\xc5", 1)
+    with _pytest.raises(NotImplementedError, match="differential"):
+        jpeg.decode_jpeg(diff_seq)
     arith = data.replace(b"\xff\xc0", b"\xff\xc9", 1)
     with _pytest.raises(NotImplementedError, match="arithmetic"):
         jpeg.decode_jpeg(arith)
+    # a baseline stream relabeled SOF3 carries Ss=0, which is not a
+    # valid lossless predictor -> ValueError, not a silent wrong decode
+    lossless = data.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with _pytest.raises(ValueError, match="predictor"):
+        jpeg.decode_jpeg(lossless)
     # a baseline stream relabeled SOF2 has a scan header that is
     # invalid for a progressive DC scan (Se must be 0) -> ValueError,
     # not a silent wrong decode
