@@ -430,6 +430,15 @@ class IncrementalJoinView(_Ledgered):
         #    a crash anywhere above leaves the view unchanged and a retry
         #    is a clean overwrite. Guarded by the load token: a
         #    concurrent writer raises instead of being silently lost.
+        #    DO NOT catch ConcurrentCommitError and retry JUST this
+        #    commit: if the racing writer was the OTHER side, our view
+        #    delta was joined against their PRE-race store, and theirs
+        #    against ours -- neither emits the cross pair, so a
+        #    commit-only retry would publish a view missing it. The safe
+        #    retry unit is the WHOLE ingest (the replay check passes,
+        #    the dirs are overwritten, the join re-reads the now-current
+        #    other side) -- which is exactly what a restarted stream or
+        #    a re-run batch job does.
         self._commit_ledger(
             applied + [[side, bid]], seen=full["seen"], expect=tok
         )
