@@ -211,3 +211,72 @@ def test_auto_lsh_layout_holds_recall_operating_point():
         for t in (0.5, 0.99):
             _, b = _auto_lsh_layout(n, 12, t)
             assert b >= 12
+
+
+# ---- round-7 advisor findings (ADVICE.md r7) ----
+
+
+def test_no_print_in_library():
+    """ADVICE r7: replay notices must go through logging, not stdout.
+    Generalized to a lint: zero print( calls anywhere in the package
+    (executor/driver stdout is easily lost and cannot be filtered)."""
+    import ast
+    import os
+
+    pkg = "etl_world_banks_with_python_and_postgresql_spark"
+    offenders = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            tree = ast.parse(open(path).read(), filename=path)
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Name)
+                    and node.func.id == "print"
+                ):
+                    offenders.append(f"{path}:{node.lineno}")
+    assert not offenders, f"print() in library code: {offenders}"
+
+
+def test_scan_huff_table_guards_oversized_alphabet():
+    """ADVICE r7: >255 distinct symbols in one scan alphabet must fail
+    with a clear message, not an opaque bytes() ValueError."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.jpeg import _scan_huff_table
+
+    bits, vals = _scan_huff_table(list(range(255)))
+    assert sum(bits) == 255
+    with pytest.raises(ValueError, match="at most 255"):
+        _scan_huff_table(list(range(256)))
+
+
+def test_ivm_ingest_reads_ledger_once(spark, tmp_path, monkeypatch):
+    """ADVICE r7: _ingest tripled metadata IO (three ledger loads per
+    call); now exactly ONE read feeds auto-id, replay check, and the
+    CAS-guarded commit."""
+    from etl_world_banks_with_python_and_postgresql_spark import committer as cm
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import CdcAggView, signed
+
+    v = CdcAggView(
+        path=str(tmp_path / "agg"),
+        keys=["k"],
+        measures={"s": "cast(x as decimal(18,2))"},
+    )
+    delta = signed(spark.createDataFrame([(1, 1.0)], "k int, x double"), +1)
+    v.ingest(delta)  # seed (auto-id 0)
+
+    loads = []
+    real_load = cm.JsonCommitter.load
+
+    def counting_load(self, path):
+        if path.endswith("_ledger.json"):
+            loads.append(path)
+        return real_load(self, path)
+
+    monkeypatch.setattr(cm.JsonCommitter, "load", counting_load)
+    v.ingest(delta)  # auto-id 1
+    # one load in _ingest + one inside the guarded commit's CAS check
+    # (the flock-protected re-read that makes the swap atomic)
+    assert len(loads) <= 2, loads
