@@ -69,7 +69,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..committer import Token, commit_json, load_json
+from ..committer import ConcurrentCommitError, Token, commit_json, load_json
 
 _BUCKET_COL = "_b"
 _BUCKETS_MANIFEST = "_buckets.json"
@@ -730,24 +730,37 @@ class CdcAggView(_Ledgered):
                 )
         return p
 
-    def ingest(self, delta: DataFrame, batch_id=None) -> str:
+    def ingest(self, delta: DataFrame, batch_id=None, cas_retries: int = 8) -> str:
         """Returns ``"applied"`` or ``"replayed"`` (same observability
-        contract as :meth:`IncrementalJoinView._ingest`)."""
+        contract as :meth:`IncrementalJoinView._ingest`).
+
+        CONCURRENT WRITERS ARE SAFE here with distinct EXPLICIT batch
+        ids (the streaming fan-in pattern: several named sinks feeding
+        one counters view): aggregation partials are LINEAR -- each is
+        computed from its delta alone, with zero reads of prior state
+        -- so ledger appends commute and a commit that loses the CAS
+        race simply reloads and re-appends (bounded by ``cas_retries``;
+        the partial dir itself is already written and batch-id-named,
+        so nothing is recomputed). This is exactly the property the
+        JOIN views DON'T have: their view deltas read the other side's
+        ledgered state, so a commit-only retry there would silently
+        drop cross pairs -- `_ingest` stays fail-loud by design.
+        Auto-derived ids raise on contention instead of retrying: two
+        auto-id writers can derive the SAME id and overwrite each
+        other's partial dir before any ledger activity, which no
+        commit protocol can repair -- give concurrent writers explicit
+        distinct ids."""
         if MULT_COL not in delta.columns:
             raise ValueError(
                 f"CdcAggView deltas must carry the signed {MULT_COL} "
                 "column; wrap batches with ivm.signed(df, +1/-1)"
             )
+        explicit = batch_id is not None
         # one ledger read; token guards the commit (same discipline as
         # IncrementalJoinView._ingest)
         full, tok = self._load_ledger_state()
-        applied = full["applied"]
         seen = self._seen_of(full)
-        bid = (
-            str(batch_id)
-            if batch_id is not None
-            else self._auto_bid("agg", seen)
-        )
+        bid = str(batch_id) if explicit else self._auto_bid("agg", seen)
         if ["agg", bid] in seen:
             return "replayed"  # replayed batch (possibly compacted away)
         # partial batches are group-count-sized; bound the file count
@@ -757,10 +770,31 @@ class CdcAggView(_Ledgered):
             .write.mode("overwrite")
             .parquet(self._batch_dir(bid))
         )
-        self._commit_ledger(
-            applied + [["agg", bid]], seen=full["seen"], expect=tok
+        for _ in range(max(1, cas_retries)):
+            try:
+                self._commit_ledger(
+                    full["applied"] + [["agg", bid]],
+                    seen=full["seen"],
+                    expect=tok,
+                )
+                return "applied"
+            except ConcurrentCommitError:
+                if not explicit:
+                    # the rival may have derived OUR id and overwritten
+                    # the partial dir before either commit -- no commit
+                    # protocol can tell; surface the contract violation
+                    raise
+                full, tok = self._load_ledger_state()
+                if ["agg", bid] in self._seen_of(full):
+                    # the rival committed this very id (crash-retry
+                    # twin); its batch-dir overwrite was byte-identical
+                    # input by the explicit-distinct-ids contract
+                    return "replayed"
+        raise ConcurrentCommitError(
+            f"CdcAggView.ingest({bid!r}): ledger commit lost the CAS "
+            f"race {cas_retries} times in a row -- writer contention "
+            "on this view is pathological; serialize the callers"
         )
-        return "applied"
 
     def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
         applied = self._load_ledger()

@@ -387,3 +387,116 @@ def test_object_store_style_committer_end_to_end(spark, tmp_path):
         assert any(p.endswith("_buckets.json") for p in store.objects)
     finally:
         cm.set_default_committer(original)
+
+
+# ----------------------- CdcAggView explicit-id CAS retry (linearity)
+
+
+def _agg_view(tmp_path, sub="agg-retry"):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import CdcAggView
+
+    return CdcAggView(
+        path=str(tmp_path / sub),
+        keys=["k"],
+        measures={"s": "cast(x as decimal(18,2))"},
+    )
+
+
+def _race_first_commit(view, rival_fn):
+    """Patch ``view`` so a rival commit lands between its ledger load
+    and its FIRST commit attempt (the classic lost-update interleave)."""
+    orig = view._commit_ledger
+    state = {"raced": False}
+
+    def racing(applied, seen=None, expect=None):
+        if not state["raced"]:
+            state["raced"] = True
+            rival_fn()
+        return orig(applied, seen=seen, expect=expect)
+
+    view._commit_ledger = racing
+    return state
+
+
+def test_cdc_agg_explicit_id_commit_retries_after_lost_race(spark, tmp_path):
+    """Fan-in writers with DISTINCT explicit ids: aggregation partials
+    are linear (zero reads of prior state), so a lost CAS race is
+    recoverable by reload-and-re-append -- BOTH entries must survive
+    and the merged read must include both deltas."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import signed
+
+    v = _agg_view(tmp_path)
+    d1 = signed(spark.createDataFrame([(1, 10.0)], "k int, x double"), +1)
+    d2 = signed(spark.createDataFrame([(2, 20.0)], "k int, x double"), +1)
+    rival = _agg_view(tmp_path)
+
+    state = _race_first_commit(v, lambda: rival.ingest(d2, batch_id="B"))
+    assert v.ingest(d1, batch_id="A") == "applied"
+    assert state["raced"]
+
+    ledger = v._load_ledger()
+    assert ["agg", "A"] in ledger and ["agg", "B"] in ledger
+    got = {r["k"]: str(r["s"]) for r in v.read(spark).collect()}
+    assert got == {1: "10.00", 2: "20.00"}
+
+
+def test_cdc_agg_lost_race_to_same_explicit_id_is_replayed(spark, tmp_path):
+    """Crash-retry twin: the rival committed OUR id while we raced.
+    The retry reload sees it ledgered and reports a replay instead of
+    double-appending."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import signed
+
+    v = _agg_view(tmp_path)
+    d = signed(spark.createDataFrame([(1, 10.0)], "k int, x double"), +1)
+    rival = _agg_view(tmp_path)
+
+    _race_first_commit(v, lambda: rival.ingest(d, batch_id="A"))
+    assert v.ingest(d, batch_id="A") == "replayed"
+    assert v._load_ledger().count(["agg", "A"]) == 1
+    [row] = v.read(spark).collect()
+    assert (row["k"], row["n_rows"]) == (1, 1)
+
+
+def test_cdc_agg_auto_id_contention_raises(spark, tmp_path):
+    """Auto-derived ids must NOT retry: two auto-id writers can derive
+    the same id and overwrite each other's partial dir before any
+    ledger activity -- unrecoverable by any commit protocol."""
+    import pytest
+
+    from etl_world_banks_with_python_and_postgresql_spark.committer import ConcurrentCommitError
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import signed
+
+    v = _agg_view(tmp_path)
+    d1 = signed(spark.createDataFrame([(1, 10.0)], "k int, x double"), +1)
+    d2 = signed(spark.createDataFrame([(2, 20.0)], "k int, x double"), +1)
+    rival = _agg_view(tmp_path)
+
+    _race_first_commit(v, lambda: rival.ingest(d2, batch_id="X"))
+    with pytest.raises(ConcurrentCommitError):
+        v.ingest(d1)  # auto id: fail loud, never re-append
+
+
+def test_cdc_agg_pathological_contention_exhausts_retries(spark, tmp_path):
+    """A rival landing a fresh commit before EVERY attempt exhausts
+    cas_retries and surfaces a named error."""
+    import itertools
+
+    import pytest
+
+    from etl_world_banks_with_python_and_postgresql_spark.committer import ConcurrentCommitError
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import signed
+
+    v = _agg_view(tmp_path)
+    d = signed(spark.createDataFrame([(1, 10.0)], "k int, x double"), +1)
+    rival = _agg_view(tmp_path)
+    counter = itertools.count()
+
+    orig = v._commit_ledger
+
+    def always_raced(applied, seen=None, expect=None):
+        rival.ingest(d, batch_id=f"r{next(counter)}")
+        return orig(applied, seen=seen, expect=expect)
+
+    v._commit_ledger = always_raced
+    with pytest.raises(ConcurrentCommitError, match="CAS race"):
+        v.ingest(d, batch_id="A", cas_retries=3)
