@@ -823,7 +823,15 @@ class CdcAggView(_Ledgered):
         ``compact-N`` id, atomic ledger cutover, tombstone the folded
         ids, then best-effort GC of the old dirs -- a crash before the
         cutover leaves the old (still-correct) ledger in force. Returns
-        True when history was folded (``maybe_compact`` truthfulness)."""
+        True when history was folded (``maybe_compact`` truthfulness).
+
+        Unlike :meth:`ingest`, a lost CAS race here stays FAIL-LOUD:
+        the folded batch was computed from the ledger state at load
+        time, so a commit-only retry would cut over to a state missing
+        any rival ingest that landed in between (its id is in neither
+        the new applied list nor the tombstones -- silent data loss).
+        Callers should treat compaction as a single-owner maintenance
+        op, or catch the error and re-run the whole method."""
         full, tok = self._load_ledger_state()
         applied = full["applied"]
         if len(applied) <= 1:
