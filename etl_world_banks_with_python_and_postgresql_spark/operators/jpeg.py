@@ -1488,7 +1488,10 @@ def _decode_lossless(
     per-sample DPCM with the 7 spec predictors, Huffman-coded
     difference categories (SSSS up to 16, where 16 means diff=32768
     with no extra bits), modulo-2^16 reconstruction, point transform,
-    restart markers, and inter-scan DHT/DRI updates. ``pos`` points at
+    restart markers (per H.1.2.1 the first sample after a restart
+    predicts from the 2^(P-Pt-1) default and the REST of that line uses
+    the one-dimensional Ra predictor, regardless of the selected
+    predictor), and inter-scan DHT/DRI updates. ``pos`` points at
     the 0xFF of the first SOS. Components are returned AS STORED --
     T.81 defines no color transform for the lossless process.
 
@@ -1520,6 +1523,11 @@ def _decode_lossless(
         reader = _BitReader(data, start_pos)
         default = 1 << (precision - pt - 1)
         fresh = {ci: True for ci, _td in scomps}  # scan start / restart
+        # H.1.2.1: the one-dimensional predictor (Ra) is used for the
+        # first line of samples at the start of the scan AND at the
+        # beginning of each restart interval -- not just the first
+        # sample. Track which raster line is that "first line".
+        ra_line = 0
         rst_idx = 0
         unit = 0
         predict = LOSSLESS_PREDICTORS[pred_sel]
@@ -1533,8 +1541,8 @@ def _decode_lossless(
             if fresh[ci]:
                 px = default
                 fresh[ci] = False
-            elif y == 0:
-                px = plane[y * w_ + x - 1]  # first line: Ra
+            elif y == ra_line:
+                px = plane[y * w_ + x - 1]  # first line of scan/interval: Ra
             elif x == 0:
                 px = plane[(y - 1) * w_ + x]  # first column: Rb
             else:
@@ -1552,6 +1560,7 @@ def _decode_lossless(
                     rst_idx = (rst_idx + 1) % 8
                     for ci, _td in scomps:
                         fresh[ci] = True
+                    ra_line = y  # rest of this line predicts with Ra
                 for ci, td in scomps:
                     sample(ci, td, x, y)
                 unit += 1
@@ -1644,7 +1653,9 @@ def encode_jpeg_lossless(
 ) -> bytes:
     """Lossless (SOF3) encoder, ITU T.81 Annex H: DPCM with the selected
     predictor (1..7), canonical Huffman difference categories, optional
-    restart markers. ``decode_jpeg`` of the output reproduces the input
+    restart markers (mirroring H.1.2.1: after a restart the first
+    sample predicts from the default and the rest of that line from
+    Ra). ``decode_jpeg`` of the output reproduces the input
     EXACTLY (bit-for-bit) when ``point_transform`` is 0 -- the property
     the tests pin for every predictor. ``pixels`` is a row-major list of
     ints (one component) or equal-length tuples (2..4 components,
@@ -1682,6 +1693,7 @@ def encode_jpeg_lossless(
     diffs: list[tuple[int, int]] = []  # (category, extra-bits value)
     sym_used: set[int] = set()
     fresh = [True] * ncomp
+    ra_line = 0  # line predicted with Ra after scan start / restart (H.1.2.1)
     unit = 0
     boundaries = []  # entropy-run split points for restart markers
     for y in range(height):
@@ -1689,11 +1701,12 @@ def encode_jpeg_lossless(
             if restart_interval and unit and unit % restart_interval == 0:
                 boundaries.append(len(diffs))
                 fresh = [True] * ncomp
+                ra_line = y
             for ci, plane in enumerate(planes):
                 if fresh[ci]:
                     px = default
                     fresh[ci] = False
-                elif y == 0:
+                elif y == ra_line:
                     px = plane[y * width + x - 1]
                 elif x == 0:
                     px = plane[(y - 1) * width + x]

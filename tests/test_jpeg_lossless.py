@@ -57,6 +57,71 @@ def test_lossless_roundtrip_restart_markers():
     assert jpeg.decode_jpeg(rst)[3] == px == jpeg.decode_jpeg(plain)[3]
 
 
+@pytest.mark.parametrize("predictor", list(range(1, 8)))
+@pytest.mark.parametrize("interval", [1, 2, 3, 5, 7])
+def test_lossless_roundtrip_restart_every_predictor_and_phase(
+    predictor, interval
+):
+    """Restart intervals that divide the width, span lines, and land
+    mid-line, for every predictor -- the H.1.2.1 first-line-Ra rule
+    must be mirrored by both sides or these fail."""
+    w, h = 7, 5
+    px = _gray(w, h, seed=interval * 10 + predictor)
+    enc = jpeg.encode_jpeg_lossless(
+        px, w, h, predictor=predictor, restart_interval=interval
+    )
+    assert jpeg.decode_jpeg(enc) == (w, h, 1, px)
+
+
+def test_annex_h_handassembled_restart_stream_decodes_per_spec():
+    """4x2 grayscale SOF3 stream with DRI=2 and predictor 2 (Rb), built
+    BY HAND from Annex H. H.1.2.1: after each RST the first sample
+    predicts from the 2^(P-1)=128 default and the REMAINING samples of
+    that line use the one-dimensional Ra predictor -- NOT the selected
+    predictor. The samples at (1,1) and (3,1) discriminate: with Ra
+    they decode to 95 and 115; an implementation that resumes the
+    selected predictor (Rb) after a restart would decode 115 and 140.
+    Huffman table (canonical): cat3='00', cat4='01', cat5='100',
+    cat6='101'. Diff trace (restarts before units 2, 4, 6):
+      u0 (0,0) fresh  128  -28 -> 100   u1 (1,0) Ra 100  +10 -> 110
+      u2 (2,0) fresh  128   -8 -> 120   u3 (3,0) Ra 120  +10 -> 130
+      u4 (0,1) fresh  128  -38 ->  90   u5 (1,1) Ra  90   +5 ->  95
+      u6 (2,1) fresh  128  -23 -> 105   u7 (3,1) Ra 105  +10 -> 115
+    """
+    sof3 = _seg(0xC3, bytes([8, 0, 2, 0, 4, 1, 1, 0x11, 0]))
+    dht = _seg(
+        0xC4,
+        bytes([0x00]) + bytes([0, 2, 2] + [0] * 13) + bytes([3, 4, 5, 6]),
+    )
+    dri = _seg(0xDD, struct.pack(">H", 2))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 2, 0, 0]))  # predictor 2 (Rb)
+
+    def _run(bits):
+        bits += "1" * ((8 - len(bits) % 8) % 8)
+        return bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+
+    ent = (
+        _run("100" "00011" "01" "1010")   # -28 (cat5), +10 (cat4)
+        + b"\xff\xd0"
+        + _run("01" "0111" "01" "1010")   # -8 (cat4), +10
+        + b"\xff\xd1"
+        + _run("101" "011001" "00" "101")  # -38 (cat6), +5 (cat3)
+        + b"\xff\xd2"
+        + _run("100" "01000" "01" "1010")  # -23 (cat5), +10
+    )
+    stream = b"\xff\xd8" + sof3 + dht + dri + sos + ent + b"\xff\xd9"
+    assert jpeg.decode_jpeg(stream) == (
+        4, 2, 1, [100, 110, 120, 130, 90, 95, 105, 115],
+    )
+    # and the encoder mirrors the same model: its stream for these
+    # pixels round-trips exactly under the same DRI
+    enc = jpeg.encode_jpeg_lossless(
+        [100, 110, 120, 130, 90, 95, 105, 115], 4, 2,
+        predictor=2, restart_interval=2,
+    )
+    assert jpeg.decode_jpeg(enc)[3] == [100, 110, 120, 130, 90, 95, 105, 115]
+
+
 @pytest.mark.parametrize("precision", [2, 4, 12, 16])
 def test_lossless_roundtrip_high_precision(precision):
     rng = random.Random(precision)
