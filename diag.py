@@ -169,7 +169,14 @@ def _package_import_graph() -> dict[str, set[str]]:
                 continue
             deps: set[str] = set()
             tree = ast.parse(open(path).read(), filename=path)
-            pkg_parts = mod.split(".")[:-1]
+            # Relative imports resolve against __package__: for a
+            # package module (__init__.py, whose ".__init__" suffix
+            # _module_of stripped) that is the module ITSELF, not its
+            # parent -- `from .ivm import X` in operators/__init__.py
+            # means pkg.operators.ivm, not pkg.ivm (ADVICE r8).
+            pkg_parts = (
+                mod.split(".") if fn == "__init__.py" else mod.split(".")[:-1]
+            )
             for node in ast.walk(tree):
                 if isinstance(node, ast.Import):
                     for a in node.names:

@@ -19,9 +19,13 @@ things the scattered call sites could not give:
 
 Durability / concurrency contract (the POSIX default)
 ------------------------------------------------------
-* A commit is ONE ``os.replace`` of a fully-written temp file: readers
-  see the old bytes or the new bytes, never a mix (atomic rename on one
-  POSIX filesystem).
+* A commit is ONE ``os.replace`` of a fully-written, ``fsync``-ed,
+  uniquely-named temp file, followed by an fsync of the parent
+  directory: readers see the old bytes or the new bytes, never a mix
+  (atomic rename on one POSIX filesystem), and a power loss can roll a
+  commit back (stale but consistent) but never publish a torn or empty
+  ledger -- rename durability requires syncing BOTH the file data and
+  the directory entry, in that order.
 * Guarded commits (``expect=``) serialize the check-and-swap through an
   ``flock``-ed sidecar ``<path>.lock`` file, so they are safe between
   cooperating processes ON ONE HOST / ONE POSIX FILESYSTEM. Across
@@ -61,6 +65,7 @@ import fcntl
 import hashlib
 import json
 import os
+import tempfile
 from dataclasses import dataclass
 
 
@@ -138,10 +143,37 @@ class JsonCommitter:
 
     @staticmethod
     def _replace(path: str, data: bytes) -> None:
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(data)
-        os.replace(tmp, path)  # atomic on POSIX
+        # Unique temp name: an unguarded writer racing a guarded one on
+        # the same path must not interleave writes into a shared
+        # staging file (a fixed "<path>.tmp" would).
+        directory = os.path.dirname(path) or "."
+        fd, tmp = tempfile.mkstemp(
+            prefix=os.path.basename(path) + ".", suffix=".tmp", dir=directory
+        )
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+                f.flush()
+                # fsync BEFORE the rename: os.replace orders the name
+                # change, not the data blocks -- without this a power
+                # loss can persist the rename while the file is empty
+                # or partial, publishing a torn ledger.
+                os.fsync(f.fileno())
+            os.replace(tmp, path)  # atomic on POSIX
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        # fsync the directory so the rename itself is durable; without
+        # it a crash can roll back to the previous ledger (stale but
+        # consistent -- acceptable), never to a torn one.
+        dfd = os.open(directory, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
 
 #: The POSIX default; swap with :func:`set_default_committer`.

@@ -887,6 +887,7 @@ def append_posting_index(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cas_retries: int = 8,
 ) -> None:
     """O(|batch|) incremental growth of a :func:`write_posting_index`
     layout: the batch's postings append into the same term buckets
@@ -897,10 +898,23 @@ def append_posting_index(
     equivalence with a full rebuild is pinned by test. Contract:
     append-only corpus growth; re-ingesting a doc_id double-counts it
     (dedup upstream, the same contract as append_ivf_index).
+
+    Concurrency: the postings land as uniquely-named parquet part files
+    BEFORE the stats commit, so two racing appenders' postings always
+    coexist; only the stats fold can race. Because the (n_docs, sum_dl)
+    delta COMMUTES (the same algebra as ``CdcAggView.ingest`` partials),
+    a lost CAS is recovered by reload-and-re-add: fold OUR delta into
+    the rival's committed stats and retry, bounded by ``cas_retries``.
+    Nothing is recomputed or re-appended on retry. If retries exhaust,
+    the raise names the hazard: the batch's postings are already on
+    disk, so RE-RUNNING this function would double-append -- rebuild
+    with :func:`write_posting_index` instead. A concurrent REBUILD
+    (n_buckets/positional changed under us) is a contract violation and
+    raises without retrying.
     """
     import os
 
-    from ..committer import commit_json, load_json
+    from ..committer import ConcurrentCommitError, commit_json, load_json
 
     stats_path = os.path.join(path, "_postings_stats.json")
     stats, tok = load_json(stats_path)
@@ -910,21 +924,44 @@ def append_posting_index(
             "write_posting_index before appending"
         )
     n_buckets = stats["n_buckets"]
+    positional = stats.get("positional", False)
     toks = ws_tokens(F.col(text_col))
     postings = _build_postings(
-        df, toks, text_col, id_col, n_buckets, stats.get("positional", False)
+        df, toks, text_col, id_col, n_buckets, positional
     )
     postings.write.mode("append").partitionBy("bucket").parquet(path)
     batch = df.agg(
         F.count("*").alias("n_docs"),
         F.sum(token_count(F.col(text_col)).cast("long")).alias("sum_dl"),
     ).collect()[0]
-    stats["n_docs"] += batch["n_docs"]
-    stats["sum_dl"] += batch["sum_dl"] or 0
-    # CAS-guarded advance: two concurrent appenders cannot both fold
-    # their (n_docs, sum_dl) into the same base -- the loser raises
-    # ConcurrentCommitError instead of silently under-counting
-    commit_json(stats_path, stats, expect=tok)
+    delta_docs = int(batch["n_docs"])
+    delta_dl = int(batch["sum_dl"] or 0)
+    for attempt in range(cas_retries + 1):
+        stats["n_docs"] += delta_docs
+        stats["sum_dl"] += delta_dl
+        try:
+            commit_json(stats_path, stats, expect=tok)
+            return
+        except ConcurrentCommitError:
+            if attempt == cas_retries:
+                raise ConcurrentCommitError(
+                    f"posting-index stats CAS at {stats_path} lost "
+                    f"{cas_retries + 1} straight races; this batch's "
+                    "postings are ALREADY appended, so re-running "
+                    "append_posting_index would double-append -- "
+                    "rebuild with write_posting_index, or retry under "
+                    "lower contention"
+                )
+            stats, tok = load_json(stats_path)
+            if stats is None or stats["n_buckets"] != n_buckets or (
+                stats.get("positional", False) != positional
+            ):
+                raise RuntimeError(
+                    f"posting index at {path} was rebuilt concurrently "
+                    "with an append (bucket layout changed); the "
+                    "appended batch is not part of the rebuilt index -- "
+                    "re-append it or rebuild from the full corpus"
+                )
 
 
 def top_terms_per_doc(

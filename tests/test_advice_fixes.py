@@ -280,3 +280,38 @@ def test_ivm_ingest_reads_ledger_once(spark, tmp_path, monkeypatch):
     # one load in _ingest + one inside the guarded commit's CAS check
     # (the flock-protected re-read that makes the swap atomic)
     assert len(loads) <= 2, loads
+
+
+def test_diag_import_graph_resolves_init_relative_imports(tmp_path, monkeypatch):
+    """ADVICE r8: relative imports inside an __init__.py resolve against
+    the package ITSELF, not its parent -- `from .ivm import X` in
+    operators/__init__.py is pkg.operators.ivm. Mis-resolution pruned
+    the re-export edge and let --changed-since under-select registry
+    entries whose closure routes through package __init__ re-exports."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    try:
+        import diag
+    finally:
+        sys.path.remove("/root/repo")
+
+    pkg = tmp_path / "pkg"
+    (pkg / "operators").mkdir(parents=True)
+    (pkg / "__init__.py").write_text("from .operators import helper\n")
+    (pkg / "operators" / "__init__.py").write_text(
+        "from .ivm import thing\n"
+    )
+    (pkg / "operators" / "ivm.py").write_text("thing = 1\n")
+    (pkg / "operators" / "helper.py").write_text(
+        "from . import ivm\n"  # plain-module relative import, unchanged
+    )
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(diag, "PKG", "pkg")
+    graph = diag._package_import_graph()
+    assert "pkg.operators.ivm" in graph["pkg.operators"]
+    assert "pkg.operators.helper" in graph["pkg"]
+    # plain modules still resolve against their parent package
+    assert "pkg.operators.ivm" in graph["pkg.operators.helper"]
+    # and nothing resolved to the bogus parent-level name
+    assert "pkg.ivm" not in graph

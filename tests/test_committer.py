@@ -500,3 +500,208 @@ def test_cdc_agg_pathological_contention_exhausts_retries(spark, tmp_path):
     v._commit_ledger = always_raced
     with pytest.raises(ConcurrentCommitError, match="CAS race"):
         v.ingest(d, batch_id="A", cas_retries=3)
+
+
+def test_replace_fsyncs_file_then_directory(tmp_path, monkeypatch):
+    """Durability (ADVICE r8): the temp file's data blocks are fsynced
+    BEFORE os.replace and the directory entry after -- otherwise a
+    power loss can persist the rename without the data, publishing an
+    empty/partial ledger."""
+    events = []
+    real_fsync, real_replace = os.fsync, os.replace
+
+    def spy_fsync(fd):
+        events.append(("fsync", os.fstat(fd).st_mode & 0o170000))
+        return real_fsync(fd)
+
+    def spy_replace(src, dst):
+        events.append(("replace",))
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "fsync", spy_fsync)
+    monkeypatch.setattr(os, "replace", spy_replace)
+    p = str(tmp_path / "led.json")
+    commit_json(p, {"v": 1})
+    kinds = [e[0] for e in events]
+    assert kinds == ["fsync", "replace", "fsync"]
+    assert events[0][1] == 0o100000  # regular file first
+    assert events[2][1] == 0o040000  # then the directory entry
+
+
+def test_replace_temp_names_are_unique_and_cleaned(tmp_path, monkeypatch):
+    """A fixed '<path>.tmp' staging name would let an unguarded writer
+    racing a guarded one interleave writes into the SAME temp file;
+    names must be unique per commit, and a failed commit must not leak
+    its temp file."""
+    p = str(tmp_path / "m.json")
+    staged = []
+    real_replace = os.replace
+
+    def spy_replace(src, dst):
+        staged.append(src)
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", spy_replace)
+    commit_json(p, {"v": 1})
+    commit_json(p, {"v": 2})
+    assert len(set(staged)) == 2  # distinct staging names per commit
+    assert all(s != p + ".tmp" for s in staged)
+
+    def boom(src, dst):
+        raise OSError("simulated crash at rename")
+
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises(OSError, match="simulated"):
+        commit_json(p, {"v": 3})
+    leftovers = [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+    assert leftovers == []
+    assert json.load(open(p)) == {"v": 2}  # prior commit intact
+
+
+def test_unguarded_and_guarded_writers_never_share_staging(tmp_path):
+    """Hammer one path from an unguarded and a guarded writer on
+    threads; every observed file state must be one writer's complete
+    payload (no interleaved staging, no torn JSON)."""
+    p = str(tmp_path / "hot.json")
+    commit_json(p, {"who": "init", "pad": "x" * 4096})
+    stop = threading.Event()
+    errors = []
+
+    def unguarded():
+        i = 0
+        while not stop.is_set():
+            commit_json(p, {"who": "unguarded", "i": i, "pad": "x" * 4096})
+            i += 1
+
+    def reader():
+        while not stop.is_set():
+            try:
+                obj = json.load(open(p))
+                assert obj["who"] in ("init", "unguarded", "guarded")
+                assert len(obj["pad"]) == 4096
+            except AssertionError as e:  # torn read
+                errors.append(e)
+            except (json.JSONDecodeError, FileNotFoundError) as e:
+                errors.append(e)
+
+    threads = [threading.Thread(target=unguarded), threading.Thread(target=reader)]
+    for t in threads:
+        t.start()
+    for i in range(25):
+        obj, tok = load_json(p)
+        try:
+            commit_json(
+                p, {"who": "guarded", "i": i, "pad": "x" * 4096}, expect=tok
+            )
+        except ConcurrentCommitError:
+            pass  # expected under contention; must stay loud, not torn
+    stop.set()
+    for t in threads:
+        t.join()
+    assert errors == []
+
+
+def test_posting_append_stats_cas_retries_after_lost_race(spark, tmp_path):
+    """ADVICE r8: append_posting_index's postings land before the stats
+    CAS; a lost race must NOT orphan them. The (n_docs, sum_dl) delta
+    commutes, so the loser reloads the rival's committed stats, re-adds
+    its own delta, and retries -- final stats and retrieval equal a
+    full rebuild over base + both batches."""
+    from etl_world_banks_with_python_and_postgresql_spark import committer as C
+    from etl_world_banks_with_python_and_postgresql_spark.operators import text as T
+
+    idx = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma delta")], "doc_id int, text string"
+    )
+    ours = spark.createDataFrame([(3, "alpha gamma")], "doc_id int, text string")
+    rival = spark.createDataFrame(
+        [(4, "delta alpha epsilon")], "doc_id int, text string"
+    )
+    T.write_posting_index(base, idx, n_buckets=4)
+
+    real_commit = C.commit_json
+    state = {"raced": False}
+
+    def racing_commit(path, obj, *, expect=None, committer=None):
+        if not state["raced"] and path.endswith("_postings_stats.json"):
+            state["raced"] = True
+            T.append_posting_index(rival, idx)  # rival wins the window
+        return real_commit(path, obj, expect=expect, committer=committer)
+
+    C.commit_json = racing_commit
+    try:
+        T.append_posting_index(ours, idx)  # loses the CAS once, recovers
+    finally:
+        C.commit_json = real_commit
+
+    stats, _ = load_json(os.path.join(idx, "_postings_stats.json"))
+    assert stats["n_docs"] == 4
+    rebuilt = str(tmp_path / "rebuilt")
+    T.write_posting_index(
+        base.unionByName(ours).unionByName(rival), rebuilt, n_buckets=4
+    )
+    got = [tuple(r) for r in T.bm25_indexed(spark, idx, terms=["alpha"]).collect()]
+    want = [tuple(r) for r in T.bm25_indexed(spark, rebuilt, terms=["alpha"]).collect()]
+    assert got == want and len(got) == 3
+
+
+def test_posting_append_stats_cas_exhaustion_is_loud_and_named(
+    spark, tmp_path
+):
+    from etl_world_banks_with_python_and_postgresql_spark import committer as C
+    from etl_world_banks_with_python_and_postgresql_spark.operators import text as T
+
+    idx = str(tmp_path / "idx")
+    base = spark.createDataFrame([(1, "alpha beta")], "doc_id int, text string")
+    ours = spark.createDataFrame([(2, "beta gamma")], "doc_id int, text string")
+    T.write_posting_index(base, idx, n_buckets=4)
+
+    real_commit = C.commit_json
+
+    def always_raced(path, obj, *, expect=None, committer=None):
+        if path.endswith("_postings_stats.json") and expect is not None:
+            # an invisible rival advances the stats every single time
+            cur, tok = C.load_json(path)
+            cur["n_docs"] += 1
+            real_commit(path, cur, expect=tok)
+        return real_commit(path, obj, expect=expect, committer=committer)
+
+    C.commit_json = always_raced
+    try:
+        with pytest.raises(ConcurrentCommitError, match="double-append"):
+            T.append_posting_index(ours, idx, cas_retries=2)
+    finally:
+        C.commit_json = real_commit
+
+
+def test_posting_append_concurrent_rebuild_raises_without_retry(
+    spark, tmp_path
+):
+    from etl_world_banks_with_python_and_postgresql_spark import committer as C
+    from etl_world_banks_with_python_and_postgresql_spark.operators import text as T
+
+    idx = str(tmp_path / "idx")
+    base = spark.createDataFrame([(1, "alpha beta")], "doc_id int, text string")
+    ours = spark.createDataFrame([(2, "beta gamma")], "doc_id int, text string")
+    T.write_posting_index(base, idx, n_buckets=4)
+
+    real_commit = C.commit_json
+    state = {"raced": False}
+
+    def rebuild_race(path, obj, *, expect=None, committer=None):
+        if not state["raced"] and path.endswith("_postings_stats.json"):
+            state["raced"] = True
+            # rival REBUILDS with a different bucket layout mid-append
+            import shutil
+
+            shutil.rmtree(idx)
+            T.write_posting_index(base, idx, n_buckets=8)
+        return real_commit(path, obj, expect=expect, committer=committer)
+
+    C.commit_json = rebuild_race
+    try:
+        with pytest.raises(RuntimeError, match="rebuilt concurrently"):
+            T.append_posting_index(ours, idx)
+    finally:
+        C.commit_json = real_commit
