@@ -648,6 +648,280 @@ def minhash_novel(
     )
 
 
+def _minhash_prep(df: DataFrame, text_col: str, id_col: str, n: int, k: int):
+    """(doc_id, sig, shh, sz) -- the per-doc minhash payload shared by
+    :func:`minhash_novel` and the at-rest index family. Pure per-doc
+    function of content: index rows never depend on what else is in the
+    corpus, which is what makes O(|batch|) appends rebuild-equivalent."""
+    return shingle_sets(df, text_col, id_col, n).select(
+        "doc_id",
+        minhash_signature(F.col("sh"), k=k).alias("sig"),
+        F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("shh"),
+        F.size("sh").alias("sz"),
+    )
+
+
+def _minhash_band_rows(
+    sets: DataFrame, k: int, band_size: int, n_buckets: int
+) -> DataFrame:
+    """(doc_id, band, bkeys, bucket) rows -- one per (doc, band).
+
+    ``bkeys`` is the band's EXACT signature slice (array<long>), so the
+    candidate equi-join on (band, bkeys) matches :func:`minhash_novel`'s
+    struct-key join value-for-value; ``bucket`` hashes (band, slice) for
+    Hive partition pruning only and never decides candidacy."""
+    n_bands = k // band_size
+    return sets.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.array(
+                            *[
+                                F.col("sig")[i * band_size + j]
+                                for j in range(band_size)
+                            ]
+                        ).alias("bkeys"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bkeys").alias("bkeys"),
+        F.pmod(
+            F.xxhash64(F.col("bk.band"), F.col("bk.bkeys")), F.lit(n_buckets)
+        ).cast("int").alias("bucket"),
+    )
+
+
+def _set_bucket(id_col_expr, n_buckets: int):
+    return F.pmod(F.xxhash64(id_col_expr), F.lit(n_buckets)).cast("int")
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    n: int = 3,
+    k: int = 8,
+    band_size: int = 2,
+    n_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist an at-rest MinHash-LSH near-dup index -- the lexical twin
+    of :func:`~..operators.similarity.write_ivf_index` (embeddings) and
+    :func:`~..operators.text.write_posting_index` (terms).
+
+    Layout (two Hive-partitioned parquet subdirs + a stats sidecar):
+      ``bands/bucket=<pmod(xxhash64(band, slice), n_buckets)>/`` ->
+        (doc_id, band, bkeys) -- the banded signature slices that
+        generate candidates;
+      ``sets/bucket=<pmod(xxhash64(doc_id), n_buckets)>/`` ->
+        (doc_id, shh, sz) -- the xxhash64'd shingle sets that pay the
+        EXACT-Jaccard verify (banding generates candidates, it never
+        decides duplicates);
+      ``_minhash_stats.json`` -> layout params + n_docs (committer
+        seam, like the posting index).
+
+    A probe (:func:`minhash_novel_indexed`) partition-prunes BOTH reads
+    to the buckets its batch actually hits: at rest, near-dup screening
+    of a batch against a 100 TB corpus reads ~|batch bands|/n_buckets of
+    the band index and only the candidate docs' verify payloads --
+    never a corpus scan. Per-doc rows are pure functions of content, so
+    :func:`append_minhash_index` is rebuild-equivalent by construction.
+    """
+    import os
+
+    from ..committer import commit_json
+
+    assert k % band_size == 0
+    sets = _minhash_prep(df, text_col, id_col, n, k)
+    # sets FIRST, bands second: a crash between the writes leaves verify
+    # payloads without band rows (the batch is simply not indexed yet),
+    # never band rows whose candidates cannot be verified (silent misses)
+    sets.select(
+        "doc_id", "shh", "sz", _set_bucket(F.col("doc_id"), n_buckets).alias("bucket")
+    ).write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, "sets")
+    )
+    _minhash_band_rows(sets, k, band_size, n_buckets).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(os.path.join(path, "bands"))
+    commit_json(
+        os.path.join(path, "_minhash_stats.json"),
+        {
+            "n": n, "k": k, "band_size": band_size, "n_buckets": n_buckets,
+            "n_docs": df.count(),
+        },
+    )
+
+
+def append_minhash_index(
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cas_retries: int = 8,
+) -> None:
+    """O(|batch|) growth of a :func:`write_minhash_index` layout: the
+    batch's verify payloads and band rows append into the same buckets
+    (index rows are pure per-doc functions, so probe results are
+    IDENTICAL to an index rebuilt over the union -- pinned by test), and
+    n_docs advances through the same commuting-delta CAS retry as
+    ``append_posting_index``.
+
+    Crash safety: sets append before bands append (see
+    :func:`write_minhash_index`); a torn append degrades to "batch not
+    yet indexed", and RE-appending the same batch is probe-safe (band
+    candidates are ``distinct``-ed and duplicate verify rows collapse in
+    the dup-id distinct) at the cost of double-counted n_docs and dead
+    storage -- compact by rebuilding. Contract: append-only growth;
+    dedup re-ingested doc_ids upstream.
+    """
+    import os
+
+    from ..committer import ConcurrentCommitError, commit_json, load_json
+
+    stats_path = os.path.join(path, "_minhash_stats.json")
+    stats, tok = load_json(stats_path)
+    if stats is None:
+        raise FileNotFoundError(
+            f"no minhash index at {path}: build one with "
+            "write_minhash_index before appending"
+        )
+    n, k = stats["n"], stats["k"]
+    band_size, n_buckets = stats["band_size"], stats["n_buckets"]
+    sets = _minhash_prep(batch, text_col, id_col, n, k)
+    sets.select(
+        "doc_id", "shh", "sz", _set_bucket(F.col("doc_id"), n_buckets).alias("bucket")
+    ).write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(path, "sets")
+    )
+    _minhash_band_rows(sets, k, band_size, n_buckets).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(os.path.join(path, "bands"))
+    delta = batch.count()
+    for attempt in range(cas_retries + 1):
+        stats["n_docs"] += delta
+        try:
+            commit_json(stats_path, stats, expect=tok)
+            return
+        except ConcurrentCommitError:
+            if attempt == cas_retries:
+                raise
+            stats, tok = load_json(stats_path)
+            if stats is None or any(
+                stats[f] != v
+                for f, v in (("n", n), ("k", k), ("band_size", band_size),
+                             ("n_buckets", n_buckets))
+            ):
+                raise RuntimeError(
+                    f"minhash index at {path} was rebuilt concurrently "
+                    "with an append (layout changed); re-append the "
+                    "batch or rebuild from the full corpus"
+                )
+
+
+def minhash_novel_indexed(
+    spark,
+    batch: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unpersist_after: bool = True,
+) -> DataFrame:
+    """Rows of ``batch`` with no INDEXED document at true Jaccard >=
+    ``threshold`` -- :func:`minhash_novel` served from a
+    :func:`write_minhash_index` layout instead of a corpus DataFrame,
+    with both index reads partition-pruned to the buckets the batch
+    hits. Value-identical to ``minhash_novel(batch, corpus)`` at the
+    index's layout params (candidates join on the EXACT band slices,
+    verification is exact Jaccard) -- the disk roundtrip is
+    value-transparent, pinned by test and shared oracle.
+
+    Per-batch cost: O(|batch| * bands) probe rows against the pruned
+    band buckets + exact verify of candidates only; two bounded driver
+    actions (<= n_buckets ints each) turn the probed bucket sets into
+    static partition filters, the same shape as ``ivf_topk_indexed``.
+    """
+    import os
+
+    from ..committer import load_json
+
+    stats, _ = load_json(os.path.join(path, "_minhash_stats.json"))
+    if stats is None:
+        raise FileNotFoundError(f"no minhash index at {path}")
+    n, k = stats["n"], stats["k"]
+    band_size, n_buckets = stats["band_size"], stats["n_buckets"]
+
+    new_sets = _minhash_prep(batch, text_col, id_col, n, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    new_sets.count()  # eager fill (see ngram_jaccard_pairs)
+    caches = [new_sets]
+    new_bands = _minhash_band_rows(new_sets, k, band_size, n_buckets)
+    probed = sorted(
+        r["bucket"] for r in new_bands.select("bucket").distinct().collect()
+    )
+    idx_bands = (
+        spark.read.parquet(os.path.join(path, "bands"))
+        .filter(F.col("bucket").isin(probed))
+        .select(F.col("doc_id").alias("corpus_id"), "band", "bkeys")
+    )
+    cand = (
+        new_bands.select(
+            F.col("doc_id").alias("new_id"), "band", "bkeys"
+        )
+        .join(idx_bands, ["band", "bkeys"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    if unpersist_after:
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(cand)
+    cand_buckets = sorted(
+        r["b"]
+        for r in cand.select(
+            _set_bucket(F.col("corpus_id"), n_buckets).alias("b")
+        ).distinct().collect()
+    )
+    idx_sets = (
+        spark.read.parquet(os.path.join(path, "sets"))
+        .filter(F.col("bucket").isin(cand_buckets))
+        .select(
+            F.col("doc_id").alias("corpus_id"),
+            F.col("shh").alias("sh_b"),
+            F.col("sz").alias("sz_b"),
+        )
+    )
+    sa = new_sets.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("shh").alias("sh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    _, keep = _jaccard_micro_cols(
+        F.col("common"), F.col("sz_a"), F.col("sz_b"), threshold
+    )
+    dup_ids = (
+        cand.join(sa, "new_id")
+        .join(idx_sets, "corpus_id")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .filter(keep)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    dup_ids = _finalize(dup_ids, caches, unpersist_after)
+    return batch.join(
+        dup_ids.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
+
+
 def dup_ngram_stats(
     df: DataFrame,
     n: int = 5,

@@ -388,7 +388,9 @@ _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _DIGIT_RUN_RE = "[0-9]{6,}"
 
 
-def _minhash_novel_oracle(threshold: float = 0.5) -> str:
+def _minhash_novel_oracle(
+    threshold: float = 0.5, corpus_sql: str = "source = 'src0'"
+) -> str:
     sig_exprs = ",\n         ".join(
         f"{e} AS s{i}" for i, e in enumerate(xhash.minhash_sql_exprs("sh", k=8))
     )
@@ -399,7 +401,7 @@ def _minhash_novel_oracle(threshold: float = 0.5) -> str:
     )
     return f"""
 WITH d AS (
-  SELECT doc_id, CASE WHEN source = 'src0' THEN 'c' ELSE 'n' END AS side,
+  SELECT doc_id, CASE WHEN {corpus_sql} THEN 'c' ELSE 'n' END AS side,
          {_SHINGLES_SQL} AS sh
   FROM (SELECT doc_id, source, {_TOKENS_SQL} AS w FROM documents)),
 sig AS (SELECT doc_id, side, sh, {sig_exprs} FROM d),
@@ -414,7 +416,7 @@ dup AS (
             JOIN d sb ON cand.corpus_id = sb.doc_id
   WHERE {_jacc_pred_sql("sa.sh", "sb.sh", threshold)})
 SELECT doc_id, source FROM documents
-WHERE source <> 'src0' AND doc_id NOT IN (SELECT new_id FROM dup)
+WHERE NOT ({corpus_sql}) AND doc_id NOT IN (SELECT new_id FROM dup)
 """
 
 

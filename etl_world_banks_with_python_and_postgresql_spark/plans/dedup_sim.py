@@ -462,6 +462,39 @@ def z03(spark, sf_dir):
 
 
 @query(
+    "z106_minhash_index_novel",
+    oracle=_minhash_novel_oracle(
+        corpus_sql="source IN ('src0', 'src1')"
+    ),
+    description=(
+        "at-rest MinHash-LSH dedup index (the lexical twin of the IVF "
+        "and posting indexes): build over src0, O(|batch|) APPEND src1, "
+        "then screen the remaining sources against the index with both "
+        "reads partition-pruned to the probed buckets. Value-identical "
+        "to minhash_novel over the unioned corpus (candidates join on "
+        "exact band slices; exact-Jaccard verify), so the oracle is the "
+        "same replicated banding over corpus = src0+src1 -- the disk "
+        "roundtrip AND the append are value-transparent"
+    ),
+)
+def z106(spark, sf_dir):
+    import shutil
+
+    docs = load(spark, "documents", sf_dir)
+    path = "spark-warehouse/z106_minhash_index"
+    shutil.rmtree(path, ignore_errors=True)
+    dedup.write_minhash_index(docs.filter(F.col("source") == "src0"), path)
+    dedup.append_minhash_index(docs.filter(F.col("source") == "src1"), path)
+    return dedup.minhash_novel_indexed(
+        spark,
+        docs.filter(~F.col("source").isin("src0", "src1")),
+        path,
+        threshold=0.5,
+        unpersist_after=False,
+    ).select("doc_id", "source")
+
+
+@query(
     "z05_audio_meta",
     oracle="""
 WITH p AS (

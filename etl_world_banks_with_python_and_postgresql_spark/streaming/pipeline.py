@@ -359,6 +359,62 @@ def streaming_semantic_novelty_sink(
     return apply_batch
 
 
+def streaming_minhash_novelty_sink(
+    index_path: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch body for continuous DOCUMENT ingestion with lexical
+    near-dup screening against a
+    :func:`operators.dedup.write_minhash_index` index: each micro-batch
+    keeps only docs with no indexed document at true Jaccard >=
+    ``threshold`` (candidates from the partition-pruned band buckets,
+    exact-Jaccard verify), then appends the novel remainder via
+    ``append_minhash_index`` -- O(|batch| x bands) per epoch, never an
+    index scan.
+
+    The lexical member of the novelty-sink family (exact-hash
+    ``streaming_novelty_sink``, embedding
+    ``streaming_semantic_novelty_sink``). Within-batch near-dups resolve
+    by keeping the lowest id (deterministic). Replayed epochs are
+    absorbed by CONTENT: a replayed doc finds its own earlier copy at
+    Jaccard 1 (empty-shingle docs match each other too -- the verify
+    predicate treats 0/0 as satisfied) and is dropped, so no epoch
+    ledger is needed; only the n_docs observability stat can
+    double-count on replay. Seed the index with ``write_minhash_index``
+    on the first corpus slice.
+    """
+    from ..operators.dedup import (
+        append_minhash_index,
+        minhash_lsh_pairs,
+        minhash_novel_indexed,
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        pairs = minhash_lsh_pairs(
+            batch_df, threshold=threshold, text_col=text_col, id_col=id_col
+        )
+        dup_ids = (
+            pairs.filter(F.col("doc_a") < F.col("doc_b"))
+            .select(F.col("doc_b").alias(id_col))
+            .distinct()
+        )
+        batch_uniq = batch_df.join(dup_ids, id_col, "left_anti")
+        novel = minhash_novel_indexed(
+            spark, batch_uniq, index_path,
+            threshold=threshold, text_col=text_col, id_col=id_col,
+        )
+        append_minhash_index(
+            novel, index_path, text_col=text_col, id_col=id_col
+        )
+
+    return apply_batch
+
+
 def streaming_posting_index_sink(
     index_path: str, text_col: str = "text", id_col: str = "doc_id"
 ):

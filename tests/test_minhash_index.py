@@ -1,0 +1,186 @@
+"""At-rest MinHash-LSH dedup index (operators/dedup.py) -- the lexical
+twin of the IVF (similarity) and posting (text) indexes.
+
+Load-bearing properties:
+  * probe == in-memory minhash_novel, value-for-value (the disk
+    roundtrip is value-transparent);
+  * append == rebuild (per-doc index rows are pure content functions);
+  * both probe reads partition-prune to the buckets the batch hits;
+  * crash ordering (sets before bands) degrades to "not yet indexed",
+    and re-appending after a torn append is probe-safe;
+  * the streaming sink screens batches against the growing index and
+    absorbs replays by content.
+
+Reference provenance: the reference repo has no dedup path; this
+extends the LLM-pipeline dedup family (SURVEY.md north-star) with the
+at-rest incremental-ingest shape its docstrings promised
+(dedup.minhash_novel "a real deployment materializes it once").
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from etl_world_banks_with_python_and_postgresql_spark.operators import dedup
+from etl_world_banks_with_python_and_postgresql_spark.sources.catalog import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_minhash_index_probe_matches_inmemory(spark, tmp_path):
+    docs = load(spark, "documents", SF)
+    corpus = docs.filter(F.col("source").isin("src0", "src1"))
+    batch = docs.filter(~F.col("source").isin("src0", "src1"))
+    path = str(tmp_path / "idx")
+    dedup.write_minhash_index(corpus, path)
+    got = _ids(dedup.minhash_novel_indexed(spark, batch, path, threshold=0.5))
+    want = _ids(dedup.minhash_novel(batch, corpus, threshold=0.5))
+    assert got == want
+    assert 0 < len(got) < batch.count()  # non-degenerate both ways
+
+
+def test_minhash_index_append_equals_rebuild(spark, tmp_path):
+    docs = load(spark, "documents", SF)
+    corpus = docs.filter(F.col("source").isin("src0", "src1"))
+    batch = docs.filter(~F.col("source").isin("src0", "src1"))
+    grown = str(tmp_path / "grown")
+    dedup.write_minhash_index(docs.filter(F.col("source") == "src0"), grown)
+    dedup.append_minhash_index(docs.filter(F.col("source") == "src1"), grown)
+    rebuilt = str(tmp_path / "rebuilt")
+    dedup.write_minhash_index(corpus, rebuilt)
+    a = _ids(dedup.minhash_novel_indexed(spark, batch, grown, threshold=0.5))
+    b = _ids(dedup.minhash_novel_indexed(spark, batch, rebuilt, threshold=0.5))
+    assert a == b
+    from etl_world_banks_with_python_and_postgresql_spark.committer import load_json
+
+    assert load_json(grown + "/_minhash_stats.json")[0]["n_docs"] == corpus.count()
+
+
+def test_minhash_index_probe_prunes_both_reads(spark, tmp_path):
+    """A one-doc probe touches at most n_bands of the band buckets and
+    only the candidate docs' set buckets -- both scans must carry bucket
+    PartitionFilters (the at-rest read-fraction claim)."""
+    docs = load(spark, "documents", SF)
+    path = str(tmp_path / "idx")
+    corpus = docs.filter(F.col("source") == "src0")
+    dedup.write_minhash_index(corpus, path, n_buckets=16)
+    # probe with an indexed doc itself: guaranteed band candidates, so
+    # the sets scan survives into the plan (a probe with NO candidates
+    # legitimately folds isin([]) to an empty relation and reads nothing)
+    one = corpus.orderBy("doc_id").limit(1)
+    out = dedup.minhash_novel_indexed(
+        spark, one, path, threshold=0.0, unpersist_after=False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    in_lists = re.findall(r"bucket#\d+L? IN \(([0-9,]+)\)", plan)
+    eq_lists = re.findall(r"bucket#\d+L? = (\d+)", plan)  # IN (x) folds to =
+    assert len(in_lists) + len(eq_lists) == 2, plan  # bands scan + sets scan
+    for lst in in_lists:
+        assert len(lst.split(",")) < 16
+    # bands probe: one doc emits k/band_size = 4 bands -> <= 4 buckets
+    band_buckets = [len(l.split(",")) for l in in_lists] + [1] * len(eq_lists)
+    assert min(band_buckets) <= 4
+
+
+def test_minhash_index_torn_append_degrades_then_reappend_is_safe(
+    spark, tmp_path
+):
+    """Crash between the sets and bands writes = batch not yet indexed
+    (band rows are what create candidates); re-appending the same batch
+    afterward double-stores rows but probe results stay correct."""
+    docs = load(spark, "documents", SF)
+    seed = docs.filter(F.col("source") == "src0")
+    batch = docs.filter(F.col("source") == "src1")
+    probe = docs.filter(F.col("source") == "src2")
+    path = str(tmp_path / "idx")
+    dedup.write_minhash_index(seed, path)
+    before = _ids(dedup.minhash_novel_indexed(spark, probe, path, threshold=0.5))
+
+    # simulate the torn append: sets written, bands + stats not
+    orig = dedup._minhash_band_rows
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before bands write")
+
+    dedup._minhash_band_rows = boom
+    try:
+        try:
+            dedup.append_minhash_index(batch, path)
+        except RuntimeError as e:
+            assert "simulated" in str(e)
+    finally:
+        dedup._minhash_band_rows = orig
+    assert calls["n"] == 1
+    # torn append is invisible to probes (batch simply not indexed yet)
+    assert _ids(
+        dedup.minhash_novel_indexed(spark, probe, path, threshold=0.5)
+    ) == before
+
+    # re-append for real: results equal a clean rebuild over seed+batch,
+    # despite the orphaned duplicate set rows from the torn attempt
+    dedup.append_minhash_index(batch, path)
+    rebuilt = str(tmp_path / "rebuilt")
+    dedup.write_minhash_index(seed.unionByName(batch), rebuilt)
+    assert _ids(
+        dedup.minhash_novel_indexed(spark, probe, path, threshold=0.5)
+    ) == _ids(dedup.minhash_novel_indexed(spark, probe, rebuilt, threshold=0.5))
+
+
+def test_streaming_minhash_novelty_sink(spark, tmp_path):
+    """Continuous document ingestion with lexical near-dup screening:
+    near-dups of indexed docs are dropped, in-batch near-dups keep the
+    lowest id, the index grows O(batch), replays absorb by content."""
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        streaming_minhash_novelty_sink,
+    )
+
+    schema = "doc_id long, text string"
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "completely different material about spark shuffle partitions here"
+    c = "yet another unrelated passage concerning parquet footer statistics"
+    seed = spark.createDataFrame([(0, a)], schema)
+    index = str(tmp_path / "mh")
+    dedup.write_minhash_index(seed, index)
+
+    src = str(tmp_path / "in")
+    # 10: near-dup of indexed 0 (last word changed, J=0.82) -> dropped
+    # 11: fresh (kept); 12/13: in-batch near-dup pair (J=0.5) -> 12 kept
+    spark.createDataFrame(
+        [
+            (10, a.replace("again and again", "again and anew")),
+            (11, b),
+            (12, c),
+            (13, c.replace("another", "a")),
+        ],
+        schema,
+    ).write.parquet(src)
+
+    def run_once(i):
+        stream = spark.readStream.schema(seed.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_minhash_novelty_sink(index, threshold=0.5)
+            )
+            .option("checkpointLocation", str(tmp_path / f"ck{i}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once(0)
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(index + "/sets").select("doc_id").collect()
+    }
+    assert ids == {0, 11, 12}
+
+    # replay from a fresh checkpoint: every doc now matches the index
+    run_once(1)
+    assert spark.read.parquet(index + "/sets").select("doc_id").distinct().count() == 3
