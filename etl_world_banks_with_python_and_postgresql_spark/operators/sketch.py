@@ -16,6 +16,13 @@ and the driver's hash gate applies to approximate answers too.
   partial sketches from independent scans/partitions/days compose
   without rescanning -- the property that makes sketches useful at
   100 TB (pinned by test).
+- :func:`bottomk_sample` / :func:`sample_quantiles` /
+  :func:`kmv_quantiles` -- mergeable approximate QUANTILES from the same
+  min-wise family: a deterministic bottom-k row sample (k smallest key
+  hashes, values riding along verbatim) + nearest-rank selection in pure
+  BIGINT arithmetic. Mergeable like KMV (bottomk(A∪B) =
+  bottomk(bottomk(A)∪bottomk(B))); position error ~ sqrt(q(1-q)/k),
+  measured in-gate by z107 against the exact full-data quantiles.
 - :func:`equi_width_histogram` -- fixed-bin histogram in two aggregate
   passes (1-row min/max broadcast + one group count). Division + floor
   only, so bin edges and counts are engine-exact.
@@ -144,6 +151,128 @@ SELECT {keys}CASE WHEN n_kept < {k} THEN n_kept
        END AS est_distinct
 FROM s
 """
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 256,
+    group_by: str | None = None,
+) -> DataFrame:
+    """Deterministic mergeable uniform row sample: the ``k`` rows (per
+    group) with the smallest 48-bit md5 hash of the row KEY, carrying
+    the value column -- bottom-k sampling (Cohen & Kaplan, PODC'07).
+
+    Because "smallest k hashes" is a pure function of the key set, the
+    sample of a union is the bottom-k of the unioned partial samples:
+    partials from independent scans/partitions/days compose with no
+    rescan (the KMV mergeability argument, pinned by test). Rows are
+    ``(group?, hv, v)``; values ride along VERBATIM (no arithmetic), so
+    downstream estimates are bit-portable. Contract: ``key_col`` is
+    unique per row (duplicate keys collapse via the distinct).
+
+    Plan shape: hash in the scan projection; ungrouped bottom-k is
+    orderBy+limit (TakeOrdered -- per-partition partial top-k, no full
+    sort); grouped is one rank window keyed on the group.
+    """
+    # explicit string cast: bigint keys hash identically in both engines
+    # (Spark CAST(42 AS STRING) == DuckDB 42::VARCHAR == '42')
+    h = md5_hash48(F.col(key_col).cast("string")).alias("hv")
+    keys = [group_by] if group_by else []
+    rows = df.select(*keys, h, F.col(value_col).alias("v")).distinct()
+    if not group_by:
+        return rows.orderBy("hv", "v").limit(k)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_by).orderBy("hv", "v")
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def bottomk_merge(
+    samples: list[DataFrame], k: int = 256, group_by: str | None = None
+) -> DataFrame:
+    """Compose partial bottom-k samples; equals the sample of the
+    unioned inputs (pinned by test)."""
+    u = samples[0]
+    for s in samples[1:]:
+        u = u.unionByName(s)
+    u = u.distinct()
+    if not group_by:
+        return u.orderBy("hv", "v").limit(k)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_by).orderBy("hv", "v")
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def sample_quantiles(
+    sample: DataFrame,
+    q_micros: list[int],
+    group_by: str | None = None,
+) -> DataFrame:
+    """Nearest-rank (type-1) quantiles over a :func:`bottomk_sample`:
+    for each q (given in micros, e.g. 500000 = median), the sample
+    value at rank ``ceil(q * n)`` by value order. All rank arithmetic is
+    BIGINT (``(q*n + 999999) div 1000000``) and values are returned
+    verbatim -- no IEEE operation anywhere, so estimates are bit-exact
+    cross-engine even for double value columns.
+
+    Error: a uniform k-sample puts the rank-q order statistic within
+    ~sqrt(q(1-q)/k) of the true quantile position w.h.p. -- the
+    standard bottom-k quantile bound; z107 measures it in-gate against
+    the exact full-data quantiles.
+    """
+    from pyspark.sql import Window as W
+
+    keys = [group_by] if group_by else []
+    w = (W.partitionBy(group_by) if group_by else W.partitionBy()).orderBy(
+        "v", "hv"
+    )
+    ranked = sample.select(
+        *keys,
+        F.col("v"),
+        F.row_number().over(w).alias("_r"),
+        F.count("*").over(
+            W.partitionBy(group_by) if group_by else W.partitionBy()
+        ).alias("_n"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q).cast("long") for q in q_micros])
+    ).alias("q_micros")
+    return (
+        ranked.select(*keys, "v", "_r", "_n", qs)
+        .filter(
+            F.col("_r")
+            == F.expr("(q_micros * _n + 999999) div 1000000")
+        )
+        .select(*keys, "q_micros", F.col("v").alias("quantile_value"))
+    )
+
+
+def kmv_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    q_micros: list[int],
+    k: int = 256,
+    group_by: str | None = None,
+) -> DataFrame:
+    """One-shot mergeable approximate quantiles; see
+    :func:`bottomk_sample` / :func:`sample_quantiles`."""
+    return sample_quantiles(
+        bottomk_sample(df, key_col, value_col, k=k, group_by=group_by),
+        q_micros,
+        group_by=group_by,
+    )
 
 
 def equi_width_histogram(

@@ -563,3 +563,117 @@ def z87(spark, sf_dir):
             ).alias(name)
         )
     return r.groupBy("o_orderstatus").agg(*aggs)
+
+
+_Z107_QS = [250_000, 500_000, 750_000, 950_000]
+
+
+@query(
+    "z107_kmv_quantiles",
+    oracle=f"""
+WITH q AS (SELECT unnest([{", ".join(str(q) for q in _Z107_QS)}]::BIGINT[])
+                  AS q_micros),
+s0 AS (
+  SELECT DISTINCT o_orderstatus,
+         ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT AS hv,
+         o_totalprice AS v
+  FROM orders),
+sk AS (
+  SELECT o_orderstatus, hv, v FROM (
+    SELECT o_orderstatus, hv, v,
+           row_number() OVER (PARTITION BY o_orderstatus
+                              ORDER BY hv, v) AS rn
+    FROM s0) WHERE rn <= 256),
+ranked AS (
+  SELECT o_orderstatus, v,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY v, hv) AS r2,
+         count(*) OVER (PARTITION BY o_orderstatus) AS ns
+  FROM sk),
+est AS (
+  SELECT o_orderstatus, q_micros, v AS est_value
+  FROM ranked CROSS JOIN q
+  WHERE r2 = (q_micros * ns + 999999) // 1000000),
+full_r AS (
+  SELECT o_orderstatus, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders),
+exact AS (
+  SELECT o_orderstatus, q_micros, o_totalprice AS exact_value
+  FROM full_r CROSS JOIN q
+  WHERE rn = (q_micros * n + 999999) // 1000000),
+n_per AS (SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1),
+le AS (
+  SELECT e.o_orderstatus, e.q_micros, count(*) AS n_le
+  FROM est e JOIN orders o
+    ON o.o_orderstatus = e.o_orderstatus AND o.o_totalprice <= e.est_value
+  GROUP BY 1, 2)
+SELECT e.o_orderstatus, e.q_micros, e.est_value, x.exact_value,
+       (1000000 * le.n_le) // n_per.n AS est_rank_micros
+FROM est e
+JOIN exact x USING (o_orderstatus, q_micros)
+JOIN le USING (o_orderstatus, q_micros)
+JOIN n_per USING (o_orderstatus)
+""",
+    description=(
+        "mergeable bottom-k quantile sketch WITH its in-gate accuracy "
+        "eval: per-group approximate quantiles from a 256-row "
+        "deterministic uniform sample (k smallest md5 hashes of the row "
+        "key -- the z13/z39 min-wise family, so partial samples from "
+        "independent scans compose without rescan), nearest-rank over "
+        "the sample in pure BIGINT arithmetic, values verbatim (no IEEE "
+        "op anywhere). Output joins the exact full-data quantile (z87 "
+        "semantics) and the estimate's ACHIEVED rank in micros, so the "
+        "~1/sqrt(k) position-error claim is measured by the gate itself, "
+        "not asserted"
+    ),
+)
+def z107(spark, sf_dir):
+    from ..operators import sketch
+
+    o = load(spark, "orders", sf_dir)
+    est = sketch.kmv_quantiles(
+        o, "o_orderkey", "o_totalprice", _Z107_QS, k=256,
+        group_by="o_orderstatus",
+    ).select(
+        "o_orderstatus", "q_micros", F.col("quantile_value").alias("est_value")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wn = W.partitionBy("o_orderstatus")
+    r = o.select(
+        "o_orderstatus", "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q).cast("long") for q in _Z107_QS])
+    ).alias("q_micros")
+    exact = (
+        r.select("o_orderstatus", "o_totalprice", "rn", "n", qs)
+        .filter(F.col("rn") == F.expr("(q_micros * n + 999999) div 1000000"))
+        .select(
+            "o_orderstatus", "q_micros",
+            F.col("o_totalprice").alias("exact_value"),
+        )
+    )
+    n_per = o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    le = (
+        o.select("o_orderstatus", "o_totalprice")
+        .join(F.broadcast(est), "o_orderstatus")
+        .filter(F.col("o_totalprice") <= F.col("est_value"))
+        .groupBy("o_orderstatus", "q_micros")
+        .agg(F.count("*").alias("n_le"))
+    )
+    return (
+        est.join(exact, ["o_orderstatus", "q_micros"])
+        .join(le, ["o_orderstatus", "q_micros"])
+        .join(n_per, "o_orderstatus")
+        .select(
+            "o_orderstatus", "q_micros", "est_value", "exact_value",
+            exactnum.floordiv_nonneg(
+                F.lit(1_000_000) * F.col("n_le"), F.col("n")
+            ).alias("est_rank_micros"),
+        )
+    )

@@ -1585,6 +1585,69 @@ def test_kmv_sketch_mergeable_and_accurate(spark):
     assert est_tiny == tiny.select("text").distinct().count()
 
 
+def test_bottomk_quantile_sketch_mergeable_accurate_and_exact_when_small(
+    spark,
+):
+    """Bottom-k quantile invariants: (1) merging per-part samples equals
+    sampling the union; (2) the z107 gate output's ACHIEVED rank stays
+    within 3 std errors (3*sqrt(q(1-q)/k) <= ~0.094) of the target q at
+    every (group, q); (3) a group smaller than k degrades to the EXACT
+    quantile (the sample IS the group)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators import (
+        sketch as S,
+    )
+
+    o = load(spark, "orders", "/root/testdata/sf0.01")
+    half_a = o.filter(F.col("o_orderkey") % 2 == 0)
+    half_b = o.filter(F.col("o_orderkey") % 2 == 1)
+    full = S.bottomk_sample(
+        o, "o_orderkey", "o_totalprice", k=128, group_by="o_orderstatus"
+    )
+    merged = S.bottomk_merge(
+        [
+            S.bottomk_sample(h, "o_orderkey", "o_totalprice", k=128,
+                             group_by="o_orderstatus")
+            for h in (half_a, half_b)
+        ],
+        k=128,
+        group_by="o_orderstatus",
+    )
+    key = lambda r: (r["o_orderstatus"], r["hv"], r["v"])  # noqa: E731
+    assert sorted(map(key, full.collect())) == sorted(map(key, merged.collect()))
+
+    from etl_world_banks_with_python_and_postgresql_spark.plans import (  # noqa: F401
+        analytic as _register_analytic,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.plans.base import REGISTRY
+
+    rows = REGISTRY["z107_kmv_quantiles"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 12  # 3 statuses x 4 quantiles
+    for r in rows:
+        assert abs(r["est_rank_micros"] - r["q_micros"]) <= 100_000, dict(r)
+
+    tiny = o.filter(F.col("o_orderkey") < 400)  # every group under k
+    per_group = {
+        r["o_orderstatus"]: r["n"]
+        for r in tiny.groupBy("o_orderstatus").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert all(n < 256 for n in per_group.values())
+    est = S.kmv_quantiles(
+        tiny, "o_orderkey", "o_totalprice", [500_000], k=256,
+        group_by="o_orderstatus",
+    ).collect()
+    for r in est:
+        grp = tiny.filter(F.col("o_orderstatus") == r["o_orderstatus"])
+        vals = sorted(
+            x["o_totalprice"] for x in grp.select("o_totalprice").collect()
+        )
+        want = vals[(len(vals) + 1) // 2 - 1]  # nearest-rank median
+        assert r["quantile_value"] == want
+
+
 def test_histogram_covers_all_rows_and_degenerate_column(spark):
     """Bin counts sum to the row count, the max value lands in the last
     bin (clamp), and a constant column collapses to one bin instead of
