@@ -34,6 +34,86 @@ from ..functions.xhash import char_poly_hash, ws_tokens
 from .text import token_count
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunks -- the RAG/embedding-ingest shape:
+    each document becomes windows of ``chunk_tokens`` whitespace tokens
+    starting every ``chunk_tokens - overlap`` positions (the last window
+    may be shorter). Output rows
+    ``(doc_id, chunk_idx, begin_tok, n_tokens, chunk_text)`` carry full
+    provenance: ``begin_tok`` (0-based) + ``n_tokens`` locate every
+    chunk in its source exactly, so chunks are re-joinable to documents
+    and de-chunkable for training-data audits.
+
+    Pure built-ins (sequence -> posexplode -> slice -> concat_ws): the
+    explode inflates rows ~len/stride per doc inside the scan stage with
+    NO shuffle at all -- chunking a 100 TB corpus is embarrassingly
+    parallel and this plan keeps it that way. The token array is
+    projected to a column before slicing (the word_shingles PERF
+    CONTRACT: indexed access over an unmaterialized split re-runs the
+    split per window). Empty/whitespace-only docs yield one chunk of the
+    empty-string token (both engines tokenize '' to ['']; see
+    ``ws_tokens``).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        ws_tokens(F.col(text_col)).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+    return (
+        toks.select(
+            "doc_id", "_toks", "_n",
+            F.posexplode(starts).alias("chunk_idx", "begin_tok"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "begin_tok",
+            F.least(
+                F.lit(chunk_tokens), F.col("_n") - F.col("begin_tok")
+            ).alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("_toks"), F.col("begin_tok") + 1, chunk_tokens),
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_oracle_sql(
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (1-based list slicing with
+    clamped upper bound; generate_series is inclusive like F.sequence)."""
+    stride = chunk_tokens - overlap
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM {table}),
+s AS (
+  SELECT doc_id, w, len(w) AS n,
+         unnest(generate_series(0, len(w) - 1, {stride})) AS begin_tok
+  FROM t)
+SELECT doc_id,
+       (begin_tok // {stride})::INT AS chunk_idx,
+       begin_tok::INT AS begin_tok,
+       least({chunk_tokens}, n - begin_tok)::INT AS n_tokens,
+       array_to_string(w[begin_tok + 1 : begin_tok + {chunk_tokens}], ' ')
+         AS chunk_text
+FROM s
+"""
+
+
 def hash_split(
     df: DataFrame,
     text_col: str = "text",

@@ -1291,6 +1291,30 @@ def z80(spark, sf_dir):
     )
 
 
+from ..operators.train_prep import chunk_documents_oracle_sql as _chunk_sql  # noqa: E402
+
+
+@query(
+    "z108_chunk_documents",
+    oracle=_chunk_sql(chunk_tokens=32, overlap=8),
+    description=(
+        "RAG/embedding-ingest chunking: overlapping 32-token windows "
+        "(stride 24) with exact provenance (begin_tok + n_tokens locate "
+        "every chunk in its source) -- sequence -> posexplode -> slice, "
+        "all inside the scan stage with ZERO shuffle: chunking stays "
+        "embarrassingly parallel at 100 TB. Short docs single-chunk, "
+        "long docs carry a short final window; the oracle replicates "
+        "window arithmetic with generate_series + clamped list slicing"
+    ),
+)
+def z108(spark, sf_dir):
+    from ..operators.train_prep import chunk_documents
+
+    return chunk_documents(
+        load(spark, "documents", sf_dir), chunk_tokens=32, overlap=8
+    )
+
+
 @query(
     "z82_cluster_safe_split",
     oracle=f"""

@@ -2829,3 +2829,53 @@ def test_footer_stats_unordered_types_never_prune(spark, tmp_path):
     for lo, hi in m.values():
         if lo is not None:
             assert lo <= hi
+
+
+def test_chunk_documents_provenance_reconstruction_and_no_shuffle(spark):
+    """Chunk invariants: (1) begin_tok/n_tokens provenance reconstructs
+    the original token stream exactly (take each chunk's first `stride`
+    tokens, the last chunk whole); (2) short docs single-chunk; (3)
+    empty docs yield one empty chunk (the ws_tokens [''] contract); (4)
+    the plan contains NO exchange -- chunking is scan-stage-parallel."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
+        chunk_documents,
+    )
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(11))),  # 2 chunks, short tail
+        (2, "a b c"),                               # single chunk
+        (3, ""),                                    # empty
+        (4, " ".join(f"x{i}" for i in range(16))),  # exact 2-stride fit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    stride = 6
+    for doc_id, text in rows:
+        toks = text.strip().lower().split(" ") if True else []
+        # ws_tokens('') == [''], mirrored here
+        chunks = by_doc[doc_id]
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        # provenance: begin_tok arithmetic + coverage
+        rebuilt = []
+        for c in chunks[:-1]:
+            rebuilt += c["chunk_text"].split(" ")[:stride]
+        rebuilt += chunks[-1]["chunk_text"].split(" ")
+        assert rebuilt == toks, (doc_id, rebuilt, toks)
+        for c in chunks:
+            assert c["begin_tok"] == c["chunk_idx"] * stride
+            got = toks[c["begin_tok"]: c["begin_tok"] + 8]
+            assert c["chunk_text"] == " ".join(got)
+            assert c["n_tokens"] == len(got)
+    assert len(by_doc[2]) == 1 and len(by_doc[3]) == 1
+    assert by_doc[3][0]["chunk_text"] == "" and by_doc[3][0]["n_tokens"] == 1
+
+    plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
