@@ -853,3 +853,168 @@ class CdcAggView(_Ledgered):
             if name.startswith("batch=") and name != f"batch={cid}":
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
         return True
+
+
+@dataclass
+class KmvAggView(_Ledgered):
+    """Insert-only maintained APPROXIMATE-DISTINCT view: per-group KMV
+    sketches (``operators.sketch``) kept current under streaming
+    ingests -- the sketch-valued sibling of :class:`CdcAggView`.
+
+    Exact ``COUNT(DISTINCT expr)`` is NOT linear in the z-set (a new
+    row may or may not change the count depending on all prior rows),
+    so the CdcAggView algebra cannot maintain it. The KMV sketch
+    restores incrementality for the INSERT-ONLY case by weakening
+    exactness: "k smallest hashes" is a commutative, associative,
+    IDEMPOTENT fold, so each ingest is one O(|delta|) per-group
+    bottom-k partial with zero reads of prior state, and ``read()``
+    merges the ledgered partials into the same sketch a full rescan
+    would build (rebuild-equivalence pinned by test). Deletions are out
+    of scope by design -- a removed hash cannot be un-minned without
+    row history; keep rows in a :class:`CdcJoinView` store and
+    re-sketch on read if retraction matters.
+
+    Idempotence makes replay semantics STRONGER than CdcAggView's:
+    even a double-applied partial could not change ``read()`` (the
+    same hv rows distinct away) -- the ledger still absorbs replays so
+    history/compaction stay bounded and observable. Estimates are
+    bit-portable cross-engine (md5-derived hashes, one IEEE division,
+    exact when a group is unsaturated -- the z39 contract).
+
+    At 100 TB: partial batches are (groups x k)-row-bounded regardless
+    of input size; a year of ingests folds flat via :meth:`compact`.
+    """
+
+    path: str
+    keys: tuple | list
+    value_expr: str  # SQL expression whose distinct count is estimated
+    k: int = 256
+    n_partitions: int = 8
+
+    def _batch_dir(self, batch_id: str) -> str:
+        return os.path.join(self.path, "partial", f"batch={batch_id}")
+
+    def _bottomk(self, rows: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*self.keys).orderBy("hv")
+        return (
+            rows.distinct()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= self.k)
+            .drop("_rn")
+        )
+
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        # sketch.kmv_sketch generalized to composite keys; the string
+        # cast makes non-string exprs hash identically cross-engine
+        from .sketch import md5_hash48
+
+        return self._bottomk(
+            batch.select(
+                *self.keys,
+                md5_hash48(F.expr(self.value_expr).cast("string")).alias("hv"),
+            )
+        )
+
+    def ingest(self, batch: DataFrame, batch_id=None, cas_retries: int = 8) -> str:
+        """``"applied"`` | ``"replayed"``. Same concurrency contract as
+        :meth:`CdcAggView.ingest` (explicit distinct ids: lost CAS races
+        reload-and-re-append, since sketch partials commute; auto ids
+        raise on contention -- the rival may have derived our id and
+        clobbered the partial dir)."""
+        explicit = batch_id is not None
+        full, tok = self._load_ledger_state()
+        seen = self._seen_of(full)
+        bid = str(batch_id) if explicit else self._auto_bid("kmv", seen)
+        if ["kmv", bid] in seen:
+            return "replayed"
+        (
+            self._partial(batch)
+            .repartition(self.n_partitions, *self.keys)
+            .write.mode("overwrite")
+            .parquet(self._batch_dir(bid))
+        )
+        for _ in range(max(1, cas_retries)):
+            try:
+                self._commit_ledger(
+                    full["applied"] + [["kmv", bid]],
+                    seen=full["seen"],
+                    expect=tok,
+                )
+                return "applied"
+            except ConcurrentCommitError:
+                if not explicit:
+                    raise
+                full, tok = self._load_ledger_state()
+                seen = self._seen_of(full)
+                if ["kmv", bid] in seen:
+                    return "replayed"
+        raise ConcurrentCommitError(
+            f"KmvAggView.ingest({bid!r}): ledger commit lost the CAS "
+            f"race {cas_retries} times in a row -- writer contention "
+            "on this view is pathological; serialize the callers"
+        )
+
+    def read_sketch(
+        self, spark: SparkSession, as_of: int | None = None
+    ) -> DataFrame:
+        """The merged per-group bottom-k rows ``(keys..., hv)`` -- the
+        mergeable partial itself (compaction payload / further
+        composition), equal to sketching the full ingested multiset."""
+        applied = self._load_ledger()
+        if as_of is not None:
+            applied = applied[:as_of]
+        dirs = [
+            self._batch_dir(b)
+            for _, b in applied
+            if os.path.isdir(self._batch_dir(b))
+        ]
+        if not dirs:
+            raise ValueError("empty view: no ingests yet")
+        return self._bottomk(spark.read.parquet(*dirs))
+
+    def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
+        """(keys..., est_distinct) per group -- sketch.kmv_estimate over
+        the merged sketch: exact when a group kept < k hashes, else
+        round((k-1) * 2^48 / h_k)."""
+        from .sketch import _HASH_SPACE
+
+        agg = self.read_sketch(spark, as_of=as_of).groupBy(*self.keys).agg(
+            F.count("*").alias("_n_kept"), F.max("hv").alias("_hk")
+        )
+        est = F.when(
+            F.col("_n_kept") < self.k, F.col("_n_kept").cast("long")
+        ).otherwise(
+            F.round(
+                F.lit(float(self.k - 1)) * F.lit(_HASH_SPACE) / F.col("_hk")
+            ).cast("long")
+        )
+        return agg.select(*self.keys, est.alias("est_distinct"))
+
+    def compact(self, spark: SparkSession) -> bool:
+        """Fold the partial history into ONE batch holding the merged
+        sketch rows (NOT the estimates -- the sketch is the mergeable
+        state). Same atomic-cutover + tombstone + fail-loud-on-race
+        discipline as :meth:`CdcAggView.compact`."""
+        full, tok = self._load_ledger_state()
+        applied = full["applied"]
+        if len(applied) <= 1:
+            return False
+        cid = f"compact-{len(applied) + len(full['seen'])}"
+        (
+            self.read_sketch(spark)
+            .repartition(self.n_partitions, *self.keys)
+            .write.mode("overwrite")
+            .parquet(self._batch_dir(cid))
+        )
+        self._commit_ledger(
+            [["kmv", cid]], seen=full["seen"] + applied, expect=tok
+        )
+        import shutil
+
+        root = os.path.join(self.path, "partial")
+        for name in os.listdir(root):
+            if name.startswith("batch=") and name != f"batch={cid}":
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        return True

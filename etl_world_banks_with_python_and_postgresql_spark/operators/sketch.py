@@ -147,7 +147,12 @@ r AS (SELECT {keys}hv,
 s AS (SELECT {keys}count(*) AS n_kept, max(hv) AS hk
       FROM r WHERE rn <= {k} {grp})
 SELECT {keys}CASE WHEN n_kept < {k} THEN n_kept
-            ELSE CAST(round({float(k - 1)!r} * {_HASH_SPACE!r} / hk) AS BIGINT)
+            -- explicit DOUBLE casts: bare N.0 literals parse as DECIMAL
+            -- in DuckDB and overflow the scaled product for small k;
+            -- the double product is exact (both factors are exactly
+            -- representable), matching Spark's float*float/long
+            ELSE CAST(round(CAST({float(k - 1)!r} AS DOUBLE)
+                            * CAST({_HASH_SPACE!r} AS DOUBLE) / hk) AS BIGINT)
        END AS est_distinct
 FROM s
 """

@@ -2383,3 +2383,34 @@ def z102(spark, sf_dir):
         "n_rows",
         F.round("total_value", 2).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "z109_kmv_agg_view",
+    oracle=_sketch.kmv_oracle_sql("text", k=64, group_by="lang"),
+    description=(
+        "maintained APPROXIMATE-DISTINCT view (operators/ivm.py "
+        "KmvAggView): per-lang KMV sketches kept current under four "
+        "insert batches with an in-gate mid-stream compaction -- exact "
+        "COUNT(DISTINCT) is not z-set-linear, so the sketch's "
+        "commutative/associative/idempotent bottom-k fold is what makes "
+        "each ingest one O(|delta|) partial with zero reads of prior "
+        "state. read() must equal a one-shot kmv_distinct over the full "
+        "corpus (the z39 oracle at k=64 grouped by lang): incremental "
+        "maintenance AND compaction are value-transparent"
+    ),
+)
+def z109(spark, sf_dir):
+    import shutil
+
+    from ..operators.ivm import KmvAggView
+
+    docs = load(spark, "documents", sf_dir).select("lang", "text", "doc_id")
+    path = "spark-warehouse/z109_kmv_agg_view"
+    shutil.rmtree(path, ignore_errors=True)
+    v = KmvAggView(path, keys=["lang"], value_expr="text", k=64)
+    for i in range(4):
+        v.ingest(docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i), f"b{i}")
+        if i == 2:
+            v.compact(spark)  # fold mid-stream: later ingests land on top
+    return v.read(spark).select("lang", "est_distinct")

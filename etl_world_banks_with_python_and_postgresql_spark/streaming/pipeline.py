@@ -500,10 +500,10 @@ def _verify_replayed_epoch(view, batch_df: DataFrame, side, bid: str) -> None:
     (compacted away, content no longer addressable) is unverifiable and
     logged as such.
     """
-    from ..operators.ivm import CdcAggView
-
     spark = batch_df.sparkSession
-    if isinstance(view, CdcAggView):
+    # duck-typed: the agg-shaped views (CdcAggView, KmvAggView) expose
+    # _partial + a single-arg _batch_dir; join views store per side
+    if hasattr(view, "_partial"):
         d = view._batch_dir(bid)
         import os
 
@@ -598,7 +598,11 @@ def streaming_join_view_sink(
 def streaming_agg_view_sink(
     view, name: str | None = None, compact_every: int | None = None
 ):
-    """foreachBatch body maintaining an ``operators.ivm.CdcAggView``.
+    """foreachBatch body maintaining an ``operators.ivm.CdcAggView`` --
+    or any view with the same ``ingest(batch, batch_id=...)`` +
+    ``_partial``/``_batch_dir`` surface, e.g. the insert-only
+    ``KmvAggView`` (streamed batches then carry plain rows, not signed
+    deltas).
 
     Each micro-batch of SIGNED change rows (``ivm.signed`` / a CDF
     stream's +1/-1 decomposition) becomes one O(|delta|) partial

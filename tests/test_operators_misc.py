@@ -2879,3 +2879,99 @@ def test_chunk_documents_provenance_reconstruction_and_no_shuffle(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_kmv_agg_view_incremental_equals_oneshot(spark, tmp_path):
+    """KmvAggView invariants: (1) ingesting in batches + compacting
+    mid-stream reads back the SAME sketch/estimates as a one-shot
+    kmv-style sketch over the full corpus (bottom-k is commutative,
+    associative, idempotent); (2) a replayed batch id is absorbed; (3)
+    re-ingesting identical CONTENT under a new id cannot change read()
+    (idempotence -- stronger than CdcAggView's linearity); (4) unsaturated
+    groups report the EXACT distinct count."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators import (
+        sketch as S,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        KmvAggView,
+    )
+
+    docs = load(spark, "documents", "/root/testdata/sf0.01").select(
+        "lang", "text", "doc_id"
+    )
+    v = KmvAggView(
+        str(tmp_path / "kmv"), keys=["lang"], value_expr="text", k=64,
+        n_partitions=2,
+    )
+    for i in range(4):
+        assert v.ingest(docs.filter(F.col("doc_id") % 4 == i), f"b{i}") == "applied"
+        if i == 2:
+            assert v.compact(spark)
+
+    got = {r["lang"]: r["est_distinct"] for r in v.read(spark).collect()}
+    want = {
+        r["lang"]: r["est_distinct"]
+        for r in S.kmv_distinct(docs, "text", k=64, group_by="lang").collect()
+    }
+    assert got == want
+
+    # replayed id: no-op even after compaction tombstoned it
+    assert v.ingest(docs.limit(5), "b0") == "replayed"
+    # idempotence: same CONTENT under a fresh id cannot move the view
+    assert v.ingest(docs.filter(F.col("doc_id") % 4 == 1), "dup") == "applied"
+    assert {r["lang"]: r["est_distinct"] for r in v.read(spark).collect()} == got
+
+    # unsaturated exactness: a tiny view reports exact distincts
+    tiny = docs.filter(F.col("doc_id") < 40)
+    v2 = KmvAggView(
+        str(tmp_path / "kmv2"), keys=["lang"], value_expr="text", k=256,
+        n_partitions=2,
+    )
+    v2.ingest(tiny, "t0")
+    exact = {
+        (r["lang"]): r["n"]
+        for r in tiny.groupBy("lang").agg(
+            F.countDistinct("text").alias("n")
+        ).collect()
+    }
+    assert {r["lang"]: r["est_distinct"] for r in v2.read(spark).collect()} == exact
+
+
+def test_kmv_agg_view_streaming_sink_exactly_once(spark, tmp_path):
+    """The generic agg-view sink maintains a KmvAggView from a document
+    stream (plain rows, no signed deltas); a re-drain from a fresh
+    checkpoint replays epoch ids that the ledger absorbs, leaving the
+    estimates unchanged."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        KmvAggView,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        streaming_agg_view_sink,
+    )
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001").select(
+        "lang", "text", "doc_id"
+    )
+    src = str(tmp_path / "in")
+    docs.write.parquet(src)
+    view = KmvAggView(
+        str(tmp_path / "kmv"), keys=["lang"], value_expr="text", k=64,
+        n_partitions=2,
+    )
+
+    def run_once(i):
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(streaming_agg_view_sink(view))
+            .option("checkpointLocation", str(tmp_path / f"ck{i}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once(0)
+    first = {r["lang"]: r["est_distinct"] for r in view.read(spark).collect()}
+    assert first  # non-empty
+    run_once(1)  # same epoch ids from a fresh checkpoint -> ledger no-op
+    assert {r["lang"]: r["est_distinct"] for r in view.read(spark).collect()} == first
