@@ -119,6 +119,10 @@ HEADLINE = [
     "z101_cdc_join_view",
     "z102_cdc_agg_view",
     "z103_kmv_source_overlap",
+    "z106_minhash_index_novel",
+    "z107_kmv_quantiles",
+    "z108_chunk_documents",
+    "z109_kmv_agg_view",
 ]
 
 
