@@ -740,25 +740,55 @@ def write_minhash_index(
     from ..committer import commit_json
 
     assert k % band_size == 0
-    sets = _minhash_prep(df, text_col, id_col, n, k)
-    # sets FIRST, bands second: a crash between the writes leaves verify
-    # payloads without band rows (the batch is simply not indexed yet),
-    # never band rows whose candidates cannot be verified (silent misses)
-    sets.select(
-        "doc_id", "shh", "sz", _set_bucket(F.col("doc_id"), n_buckets).alias("bucket")
-    ).write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(path, "sets")
-    )
-    _minhash_band_rows(sets, k, band_size, n_buckets).write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(os.path.join(path, "bands"))
+    n_docs = _write_minhash_rows(df, path, "overwrite", n, k, band_size,
+                                 n_buckets, text_col, id_col)
     commit_json(
         os.path.join(path, "_minhash_stats.json"),
         {
             "n": n, "k": k, "band_size": band_size, "n_buckets": n_buckets,
-            "n_docs": df.count(),
+            "n_docs": n_docs,
         },
     )
+
+
+def _write_minhash_rows(
+    df, path, mode, n, k, band_size, n_buckets, text_col, id_col
+) -> int:
+    """Shared build/append data path: ONE shingle/signature pass (the
+    per-doc payload is persisted and feeds both writes plus the row
+    count), each write repartitioned on its bucket column so every batch
+    lands as ~1 file per bucket -- bounded file counts however many
+    appends accumulate. sets FIRST, bands second: a crash between the
+    writes leaves verify payloads without band rows (the batch is simply
+    not indexed yet), never band rows whose candidates cannot be
+    verified (silent misses). Returns the batch row count."""
+    import os
+
+    sets = _minhash_prep(df, text_col, id_col, n, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        n_docs = sets.count()  # eager fill; also the stats delta
+        (
+            sets.select(
+                "doc_id", "shh", "sz",
+                _set_bucket(F.col("doc_id"), n_buckets).alias("bucket"),
+            )
+            .repartition(F.col("bucket"))
+            .write.mode(mode)
+            .partitionBy("bucket")
+            .parquet(os.path.join(path, "sets"))
+        )
+        (
+            _minhash_band_rows(sets, k, band_size, n_buckets)
+            .repartition(F.col("bucket"))
+            .write.mode(mode)
+            .partitionBy("bucket")
+            .parquet(os.path.join(path, "bands"))
+        )
+    finally:
+        sets.unpersist()
+    return n_docs
 
 
 def append_minhash_index(
@@ -796,16 +826,8 @@ def append_minhash_index(
         )
     n, k = stats["n"], stats["k"]
     band_size, n_buckets = stats["band_size"], stats["n_buckets"]
-    sets = _minhash_prep(batch, text_col, id_col, n, k)
-    sets.select(
-        "doc_id", "shh", "sz", _set_bucket(F.col("doc_id"), n_buckets).alias("bucket")
-    ).write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(path, "sets")
-    )
-    _minhash_band_rows(sets, k, band_size, n_buckets).write.mode(
-        "append"
-    ).partitionBy("bucket").parquet(os.path.join(path, "bands"))
-    delta = batch.count()
+    delta = _write_minhash_rows(batch, path, "append", n, k, band_size,
+                                n_buckets, text_col, id_col)
     for attempt in range(cas_retries + 1):
         stats["n_docs"] += delta
         try:
