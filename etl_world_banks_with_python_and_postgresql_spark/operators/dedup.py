@@ -849,6 +849,58 @@ def append_minhash_index(
                 )
 
 
+def compact_minhash_index(spark, path: str) -> dict:
+    """In-place maintenance for a :func:`write_minhash_index` layout:
+    distinct-dedup both subdirs and reset ``n_docs`` to the TRUE
+    distinct doc count -- the cleanup for re-appended batches after a
+    torn append (duplicate rows, double-counted stats) and for file
+    growth across many appends (each rewrite lands ~1 file/bucket).
+
+    Probe results are untouched BY CONSTRUCTION: duplicate band rows
+    only re-emit candidates that ``distinct()`` collapses, and duplicate
+    set rows collapse in the dup-id distinct -- compaction removes
+    exactly the rows that could never change an answer. The swap is
+    staging-dir + rename per subdir (the ``rebuild_ivf_index``
+    protocol): readers never observe a half-compacted subdir, and the
+    ordering (sets swapped before bands) keeps the mid-crash state
+    probe-safe for the same reason appends write sets first. Returns
+    ``{"n_docs": ..., "set_rows_removed": ..., "band_rows_removed": ...}``.
+    """
+    import os
+    import shutil
+
+    from ..committer import commit_json, load_json
+
+    stats_path = os.path.join(path, "_minhash_stats.json")
+    stats, tok = load_json(stats_path)
+    if stats is None:
+        raise FileNotFoundError(f"no minhash index at {path}")
+    removed = {}
+    n_docs = None
+    for sub in ("sets", "bands"):  # sets first: crash ordering
+        d = os.path.join(path, sub)
+        before = spark.read.parquet(d)
+        n_before = before.count()
+        staging, backup = d + ".staging", d + ".old"
+        for tmp in (staging, backup):
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+        deduped = before.distinct().repartition(F.col("bucket"))
+        deduped.write.partitionBy("bucket").parquet(staging)
+        n_after = spark.read.parquet(staging).count()
+        if sub == "sets":
+            n_docs = (
+                spark.read.parquet(staging).select("doc_id").distinct().count()
+            )
+        os.rename(d, backup)
+        os.rename(staging, d)
+        shutil.rmtree(backup)
+        removed[f"{sub[:-1]}_rows_removed"] = n_before - n_after
+    stats["n_docs"] = n_docs
+    commit_json(stats_path, stats, expect=tok)
+    return {"n_docs": n_docs, **removed}
+
+
 def minhash_novel_indexed(
     spark,
     batch: DataFrame,

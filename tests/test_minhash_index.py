@@ -184,3 +184,36 @@ def test_streaming_minhash_novelty_sink(spark, tmp_path):
     # replay from a fresh checkpoint: every doc now matches the index
     run_once(1)
     assert spark.read.parquet(index + "/sets").select("doc_id").distinct().count() == 3
+
+
+def test_compact_minhash_index_cleans_reappends_and_preserves_probes(
+    spark, tmp_path
+):
+    """After a torn append + re-append (duplicate rows, double-counted
+    n_docs), compaction removes exactly the never-observable duplicates,
+    resets n_docs to the true distinct count, and leaves probe results
+    bit-identical."""
+    from etl_world_banks_with_python_and_postgresql_spark.committer import load_json
+
+    docs = load(spark, "documents", SF)
+    seed = docs.filter(F.col("source") == "src0")
+    batch = docs.filter(F.col("source") == "src1")
+    probe = docs.filter(F.col("source") == "src2")
+    path = str(tmp_path / "idx")
+    dedup.write_minhash_index(seed, path)
+    dedup.append_minhash_index(batch, path)
+    dedup.append_minhash_index(batch, path)  # the documented re-append case
+    assert load_json(path + "/_minhash_stats.json")[0]["n_docs"] == 75  # 25x3
+
+    before = _ids(dedup.minhash_novel_indexed(spark, probe, path, threshold=0.5))
+    out = dedup.compact_minhash_index(spark, path)
+    assert out["n_docs"] == 50  # true distinct docs
+    assert out["set_rows_removed"] == 25  # the duplicated batch
+    assert out["band_rows_removed"] == 25 * 4  # 4 bands per doc
+    assert load_json(path + "/_minhash_stats.json")[0]["n_docs"] == 50
+    assert _ids(
+        dedup.minhash_novel_indexed(spark, probe, path, threshold=0.5)
+    ) == before
+    # idempotent: a second compaction removes nothing
+    again = dedup.compact_minhash_index(spark, path)
+    assert again["set_rows_removed"] == 0 and again["band_rows_removed"] == 0
