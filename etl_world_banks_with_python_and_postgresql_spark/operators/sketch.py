@@ -55,8 +55,10 @@ def kmv_sketch(
     (group, hash), then a rank window (or TakeOrdered when ungrouped)
     keeps k rows per group -- the sketch is k * 8 bytes however large
     the input. Returns ``(group?, hv)`` rows, the mergeable partial.
+    The string cast is a no-op for string columns and makes non-string
+    values hash identically to DuckDB's implicit-VARCHAR md5.
     """
-    h = md5_hash48(F.col(value_col)).alias("hv")
+    h = md5_hash48(F.col(value_col).cast("string")).alias("hv")
     keys = [group_by] if group_by else []
     hashes = df.select(*keys, h).distinct()
     if not group_by:

@@ -445,3 +445,87 @@ def test_cdc_join_view_matches_recompute(tmp_path_factory, lops, rops, batch_cut
         for r in v.read(spark).collect()
     )
     assert got == want
+
+
+_kmv_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2", "g3"]),
+        st.integers(min_value=0, max_value=40),  # small domain -> repeats
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=_kmv_rows, batch_cuts=st.sets(st.integers(0, 29), max_size=4))
+def test_kmv_agg_view_matches_oneshot(tmp_path_factory, rows, batch_cuts):
+    """ANY insert history, arbitrarily chopped into ingest batches (with
+    an interleaved compaction), reads back the same estimates as a
+    one-shot grouped KMV over the full multiset -- and with k larger
+    than the value domain the estimates are the EXACT distinct counts."""
+    import shutil
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        KmvAggView,
+    )
+
+    spark = _get_spark()
+    root = str(tmp_path_factory.mktemp("kmvagg"))
+    shutil.rmtree(root, ignore_errors=True)
+    v = KmvAggView(
+        root + "/v", keys=["grp"], value_expr="v", k=16, n_partitions=2
+    )
+    pending: list[tuple[str, int]] = []
+    all_rows: list[tuple[str, int]] = []
+    n_batches = 0
+
+    def flush():
+        nonlocal pending, n_batches
+        if not pending:
+            return
+        df = spark.createDataFrame(pending, "grp string, v int")
+        bid = f"b{n_batches}" if n_batches % 2 == 0 else None
+        assert v.ingest(df, bid) == "applied"
+        n_batches += 1
+        pending = []
+
+    for i, row in enumerate(rows):
+        pending.append(row)
+        all_rows.append(row)
+        if i in batch_cuts:
+            flush()
+            if n_batches == 2:
+                v.compact(spark)
+    flush()
+    if n_batches == 0:
+        return
+
+    from pyspark.sql import functions as F
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators import (
+        sketch as S,
+    )
+
+    full = spark.createDataFrame(all_rows, "grp string, v int")
+    want = {
+        r["grp"]: r["est_distinct"]
+        for r in S.kmv_distinct(full, "v", k=16, group_by="grp").collect()
+    }
+    got = {r["grp"]: r["est_distinct"] for r in v.read(spark).collect()}
+    assert got == want
+    # exactness whenever a group kept < k hashes (domain may exceed k=16
+    # only via >16 distinct values; assert exact on the others)
+    exact = {
+        r["grp"]: r["n"]
+        for r in full.groupBy("grp").agg(
+            F.countDistinct("v").alias("n")
+        ).collect()
+    }
+    for g, n in exact.items():
+        if n < 16:
+            assert got[g] == n
