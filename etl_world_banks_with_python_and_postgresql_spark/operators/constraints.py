@@ -247,3 +247,106 @@ def join_fanout_audit(
         .orderBy(F.desc("fanout"), *list(mapping))
         .limit(k)
     )
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Deequ-style per-column profile in ONE unpivoted aggregate pass:
+    ``(column, n_rows, n_null, n_distinct_est, min_str, max_str)``.
+
+    Every column is cast to its string form and stacked into
+    (column, value) rows inside the scan projection, so the whole
+    profile is one shuffle keyed on the COLUMN NAME (bounded by the
+    column count, never the row count) -- the profiling shape a 100 TB
+    audit needs. Distinct counts are the deterministic KMV estimate
+    (:mod:`.sketch`, exact when a column has < ``k`` distinct values);
+    min/max are over the STRING form (binary collation in both engines
+    -- deterministic, but lexicographic: use typed ops for numeric
+    range audits, this is the triage view). NULLs count into
+    ``n_null`` and are excluded from the value stats.
+
+    Scale note: the stack inflates rows x n_columns before the
+    aggregate; map-side combine collapses each partition to
+    O(columns x k) rows, so the shuffle payload is corpus-size-
+    independent, like ``label_centroids``.
+    """
+    from .sketch import _HASH_SPACE, md5_hash48
+
+    cols = columns or df.columns
+    pairs = []
+    for c in cols:
+        pairs.append(F.lit(c))
+        pairs.append(F.col(c).cast("string"))
+    stacked = df.select(
+        F.stack(F.lit(len(cols)), *pairs).alias("column", "v")
+    )
+    base = stacked.groupBy("column").agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("v")).alias("n_null"),
+        F.min("v").alias("min_str"),
+        F.max("v").alias("max_str"),
+    )
+    from pyspark.sql import Window as W
+
+    hv = stacked.filter(F.col("v").isNotNull()).select(
+        "column", md5_hash48(F.col("v")).alias("hv")
+    ).distinct()
+    w = W.partitionBy("column").orderBy("hv")
+    sk = (
+        hv.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy("column")
+        .agg(F.count("*").alias("_n_kept"), F.max("hv").alias("_hk"))
+    )
+    est = F.when(
+        F.col("_n_kept") < k, F.col("_n_kept").cast("long")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col("_hk")
+        ).cast("long")
+    )
+    return (
+        base.join(sk.select("column", est.alias("n_distinct_est")), "column")
+        .select(
+            "column", "n_rows", "n_null", "n_distinct_est",
+            "min_str", "max_str",
+        )
+    )
+
+
+def profile_table_oracle_sql(
+    columns: list[str], k: int = 256, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`profile_table` over a registered view."""
+    from .sketch import _HASH_SPACE
+
+    stacked = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_, ({c})::VARCHAR AS v FROM {table}"
+        for c in columns
+    )
+    hv = "('0x' || substr(md5(v), 1, 12))::BIGINT"
+    return f"""
+WITH stacked AS ({stacked}),
+base AS (
+  SELECT col_ AS "column", count(*) AS n_rows,
+         count(*) - count(v) AS n_null,
+         min(v) AS min_str, max(v) AS max_str
+  FROM stacked GROUP BY 1),
+h AS (SELECT DISTINCT col_ AS "column", {hv} AS hv
+      FROM stacked WHERE v IS NOT NULL),
+r AS (SELECT "column", hv,
+             row_number() OVER (PARTITION BY "column" ORDER BY hv) AS rn
+      FROM h),
+sk AS (SELECT "column", count(*) AS n_kept, max(hv) AS hk
+       FROM r WHERE rn <= {k} GROUP BY 1)
+SELECT base."column", n_rows, n_null,
+       CASE WHEN n_kept < {k} THEN n_kept
+            ELSE CAST(round(CAST({float(k - 1)!r} AS DOUBLE)
+                            * CAST({_HASH_SPACE!r} AS DOUBLE) / hk) AS BIGINT)
+       END AS n_distinct_est,
+       min_str, max_str
+FROM base JOIN sk USING ("column")
+"""

@@ -2385,6 +2385,31 @@ def z102(spark, sf_dir):
     )
 
 
+from ..operators.constraints import profile_table_oracle_sql as _profile_sql  # noqa: E402
+
+_Z110_COLS = ["doc_id", "lang", "source", "n_chars", "text"]
+
+
+@query(
+    "z110_table_profile",
+    oracle=_profile_sql(_Z110_COLS, k=256, table="documents"),
+    description=(
+        "deequ-style one-pass table profile: every column stacked to "
+        "(column, string value) inside the scan, ONE aggregate keyed on "
+        "the column name (shuffle bounded by n_columns x k, never row "
+        "count), per-column n_rows / n_null / deterministic-KMV distinct "
+        "estimate (exact under k) / binary-collation min-max of the "
+        "string form -- the 100 TB data-audit triage view"
+    ),
+)
+def z110(spark, sf_dir):
+    from ..operators.constraints import profile_table
+
+    return profile_table(
+        load(spark, "documents", sf_dir), columns=_Z110_COLS, k=256
+    )
+
+
 @query(
     "z109_kmv_agg_view",
     oracle=_sketch.kmv_oracle_sql("text", k=64, group_by="lang"),

@@ -2975,3 +2975,31 @@ def test_kmv_agg_view_streaming_sink_exactly_once(spark, tmp_path):
     assert first  # non-empty
     run_once(1)  # same epoch ids from a fresh checkpoint -> ledger no-op
     assert {r["lang"]: r["est_distinct"] for r in view.read(spark).collect()} == first
+
+
+def test_profile_table_nulls_exact_distincts_and_one_pass(spark):
+    """Profile semantics: NULLs count into n_null and are excluded from
+    min/max and distinct; columns under k report EXACT distinct counts;
+    the plan carries no per-column rescans (one stacked scan)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.constraints import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (3, None, 1.5), (4, "a", -2.0)],
+        "id int, s string, x double",
+    )
+    out = {r["column"]: r for r in profile_table(df, k=256).collect()}
+    assert out["id"]["n_rows"] == 4 and out["id"]["n_null"] == 0
+    assert out["id"]["n_distinct_est"] == 4
+    assert (out["id"]["min_str"], out["id"]["max_str"]) == ("1", "4")
+    assert out["s"]["n_null"] == 1 and out["s"]["n_distinct_est"] == 2
+    assert (out["s"]["min_str"], out["s"]["max_str"]) == ("a", "b")
+    assert out["x"]["n_null"] == 1 and out["x"]["n_distinct_est"] == 2
+    # string-form min/max, documented: '-2.0' < '1.5' lexicographically
+    assert (out["x"]["min_str"], out["x"]["max_str"]) == ("-2.0", "1.5")
+
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    # one stacked scan feeds both aggregates: the source appears via a
+    # reused exchange or <= 2 scans, never one per column
+    assert plan.count("LocalTableScan") <= 2, plan
