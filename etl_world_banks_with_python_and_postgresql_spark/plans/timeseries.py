@@ -1023,3 +1023,30 @@ def z73(spark, sf_dir):
         "new_users",
         F.sum("new_users").over(win).cast("long").alias("cumulative_users"),
     )
+
+
+from ..operators.timeseries import seasonal_decompose_oracle_sql as _seas_sql  # noqa: E402
+
+
+@query(
+    "z111_seasonal_decompose",
+    oracle=_seas_sql("value", "ts", period=7, table="events"),
+    description=(
+        "classical additive seasonal decomposition of the daily value "
+        "series (centered 7-day moving-average trend, non-normalized "
+        "day-of-cycle seasonal means, residual): value = trend + "
+        "seasonal + residual, NULL trend/residual on the 3 edge days "
+        "each side. Exact DECIMAL/BIGINT aggregates throughout (z102 "
+        "parity cast; no round(double)); each output double is one "
+        "fixed-shape IEEE expression over exact integers. The ordered "
+        "window runs over the DAY axis (calendar-bounded, |days| rows "
+        "after the reduction -- never events)"
+    ),
+)
+def z111(spark, sf_dir):
+    from ..operators.timeseries import seasonal_decompose
+
+    return seasonal_decompose(
+        load(spark, "events", sf_dir), value_col="value", ts_col="ts",
+        period=7,
+    )

@@ -3003,3 +3003,47 @@ def test_profile_table_nulls_exact_distincts_and_one_pass(spark):
     # one stacked scan feeds both aggregates: the source appears via a
     # reused exchange or <= 2 scans, never one per column
     assert plan.count("LocalTableScan") <= 2, plan
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    """Semantic pin: a planted value = linear trend + weekly cycle
+    decomposes back -- seasonal estimates reproduce the planted cycle
+    shape (up to the non-normalized mean offset), trend is NULL exactly
+    on the edge days, and value ~= trend + seasonal + residual."""
+    from datetime import datetime
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    cycle = [0.0, 10.0, -5.0, 3.0, 7.0, -8.0, 2.0]
+    rows = [
+        (datetime(2024, 3, 1 + d, 12), 100.0 + 2.0 * d + cycle[d % 7])
+        for d in range(28)  # 4 exact weeks
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = sorted(
+        seasonal_decompose(df, period=7).collect(), key=lambda r: r["day"]
+    )
+    assert len(out) == 28
+    # edge days: 3 each side NULL trend/residual, seasonal always set
+    for i, r in enumerate(out):
+        if i < 3 or i >= 25:
+            assert r["trend"] is None and r["residual"] is None
+        else:
+            assert r["trend"] is not None
+            v = r["value_micros"] / 1e6
+            assert abs(v - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-6
+        assert r["seasonal"] is not None
+    # seasonal shape: pairwise differences reproduce the planted cycle
+    # (the non-normalized variant carries a common offset)
+    seas = {}
+    for i, r in enumerate(out):
+        seas.setdefault(i % 7, r["seasonal"])
+    base = seas[0] - cycle[0]
+    for j in range(7):
+        assert abs((seas[j] - cycle[j]) - base) < 0.5, (j, seas)
+    # trend on interior days tracks the planted slope (2.0/day)
+    mids = [r["trend"] for r in out[3:25]]
+    diffs = [b - a for a, b in zip(mids, mids[1:])]
+    assert all(abs(d - 2.0) < 0.5 for d in diffs)

@@ -58,6 +58,11 @@ WHITELIST = {
     # reductions (user -> first week -> per-week counts): bounded by the
     # calendar, never by users or events
     "z73_user_growth": "global window over the pre-aggregated week axis",
+    # the centered-MA window runs over |distinct days| rows AFTER the
+    # daily reduction: bounded by the calendar, never by events (the
+    # resample_ffill bucket argument); the seasonal side is a
+    # period-row broadcast
+    "z111_seasonal_decompose": "global window over the pre-aggregated day axis",
     # the (a < b) source-pair cross product is the requested output axis
     # and both sides are |distinct sources| rows (dimension-sized); all
     # DATA-sized work upstream is the equi-join hash-sketch path
