@@ -123,6 +123,8 @@ HEADLINE = [
     "z107_kmv_quantiles",
     "z108_chunk_documents",
     "z109_kmv_agg_view",
+    "z110_table_profile",
+    "z111_seasonal_decompose",
 ]
 
 
