@@ -253,6 +253,7 @@ def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
     k: int = 256,
+    group_by: str | None = None,
 ) -> DataFrame:
     """Deequ-style per-column profile in ONE unpivoted aggregate pass:
     ``(column, n_rows, n_null, n_distinct_est, min_str, max_str)``.
@@ -266,7 +267,11 @@ def profile_table(
     min/max are over the STRING form (binary collation in both engines
     -- deterministic, but lexicographic: use typed ops for numeric
     range audits, this is the triage view). NULLs count into
-    ``n_null`` and are excluded from the value stats.
+    ``n_null`` and are excluded from the value stats. ``group_by``
+    profiles every column PER GROUP (per-shard drift monitoring): the
+    aggregate keys on (group, column), still row-count-independent in
+    shuffle payload, and the group column itself is excluded from the
+    default column list.
 
     Scale note: the stack inflates rows x n_columns before the
     aggregate; map-side combine collapses each partition to
@@ -275,15 +280,16 @@ def profile_table(
     """
     from .sketch import _HASH_SPACE, md5_hash48
 
-    cols = columns or df.columns
+    keys = [group_by] if group_by else []
+    cols = columns or [c for c in df.columns if c != group_by]
     pairs = []
     for c in cols:
         pairs.append(F.lit(c))
         pairs.append(F.col(c).cast("string"))
     stacked = df.select(
-        F.stack(F.lit(len(cols)), *pairs).alias("column", "v")
+        *keys, F.stack(F.lit(len(cols)), *pairs).alias("column", "v")
     )
-    base = stacked.groupBy("column").agg(
+    base = stacked.groupBy(*keys, "column").agg(
         F.count("*").alias("n_rows"),
         (F.count("*") - F.count("v")).alias("n_null"),
         F.min("v").alias("min_str"),
@@ -292,13 +298,13 @@ def profile_table(
     from pyspark.sql import Window as W
 
     hv = stacked.filter(F.col("v").isNotNull()).select(
-        "column", md5_hash48(F.col("v")).alias("hv")
+        *keys, "column", md5_hash48(F.col("v")).alias("hv")
     ).distinct()
-    w = W.partitionBy("column").orderBy("hv")
+    w = W.partitionBy(*keys, "column").orderBy("hv")
     sk = (
         hv.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
-        .groupBy("column")
+        .groupBy(*keys, "column")
         .agg(F.count("*").alias("_n_kept"), F.max("hv").alias("_hk"))
     )
     est = F.when(
@@ -309,9 +315,12 @@ def profile_table(
         ).cast("long")
     )
     return (
-        base.join(sk.select("column", est.alias("n_distinct_est")), "column")
+        base.join(
+            sk.select(*keys, "column", est.alias("n_distinct_est")),
+            [*keys, "column"],
+        )
         .select(
-            "column", "n_rows", "n_null", "n_distinct_est",
+            *keys, "column", "n_rows", "n_null", "n_distinct_est",
             "min_str", "max_str",
         )
     )

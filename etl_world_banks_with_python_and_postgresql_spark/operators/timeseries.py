@@ -289,6 +289,7 @@ def seasonal_decompose(
     value_col: str = "value",
     ts_col: str = "ts",
     period: int = 7,
+    group_by: str | None = None,
 ) -> DataFrame:
     """Classical additive seasonal decomposition of the DAILY series:
     ``value = trend + seasonal + residual`` with a centered
@@ -310,19 +311,24 @@ def seasonal_decompose(
     ``days_since_epoch % period`` (pure integer arithmetic -- no
     engine-specific weekday numbering).
 
-    Scale shape: one shuffle to the day axis (calendar-bounded, never
-    event-bounded), then a global ordered window over the DAY rows --
-    bounded by the calendar exactly like ``resample_ffill``'s buckets,
-    which is why this is lint-whitelisted; the dow aggregate is
-    period-bounded.
+    Scale shape: one shuffle to the (group?, day) axis
+    (calendar-bounded per series, never event-bounded). With
+    ``group_by`` the moving-average window partitions on the series key
+    -- millions of independent series spread by the group hash, the
+    per-metric production shape. Ungrouped, the ordered window is
+    global over the DAY rows, bounded by the calendar exactly like
+    ``resample_ffill``'s buckets, which is why it is lint-whitelisted;
+    the dow aggregate is period-bounded either way.
     """
     half = period // 2
+    keys = [group_by] if group_by else []
     daily = (
         df.select(
+            *keys,
             F.to_date(F.col(ts_col)).alias("day"),
             F.col(value_col).cast("decimal(25,6)").alias("_vd"),
         )
-        .groupBy("day")
+        .groupBy(*keys, "day")
         .agg(
             (F.sum("_vd") * F.lit(1_000_000))
             .cast("long")
@@ -334,9 +340,13 @@ def seasonal_decompose(
             % period,
         )
     )
-    w = W.orderBy("day").rowsBetween(-half, half)
+    # grouped: per-series partitioned window (the scale path -- millions
+    # of series spread by the group hash); ungrouped: the whitelisted
+    # calendar-bounded global window
+    wbase = W.partitionBy(group_by) if group_by else W.partitionBy()
+    w = wbase.orderBy("day").rowsBetween(-half, half)
     t = daily.select(
-        "day", "_dow", "value_micros",
+        *keys, "day", "_dow", "value_micros",
         F.sum("value_micros").over(w).alias("_tsum"),
         F.count("*").over(w).alias("_tn"),
     ).withColumn(
@@ -349,19 +359,20 @@ def seasonal_decompose(
     )
     s = (
         t.filter(F.col("_detr").isNotNull())
-        .groupBy("_dow")
+        .groupBy(*keys, "_dow")
         .agg(
             F.sum("_detr").alias("_ssum"),
             F.count("*").alias("_sn"),
         )
     )
-    out = t.join(F.broadcast(s), "_dow", "left")
+    out = t.join(F.broadcast(s), [*keys, "_dow"], "left")
     trend = F.col("_tsum").cast("double") / F.lit(float(period))
     seasonal = F.col("_ssum").cast("double") / (
         (F.col("_sn") * period).cast("double")
     )
     value_dbl = F.col("value_micros").cast("double")
     return out.select(
+        *keys,
         "day",
         "value_micros",
         (trend / F.lit(1_000_000.0)).alias("trend"),

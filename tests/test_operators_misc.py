@@ -3047,3 +3047,52 @@ def test_seasonal_decompose_recovers_planted_cycle(spark):
     mids = [r["trend"] for r in out[3:25]]
     diffs = [b - a for a, b in zip(mids, mids[1:])]
     assert all(abs(d - 2.0) < 0.5 for d in diffs)
+
+
+def test_grouped_variants_equal_per_slice_runs(spark):
+    """group_by generalizations are slice-equivalent: profiling or
+    decomposing per group returns exactly what an ungrouped run over
+    each group's slice returns (the production multi-series shape
+    without the global window / whole-table scan per series)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.constraints import (
+        profile_table,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    prof = profile_table(docs, columns=["lang", "n_chars"], group_by="source")
+    got = sorted(tuple(r) for r in prof.collect() if r["source"] == "src3")
+    want = sorted(
+        ("src3",) + tuple(r)
+        for r in profile_table(
+            docs.filter(F.col("source") == "src3"),
+            columns=["lang", "n_chars"],
+        ).collect()
+    )
+    assert got == want and len(got) == 2
+    # default column list excludes the group column itself
+    assert "source" not in {
+        r["column"] for r in profile_table(docs, group_by="source").collect()
+    }
+
+    ev = load(spark, "events", "/root/testdata/sf0.001")
+    dec = seasonal_decompose(ev, group_by="event_type")
+    a = sorted(
+        tuple(r)[1:] for r in dec.collect() if r["event_type"] == "click"
+    )
+    b = sorted(
+        tuple(r)
+        for r in seasonal_decompose(
+            ev.filter(F.col("event_type") == "click")
+        ).collect()
+    )
+    assert a == b and len(a) == 30
+    # grouped plan: the MA window is PARTITIONED, never global
+    plan = dec._jdf.queryExecution().optimizedPlan().toString()
+    from etl_world_banks_with_python_and_postgresql_spark.plans.lint import (
+        _has_global_window,
+    )
+
+    assert not _has_global_window(plan)
