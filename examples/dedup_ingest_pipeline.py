@@ -99,6 +99,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         indexed = spark.read.parquet(f"{idx}/sets").select("doc_id").distinct()
         emit("streamed_ingestion", total_indexed=indexed.count())
 
+        # maintenance: distinct-dedup the index files and reset n_docs
+        # (cleans any re-appended batches; ~1 file per bucket afterward)
+        emit("index_compaction", **dedup.compact_minhash_index(spark, idx))
+
         # 5. observability: maintained per-source distinct-text estimate
         #    over everything that SURVIVED dedup (join back for lineage)
         view = KmvAggView(
