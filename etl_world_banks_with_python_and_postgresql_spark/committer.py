@@ -66,6 +66,7 @@ import hashlib
 import json
 import os
 import tempfile
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 
@@ -191,6 +192,36 @@ def set_default_committer(committer: JsonCommitter) -> None:
     effect immediately."""
     global _default
     _default = committer
+
+
+@contextmanager
+def maintenance_lock(path: str, *, exclusive: bool):
+    """Advisory reader/maintainer barrier for an ON-DISK index layout,
+    via ``flock`` on a dedicated ``<path>/_maintenance.lock`` sidecar
+    (NOT a ledger's ``.lock`` CAS sidecar, so holding this never
+    deadlocks a guarded ``commit_json`` issued while it is held).
+
+    Protocol: **appenders take the SHARED lock** for the whole
+    data-write + stats-commit span (concurrent appends still proceed in
+    parallel; their stats CAS serializes only the ledger swap, as
+    before); **destructive maintenance (compaction / rebuild) takes the
+    EXCLUSIVE lock** for its whole read → rewrite → swap → commit span.
+    That makes the ADVICE-r9 race impossible: a part file written by an
+    in-flight append can no longer land between compaction's dedup read
+    and its directory swap (and so can no longer be silently deleted).
+
+    Same scope/limits as the CAS sidecar above: one host / one POSIX
+    filesystem. On an object store, swap this for the store's lease or
+    lock-table primitive along with :class:`JsonCommitter`.
+    """
+    os.makedirs(path, exist_ok=True)
+    lock_path = os.path.join(path, "_maintenance.lock")
+    with open(lock_path, "a+") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX if exclusive else fcntl.LOCK_SH)
+        try:
+            yield
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
 
 
 def load_json(path: str, committer: JsonCommitter | None = None):

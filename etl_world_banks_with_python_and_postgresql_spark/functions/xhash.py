@@ -24,6 +24,11 @@ MINHASH_MOD = 2_147_483_647  # 2^31 - 1
 
 # Fixed (a, b) parameters for the k minhash permutations h_i(x) = (a*x+b) % MOD.
 # a*x stays < 2^63 for x < 1e9+7 and a <= 1000.
+# The first 8 pairs are FROZEN (every committed oracle and at-rest index
+# reproduces them bit-for-bit); entries 9..64 extend the family for
+# larger-k layouts via a fixed affine recurrence (same determinism
+# contract: the DuckDB twins read this same table, and a*h stays far
+# below 2^63 -- a < 100003, h < 2^31).
 MINHASH_PARAMS = [
     (7, 3),
     (13, 101),
@@ -34,6 +39,19 @@ MINHASH_PARAMS = [
     (509, 131071),
     (1021, 2027),
 ]
+
+
+def _extend_minhash_params(upto: int = 64) -> None:
+    a, b = MINHASH_PARAMS[-1]
+    while len(MINHASH_PARAMS) < upto:
+        # deterministic, full-period-irrelevant scramble; a forced odd
+        # and nonzero so every permutation is injective mod the prime
+        a = (a * 7 + 12347) % 100003 | 1
+        b = (b * 31 + 271) % 1_000_003
+        MINHASH_PARAMS.append((a, b))
+
+
+_extend_minhash_params()
 
 
 def ws_tokens(col: Column) -> Column:
@@ -129,6 +147,12 @@ def minhash_signature(shingles: Column, k: int = 8) -> Column:
     impossible hash value) so they never collide with real signatures.
     (a * h stays < 2^63: h < 2^32, a <= 1021.)
     """
+    if k > len(MINHASH_PARAMS):
+        raise ValueError(
+            f"minhash_signature: k={k} exceeds the fixed permutation "
+            f"family ({len(MINHASH_PARAMS)}); silent truncation would "
+            "corrupt banded layouts"
+        )
     hashes = F.transform(shingles, md5_hash32)
     sig = F.array(
         *[
@@ -149,6 +173,11 @@ def minhash_sql_exprs(shingles_expr: str, k: int = 8) -> list[str]:
 
     ``shingles_expr`` must name a LIST(VARCHAR) column in scope.
     """
+    if k > len(MINHASH_PARAMS):
+        raise ValueError(
+            f"minhash_sql_exprs: k={k} exceeds the fixed permutation "
+            f"family ({len(MINHASH_PARAMS)})"
+        )
     hash_list = f"[{MD5_HASH32_SQL.format(x='s')} for s in {shingles_expr}]"
     return [
         f"coalesce(list_min([({a} * h + {b}) % {MINHASH_MOD} for h in {hash_list}]), {MINHASH_MOD})"

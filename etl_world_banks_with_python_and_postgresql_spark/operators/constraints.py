@@ -314,48 +314,68 @@ def profile_table(
             F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col("_hk")
         ).cast("long")
     )
+    # LEFT join from base: a column whose values are all NULL has no
+    # rows in the non-null sketch frame, and an inner join would drop it
+    # from the profile entirely (ADVICE r9) -- exactly the column a
+    # profile must surface. Coalesce its estimate to 0 distinct values.
     return (
         base.join(
             sk.select(*keys, "column", est.alias("n_distinct_est")),
             [*keys, "column"],
+            "left",
         )
         .select(
-            *keys, "column", "n_rows", "n_null", "n_distinct_est",
+            *keys, "column", "n_rows", "n_null",
+            F.coalesce(F.col("n_distinct_est"), F.lit(0).cast("long"))
+            .alias("n_distinct_est"),
             "min_str", "max_str",
         )
     )
 
 
 def profile_table_oracle_sql(
-    columns: list[str], k: int = 256, table: str = "documents"
+    columns: list[str],
+    k: int = 256,
+    table: str = "documents",
+    group_by: str | None = None,
 ) -> str:
-    """DuckDB twin of :func:`profile_table` over a registered view."""
+    """DuckDB twin of :func:`profile_table` over a registered view
+    (including the ``group_by`` per-group variant). Left join + coalesce
+    mirror the Spark side: an all-NULL column profiles with
+    ``n_distinct_est = 0`` instead of vanishing (ADVICE r9)."""
     from .sketch import _HASH_SPACE
 
+    g_sel = f'{group_by} AS "{group_by}", ' if group_by else ""
+    g_cols = f'"{group_by}", ' if group_by else ""
+    g_using = f'"{group_by}", ' if group_by else ""
     stacked = " UNION ALL ".join(
-        f"SELECT '{c}' AS col_, ({c})::VARCHAR AS v FROM {table}"
+        f"SELECT {g_sel}'{c}' AS col_, ({c})::VARCHAR AS v FROM {table}"
         for c in columns
     )
     hv = "('0x' || substr(md5(v), 1, 12))::BIGINT"
     return f"""
 WITH stacked AS ({stacked}),
 base AS (
-  SELECT col_ AS "column", count(*) AS n_rows,
+  SELECT {g_cols}col_ AS "column", count(*) AS n_rows,
          count(*) - count(v) AS n_null,
          min(v) AS min_str, max(v) AS max_str
-  FROM stacked GROUP BY 1),
-h AS (SELECT DISTINCT col_ AS "column", {hv} AS hv
+  FROM stacked GROUP BY ALL),
+h AS (SELECT DISTINCT {g_cols}col_ AS "column", {hv} AS hv
       FROM stacked WHERE v IS NOT NULL),
-r AS (SELECT "column", hv,
-             row_number() OVER (PARTITION BY "column" ORDER BY hv) AS rn
+r AS (SELECT {g_cols}"column", hv,
+             row_number() OVER (PARTITION BY {g_cols}"column"
+                                ORDER BY hv) AS rn
       FROM h),
-sk AS (SELECT "column", count(*) AS n_kept, max(hv) AS hk
-       FROM r WHERE rn <= {k} GROUP BY 1)
-SELECT base."column", n_rows, n_null,
-       CASE WHEN n_kept < {k} THEN n_kept
-            ELSE CAST(round(CAST({float(k - 1)!r} AS DOUBLE)
-                            * CAST({_HASH_SPACE!r} AS DOUBLE) / hk) AS BIGINT)
-       END AS n_distinct_est,
+sk AS (SELECT {g_cols}"column", count(*) AS n_kept, max(hv) AS hk
+       FROM r WHERE rn <= {k} GROUP BY ALL)
+SELECT {"base." + '"' + group_by + '", ' if group_by else ""}base."column",
+       n_rows, n_null,
+       coalesce(
+         CASE WHEN n_kept < {k} THEN n_kept
+              ELSE CAST(round(CAST({float(k - 1)!r} AS DOUBLE)
+                              * CAST({_HASH_SPACE!r} AS DOUBLE) / hk)
+                        AS BIGINT)
+         END, 0) AS n_distinct_est,
        min_str, max_str
-FROM base JOIN sk USING ("column")
+FROM base LEFT JOIN sk USING ({g_using}"column")
 """

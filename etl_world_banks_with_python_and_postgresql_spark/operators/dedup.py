@@ -812,41 +812,55 @@ def append_minhash_index(
     the dup-id distinct) at the cost of double-counted n_docs and dead
     storage -- compact by rebuilding. Contract: append-only growth;
     dedup re-ingested doc_ids upstream.
+
+    Concurrency: the whole data-write + stats-commit span holds the
+    index's SHARED maintenance lock (``committer.maintenance_lock``),
+    so concurrent appenders still run in parallel (their stats CAS
+    serializes only the ledger swap) but an append can never interleave
+    with :func:`compact_minhash_index`'s destructive swap -- the
+    ADVICE-r9 lost-part-file race.
     """
     import os
 
-    from ..committer import ConcurrentCommitError, commit_json, load_json
+    from ..committer import (
+        ConcurrentCommitError,
+        commit_json,
+        load_json,
+        maintenance_lock,
+    )
 
     stats_path = os.path.join(path, "_minhash_stats.json")
-    stats, tok = load_json(stats_path)
-    if stats is None:
-        raise FileNotFoundError(
-            f"no minhash index at {path}: build one with "
-            "write_minhash_index before appending"
-        )
-    n, k = stats["n"], stats["k"]
-    band_size, n_buckets = stats["band_size"], stats["n_buckets"]
-    delta = _write_minhash_rows(batch, path, "append", n, k, band_size,
-                                n_buckets, text_col, id_col)
-    for attempt in range(cas_retries + 1):
-        stats["n_docs"] += delta
-        try:
-            commit_json(stats_path, stats, expect=tok)
-            return
-        except ConcurrentCommitError:
-            if attempt == cas_retries:
-                raise
-            stats, tok = load_json(stats_path)
-            if stats is None or any(
-                stats[f] != v
-                for f, v in (("n", n), ("k", k), ("band_size", band_size),
-                             ("n_buckets", n_buckets))
-            ):
-                raise RuntimeError(
-                    f"minhash index at {path} was rebuilt concurrently "
-                    "with an append (layout changed); re-append the "
-                    "batch or rebuild from the full corpus"
-                )
+    with maintenance_lock(path, exclusive=False):
+        stats, tok = load_json(stats_path)
+        if stats is None:
+            raise FileNotFoundError(
+                f"no minhash index at {path}: build one with "
+                "write_minhash_index before appending"
+            )
+        n, k = stats["n"], stats["k"]
+        band_size, n_buckets = stats["band_size"], stats["n_buckets"]
+        delta = _write_minhash_rows(batch, path, "append", n, k, band_size,
+                                    n_buckets, text_col, id_col)
+        for attempt in range(cas_retries + 1):
+            stats["n_docs"] += delta
+            try:
+                commit_json(stats_path, stats, expect=tok)
+                return
+            except ConcurrentCommitError:
+                if attempt == cas_retries:
+                    raise
+                stats, tok = load_json(stats_path)
+                if stats is None or any(
+                    stats[f] != v
+                    for f, v in (("n", n), ("k", k),
+                                 ("band_size", band_size),
+                                 ("n_buckets", n_buckets))
+                ):
+                    raise RuntimeError(
+                        f"minhash index at {path} was rebuilt concurrently "
+                        "with an append (layout changed); re-append the "
+                        "batch or rebuild from the full corpus"
+                    )
 
 
 def compact_minhash_index(spark, path: str) -> dict:
@@ -865,39 +879,68 @@ def compact_minhash_index(spark, path: str) -> dict:
     ordering (sets swapped before bands) keeps the mid-crash state
     probe-safe for the same reason appends write sets first. Returns
     ``{"n_docs": ..., "set_rows_removed": ..., "band_rows_removed": ...}``.
+
+    Concurrency: the whole read → dedup → swap → commit span holds the
+    index's EXCLUSIVE maintenance lock, so an in-flight
+    :func:`append_minhash_index` (SHARED holder) can never land part
+    files between the dedup read and the directory swap -- part files
+    are either in the read (and survive, deduped) or the append blocks
+    until the swap is published. The stats reload happens INSIDE the
+    lock (fail-fast: a concurrent rebuild that changed the layout
+    raises before any rename). The rename pair itself is not observable
+    by lock holders, but a LOCKLESS reader racing the two renames can
+    still see the subdir missing for a moment -- run compaction in a
+    maintenance window, or route hot probes through
+    ``minhash_novel_indexed`` retried on ``FileNotFoundError``.
+
+    DataFrame invalidation: compaction replaces the parquet files, so
+    any LIVE lazy DataFrame previously read from ``{path}/sets`` or
+    ``{path}/bands`` will fail on next materialization
+    (FILE_NOT_EXIST). This function calls
+    ``spark.catalog.refreshByPath`` on both subdirs to drop cached
+    listings/data for FUTURE reads, but already-constructed plans pin
+    their file list -- re-read after compacting.
     """
     import os
     import shutil
 
-    from ..committer import commit_json, load_json
+    from ..committer import commit_json, load_json, maintenance_lock
 
     stats_path = os.path.join(path, "_minhash_stats.json")
-    stats, tok = load_json(stats_path)
-    if stats is None:
-        raise FileNotFoundError(f"no minhash index at {path}")
     removed = {}
     n_docs = None
-    for sub in ("sets", "bands"):  # sets first: crash ordering
-        d = os.path.join(path, sub)
-        before = spark.read.parquet(d)
-        n_before = before.count()
-        staging, backup = d + ".staging", d + ".old"
-        for tmp in (staging, backup):
-            if os.path.exists(tmp):
-                shutil.rmtree(tmp)
-        deduped = before.distinct().repartition(F.col("bucket"))
-        deduped.write.partitionBy("bucket").parquet(staging)
-        n_after = spark.read.parquet(staging).count()
-        if sub == "sets":
-            n_docs = (
-                spark.read.parquet(staging).select("doc_id").distinct().count()
-            )
-        os.rename(d, backup)
-        os.rename(staging, d)
-        shutil.rmtree(backup)
-        removed[f"{sub[:-1]}_rows_removed"] = n_before - n_after
-    stats["n_docs"] = n_docs
-    commit_json(stats_path, stats, expect=tok)
+    with maintenance_lock(path, exclusive=True):
+        # load INSIDE the lock: the CAS token is taken after every
+        # possible concurrent append has drained, so the final commit
+        # can only conflict with an out-of-protocol writer -- and that
+        # conflict surfaces before it can be half-applied (fail fast on
+        # layout checks here, commit guarded below).
+        stats, tok = load_json(stats_path)
+        if stats is None:
+            raise FileNotFoundError(f"no minhash index at {path}")
+        for sub in ("sets", "bands"):  # sets first: crash ordering
+            d = os.path.join(path, sub)
+            before = spark.read.parquet(d)
+            n_before = before.count()
+            staging, backup = d + ".staging", d + ".old"
+            for tmp in (staging, backup):
+                if os.path.exists(tmp):
+                    shutil.rmtree(tmp)
+            deduped = before.distinct().repartition(F.col("bucket"))
+            deduped.write.partitionBy("bucket").parquet(staging)
+            n_after = spark.read.parquet(staging).count()
+            if sub == "sets":
+                n_docs = (
+                    spark.read.parquet(staging)
+                    .select("doc_id").distinct().count()
+                )
+            os.rename(d, backup)
+            os.rename(staging, d)
+            shutil.rmtree(backup)
+            spark.catalog.refreshByPath(d)
+            removed[f"{sub[:-1]}_rows_removed"] = n_before - n_after
+        stats["n_docs"] = n_docs
+        commit_json(stats_path, stats, expect=tok)
     return {"n_docs": n_docs, **removed}
 
 

@@ -290,6 +290,7 @@ def seasonal_decompose(
     ts_col: str = "ts",
     period: int = 7,
     group_by: str | None = None,
+    check_gaps: bool = False,
 ) -> DataFrame:
     """Classical additive seasonal decomposition of the DAILY series:
     ``value = trend + seasonal + residual`` with a centered
@@ -311,6 +312,23 @@ def seasonal_decompose(
     ``days_since_epoch % period`` (pure integer arithmetic -- no
     engine-specific weekday numbering).
 
+    EVEN periods use the standard centered 2x(period) double moving
+    average (ADVICE r9: a plain ``-half..half`` window spans period+1
+    rows when period is even, which both mis-centers the trend and --
+    with the old ``count == period`` completeness test -- marked ONLY
+    truncated edge windows complete): trend over period+1 rows with
+    half weight on the two edge rows, kept exact as
+    ``2*sum - first - last`` scaled by ``2*period``. Odd periods keep
+    the plain ``period``-row window scaled by ``period``.
+
+    GAP CONTRACT: the moving average is ROWS-based over the daily
+    rows, so a missing calendar day makes its neighbors adjacent --
+    the trend silently spans the gap. The operator assumes a gap-free
+    daily series (densify upstream with :func:`resample_ffill`);
+    pass ``check_gaps=True`` to verify that per series with one
+    bounded aggregate and raise ``ValueError`` naming the offending
+    groups if days are missing.
+
     Scale shape: one shuffle to the (group?, day) axis
     (calendar-bounded per series, never event-bounded). With
     ``group_by`` the moving-average window partitions on the series key
@@ -321,6 +339,11 @@ def seasonal_decompose(
     the dow aggregate is period-bounded either way.
     """
     half = period // 2
+    even = period % 2 == 0
+    # scale: trend = tsum_scaled / scale exactly; detrended values and
+    # seasonal sums carry the same scale so no intermediate division
+    # (or rounding) ever happens on a double.
+    scale = 2 * period if even else period
     keys = [group_by] if group_by else []
     daily = (
         df.select(
@@ -340,22 +363,65 @@ def seasonal_decompose(
             % period,
         )
     )
+    if check_gaps:
+        gaps = (
+            daily.groupBy(*keys)
+            .agg(
+                (
+                    F.datediff(F.max("day"), F.min("day")) + 1
+                    - F.count("*")
+                ).alias("_missing")
+            )
+            .filter(F.col("_missing") > 0)
+        )
+        bad = gaps.limit(20).collect()  # bounded: one row per gappy series
+        if bad:
+            raise ValueError(
+                "seasonal_decompose: daily series has calendar gaps "
+                "(rows-based moving average would span them); densify "
+                "with resample_ffill first. Offending series (first "
+                f"{len(bad)}): "
+                + ", ".join(
+                    f"{tuple(r[k] for k in keys) if keys else 'series'}"
+                    f" missing {r['_missing']} day(s)"
+                    for r in bad
+                )
+            )
     # grouped: per-series partitioned window (the scale path -- millions
     # of series spread by the group hash); ungrouped: the whitelisted
     # calendar-bounded global window
     wbase = W.partitionBy(group_by) if group_by else W.partitionBy()
     w = wbase.orderBy("day").rowsBetween(-half, half)
+    wrow = wbase.orderBy("day")
+    n_window = period + 1 if even else period
     t = daily.select(
         *keys, "day", "_dow", "value_micros",
-        F.sum("value_micros").over(w).alias("_tsum"),
+        F.sum("value_micros").over(w).alias("_wsum"),
         F.count("*").over(w).alias("_tn"),
-    ).withColumn(
-        "_tsum", F.when(F.col("_tn") == period, F.col("_tsum"))
+        *(
+            [
+                F.lag("value_micros", half).over(wrow).alias("_first"),
+                F.lead("value_micros", half).over(wrow).alias("_last"),
+            ]
+            if even
+            else []
+        ),
     )
-    # detrended, scaled by period to stay integer: period*v - trend_sum
+    # _tsum = scale * trend, exactly. Odd: plain window sum (window IS
+    # period rows). Even: 2*(period+1 row sum) - first - last = the
+    # 2x(period) double-MA numerator over 2*period.
+    tsum_expr = (
+        F.lit(2) * F.col("_wsum") - F.col("_first") - F.col("_last")
+        if even
+        else F.col("_wsum")
+    )
+    t = t.withColumn(
+        "_tsum", F.when(F.col("_tn") == n_window, tsum_expr)
+    ).drop("_wsum", *(["_first", "_last"] if even else []))
+    # detrended, scaled by `scale` to stay integer: scale*v - trend_sum
     t = t.withColumn(
         "_detr",
-        F.lit(period) * F.col("value_micros") - F.col("_tsum"),
+        F.lit(scale) * F.col("value_micros") - F.col("_tsum"),
     )
     s = (
         t.filter(F.col("_detr").isNotNull())
@@ -366,9 +432,9 @@ def seasonal_decompose(
         )
     )
     out = t.join(F.broadcast(s), [*keys, "_dow"], "left")
-    trend = F.col("_tsum").cast("double") / F.lit(float(period))
+    trend = F.col("_tsum").cast("double") / F.lit(float(scale))
     seasonal = F.col("_ssum").cast("double") / (
-        (F.col("_sn") * period).cast("double")
+        (F.col("_sn") * scale).cast("double")
     )
     value_dbl = F.col("value_micros").cast("double")
     return out.select(
@@ -388,38 +454,65 @@ def seasonal_decompose_oracle_sql(
     ts_sql: str = "ts",
     period: int = 7,
     table: str = "events",
+    group_by: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`seasonal_decompose` -- the identical
     integer aggregates and the identical one-shot IEEE presentation
-    expressions, so results are bit-exact."""
+    expressions, so results are bit-exact. Supports the even-period
+    2x(period) double-MA and the per-series ``group_by`` variant."""
     half = period // 2
+    even = period % 2 == 0
+    scale = 2 * period if even else period
+    n_window = period + 1 if even else period
+    g = f"{group_by}, " if group_by else ""
+    gpart = f"PARTITION BY {group_by} " if group_by else ""
+    if even:
+        tsum = (
+            f"CASE WHEN count(*) OVER w = {n_window}\n"
+            f"              THEN 2 * (sum(value_micros) OVER w)\n"
+            f"                   - lag(value_micros, {half}) OVER wr\n"
+            f"                   - lead(value_micros, {half}) OVER wr"
+            " END AS tsum"
+        )
+        windows = (
+            f"WINDOW w AS ({gpart}ORDER BY day ROWS BETWEEN {half} "
+            f"PRECEDING AND {half} FOLLOWING),\n"
+            f"         wr AS ({gpart}ORDER BY day)"
+        )
+    else:
+        tsum = (
+            f"CASE WHEN count(*) OVER w = {n_window}\n"
+            "              THEN sum(value_micros) OVER w END AS tsum"
+        )
+        windows = (
+            f"WINDOW w AS ({gpart}ORDER BY day ROWS BETWEEN {half} "
+            f"PRECEDING AND {half} FOLLOWING)"
+        )
     return f"""
 WITH daily AS (
-  SELECT ({ts_sql})::DATE AS day,
+  SELECT {g}({ts_sql})::DATE AS day,
          (sum(CAST({value_sql} AS DECIMAL(25,6))) * 1000000)::BIGINT
            AS value_micros
-  FROM {table} GROUP BY 1),
+  FROM {table} GROUP BY ALL),
 d2 AS (
-  SELECT day, value_micros,
+  SELECT {g}day, value_micros,
          (day - DATE '1970-01-01') % {period} AS dow
   FROM daily),
 t AS (
-  SELECT day, dow, value_micros,
-         CASE WHEN count(*) OVER w = {period}
-              THEN sum(value_micros) OVER w END AS tsum
+  SELECT {g}day, dow, value_micros,
+         {tsum}
   FROM d2
-  WINDOW w AS (ORDER BY day ROWS BETWEEN {half} PRECEDING
-                                     AND {half} FOLLOWING)),
+  {windows}),
 td AS (
-  SELECT *, {period} * value_micros - tsum AS detr FROM t),
+  SELECT *, {scale} * value_micros - tsum AS detr FROM t),
 s AS (
-  SELECT dow, sum(detr) AS ssum, count(*) AS sn
-  FROM td WHERE detr IS NOT NULL GROUP BY 1)
-SELECT day, value_micros,
-       (tsum::DOUBLE / {float(period)!r}) / 1000000.0 AS trend,
-       (ssum::DOUBLE / ((sn * {period})::DOUBLE)) / 1000000.0 AS seasonal,
+  SELECT {g}dow, sum(detr) AS ssum, count(*) AS sn
+  FROM td WHERE detr IS NOT NULL GROUP BY ALL)
+SELECT {g}day, value_micros,
+       (tsum::DOUBLE / {float(scale)!r}) / 1000000.0 AS trend,
+       (ssum::DOUBLE / ((sn * {scale})::DOUBLE)) / 1000000.0 AS seasonal,
        (value_micros::DOUBLE
-        - tsum::DOUBLE / {float(period)!r}
-        - ssum::DOUBLE / ((sn * {period})::DOUBLE)) / 1000000.0 AS residual
-FROM td LEFT JOIN s USING (dow)
+        - tsum::DOUBLE / {float(scale)!r}
+        - ssum::DOUBLE / ((sn * {scale})::DOUBLE)) / 1000000.0 AS residual
+FROM td LEFT JOIN s USING ({g}dow)
 """

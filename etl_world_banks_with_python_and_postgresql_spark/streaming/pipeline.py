@@ -395,8 +395,25 @@ def streaming_minhash_novelty_sink(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # ONE similarity definition for both screening stages (ADVICE
+        # r9): within-batch screening must use the INDEX's shingle size
+        # and banding, not minhash_lsh_pairs defaults, or an index built
+        # with non-default params screens new-vs-new at a different
+        # recall curve than new-vs-indexed.
+        import os
+
+        from ..committer import load_json
+
+        stats, _ = load_json(os.path.join(index_path, "_minhash_stats.json"))
+        if stats is None:
+            raise FileNotFoundError(
+                f"no minhash index at {index_path}: seed it with "
+                "write_minhash_index before starting the stream"
+            )
         pairs = minhash_lsh_pairs(
-            batch_df, threshold=threshold, text_col=text_col, id_col=id_col
+            batch_df, threshold=threshold,
+            n=stats["n"], k=stats["k"], band_size=stats["band_size"],
+            text_col=text_col, id_col=id_col,
         )
         dup_ids = (
             pairs.filter(F.col("doc_a") < F.col("doc_b"))

@@ -96,12 +96,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         )
         q.processAllAvailable()
         q.stop()
-        indexed = spark.read.parquet(f"{idx}/sets").select("doc_id").distinct()
-        emit("streamed_ingestion", total_indexed=indexed.count())
 
         # maintenance: distinct-dedup the index files and reset n_docs
-        # (cleans any re-appended batches; ~1 file per bucket afterward)
+        # (cleans any re-appended batches; ~1 file per bucket afterward).
+        # Compaction REPLACES the parquet files, so read the index only
+        # AFTER it -- a DataFrame defined over the pre-compaction files
+        # would fail on materialization (see compact_minhash_index docs).
         emit("index_compaction", **dedup.compact_minhash_index(spark, idx))
+        indexed = spark.read.parquet(f"{idx}/sets").select("doc_id").distinct()
+        emit("streamed_ingestion", total_indexed=indexed.count())
 
         # 5. observability: maintained per-source distinct-text estimate
         #    over everything that SURVIVED dedup (join back for lineage)

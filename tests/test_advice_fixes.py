@@ -315,3 +315,346 @@ def test_diag_import_graph_resolves_init_relative_imports(tmp_path, monkeypatch)
     assert "pkg.operators.ivm" in graph["pkg.operators.helper"]
     # and nothing resolved to the bogus parent-level name
     assert "pkg.ivm" not in graph
+
+
+# ---------------------------------------------------------------------
+# round-10 fixes (ADVICE.md r9)
+# ---------------------------------------------------------------------
+
+
+def _mini_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_compact_minhash_index_blocks_on_appender_lock(spark, tmp_path):
+    """ADVICE r9: compaction's destructive swap must serialize against
+    in-flight appenders. Mechanism: appenders hold the SHARED
+    maintenance lock, compaction the EXCLUSIVE one -- while a shared
+    holder is live, compact_minhash_index cannot start its read."""
+    import threading
+    import time
+
+    from etl_world_banks_with_python_and_postgresql_spark.committer import (
+        maintenance_lock,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        compact_minhash_index,
+        write_minhash_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_minhash_index(
+        _mini_docs(spark, ["alpha beta gamma delta"] * 3), path
+    )
+    done = threading.Event()
+    result = {}
+
+    def compact():
+        result.update(compact_minhash_index(spark, path))
+        done.set()
+
+    # simulate an in-flight append: hold the shared lock from a second
+    # file description (flock conflicts are per open-file-description,
+    # so this blocks the exclusive acquire even in one process)
+    with maintenance_lock(path, exclusive=False):
+        t = threading.Thread(target=compact, daemon=True)
+        t.start()
+        assert not done.wait(1.5), (
+            "compaction proceeded while an appender held the shared "
+            "maintenance lock"
+        )
+    assert done.wait(120), "compaction never completed after lock release"
+    t.join()
+    assert result["n_docs"] == 3
+
+
+def test_append_blocks_while_compaction_holds_exclusive(spark, tmp_path):
+    """The reverse direction: an append arriving mid-compaction waits
+    instead of landing part files into a directory about to be
+    swapped away."""
+    import threading
+
+    from etl_world_banks_with_python_and_postgresql_spark.committer import (
+        maintenance_lock,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        append_minhash_index,
+        write_minhash_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_minhash_index(_mini_docs(spark, ["one two three four"]), path)
+    done = threading.Event()
+
+    def append():
+        append_minhash_index(
+            _mini_docs(spark, ["five six seven eight"]), path
+        )
+        done.set()
+
+    with maintenance_lock(path, exclusive=True):
+        t = threading.Thread(target=append, daemon=True)
+        t.start()
+        assert not done.wait(1.5), (
+            "append proceeded while compaction held the exclusive lock"
+        )
+    assert done.wait(120), "append never completed after lock release"
+    t.join()
+
+
+def test_compact_then_read_is_consistent(spark, tmp_path):
+    """The example-crash shape (ADVICE r9 high): reads issued AFTER
+    compaction must see the full deduped index; compaction refreshes
+    the catalog path caches so no stale file listing survives."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        append_minhash_index,
+        compact_minhash_index,
+        write_minhash_index,
+    )
+
+    path = str(tmp_path / "idx")
+    docs = _mini_docs(
+        spark, [f"text number {i} alpha beta gamma" for i in range(6)]
+    )
+    write_minhash_index(docs, path)
+    # prime the catalog/file-listing caches with a pre-compaction read
+    pre = spark.read.parquet(f"{path}/sets").count()
+    assert pre == 6
+    # double-append the same batch: duplicate rows + double-counted stats
+    append_minhash_index(docs, path)
+    append_minhash_index(docs, path)
+    stats = compact_minhash_index(spark, path)
+    assert stats["n_docs"] == 6
+    assert stats["set_rows_removed"] == 12
+    post = spark.read.parquet(f"{path}/sets")
+    assert post.count() == 6
+    assert post.select("doc_id").distinct().count() == 6
+
+
+def test_profile_table_keeps_all_null_column(spark):
+    """ADVICE r9: an all-NULL column must appear in the profile with
+    n_distinct_est = 0, not vanish through an inner join."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.constraints import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (3, None, None)],
+        "id long, s string, dead string",
+    )
+    out = {r["column"]: r for r in profile_table(df, k=16).collect()}
+    assert set(out) == {"id", "s", "dead"}
+    dead = out["dead"]
+    assert dead["n_rows"] == 3
+    assert dead["n_null"] == 3
+    assert dead["n_distinct_est"] == 0
+    assert dead["min_str"] is None and dead["max_str"] is None
+    # partially-null column unaffected
+    assert out["s"]["n_distinct_est"] == 2 and out["s"]["n_null"] == 1
+
+
+def test_profile_table_grouped_all_null_within_group(spark):
+    """Grouped variant: a column all-NULL within ONE group profiles as 0
+    for that group while other groups keep their estimates."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.constraints import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", "x"), ("g1", "y"), ("g2", None), ("g2", None)],
+        "g string, v string",
+    )
+    out = {
+        (r["g"], r["column"]): r
+        for r in profile_table(df, columns=["v"], k=16, group_by="g").collect()
+    }
+    assert out[("g1", "v")]["n_distinct_est"] == 2
+    assert out[("g2", "v")]["n_distinct_est"] == 0
+    assert out[("g2", "v")]["n_null"] == 2
+
+
+def test_seasonal_decompose_even_period_double_ma(spark):
+    """ADVICE r9: even periods must use the centered 2x(period) double
+    moving average. On trend+mean-zero-cycle data the double MA
+    recovers the linear trend EXACTLY at interior days (the old
+    -half..half window could not: it spanned period+1 rows and its
+    completeness test matched only truncated edge windows)."""
+    from datetime import date, timedelta
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    period, n_days = 4, 24
+    cycle = [2.0, -1.0, 0.5, -1.5]  # mean-zero
+    rows = [
+        (date(2024, 1, 1) + timedelta(days=i), 10.0 + 0.5 * i + cycle[i % 4])
+        for i in range(n_days)
+    ]
+    df = spark.createDataFrame(rows, "ts date, value double")
+    out = {
+        r["day"]: r
+        for r in seasonal_decompose(df, period=period).collect()
+    }
+    assert len(out) == n_days
+    half = period // 2
+    for i, (day, v) in enumerate(rows):
+        r = out[day]
+        if i < half or i >= n_days - half:
+            assert r["trend"] is None and r["residual"] is None
+        else:
+            # double-MA of a linear series = the series itself
+            expected_trend = 10.0 + 0.5 * i
+            assert abs(r["trend"] - expected_trend) < 1e-9, (i, r)
+            # trend + seasonal + residual reconstructs the value
+            assert abs(r["trend"] + r["seasonal"] + r["residual"] - v) < 1e-9
+
+
+def test_seasonal_decompose_check_gaps(spark):
+    """Gap guard: a missing calendar day raises under check_gaps=True
+    (rows-based MA would silently span the gap); grouped variant names
+    only the gappy series."""
+    from datetime import date, timedelta
+
+    import pytest as _pytest
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    days = [date(2024, 1, 1) + timedelta(days=i) for i in range(10) if i != 4]
+    df = spark.createDataFrame(
+        [(d, 1.0) for d in days], "ts date, value double"
+    )
+    with _pytest.raises(ValueError, match="calendar gaps"):
+        seasonal_decompose(df, period=3, check_gaps=True).collect()
+    # gap-free series passes the guard
+    full = spark.createDataFrame(
+        [(date(2024, 1, 1) + timedelta(days=i), 1.0) for i in range(10)],
+        "ts date, value double",
+    )
+    assert seasonal_decompose(full, period=3, check_gaps=True).count() == 10
+    # grouped: only the gappy group trips
+    g = spark.createDataFrame(
+        [("ok", date(2024, 1, 1) + timedelta(days=i), 1.0) for i in range(6)]
+        + [
+            ("gappy", date(2024, 1, 1) + timedelta(days=i), 1.0)
+            for i in (0, 1, 3, 5)
+        ],
+        "g string, ts date, value double",
+    )
+    with _pytest.raises(ValueError, match="gappy"):
+        seasonal_decompose(g, period=3, group_by="g", check_gaps=True).collect()
+
+
+def test_seasonal_decompose_rejects_nothing_but_stays_odd_exact(spark):
+    """Odd path regression pin: period=3 trend is the plain 3-row MA."""
+    from datetime import date, timedelta
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    rows = [
+        (date(2024, 2, 1) + timedelta(days=i), float(i * i)) for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "ts date, value double")
+    out = {r["day"]: r for r in seasonal_decompose(df, period=3).collect()}
+    d = date(2024, 2, 2)  # values 0,1,4 -> MA 5/3
+    assert abs(out[d]["trend"] - 5.0 / 3.0) < 1e-9
+
+
+def test_streaming_minhash_sink_uses_index_layout_params(spark, tmp_path):
+    """ADVICE r9 (low): within-batch screening must run at the INDEX's
+    (n, k, band_size), not minhash_lsh_pairs defaults, so both
+    screening stages share one similarity definition."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators import dedup
+    from etl_world_banks_with_python_and_postgresql_spark.streaming import (
+        pipeline as spipe,
+    )
+
+    path = str(tmp_path / "idx")
+    dedup.write_minhash_index(
+        _mini_docs(spark, ["seed doc alpha beta gamma delta"]),
+        path,
+        n=4,
+        k=12,
+        band_size=3,
+    )
+    captured = {}
+    real = dedup.minhash_lsh_pairs
+
+    def spy(df, **kw):
+        captured.update(kw)
+        return real(df, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(dedup, "minhash_lsh_pairs", side_effect=spy):
+        sink = spipe.streaming_minhash_novelty_sink(path, threshold=0.5)
+        sink(_mini_docs(spark, ["new doc epsilon zeta eta theta"]), 0)
+    assert captured["n"] == 4
+    assert captured["k"] == 12
+    assert captured["band_size"] == 3
+
+
+def test_minhash_params_extend_beyond_8_cross_engine(spark):
+    """Found by the sink-params test: minhash_signature silently
+    truncated at the 8 fixed permutation pairs, so an index built with
+    k>8 produced 8-long signatures that the band slicer then indexed
+    past. The family now extends deterministically to 64 (first 8
+    frozen) and both engines read the same table -- pin k=16 parity."""
+    import duckdb
+
+    from etl_world_banks_with_python_and_postgresql_spark.functions.xhash import (
+        MINHASH_PARAMS,
+        minhash_signature,
+        minhash_sql_exprs,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        shingle_sets,
+    )
+
+    assert MINHASH_PARAMS[:8] == [
+        (7, 3), (13, 101), (31, 271), (61, 1009),
+        (131, 8191), (251, 524287), (509, 131071), (1021, 2027),
+    ]  # frozen prefix: every committed oracle depends on these
+    assert len(MINHASH_PARAMS) == 64
+    assert len({a for a, _ in MINHASH_PARAMS}) == 64  # distinct perms
+
+    texts = ["alpha beta gamma delta epsilon", "one two three four five six"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in shingle_sets(df, "text", "doc_id", 3)
+        .select("doc_id", minhash_signature(F.col("sh"), k=16).alias("sig"))
+        .collect()
+    }
+    assert all(len(s) == 16 for s in got.values())
+    con = duckdb.connect()
+    exprs = ", ".join(minhash_sql_exprs("sh", k=16))
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        sh = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        row = con.execute(
+            f"SELECT {exprs} FROM (SELECT ? ::VARCHAR[] AS sh)", [sh]
+        ).fetchone()
+        assert list(row) == got[i], f"doc {i} k=16 signature mismatch"
+
+
+def test_minhash_signature_rejects_oversized_k(spark):
+    import pytest as _pytest
+
+    from etl_world_banks_with_python_and_postgresql_spark.functions.xhash import (
+        minhash_signature,
+        minhash_sql_exprs,
+    )
+
+    with _pytest.raises(ValueError, match="exceeds"):
+        minhash_signature(F.array(F.lit("x")), k=65)
+    with _pytest.raises(ValueError, match="exceeds"):
+        minhash_sql_exprs("sh", k=100)
