@@ -2411,6 +2411,33 @@ def z110(spark, sf_dir):
 
 
 @query(
+    "z112_grouped_profile",
+    oracle=_profile_sql(
+        ["lang", "n_chars", "text"], k=64, table="documents",
+        group_by="source",
+    ),
+    description=(
+        "per-GROUP table profile (VERDICT r9 #1: the grouped plan was "
+        "only slice-equivalence-tested, never oracle-gated): "
+        "profile_table(group_by='source') keys the single aggregate on "
+        "(group, column) -- per-shard drift monitoring whose shuffle "
+        "payload stays bounded by groups x columns x k, never row "
+        "count; all-NULL-within-a-group columns profile as "
+        "n_distinct_est=0 via the left-join fix, both engines"
+    ),
+)
+def z112(spark, sf_dir):
+    from ..operators.constraints import profile_table
+
+    return profile_table(
+        load(spark, "documents", sf_dir),
+        columns=["lang", "n_chars", "text"],
+        k=64,
+        group_by="source",
+    )
+
+
+@query(
     "z109_kmv_agg_view",
     oracle=_sketch.kmv_oracle_sql("text", k=64, group_by="lang"),
     description=(

@@ -1050,3 +1050,28 @@ def z111(spark, sf_dir):
         load(spark, "events", sf_dir), value_col="value", ts_col="ts",
         period=7,
     )
+
+
+@query(
+    "z113_grouped_decompose",
+    oracle=_seas_sql(
+        "value", "ts", period=4, table="events", group_by="event_type"
+    ),
+    description=(
+        "per-SERIES seasonal decomposition with an EVEN period (VERDICT "
+        "r9 #1 + ADVICE r9 even-period fix, both driver-gated here): "
+        "seasonal_decompose(period=4, group_by='event_type') partitions "
+        "the moving-average window on the series key -- millions of "
+        "independent series spread by the group hash -- and the even "
+        "period exercises the centered 2x(period) double-MA trend "
+        "(exact 2*sum-first-last integer form over 2*period; NULL on "
+        "period/2 edge days per series)"
+    ),
+)
+def z113(spark, sf_dir):
+    from ..operators.timeseries import seasonal_decompose
+
+    return seasonal_decompose(
+        load(spark, "events", sf_dir), value_col="value", ts_col="ts",
+        period=4, group_by="event_type",
+    )
