@@ -119,12 +119,15 @@ HEADLINE = [
     "z101_cdc_join_view",
     "z102_cdc_agg_view",
     "z103_kmv_source_overlap",
-    "z106_minhash_index_novel",
     "z107_kmv_quantiles",
     "z108_chunk_documents",
     "z109_kmv_agg_view",
     "z110_table_profile",
     "z111_seasonal_decompose",
+    "z112_grouped_profile",
+    "z113_grouped_decompose",
+    "z114_minhash_index_build",
+    "z115_minhash_index_probe",
 ]
 
 
@@ -214,6 +217,51 @@ def warmup(spark) -> None:
         )
 
 
+def _previous_round_bench() -> tuple[str, dict] | None:
+    """Latest committed BENCH_r{N}.json next to this file, parsed."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if best is None:
+        return None
+    try:
+        with open(best) as f:
+            return os.path.basename(best), json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _isolated_rerun(movers: list[str], repeat: int) -> dict:
+    """Re-time flagged entries in a FRESH JVM (one subprocess, block
+    state reset between entries, min-of-N) -- the mechanical
+    adjudication VERDICT r9 #2 asked for: in-suite heap aging produced
+    2-4x phantom swings three rounds running, each needing a manual
+    isolated re-run to dismiss. Returns {name: seconds} (empty on any
+    subprocess failure -- the suite record must never be lost to the
+    adjudicator)."""
+    import subprocess
+
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--only", *movers, "--repeat", str(max(repeat, 3)), "--agg", "min",
+    ]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=1800
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        return json.loads(line).get("queries", {})
+    except Exception as exc:  # noqa: BLE001 - record-and-continue
+        print(f"# isolated rerun FAILED: {exc}", file=sys.stderr)
+        return {}
+
+
 def main() -> None:
     import argparse
 
@@ -229,6 +277,18 @@ def main() -> None:
         choices=("min", "mean"),
         default="min",
         help="per-query aggregate over the repeated runs",
+    )
+    ap.add_argument(
+        "--only",
+        nargs="+",
+        metavar="NAME",
+        help="run only these entries (isolated-adjudication child mode: "
+        "no pipeline_e2e unless named, no recursive isolation)",
+    )
+    ap.add_argument(
+        "--no-isolate",
+        action="store_true",
+        help="skip the automatic fresh-JVM re-run of >1.5x movers",
     )
     args = ap.parse_args()
     repeat = max(1, args.repeat)
@@ -254,18 +314,28 @@ def main() -> None:
         reset_block_state(spark)
     except Exception as exc:  # noqa: BLE001
         errors["reset_block_state"] = f"{type(exc).__name__}: {exc}"[:500]
-    try:
-        runs = [bench_pipeline_e2e(spark) for _ in range(repeat)]
-        timings["pipeline_e2e_2runs"] = round(agg(runs), 3)
-        print(
-            f"# pipeline_e2e_2runs: {timings['pipeline_e2e_2runs']:.3f}s "
-            f"({args.agg} of {runs})",
-            file=sys.stderr,
-        )
-    except Exception as exc:  # noqa: BLE001 - deliberately broad, see above
-        errors["pipeline_e2e_2runs"] = f"{type(exc).__name__}: {exc}"[:500]
-        print(f"# pipeline_e2e_2runs FAILED: {exc}", file=sys.stderr)
-    for name in HEADLINE:
+    headline = HEADLINE
+    run_pipeline_bench = True
+    if args.only:
+        headline = [n for n in args.only if n != "pipeline_e2e_2runs"]
+        unknown = [n for n in headline if n not in REGISTRY]
+        if unknown:
+            print(f"# unknown --only entries: {unknown}", file=sys.stderr)
+            headline = [n for n in headline if n in REGISTRY]
+        run_pipeline_bench = "pipeline_e2e_2runs" in args.only
+    if run_pipeline_bench:
+        try:
+            runs = [bench_pipeline_e2e(spark) for _ in range(repeat)]
+            timings["pipeline_e2e_2runs"] = round(agg(runs), 3)
+            print(
+                f"# pipeline_e2e_2runs: {timings['pipeline_e2e_2runs']:.3f}s "
+                f"({args.agg} of {runs})",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001 - see above
+            errors["pipeline_e2e_2runs"] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# pipeline_e2e_2runs FAILED: {exc}", file=sys.stderr)
+    for name in headline:
         try:
             fn = REGISTRY[name].fn
             runs, n = [], 0
@@ -300,6 +370,28 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    if not args.only and not args.no_isolate:
+        prev = _previous_round_bench()
+        if prev is not None:
+            prev_name, prev_obj = prev
+            prev_q = prev_obj.get("queries", {})
+            movers = sorted(
+                n
+                for n, t in timings.items()
+                if n in prev_q
+                and prev_q[n] > 0
+                and t > 0
+                and max(t / prev_q[n], prev_q[n] / t) > 1.5
+            )[:12]  # bound the adjudication cost
+            out["prev_bench"] = prev_name
+            out["isolated_flagged"] = movers
+            if movers:
+                print(
+                    f"# >1.5x movers vs {prev_name}: {movers}; "
+                    "re-timing in a fresh JVM...",
+                    file=sys.stderr,
+                )
+                out["isolated"] = _isolated_rerun(movers, repeat)
     print(json.dumps(out))
 
 

@@ -980,9 +980,12 @@ def minhash_novel_indexed(
     new_sets = _minhash_prep(batch, text_col, id_col, n, k).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    new_sets.count()  # eager fill (see ngram_jaccard_pairs)
     caches = [new_sets]
     new_bands = _minhash_band_rows(new_sets, k, band_size, n_buckets)
+    # the probed-bucket collect doubles as the persist's eager fill --
+    # the downstream actions here are strictly sequential, so the first
+    # action materializes the cache and no recompute race exists (the
+    # extra count() the pair ops need is one whole job saved per probe)
     probed = sorted(
         r["bucket"] for r in new_bands.select("bucket").distinct().collect()
     )

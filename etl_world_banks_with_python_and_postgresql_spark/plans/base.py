@@ -389,8 +389,15 @@ _DIGIT_RUN_RE = "[0-9]{6,}"
 
 
 def _minhash_novel_oracle(
-    threshold: float = 0.5, corpus_sql: str = "source = 'src0'"
+    threshold: float = 0.5,
+    corpus_sql: str = "source = 'src0'",
+    batch_sql: str | None = None,
 ) -> str:
+    """``batch_sql=None`` keeps the historical shape (batch = every doc
+    NOT in the corpus); an explicit ``batch_sql`` screens only that
+    slice -- the steady-state per-batch probe shape (z115)."""
+    if batch_sql is None:
+        batch_sql = f"NOT ({corpus_sql})"
     sig_exprs = ",\n         ".join(
         f"{e} AS s{i}" for i, e in enumerate(xhash.minhash_sql_exprs("sh", k=8))
     )
@@ -403,7 +410,8 @@ def _minhash_novel_oracle(
 WITH d AS (
   SELECT doc_id, CASE WHEN {corpus_sql} THEN 'c' ELSE 'n' END AS side,
          {_SHINGLES_SQL} AS sh
-  FROM (SELECT doc_id, source, {_TOKENS_SQL} AS w FROM documents)),
+  FROM (SELECT doc_id, source, {_TOKENS_SQL} AS w FROM documents)
+  WHERE ({corpus_sql}) OR ({batch_sql})),
 sig AS (SELECT doc_id, side, sh, {sig_exprs} FROM d),
 bands AS ({band_rows}),
 cand AS (
@@ -416,7 +424,7 @@ dup AS (
             JOIN d sb ON cand.corpus_id = sb.doc_id
   WHERE {_jacc_pred_sql("sa.sh", "sb.sh", threshold)})
 SELECT doc_id, source FROM documents
-WHERE NOT ({corpus_sql}) AND doc_id NOT IN (SELECT new_id FROM dup)
+WHERE ({batch_sql}) AND doc_id NOT IN (SELECT new_id FROM dup)
 """
 
 

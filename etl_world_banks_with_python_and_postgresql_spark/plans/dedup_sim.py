@@ -461,33 +461,116 @@ def z03(spark, sf_dir):
     ).select("doc_id", "source")
 
 
-@query(
-    "z106_minhash_index_novel",
-    oracle=_minhash_novel_oracle(
-        corpus_sql="source IN ('src0', 'src1')"
-    ),
-    description=(
-        "at-rest MinHash-LSH dedup index (the lexical twin of the IVF "
-        "and posting indexes): build over src0, O(|batch|) APPEND src1, "
-        "then screen the remaining sources against the index with both "
-        "reads partition-pruned to the probed buckets. Value-identical "
-        "to minhash_novel over the unioned corpus (candidates join on "
-        "exact band slices; exact-Jaccard verify), so the oracle is the "
-        "same replicated banding over corpus = src0+src1 -- the disk "
-        "roundtrip AND the append are value-transparent"
-    ),
-)
-def z106(spark, sf_dir):
+# --- at-rest MinHash-LSH index: build and probe priced separately ----
+#
+# VERDICT r9 #3: the old single z106 entry conflated the ONE-TIME
+# build+append with the RECURRING probe (~13 Spark actions per bench
+# run), so the gate priced an operation no steady-state pipeline pays
+# per batch. Split: z114 prices build+append (and oracle-verifies the
+# indexed doc set round-trip), z115 prices the probe against a cached
+# on-disk index (first call builds it; bench repeat>=2 min-of-N reports
+# the probe-only steady state, which is the 100 TB recurring cost).
+
+
+def _z_minhash_index_path(sf_dir: str) -> str:
+    import hashlib
+
+    h = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    return f"spark-warehouse/minhash_index_{h}"
+
+
+def _z_minhash_build(spark, sf_dir: str, path: str) -> None:
+    """Build src0 + O(|batch|) append src1, then commit a completion
+    marker carrying a cheap content fingerprint of the source parquet
+    (mtime+size): a half-built index (crash between build and append)
+    or regenerated testdata can never be mistaken for a valid cache."""
+    import os
     import shutil
 
+    from ..committer import commit_json
+
     docs = load(spark, "documents", sf_dir)
-    path = "spark-warehouse/z106_minhash_index"
     shutil.rmtree(path, ignore_errors=True)
     dedup.write_minhash_index(docs.filter(F.col("source") == "src0"), path)
     dedup.append_minhash_index(docs.filter(F.col("source") == "src1"), path)
+    commit_json(
+        os.path.join(path, "_z_cache.json"),
+        {"sf_dir": sf_dir, "fingerprint": _z_docs_fingerprint(sf_dir)},
+    )
+
+
+def _z_docs_fingerprint(sf_dir: str) -> list:
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return [int(st.st_mtime_ns), st.st_size]
+
+
+def _z_minhash_index_cached(spark, sf_dir: str) -> str:
+    import os
+
+    from ..committer import load_json
+
+    path = _z_minhash_index_path(sf_dir)
+    marker, _ = load_json(os.path.join(path, "_z_cache.json"))
+    if (
+        marker is None
+        or marker.get("sf_dir") != sf_dir
+        or marker.get("fingerprint") != _z_docs_fingerprint(sf_dir)
+    ):
+        _z_minhash_build(spark, sf_dir, path)
+    return path
+
+
+@query(
+    "z114_minhash_index_build",
+    oracle="SELECT doc_id, source FROM documents "
+           "WHERE source IN ('src0', 'src1')",
+    description=(
+        "at-rest MinHash-LSH index BUILD cost (one-time): build over "
+        "src0, O(|batch|) append src1 -- bucket-partitioned band slices "
+        "+ verify payloads, sets-before-bands crash ordering, shared "
+        "maintenance-lock protocol. Returns the indexed doc set read "
+        "BACK from the index's verify payloads (joined to documents for "
+        "lineage), so the oracle checks the round trip: exactly the "
+        "src0+src1 docs are indexed, none lost, none duplicated"
+    ),
+)
+def z114(spark, sf_dir):
+    path = _z_minhash_index_path(sf_dir)
+    _z_minhash_build(spark, sf_dir, path)
+    docs = load(spark, "documents", sf_dir)
+    indexed = (
+        spark.read.parquet(f"{path}/sets").select("doc_id").distinct()
+    )
+    return docs.join(indexed, "doc_id").select("doc_id", "source")
+
+
+@query(
+    "z115_minhash_index_probe",
+    oracle=_minhash_novel_oracle(
+        corpus_sql="source IN ('src0', 'src1')",
+        batch_sql="source = 'src2'",
+    ),
+    description=(
+        "at-rest MinHash-LSH index PROBE cost (recurring, the "
+        "steady-state per-batch price): screen ONE incoming source "
+        "batch (src2) against the cached src0+src1 index with both "
+        "index reads partition-pruned to the probed buckets (<= "
+        "n_buckets-int driver actions -> static partition filters). "
+        "Value-identical to minhash_novel(batch, corpus) (candidates "
+        "join on exact band slices; exact-Jaccard verify), so the "
+        "oracle is the same replicated banding -- the disk roundtrip, "
+        "the append AND the cache are value-transparent. First call "
+        "builds the cache; bench min-of-N prices the probe alone"
+    ),
+)
+def z115(spark, sf_dir):
+    path = _z_minhash_index_cached(spark, sf_dir)
+    docs = load(spark, "documents", sf_dir)
     return dedup.minhash_novel_indexed(
         spark,
-        docs.filter(~F.col("source").isin("src0", "src1")),
+        docs.filter(F.col("source") == "src2"),
         path,
         threshold=0.5,
         unpersist_after=False,

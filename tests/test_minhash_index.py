@@ -217,3 +217,45 @@ def test_compact_minhash_index_cleans_reappends_and_preserves_probes(
     # idempotent: a second compaction removes nothing
     again = dedup.compact_minhash_index(spark, path)
     assert again["set_rows_removed"] == 0 and again["band_rows_removed"] == 0
+
+
+def test_z115_probe_cache_invalidates_on_data_change(spark, tmp_path):
+    """The cached-index seam behind z115: a valid marker is reused, a
+    changed documents.parquet fingerprint forces a rebuild, and a
+    missing marker (half-built index) never counts as a cache hit."""
+    import os
+
+    from etl_world_banks_with_python_and_postgresql_spark.committer import load_json
+    from etl_world_banks_with_python_and_postgresql_spark.plans.dedup_sim import (
+        _z_minhash_index_cached,
+        _z_minhash_index_path,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", f"text number {i} alpha beta gamma", "en", 30)
+         for i in range(30)],
+        "doc_id long, source string, text string, lang string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    path = _z_minhash_index_cached(spark, sf)
+    assert path == _z_minhash_index_path(sf)
+    marker1, _ = load_json(os.path.join(path, "_z_cache.json"))
+    assert marker1 is not None
+    # second call: cache hit, marker byte-identical (no rebuild)
+    _z_minhash_index_cached(spark, sf)
+    marker2, _ = load_json(os.path.join(path, "_z_cache.json"))
+    assert marker2 == marker1
+    # touch the parquet -> fingerprint changes -> rebuild
+    pq = f"{sf}/documents.parquet"
+    os.utime(pq, ns=(os.stat(pq).st_mtime_ns + 10**9,) * 2)
+    _z_minhash_index_cached(spark, sf)
+    marker3, _ = load_json(os.path.join(path, "_z_cache.json"))
+    assert marker3["fingerprint"] != marker1["fingerprint"]
+    # missing marker (simulated torn build) -> rebuild restores it
+    os.remove(os.path.join(path, "_z_cache.json"))
+    _z_minhash_index_cached(spark, sf)
+    marker4, _ = load_json(os.path.join(path, "_z_cache.json"))
+    assert marker4 == marker3
