@@ -316,10 +316,11 @@ def q45(spark, sf_dir):
 
 @query(
     "q97_ivf_indexed_ann",
-    # Upgraded from rows-only in round 4: stride-sampled centroids, cell
+    # Upgraded from rows-only in round 4: hash-sampled centroids, cell
     # assignment, probing, and the final top-k are all deterministic SQL.
-    # The oracle recomputes the ENTIRE lifecycle -- the same every-
-    # ceil(N/8)-th-by-id centroids, the same (cosine, cell)-max cell
+    # The oracle recomputes the ENTIRE lifecycle -- the same
+    # 8-smallest-id-hash centroids (one scan, no corpus sort: VERDICT r9
+    # #4), the same (cosine, cell)-max cell
     # assignment and n_probe=4 probe set, the same k=5 ranking -- so the
     # disk roundtrip must be value-transparent, not merely row-shaped.
     # (Result equality with in-memory ivf_topk + directory pruning stay
@@ -327,10 +328,13 @@ def q45(spark, sf_dir):
     oracle="""
 WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
 cent AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  SELECT row_number() OVER (
+           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 12))::BIGINT,
+                    vec_id) - 1 AS cell,
+         v AS cv
   FROM e
-  WHERE vec_id % greatest((SELECT count(*) FROM e) // 8, 1) = 0
-  ORDER BY vec_id LIMIT 8),
+  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 12))::BIGINT, vec_id
+  LIMIT 8),
 cell_scores AS (
   SELECT e.vec_id, e.v, cent.cell,
          list_dot_product(e.v, cent.cv)
@@ -1371,10 +1375,13 @@ def z81(spark, sf_dir):
     oracle="""
 WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
 cent AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  SELECT row_number() OVER (
+           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 12))::BIGINT,
+                    vec_id) - 1 AS cell,
+         v AS cv
   FROM e
-  WHERE vec_id % greatest((SELECT count(*) FROM e) // 8, 1) = 0
-  ORDER BY vec_id LIMIT 8),
+  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 12))::BIGINT, vec_id
+  LIMIT 8),
 cell_scores AS (
   SELECT e.vec_id, cent.cell,
          list_dot_product(e.v, cent.cv)
@@ -1398,10 +1405,10 @@ SELECT cell, rank, vec_id, cos_to_centroid FROM r WHERE rank <= 2
 """,
     description=(
         "embedding-space diversity subset: the 2 most central vectors of "
-        "each stride-centroid cell (SemDeDup-adjacent cluster "
+        "each hash-centroid cell (SemDeDup-adjacent cluster "
         "representatives -- the cheap coreset for curriculum/eval-set "
         "building). Centroid literals baked into a codegen assignment "
-        "expression (no shuffle), one per-cell window; stride sampling "
+        "expression (no shuffle), one per-cell window; hash sampling "
         "keeps the whole lifecycle SQL-replicable, so the oracle "
         "recomputes centroids, assignment (q97 tiebreak), and ranks"
     ),
