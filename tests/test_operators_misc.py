@@ -3181,3 +3181,94 @@ def test_lsh_multiprobe_rejects_unsupported_hamming(spark):
     emb = load(spark, "embeddings", SF)
     with pytest.raises(ValueError, match="hamming=2"):
         lsh_bucketed_topk(emb, emb.limit(1), [[1.0] * 64], hamming=2)
+
+
+def test_positional_index_size_controls_lossless(spark, tmp_path):
+    """VERDICT r9 #6: gap-encoded positions + zstd must shrink the index
+    while phrase results stay bit-identical, and a legacy
+    absolute-positions index (no positions_encoding in stats) must
+    still probe correctly."""
+    import os
+    import subprocess
+
+    from etl_world_banks_with_python_and_postgresql_spark.committer import (
+        commit_json,
+        load_json,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.operators.text import (
+        _build_postings,
+        append_posting_index,
+        phrase_search,
+        phrase_search_indexed,
+        token_count,
+        write_posting_index,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.functions.xhash import (
+        ws_tokens,
+    )
+
+    # long documents: repeat the corpus text so positions grow past the
+    # gap sizes (where delta encoding actually pays)
+    docs = (
+        load(spark, "documents", SF)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[F.col("text")] * 10).alias("text"),
+        )
+    )
+    phrase = ["the", "central", "bank"]
+
+    def du(p):
+        return int(subprocess.check_output(["du", "-sb", p]).split()[0])
+
+    new_p = str(tmp_path / "idx_new")
+    write_posting_index(docs, new_p, positional=True)
+    stats, _ = load_json(os.path.join(new_p, "_postings_stats.json"))
+    assert stats["positions_encoding"] == "delta"
+    assert stats["compression"] == "zstd"
+
+    # legacy layout: absolute positions + snappy, stats without the key
+    old_p = str(tmp_path / "idx_old")
+    toks = ws_tokens(F.col("text"))
+    _build_postings(
+        docs, toks, "text", "doc_id", 64, True, encoding="absolute"
+    ).write.option("compression", "snappy").partitionBy("bucket").parquet(
+        old_p
+    )
+    agg = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("s"),
+    ).collect()[0]
+    commit_json(
+        os.path.join(old_p, "_postings_stats.json"),
+        {"n_docs": agg["n"], "sum_dl": agg["s"], "n_buckets": 64,
+         "positional": True},
+    )
+
+    assert du(new_p) < du(old_p), (du(new_p), du(old_p))
+
+    scan = [tuple(r) for r in phrase_search(docs, phrase, k=20).collect()]
+    got_new = [
+        tuple(r) for r in phrase_search_indexed(spark, new_p, phrase, k=20).collect()
+    ]
+    got_old = [
+        tuple(r) for r in phrase_search_indexed(spark, old_p, phrase, k=20).collect()
+    ]
+    assert got_new == scan and got_old == scan  # bit-identical, both eras
+
+    # appends inherit the index's own encoding (legacy stays absolute,
+    # new stays delta) and phrase equivalence holds after the append
+    extra = spark.createDataFrame(
+        [(10**9, "the central bank of the central bank")],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(extra)
+    append_posting_index(extra, new_p)
+    append_posting_index(extra, old_p)
+    scan2 = [tuple(r) for r in phrase_search(both, phrase, k=20).collect()]
+    assert [
+        tuple(r) for r in phrase_search_indexed(spark, new_p, phrase, k=20).collect()
+    ] == scan2
+    assert [
+        tuple(r) for r in phrase_search_indexed(spark, old_p, phrase, k=20).collect()
+    ] == scan2
