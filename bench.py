@@ -128,6 +128,8 @@ HEADLINE = [
     "z113_grouped_decompose",
     "z114_minhash_index_build",
     "z115_minhash_index_probe",
+    "z116_epoch_shuffle",
+    "z117_stride_interleave",
 ]
 
 

@@ -26,6 +26,8 @@ the north-star brief (BASELINE.json).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -734,3 +736,96 @@ def cluster_safe_split(
         .otherwise(F.lit("test"))
     )
     return labeled.withColumn("split", split)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int = 0,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle, written as shards:
+    each row gets a pseudo-random 48-bit key from ``md5(seed:id)``, a
+    shard assignment ``key % n_shards``, and a 1-based position within
+    its shard -- the (shard, pos) pair IS the epoch's read order
+    (readers consume shards round-robin or in parallel). Changing
+    ``seed`` re-deals the entire order; keeping it reproduces the epoch
+    bit-for-bit on any cluster layout, which is what makes training
+    runs resumable and comparable.
+
+    Scale shape: ONE shuffle keyed on the shard id and one window per
+    shard (corpus/n_shards rows each) -- never a global sort or a
+    single-partition window; at 100 TB you raise n_shards with the
+    executor count. The key is a pure per-row expression, so the
+    assignment needs no state and re-runs land identically (the DuckDB
+    oracle recomputes the same md5 ordering).
+    """
+    from .sketch import md5_hash48
+
+    key = md5_hash48(
+        F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    w = W.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.withColumn("shuffle_key", key)
+        .withColumn(
+            "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+        )
+        .withColumn("pos", F.row_number().over(w))
+    )
+
+
+def stride_interleave(
+    df: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic proportional interleave of sources into one
+    training order (stride scheduling, Waldspurger '95 -- the schedule
+    a curriculum/mixture spec compiles to): a source with integer
+    weight w is visited w times per round, so sorting by the emitted
+    ``interleave_key`` yields a stream where, in every prefix, source
+    shares track ``weights`` to within one round.
+
+    Mechanics: rows rank r = 1.. within their source (content-hash
+    order, id tie-break -- the ``stratified_take`` determinism), and
+    ``interleave_key = (2r - 1) * (L // w)`` with L = lcm(weights):
+    pure integer arithmetic (exact; no float pass positions), ties
+    broken by (source, rank). Sources absent from ``weights`` are
+    EXCLUDED (an interleave spec is a whitelist -- the mixing tables
+    z28/z92 produce one).
+
+    Scale shape: one window per source (rank) + pure expressions; the
+    GLOBAL order is delivered as a sort KEY, not a materialized global
+    row number -- consumers range-partition or sort by
+    (interleave_key, source, rank) when writing, so no single-partition
+    window exists anywhere (the z90 discipline).
+    """
+    if not weights:
+        raise ValueError("stride_interleave: weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(
+            f"stride_interleave: weights must be positive ints, got {weights}"
+        )
+    lcm = 1
+    for v in weights.values():
+        lcm = math.lcm(lcm, v)
+    strides = F.create_map(
+        *[
+            x
+            for s, wt in sorted(weights.items())
+            for x in (F.lit(s), F.lit(lcm // wt))
+        ]
+    )
+    w = W.partitionBy(source_col).orderBy(F.md5(F.col(text_col)), F.col(id_col))
+    return (
+        df.filter(F.col(source_col).isin(list(weights)))
+        .withColumn("src_rank", F.row_number().over(w))
+        .withColumn(
+            "interleave_key",
+            (F.lit(2) * F.col("src_rank") - F.lit(1))
+            * strides[F.col(source_col)],
+        )
+    )

@@ -1991,3 +1991,70 @@ def z103(spark, sf_dir):
     return _sketch.kmv_source_overlap(
         load(spark, "documents", sf_dir), "text", source_col="source", k=256
     )
+
+
+@query(
+    "z116_epoch_shuffle",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 12))::BIGINT
+             AS shuffle_key
+  FROM documents)
+SELECT doc_id, shuffle_key,
+       (shuffle_key % 8)::INT AS shard,
+       row_number() OVER (PARTITION BY shuffle_key % 8
+                          ORDER BY shuffle_key, doc_id) AS pos
+FROM keyed
+""",
+    description=(
+        "deterministic epoch shuffle for training order: 48-bit "
+        "md5(seed:id) key deals every row to a shard and ranks it "
+        "inside -- (shard, pos) IS the epoch's read order, "
+        "reproducible bit-for-bit from the seed on any cluster "
+        "layout. One shuffle keyed on shard + per-shard windows "
+        "(corpus/n_shards rows each); NO global sort or "
+        "single-partition window, so a 100 TB epoch shuffles once "
+        "and writes n_shards independent streams"
+    ),
+)
+def z116(spark, sf_dir):
+    from ..operators.train_prep import epoch_shuffle
+
+    return epoch_shuffle(
+        load(spark, "documents", sf_dir), seed=7, n_shards=8
+    ).select("doc_id", "shuffle_key", "shard", "pos")
+
+
+@query(
+    "z117_stride_interleave",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(text), doc_id) AS src_rank
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2'))
+SELECT doc_id, source, src_rank,
+       (2 * src_rank - 1) * CASE source WHEN 'src0' THEN 2
+                                        WHEN 'src1' THEN 3
+                                        ELSE 6 END AS interleave_key
+FROM r
+""",
+    description=(
+        "stride-scheduled proportional interleave of sources into one "
+        "training stream (weights src0:3 src1:2 src2:1): every prefix "
+        "of the interleave_key order tracks the weight mix to within "
+        "one round, by exact integer arithmetic (no float pass "
+        "positions, bit-portable). One rank window per source + pure "
+        "expressions; the global order ships as a SORT KEY consumers "
+        "range-partition on, never a materialized global row_number"
+    ),
+)
+def z117(spark, sf_dir):
+    from ..operators.train_prep import stride_interleave
+
+    return stride_interleave(
+        load(spark, "documents", sf_dir),
+        weights={"src0": 3, "src1": 2, "src2": 1},
+    ).select("doc_id", "source", "src_rank", "interleave_key")

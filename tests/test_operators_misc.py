@@ -3272,3 +3272,66 @@ def test_positional_index_size_controls_lossless(spark, tmp_path):
     assert [
         tuple(r) for r in phrase_search_indexed(spark, old_p, phrase, k=20).collect()
     ] == scan2
+
+
+def test_epoch_shuffle_reproducible_and_seed_sensitive(spark):
+    """An epoch is a function of the seed alone: same seed -> identical
+    (shard, pos) per doc across independent runs; a new seed re-deals
+    the order; (shard, pos) is a dense 1..n_s numbering per shard that
+    covers every row exactly once."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
+        epoch_shuffle,
+    )
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    n = docs.count()
+
+    def order(seed):
+        return {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in epoch_shuffle(docs, seed=seed, n_shards=4).collect()
+        }
+
+    a, b = order(7), order(7)
+    assert a == b  # bit-reproducible epoch
+    assert len(a) == n  # every row dealt exactly once
+    assert order(8) != a  # new seed -> new deal
+
+    # dense per-shard positions: pos is exactly 1..count(shard)
+    by_shard: dict = {}
+    for shard, pos in a.values():
+        by_shard.setdefault(shard, []).append(pos)
+    assert set(by_shard) == set(range(4))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_stride_interleave_prefix_shares_and_validation(spark):
+    """Stride scheduling's defining invariant: with weights a:2 b:1,
+    every prefix of length 3k of the interleave_key order holds exactly
+    2k a-rows and k b-rows; unlisted sources are excluded; bad weights
+    fail fast."""
+    import pytest
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
+        stride_interleave,
+    )
+
+    rows = [(i, f"text {i}", "a" if i < 60 else ("b" if i < 90 else "c"))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out = stride_interleave(df, weights={"a": 2, "b": 1}).orderBy(
+        "interleave_key", "source", "src_rank"
+    )
+    seq = [r["source"] for r in out.collect()]
+    assert "c" not in seq  # whitelist semantics
+    assert len(seq) == 90
+    for k in range(1, 31):
+        prefix = seq[: 3 * k]
+        assert prefix.count("a") == 2 * k and prefix.count("b") == k
+
+    with pytest.raises(ValueError):
+        stride_interleave(df, weights={})
+    with pytest.raises(ValueError):
+        stride_interleave(df, weights={"a": 0})
