@@ -130,6 +130,7 @@ HEADLINE = [
     "z115_minhash_index_probe",
     "z116_epoch_shuffle",
     "z117_stride_interleave",
+    "z118_line_dedup",
 ]
 
 

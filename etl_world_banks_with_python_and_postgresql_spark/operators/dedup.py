@@ -1297,3 +1297,126 @@ def exact_substring_dedup(
             F.coalesce(F.col("_cleaned"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_dup_docs: int = 2,
+    min_line_chars: int = 1,
+    split_regex: str = "\n",
+    rejoin: str = "\n",
+) -> DataFrame:
+    """CCNet-style line-level corpus dedup (Wenzek et al., LREC 2020):
+    drop every line that occurs in >= ``min_dup_docs`` DISTINCT
+    documents -- the standard boilerplate-removal pass (nav menus,
+    cookie banners, footers) that runs before document-level dedup in
+    web-corpus pipelines. Lines shorter than ``min_line_chars`` are
+    exempt (never counted, never dropped), the usual guard that keeps
+    empty lines and bullets from being nuked corpus-wide.
+
+    Returns one row per input doc: ``(id, text_dedup, n_lines_kept,
+    n_lines_dropped)`` with surviving lines rejoined in original order
+    (a doc whose every line is boilerplate survives as '').
+
+    Scale shape: one explode over lines, then the corpus-wide line
+    frequency is aggregated on ``md5(line)`` -- a fixed-width 32-char
+    shuffle key however long the lines are, with map-side partial
+    counts. The DROP SET (lines present in >= min_dup_docs docs) is
+    the only thing joined back, via LEFT ANTI on the hash: at 100 TB
+    the drop set is the boilerplate vocabulary -- orders of magnitude
+    smaller than the corpus -- so AQE picks a broadcast for it while
+    the big side streams. Identical content implies identical length,
+    so exempt short lines can never collide into the drop set: the
+    anti join alone is exact. Reassembly is one groupBy(id) with an
+    array_sort over (pos, line) structs -- per-doc state only, never a
+    global sort.
+    """
+    if min_dup_docs < 2:
+        raise ValueError(
+            f"line_dedup: min_dup_docs must be >= 2, got {min_dup_docs}"
+        )
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), split_regex, -1)).alias(
+            "pos", "line"
+        ),
+    )
+    drop_set = (
+        lines.filter(F.length("line") >= min_line_chars)
+        .select(F.md5("line").alias("lh"), F.col(id_col))
+        .groupBy("lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_dup_docs)
+        .select("lh")
+    )
+    kept = lines.withColumn("lh", F.md5("line")).join(
+        drop_set, "lh", "left_anti"
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+            rejoin,
+        ).alias("_text_dedup"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), split_regex, -1)).alias("_n0"),
+    )
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("_text_dedup"), F.lit("")).alias("text_dedup"),
+        F.coalesce(F.col("_n_kept"), F.lit(0)).cast("int").alias(
+            "n_lines_kept"
+        ),
+        (F.col("_n0") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_lines_dropped"),
+    )
+
+
+def line_dedup_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_dup_docs: int = 2,
+    min_line_chars: int = 1,
+) -> str:
+    """DuckDB twin of :func:`line_dedup` (newline split only). Owned by
+    the operator so the gated entry and any caller share one
+    definition."""
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, string_split({text_col}, chr(10)) AS ls
+  FROM {table}),
+lines AS (
+  SELECT doc_id,
+         unnest([{{'pos': i, 'line': ls[i]}}
+                 FOR i IN generate_series(1, len(ls))],
+                recursive := true)
+  FROM t),
+dup AS (
+  SELECT md5(line) AS lh
+  FROM lines
+  WHERE length(line) >= {min_line_chars}
+  GROUP BY 1
+  HAVING count(DISTINCT doc_id) >= {min_dup_docs}),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l LEFT JOIN dup d ON md5(l.line) = d.lh
+  WHERE d.lh IS NULL)
+SELECT t.doc_id,
+       coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '')
+           AS text_dedup,
+       count(k.pos)::INT AS n_lines_kept,
+       (len(t.ls) - count(k.pos))::INT AS n_lines_dropped
+FROM t LEFT JOIN kept k USING (doc_id)
+GROUP BY t.doc_id, len(t.ls)
+"""

@@ -1643,3 +1643,57 @@ def z105(spark, sf_dir):
     return multimodal.lossless_jpeg_roundtrip_stats(
         load(spark, "documents", sf_dir)
     )
+
+
+def _line_dedup_aug_sql() -> str:
+    """doc-id-keyed boilerplate augmentation: sf documents are
+    single-line, so the gated corpus gets one of three shared footer
+    lines (corpus-wide duplicates -> dropped) plus one per-doc ref line
+    (unique -> kept). Twin of the Spark aug in z118."""
+    return """
+aug AS (
+  SELECT doc_id,
+         text || chr(10) ||
+         CASE (doc_id % 3) WHEN 0 THEN 'subscribe to our newsletter'
+                           WHEN 1 THEN 'all rights reserved'
+                           ELSE 'click here to continue' END ||
+         chr(10) || 'ref ' || doc_id::VARCHAR AS t
+  FROM documents)
+"""
+
+
+@query(
+    "z118_line_dedup",
+    oracle="WITH "
+    + _line_dedup_aug_sql()
+    + dedup.line_dedup_oracle_sql(
+        table="aug", text_col="t", min_dup_docs=2
+    ).replace("WITH t AS", ", t AS", 1),
+    description=(
+        "CCNet-style line-level boilerplate removal (Wenzek et al. LREC "
+        "2020): lines occurring in >= 2 distinct docs are dropped "
+        "corpus-wide, survivors rejoined in order. Line frequency "
+        "aggregates on md5(line) (fixed-width shuffle key, map-side "
+        "combine); only the DROP SET joins back via LEFT ANTI -- the "
+        "boilerplate vocabulary is orders of magnitude smaller than "
+        "the corpus, so AQE broadcasts it at scale. Gated corpus "
+        "plants 3 shared footer lines + 1 unique ref line per doc"
+    ),
+)
+def z118(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    footers = F.array(
+        F.lit("subscribe to our newsletter"),
+        F.lit("all rights reserved"),
+        F.lit("click here to continue"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.element_at(footers, (F.col("doc_id") % 3 + 1).cast("int")),
+            F.concat(F.lit("ref "), F.col("doc_id").cast("string")),
+        ).alias("t"),
+    )
+    return dedup.line_dedup(aug, text_col="t", min_dup_docs=2)

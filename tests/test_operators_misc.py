@@ -3335,3 +3335,40 @@ def test_stride_interleave_prefix_shares_and_validation(spark):
         stride_interleave(df, weights={})
     with pytest.raises(ValueError):
         stride_interleave(df, weights={"a": 0})
+
+
+def test_line_dedup_semantics(spark):
+    """CCNet line-removal contract: a line is dropped iff it occurs in
+    >= min_dup_docs DISTINCT docs and is >= min_line_chars long; order
+    is preserved on rejoin; a fully-boilerplate doc survives as ''."""
+    import pytest
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        line_dedup,
+    )
+
+    rows = [
+        (1, "alpha\nfooter\nbeta\n\nfooter"),  # footer dup'd, empty exempt
+        (2, "footer\ngamma"),
+        (3, "footer"),                          # all-boilerplate doc
+        (4, "delta\ndelta"),                    # intra-doc repeat: 1 doc only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text_dedup"], r["n_lines_kept"], r["n_lines_dropped"])
+        for r in line_dedup(df, min_dup_docs=2, min_line_chars=1).collect()
+    }
+    assert out[1] == ("alpha\nbeta\n", 3, 2)  # order kept, empty line kept
+    assert out[2] == ("gamma", 1, 1)
+    assert out[3] == ("", 0, 1)
+    assert out[4] == ("delta\ndelta", 2, 0)  # distinct-doc count, not total
+
+    # exemption: with min_line_chars=7 the 6-char 'footer' is untouchable
+    safe = {
+        r["doc_id"]: r["n_lines_dropped"]
+        for r in line_dedup(df, min_dup_docs=2, min_line_chars=7).collect()
+    }
+    assert safe == {1: 0, 2: 0, 3: 0, 4: 0}
+
+    with pytest.raises(ValueError):
+        line_dedup(df, min_dup_docs=1)
