@@ -131,6 +131,7 @@ HEADLINE = [
     "z116_epoch_shuffle",
     "z117_stride_interleave",
     "z118_line_dedup",
+    "z119_vocab_encode",
 ]
 
 

@@ -829,3 +829,91 @@ def stride_interleave(
             * strides[F.col(source_col)],
         )
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Frequency-ranked token vocabulary with dense ids: the top
+    ``top_n`` whitespace tokens by (count desc, token asc) get
+    ``token_id`` 1..top_n -- the frozen id table a trainer's encode
+    step joins against. Ties break lexically so the vocabulary is a
+    pure function of the corpus (rerun/engine stable).
+
+    Scale shape: one explode + one map-side-combined count keyed on the
+    token, then a TakeOrdered ``limit(top_n)`` (per-partition top-k
+    merge, never a full sort); the id-assigning window runs over the
+    LIMITED top_n rows only -- vocab-sized, corpus-independent.
+    """
+    from ..functions.xhash import ws_tokens
+
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+    ).otherwise(ws_tokens(F.col(text_col)))
+    order = [F.desc("n"), F.asc("tokn")]
+    return (
+        df.select(F.explode(toks).alias("tokn"))
+        .groupBy("tokn")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(*order)
+        .limit(top_n)
+        .withColumn("token_id", F.row_number().over(W.orderBy(*order)))
+    )
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Encode documents as integer token-id arrays against a frozen
+    vocabulary (:func:`build_vocab` output) -- the corpus -> trainer
+    handoff format. Unknown tokens map to ``oov_id``; per-doc ``n_oov``
+    makes coverage auditable (the z84 OOV-rate contract, but producing
+    the encoded arrays, not just the rate).
+
+    Returns ``(id, token_ids array<int>, n_tokens, n_oov)``; empty docs
+    encode as empty arrays.
+
+    Scale shape: explode -> LEFT equi-join on the token (the vocab side
+    is top_n rows, broadcast) -> one groupBy(id) reassembly with an
+    array_sort over (pos, id) structs. Per-doc state only; the corpus
+    is scanned once and shuffled once on the doc id.
+    """
+    from ..functions.xhash import ws_tokens
+
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+    ).otherwise(ws_tokens(F.col(text_col)))
+    pos = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "tokn")
+    )
+    enc = pos.join(
+        F.broadcast(vocab.select("tokn", "token_id")), "tokn", "left"
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.coalesce(F.col("token_id"), F.lit(oov_id)).cast("int").alias("tid"),
+    )
+    agg = enc.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("tid")))),
+            lambda s: s["tid"],
+        ).alias("_ids"),
+        F.count(F.lit(1)).alias("_n"),
+        F.sum((F.col("tid") == oov_id).cast("int")).alias("_oov"),
+    )
+    return df.select(F.col(id_col)).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("_ids"), F.array().cast("array<int>")).alias(
+            "token_ids"
+        ),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("int").alias("n_tokens"),
+        F.coalesce(F.col("_oov"), F.lit(0)).cast("int").alias("n_oov"),
+    )

@@ -2058,3 +2058,55 @@ def z117(spark, sf_dir):
         load(spark, "documents", sf_dir),
         weights={"src0": 3, "src1": 2, "src2": 1},
     ).select("doc_id", "source", "src_rank", "interleave_key")
+
+
+@query(
+    "z119_vocab_encode",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w
+  FROM documents),
+counts AS (
+  SELECT tokn, count(*) AS n
+  FROM (SELECT unnest(w) AS tokn FROM tok)
+  GROUP BY 1),
+vocab AS (
+  SELECT tokn,
+         row_number() OVER (ORDER BY n DESC, tokn) AS token_id
+  FROM counts ORDER BY n DESC, tokn LIMIT 64),
+pos AS (
+  SELECT doc_id,
+         unnest([{'pos': i, 'tokn': w[i]}
+                 FOR i IN generate_series(1, len(w))],
+                recursive := true)
+  FROM tok),
+enc AS (
+  SELECT p.doc_id, p.pos, coalesce(v.token_id, 0)::INT AS tid
+  FROM pos p LEFT JOIN vocab v USING (tokn)),
+agg AS (
+  SELECT doc_id, list(tid ORDER BY pos) AS token_ids,
+         count(*) AS n, sum((tid = 0)::INT) AS oov
+  FROM enc GROUP BY 1)
+SELECT t.doc_id,
+       coalesce(a.token_ids, []::INT[]) AS token_ids,
+       coalesce(a.n, 0)::INT AS n_tokens,
+       coalesce(a.oov, 0)::INT AS n_oov
+FROM tok t LEFT JOIN agg a USING (doc_id)
+""",
+    description=(
+        "frozen-vocabulary token-id encoding (the corpus -> trainer "
+        "handoff): top-64 tokens by (count desc, token asc) get dense "
+        "ids 1..64, docs re-emit as int id arrays with OOV=0 and "
+        "auditable per-doc OOV counts. Vocab = one map-side-combined "
+        "count + TakeOrdered limit (id window runs over the LIMITED "
+        "64 rows only); encode = explode -> broadcast left join on the "
+        "vocab -> one groupBy(doc) ordered reassembly"
+    ),
+)
+def z119(spark, sf_dir):
+    from ..operators.train_prep import build_vocab, encode_tokens
+
+    docs = load(spark, "documents", sf_dir)
+    return encode_tokens(docs, build_vocab(docs, top_n=64))

@@ -3372,3 +3372,34 @@ def test_line_dedup_semantics(spark):
 
     with pytest.raises(ValueError):
         line_dedup(df, min_dup_docs=1)
+
+
+def test_build_vocab_and_encode_tokens(spark):
+    """Vocabulary ids are dense 1..top_n in (count desc, token asc)
+    order; encoding maps OOV to oov_id, preserves token order, and
+    encodes empty docs as empty arrays."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
+        build_vocab,
+        encode_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "b a b c"), (2, "a b zz"), (3, "")],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(df, top_n=2)
+    v = {r["tokn"]: (r["token_id"], r["n"]) for r in vocab.collect()}
+    # counts: b=3, a=2, c=1, zz=1 -> top2 = b(id 1), a(id 2)
+    assert v == {"b": (1, 3), "a": (2, 2)}
+
+    out = {
+        r["doc_id"]: (r["token_ids"], r["n_tokens"], r["n_oov"])
+        for r in encode_tokens(df, vocab).collect()
+    }
+    assert out[1] == ([1, 2, 1, 0], 4, 1)  # c is OOV, order preserved
+    assert out[2] == ([2, 1, 0], 3, 1)
+    assert out[3] == ([], 0, 0)  # empty doc -> empty array
+
+    # min_count prunes the long tail before the top-k
+    v2 = build_vocab(df, top_n=10, min_count=2)
+    assert {r["tokn"] for r in v2.collect()} == {"a", "b"}

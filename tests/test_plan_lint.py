@@ -101,6 +101,9 @@ WHITELIST = {
     # percentile cuts and the grand total are each ONE broadcast row
     # crossed into the row-local decile/share expressions
     "z74_revenue_pareto": "two 1-row broadcast sides (cuts + total)",
+    # the id-assigning window runs over the limit(top_n)-bounded vocab
+    # rows only (TakeOrdered upstream): vocab-sized, corpus-independent
+    "z119_vocab_encode": "global window over the limit(top_n)-bounded vocab axis",
 }
 
 
