@@ -917,3 +917,43 @@ def encode_tokens(
         F.coalesce(F.col("_n"), F.lit(0)).cast("int").alias("n_tokens"),
         F.coalesce(F.col("_oov"), F.lit(0)).cast("int").alias("n_oov"),
     )
+
+
+def write_epoch_shards(
+    df: DataFrame,
+    path: str,
+    seed: int = 0,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    mode: str = "error",
+) -> dict:
+    """Materialize an epoch's read order (:func:`epoch_shuffle`) as
+    ``path/shard=K/`` parquet, each shard's rows PHYSICALLY in ``pos``
+    order -- the on-disk handoff a data loader consumes sequentially
+    (round-robin or one worker per shard) without any read-time sort.
+
+    Layout contract: ``repartition(n_shards, shard)`` puts exactly one
+    shard in one task, ``sortWithinPartitions(shard, pos)`` orders it,
+    and the partitioned writer emits it as one ordered file per shard
+    (readers that split files at scale re-assert order by the persisted
+    ``pos`` column -- it is stored, not implied). Returns shard row
+    counts so the caller can assert coverage.
+    """
+    ep = epoch_shuffle(df, seed=seed, n_shards=n_shards, id_col=id_col)
+    (
+        ep.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.partitionBy("shard")
+        .mode(mode)
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    counts = {
+        r["shard"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return {"n_shards": len(counts), "rows": sum(counts.values()),
+            "shard_rows": counts}

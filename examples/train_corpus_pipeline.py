@@ -8,6 +8,7 @@ Usage:
 Stages (each is an oracle- or property-verified operator on its own):
 
   1. exact dedup        content-hash survivors        dedup.exact_duplicates
+  1.5 line dedup        CCNet boilerplate-line pass   dedup.line_dedup
   2. near-dedup         3-gram Jaccard pairs >= 0.8   dedup.ngram_jaccard_pairs
                         -> connected components       dedup.duplicate_clusters
                         -> drop non-survivor members
@@ -20,6 +21,9 @@ Stages (each is an oracle- or property-verified operator on its own):
   6.6 fluency gate      corpus-bigram LM score        plans (z88 shape)
   7. split              content-hash 80/10/10         train_prep.hash_split
   8. packing            2048-token bins per source    train_prep.pack_token_bins
+  8.5 vocab encoding    top-512 ids, OOV audited      train_prep.build_vocab/encode_tokens
+  8.6 training order    3:2:1 stride interleave +     train_prep.stride_interleave
+                        seeded epoch shuffle          train_prep.epoch_shuffle
   9. chunking           64-token windows, stride 48   train_prep.chunk_token_windows
   10. mixing quota      largest-remainder allocation  plans (z92 shape)
   11. shard manifest    token-budget shards           prefix.token_shards
@@ -60,6 +64,18 @@ def main() -> None:
     keep = dedup.exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
     docs = docs.join(keep, "doc_id", "left_semi")
     stage["exact_dedup"] = docs.count()
+
+    # 1.5. line-level boilerplate removal (CCNet pass): drop lines that
+    # survive exact dedup yet still occur in >= 2 distinct docs. The
+    # synthetic corpus is single-line, so this mostly demonstrates the
+    # plumbing (drop set ~empty after stage 1); on crawled data this is
+    # where nav menus and cookie banners die.
+    ld = dedup.line_dedup(docs, min_dup_docs=2)
+    docs = (
+        docs.join(ld.filter(F.col("n_lines_kept") > 0), "doc_id")
+        .select("doc_id", "lang", "source", F.col("text_dedup").alias("text"))
+    )
+    stage["line_dedup"] = docs.count()
 
     # 2. near-dedup: pairs -> clusters -> keep each cluster's min id
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
@@ -117,6 +133,30 @@ def main() -> None:
         )
         .orderBy("split", "source")
     )
+    # 8.5. frozen-vocab token-id encoding of the train split: the
+    # corpus -> trainer handoff (ids against the top-512 vocabulary,
+    # OOV=0, per-doc coverage auditable)
+    from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
+        build_vocab,
+        encode_tokens,
+        epoch_shuffle,
+        stride_interleave,
+    )
+
+    train = docs.filter(F.col("split") == "train")
+    vocab = build_vocab(train, top_n=512)
+    encoded = encode_tokens(train, vocab)
+    oov = encoded.agg(
+        F.sum("n_oov").alias("oov"), F.sum("n_tokens").alias("tok")
+    ).first()
+
+    # 8.6. training ORDER: proportional source interleave (stride
+    # scheduling; every prefix tracks the 3:2:1 mix) then a seeded epoch
+    # shuffle -- (shard, pos) is the epoch's read order, reproducible
+    # bit-for-bit from the seed
+    mix = stride_interleave(train, weights={"src1": 3, "src2": 2, "src3": 1})
+    epoch = epoch_shuffle(train, seed=0, n_shards=8)
+
     # 9. retrieval-style chunking of the train split (map-only fan-out)
     chunks = chunk_token_windows(
         docs.filter(F.col("split") == "train"), window=64, stride=48
@@ -142,6 +182,10 @@ def main() -> None:
                 "train_bins": bins.count(),
                 "train_chunks": chunks.count(),
                 "train_shards": shards.count(),
+                "vocab_size": vocab.count(),
+                "oov_rate": round(oov["oov"] / max(oov["tok"], 1), 4),
+                "interleaved_docs": mix.count(),
+                "epoch_shards": epoch.select("shard").distinct().count(),
             }
         )
     )

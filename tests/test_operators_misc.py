@@ -3403,3 +3403,34 @@ def test_build_vocab_and_encode_tokens(spark):
     # min_count prunes the long tail before the top-k
     v2 = build_vocab(df, top_n=10, min_count=2)
     assert {r["tokn"] for r in v2.collect()} == {"a", "b"}
+
+
+def test_write_epoch_shards_layout_and_order(spark, tmp_path):
+    """The on-disk epoch contract: one shard=K directory per shard,
+    every row present exactly once, and each shard's rows PHYSICALLY in
+    pos order (a sequential reader needs no sort)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
+        epoch_shuffle,
+        write_epoch_shards,
+    )
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    path = str(tmp_path / "epoch0")
+    stats = write_epoch_shards(docs, path, seed=3, n_shards=4)
+    assert stats["n_shards"] == 4
+    assert stats["rows"] == docs.count()
+
+    expect = {
+        (r["shard"], r["pos"]): r["doc_id"]
+        for r in epoch_shuffle(docs, seed=3, n_shards=4).collect()
+    }
+    for shard in range(4):
+        rows = (
+            spark.read.parquet(f"{path}/shard={shard}")
+            .coalesce(1)
+            .collect()
+        )
+        poss = [r["pos"] for r in rows]
+        assert poss == sorted(poss)  # physical order IS pos order
+        for r in rows:
+            assert expect[(shard, r["pos"])] == r["doc_id"]
