@@ -1294,3 +1294,223 @@ def diversity_sample(
         .filter(F.col("rank") <= per_cell)
         .select("cell", "rank", id_col, "cos_to_centroid")
     )
+
+
+def _sq_l2(sub: Column, cw: Column) -> Column:
+    """Squared L2 distance between two equal-length double arrays as a
+    pure fold expression (codegen; no Python)."""
+    return F.aggregate(
+        F.zip_with(sub, cw, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codewords: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jegou/Douze/Schmid, TPAMI 2011):
+    the vector dimension splits into ``m`` contiguous subspaces and each
+    subspace trains its own ``n_codewords``-entry k-means codebook, so a
+    D-float vector compresses to m sub-byte codes -- the at-rest layout
+    that makes a 100 TB float32 embedding store fit serving RAM
+    (D*4 bytes -> m bytes at n_codewords<=256).
+
+    All m subspaces train JOINTLY: each Lloyd iteration is ONE corpus
+    scan that explodes every vector into its m (subspace, sub-vector)
+    rows, assigns each to its current-codebook argmin-L2 cell in the
+    scan stage, and runs ONE map-side-combined aggregate of m x
+    n_codewords groups -- identical codebooks to m independent
+    per-subspace L2-Lloyd runs (assignments and means never cross
+    subspaces; init is the same hash-sampled row set sliced per
+    subspace) at 1/m of the scans. Assignment is squared-L2, PQ's
+    definition -- NOT the cosine cells the IVF path trains. The
+    driver only ever holds the m x n_codewords x (D/m) codebook matrix.
+    Deterministic (hash-sampled init, fixed iterations; empty cells
+    keep their previous codeword). D must divide evenly by m
+    (fail-fast).
+    """
+    dsub, books = _pq_init(corpus, m, n_codewords, id_col, vec_col)
+    vec_d = _to_double(F.col(vec_col))
+    for _ in range(n_iter):
+        book_lits = _book_literals(books)
+        subs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _pq_cell(
+                        F.slice(vec_d, j * dsub + 1, dsub), book_lits[j],
+                        len(books[j]),
+                    ).alias("cell"),
+                    F.slice(vec_d, j * dsub + 1, dsub).alias("sub"),
+                )
+                for j in range(m)
+            ]
+        )
+        rows = (
+            corpus.select(F.explode(subs).alias("s"))
+            .select(
+                F.col("s.j").alias("j"),
+                F.col("s.cell").alias("cell"),
+                *[F.col("s.sub")[i].alias(f"x{i}") for i in range(dsub)],
+            )
+            .groupBy("j", "cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(f"x{i}").alias(f"s{i}") for i in range(dsub)],
+            )
+            .collect()
+        )
+        new = {
+            (r["j"], r["cell"]): [r[f"s{i}"] / r["n"] for i in range(dsub)]
+            for r in rows
+        }
+        books = [
+            [new.get((j, c), cw) for c, cw in enumerate(book)]
+            for j, book in enumerate(books)
+        ]
+    return books
+
+
+def _pq_init(
+    corpus: DataFrame, m: int, n_codewords: int, id_col: str, vec_col: str
+) -> tuple[int, list[list[list[float]]]]:
+    """Hash-sampled PQ init: the same n_codewords rows every subspace's
+    independent k-means would pick, sliced per subspace. One TakeOrdered
+    scan (the _hash_sample_centroids shape); validates dim % m == 0."""
+    from .sketch import md5_hash48
+
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(md5_hash48(F.col("_id").cast("string")), F.col("_id"))
+        .limit(n_codewords)
+        .select("_v")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebooks: empty corpus")
+    dim = len(rows[0]["_v"])
+    if dim % m != 0:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = [
+        [[float(x) for x in r["_v"][j * dsub : (j + 1) * dsub]] for r in rows]
+        for j in range(m)
+    ]
+    return dsub, books
+
+
+def _pq_cell(sub: Column, book_lit: Column, k: int) -> Column:
+    """Argmin-squared-L2 codeword index for one subspace (ties -> lowest
+    code) as a pure expression."""
+    cand = F.array(
+        *[
+            F.struct(
+                _sq_l2(sub, F.element_at(book_lit, c + 1)).alias("d"),
+                F.lit(c).alias("code"),
+            )
+            for c in range(k)
+        ]
+    )
+    return F.element_at(F.array_sort(cand), 1)["code"]
+
+
+def _book_literals(books: list[list[list[float]]]) -> list[Column]:
+    return [
+        F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in book])
+        for book in books
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` codebook indices: per subspace, the
+    argmin-squared-L2 codeword (ties -> lowest code). Pure row-local
+    expression over literal codebooks -- codegen, no shuffle, no join,
+    no Python; the corpus is scanned once.
+
+    Expression size grows with m * n_codewords (each codeword is one
+    fold); at serving-scale books (m=16, k=256) move the codebook to a
+    broadcast join or an Arrow batch instead -- this literal form is
+    the training-scale path and documents the trade-off.
+    """
+    m = len(books)
+    dsub = len(books[0][0])
+    vec_d = _to_double(F.col(vec_col))
+    code_cols = [
+        _pq_cell(F.slice(vec_d, j * dsub + 1, dsub), book_lit, len(books[j]))
+        for j, book_lit in enumerate(_book_literals(books))
+    ]
+    return df.select(
+        F.col(id_col), F.array(*code_cols).alias("pq_codes")
+    )
+
+
+def pq_reconstruct(
+    codes: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Decompress PQ codes back to approximate vectors: concatenate each
+    subspace's selected codeword (row-local literal gather). The
+    reconstruction IS the quantization error surface -- scoring against
+    it is exactly what an ADC lookup-table scan computes, term for term,
+    so correctness tests on the reconstruction cover the serving math.
+    """
+    gathers = [
+        F.element_at(book_lit, F.element_at(F.col(codes_col), j + 1) + 1)
+        for j, book_lit in enumerate(_book_literals(books))
+    ]
+    return codes.select(
+        F.col(id_col), F.flatten(F.array(*gathers)).alias(vec_col)
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_codewords: int = 16,
+    n_iter: int = 3,
+    books: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """ANN over the product-quantized corpus: RAW query vectors score by
+    cosine against PQ RECONSTRUCTIONS (asymmetric distance -- queries
+    stay full-precision, exactly the ADC regime; recall loss is the
+    quantization error, not a search approximation). Same plan contract
+    as :func:`cosine_topk`: broadcast bounded query side, two-phase
+    partial-then-global top-k, corpus scanned once with the
+    decode-and-score expression fused into the scan stage.
+
+    Composes with IVF: at serving scale you coarse-quantize first
+    (:func:`ivf_topk`) and PQ-scan only the probed cells; here the flat
+    scan keeps the operator's correctness surface minimal.
+    """
+    if books is None:
+        books = pq_codebooks(
+            corpus, m=m, n_codewords=n_codewords, n_iter=n_iter,
+            id_col=id_col, vec_col=vec_col,
+        )
+    recon = pq_reconstruct(
+        pq_encode(corpus, books, id_col=id_col, vec_col=vec_col),
+        books, id_col=id_col, vec_col=vec_col,
+    )
+    return cosine_topk(
+        recon, queries, k=k, id_col=id_col, vec_col=vec_col,
+        max_queries=max_queries,
+    )

@@ -1697,3 +1697,30 @@ def z118(spark, sf_dir):
         ).alias("t"),
     )
     return dedup.line_dedup(aug, text_col="t", min_dup_docs=2)
+
+
+@query(
+    "z120_pq_topk",
+    oracle=None,  # iterative (Lloyd) codebook training is not
+    # SQL-expressible; recall vs the exact cosine_topk baseline is
+    # pinned in tests/test_operators_misc.py::test_pq_topk_recall_vs_exact
+    # and training invariants (determinism, monotone quantization error)
+    # in test_pq_codebooks_deterministic_and_error_monotone
+    description=(
+        "product-quantization ANN (Jegou et al. TPAMI 2011): joint "
+        "per-subspace L2-Lloyd codebooks (ONE explode + m*k-group "
+        "map-side-combined aggregate per iteration), row-local encode, "
+        "asymmetric scoring -- raw queries by cosine against PQ "
+        "reconstructions (the ADC regime) through the broadcast-guarded "
+        "two-phase top-k. The m-byte at-rest code is the layout that "
+        "fits a 100 TB float32 embedding store into serving RAM"
+    ),
+)
+def z120(spark, sf_dir):
+    emb = load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    # rank carries the ordering; the rounded cos_sim double stays out of
+    # the gated output (EXACT_ROUND_FROZEN is frozen by design)
+    return similarity.pq_topk(
+        emb, q, k=5, m=4, n_codewords=8, n_iter=1
+    ).select("query_id", "neighbor_id", "rank")

@@ -29,6 +29,7 @@ WHITELIST = {
     "q38_ann_cosine_topk": "exact ANN: bounded broadcast query side",
     "q77_multimodal_ann": "exact ANN: fixed-cap broadcast query side",
     "z53_quantized_ann": "exact ANN: bounded broadcast query side (quantized corpus)",
+    "z120_pq_topk": "exact ANN scan over PQ reconstructions: bounded broadcast query side",
     "z75_quantization_recall": "exact ANN eval: both legs bounded broadcast query sides",
     # the ground-truth leg is the deliberate test-scale-only all-pairs
     # baseline the banded path is being measured against
