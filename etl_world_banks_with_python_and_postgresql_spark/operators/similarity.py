@@ -1514,3 +1514,92 @@ def pq_topk(
         recon, queries, k=k, id_col=id_col, vec_col=vec_col,
         max_queries=max_queries,
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    m: int = 4,
+    n_codewords: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ: the production ANN serving composition (FAISS's IVFPQ
+    layout, Jegou et al. TPAMI 2011 sec. V) -- coarse-quantize the
+    corpus into inverted cells, store only PQ codes in each cell, and
+    per query scan the ``n_probe`` nearest cells scoring raw query
+    vectors against PQ reconstructions (asymmetric distance).
+    Cuts BOTH axes: compute (n_probe/n_centroids of the corpus per
+    query) and memory (m bytes per stored vector), which is why a
+    100 TB float32 store serves from RAM.
+
+    Plan shape: cell assignment and PQ decode are pure literal-codebook
+    expressions fused into the corpus scan; the probe is the same
+    broadcast equi-join on cell id as :func:`ivf_topk`; top-k is the
+    rank window per query over probed candidates only. Residual
+    encoding (PQ over vector - centroid) is deliberately NOT done:
+    cosine scoring has no per-cell translation invariance, so books
+    train on raw vectors -- documented divergence from the L2 IVFPQ
+    formulation.
+    """
+    if centroids is None:
+        centroids = _hash_sample_centroids(corpus, n_centroids, id_col, vec_col)
+    if books is None:
+        books = pq_codebooks(
+            corpus, m=m, n_codewords=n_codewords, n_iter=n_iter,
+            id_col=id_col, vec_col=vec_col,
+        )
+    cent_lits = _centroid_literals(centroids)
+    # cell from the RAW vector (coarse quantizer), reconstruction from
+    # the PQ codes -- both pure expressions in ONE scan-stage select
+    book_lits = _book_literals(books)
+    dsub = len(books[0][0])
+    vec_d = _to_double(F.col(vec_col))
+    recon_expr = F.flatten(
+        F.array(
+            *[
+                F.element_at(
+                    book_lit,
+                    _pq_cell(
+                        F.slice(vec_d, j * dsub + 1, dsub), book_lit,
+                        len(books[j]),
+                    )
+                    + 1,
+                )
+                for j, book_lit in enumerate(book_lits)
+            ]
+        )
+    )
+    corpus_cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        recon_expr.alias("c_vec"),
+        _nearest_cells(F.col(vec_col), cent_lits, 1)[0].alias("cell"),
+    )
+    query_cells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            _nearest_cells(F.col(vec_col), cent_lits, n_probe)
+        ).alias("cell"),
+    )
+    scored = (
+        corpus_cells.join(F.broadcast(query_cells), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

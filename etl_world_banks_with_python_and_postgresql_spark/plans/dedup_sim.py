@@ -1724,3 +1724,27 @@ def z120(spark, sf_dir):
     return similarity.pq_topk(
         emb, q, k=5, m=4, n_codewords=8, n_iter=1
     ).select("query_id", "neighbor_id", "rank")
+
+
+@query(
+    "z121_ivfpq_topk",
+    oracle=None,  # iterative codebook/centroid training is not
+    # SQL-expressible; recall floor pinned in
+    # tests/test_operators_misc.py::test_ivf_pq_topk_recall_vs_exact
+    description=(
+        "IVF-PQ serving composition (FAISS IVFPQ layout): coarse cells "
+        "assigned from the raw vector, PQ reconstruction decoded from "
+        "codes, both fused as expressions into ONE corpus scan; per "
+        "query only the n_probe nearest cells are scanned, scoring raw "
+        "queries against reconstructions (ADC). Cuts compute "
+        "(n_probe/n_centroids of the corpus) AND memory (m bytes/vector) "
+        "-- the shape that serves a 100 TB embedding store from RAM"
+    ),
+)
+def z121(spark, sf_dir):
+    emb = load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_pq_topk(
+        emb, q, n_centroids=8, n_probe=3, k=5, m=4, n_codewords=8,
+        n_iter=1,
+    ).select("query_id", "neighbor_id", "rank")

@@ -3535,3 +3535,27 @@ def test_pq_topk_recall_vs_exact(spark):
     assert a
     recall = len(e & a) / len(e)
     assert recall > 0.2, recall
+
+
+def test_ivf_pq_topk_recall_vs_exact(spark):
+    """The IVF-PQ composition must retain useful recall while touching
+    only n_probe/n_centroids of the (PQ-compressed) corpus per query;
+    approximate hits must come from the probed-cell candidate space."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    emb = load(spark, "embeddings", SF)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_pq_topk(
+        emb, queries, n_centroids=8, n_probe=6, k=5,
+        m=16, n_codewords=16, n_iter=2,
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert a
+    recall = len(e & a) / len(e)
+    # probing 6/8 cells of the PQ-compressed corpus; PQ-only recall at
+    # this layout measured 0.43, the coarse filter can only remove hits
+    assert recall > 0.15, recall
