@@ -16,6 +16,8 @@ Stages (each oracle- or test-verified on its own):
                          O(batch) index growth
   5. indexed ANN         partition-pruned probe reads  similarity.ivf_topk_indexed
   6. hard negatives      label-mismatch top-k          similarity.hard_negatives
+  7. PQ + IVF-PQ         m-byte codes at rest,         similarity.pq_codebooks/pq_encode
+                         ADC scan over probed cells    similarity.ivf_pq_topk
 
 Prints per-stage row counts and one sample ANN result as JSON lines.
 Shuffle budget: the moment stats reduce to dim-many groups map-side (1);
@@ -80,6 +82,21 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
     negs = similarity.hard_negatives(emb, emb.filter(F.col("vec_id") % 100 == 0), k=5)
     print(json.dumps({"stage": "hard_negatives", "rows": negs.count()}))
+
+    # 6. PQ compression + IVF-PQ serving scan (round 10): m-byte codes at
+    # rest, asymmetric scoring over probed cells only
+    books = similarity.pq_codebooks(emb, m=4, n_codewords=8, n_iter=1)
+    codes = similarity.pq_encode(emb, books)
+    ivfpq = similarity.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0),
+        n_centroids=8, n_probe=3, k=5, books=books,
+    )
+    print(json.dumps({
+        "stage": "ivf_pq",
+        "encoded": codes.count(),
+        "code_bytes_per_vec": len(books),
+        "results": ivfpq.count(),
+    }))
 
 
 if __name__ == "__main__":
