@@ -1603,3 +1603,148 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 4,
+    n_codewords: int = 16,
+    n_iter: int = 3,
+    centroids: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist the corpus as a cell-partitioned parquet IVF-PQ index:
+    under each ``cell=<i>/`` only ``(id, pq_codes)`` rows -- the raw
+    vectors do NOT exist at rest. Codes store as 1-byte tinyints when
+    n_codewords <= 128 (else 2-byte smallints), so the at-rest bytes
+    are ~m per vector instead of 4*D: the compression PQ exists for,
+    realized on disk, not just claimed. Centroids + codebooks + layout
+    go to a ``_ivfpq_meta.json`` sidecar (underscore-prefixed; parquet
+    readers ignore it).
+
+    Build cost: codebook training (:func:`pq_codebooks`) + ONE corpus
+    scan fusing cell assignment (raw vector) and encoding into the
+    partitioned write. Queries go through :func:`ivfpq_topk_indexed`.
+    """
+    import json
+    import os
+
+    if centroids is None:
+        centroids = _hash_sample_centroids(corpus, n_centroids, id_col, vec_col)
+    if books is None:
+        books = pq_codebooks(
+            corpus, m=m, n_codewords=n_codewords, n_iter=n_iter,
+            id_col=id_col, vec_col=vec_col,
+        )
+    code_t = "array<tinyint>" if len(books[0]) <= 128 else "array<smallint>"
+    dsub = len(books[0][0])
+    vec_d = _to_double(F.col(vec_col))
+    codes = F.array(
+        *[
+            _pq_cell(F.slice(vec_d, j * dsub + 1, dsub), bl, len(books[j]))
+            for j, bl in enumerate(_book_literals(books))
+        ]
+    ).cast(code_t)
+    cell = _nearest_cells(vec_d, _centroid_literals(centroids), 1)[0]
+    (
+        corpus.select(
+            F.col(id_col), codes.alias("pq_codes"), cell.alias("cell")
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    meta = {
+        "centroids": centroids,
+        "books": books,
+        "m": len(books),
+        "n_codewords": len(books[0]),
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    with open(os.path.join(path, "_ivfpq_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def read_ivfpq_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+        return json.load(f)
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN against a :func:`write_ivfpq_index` index: probed cell
+    partitions are DIRECTORY-PRUNED (static IN filter on the partition
+    column from a bounded <= n_centroids-int driver action), and the
+    scan reads only (id, pq_codes) -- m bytes per candidate; the
+    reconstruction is a literal-codebook gather fused into the scan
+    stage. Identical results to :func:`ivf_pq_topk` with the same
+    centroids/books (plan-pinned in tests); the difference is the
+    at-rest scan cost: ~n_probe/n_centroids of an already-m/4D-sized
+    store.
+    """
+    meta = read_ivfpq_meta(path)
+    books = meta["books"]
+    cent_lits = _centroid_literals(meta["centroids"])
+    book_lits = _book_literals(books)
+
+    query_cells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            _nearest_cells(_to_double(F.col(vec_col)), cent_lits, n_probe)
+        ).alias("cell"),
+    )
+    probed = sorted(
+        r["cell"] for r in query_cells.select("cell").distinct().collect()
+    )
+    recon = F.flatten(
+        F.array(
+            *[
+                F.element_at(
+                    bl,
+                    F.element_at(F.col("pq_codes"), j + 1).cast("int") + 1,
+                )
+                for j, bl in enumerate(book_lits)
+            ]
+        )
+    )
+    corpus_cells = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probed))
+        .select(
+            F.col(meta["id_col"]).alias("neighbor_id"),
+            recon.alias("c_vec"),
+            F.col("cell"),
+        )
+    )
+    scored = (
+        corpus_cells.join(F.broadcast(query_cells), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

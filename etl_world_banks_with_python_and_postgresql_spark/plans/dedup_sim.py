@@ -1748,3 +1748,32 @@ def z121(spark, sf_dir):
         emb, q, n_centroids=8, n_probe=3, k=5, m=4, n_codewords=8,
         n_iter=1,
     ).select("query_id", "neighbor_id", "rank")
+
+
+@query(
+    "z122_ivfpq_indexed",
+    oracle=None,  # iterative training is not SQL-expressible; equality
+    # with the in-memory composition, directory pruning, and the at-rest
+    # compression ratio are pinned in tests/test_operators_misc.py::
+    # test_ivfpq_indexed_matches_inmemory_prunes_and_compresses
+    description=(
+        "at-rest IVF-PQ index: cell-partitioned parquet holding ONLY "
+        "(id, tinyint pq_codes) -- ~m bytes/vector on disk instead of "
+        "4*D -- probed with directory-level partition pruning and a "
+        "scan-fused codebook-gather reconstruction. Build (fresh each "
+        "run, priced as the one-time cost) + probe"
+    ),
+)
+def z122(spark, sf_dir):
+    import hashlib
+
+    emb = load(spark, "embeddings", sf_dir)
+    h = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    path = f"spark-warehouse/ivfpq_index_{h}"
+    similarity.write_ivfpq_index(
+        emb, path, n_centroids=8, m=4, n_codewords=8, n_iter=1
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivfpq_topk_indexed(
+        spark, path, q, n_probe=3, k=5
+    ).select("query_id", "neighbor_id", "rank")

@@ -3559,3 +3559,54 @@ def test_ivf_pq_topk_recall_vs_exact(spark):
     # probing 6/8 cells of the PQ-compressed corpus; PQ-only recall at
     # this layout measured 0.43, the coarse filter can only remove hits
     assert recall > 0.15, recall
+
+
+def test_ivfpq_indexed_matches_inmemory_prunes_and_compresses(spark, tmp_path):
+    """write_ivfpq_index + ivfpq_topk_indexed: identical results to
+    ivf_pq_topk with the same centroids/books; the probe partition-
+    prunes to the probed cell directories; and the index at rest is
+    MATERIALLY smaller than the raw corpus parquet (codes are tinyint
+    arrays -- the compression PQ exists for, measured on disk)."""
+    import os
+    import re
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivfpq_topk_indexed,
+        pq_codebooks,
+        write_ivfpq_index,
+    )
+
+    emb = load(spark, "embeddings", SF)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    path = str(tmp_path / "ivfpq_index")
+    books = pq_codebooks(emb, m=4, n_codewords=8, n_iter=1)
+    meta = write_ivfpq_index(emb, path, n_centroids=8, books=books)
+
+    indexed = ivfpq_topk_indexed(spark, path, queries, n_probe=3, k=5)
+    inmem = ivf_pq_topk(
+        emb, queries, n_probe=3, k=5,
+        centroids=meta["centroids"], books=books,
+    )
+    assert sorted(map(tuple, indexed.collect())) == sorted(
+        map(tuple, inmem.collect())
+    )
+
+    # directory-level pruning: one query, n_probe=1 -> one cell equality
+    one_q = emb.filter(F.col("vec_id") == 0)
+    df = ivfpq_topk_indexed(spark, path, one_q, n_probe=1, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and re.search(r"cell#\d+ = \d+", m.group(1)), plan
+
+    def tree_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+        )
+
+    raw = str(tmp_path / "raw")
+    emb.write.parquet(raw)
+    assert tree_bytes(path) < 0.5 * tree_bytes(raw), (
+        tree_bytes(path), tree_bytes(raw)
+    )
