@@ -957,3 +957,42 @@ def write_epoch_shards(
     }
     return {"n_shards": len(counts), "rows": sum(counts.values()),
             "shard_rows": counts}
+
+
+def quotas_to_stride_weights(
+    quotas: dict[str, int], resolution: int = 12
+) -> dict[str, int]:
+    """Compress integer source quotas (e.g. the z92 largest-remainder
+    token budgets, or raw token counts) into SMALL stride weights for
+    :func:`stride_interleave`: re-allocate ``resolution`` seats
+    proportionally by largest remainder (rem desc, source asc ties), so
+    the interleave's lcm-based keys stay small integers however large
+    the budgets are -- feeding multi-billion-token quotas straight into
+    stride_interleave would blow the lcm (and the int64 key space).
+    Zero-seat sources are dropped (the interleave whitelist contract);
+    seats sum to exactly ``resolution``.
+
+    Pure driver-side arithmetic over the |sources|-bounded dict the
+    quota aggregate already collects -- no Spark action.
+    """
+    if not quotas:
+        raise ValueError("quotas_to_stride_weights: quotas must be non-empty")
+    if any(q < 0 for q in quotas.values()) or all(
+        q == 0 for q in quotas.values()
+    ):
+        raise ValueError(
+            f"quotas_to_stride_weights: need nonnegative quotas with a "
+            f"positive total, got {quotas}"
+        )
+    if resolution < 1:
+        raise ValueError(
+            f"quotas_to_stride_weights: resolution must be >= 1, "
+            f"got {resolution}"
+        )
+    total = sum(quotas.values())
+    base = {s: resolution * q // total for s, q in quotas.items()}
+    rem = {s: resolution * q % total for s, q in quotas.items()}
+    leftover = resolution - sum(base.values())
+    for s in sorted(quotas, key=lambda s: (-rem[s], s))[:leftover]:
+        base[s] += 1
+    return {s: w for s, w in base.items() if w > 0}

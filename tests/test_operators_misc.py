@@ -3610,3 +3610,37 @@ def test_ivfpq_indexed_matches_inmemory_prunes_and_compresses(spark, tmp_path):
     assert tree_bytes(path) < 0.5 * tree_bytes(raw), (
         tree_bytes(path), tree_bytes(raw)
     )
+
+
+def test_quotas_to_stride_weights():
+    """Seat compression: exact-resolution sum, largest-remainder ties,
+    zero-source drop, proportionality, fail-fast validation."""
+    import pytest
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
+        quotas_to_stride_weights,
+    )
+
+    w = quotas_to_stride_weights(
+        {"web": 3_000_000, "books": 2_000_000, "code": 1_000_000},
+        resolution=12,
+    )
+    assert w == {"web": 6, "books": 4, "code": 2}
+    assert sum(w.values()) == 12
+
+    # remainders decide the leftover seat deterministically (ties by name)
+    w2 = quotas_to_stride_weights({"a": 1, "b": 1, "c": 1}, resolution=4)
+    assert sum(w2.values()) == 4 and w2["a"] == 2  # 'a' wins the tie
+
+    # a tiny source gets zero seats and is DROPPED, not rounded up
+    w3 = quotas_to_stride_weights({"big": 10_000, "dust": 1}, resolution=4)
+    assert w3 == {"big": 4}
+
+    with pytest.raises(ValueError):
+        quotas_to_stride_weights({})
+    with pytest.raises(ValueError):
+        quotas_to_stride_weights({"a": -1, "b": 2})
+    with pytest.raises(ValueError):
+        quotas_to_stride_weights({"a": 0})
+    with pytest.raises(ValueError):
+        quotas_to_stride_weights({"a": 1}, resolution=0)
