@@ -797,11 +797,19 @@ def stride_interleave(
     EXCLUDED (an interleave spec is a whitelist -- the mixing tables
     z28/z92 produce one).
 
-    Scale shape: one window per source (rank) + pure expressions; the
-    GLOBAL order is delivered as a sort KEY, not a materialized global
-    row number -- consumers range-partition or sort by
-    (interleave_key, source, rank) when writing, so no single-partition
-    window exists anywhere (the z90 discipline).
+    Scale shape (the z90 discipline, applied to RANKING): a naive
+    ``partitionBy(source)`` rank would funnel each source's entire data
+    through one partition -- |sources| is small, so that is a skew
+    bottleneck at 100 TB. Instead the per-source rank is two-level:
+    rows window inside (source, md5-prefix bucket) -- 256x finer
+    partitions -- and each bucket adds an exclusive prefix-count offset
+    computed by a window over the |sources| x 256 bucket axis (bounded,
+    broadcast back). Because the bucket is a PREFIX of the ordering
+    hash, (bucket, md5, id) order == (md5, id) order and the ranks are
+    bit-identical to the single-window form. The GLOBAL order ships as
+    a sort KEY, not a materialized global row number -- consumers
+    range-partition or sort by (interleave_key, source, src_rank) when
+    writing.
     """
     if not weights:
         raise ValueError("stride_interleave: weights must be non-empty")
@@ -819,10 +827,31 @@ def stride_interleave(
             for x in (F.lit(s), F.lit(lcm // wt))
         ]
     )
-    w = W.partitionBy(source_col).orderBy(F.md5(F.col(text_col)), F.col(id_col))
+    h = F.md5(F.col(text_col))
+    rows = df.filter(F.col(source_col).isin(list(weights))).withColumn(
+        "_bkt", F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    )
+    counts = rows.groupBy(source_col, "_bkt").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    off_w = (
+        W.partitionBy(source_col)
+        .orderBy("_bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        source_col,
+        "_bkt",
+        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"),
+    )
+    in_w = W.partitionBy(source_col, "_bkt").orderBy(h, F.col(id_col))
     return (
-        df.filter(F.col(source_col).isin(list(weights)))
-        .withColumn("src_rank", F.row_number().over(w))
+        rows.join(F.broadcast(offsets), [source_col, "_bkt"])
+        .withColumn(
+            "src_rank",
+            (F.col("_off") + F.row_number().over(in_w)).cast("int"),
+        )
+        .drop("_bkt", "_off")
         .withColumn(
             "interleave_key",
             (F.lit(2) * F.col("src_rank") - F.lit(1))
