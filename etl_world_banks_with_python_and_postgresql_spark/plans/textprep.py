@@ -2110,3 +2110,29 @@ def z119(spark, sf_dir):
 
     docs = load(spark, "documents", sf_dir)
     return encode_tokens(docs, build_vocab(docs, top_n=64))
+
+
+@query(
+    "z123_bpe_tokenize",
+    oracle=None,  # iterative greedy merge training is not
+    # SQL-expressible; the trainer is pinned merge-for-merge against an
+    # independent pure-Python reference implementation (ties included)
+    # and the encoder against the training end-state in
+    # tests/test_operators_misc.py::
+    # test_bpe_train_matches_reference_and_segment_roundtrips
+    description=(
+        "BPE tokenizer train + encode (Sennrich ACL'16): ONE corpus "
+        "scan builds the word-frequency table, all n_merges iterations "
+        "run over the VOCAB-sized table (pair explode + argmax + "
+        "pure-expression merge fold); encoding runs the rank-greedy "
+        "Python loop only over DISTINCT words (Arrow batches) and "
+        "joins segmentations back to the corpus -- Python cost is "
+        "vocab-sized, never corpus-sized"
+    ),
+)
+def z123(spark, sf_dir):
+    from ..operators.bpe import bpe_segment, bpe_train
+
+    docs = load(spark, "documents", sf_dir)
+    merges = bpe_train(docs, n_merges=12)
+    return bpe_segment(docs, merges).select("doc_id", "n_bpe_tokens")

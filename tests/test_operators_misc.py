@@ -3644,3 +3644,73 @@ def test_quotas_to_stride_weights():
         quotas_to_stride_weights({"a": 0})
     with pytest.raises(ValueError):
         quotas_to_stride_weights({"a": 1}, resolution=0)
+
+
+def _bpe_reference(word_freq, n_merges, min_pair_freq=2):
+    """Independent pure-Python BPE trainer (Sennrich alg. 1) used as the
+    oracle for the distributed implementation."""
+    words = {tuple(w) + ("</w>",): f for w, f in word_freq.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_freq:
+            break
+        (l, r), _n = best
+        merges.append((l, r))
+        out = {}
+        for syms, f in words.items():
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    new.append(l + r)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            out[tuple(new)] = out.get(tuple(new), 0) + f
+        words = out
+    return merges, words
+
+
+def test_bpe_train_matches_reference_and_segment_roundtrips(spark):
+    """The distributed trainer must reproduce the classic algorithm
+    merge-for-merge on the Sennrich corpus (ties included), and
+    bpe_segment's rank-greedy encode must land every training word on
+    its training end-state segmentation."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    freq = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    docs = []
+    i = 0
+    for w, f in freq.items():
+        for _ in range(f):
+            docs.append((i, w))
+            i += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    ref_merges, ref_words = _bpe_reference(freq, n_merges=10)
+    merges = bpe_train(df, n_merges=10)
+    assert merges == ref_merges
+
+    seg = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_segment(df, merges).collect()
+    }
+    end_state = {"".join(s).replace("</w>", ""): list(s) for s in ref_words}
+    for doc_id, word in docs:
+        assert seg[doc_id] == end_state[word], (word, seg[doc_id])
+
+    # empty doc encodes to an empty token array
+    e = bpe_segment(
+        spark.createDataFrame([(99, "")], "doc_id long, text string"), merges
+    ).collect()[0]
+    assert list(e["bpe_tokens"]) == [] and e["n_bpe_tokens"] == 0
