@@ -22,6 +22,7 @@ Stages (each is an oracle- or property-verified operator on its own):
   7. split              content-hash 80/10/10         train_prep.hash_split
   8. packing            2048-token bins per source    train_prep.pack_token_bins
   8.5 vocab encoding    top-512 ids, OOV audited      train_prep.build_vocab/encode_tokens
+  8.55 BPE tokenizer    train 16 merges + encode      bpe.bpe_train/bpe_segment
   8.6 training order    3:2:1 stride interleave +     train_prep.stride_interleave
                         seeded epoch shuffle          train_prep.epoch_shuffle
   9. chunking           64-token windows, stride 48   train_prep.chunk_token_windows
@@ -150,6 +151,18 @@ def main() -> None:
         F.sum("n_oov").alias("oov"), F.sum("n_tokens").alias("tok")
     ).first()
 
+    # 8.55. BPE tokenizer: train merges on the cleaned train split (one
+    # corpus scan + vocab-sized iterations), encode distinct words only
+    from etl_world_banks_with_python_and_postgresql_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    merges = bpe_train(train, n_merges=16)
+    bpe_stats = bpe_segment(train, merges).agg(
+        F.sum("n_bpe_tokens").alias("t")
+    ).first()
+
     # 8.6. training ORDER: proportional source interleave (stride
     # scheduling; every prefix tracks the 3:2:1 mix) then a seeded epoch
     # shuffle -- (shard, pos) is the epoch's read order, reproducible
@@ -183,6 +196,8 @@ def main() -> None:
                 "train_chunks": chunks.count(),
                 "train_shards": shards.count(),
                 "vocab_size": vocab.count(),
+                "bpe_merges": len(merges),
+                "bpe_tokens": int(bpe_stats["t"]),
                 "oov_rate": round(oov["oov"] / max(oov["tok"], 1), 4),
                 "interleaved_docs": mix.count(),
                 "epoch_shards": epoch.select("shard").distinct().count(),
