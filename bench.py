@@ -132,6 +132,7 @@ HEADLINE = [
     "z117_stride_interleave",
     "z118_line_dedup",
     "z119_vocab_encode",
+    "z124_pack_manifest",
 ]
 
 

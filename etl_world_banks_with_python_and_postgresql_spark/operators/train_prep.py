@@ -1025,3 +1025,72 @@ def quotas_to_stride_weights(
     for s in sorted(quotas, key=lambda s: (-rem[s], s))[:leftover]:
         base[s] += 1
     return {s: w for s, w in base.items() if w > 0}
+
+
+def pack_manifest(
+    df: DataFrame,
+    budget: int = 2048,
+    part_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Per-document PLACEMENT manifest for :func:`pack_token_bins`'
+    packing: ``(id, part, n_tokens, bin_id, begin_offset)`` -- where in
+    its bin each document's tokens start. This is what the training
+    loader actually consumes: it materializes each bin's buffer by
+    copying doc tokens at begin_offset and builds the block-diagonal
+    attention mask from the (begin_offset, n_tokens) spans.
+    Same bin assignment as pack_token_bins (floor(tokens_before /
+    budget), id order per part, oversized docs never split).
+
+    Scale shape: the per-part running token count is TWO-LEVEL (the z90
+    discipline) -- rows window inside (part, id-range bucket) and each
+    bucket adds an exclusive prefix offset from a window over the
+    bucket axis (rows/bucket_width per part, recursively bucketable) --
+    so no whole-part single-partition window; the begin_offset window
+    partitions by (part, bin): budget-bounded groups.
+    """
+    n_tok = token_count(F.col(text_col))
+    rows = df.select(
+        F.col(part_col), F.col(id_col), n_tok.alias("n_tokens")
+    ).withColumn(
+        "_bkt", (F.col(id_col) - F.col(id_col) % bucket_width) / bucket_width
+    )
+    totals = rows.groupBy(part_col, "_bkt").agg(
+        F.sum("n_tokens").alias("_bt")
+    )
+    off_w = (
+        W.partitionBy(part_col)
+        .orderBy("_bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        part_col,
+        "_bkt",
+        F.coalesce(F.sum("_bt").over(off_w), F.lit(0)).alias("_off"),
+    )
+    in_w = (
+        W.partitionBy(part_col, "_bkt")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    placed = (
+        rows.join(F.broadcast(offsets), [part_col, "_bkt"])
+        .withColumn(
+            "_before",
+            (F.col("_off") + F.sum("n_tokens").over(in_w) - F.col("n_tokens"))
+            .cast("long"),
+        )
+        .withColumn("bin_id", F.floor(F.col("_before") / budget))
+    )
+    bin_w = W.partitionBy(part_col, "bin_id")
+    return placed.select(
+        F.col(id_col),
+        F.col(part_col),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("bin_id").cast("long").alias("bin_id"),
+        (F.col("_before") - F.min("_before").over(bin_w))
+        .cast("int")
+        .alias("begin_offset"),
+    )

@@ -2136,3 +2136,43 @@ def z123(spark, sf_dir):
     docs = load(spark, "documents", sf_dir)
     merges = bpe_train(docs, n_merges=12)
     return bpe_segment(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
+@query(
+    "z124_pack_manifest",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+             AS n_tokens
+  FROM documents),
+p AS (
+  SELECT doc_id, source, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)
+             AS before
+  FROM t),
+b AS (
+  SELECT doc_id, source, n_tokens, before, (before // 64) AS bin_id
+  FROM p)
+SELECT doc_id, source, n_tokens::INT AS n_tokens, bin_id::BIGINT AS bin_id,
+       (before - min(before) OVER (PARTITION BY source, bin_id))::INT
+           AS begin_offset
+FROM b
+""",
+    description=(
+        "per-document sequence-packing PLACEMENT manifest (the loader "
+        "handoff pack_token_bins' bin stats don't carry): bin_id + "
+        "begin_offset locate every doc's tokens in its packed buffer, "
+        "the spans a block-diagonal attention mask is built from. "
+        "Per-part running count is TWO-LEVEL (rows window inside "
+        "(part, id-bucket) + bounded bucket-offset window, the z90 "
+        "discipline) -- no whole-part single-partition window; the "
+        "offset window partitions by budget-bounded (part, bin)"
+    ),
+)
+def z124(spark, sf_dir):
+    from ..operators.train_prep import pack_manifest
+
+    return pack_manifest(load(spark, "documents", sf_dir), budget=64)

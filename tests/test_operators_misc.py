@@ -3714,3 +3714,40 @@ def test_bpe_train_matches_reference_and_segment_roundtrips(spark):
         spark.createDataFrame([(99, "")], "doc_id long, text string"), merges
     ).collect()[0]
     assert list(e["bpe_tokens"]) == [] and e["n_bpe_tokens"] == 0
+
+
+def test_pack_manifest_consistent_with_bins_and_offsets(spark):
+    """The manifest must (a) reproduce pack_token_bins' bin assignment
+    exactly when re-aggregated, and (b) place docs contiguously: within
+    a bin, each doc's begin_offset equals the previous docs' token sum
+    (id order), starting at 0 -- the property a block-diagonal attention
+    mask needs."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
+        pack_manifest,
+        pack_token_bins,
+    )
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    man = pack_manifest(docs, budget=64).collect()
+    bins = {
+        (r["source"], r["bin_id"]): (r["n_docs"], r["total_tokens"])
+        for r in pack_token_bins(docs, budget=64).collect()
+    }
+
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    by_bin = defaultdict(list)
+    for r in man:
+        key = (r["source"], r["bin_id"])
+        agg[key][0] += 1
+        agg[key][1] += r["n_tokens"]
+        by_bin[key].append((r["doc_id"], r["begin_offset"], r["n_tokens"]))
+    assert {k: tuple(v) for k, v in agg.items()} == bins
+
+    for rows in by_bin.values():
+        rows.sort()
+        expect = 0
+        for _id, begin, n in rows:
+            assert begin == expect
+            expect += n
