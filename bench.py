@@ -133,6 +133,7 @@ HEADLINE = [
     "z118_line_dedup",
     "z119_vocab_encode",
     "z124_pack_manifest",
+    "z125_length_batches",
 ]
 
 

@@ -1094,3 +1094,71 @@ def pack_manifest(
         .cast("int")
         .alias("begin_offset"),
     )
+
+
+def length_batches(
+    df: DataFrame,
+    batch_size: int = 8,
+    part_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Length-bucketed batching (the dynamic-batching step for
+    variable-length sequence training/inference): per part, documents
+    sort by (n_tokens, id) and group into fixed-count batches, so each
+    batch holds similar-length docs and pads to its own max instead of
+    the corpus max. Returns per-batch accounting --
+    ``(part, batch_id, n_docs, max_tokens, sum_tokens, padded_tokens,
+    waste_tokens)`` -- where waste = n_docs * max - sum is exactly the
+    padding the bucketing exists to minimize (exact integers, so the
+    efficiency claim is auditable, not estimated).
+
+    Scale shape: the per-part length rank is TWO-LEVEL (the z90
+    discipline) -- rows window inside (part, n_tokens-range bucket),
+    offsets from a bounded window over the bucket axis -- because the
+    bucket is a PREFIX of the (n_tokens, id) order, ranks are identical
+    to the single-window form without funneling whole parts through
+    one partition. The batch aggregate groups on (part, batch_id):
+    batch_size-bounded groups.
+    """
+    if batch_size < 1:
+        raise ValueError(f"length_batches: batch_size must be >= 1, got {batch_size}")
+    n_tok = token_count(F.col(text_col))
+    rows = df.select(
+        F.col(part_col), F.col(id_col), n_tok.alias("n_tokens")
+    ).withColumn(
+        "_bkt",
+        (F.col("n_tokens") - F.col("n_tokens") % bucket_width) / bucket_width,
+    )
+    counts = rows.groupBy(part_col, "_bkt").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    off_w = (
+        W.partitionBy(part_col)
+        .orderBy("_bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        part_col,
+        "_bkt",
+        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"),
+    )
+    in_w = W.partitionBy(part_col, "_bkt").orderBy("n_tokens", id_col)
+    ranked = rows.join(F.broadcast(offsets), [part_col, "_bkt"]).withColumn(
+        "batch_id",
+        F.floor(
+            (F.col("_off") + F.row_number().over(in_w) - 1) / batch_size
+        ),
+    )
+    return ranked.groupBy(part_col, "batch_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.max("n_tokens").cast("int").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tokens"))
+        .cast("long")
+        .alias("padded_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens"))
+        .cast("long")
+        .alias("waste_tokens"),
+    )

@@ -2176,3 +2176,40 @@ def z124(spark, sf_dir):
     from ..operators.train_prep import pack_manifest
 
     return pack_manifest(load(spark, "documents", sf_dir), budget=64)
+
+
+@query(
+    "z125_length_batches",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+             AS n_tokens
+  FROM documents),
+r AS (
+  SELECT source, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tokens, doc_id) AS rk
+  FROM t)
+SELECT source, ((rk - 1) // 8)::BIGINT AS batch_id,
+       count(*)::INT AS n_docs,
+       max(n_tokens)::INT AS max_tokens,
+       sum(n_tokens)::BIGINT AS sum_tokens,
+       (count(*) * max(n_tokens))::BIGINT AS padded_tokens,
+       (count(*) * max(n_tokens) - sum(n_tokens))::BIGINT AS waste_tokens
+FROM r GROUP BY 1, 2
+""",
+    description=(
+        "length-bucketed dynamic batching: per part, docs sort by "
+        "(n_tokens, id) into fixed-count batches so each pads to ITS "
+        "max; per-batch padding waste is exact-integer accounting. "
+        "Per-part rank is two-level (rows window inside (part, "
+        "length-range bucket) + bounded bucket-offset window) -- no "
+        "whole-part single-partition window"
+    ),
+)
+def z125(spark, sf_dir):
+    from ..operators.train_prep import length_batches
+
+    return length_batches(load(spark, "documents", sf_dir), batch_size=8)

@@ -3751,3 +3751,52 @@ def test_pack_manifest_consistent_with_bins_and_offsets(spark):
         for _id, begin, n in rows:
             assert begin == expect
             expect += n
+
+
+def test_length_batches_minimizes_padding_and_accounts_exactly(spark):
+    """Per-batch padding accounting is exact (padded = n_docs * max,
+    waste = padded - sum); every part's batches hold batch_size docs
+    except the last; and length-bucketed batching wastes strictly less
+    padding than id-order batching on a length-diverse corpus (the
+    reason the operator exists)."""
+    import pytest
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
+        length_batches,
+    )
+
+    docs = load(spark, "documents", "/root/testdata/sf0.001")
+    out = length_batches(docs, batch_size=8).collect()
+    per_part = {}
+    for r in out:
+        assert r["padded_tokens"] == r["n_docs"] * r["max_tokens"]
+        assert r["waste_tokens"] == r["padded_tokens"] - r["sum_tokens"]
+        per_part.setdefault(r["source"], []).append((r["batch_id"], r["n_docs"]))
+    for batches in per_part.values():
+        batches.sort()
+        sizes = [n for _, n in batches]
+        assert all(s == 8 for s in sizes[:-1]) and 1 <= sizes[-1] <= 8
+
+    bucketed_waste = sum(r["waste_tokens"] for r in out)
+    # id-order strawman: same batching arithmetic over doc_id order
+    from pyspark.sql import Window as W2
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.text import (
+        token_count,
+    )
+
+    rk = F.row_number().over(W2.partitionBy("source").orderBy("doc_id"))
+    naive = (
+        docs.select(
+            "source", "doc_id", token_count(F.col("text")).alias("n")
+        )
+        .withColumn("b", F.floor((rk - 1) / 8))
+        .groupBy("source", "b")
+        .agg((F.count("*") * F.max("n") - F.sum("n")).alias("w"))
+        .agg(F.sum("w"))
+        .first()[0]
+    )
+    assert bucketed_waste < naive, (bucketed_waste, naive)
+
+    with pytest.raises(ValueError):
+        length_batches(docs, batch_size=0)
