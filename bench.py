@@ -134,6 +134,7 @@ HEADLINE = [
     "z119_vocab_encode",
     "z124_pack_manifest",
     "z125_length_batches",
+    "z126_html_to_text",
 ]
 
 

@@ -1306,3 +1306,70 @@ def phrase_search_indexed(
         .orderBy(F.desc("n_matches"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+# html_to_text pattern table: (java_inline_flags_pattern, duck_pattern,
+# duck_flags, replacement). RE2 (DuckDB) has no backreferences or
+# lookahead, so script/style are separate passes and every pattern is a
+# plain non-greedy regex both engines interpret identically.
+HTML_TEXT_PASSES = [
+    (r"(?is)<script[^>]*>.*?</script>", r"<script[^>]*>.*?</script>", "is", " "),
+    (r"(?is)<style[^>]*>.*?</style>", r"<style[^>]*>.*?</style>", "is", " "),
+    (r"(?s)<!--.*?-->", r"<!--.*?-->", "s", " "),
+    (
+        r"(?i)</?(br|p|div|li|tr|h1|h2|h3|h4|h5|h6)\b[^>]*>",
+        r"</?(br|p|div|li|tr|h1|h2|h3|h4|h5|h6)\b[^>]*>",
+        "i",
+        "\n",
+    ),
+    (r"<[^>]+>", r"<[^>]+>", "", " "),
+]
+# &amp; decodes LAST so "&amp;lt;" yields "&lt;" (one decode pass, the
+# HTML-correct behavior), never "<"
+HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+]
+
+
+def html_to_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "extracted"
+) -> DataFrame:
+    """Markup-stripping text extraction (the trafilatura-shaped step a
+    web-corpus pipeline runs before any text analysis): drop script/
+    style/comment blocks, turn block-level tags into newlines, strip
+    remaining tags, decode the six common entities, and normalize
+    whitespace (runs of spaces/tabs -> one space, blank-line runs ->
+    one newline, trim). Pure regexp codegen over a shared pattern
+    table; the DuckDB twin (:func:`html_to_text_oracle_exprs`) applies
+    the IDENTICAL pass sequence, so extraction is gated byte-for-byte.
+    RE2-compatible patterns only (no backreferences, no lookahead).
+    """
+    t = F.col(text_col)
+    for java_pat, _duck, _flags, repl in HTML_TEXT_PASSES:
+        t = F.regexp_replace(t, java_pat, repl)
+    for ent, ch in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r" ?\n[ \n]*", "\n")
+    t = F.regexp_replace(t, r"^\n+|\n+$", "")
+    return df.withColumn(out_col, F.trim(t))
+
+
+def html_to_text_oracle_sql_expr(col: str) -> str:
+    """DuckDB expression twin of :func:`html_to_text` (same pass order,
+    same patterns, RE2 flags passed separately)."""
+    e = col
+    for _java, duck, flags, repl in HTML_TEXT_PASSES:
+        repl_sql = repl.replace("\n", "' || chr(10) || '")
+        e = (
+            f"regexp_replace({e}, '{duck}', '{repl_sql}', "
+            f"'g{flags}')"
+        )
+    for ent, ch in HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        e = f"replace({e}, '{ent}', '{ch_sql}')"
+    e = f"regexp_replace({e}, '[ \\t]+', ' ', 'g')"
+    e = f"regexp_replace({e}, ' ?\\n[ \\n]*', chr(10), 'g')"
+    e = f"regexp_replace({e}, '^\\n+|\\n+$', '', 'g')"
+    return f"trim({e})"

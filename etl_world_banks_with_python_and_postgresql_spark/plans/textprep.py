@@ -2213,3 +2213,47 @@ def z125(spark, sf_dir):
     from ..operators.train_prep import length_batches
 
     return length_batches(load(spark, "documents", sf_dir), batch_size=8)
+
+
+@query(
+    "z126_html_to_text",
+    oracle="WITH aug AS (\n"
+    "  SELECT doc_id,\n"
+    "         '<html><head><title>t</title>'\n"
+    "         || '<style>p { color: red; }</style>'\n"
+    "         || '<script>var x = 1 < 2;</script></head>'\n"
+    "         || '<body><h1>Doc ' || doc_id || '</h1>'\n"
+    "         || '<!-- hidden -->'\n"
+    "         || '<p>' || text || ' &amp;amp; more&nbsp;<b>bold</b></p>'\n"
+    "         || '<ul><li>a</li><li>b</li></ul></body></html>' AS t\n"
+    "  FROM documents)\n"
+    "SELECT doc_id, "
+    + text.html_to_text_oracle_sql_expr("t")
+    + " AS extracted FROM aug",
+    description=(
+        "markup-stripping text extraction (the trafilatura-shaped web-"
+        "corpus step): script/style/comment blocks dropped, block tags "
+        "become newlines, remaining tags stripped, entities decoded "
+        "(&amp; last -- one decode pass), whitespace normalized. One "
+        "shared RE2-compatible pattern table drives BOTH engines, so "
+        "extraction is gated byte-for-byte; pure regexp codegen, zero "
+        "shuffle"
+    ),
+)
+def z126(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>t</title>"
+                  "<style>p { color: red; }</style>"
+                  "<script>var x = 1 < 2;</script></head>"
+                  "<body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><!-- hidden --><p>"),
+            F.col("text"),
+            F.lit(" &amp;amp; more&nbsp;<b>bold</b></p>"
+                  "<ul><li>a</li><li>b</li></ul></body></html>"),
+        ).alias("t"),
+    )
+    return text.html_to_text(aug, text_col="t").select("doc_id", "extracted")

@@ -3800,3 +3800,35 @@ def test_length_batches_minimizes_padding_and_accounts_exactly(spark):
 
     with pytest.raises(ValueError):
         length_batches(docs, batch_size=0)
+
+
+def test_html_to_text_extraction_semantics(spark):
+    """Markup stripping: script/style/comment content never leaks
+    (including '<' inside scripts), block tags become newlines, inline
+    tags become spaces, entities decode exactly once (&amp;lt; -> &lt;,
+    never <), whitespace normalizes."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.text import (
+        html_to_text,
+    )
+
+    cases = [
+        (1, "<html><head><style>p{a:1}</style><script>if(1<2){alert('x')}"
+            "</script></head><body><h1>Title</h1><!-- secret -->"
+            "<p>Hello &amp; world&nbsp;<b>bold</b></p>"
+            "<ul><li>a</li><li>b</li></ul></body></html>",
+         "Title\nHello & world bold\na\nb"),
+        (2, "plain text, no markup", "plain text, no markup"),
+        (3, "<P CLASS='x'>upper   case</P><BR>tail", "upper case\ntail"),
+        (4, "one &amp;lt; two", "one &lt; two"),  # single decode pass
+        (5, "", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in cases], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["extracted"]
+        for r in html_to_text(df).collect()
+    }
+    for i, _h, want in cases:
+        assert got[i] == want, (i, repr(got[i]), repr(want))
+    assert "secret" not in got[1] and "alert" not in got[1]
