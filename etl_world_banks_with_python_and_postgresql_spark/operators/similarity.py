@@ -1748,3 +1748,60 @@ def ivfpq_topk_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def pq_recall_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    layouts: "Sequence[tuple[int, int]]" = ((4, 16), (8, 16), (16, 16)),
+    n_iter: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[dict]:
+    """Recall/compression tuning curve for product quantization: for
+    each (m, n_codewords) layout, trains codebooks, runs :func:`pq_topk`
+    against the exact baseline, and reports {'m', 'n_codewords',
+    'recall', 'seconds', 'bytes_per_vec', 'compression'} -- recall
+    traded against at-rest size, the PQ tuning axis (the IVF curve
+    trades recall against scan fraction; composing both via
+    :func:`ivf_pq_topk` multiplies the savings).
+    bytes_per_vec counts one code per subspace (1 byte at
+    n_codewords <= 256); compression is vs float32 vectors.
+    """
+    import time
+
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+        ).collect()
+    }
+    out = []
+    for m, n_codewords in layouts:
+        t0 = time.perf_counter()
+        books = pq_codebooks(
+            corpus, m=m, n_codewords=n_codewords, n_iter=n_iter,
+            id_col=id_col, vec_col=vec_col,
+        )
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_topk(
+                corpus, queries, k=k, books=books,
+                id_col=id_col, vec_col=vec_col,
+            ).collect()
+        }
+        bytes_per_vec = m * (1 if n_codewords <= 256 else 2)
+        out.append(
+            {
+                "m": m,
+                "n_codewords": n_codewords,
+                "recall": round(len(exact & approx) / max(len(exact), 1), 4),
+                "seconds": round(time.perf_counter() - t0, 3),
+                "bytes_per_vec": bytes_per_vec,
+                "compression": round(dim * 4 / max(bytes_per_vec, 1), 1),
+            }
+        )
+    return out

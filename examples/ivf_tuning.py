@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
     ivf_recall_curve,
     minibatch_kmeans_centroids,
+    pq_recall_curve,
 )
 from etl_world_banks_with_python_and_postgresql_spark.session import get_spark
 from etl_world_banks_with_python_and_postgresql_spark.sources.catalog import load
@@ -46,6 +47,13 @@ def main() -> None:
             centroids=cents,
         ):
             print(json.dumps({"centroids": label, **point}))
+
+    # PQ tuning axis: recall vs at-rest compression (composes with IVF
+    # via ivf_pq_topk -- scan fraction x bytes/vec multiply)
+    for point in pq_recall_curve(
+        emb, queries, layouts=((4, 16), (8, 16), (16, 16)), n_iter=2, k=10
+    ):
+        print(json.dumps({"tuning": "pq", **point}))
 
 
 if __name__ == "__main__":

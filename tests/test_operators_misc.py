@@ -3832,3 +3832,23 @@ def test_html_to_text_extraction_semantics(spark):
     for i, _h, want in cases:
         assert got[i] == want, (i, repr(got[i]), repr(want))
     assert "secret" not in got[1] and "alert" not in got[1]
+
+
+def test_pq_recall_curve_monotone_in_m(spark):
+    """More subspaces at fixed codewords = finer quantization: recall on
+    the curve must not collapse as m grows, and the best layout must
+    beat the coarsest (the tuning harness's reason to exist)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        pq_recall_curve,
+    )
+
+    emb = load(spark, "embeddings", SF)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    curve = pq_recall_curve(
+        emb, queries, layouts=((4, 16), (16, 16)), n_iter=2, k=5
+    )
+    assert [c["m"] for c in curve] == [4, 16]
+    assert curve[0]["compression"] == 64.0  # 64 dims * 4B / 4B codes
+    assert curve[1]["compression"] == 16.0
+    assert curve[1]["recall"] > curve[0]["recall"]
+    assert all(c["recall"] > 0 for c in curve)
