@@ -135,6 +135,7 @@ HEADLINE = [
     "z124_pack_manifest",
     "z125_length_batches",
     "z126_html_to_text",
+    "z127_unicode_fold",
 ]
 
 

@@ -1373,3 +1373,55 @@ def html_to_text_oracle_sql_expr(col: str) -> str:
     e = f"regexp_replace({e}, ' ?\\n[ \\n]*', chr(10), 'g')"
     e = f"regexp_replace({e}, '^\\n+|\\n+$', '', 'g')"
     return f"trim({e})"
+
+
+# unicode compatibility fold: the NFKC-lite subset a corpus pipeline
+# actually needs before hashing/dedup (smart punctuation, fullwidth
+# ASCII, NBSP) -- 1:1 maps go through translate(), multi-char
+# expansions through replace(); BOTH tables drive Spark and the DuckDB
+# twin, so folding is gated byte-for-byte.
+_FOLD_1TO1 = (
+    [
+        ("\u2018", "'"), ("\u2019", "'"), ("\u201a", "'"), ("\u2032", "'"),
+        ("\u201c", '"'), ("\u201d", '"'), ("\u201e", '"'), ("\u2033", '"'),
+        ("\u2013", "-"), ("\u2014", "-"), ("\u2212", "-"),
+    ]
+    # space variants: NBSP, narrow NBSP, math space, ideographic
+    # space, and the U+2000-200A en/em/thin/hair family
+    + [(c, " ") for c in ("\u00a0", "\u202f", "\u205f", "\u3000")]
+    + [(chr(cp), " ") for cp in range(0x2000, 0x200B)]
+    + [(chr(0xFF01 + i), chr(0x21 + i)) for i in range(0x5E)]  # fullwidth
+)
+_FOLD_MULTI = [
+    ("…", "..."), ("ﬁ", "fi"), ("ﬂ", "fl"),
+    ("‹", "<"), ("›", ">"), ("«", '"'), ("»", '"'),
+]
+FOLD_FROM = "".join(f for f, _ in _FOLD_1TO1)
+FOLD_TO = "".join(t for _, t in _FOLD_1TO1)
+
+
+def unicode_fold(
+    df: DataFrame, text_col: str = "text", out_col: str = "folded"
+) -> DataFrame:
+    """Unicode compatibility fold (NFKC-lite): smart quotes/dashes to
+    ASCII, fullwidth forms to their ASCII range, exotic spaces to
+    space, ellipsis/ligatures/guillemets expanded. Run BEFORE any
+    content hashing -- dedup/splitting keyed on unfolded text treats
+    typographic variants of the same sentence as distinct documents.
+    Pure translate/replace codegen, zero shuffle; one shared mapping
+    table drives both engines byte-for-byte.
+    """
+    t = F.translate(F.col(text_col), FOLD_FROM, FOLD_TO)
+    for src, dst in _FOLD_MULTI:
+        t = F.replace(t, F.lit(src), F.lit(dst))
+    return df.withColumn(out_col, t)
+
+
+def unicode_fold_oracle_sql_expr(col: str) -> str:
+    """DuckDB twin of :func:`unicode_fold` (same tables, same order)."""
+    f = FOLD_FROM.replace("'", "''")
+    to = FOLD_TO.replace("'", "''")
+    e = f"translate({col}, '{f}', '{to}')"
+    for src, dst in _FOLD_MULTI:
+        e = f"replace({e}, '{src}', '{dst.replace(chr(39), chr(39)*2)}')"
+    return e

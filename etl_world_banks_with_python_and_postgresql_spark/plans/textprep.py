@@ -2257,3 +2257,35 @@ def z126(spark, sf_dir):
         ).alias("t"),
     )
     return text.html_to_text(aug, text_col="t").select("doc_id", "extracted")
+
+
+@query(
+    "z127_unicode_fold",
+    oracle="WITH aug AS (\n"
+    "  SELECT doc_id,\n"
+    "         '“Smart” — quotes… ＦＵＬＬ ﬁn «q» ' || text AS t\n"
+    "  FROM documents)\n"
+    "SELECT doc_id, "
+    + text.unicode_fold_oracle_sql_expr("t")
+    + " AS folded FROM aug",
+    description=(
+        "unicode compatibility fold (NFKC-lite): smart quotes/dashes, "
+        "fullwidth ASCII, exotic spaces, ellipsis/ligature/guillemet "
+        "expansions -- the normalization that must run BEFORE content "
+        "hashing so typographic variants dedup together. One shared "
+        "mapping table drives translate/replace in both engines "
+        "byte-for-byte; pure codegen, zero shuffle"
+    ),
+)
+def z127(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("“Smart” — quotes… "
+                  "ＦＵＬＬ ﬁn «"
+                  "q» "),
+            F.col("text"),
+        ).alias("t"),
+    )
+    return text.unicode_fold(aug, text_col="t").select("doc_id", "folded")

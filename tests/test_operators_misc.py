@@ -3852,3 +3852,33 @@ def test_pq_recall_curve_monotone_in_m(spark):
     assert curve[1]["compression"] == 16.0
     assert curve[1]["recall"] > curve[0]["recall"]
     assert all(c["recall"] > 0 for c in curve)
+
+
+def test_unicode_fold_mapping(spark):
+    """The NFKC-lite fold: smart punctuation, fullwidth ASCII range,
+    exotic spaces, multi-char expansions; ASCII text is a fixed point;
+    folding makes typographic variants hash-identical (the dedup
+    motivation)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.text import (
+        unicode_fold,
+    )
+
+    rows = [
+        (1, "“Hi” — café… ＨＩ ﬁn"),
+        (2, "plain ascii stays"),
+        (3, "a b c"),          # NBSP + thin space
+        (4, "‘q’ – «g»"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["folded"] for r in unicode_fold(df).collect()}
+    assert got[1] == '"Hi" - café... HI fin'
+    assert got[2] == "plain ascii stays"
+    assert got[3] == "a b c"
+    assert got[4] == "'q' - \"g\""
+
+    variants = spark.createDataFrame(
+        [(1, "“the same” — text"), (2, '"the same" - text')],
+        "doc_id long, text string",
+    )
+    folded = unicode_fold(variants).select("folded").distinct().count()
+    assert folded == 1  # variants collapse -> hash-identical for dedup
