@@ -136,6 +136,11 @@ HEADLINE = [
     "z125_length_batches",
     "z126_html_to_text",
     "z127_unicode_fold",
+    # probe-only at-rest retrieval (VERDICT r10 #4): recurring cost of
+    # each index family, served from a fingerprint-cached index
+    "z128_bm25_indexed",
+    "z129_phrase_search_indexed",
+    "z130_ivfpq_index_probe",
 ]
 
 
@@ -364,17 +369,13 @@ def main() -> None:
             print(f"# {name} FAILED: {exc}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Key ORDER is load-bearing (VERDICT r10 #2): the driver archives only
+    # the last 2000 chars of stdout, so the bulky per-entry `queries` dict
+    # goes FIRST and every gate-relevant summary field goes LAST -- a tail
+    # window always captures headline/value/shared_total/pipeline_e2e/
+    # repeat/agg/isolated_flagged without needing PERF.md.
     out = {
-        "metric": "headline_suite_seconds",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
         "queries": timings,
-        "shared_total": round(
-            sum(t for n, t in timings.items() if n in SHARED_24), 3
-        ),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "repeat": repeat,
-        "agg": args.agg,
     }
     if errors:
         out["errors"] = errors
@@ -392,7 +393,6 @@ def main() -> None:
                 and max(t / prev_q[n], prev_q[n] / t) > 1.5
             )[:12]  # bound the adjudication cost
             out["prev_bench"] = prev_name
-            out["isolated_flagged"] = movers
             if movers:
                 print(
                     f"# >1.5x movers vs {prev_name}: {movers}; "
@@ -400,6 +400,23 @@ def main() -> None:
                     file=sys.stderr,
                 )
                 out["isolated"] = _isolated_rerun(movers, repeat)
+            # isolated_flagged rides with the trailing summary block so
+            # the driver's tail window always shows it
+            out["isolated_flagged"] = movers
+    out.update(
+        {
+            "metric": "headline_suite_seconds",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "shared_total": round(
+                sum(t for n, t in timings.items() if n in SHARED_24), 3
+            ),
+            "pipeline_e2e_2runs": timings.get("pipeline_e2e_2runs"),
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "repeat": repeat,
+            "agg": args.agg,
+        }
+    )
     print(json.dumps(out))
 
 

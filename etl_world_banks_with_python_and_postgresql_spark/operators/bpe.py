@@ -37,6 +37,72 @@ from ..functions.xhash import ws_tokens
 
 _WORD_END = "</w>"
 
+#: The shipped tokenizer artifact for the gated serving entry (z123):
+#: the exact output of ``bpe_train(documents@sf0.001, n_merges=16)``,
+#: baked as a literal the way a production pipeline ships a tokenizer
+#: trained once and applied to every later corpus. Training-order merge
+#: lists are producer-before-consumer (a merge's left/right symbols can
+#: only be produced by EARLIER merges), which is what makes the
+#: sequential-replace oracle below equivalent to the rank-greedy
+#: encoder (`_segment_word`) -- see bpe_tokenize_oracle_sql.
+SHIPPED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"),
+    ("t", "</w>"), ("er", "</w>"), ("o", "w"), ("ow", "</w>"),
+    ("l", "u"), ("i", "n"), ("y", "</w>"), ("a", "r"),
+    ("p", "ar"), ("g", "</w>"), ("a", "s"), ("h", "</w>"),
+]
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def bpe_tokenize_oracle_sql(
+    merges: list[tuple[str, str]],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle recomputing ``bpe_segment(df, merges)``'s
+    ``n_bpe_tokens`` with pure string algebra -- the z126/z127
+    shared-mapping-table pattern applied to a tokenizer.
+
+    Encoding: each word renders as its symbol list joined with DOUBLE
+    spaces and single-space rims (`' a  b  </w> '`); merge (l, r) is one
+    global ``replace(' l  r ' -> ' lr ')``. The double-space separator
+    makes adjacent matches share NO characters, so one left-to-right
+    non-overlapping replace pass merges exactly the occurrences the
+    Spark `_apply_merge` leftmost-greedy fold merges (single-space
+    joins would skip every second occurrence of a same-symbol run --
+    the ' a a a ' trap). Applying merges in TRAINING order, each
+    exhaustively, equals the rank-greedy encode because training order
+    is producer-before-consumer: no later merge can create an instance
+    of an earlier pair (a merge only creates adjacencies involving its
+    new, strictly-later symbol). Token count falls out of the space
+    arithmetic: a k-symbol rendering carries exactly 2k spaces.
+    """
+    expr = (
+        "' ' || array_to_string(list_append(string_split(word, ''), "
+        "'</w>'), '  ') || ' '"
+    )
+    for left, right in merges:
+        pat = _sql_quote(f" {left}  {right} ")
+        rep = _sql_quote(f" {left}{right} ")
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return f"""
+WITH w AS (
+  SELECT {id_col},
+         unnest(string_split_regex(trim(lower({text_col})), '\\s+')) AS word
+  FROM {table} WHERE length(trim({text_col})) > 0),
+seg AS (SELECT {id_col}, {expr} AS s FROM w),
+cnt AS (
+  SELECT {id_col},
+         sum((length(s) - length(replace(s, ' ', ''))) // 2) AS n
+  FROM seg GROUP BY {id_col})
+SELECT d.{id_col}, coalesce(cnt.n, 0)::INT AS n_bpe_tokens
+FROM {table} d LEFT JOIN cnt USING ({id_col})
+"""
+
 
 def _word_freq(df: DataFrame, text_col: str) -> DataFrame:
     toks = F.when(

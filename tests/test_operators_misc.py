@@ -3716,6 +3716,51 @@ def test_bpe_train_matches_reference_and_segment_roundtrips(spark):
     assert list(e["bpe_tokens"]) == [] and e["n_bpe_tokens"] == 0
 
 
+def _replace_algebra_tokens(word: str, merges) -> int:
+    """Pure-Python twin of bpe_tokenize_oracle_sql's per-word algebra
+    (str.replace == SQL replace: leftmost-to-right, non-overlapping):
+    double-space joins, one global replace per merge in training order,
+    token count from the space arithmetic."""
+    s = " " + "  ".join(list(word) + ["</w>"]) + " "
+    for left, right in merges:
+        s = s.replace(f" {left}  {right} ", f" {left}{right} ")
+    return (len(s) - len(s.replace(" ", ""))) // 2
+
+
+def test_bpe_replace_algebra_equals_rank_greedy_encoder():
+    """The z123 oracle's sequential-replace algebra must yield the same
+    token COUNT as the rank-greedy encoder for every word, given a
+    training-order (producer-before-consumer) merge list. Sweeps the
+    shipped artifact over adversarial words (same-symbol runs -- the
+    ' a a a ' shared-delimiter trap -- plus merge-chain words and
+    random compositions), and a freshly trained list over its corpus."""
+    import itertools
+    import random
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.bpe import (
+        SHIPPED_MERGES,
+        _segment_word,
+    )
+
+    ranks = {p: i for i, p in enumerate(SHIPPED_MERGES)}
+    words = [
+        "a", "aa", "aaa", "aaaa", "aaaaa", "er", "erer", "ererer",
+        "ererere", "pererrer", "low", "lower", "slowly", "inner",
+        "paring", "aserasy", "wowowow", "tintin", "parpar",
+    ]
+    alphabet = "aeghilnoprstuwy"
+    rng = random.Random(123)
+    words += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        for _ in range(500)
+    ]
+    words += ["".join(t) for t in itertools.product("aer", repeat=4)]
+    for w in words:
+        greedy = len(_segment_word(w, ranks))
+        algebra = _replace_algebra_tokens(w, SHIPPED_MERGES)
+        assert greedy == algebra, (w, greedy, algebra)
+
+
 def test_pack_manifest_consistent_with_bins_and_offsets(spark):
     """The manifest must (a) reproduce pack_token_bins' bin assignment
     exactly when re-aggregated, and (b) place docs contiguously: within

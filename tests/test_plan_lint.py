@@ -105,6 +105,9 @@ WHITELIST = {
     # the id-assigning window runs over the limit(top_n)-bounded vocab
     # rows only (TakeOrdered upstream): vocab-sized, corpus-independent
     "z119_vocab_encode": "global window over the limit(top_n)-bounded vocab axis",
+    # the rank-presentation window runs over the limit(k=20)-bounded
+    # top-k rows only (scores stay internal; EXACT_ROUND_FROZEN)
+    "z128_bm25_indexed": "global window over the limit(k)-bounded top-k rows",
 }
 
 
