@@ -141,6 +141,11 @@ HEADLINE = [
     "z128_bm25_indexed",
     "z129_phrase_search_indexed",
     "z130_ivfpq_index_probe",
+    # round-11 additions: register sketch, bounded-iteration graph
+    # centrality, hybrid-retrieval fusion
+    "z131_hll_distinct",
+    "z132_pagerank",
+    "z133_hybrid_rrf",
 ]
 
 

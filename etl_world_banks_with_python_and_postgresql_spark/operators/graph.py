@@ -1,0 +1,144 @@
+"""Graph centrality over table-derived edge lists.
+
+The reference pipeline has no graph surface; this module is part of the
+north-star training-data story: web-scale corpus curation uses link-
+graph centrality as a document quality prior (Common Crawl ranks hosts
+by harmonic/PageRank centrality to pick what to fetch and keep), and
+the same shape scores entity importance in any relational graph.
+
+Scale design: PageRank here is the textbook synchronous iteration as
+BOUNDED dataflow -- a FIXED number of (join + aggregate) rounds, each
+O(|E|) shuffle, with lineage cut per round (localCheckpoint) so the
+plan does not nest. No driver-side mutable state: ranks live in a
+DataFrame keyed by node, contributions flow edge-wise, and the
+iteration count is a literal -- the exact pattern GraphX/Pregel's
+message passing lowers to, expressed in plain joins so Catalyst/AQE
+keep optimizing it.
+
+Determinism: all arithmetic is EXACT integer micros (the q49/exactnum
+discipline). Each round computes
+
+    rank'(v) = 150000 + sum over in-edges (u, v) of
+               floor(rank(u) * damping_ppm / (1e6 * outdeg(u)))
+
+so partition order cannot change a single bit, and a fixed-round SQL
+oracle (unrolled CTEs) reproduces the result exactly. Dangling-node
+mass (nodes with no out-edges) is deliberately dropped rather than
+redistributed -- documented divergence from the stochastic-matrix
+formulation; ranks remain a deterministic centrality score, which is
+what the curation use case consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exactnum import floordiv_nonneg
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping_ppm: int = 850_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration integer-micros PageRank over a directed edge list.
+
+    Returns ``(node, rank_micros)`` for every node appearing as source
+    or destination. ``rank_micros`` starts at 1_000_000 per node and
+    each round applies the damped update above; with damping_ppm =
+    850000 the teleport term is the constant 150000.
+
+    Plan shape per round: ONE equi-join of the (static, checkpointed)
+    degree-annotated edge list with the current rank table on the source
+    key, ONE map-side-combined aggregate on the destination key, ONE
+    left join back to the node set (teleport-only nodes). The edge list
+    is the big side and is shuffled on the same key every round -- at
+    cluster scale, pre-partition (or bucket) it by ``src`` once and
+    every round's join co-locates for free.
+    """
+    if n_iter < 1:
+        raise ValueError(f"pagerank: n_iter must be >= 1, got {n_iter}")
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    # static across rounds: annotate each edge with its source's
+    # out-degree once, checkpoint so every round reuses the result
+    edges_deg = e.join(deg, "_src").localCheckpoint()
+    teleport = F.lit((1_000_000 - damping_ppm)).cast("long")
+    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank_micros"))
+    for _ in range(n_iter):
+        contribs = (
+            edges_deg.join(
+                ranks.withColumnRenamed("node", "_src"), "_src"
+            )
+            .select(
+                F.col("_dst").alias("node"),
+                # rank lifts to DECIMAL(38,0) BEFORE the ppm multiply: a
+                # hub node's rank on a trillion-edge graph would wrap
+                # the LongType product (the embedding_moments lesson)
+                floordiv_nonneg(
+                    F.col("rank_micros").cast("decimal(38,0)")
+                    * F.lit(damping_ppm).cast("decimal(38,0)"),
+                    F.lit(1_000_000).cast("decimal(38,0)")
+                    * F.col("_deg").cast("decimal(38,0)"),
+                ).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (teleport + F.coalesce(F.col("_in"), F.lit(0)))
+                .cast("long")
+                .alias("rank_micros"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    n_iter: int = 3,
+    damping_ppm: int = 850_000,
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the fixed iteration UNROLLED
+    into one CTE per round (r1..rN), same integer-micros update --
+    bit-identical by construction. ``edges_sql`` must yield (src, dst).
+    """
+    teleport = 1_000_000 - damping_ppm
+    parts = [
+        f"""
+edges AS ({edges_sql}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, deg.d FROM edges e JOIN deg USING (src)),
+r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""
+r{i} AS (
+  SELECT n.node,
+         ({teleport} + coalesce(sum((p.r * {damping_ppm})
+                                    // (1000000 * ed.d)), 0))::BIGINT AS r
+  FROM nodes n
+  LEFT JOIN ed ON ed.dst = n.node
+  LEFT JOIN r{i - 1} p ON p.node = ed.src
+  GROUP BY n.node)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\nSELECT node, r AS rank_micros FROM r{n_iter}\n"
+    )

@@ -540,3 +540,246 @@ SELECT source_a, source_b, n_kept, n_common,
              ELSE (n_common * 1000000) // {k} END)::BIGINT AS jaccard_micros
 FROM s
 """
+
+
+# ---------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) -- the register-based distinct
+# sketch that completes the family next to KMV: fixed m-register state
+# per group (m * 1 byte at rest vs KMV's k * 8), mergeable by
+# elementwise MAX, and -- like everything in this module -- built on
+# the 48-bit md5 hash so both engines replicate it bit-for-bit.
+# ---------------------------------------------------------------------
+
+_HLL_HASH_BITS = 48
+
+
+def _hll_alpha_ppm(m: int) -> int:
+    """Flajolet's bias constant alpha_m in exact parts-per-million --
+    ONE shared integer literal drives both engines (no float constant
+    folding differences can exist)."""
+    if m >= 128:
+        a = 0.7213 / (1 + 1.079 / m)
+    elif m == 64:
+        a = 0.709
+    elif m == 32:
+        a = 0.697
+    elif m == 16:
+        a = 0.673
+    else:
+        raise ValueError(f"hll: unsupported register count m={m}")
+    return int(round(a * 1_000_000))
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    p: int = 6,
+    group_by: str | None = None,
+) -> DataFrame:
+    """HLL register table: ``(group?, register, max_rho)``.
+
+    register = low ``p`` bits of the 48-bit hash; rho = 1 + count of
+    leading zeros in the remaining ``48 - p`` bits, computed EXACTLY in
+    integer/string ops (``(48 - p) + 1 - length(bin(rem))``; bin() has
+    no leading zeros in either engine) -- no log2 transcendental, so the
+    registers are bit-identical cross-engine. Duplicates need no
+    pre-distinct (MAX absorbs them): the whole sketch is one scan with a
+    map-side-combined (group, register) aggregate whose shuffle payload
+    is O(m x partitions) however large the corpus. Registers merge
+    across partials by elementwise MAX (:func:`hll_merge`).
+    """
+    m = 1 << p
+    h = md5_hash48(F.col(value_col).cast("string"))
+    rem = F.shiftright(h, p)
+    rho = (
+        F.when(rem == 0, F.lit(_HLL_HASH_BITS - p + 1))
+        .otherwise(
+            F.lit(_HLL_HASH_BITS - p + 1) - F.length(F.bin(rem))
+        )
+        .cast("int")
+    )
+    keys = [group_by] if group_by else []
+    return (
+        df.select(*keys, (h % m).cast("int").alias("register"), rho.alias("_r"))
+        .groupBy(*keys, "register")
+        .agg(F.max("_r").alias("max_rho"))
+    )
+
+
+def hll_merge(sketches: list[DataFrame], group_by: str | None = None) -> DataFrame:
+    """Compose partial register tables: union + elementwise MAX. Equals
+    the sketch of the unioned inputs (MAX is associative/commutative/
+    idempotent -- the property that makes HLL a one-pass distributed
+    sketch)."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    keys = [group_by] if group_by else []
+    return u.groupBy(*keys, "register").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+
+
+def _hll_lc_table_micros(m: int) -> list[int]:
+    """Linear-counting lookup ``round(ln(m / V) * 1e6)`` for V = 1..m,
+    PRECOMPUTED once in Python and baked as the same integer literals
+    into both engines (the z126/z127 shared-table discipline) -- the
+    correction needs ln(), but never at query time."""
+    import math
+
+    return [round(math.log(m / v) * 1_000_000) for v in range(1, m + 1)]
+
+
+def hll_estimate(
+    registers: DataFrame,
+    p: int = 6,
+    group_by: str | None = None,
+) -> DataFrame:
+    """HLL estimate from a register table, in EXACT integer arithmetic
+    end to end (Flajolet et al. 2007, incl. the small-range correction).
+
+    Raw estimator: the harmonic-mean denominator sum(2^-M_j) is lifted
+    to the common denominator 2^(48-p+1): each register contributes the
+    integer 2^(48-p+1-M_j), absent registers contribute 2^(48-p+1)
+    (M=0), so S <= m * 2^43 fits BIGINT comfortably at p=6. The
+    estimate alpha_m * m^2 / sum(2^-M) becomes ONE exact DECIMAL(38,0)
+    floor division (alpha_ppm * m^2 * 2^(48-p+1)) div (S * 10^6).
+
+    Small-range correction (the regime where the raw estimator biases
+    high): when raw <= 5m/2 and V = zero-register count > 0, linear
+    counting ``round(m * ln(m / V))`` applies -- with ln(m/V) drawn from
+    a PRECOMPUTED integer-micros table shared verbatim by both engines,
+    so no libm call ever executes at query time and the corrected
+    estimate stays bit-identical cross-engine. ``n_zero_registers``
+    stays in the output so the active regime is visible.
+    """
+    from ..functions.exactnum import floordiv_nonneg
+
+    m = 1 << p
+    rmax = _HLL_HASH_BITS - p + 1
+    alpha_ppm = _hll_alpha_ppm(m)
+    lc = _hll_lc_table_micros(m)
+    keys = [group_by] if group_by else []
+    agg = registers.groupBy(*keys) if group_by else registers.groupBy()
+    folded = agg.agg(
+        # SQL-form shiftleft: the Python API requires a literal int
+        # shift amount, the SQL expression accepts the column
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - max_rho)"))
+        .alias("_s_present"),
+        F.count("*").alias("_n_present"),
+    )
+    s_total = F.col("_s_present") + (
+        (F.lit(m) - F.col("_n_present"))
+        * F.lit(1 << rmax).cast("long")
+    )
+    raw = floordiv_nonneg(
+        F.lit(alpha_ppm * m * m).cast("decimal(38,0)")
+        * F.lit(1 << rmax).cast("decimal(38,0)"),
+        s_total.cast("decimal(38,0)") * F.lit(1_000_000).cast("decimal(38,0)"),
+    )
+    v = (F.lit(m) - F.col("_n_present")).cast("int")
+    lc_arr = F.array(*[F.lit(x).cast("long") for x in lc])
+    lc_est = floordiv_nonneg(
+        F.lit(m) * F.element_at(lc_arr, v) + F.lit(500_000),
+        F.lit(1_000_000),
+    )
+    est = F.when((raw <= F.lit(5 * m // 2)) & (v > 0), lc_est).otherwise(raw)
+    return folded.select(
+        *keys,
+        est.alias("est_distinct"),
+        v.alias("n_zero_registers"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    p: int = 6,
+    group_by: str | None = None,
+) -> DataFrame:
+    """:func:`hll_registers` + :func:`hll_estimate` fused, WITH the
+    in-gate accuracy eval (the z39/z107 discipline): the exact distinct
+    count rides along with the estimate plus an exact-integer
+    per-mille error, so the sketch's quality is part of the gated
+    answer, not a claim."""
+    from ..functions.exactnum import floordiv_nonneg
+
+    keys = [group_by] if group_by else []
+    est = hll_estimate(
+        hll_registers(df, value_col, p=p, group_by=group_by),
+        p=p,
+        group_by=group_by,
+    )
+    exact_agg = (
+        df.groupBy(*keys) if group_by else df.groupBy()
+    ).agg(F.countDistinct(F.col(value_col)).alias("exact_distinct"))
+    j = est.join(exact_agg, keys) if group_by else est.crossJoin(
+        F.broadcast(exact_agg)
+    )
+    err = floordiv_nonneg(
+        F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+        * F.lit(1000),
+        F.greatest(F.col("exact_distinct"), F.lit(1)),
+    )
+    return j.select(
+        *keys,
+        "est_distinct",
+        "exact_distinct",
+        "n_zero_registers",
+        err.alias("err_permille"),
+    )
+
+
+def hll_oracle_sql(
+    value_sql: str,
+    p: int = 6,
+    group_by: str = "source",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` -- same hash, same register/
+    rho integer algebra, same HUGEINT-exact floor division."""
+    m = 1 << p
+    rmax = _HLL_HASH_BITS - p + 1
+    alpha_ppm = _hll_alpha_ppm(m)
+    num = alpha_ppm * m * m * (1 << rmax)
+    lc_tbl = "[" + ", ".join(str(x) for x in _hll_lc_table_micros(m)) + "]"
+    hv = (
+        f"('0x' || substr(md5(({value_sql})::VARCHAR), 1, 12))::BIGINT"
+    )
+    return f"""
+WITH h AS (
+  SELECT {group_by} AS grp, {hv} AS hv FROM {table}),
+regs AS (
+  SELECT grp, (hv % {m})::INT AS register,
+         max(CASE WHEN (hv // {m}) = 0 THEN {rmax}
+                  ELSE {rmax} - length(bin(hv // {m})) END) AS max_rho
+  FROM h GROUP BY 1, 2),
+folded AS (
+  SELECT grp,
+         sum((1::BIGINT << ({rmax} - max_rho))::BIGINT)::BIGINT AS s_present,
+         count(*)::BIGINT AS n_present
+  FROM regs GROUP BY 1),
+exact AS (
+  SELECT {group_by} AS grp, count(DISTINCT {value_sql})::BIGINT
+           AS exact_distinct
+  FROM {table} GROUP BY 1),
+est AS (
+  SELECT f.grp,
+         ({num}::HUGEINT
+          // ((s_present + ({m} - n_present) * {1 << rmax}::BIGINT)::HUGEINT
+              * 1000000))::BIGINT AS raw_est,
+         ({m} - n_present)::INT AS n_zero_registers,
+         e.exact_distinct
+  FROM folded f JOIN exact e USING (grp)),
+corr AS (
+  SELECT grp, exact_distinct, n_zero_registers,
+         CASE WHEN raw_est <= {5 * m // 2} AND n_zero_registers > 0
+              THEN ({m}::BIGINT * {lc_tbl}[n_zero_registers] + 500000)
+                   // 1000000
+              ELSE raw_est END AS est_distinct
+  FROM est)
+SELECT grp AS {group_by}, est_distinct, exact_distinct, n_zero_registers,
+       (abs(est_distinct - exact_distinct) * 1000
+        // greatest(exact_distinct, 1))::BIGINT AS err_permille
+FROM corr
+"""

@@ -1425,3 +1425,59 @@ def unicode_fold_oracle_sql_expr(col: str) -> str:
     for src, dst in _FOLD_MULTI:
         e = f"replace({e}, '{src}', '{dst.replace(chr(39), chr(39)*2)}')"
     return e
+
+
+def rrf_fuse(
+    ranked: "list[tuple[DataFrame, tuple]]",
+    rrf_k: int = 60,
+    top: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) --
+    the standard hybrid-retrieval combiner (lexical BM25 + semantic ANN
+    in production RAG stacks): each system contributes
+    ``1 / (rrf_k + rank)`` per document; missing from a system = 0.
+
+    ``ranked`` is a list of ``(df, order_keys)`` pairs where ``df`` is a
+    system's (already top-k-LIMITED) result and ``order_keys`` the
+    column ordering that defines its ranking. Ranks are materialized
+    with a window over each BOUNDED result (<= its k rows -- never
+    corpus-scale), scores in EXACT integer micros
+    (``10^6 div (rrf_k + rank)``, floor), fused by one union +
+    map-side-combined sum keyed on the doc -- so the whole fusion costs
+    O(sum of k) however large the corpus, and the output
+    (doc, rrf_micros, n_systems, rank) is bit-stable cross-engine.
+    Ties break on (score desc, id asc).
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.exactnum import floordiv_nonneg
+
+    parts = []
+    for df, order_keys in ranked:
+        w = W.orderBy(*order_keys)
+        parts.append(
+            df.select(
+                F.col(id_col),
+                floordiv_nonneg(
+                    F.lit(1_000_000).cast("long"),
+                    F.lit(rrf_k).cast("long")
+                    + F.row_number().over(w).cast("long"),
+                ).alias("_s"),
+            )
+        )
+    u = parts[0]
+    for pdf in parts[1:]:
+        u = u.unionByName(pdf)
+    fused = u.groupBy(id_col).agg(
+        F.sum("_s").alias("rrf_micros"),
+        F.count(F.lit(1)).cast("int").alias("n_systems"),
+    )
+    w_out = W.orderBy(F.desc("rrf_micros"), F.asc(id_col))
+    return (
+        fused.withColumn(
+            "rank", F.row_number().over(w_out).cast("int")
+        )
+        .filter(F.col("rank") <= top)
+        .select(id_col, "rrf_micros", "n_systems", "rank")
+    )

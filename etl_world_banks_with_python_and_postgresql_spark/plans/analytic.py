@@ -677,3 +677,51 @@ def z107(spark, sf_dir):
             ).alias("est_rank_micros"),
         )
     )
+
+
+from ..operators.graph import pagerank_oracle_sql as _pagerank_sql  # noqa: E402
+
+_PAGERANK_EDGES_SQL = """
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+@query(
+    "z132_pagerank",
+    oracle="WITH ranked AS ("
+    + _pagerank_sql(_PAGERANK_EDGES_SQL, n_iter=3)
+    + """)
+SELECT node, rank_micros FROM ranked
+ORDER BY rank_micros DESC, node LIMIT 100
+""",
+    description=(
+        "fixed-iteration PageRank centrality in exact integer micros "
+        "(the web-graph document-quality prior a crawl-corpus pipeline "
+        "scores hosts with): customer->supplier purchase edges, 3 "
+        "damped rounds, each ONE O(|E|) equi-join + ONE map-side-"
+        "combined aggregate with lineage cut per round -- the Pregel "
+        "message-passing shape as plain joins. Every update is an exact "
+        "BIGINT/DECIMAL floor expression, so the unrolled-CTE oracle "
+        "reproduces all 3 rounds bit-for-bit; top-100 by (rank, node) "
+        "gated. Dangling mass deliberately dropped (documented)"
+    ),
+)
+def z132(spark, sf_dir):
+    from ..operators.graph import pagerank
+
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return (
+        pagerank(edges, n_iter=3)
+        .orderBy(F.desc("rank_micros"), F.asc("node"))
+        .limit(100)
+    )

@@ -2389,3 +2389,95 @@ def z129(spark, sf_dir):
     return text.phrase_search_indexed(
         spark, path, phrase=["window", "join"]
     )
+
+
+@query(
+    "z131_hll_distinct",
+    oracle=_sketch.hll_oracle_sql("text", p=6, group_by="source"),
+    description=(
+        "HyperLogLog distinct sketch (Flajolet et al. 2007) with the "
+        "in-gate accuracy eval: per-source register table (m=64 "
+        "registers, 48-bit md5 hash, rho via exact bin()-length integer "
+        "algebra -- no log2 transcendental), raw harmonic-mean estimate "
+        "as ONE exact DECIMAL(38,0) floor division, exact distinct + "
+        "per-mille error riding along. One corpus scan, map-side-"
+        "combined (group, register) aggregate: the shuffle payload is "
+        "O(m x partitions) however large the corpus, and registers "
+        "merge across days/partials by elementwise MAX -- the 1-byte-"
+        "per-register state that monitors distinct counts on a 100 TB "
+        "stream"
+    ),
+)
+def z131(spark, sf_dir):
+    return _sketch.hll_distinct(
+        load(spark, "documents", sf_dir), "text", p=6, group_by="source"
+    )
+
+
+# BM25 side stays disjunctive over 3 terms; the conjunctive system uses
+# the 2-term subset -- the 3-term conjunction matches ZERO docs at every
+# SF (checked with duckdb; the branch-degeneracy trap in NOTES.md), and
+# a fusion where one system is empty is just the other system renamed
+_RRF_TERMS = ["merge", "window", "partition"]
+_RRF_KW_TERMS = ["merge", "window"]
+_RRF_KW_TERMS_SQL = "('merge', 'window')"
+
+
+@query(
+    "z133_hybrid_rrf",
+    # the two systems' SQL twins (z36's BM25, z35's conjunctive keyword
+    # rank widened to 3 terms) feed the same exact-integer RRF algebra:
+    # 10^6 div (60 + rank) summed per doc, ties (score desc, id)
+    oracle="WITH bm AS ("
+    + _bm25_sql(_RRF_TERMS, _TOKENS_SQL)
+    + f"""),
+bm_r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+  FROM bm),
+tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents),
+hits AS (SELECT doc_id, w FROM tok WHERE w IN {_RRF_KW_TERMS_SQL}),
+g AS (SELECT doc_id, count(DISTINCT w) AS nterms, count(*) AS total_tf
+      FROM hits GROUP BY doc_id),
+kw AS (SELECT doc_id, total_tf FROM g WHERE nterms = 2
+       ORDER BY total_tf DESC, doc_id LIMIT 20),
+kw_r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY total_tf DESC, doc_id) AS rnk
+  FROM kw),
+u AS (
+  SELECT doc_id, 1000000 // (60 + rnk) AS s FROM bm_r
+  UNION ALL
+  SELECT doc_id, 1000000 // (60 + rnk) AS s FROM kw_r),
+fused AS (
+  SELECT doc_id, sum(s)::BIGINT AS rrf_micros, count(*)::INT AS n_systems
+  FROM u GROUP BY doc_id),
+out AS (
+  SELECT *, (row_number() OVER (ORDER BY rrf_micros DESC, doc_id))::INT
+              AS rank
+  FROM fused)
+SELECT doc_id, rrf_micros, n_systems, rank FROM out WHERE rank <= 10
+""",
+    description=(
+        "hybrid-retrieval reciprocal-rank fusion (Cormack et al. SIGIR "
+        "2009, the production RAG combiner): 3-term disjunctive BM25 "
+        "top-20 fused with 2-term conjunctive exact-tf top-20 (the "
+        "3-term conjunction is corpus-degenerate -- checked, NOTES.md "
+        "trap) via score = sum of "
+        "10^6 div (60 + rank) in exact integer micros. Each system's "
+        "rank window runs over its LIMIT-bounded result only; fusion is "
+        "one union + map-side-combined doc-keyed sum -- O(sum of k) "
+        "whatever the corpus size. n_systems rides along so consumers "
+        "see which docs both retrievers agree on"
+    ),
+)
+def z133(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    bm = text.bm25_rank(docs, terms=_RRF_TERMS)
+    kw = text.keyword_search(docs, terms=_RRF_KW_TERMS)
+    return text.rrf_fuse(
+        [
+            (bm, (F.desc("bm25"), F.asc("doc_id"))),
+            (kw, (F.desc("total_tf"), F.asc("doc_id"))),
+        ],
+        rrf_k=60,
+        top=10,
+    )

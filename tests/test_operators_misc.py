@@ -1585,6 +1585,50 @@ def test_kmv_sketch_mergeable_and_accurate(spark):
     assert est_tiny == tiny.select("text").distinct().count()
 
 
+def test_hll_mergeable_accurate_and_regime_correct(spark):
+    """HLL invariants: (1) merging per-part register tables equals
+    sketching the union (elementwise MAX -- the one-pass distributed
+    property); (2) in the RAW regime (n >> m) a p=6 sketch lands within
+    ~3 std errors (1.04/sqrt(64) ~ 13%) of the exact count; (3) in the
+    small-range regime the linear-counting branch engages (zero
+    registers present) and beats the raw estimator; (4) registers are
+    deterministic: two builds are identical."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators import (
+        sketch as S,
+    )
+
+    # raw regime: 20k distinct synthetic values >> m=64
+    big = spark.range(20_000).select(
+        F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    regs = S.hll_registers(big, "val", p=6)
+    est = S.hll_estimate(regs, p=6).collect()[0]
+    assert est["n_zero_registers"] == 0  # raw branch active
+    assert abs(est["est_distinct"] - 20_000) / 20_000 < 3 * 1.04 / 64**0.5
+
+    # merge property: per-half MAX-merge == whole-corpus registers
+    half_a = big.filter(F.col("val").substr(2, 99).cast("long") % 2 == 0)
+    half_b = big.filter(F.col("val").substr(2, 99).cast("long") % 2 == 1)
+    merged = S.hll_merge(
+        [S.hll_registers(half_a, "val", p=6), S.hll_registers(half_b, "val", p=6)]
+    )
+    as_rows = lambda df: sorted(  # noqa: E731
+        (r["register"], r["max_rho"]) for r in df.collect()
+    )
+    assert as_rows(merged) == as_rows(regs)
+    # determinism: a rebuild is bit-identical
+    assert as_rows(S.hll_registers(big, "val", p=6)) == as_rows(regs)
+
+    # small-range regime: 25 distinct values -> zero registers present,
+    # linear counting engages and lands closer than the raw estimate
+    docs = load(spark, "documents", "/root/testdata/sf0.01")
+    one = docs.filter(F.col("source") == "src0")
+    row = S.hll_distinct(one, "text", p=6, group_by="source").collect()[0]
+    exact = row["exact_distinct"]
+    assert row["n_zero_registers"] > 0
+    assert abs(row["est_distinct"] - exact) <= max(3, exact // 3)
+
+
 def test_bottomk_quantile_sketch_mergeable_accurate_and_exact_when_small(
     spark,
 ):
@@ -3927,3 +3971,82 @@ def test_unicode_fold_mapping(spark):
     )
     folded = unicode_fold(variants).select("folded").distinct().count()
     assert folded == 1  # variants collapse -> hash-identical for dedup
+
+
+def test_pagerank_tiny_graph_hand_checked_and_invariants(spark):
+    """PageRank on a hand-checkable 3-node graph: A->B, A->C, B->C,
+    C->A. One round from uniform 1e6 in integer micros:
+      contrib(A->each of B,C) = floor(1e6*0.85/2e6... ) per edge =
+        floor(1_000_000 * 850000 / (1_000_000 * 2)) = 425_000
+      contrib(B->C) = 850_000; contrib(C->A) = 850_000
+      r1(A) = 150_000 + 850_000 = 1_000_000
+      r1(B) = 150_000 + 425_000 = 575_000
+      r1(C) = 150_000 + 425_000 + 850_000 = 1_425_000
+    Also pins: every node >= teleport floor, and on a dangling-free
+    graph total mass is conserved up to floor loss (< 1 micro per edge
+    per round -- deterministic truncation, not drift)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A")],
+        "src string, dst string",
+    )
+    r1 = {r["node"]: r["rank_micros"] for r in pagerank(edges, n_iter=1).collect()}
+    assert r1 == {"A": 1_000_000, "B": 575_000, "C": 1_425_000}
+
+    r3 = {r["node"]: r["rank_micros"] for r in pagerank(edges, n_iter=3).collect()}
+    assert all(v >= 150_000 for v in r3.values())
+    # dangling-free: mass conserved up to < 1 micro floor loss per edge
+    # per round (4 edges x 3 rounds), never created
+    assert 3_000_000 - 4 * 3 <= sum(r3.values()) <= 3_000_000
+    # determinism
+    r3b = {r["node"]: r["rank_micros"] for r in pagerank(edges, n_iter=3).collect()}
+    assert r3 == r3b
+
+
+def test_pagerank_dangling_and_no_inlink_nodes(spark):
+    """A dangling node (no out-edges) keeps receiving mass but emits
+    none (documented divergence: its mass drops); a node with no
+    in-edges settles at the 150_000 teleport floor."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("A", "B")], "src string, dst string"
+    )  # A -> B; B dangling, A has no in-links
+    r = {x["node"]: x["rank_micros"] for x in pagerank(edges, n_iter=2).collect()}
+    assert r["A"] == 150_000
+    # round 2: B = teleport + floor(r1(A)*0.85/1) = 150000 + 127500
+    assert r["B"] == 150_000 + (150_000 * 850_000) // 1_000_000
+
+
+def test_rrf_fuse_exact_algebra_and_missing_system_zero(spark):
+    """RRF fusion: doc in both systems scores 1e6//(60+r1) + 1e6//(60+r2);
+    doc in one system gets only that term; ties break (score desc, id)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.text import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 100), (4, 50)], "doc_id long, tf long"
+    )
+    out = rrf_fuse(
+        [
+            (a, (F.desc("score"), F.asc("doc_id"))),
+            (b, (F.desc("tf"), F.asc("doc_id"))),
+        ],
+        rrf_k=60,
+        top=10,
+    ).collect()
+    rows = {r["doc_id"]: (r["rrf_micros"], r["n_systems"], r["rank"]) for r in out}
+    m = 1_000_000
+    assert rows[2] == (m // 62 + m // 61, 2, 1)   # rank2 in a, rank1 in b
+    assert rows[1] == (m // 61, 1, 2)             # rank1 in a only
+    assert rows[4] == (m // 62, 1, 3)             # rank2 in b only
+    assert rows[3] == (m // 63, 1, 4)

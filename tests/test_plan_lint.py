@@ -108,6 +108,9 @@ WHITELIST = {
     # the rank-presentation window runs over the limit(k=20)-bounded
     # top-k rows only (scores stay internal; EXACT_ROUND_FROZEN)
     "z128_bm25_indexed": "global window over the limit(k)-bounded top-k rows",
+    # RRF: per-system rank windows each run over that system's
+    # LIMIT-bounded top-k; the fusion window over their <= sum-of-k union
+    "z133_hybrid_rrf": "global windows over LIMIT-bounded top-k lists only",
 }
 
 
