@@ -146,6 +146,7 @@ HEADLINE = [
     "z131_hll_distinct",
     "z132_pagerank",
     "z133_hybrid_rrf",
+    "z134_markov_transitions",
 ]
 
 

@@ -376,3 +376,60 @@ def time_to_convert(
         F.round(F.percentile("_s", F.lit(0.5)), 4).alias("p50_seconds"),
         F.round(F.percentile("_s", F.lit(0.9)), 4).alias("p90_seconds"),
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    every ordered pair of consecutive events within a user's (ts, id)-
+    ordered sequence, the transition count and the exact HALF_UP
+    row-probability in integer micros -- the sequence-model prior a
+    behavioral pipeline estimates before anything fancier, and the
+    transition table an anomaly monitor diffs release-over-release.
+
+    Plan: the :func:`event_paths` discipline -- ONE user-keyed aggregate
+    packs each user's sequence with an in-row array_sort (no window, no
+    second ordering shuffle), consecutive pairs come from an in-row
+    zip_with of the sequence against its own tail (the BPE pair-explode
+    shape), then one (from, to) count whose map-side combine bounds the
+    shuffle at |types|^2 x partitions rows. Probabilities are
+    ratio_micros_halfup(n, row_total): exact BIGINT arithmetic, no
+    float division -- bit-identical cross-engine.
+    """
+    from ..functions.exactnum import ratio_micros_halfup
+
+    packed = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col), F.col(id_col), F.col(type_col)))
+    )
+    seq = F.transform(packed, lambda x: x[type_col])
+    seqs = events.groupBy(user_col).agg(seq.alias("_seq"))
+    pairs = seqs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_seq"), 1, F.size("_seq") - 1),
+                F.slice(F.col("_seq"), 2, F.size("_seq") - 1),
+                lambda a, b: F.struct(
+                    a.alias("from_type"), b.alias("to_type")
+                ),
+            )
+        ).alias("p")
+    ).select("p.from_type", "p.to_type")
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("_row_total")
+    )
+    return counts.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        ratio_micros_halfup(
+            F.col("n_transitions"), F.col("_row_total")
+        ).alias("p_micros"),
+    )

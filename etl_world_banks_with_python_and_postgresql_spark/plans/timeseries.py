@@ -1075,3 +1075,42 @@ def z113(spark, sf_dir):
         load(spark, "events", sf_dir), value_col="value", ts_col="ts",
         period=4, group_by="event_type",
     )
+
+
+@query(
+    "z134_markov_transitions",
+    oracle="""
+WITH seqs AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id),
+pairs AS (
+  SELECT seq[i] AS from_type, seq[i + 1] AS to_type
+  FROM seqs, UNNEST(generate_series(1, len(seq) - 1)) AS s(i)),
+counts AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+  FROM pairs GROUP BY 1, 2),
+tot AS (
+  SELECT from_type, sum(n_transitions)::BIGINT AS row_total
+  FROM counts GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       """
+    + exactnum.RATIO_MICROS_SQL.format(
+        num="c.n_transitions", den="t.row_total"
+    )
+    + """ AS p_micros
+FROM counts c JOIN tot t USING (from_type)
+""",
+    description=(
+        "first-order Markov transition matrix of the event stream "
+        "(the sequence-model prior + release-over-release anomaly "
+        "baseline): per-user (ts, id)-ordered sequences packed by ONE "
+        "user-keyed aggregate with in-row array_sort (no window, no "
+        "second ordering shuffle), consecutive pairs via in-row "
+        "zip_with against the sequence tail, one |types|^2-bounded "
+        "count; row probabilities are exact HALF_UP integer micros"
+    ),
+)
+def z134(spark, sf_dir):
+    from ..operators.funnel import markov_transitions
+
+    return markov_transitions(load(spark, "events", sf_dir))
