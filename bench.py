@@ -147,6 +147,7 @@ HEADLINE = [
     "z132_pagerank",
     "z133_hybrid_rrf",
     "z134_markov_transitions",
+    "z135_acf",
 ]
 
 

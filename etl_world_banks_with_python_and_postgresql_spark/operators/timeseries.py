@@ -516,3 +516,149 @@ SELECT {g}day, value_micros,
         - ssum::DOUBLE / ((sn * {scale})::DOUBLE)) / 1000000.0 AS residual
 FROM td LEFT JOIN s USING ({g}dow)
 """
+
+
+def acf(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    max_lag: int = 5,
+    group_by: str | None = None,
+) -> DataFrame:
+    """Sample autocorrelation of the daily value series at lags
+    1..max_lag, in EXACT integer arithmetic end to end -- the
+    seasonality/memory diagnostic read before picking
+    :func:`seasonal_decompose`'s period or trusting a drift monitor's
+    independence assumption.
+
+    Exactness: daily sums lift to BIGINT micros (the z111 discipline),
+    and the classic r_k = sum((x_t - mean)(x_{t+k} - mean)) /
+    sum((x_t - mean)^2) is cleared of the rational mean by multiplying
+    num and den by n^2: dev_t = n*x_t - S is an exact BIGINT, each
+    product lifts its factors to DECIMAL(19,0) BEFORE multiplying (the
+    embedding_moments overflow lesson), and the final ratio presents as
+    sign-aware HALF_UP integer micros -- no float accumulation, no
+    round(double), bit-identical cross-engine. A constant series
+    (den = 0) yields NULL acf.
+
+    Plan shape: one shuffle to the (group?, day) axis (calendar-bounded
+    per series, never event-bounded), ``max_lag`` lag columns from ONE
+    ordered window over the daily rows (partitioned on the series key
+    when grouped), one aggregate, then a bounded per-lag explode of the
+    |groups| x max_lag result.
+    """
+    from ..functions.exactnum import floordiv_nonneg
+
+    keys = [group_by] if group_by else []
+    day = F.to_date(F.col(ts_col))
+    daily = (
+        df.groupBy(*keys, day.alias("day"))
+        .agg(
+            (F.sum(F.col(value_col).cast("decimal(25,6)")) * 1_000_000)
+            .cast("long")
+            .alias("x")
+        )
+    )
+    w_stats = W.partitionBy(*keys) if group_by else W.partitionBy()
+    # n and S are per-series constants; a window over the day-bounded
+    # series table avoids a second shuffle (|days| rows per series)
+    stats = daily.select(
+        *keys,
+        "day",
+        "x",
+        F.count(F.lit(1)).over(w_stats).alias("_n"),
+        F.sum("x").over(w_stats).alias("_s"),
+    )
+    dev = stats.withColumn("_dev", F.col("_n") * F.col("x") - F.col("_s"))
+    w_ord = (
+        W.partitionBy(*keys).orderBy("day") if group_by else W.orderBy("day")
+    )
+    lag_cols = [
+        F.lag("_dev", k).over(w_ord).alias(f"_dev_l{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    lagged = dev.select(*keys, "_n", "_dev", *lag_cols)
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    aggd = lagged.groupBy(*keys).agg(
+        F.max("_n").alias("n_days"),
+        F.sum(d19(F.col("_dev")) * d19(F.col("_dev"))).alias("_den"),
+        *[
+            F.sum(d19(F.col("_dev")) * d19(F.col(f"_dev_l{k}"))).alias(
+                f"_num{k}"
+            )
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    per_lag = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("lag"), F.col(f"_num{k}").alias("num")
+                )
+                for k in range(1, max_lag + 1)
+            ]
+        )
+    ).alias("l")
+    ex = aggd.select(*keys, "n_days", F.col("_den").alias("den"), per_lag)
+    sign = F.when(F.col("l.num") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    mag = floordiv_nonneg(
+        F.lit(2_000_000).cast("decimal(38,0)") * F.abs(F.col("l.num"))
+        + F.col("den"),
+        F.lit(2).cast("decimal(38,0)") * F.col("den"),
+    )
+    return ex.select(
+        *keys,
+        F.col("l.lag").alias("lag"),
+        F.col("n_days").cast("int").alias("n_days"),
+        F.when(F.col("den") > 0, sign * mag).alias("acf_micros"),
+    )
+
+
+def acf_oracle_sql(
+    value_sql: str = "value",
+    ts_sql: str = "ts",
+    max_lag: int = 5,
+    table: str = "events",
+    group_by: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`acf`: identical daily micros, identical
+    n^2-cleared integer devs, identical sign-aware HALF_UP micros."""
+    lags = ", ".join(
+        f"lag(dev, {k}) OVER ({ 'PARTITION BY ' + group_by + ' ' if group_by else ''}ORDER BY day) AS dev_l{k}"
+        for k in range(1, max_lag + 1)
+    )
+    nums = ", ".join(
+        f"sum(dev::HUGEINT * dev_l{k}::HUGEINT) AS num{k}"
+        for k in range(1, max_lag + 1)
+    )
+    lag_rows = " UNION ALL ".join(
+        f"SELECT {group_by}, n_days, den, {k} AS lag, num{k} AS num FROM aggd"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT {group_by}, ({ts_sql})::DATE AS day,
+         (sum(CAST({value_sql} AS DECIMAL(25,6))) * 1000000)::BIGINT AS x
+  FROM {table} GROUP BY ALL),
+stats AS (
+  SELECT {group_by}, day, x,
+         count(*) OVER (PARTITION BY {group_by}) AS n,
+         sum(x) OVER (PARTITION BY {group_by}) AS s
+  FROM daily),
+dev AS (
+  SELECT {group_by}, day, n, (n * x - s)::BIGINT AS dev FROM stats),
+lagged AS (
+  SELECT {group_by}, n, dev, {lags} FROM dev),
+aggd AS (
+  SELECT {group_by}, max(n)::INT AS n_days,
+         sum(dev::HUGEINT * dev::HUGEINT) AS den,
+         {nums}
+  FROM lagged GROUP BY {group_by}),
+ex AS ({lag_rows})
+SELECT {group_by}, lag, n_days,
+       CASE WHEN den > 0 THEN
+         (CASE WHEN num < 0 THEN -1 ELSE 1 END)::BIGINT
+         * ((2000000::HUGEINT * abs(num) + den) // (2::HUGEINT * den))::BIGINT
+       END AS acf_micros
+FROM ex
+"""

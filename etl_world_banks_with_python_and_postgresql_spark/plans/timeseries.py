@@ -1114,3 +1114,30 @@ def z134(spark, sf_dir):
     from ..operators.funnel import markov_transitions
 
     return markov_transitions(load(spark, "events", sf_dir))
+
+
+from ..operators.timeseries import acf_oracle_sql as _acf_sql  # noqa: E402
+
+
+@query(
+    "z135_acf",
+    oracle=_acf_sql("value", "ts", max_lag=5, group_by="event_type"),
+    description=(
+        "sample autocorrelation (lags 1-5) of each event type's daily "
+        "value series -- the seasonality/memory diagnostic read before "
+        "picking a decomposition period or trusting independence "
+        "assumptions. Exact end to end: daily BIGINT micros, the "
+        "rational mean cleared by n^2 (dev = n*x - S stays integer), "
+        "DECIMAL(19,0)-lifted products, sign-aware HALF_UP integer-"
+        "micros ratio -- no round(double), no float accumulation. One "
+        "shuffle to the calendar-bounded day axis; max_lag lag columns "
+        "from ONE per-series ordered window"
+    ),
+)
+def z135(spark, sf_dir):
+    from ..operators.timeseries import acf
+
+    return acf(
+        load(spark, "events", sf_dir), value_col="value", ts_col="ts",
+        max_lag=5, group_by="event_type",
+    )
