@@ -17,6 +17,10 @@ Stages (each oracle- or test-verified on its own):
                          KS between two sources          text.score_distribution_drift
   5. outliers            robust MAD flagging on the      timeseries.mad_outliers
                          event stream
+  6. distinct monitor    HLL registers (MAX-mergeable)   sketch.hll_distinct
+                         with in-gate error
+  7. temporal structure  daily-series autocorrelation    timeseries.acf
+                         + Markov transition baseline    funnel.markov_transitions
 
 Prints one JSON line per stage. Shuffle budget: the whole scalar-check
 suite is ONE aggregate pass (1); quarantine is two pushed-down filters
@@ -104,6 +108,41 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # 5. robust outliers on the event stream
     out = mad_outliers(events).count()
     emit("outliers", n_flagged=out)
+
+    # 6. streaming-friendly distinct monitoring: HLL registers (1 byte
+    # per register, MAX-mergeable across days) with the in-gate error
+    hll = {
+        r["source"]: [int(r["est_distinct"]), int(r["exact_distinct"])]
+        for r in S.hll_distinct(docs, "text", p=6, group_by="source")
+        .orderBy("source")
+        .limit(3)
+        .collect()
+    }
+    emit("hll_distinct", est_vs_exact_sample=hll)
+
+    # 7. temporal structure diagnostics: ACF of each event type's daily
+    # series (memory/seasonality check behind drift monitors' iid
+    # assumption) + the first-order transition matrix as a behavioral
+    # baseline to diff release-over-release
+    from etl_world_banks_with_python_and_postgresql_spark.operators.funnel import (
+        markov_transitions,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.operators.timeseries import (
+        acf,
+    )
+
+    a = (
+        acf(events, group_by="event_type", max_lag=3)
+        .filter(F.col("event_type") == "click")
+        .orderBy("lag")
+        .collect()
+    )
+    trans = markov_transitions(events).count()
+    emit(
+        "temporal",
+        click_acf_micros=[[r["lag"], r["acf_micros"]] for r in a],
+        transition_cells=trans,
+    )
 
 
 if __name__ == "__main__":

@@ -14,13 +14,15 @@ Stages (each oracle- or test-verified on its own):
   4. streamed ingestion    foreachBatch exactly-once      streaming_posting_index_sink
   5. indexed retrieval     bucket-pruned probes, results  text.keyword_search_indexed
                            bit-identical to scan form     text.bm25_indexed
+  6. hybrid fusion         reciprocal-rank fusion of the  text.rrf_fuse
+                           two systems (exact micros)
 
 Prints per-stage row counts and the top hits as JSON lines.
 Shuffle budget: scan-form BM25 is one pass + a 1-row stats broadcast
 (1); the index build is one explode + one (term, doc) aggregate (2);
 appends touch only the buckets the batch hits (3-4); probes read
 |terms| of n_buckets partition directories and aggregate only those
-posting rows (5).
+posting rows (5); fusion unions two LIMIT-bounded top-k lists (6).
 """
 
 import json
@@ -84,6 +86,28 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
             "indexed_retrieval",
             conjunctive_match=[tuple(r) for r in kw_idx] == [tuple(r) for r in kw_scan],
             bm25_match=[tuple(r) for r in bm_idx] == [tuple(r) for r in bm_scan],
+        )
+
+        # 6. hybrid fusion: RRF of the two (indexed) systems in exact
+        # integer micros -- the production combiner for lexical+semantic
+        # stacks, here fusing disjunctive BM25 with the conjunctive rank
+        fused = T.rrf_fuse(
+            [
+                (
+                    T.bm25_indexed(spark, idx, terms=terms3),
+                    (F.desc("bm25"), F.asc("doc_id")),
+                ),
+                (
+                    T.keyword_search_indexed(spark, idx, terms=terms2),
+                    (F.desc("total_tf"), F.asc("doc_id")),
+                ),
+            ],
+            rrf_k=60,
+            top=5,
+        ).collect()
+        emit(
+            "hybrid_rrf",
+            top=[[r["doc_id"], r["rrf_micros"], r["n_systems"]] for r in fused],
         )
 
 
