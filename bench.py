@@ -148,6 +148,7 @@ HEADLINE = [
     "z133_hybrid_rrf",
     "z134_markov_transitions",
     "z135_acf",
+    "z136_hll_agg_view",
 ]
 
 

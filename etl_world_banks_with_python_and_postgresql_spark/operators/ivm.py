@@ -1018,3 +1018,72 @@ class KmvAggView(_Ledgered):
             if name.startswith("batch=") and name != f"batch={cid}":
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
         return True
+
+
+@dataclass
+class HllAggView(KmvAggView):
+    """Insert-only maintained approximate-distinct view backed by
+    HYPERLOGLOG registers instead of KMV bottom-k rows -- the
+    fixed-footprint sibling of :class:`KmvAggView`.
+
+    Same algebraic ground: "max rho per register" is a commutative,
+    associative, IDEMPOTENT fold, so every ingest is one O(|delta|)
+    per-group register partial with zero reads of prior state, replay
+    is absorbed twice over (ledger + idempotence), and ``read()``
+    equals a full rescan (rebuild-equivalence pinned by test).
+    Deletions stay out of scope (a removed hash cannot be un-maxed).
+
+    Trade vs KMV: state per group is <= 2^p register rows (m x ~2 small
+    ints, ~1 byte of information per register) instead of k x 8-byte
+    hashes -- at p=6 that is ~16x less per-group state at comparable
+    relative error for large groups (1.04/sqrt(64) ~ 13% vs KMV k=256's
+    ~6%), the right trade when the GROUP COUNT is the scale axis
+    (per-tenant/per-day distinct monitors over millions of groups).
+    Estimates are the exact-integer :func:`..sketch.hll_estimate` path:
+    bit-portable cross-engine, linear-counting corrected.
+    """
+
+    p: int = 6
+
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        from .sketch import hll_registers
+
+        rows = batch.select(
+            *self.keys,
+            F.expr(self.value_expr).cast("string").alias("_v"),
+        )
+        # hll_registers supports one group column; composite keys pack
+        # into a struct and unpack after (register agg stays one pass)
+        regs = (
+            rows.select(
+                F.struct(*self.keys).alias("_g"), F.col("_v")
+            )
+            .transform(
+                lambda d: hll_registers(d, "_v", p=self.p, group_by="_g")
+            )
+        )
+        return regs.select(
+            *[F.col("_g")[k].alias(k) for k in self.keys],
+            "register",
+            "max_rho",
+        )
+
+    def _bottomk(self, rows: DataFrame) -> DataFrame:
+        # the merge fold: elementwise MAX over (keys, register)
+        return rows.groupBy(*self.keys, "register").agg(
+            F.max("max_rho").alias("max_rho")
+        )
+
+    def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
+        from .sketch import hll_estimate
+
+        regs = self.read_sketch(spark, as_of=as_of)
+        packed = regs.select(
+            F.struct(*self.keys).alias("_g"), "register", "max_rho"
+        )
+        est = hll_estimate(packed, p=self.p, group_by="_g")
+        return est.select(
+            *[F.col("_g")[k].alias(k) for k in self.keys],
+            "est_distinct",
+            "n_zero_registers",
+        )

@@ -735,9 +735,13 @@ def hll_oracle_sql(
     p: int = 6,
     group_by: str = "source",
     table: str = "documents",
+    include_eval: bool = True,
 ) -> str:
     """DuckDB twin of :func:`hll_distinct` -- same hash, same register/
-    rho integer algebra, same HUGEINT-exact floor division."""
+    rho integer algebra, same HUGEINT-exact floor division.
+    ``include_eval=False`` emits only (group, est_distinct,
+    n_zero_registers): the :func:`hll_estimate` shape, the oracle for
+    HllAggView's maintained read()."""
     m = 1 << p
     rmax = _HLL_HASH_BITS - p + 1
     alpha_ppm = _hll_alpha_ppm(m)
@@ -746,6 +750,16 @@ def hll_oracle_sql(
     hv = (
         f"('0x' || substr(md5(({value_sql})::VARCHAR), 1, 12))::BIGINT"
     )
+    if include_eval:
+        final = f"""SELECT grp AS {group_by}, est_distinct, exact_distinct, n_zero_registers,
+       (abs(est_distinct - exact_distinct) * 1000
+        // greatest(exact_distinct, 1))::BIGINT AS err_permille
+FROM corr"""
+    else:
+        final = (
+            f"SELECT grp AS {group_by}, est_distinct, n_zero_registers "
+            "FROM corr"
+        )
     return f"""
 WITH h AS (
   SELECT {group_by} AS grp, {hv} AS hv FROM {table}),
@@ -778,8 +792,5 @@ corr AS (
                    // 1000000
               ELSE raw_est END AS est_distinct
   FROM est)
-SELECT grp AS {group_by}, est_distinct, exact_distinct, n_zero_registers,
-       (abs(est_distinct - exact_distinct) * 1000
-        // greatest(exact_distinct, 1))::BIGINT AS err_permille
-FROM corr
+{final}
 """

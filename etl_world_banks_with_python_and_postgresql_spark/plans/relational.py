@@ -2466,3 +2466,37 @@ def z109(spark, sf_dir):
         if i == 2:
             v.compact(spark)  # fold mid-stream: later ingests land on top
     return v.read(spark).select("lang", "est_distinct")
+
+
+@query(
+    "z136_hll_agg_view",
+    oracle=_sketch.hll_oracle_sql(
+        "text", p=6, group_by="lang", include_eval=False
+    ),
+    description=(
+        "maintained approximate-distinct view on HLL REGISTERS "
+        "(operators/ivm.py HllAggView): per-lang register tables kept "
+        "current under four insert batches with an in-gate mid-stream "
+        "compaction. 'Max rho per register' is commutative/associative/"
+        "IDEMPOTENT, so each ingest is one O(|delta|) partial with zero "
+        "reads of prior state and fixed 2^p-row-per-group state -- the "
+        "right trade vs KmvAggView when GROUP COUNT is the scale axis "
+        "(per-tenant distinct monitors). read() must equal a one-shot "
+        "hll over the full corpus: maintenance AND compaction are "
+        "value-transparent"
+    ),
+)
+def z136(spark, sf_dir):
+    import shutil
+
+    from ..operators.ivm import HllAggView
+
+    docs = load(spark, "documents", sf_dir).select("lang", "text", "doc_id")
+    path = "spark-warehouse/z136_hll_agg_view"
+    shutil.rmtree(path, ignore_errors=True)
+    v = HllAggView(path, keys=["lang"], value_expr="text", p=6)
+    for i in range(4):
+        v.ingest(docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i), f"b{i}")
+        if i == 2:
+            v.compact(spark)  # fold mid-stream: later ingests land on top
+    return v.read(spark).select("lang", "est_distinct", "n_zero_registers")

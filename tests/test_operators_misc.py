@@ -4050,3 +4050,53 @@ def test_rrf_fuse_exact_algebra_and_missing_system_zero(spark):
     assert rows[1] == (m // 61, 1, 2)             # rank1 in a only
     assert rows[4] == (m // 62, 1, 3)             # rank2 in b only
     assert rows[3] == (m // 63, 1, 4)
+
+
+def test_hll_agg_view_incremental_equals_oneshot(spark, tmp_path):
+    """HllAggView invariants (the KmvAggView contract on register
+    state): (1) batched ingests + a mid-stream compaction read back the
+    SAME estimates as a one-shot hll_distinct over the full corpus
+    (register MAX is commutative, associative, idempotent); (2) replayed
+    batch ids absorb; (3) identical CONTENT under a fresh id cannot move
+    read(); (4) per-group state is register-bounded (<= 2^p rows)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators import (
+        sketch as S,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.operators.ivm import (
+        HllAggView,
+    )
+
+    docs = load(spark, "documents", "/root/testdata/sf0.01").select(
+        "lang", "text", "doc_id"
+    )
+    v = HllAggView(
+        str(tmp_path / "hll"), keys=["lang"], value_expr="text",
+        n_partitions=2, p=6,
+    )
+    for i in range(4):
+        assert v.ingest(docs.filter(F.col("doc_id") % 4 == i), f"b{i}") == "applied"
+        if i == 2:
+            assert v.compact(spark)
+
+    got = {
+        r["lang"]: (r["est_distinct"], r["n_zero_registers"])
+        for r in v.read(spark).collect()
+    }
+    want = {
+        r["lang"]: (r["est_distinct"], r["n_zero_registers"])
+        for r in S.hll_distinct(docs, "text", p=6, group_by="lang").collect()
+    }
+    assert got == want
+
+    assert v.ingest(docs.limit(5), "b0") == "replayed"
+    assert v.ingest(docs.filter(F.col("doc_id") % 4 == 1), "dup") == "applied"
+    assert {
+        r["lang"]: (r["est_distinct"], r["n_zero_registers"])
+        for r in v.read(spark).collect()
+    } == got
+
+    # state bound: merged register table holds <= 64 rows per group
+    per_group = (
+        v.read_sketch(spark).groupBy("lang").count().collect()
+    )
+    assert all(r["count"] <= 64 for r in per_group)
