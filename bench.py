@@ -149,6 +149,8 @@ HEADLINE = [
     "z134_markov_transitions",
     "z135_acf",
     "z136_hll_agg_view",
+    "z137_recursive_cte",
+    "z138_variant_extract",
 ]
 
 

@@ -1040,7 +1040,9 @@ class HllAggView(KmvAggView):
     ~6%), the right trade when the GROUP COUNT is the scale axis
     (per-tenant/per-day distinct monitors over millions of groups).
     Estimates are the exact-integer :func:`..sketch.hll_estimate` path:
-    bit-portable cross-engine, linear-counting corrected.
+    bit-portable cross-engine, linear-counting corrected. Ingest/ledger/
+    replay semantics are inherited verbatim from :class:`KmvAggView`,
+    so ``streaming_agg_view_sink`` drives this view unchanged.
     """
 
     p: int = 6

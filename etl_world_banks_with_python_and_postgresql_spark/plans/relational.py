@@ -2500,3 +2500,46 @@ def z136(spark, sf_dir):
         if i == 2:
             v.compact(spark)  # fold mid-stream: later ingests land on top
     return v.read(spark).select("lang", "est_distinct", "n_zero_registers")
+
+
+# ONE recursive SQL string, executed VERBATIM by both engines (the z67
+# discipline extended to Spark 4's native WITH RECURSIVE): suppliers
+# form an implicit binary-tree hierarchy (parent = floor(key / 2)); the
+# CTE walks every supplier's ancestor chain to the root. FLOOR(x / 2)
+# instead of integer `/` because both engines' `/` on integers is float
+# division; exact for keys < 2^52. ROUND(s_acctbal, 2) re-quantizes the
+# fixed-point money double verbatim (the _SCD_TARGET_SQL precedent).
+_Z137_SQL = """
+WITH RECURSIVE walk AS (
+  SELECT s_suppkey AS node, s_suppkey AS cur, 0 AS depth FROM supplier
+  UNION ALL
+  SELECT node, CAST(FLOOR(cur / 2) AS BIGINT), depth + 1
+  FROM walk WHERE cur > 1
+)
+SELECT w.node, MAX(w.depth) AS depth, COUNT(*) AS chain_len,
+       CAST(SUM(CAST(ROUND(s.s_acctbal, 2) AS DECIMAL(25,2)) * 100)
+            AS BIGINT) AS chain_bal_cents
+FROM walk w JOIN supplier s ON s.s_suppkey = w.cur
+GROUP BY w.node
+"""
+
+
+@query(
+    "z137_recursive_cte",
+    oracle=_Z137_SQL,
+    description=(
+        "Spark 4 native WITH RECURSIVE (hierarchy walk): every "
+        "supplier's ancestor chain up the implicit binary tree "
+        "(parent = floor(key/2)) -- depth, chain length, and the exact "
+        "decimal-lifted ancestor balance in integer cents. ONE SQL "
+        "string executes verbatim on BOTH engines (the z67 discipline), "
+        "so the recursion semantics themselves are what is gated; the "
+        "iterative-DataFrame twin of this shape is q45/z91's bounded "
+        "min-label propagation. Recursion depth is log2(|suppliers|) "
+        "rounds, each an O(frontier) self-join -- bounded, not "
+        "data-blind"
+    ),
+)
+def z137(spark, sf_dir):
+    load(spark, "supplier", sf_dir).createOrReplaceTempView("supplier")
+    return spark.sql(_Z137_SQL)

@@ -1141,3 +1141,57 @@ def z135(spark, sf_dir):
         load(spark, "events", sf_dir), value_col="value", ts_col="ts",
         max_lag=5, group_by="event_type",
     )
+
+
+@query(
+    "z138_variant_extract",
+    # the aug JSON is built from table columns identically in both
+    # engines; DuckDB gates the same paths via its JSON functions
+    oracle="""
+WITH aug AS (
+  SELECT event_type, event_id,
+         '{"m": {"t": "' || event_type || '", "k": '
+           || json_extract_string(props, '$.k')
+           || '}, "a": [' || (event_id % 3)::VARCHAR || ', '
+           || json_extract_string(props, '$.k') || ']}' AS j
+  FROM events)
+SELECT json_extract_string(j, '$.m.t') AS t,
+       count(*)::BIGINT AS n,
+       sum(json_extract(j, '$.a[1]')::INT)::BIGINT AS sum_k,
+       sum(json_extract(j, '$.a[0]')::INT)::BIGINT AS sum_mod,
+       count(json_extract(j, '$.m.absent'))::BIGINT AS n_absent
+FROM aug GROUP BY 1
+""",
+    description=(
+        "Spark 4 VARIANT ingestion (the open-lakehouse semi-structured "
+        "type): JSON built from table columns -> parse_json -> typed "
+        "variant_get extraction of nested-object and array-index paths, "
+        "with missing-path NULL semantics gated (n_absent must be 0 via "
+        "count-of-NULLs, not an error). Variant decode happens once in "
+        "the scan projection; the aggregate is an ordinary "
+        "map-side-combined groupBy. DuckDB oracle walks the same paths "
+        "with its JSON functions -- the VALUES are gated, the encoding "
+        "is each engine's own"
+    ),
+)
+def z138(spark, sf_dir):
+    e = load(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k")
+    j = F.concat(
+        F.lit('{"m": {"t": "'), F.col("event_type"), F.lit('", "k": '),
+        k, F.lit('}, "a": ['), (F.col("event_id") % 3).cast("string"),
+        F.lit(", "), k, F.lit("]}"),
+    )
+    v = e.select(F.parse_json(j).alias("v"))
+    ext = v.select(
+        F.try_variant_get(F.col("v"), "$.m.t", "string").alias("t"),
+        F.try_variant_get(F.col("v"), "$.a[1]", "int").alias("k1"),
+        F.try_variant_get(F.col("v"), "$.a[0]", "int").alias("mod"),
+        F.try_variant_get(F.col("v"), "$.m.absent", "int").alias("absent"),
+    )
+    return ext.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k1").cast("long").alias("sum_k"),
+        F.sum("mod").cast("long").alias("sum_mod"),
+        F.count("absent").alias("n_absent"),
+    )
