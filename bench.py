@@ -151,6 +151,8 @@ HEADLINE = [
     "z136_hll_agg_view",
     "z137_recursive_cte",
     "z138_variant_extract",
+    "z139_weighted_pagerank",
+    "z140_cusum_changepoint",
 ]
 
 

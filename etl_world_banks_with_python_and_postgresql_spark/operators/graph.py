@@ -43,6 +43,7 @@ def pagerank(
     damping_ppm: int = 850_000,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer-micros PageRank over a directed edge list.
 
@@ -50,6 +51,15 @@ def pagerank(
     or destination. ``rank_micros`` starts at 1_000_000 per node and
     each round applies the damped update above; with damping_ppm =
     850000 the teleport term is the constant 150000.
+
+    ``weight`` names an optional positive INTEGER edge-weight column
+    (interaction counts, link multiplicity): each edge then carries
+    ``w/W_u`` of its source's damped mass instead of ``1/outdeg(u)``
+    -- the exact-integer update becomes
+    ``floor(rank(u) * damping_ppm * w / (1e6 * W_u))`` with ``W_u`` the
+    source's total out-weight. Unweighted is the special case w = 1.
+    Integer weights keep every division a single exact floor (a double
+    weight would reintroduce float accumulation).
 
     Plan shape per round: ONE equi-join of the (static, checkpointed)
     degree-annotated edge list with the current rank table on the source
@@ -61,14 +71,20 @@ def pagerank(
     """
     if n_iter < 1:
         raise ValueError(f"pagerank: n_iter must be >= 1, got {n_iter}")
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    w_col = (
+        F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"),
+        w_col.alias("_w"),
+    )
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    deg = e.groupBy("_src").agg(F.sum("_w").alias("_deg"))
     # static across rounds: annotate each edge with its source's
     # out-degree once, checkpoint so every round reuses the result
     edges_deg = e.join(deg, "_src").localCheckpoint()
@@ -86,7 +102,8 @@ def pagerank(
                 # the LongType product (the embedding_moments lesson)
                 floordiv_nonneg(
                     F.col("rank_micros").cast("decimal(38,0)")
-                    * F.lit(damping_ppm).cast("decimal(38,0)"),
+                    * F.lit(damping_ppm).cast("decimal(38,0)")
+                    * F.col("_w").cast("decimal(38,0)"),
                     F.lit(1_000_000).cast("decimal(38,0)")
                     * F.col("_deg").cast("decimal(38,0)"),
                 ).alias("_c"),
@@ -111,18 +128,23 @@ def pagerank_oracle_sql(
     edges_sql: str,
     n_iter: int = 3,
     damping_ppm: int = 850_000,
+    weighted: bool = False,
 ) -> str:
     """DuckDB twin of :func:`pagerank`: the fixed iteration UNROLLED
     into one CTE per round (r1..rN), same integer-micros update --
-    bit-identical by construction. ``edges_sql`` must yield (src, dst).
+    bit-identical by construction. ``edges_sql`` must yield (src, dst)
+    -- plus an integer ``w`` column when ``weighted``.
     """
     teleport = 1_000_000 - damping_ppm
+    w_sel = "e.w" if weighted else "1::BIGINT AS w"
+    w_deg = "sum(w)::BIGINT" if weighted else "count(*)::BIGINT"
     parts = [
         f"""
 edges AS ({edges_sql}),
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
-ed AS (SELECT e.src, e.dst, deg.d FROM edges e JOIN deg USING (src)),
+deg AS (SELECT src, {w_deg} AS d FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, {w_sel}, deg.d
+       FROM edges e JOIN deg USING (src)),
 r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes)"""
     ]
     for i in range(1, n_iter + 1):
@@ -130,8 +152,9 @@ r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes)"""
             f"""
 r{i} AS (
   SELECT n.node,
-         ({teleport} + coalesce(sum((p.r * {damping_ppm})
-                                    // (1000000 * ed.d)), 0))::BIGINT AS r
+         ({teleport} + coalesce(sum((p.r::HUGEINT * {damping_ppm} * ed.w)
+                                    // (1000000::HUGEINT * ed.d)), 0)
+         )::BIGINT AS r
   FROM nodes n
   LEFT JOIN ed ON ed.dst = n.node
   LEFT JOIN r{i - 1} p ON p.node = ed.src

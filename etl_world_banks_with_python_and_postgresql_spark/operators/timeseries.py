@@ -662,3 +662,112 @@ SELECT {group_by}, lag, n_days,
        END AS acf_micros
 FROM ex
 """
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_by: str | None = None,
+) -> DataFrame:
+    """Single most-likely level-shift changepoint of the daily value
+    series (max-CUSUM): the day t maximizing |prefix_t - t * mean| --
+    the monitoring primitive that turns "the metric drifted" into
+    "the metric drifted HERE", run after :func:`acf` says the series
+    has structure worth localizing.
+
+    Exactness: daily sums are BIGINT micros (z111 discipline) and the
+    rational mean is cleared by n: D_t = |n * P_t - t * S| with P_t the
+    prefix sum -- every quantity an exact integer, factors lifted to
+    DECIMAL(38,0) before the multiply so century-long series of
+    petabyte-scale daily sums cannot wrap. Ties break on the earliest
+    day. Output (group?, n_days, cp_index, cp_day, dev) where dev is
+    the raw DECIMAL(38,0) statistic (units: micros x days; relative
+    comparisons only, by design -- normalizing would reintroduce a
+    float).
+
+    Plan: one shuffle to the calendar-bounded day axis; prefix sum +
+    rank from per-series ordered windows; the argmax is a rank-1 filter.
+    """
+    keys = [group_by] if group_by else []
+    day = F.to_date(F.col(ts_col))
+    daily = df.groupBy(*keys, day.alias("day")).agg(
+        (F.sum(F.col(value_col).cast("decimal(25,6)")) * 1_000_000)
+        .cast("long")
+        .alias("x")
+    )
+    w_stats = W.partitionBy(*keys) if group_by else W.partitionBy()
+    w_ord = (
+        W.partitionBy(*keys).orderBy("day") if group_by else W.orderBy("day")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    scored = daily.select(
+        *keys,
+        "day",
+        F.count(F.lit(1)).over(w_stats).alias("_n"),
+        F.sum("x").over(w_stats).alias("_s"),
+        F.sum("x")
+        .over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+        .alias("_p"),
+        F.row_number().over(w_ord).alias("_t"),
+    ).select(
+        *keys,
+        "day",
+        "_n",
+        "_t",
+        F.abs(
+            d38(F.col("_n")) * d38(F.col("_p"))
+            - d38(F.col("_t")) * d38(F.col("_s"))
+        ).alias("_d"),
+    )
+    w_pick = (
+        W.partitionBy(*keys).orderBy(F.desc("_d"), F.asc("day"))
+        if group_by
+        else W.orderBy(F.desc("_d"), F.asc("day"))
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *keys,
+            F.col("_n").cast("int").alias("n_days"),
+            F.col("_t").cast("int").alias("cp_index"),
+            F.col("day").alias("cp_day"),
+            F.col("_d").alias("dev"),
+        )
+    )
+
+
+def cusum_oracle_sql(
+    value_sql: str = "value",
+    ts_sql: str = "ts",
+    table: str = "events",
+    group_by: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`cusum_changepoint` (grouped form)."""
+    return f"""
+WITH daily AS (
+  SELECT {group_by}, ({ts_sql})::DATE AS day,
+         (sum(CAST({value_sql} AS DECIMAL(25,6))) * 1000000)::BIGINT AS x
+  FROM {table} GROUP BY ALL),
+scored AS (
+  SELECT {group_by}, day,
+         count(*) OVER (PARTITION BY {group_by}) AS n,
+         sum(x) OVER (PARTITION BY {group_by}) AS s,
+         sum(x) OVER (PARTITION BY {group_by} ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS p,
+         row_number() OVER (PARTITION BY {group_by} ORDER BY day) AS t
+  FROM daily),
+dev AS (
+  SELECT {group_by}, day, n, t,
+         abs(n::HUGEINT * p::HUGEINT - t::HUGEINT * s::HUGEINT)
+           ::DECIMAL(38,0) AS d
+  FROM scored),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY {group_by}
+                               ORDER BY d DESC, day) AS rn
+  FROM dev)
+SELECT {group_by}, n::INT AS n_days, t::INT AS cp_index, day AS cp_day,
+       d AS dev
+FROM pick WHERE rn = 1
+"""

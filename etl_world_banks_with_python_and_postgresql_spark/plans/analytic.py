@@ -725,3 +725,49 @@ def z132(spark, sf_dir):
         .orderBy(F.desc("rank_micros"), F.asc("node"))
         .limit(100)
     )
+
+
+_WPAGERANK_EDGES_SQL = """
+  SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+         count(*)::BIGINT AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+"""
+
+
+@query(
+    "z139_weighted_pagerank",
+    oracle="WITH ranked AS ("
+    + _pagerank_sql(_WPAGERANK_EDGES_SQL, n_iter=3, weighted=True)
+    + """)
+SELECT node, rank_micros FROM ranked
+ORDER BY rank_micros DESC, node LIMIT 100
+""",
+    description=(
+        "WEIGHTED PageRank: edges carry interaction counts (order lines "
+        "per customer->supplier pair) and each edge moves w/W_u of its "
+        "source's damped mass -- the multiplicity-aware centrality a "
+        "crawl graph (link counts) or behavioral graph actually needs. "
+        "Same exact integer-micros update with the weight folded into "
+        "the floor expression (unweighted is the special case w = 1); "
+        "same unrolled-CTE full oracle, top-100 gated"
+    ),
+)
+def z139(spark, sf_dir):
+    from ..operators.graph import pagerank
+
+    li = load(spark, "lineitem", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return (
+        pagerank(edges, n_iter=3, weight="w")
+        .orderBy(F.desc("rank_micros"), F.asc("node"))
+        .limit(100)
+    )

@@ -1195,3 +1195,28 @@ def z138(spark, sf_dir):
         F.sum("mod").cast("long").alias("sum_mod"),
         F.count("absent").alias("n_absent"),
     )
+
+
+from ..operators.timeseries import cusum_oracle_sql as _cusum_sql  # noqa: E402
+
+
+@query(
+    "z140_cusum_changepoint",
+    oracle=_cusum_sql("value", "ts", group_by="event_type"),
+    description=(
+        "max-CUSUM level-shift localization per event type: the day "
+        "maximizing |n * prefix - t * total| over the daily value "
+        "series -- 'the metric drifted HERE', the step after a drift "
+        "monitor fires. Exact end to end (BIGINT daily micros, n-"
+        "cleared mean, DECIMAL(38,0)-lifted products, earliest-day "
+        "tiebreak); one shuffle to the calendar-bounded day axis, "
+        "prefix/rank windows per series, rank-1 argmax filter"
+    ),
+)
+def z140(spark, sf_dir):
+    from ..operators.timeseries import cusum_changepoint
+
+    return cusum_changepoint(
+        load(spark, "events", sf_dir), value_col="value", ts_col="ts",
+        group_by="event_type",
+    )
