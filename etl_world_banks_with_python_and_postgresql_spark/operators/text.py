@@ -1481,3 +1481,168 @@ def rrf_fuse(
         .filter(F.col("rank") <= top)
         .select(id_col, "rrf_micros", "n_systems", "rank")
     )
+
+
+# ---------------------------------------------------------------------
+# Gopher-style document quality rule battery
+# ---------------------------------------------------------------------
+
+# The six-word stoplist is the rule's own parameter (Rae et al. 2021
+# use a similar small set for the "contains >= 2 stop words" rule);
+# deliberately NOT LANG_LEXICONS['en'] so tuning one surface never
+# silently reshapes the other.
+GOPHER_STOPWORDS = ["the", "a", "and", "of", "to", "in"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 15,
+    max_words: int = 1000,
+    min_mwl_x10: int = 40,
+    max_mwl_x10: int = 100,
+    min_stopwords: int = 2,
+    min_distinct_pct: int = 30,
+    max_symbol_pct: int = 1,
+    max_bullet_pct: int = 30,
+    max_ellipsis_pct: int = 20,
+    min_alpha_pct: int = 99,
+) -> DataFrame:
+    """Gopher-style quality rule battery (Rae et al. 2021, table A1
+    shape): the standard pre-training corpus filter -- word-count
+    bounds, mean-word-length bounds, minimum stop-word evidence,
+    repetition (distinct-word fraction), symbol-to-word ratio
+    ('#'/ellipsis soup), bullet-line and ellipsis-line ratios, and
+    alphabetic-word fraction. Emits one row per document with each
+    rule's pass/fail flag plus the conjunctive ``keep`` -- per-rule
+    flags (not just the verdict) because corpus triage needs the WHY:
+    'which rule kills 40% of crawl X' is the actionable number.
+
+    Determinism: every rule is an integer comparison on integer counts
+    -- ratios are cleared by their denominators (e.g. mean word length
+    in [4.0, 10.0] gates as ``40*n <= 10*sum_len <= 100*n``), so no
+    division, no float, no rounding appears anywhere and the DuckDB
+    twin (:func:`gopher_oracle_sql`) is bit-identical by construction.
+
+    Thresholds are parameters because published values assume web text;
+    the defaults here are tuned so every rule discriminates on the
+    synthetic corpus (see the z141 registry entry, which injects the
+    web artifacts -- bullets/ellipses/symbol runs -- the clean corpus
+    lacks, the q88 PII-fixture precedent).
+
+    Scale: one row-local projection pass -- no shuffle, no join, no
+    window; the token array is computed once per row and every rule
+    reads the same arrays. At 100 TB this is a pure scan-stage map
+    with whatever parallelism the source has.
+    """
+    t = F.col(text_col)
+    stop = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    staged = df.select(
+        F.col(id_col),
+        ws_tokens(t).alias("_w"),
+        F.split(t, "\n").alias("_lines"),
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).alias(
+            "_n_hash"
+        ),
+        (
+            (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+            / F.lit(3)
+        ).cast("long").alias("_n_ell"),
+    )
+    w = F.col("_w")
+    lines = F.col("_lines")
+    n = F.size(w).cast("long")
+    sum_len = F.length(F.array_join(w, "")).cast("long")
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop, x))).cast("long")
+    n_distinct = F.size(F.array_distinct(w)).cast("long")
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda line: F.startswith(line, F.lit("- ")))
+    ).cast("long")
+    n_ell_lines = F.size(
+        F.filter(lines, lambda line: F.endswith(line, F.lit("...")))
+    ).cast("long")
+    flags = {
+        "wc_ok": (n >= min_words) & (n <= max_words),
+        "mwl_ok": (F.lit(10) * sum_len >= F.lit(min_mwl_x10) * n)
+        & (F.lit(10) * sum_len <= F.lit(max_mwl_x10) * n),
+        "stop_ok": n_stop >= min_stopwords,
+        "distinct_ok": F.lit(100) * n_distinct >= F.lit(min_distinct_pct) * n,
+        "symbol_ok": F.lit(100) * (F.col("_n_hash") + F.col("_n_ell"))
+        <= F.lit(max_symbol_pct) * n,
+        "bullet_ok": F.lit(100) * n_bullet <= F.lit(max_bullet_pct) * n_lines,
+        "ellipsis_ok": F.lit(100) * n_ell_lines
+        <= F.lit(max_ellipsis_pct) * n_lines,
+        "alpha_ok": F.lit(100) * n_alpha >= F.lit(min_alpha_pct) * n,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else keep & c
+    return staged.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def gopher_oracle_sql(
+    docs_sql: str,
+    id_col: str = "doc_id",
+    min_words: int = 15,
+    max_words: int = 1000,
+    min_mwl_x10: int = 40,
+    max_mwl_x10: int = 100,
+    min_stopwords: int = 2,
+    min_distinct_pct: int = 30,
+    max_symbol_pct: int = 1,
+    max_bullet_pct: int = 30,
+    max_ellipsis_pct: int = 20,
+    min_alpha_pct: int = 99,
+) -> str:
+    """DuckDB twin of :func:`gopher_quality`. ``docs_sql`` must yield
+    ``(id_col, text)``; every rule is the same cleared-integer
+    comparison, so the result is bit-identical by construction."""
+    stoplist = "[" + ",".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
+    flags = {
+        "wc_ok": f"(n >= {min_words} AND n <= {max_words})",
+        "mwl_ok": (
+            f"(10 * sum_len >= {min_mwl_x10} * n"
+            f" AND 10 * sum_len <= {max_mwl_x10} * n)"
+        ),
+        "stop_ok": f"(n_stop >= {min_stopwords})",
+        "distinct_ok": f"(100 * n_distinct >= {min_distinct_pct} * n)",
+        "symbol_ok": f"(100 * (n_hash + n_ell) <= {max_symbol_pct} * n)",
+        "bullet_ok": f"(100 * n_bullet <= {max_bullet_pct} * n_lines)",
+        "ellipsis_ok": f"(100 * n_ell_lines <= {max_ellipsis_pct} * n_lines)",
+        "alpha_ok": f"(100 * n_alpha >= {min_alpha_pct} * n)",
+    }
+    flag_cols = ",\n       ".join(f"{e} AS {name}" for name, e in flags.items())
+    keep = " AND ".join(flags.values())
+    return f"""
+WITH docs AS ({docs_sql}),
+staged AS (
+  SELECT {id_col},
+         string_split_regex(trim(lower(text)), '\\s+') AS w,
+         string_split(text, chr(10)) AS lines,
+         (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+         ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_ell
+  FROM docs),
+counted AS (
+  SELECT {id_col}, n_hash, n_ell,
+         len(w)::BIGINT AS n,
+         length(array_to_string(w, ''))::BIGINT AS sum_len,
+         len(list_filter(w, x -> list_contains({stoplist}, x)))::BIGINT AS n_stop,
+         len(list_distinct(w))::BIGINT AS n_distinct,
+         len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+         len(lines)::BIGINT AS n_lines,
+         len(list_filter(lines, l -> starts_with(l, '- ')))::BIGINT AS n_bullet,
+         len(list_filter(lines, l -> ends_with(l, '...')))::BIGINT AS n_ell_lines
+  FROM staged)
+SELECT {id_col}, n AS n_words,
+       {flag_cols},
+       ({keep}) AS keep
+FROM counted
+"""

@@ -2481,3 +2481,60 @@ def z133(spark, sf_dir):
         rrf_k=60,
         top=10,
     )
+
+
+# Deterministic web-artifact injection for z141 (the q88 PII-fixture
+# precedent): the synthetic corpus is clean lowercase prose, so the
+# bullet/ellipsis/symbol/alpha rules would be degenerate on raw text.
+# Both engines build the SAME augmented column from table values.
+_Z141_AUG_SQL = """
+SELECT doc_id, text
+  || CASE WHEN doc_id % 7 = 0
+          THEN chr(10) || '- bullet item one' || chr(10) || '- bullet item two'
+          ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'to be continued...' ELSE '' END
+  || CASE WHEN doc_id % 13 = 0 THEN ' ## 1234 5678 999' ELSE '' END AS text
+FROM documents
+"""
+
+from ..operators.text import gopher_oracle_sql as _gopher_sql  # noqa: E402
+
+
+@query(
+    "z141_gopher_rules",
+    oracle=_gopher_sql(_Z141_AUG_SQL),
+    description=(
+        "Gopher-style quality rule battery (Rae et al. 2021 shape -- "
+        "the standard pre-training corpus filter): word-count bounds, "
+        "mean-word-length bounds, stop-word evidence, distinct-word "
+        "(repetition) fraction, symbol-to-word ratio, bullet-line and "
+        "ellipsis-line ratios, alphabetic-word fraction -- per-doc "
+        "pass/fail flag PER RULE plus the conjunctive keep, because "
+        "corpus triage needs 'which rule kills crawl X'. Every rule is "
+        "a denominator-cleared integer comparison (no division, no "
+        "float anywhere); web artifacts the clean corpus lacks are "
+        "injected deterministically from doc_id (q88 precedent). One "
+        "row-local scan-stage pass: no shuffle, no join, no window"
+    ),
+)
+def z141(spark, sf_dir):
+    from ..operators.text import gopher_quality
+
+    docs = load(spark, "documents", sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\n- bullet item one\n- bullet item two"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit("\nto be continued...")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit(" ## 1234 5678 999")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return gopher_quality(aug)

@@ -4100,3 +4100,54 @@ def test_hll_agg_view_incremental_equals_oneshot(spark, tmp_path):
         v.read_sketch(spark).groupBy("lang").count().collect()
     )
     assert all(r["count"] <= 64 for r in per_group)
+
+
+def test_gopher_quality_rules_hand_checked(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.text import (
+        gopher_quality,
+    )
+
+    # 16 distinct words, mean word length ~5.5, two stopwords
+    base = "the a " + " ".join("word%02d" % i for i in range(14))
+    docs = spark.createDataFrame(
+        [
+            # 10 words: fails ONLY the word-count rule
+            (1, " ".join(base.split()[:10])),
+            # everything passes
+            (2, base),
+            # 20 copies of one word -> distinct fraction below 30%
+            (3, "the a " + " ".join(["wordword"] * 20)),
+            # symbol soup: hashes + ellipses beyond 1% of words
+            (4, base + " ### ... ..."),
+            # bullet lines: 2 of 3 lines start with '- ' (> 30%)
+            (5, base + "\n- one\n- two"),
+            # ellipsis endings: 1 of 2 lines (> 20%); all tokens alpha
+            (6, base + "\nwait for it..."),
+            # numeric words: alpha fraction below 99%
+            (7, base + " 123 456"),
+            # no stopwords at all (long words keep mwl in range)
+            (8, " ".join("zzzzz%02d" % i for i in range(20))),
+            # short words: mean word length below 4.0
+            (9, "the a " + " ".join("w%d" % (i % 9) for i in range(14))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality(docs).collect()
+    }
+    assert not out[1]["wc_ok"] and not out[1]["keep"]
+    # doc 1 fails ONLY word count
+    assert all(
+        out[1][k]
+        for k in "mwl_ok stop_ok distinct_ok symbol_ok bullet_ok "
+        "ellipsis_ok alpha_ok".split()
+    )
+    assert out[2]["keep"] and out[2]["n_words"] == 16
+    assert not out[3]["distinct_ok"]
+    assert not out[4]["symbol_ok"]
+    assert not out[5]["bullet_ok"]
+    assert not out[6]["ellipsis_ok"] and out[6]["alpha_ok"]
+    assert not out[7]["alpha_ok"] and out[7]["symbol_ok"]
+    assert not out[8]["stop_ok"] and out[8]["mwl_ok"]
+    assert not out[9]["mwl_ok"] and out[9]["stop_ok"]
