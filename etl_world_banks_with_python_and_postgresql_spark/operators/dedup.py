@@ -1420,3 +1420,169 @@ SELECT t.doc_id,
 FROM t LEFT JOIN kept k USING (doc_id)
 GROUP BY t.doc_id, len(t.ls)
 """
+
+
+# ---------------------------------------------------------------------
+# Winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------
+
+
+def _winnow_staged(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(doc_id, _h) with _h the k-gram hash sequence (multiplicity kept,
+    order preserved) -- the shared front half of the winnowing ops.
+    Same repartition + token-materialization contract as shingle_sets."""
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    return (
+        spread.withColumn("_toks", ws_tokens(F.col(text_col)))
+        .withColumn("_grams", word_shingle_list(F.col("_toks"), n=k))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(F.col("_grams"), md5_hash32).alias("_h"),
+        )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 -- the MOSS algorithm): hash every k-gram, slide a window
+    of ``window`` consecutive gram hashes, keep the minimum of each
+    window; ties take the RIGHTMOST minimal position (the stateless
+    variant of robust winnowing's tie rule -- deterministic without
+    carrying state across windows). Returns one row per distinct
+    (fp_hash, pos) fingerprint per document.
+
+    Guarantees (the paper's): any shared substring of at least
+    ``k + window - 1`` tokens produces at least one shared fingerprint,
+    and expected density is 2/(window+1) of grams -- tunable recall vs
+    index size, unlike MinHash's fixed-size sketch which loses locality
+    (positions). Positions make the match SPAN recoverable -- the
+    plagiarism/attribution use case, not just a yes/no dup bit.
+
+    Scale: one row-local pass (O(len * window) per doc, bounded lambda
+    depth), then explode; no shuffle beyond the id repartition. No
+    Python UDFs -- split/transform/slice/filter only.
+    """
+    staged = _winnow_staged(df, text_col, id_col, k)
+    h = F.col("_h")
+    n_win = F.size(h) - (window - 1)
+
+    def fp(j):
+        win = F.slice(h, j, window)
+        m = F.array_min(win)
+        pos = F.array_max(
+            F.filter(
+                F.sequence(j, j + F.lit(window - 1)),
+                lambda i: F.element_at(h, i) == m,
+            )
+        )
+        return F.struct(m.alias("fp_hash"), pos.alias("pos"))
+
+    fps = F.when(
+        n_win >= 1,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), n_win), fp)),
+    ).otherwise(F.array().cast("array<struct<fp_hash:bigint,pos:int>>"))
+    return staged.select("doc_id", F.explode(fps).alias("_f")).select(
+        "doc_id", F.col("_f.fp_hash").alias("fp_hash"), F.col("_f.pos").alias("pos")
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    max_df: int = 20,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs by shared winnowing fingerprints:
+    (doc_a, doc_b, n_shared) for pairs sharing at least ``min_shared``
+    distinct fingerprint hashes.
+
+    The quadratic-bucket hazard (every pair sharing a hot fingerprint
+    joins) is bounded by ``max_df``: fingerprints present in more than
+    that many documents are dropped before the join -- MOSS's own
+    "ignore too-common fingerprints" rule (boilerplate k-grams carry no
+    authorship signal). The cap is a recall-only tradeoff on HOT grams
+    and is part of the operator contract, mirrored by the oracle.
+
+    Plan: in-row distinct fingerprint-hash sets (positions never
+    computed -- the pair decision doesn't need them), explode, one
+    hash-keyed document-frequency aggregate, frequency-capped
+    equi-self-join on fp_hash, pair-keyed count. Never all-pairs; every
+    shuffle key is a fingerprint hash or a doc pair.
+    """
+    staged = _winnow_staged(df, text_col, id_col, k)
+    h = F.col("_h")
+    n_win = F.size(h) - (window - 1)
+    hashes = F.when(
+        n_win >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda j: F.array_min(F.slice(h, j, window)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    e = staged.select("doc_id", F.explode(hashes).alias("fp_hash"))
+    docfreq = e.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("_ndocs"))
+    kept = e.join(docfreq.filter(F.col("_ndocs") <= max_df), "fp_hash").select(
+        "doc_id", "fp_hash"
+    )
+    a = kept.withColumnRenamed("doc_id", "doc_a")
+    b = kept.withColumnRenamed("doc_id", "doc_b")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_pairs_oracle_sql(
+    k: int = 3,
+    window: int = 4,
+    max_df: int = 20,
+    min_shared: int = 3,
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """DuckDB twin of :func:`winnow_pairs` -- same gram hashes
+    (md5-prefix), same window minima, same df cap, bit-identical."""
+    from ..functions.xhash import MD5_HASH32_SQL
+
+    gram = " || ' ' || ".join(f"w[i+{off}]" for off in range(k))
+    return f"""
+WITH docs AS ({docs_sql}),
+t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM docs),
+g AS (SELECT doc_id,
+             [{gram}
+              for i in generate_series(1, greatest(len(w) - {k - 1}, 0))] AS grams
+      FROM t),
+h AS (SELECT doc_id, [{MD5_HASH32_SQL.format(x='x')} for x in grams] AS hl
+      FROM g),
+fp AS (SELECT doc_id,
+              list_distinct([list_min(hl[j:j+{window - 1}])
+               for j in generate_series(1, greatest(len(hl) - {window - 1}, 0))])
+                AS fps
+       FROM h),
+e AS (SELECT doc_id, unnest(fps) AS fp_hash FROM fp),
+df AS (SELECT fp_hash, count(*) AS ndocs FROM e GROUP BY fp_hash),
+kept AS (SELECT e.doc_id, e.fp_hash
+         FROM e JOIN df USING (fp_hash) WHERE df.ndocs <= {max_df})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""

@@ -1936,3 +1936,30 @@ def z130(spark, sf_dir):
     return similarity.ivfpq_topk_indexed(
         spark, path, q, n_probe=3, k=5
     ).select("query_id", "neighbor_id", "rank")
+
+
+from ..operators.dedup import winnow_pairs_oracle_sql as _winnow_sql  # noqa: E402
+
+
+@query(
+    "z142_winnow_pairs",
+    oracle=_winnow_sql(k=3, window=4, max_df=20, min_shared=3),
+    description=(
+        "winnowing-fingerprint near-dup pairs (Schleimer et al. "
+        "SIGMOD'03, the MOSS algorithm): k-gram md5-prefix hashes, "
+        "window-of-4 minima as fingerprints (guaranteed hit for any "
+        "shared run of k+window-1 tokens, expected density 2/(w+1)), "
+        "hot fingerprints df-capped before the join (MOSS's ignore-too-"
+        "common rule -- the quadratic-bucket bound), pairs sharing >= 3 "
+        "distinct fingerprints. The positional complement to MinHash: "
+        "locality-preserving, span-recoverable. All hashing and minima "
+        "are exact integers; the oracle replays every stage bit-for-bit"
+    ),
+)
+def z142(spark, sf_dir):
+    from ..operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        load(spark, "documents", sf_dir), k=3, window=4, max_df=20,
+        min_shared=3,
+    )

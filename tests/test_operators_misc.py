@@ -4151,3 +4151,55 @@ def test_gopher_quality_rules_hand_checked(spark):
     assert not out[7]["alpha_ok"] and out[7]["symbol_ok"]
     assert not out[8]["stop_ok"] and out[8]["mwl_ok"]
     assert not out[9]["mwl_ok"] and out[9]["stop_ok"]
+
+
+def test_winnow_fingerprints_match_python_reference(spark):
+    import hashlib
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    K, WIN = 3, 4
+
+    def ref_fps(text):
+        w = text.lower().strip().split()
+        grams = [" ".join(w[i : i + K]) for i in range(len(w) - K + 1)]
+        h = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        fps = set()
+        for j in range(len(h) - WIN + 1):
+            win = h[j : j + WIN]
+            m = min(win)
+            # rightmost minimal position, 1-based over the gram axis
+            pos = max(i for i in range(j, j + WIN) if h[i] == m) + 1
+            fps.add((m, pos))
+        return fps
+
+    texts = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y z a b c d e f g h q"),  # shares run 'a..h' (8 >= K+WIN-1=6)
+        (3, "p q r s t u"),  # exactly k+win-1 tokens -> exactly 1 window
+        (4, "one two three"),  # 1 gram < window -> no fingerprints
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["fp_hash"], r["pos"])
+        for r in winnow_fingerprints(df, k=K, window=WIN).collect()
+    }
+    want = {
+        (d, h, p) for d, t in texts for h, p in ref_fps(t)
+    }
+    assert got == want
+    # the winnowing guarantee: docs 1 and 2 share a run of 8 tokens
+    # (>= k + window - 1), so they MUST share a fingerprint hash
+    shared = {r["fp_hash"] for r in winnow_fingerprints(df).collect() if r["doc_id"] == 1} & {
+        r["fp_hash"] for r in winnow_fingerprints(df).collect() if r["doc_id"] == 2
+    }
+    assert shared
+    pairs = winnow_pairs(df, min_shared=1, max_df=10).collect()
+    assert any(r["doc_a"] == 1 and r["doc_b"] == 2 for r in pairs)
+    # doc 4 is too short to fingerprint: appears in no pair
+    assert all(4 not in (r["doc_a"], r["doc_b"]) for r in pairs)
