@@ -1162,3 +1162,137 @@ def length_batches(
         .cast("long")
         .alias("waste_tokens"),
     )
+
+
+# ---------------------------------------------------------------------
+# Hashed-feature importance weights (DSIR shape)
+# ---------------------------------------------------------------------
+
+
+def importance_weights(
+    df: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = 8192,
+) -> DataFrame:
+    """Data-selection importance weights via hashed n-gram features --
+    the DSIR shape (Xie et al. 2023: importance resampling on hashed
+    n-gram likelihood ratios), with the likelihood ratio kept in EXACT
+    integer micros instead of floating log space. Each document scores
+
+        score = sum over its DISTINCT hashed features f of
+                micros( (df_target(f)+1) * (N_pool+2)
+                        / ((df_pool(f)+1) * (N_target+2)) )
+
+    -- add-one-smoothed target-vs-pool document-frequency odds, HALF_UP
+    at 1e-6 (one exact integer ratio per feature; sums of integers are
+    partition-order-free, so the score is bit-stable cross-engine where
+    a float log-sum would not be). Rank by score and resample top-p to
+    up-weight target-like documents (the DSIR use).
+
+    ``target_pred`` is a boolean Column marking the target-domain rows
+    INSIDE ``df`` (e.g. ``F.col("source") == "src0"``); the pool is all
+    of ``df``. Documents shorter than ``n`` tokens have no features and
+    are dropped (documented; a pipeline keeps them via left join if it
+    must).
+
+    Scale: one explode + ONE feature-keyed aggregate computes both
+    document frequencies; the weight table is bounded by ``n_buckets``
+    rows and broadcast back to the exploded features, so the only
+    corpus-scale shuffles are the explode's doc-keyed repartition and
+    the final doc-keyed sum. Totals ride a 1-row broadcast.
+    """
+    from ..functions.exactnum import ratio_micros_halfup
+    from ..functions.xhash import md5_hash32, word_shingle_list
+
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    staged = (
+        spread.withColumn("_toks", ws_tokens(F.col(text_col)))
+        .withColumn("_grams", word_shingle_list(F.col("_toks"), n=n))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            target_pred.cast("boolean").alias("_tgt"),
+            F.array_distinct(
+                F.transform(
+                    F.col("_grams"),
+                    lambda g: md5_hash32(g) % F.lit(n_buckets),
+                )
+            ).alias("_feats"),
+        )
+    )
+    e = staged.select(
+        "doc_id", "_tgt", F.explode("_feats").alias("feature")
+    )
+    totals = staged.agg(
+        F.count(F.lit(1)).alias("_np"),
+        F.sum(F.col("_tgt").cast("long")).alias("_nt"),
+    )
+    freqs = (
+        e.groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).alias("_cp"),
+            F.sum(F.col("_tgt").cast("long")).alias("_ct"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "feature",
+            ratio_micros_halfup(
+                (F.col("_ct") + 1) * (F.col("_np") + 2),
+                (F.col("_cp") + 1) * (F.col("_nt") + 2),
+            ).alias("_w_micros"),
+        )
+    )
+    return (
+        e.join(F.broadcast(freqs), "feature")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.sum("_w_micros").cast("long").alias("score_micros"),
+        )
+    )
+
+
+def importance_weights_oracle_sql(
+    target_sql: str,
+    n: int = 2,
+    n_buckets: int = 8192,
+    docs_sql: str = "SELECT doc_id, source, text FROM documents",
+) -> str:
+    """DuckDB twin of :func:`importance_weights`: same md5-prefix
+    feature hashing, same smoothed integer-micros odds, bit-identical.
+    ``target_sql`` is the boolean predicate over ``docs_sql`` columns."""
+    from ..functions.xhash import MD5_HASH32_SQL
+
+    gram = " || ' ' || ".join(f"w[i+{off}]" for off in range(n))
+    # integer-micros HALF_UP ratio, kept as BIGINT (ratio_scaled_sql
+    # presents as a double -- wrong here: the Spark side sums raw micros)
+    num, den = "(ct + 1) * (np + 2)", "(cp + 1) * (nt + 2)"
+    w_expr = f"((2 * 1000000 * ({num}) + ({den})) // (2 * ({den})))::BIGINT"
+    return f"""
+WITH docs AS ({docs_sql}),
+t AS (SELECT doc_id, ({target_sql}) AS tgt,
+             string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM docs),
+g AS (SELECT doc_id, tgt,
+             list_distinct([{MD5_HASH32_SQL.format(x=f"({gram})")} % {n_buckets}
+              for i in generate_series(1, greatest(len(w) - {n - 1}, 0))])
+               AS feats
+      FROM t),
+e AS (SELECT doc_id, tgt, unnest(feats) AS feature FROM g),
+totals AS (SELECT count(*)::BIGINT AS np,
+                  sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS nt
+           FROM g),
+freqs AS (SELECT feature, count(*)::BIGINT AS cp,
+                 sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct
+          FROM e GROUP BY feature),
+wts AS (SELECT feature, {w_expr} AS w_micros
+        FROM freqs, totals)
+SELECT e.doc_id, count(*)::BIGINT AS n_features,
+       sum(w_micros)::BIGINT AS score_micros
+FROM e JOIN wts USING (feature)
+GROUP BY e.doc_id
+"""

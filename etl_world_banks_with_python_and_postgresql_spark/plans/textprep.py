@@ -2538,3 +2538,32 @@ def z141(spark, sf_dir):
         ).alias("text"),
     )
     return gopher_quality(aug)
+
+
+from ..operators.train_prep import (  # noqa: E402
+    importance_weights_oracle_sql as _dsir_sql,
+)
+
+
+@query(
+    "z143_importance_weights",
+    oracle=_dsir_sql("source = 'src0'"),
+    description=(
+        "hashed-n-gram importance weights for data selection -- the "
+        "DSIR shape (Xie et al. 2023) with the likelihood ratio in "
+        "exact integer micros instead of float log space: distinct "
+        "hashed word bigrams per doc (md5-prefix mod 8192), ONE "
+        "feature-keyed aggregate yields target (src0) and pool document "
+        "frequencies, add-one-smoothed odds per feature as a HALF_UP "
+        "integer ratio, per-doc score = integer sum over its features "
+        "(partition-order-free). The bounded 8192-row weight table is "
+        "broadcast back; the only corpus-scale shuffles are the explode "
+        "and the doc-keyed sum"
+    ),
+)
+def z143(spark, sf_dir):
+    from ..operators.train_prep import importance_weights
+
+    return importance_weights(
+        load(spark, "documents", sf_dir), F.col("source") == "src0"
+    )

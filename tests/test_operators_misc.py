@@ -4203,3 +4203,56 @@ def test_winnow_fingerprints_match_python_reference(spark):
     assert any(r["doc_a"] == 1 and r["doc_b"] == 2 for r in pairs)
     # doc 4 is too short to fingerprint: appears in no pair
     assert all(4 not in (r["doc_a"], r["doc_b"]) for r in pairs)
+
+
+def test_importance_weights_exact_tiny_case(spark):
+    import hashlib
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
+        importance_weights,
+    )
+
+    B = 8192
+    docs = [
+        (1, "alpha beta gamma", True),
+        (2, "alpha beta delta", True),
+        (3, "zeta eta theta", False),
+        (4, "alpha beta gamma", False),
+        (5, "solo", False),  # < 2 tokens: no features, dropped
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, tgt boolean")
+    out = {
+        r["doc_id"]: (r["n_features"], r["score_micros"])
+        for r in importance_weights(df, F.col("tgt")).collect()
+    }
+
+    def feats(text):
+        w = text.split()
+        grams = [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+        return {
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+            for g in grams
+        }
+
+    fsets = {d: feats(t) for d, t, _ in docs}
+    np_, nt = len(docs), sum(1 for *_, t in docs if t)
+    cp = {}
+    ct = {}
+    for d, _, t in docs:
+        for f in fsets[d]:
+            cp[f] = cp.get(f, 0) + 1
+            ct[f] = ct.get(f, 0) + int(t)
+
+    def w_micros(f):
+        num = (ct[f] + 1) * (np_ + 2)
+        den = (cp[f] + 1) * (nt + 2)
+        return (2 * 1_000_000 * num + den) // (2 * den)
+
+    want = {
+        d: (len(fsets[d]), sum(w_micros(f) for f in fsets[d]))
+        for d, _, _ in docs
+        if fsets[d]
+    }
+    assert out == want
+    # target-domain docs outrank the disjoint pool doc
+    assert out[1][1] > out[3][1] and out[2][1] > out[3][1]
