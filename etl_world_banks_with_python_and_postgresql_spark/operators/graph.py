@@ -172,3 +172,88 @@ r{i} AS (
         + ",".join(parts)
         + f"\nSELECT node, r AS rank_micros FROM r{n_iter}\n"
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED graph, by
+    degree-ordered edge orientation (the compact-forward / Cohen
+    MapReduce algorithm -- the standard way to count triangles without
+    hub blowup): canonicalize edges to (min, max) distinct pairs, orient
+    every edge from its lower-(degree, id) endpoint to the higher, then
+    each triangle is exactly ONE wedge (s->t1, s->t2, t1 < t2 in
+    orientation order) whose closing edge (t1 -> t2) exists.
+
+    Why orientation matters at 100 TB: wedge work is sum over nodes of
+    out-degree^2, and orienting by degree caps every out-degree at
+    ~sqrt(2|E|) no matter how big a hub's raw degree is -- total work
+    O(|E|^1.5) instead of O(sum deg^2), which a star-shaped hub would
+    otherwise make quadratic. All joins are equi-joins on node keys;
+    nothing is ever all-pairs.
+
+    Returns (node, n_triangles) for every node in at least one
+    triangle. Self-loops are dropped; parallel edges collapse.
+    """
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e0.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    w1 = o.select(F.col("s"), F.col("t").alias("t1"))
+    w2 = o.select(F.col("s"), F.col("t").alias("t2"))
+    wedges = w1.join(w2, "s").filter(F.col("t1") < F.col("t2"))
+    closing = o.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    tri = wedges.join(closing, ["t1", "t2"])
+    member = tri.select(
+        F.explode(F.array("s", "t1", "t2")).alias("node")
+    )
+    return member.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+def triangle_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_counts`. ``edges_sql`` must yield
+    (src, dst); same canonicalization, orientation, and wedge closure --
+    exact integer counts, bit-identical by construction."""
+    return f"""
+WITH raw AS ({edges_sql}),
+e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       FROM raw WHERE least(src, dst) < greatest(src, dst)),
+deg AS (SELECT node, count(*) AS d FROM (
+          SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) t
+        GROUP BY node),
+o AS (SELECT CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.u ELSE e0.v END AS s,
+             CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.v ELSE e0.u END AS t
+      FROM e0 JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v),
+tri AS (SELECT w1.s AS a, w1.t1 AS b, w2.t1 AS c
+        FROM (SELECT s, t AS t1 FROM o) w1
+        JOIN (SELECT s, t AS t1 FROM o) w2 ON w1.s = w2.s AND w1.t1 < w2.t1
+        JOIN o e ON e.s = w1.t1 AND e.t = w2.t1),
+member AS (SELECT unnest([a, b, c]) AS node FROM tri)
+SELECT node, count(*)::BIGINT AS n_triangles
+FROM member GROUP BY node
+"""

@@ -771,3 +771,58 @@ def z139(spark, sf_dir):
         .orderBy(F.desc("rank_micros"), F.asc("node"))
         .limit(100)
     )
+
+
+from ..operators.graph import triangle_oracle_sql as _tri_sql  # noqa: E402
+
+_TRI_EDGES_SQL = """
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+"""
+
+
+@query(
+    "z144_triangle_count",
+    oracle="WITH counts AS ("
+    + _tri_sql(_TRI_EDGES_SQL)
+    + """),
+total AS (SELECT (sum(n_triangles) // 3)::BIGINT AS total_triangles
+          FROM counts)
+SELECT node, n_triangles, total_triangles
+FROM (SELECT * FROM counts ORDER BY n_triangles DESC, node LIMIT 20), total
+""",
+    description=(
+        "triangle counting over the part co-purchase graph (parts "
+        "sharing an order) by degree-ordered edge orientation -- the "
+        "compact-forward algorithm: orient every edge low->high "
+        "(degree, id), one wedge self-join + one closing-edge join, so "
+        "wedge work is O(|E|^1.5) and a hub's raw degree can never go "
+        "quadratic (its out-degree is capped by the orientation). The "
+        "clustering-coefficient / community-density primitive. Top-20 "
+        "nodes by triangle membership + the global count; exact "
+        "integers end to end"
+    ),
+)
+def z144(spark, sf_dir):
+    from ..operators.graph import triangle_counts
+
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    b = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("_pb")
+    )
+    edges = (
+        li.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("_pb"))
+        .select(F.col("l_partkey").alias("src"), F.col("_pb").alias("dst"))
+    )
+    tc = triangle_counts(edges)
+    total = tc.agg(
+        F.expr("sum(n_triangles) div 3").alias("total_triangles")
+    )
+    return (
+        tc.orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(20)
+        .crossJoin(F.broadcast(total))
+    )

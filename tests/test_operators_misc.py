@@ -4256,3 +4256,19 @@ def test_importance_weights_exact_tiny_case(spark):
     assert out == want
     # target-domain docs outrank the disjoint pool doc
     assert out[1][1] > out[3][1] and out[2][1] > out[3][1]
+
+
+def test_triangle_counts_hand_checked(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + a pendant path
+    # 4-5-6 (no triangles) + a duplicate/reversed/self-loop edge noise
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6), (6, 6), (2, 1), (3, 1),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}

@@ -55,6 +55,12 @@ WHITELIST = {
     # the doc-count N is ONE broadcast row crossed into the row-local
     # tf-idf score expression
     "z85_tfidf_terms": "scalar-aggregate N (1-row broadcast side)",
+    # the (N_pool, N_target) totals are ONE broadcast row crossed into
+    # the bounded per-feature weight table
+    "z143_importance_weights": "scalar-aggregate totals (1-row broadcast side)",
+    # the global triangle total is ONE broadcast row crossed into the
+    # top-20 output
+    "z144_triangle_count": "scalar-aggregate total (1-row broadcast side)",
     # the ordered global window runs over |distinct weeks| rows AFTER two
     # reductions (user -> first week -> per-week counts): bounded by the
     # calendar, never by users or events
