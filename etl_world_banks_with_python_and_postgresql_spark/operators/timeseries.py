@@ -771,3 +771,128 @@ SELECT {group_by}, n::INT AS n_days, t::INT AS cp_index, day AS cp_day,
        d AS dev
 FROM pick WHERE rn = 1
 """
+
+
+def holt_forecast(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_by: str = "event_type",
+    alpha_ppm: int = 300_000,
+    beta_ppm: int = 100_000,
+    horizon: int = 3,
+) -> DataFrame:
+    """Holt linear-trend exponential smoothing per series, in EXACT
+    integer micros -- the capacity-planning / metric-forecasting
+    primitive (level + trend, h-step-ahead forecasts):
+
+        l_t = HALF_UP(alpha*y_t + (1-alpha)*(l_{t-1} + b_{t-1}))
+        b_t = HALF_UP(beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1})
+        fc_h = l_n + h * b_n
+
+    with alpha/beta in ppm, y the daily BIGINT-micros series (same
+    prep as :func:`acf`), l_1 = y_1 and b_1 = 0. Every step is one
+    sign-aware HALF_UP integer division, so the whole recurrence is
+    bit-reproducible and the DuckDB recursive-CTE twin
+    (:func:`holt_oracle_sql`) replays it exactly.
+
+    The recurrence is inherently sequential PER SERIES (each state
+    depends on the previous step's ROUNDED state -- a closed-form
+    rewrite would round differently), so this is the sanctioned
+    custom-stateful path: one Arrow-batched ``applyInPandas`` over the
+    calendar-bounded daily rows, arbitrary-precision Python ints inside
+    (no int64 overflow cliff), after ONE shuffle to the (series, day)
+    axis. Series count bounds parallelism; each group is |days| rows,
+    never |events|.
+    """
+    M = 1_000_000
+    if not (0 < alpha_ppm < M and 0 <= beta_ppm < M):
+        raise ValueError("holt_forecast: smoothing params must be ppm in (0, 1e6)")
+    day = F.to_date(F.col(ts_col))
+    daily = df.groupBy(group_by, day.alias("day")).agg(
+        (F.sum(F.col(value_col).cast("decimal(25,6)")) * M)
+        .cast("long")
+        .alias("x")
+    )
+    fc_cols = ", ".join(f"fc{h}_micros long" for h in range(1, horizon + 1))
+    schema = (
+        f"{group_by} string, n_days int, level_micros long, "
+        f"trend_micros long, {fc_cols}"
+    )
+
+    def hu(a: int, den: int) -> int:
+        s = 1 if a >= 0 else -1
+        return s * ((2 * abs(a) + den) // (2 * den))
+
+    def fit(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("day")
+        ys = [int(v) for v in pdf["x"]]
+        lev, b = ys[0], 0
+        for y in ys[1:]:
+            lev_new = hu(alpha_ppm * y + (M - alpha_ppm) * (lev + b), M)
+            b = hu(beta_ppm * (lev_new - lev) + (M - beta_ppm) * b, M)
+            lev = lev_new
+        row = {
+            group_by: pdf[group_by].iloc[0],
+            "n_days": len(ys),
+            "level_micros": lev,
+            "trend_micros": b,
+        }
+        for h in range(1, horizon + 1):
+            row[f"fc{h}_micros"] = lev + h * b
+        return pd.DataFrame([row])
+
+    return daily.groupBy(group_by).applyInPandas(fit, schema)
+
+
+def holt_oracle_sql(
+    value_sql: str = "value",
+    ts_sql: str = "ts",
+    table: str = "events",
+    group_by: str = "event_type",
+    alpha_ppm: int = 300_000,
+    beta_ppm: int = 100_000,
+    horizon: int = 3,
+) -> str:
+    """DuckDB twin of :func:`holt_forecast`: the sequential recurrence
+    as a recursive CTE stepping one day per iteration, HUGEINT state,
+    the same sign-aware HALF_UP -- bit-identical by construction."""
+    M = 1_000_000
+    g = group_by
+
+    def hu(a: str) -> str:
+        return (
+            f"(CASE WHEN ({a}) >= 0 THEN ((2*({a}) + {M}) // {2 * M})"
+            f" ELSE -((2*(-({a})) + {M}) // {2 * M}) END)"
+        )
+
+    l_new = hu(f"{alpha_ppm}::HUGEINT * o.x + {M - alpha_ppm}::HUGEINT * (r.l + r.b)")
+    b_new = hu(f"{beta_ppm}::HUGEINT * (({l_new}) - r.l) + {M - beta_ppm}::HUGEINT * r.b")
+    fc_sel = ", ".join(
+        f"(l + {h} * b)::BIGINT AS fc{h}_micros" for h in range(1, horizon + 1)
+    )
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT {g}, ({ts_sql})::DATE AS day,
+         (sum(CAST({value_sql} AS DECIMAL(25,6))) * {M})::BIGINT AS x
+  FROM {table} GROUP BY ALL),
+ordered AS (
+  SELECT {g}, x,
+         row_number() OVER (PARTITION BY {g} ORDER BY day) AS rn
+  FROM daily),
+counts AS (SELECT {g}, count(*)::INT AS n_days FROM daily GROUP BY {g}),
+rec AS (
+  SELECT {g}, 1 AS t, x::HUGEINT AS l, 0::HUGEINT AS b
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.{g}, r.t + 1, {l_new} AS l, {b_new} AS b
+  FROM rec r JOIN ordered o ON o.{g} = r.{g} AND o.rn = r.t + 1),
+final AS (
+  SELECT r.{g}, c.n_days, r.l, r.b
+  FROM rec r JOIN counts c ON c.{g} = r.{g} AND r.t = c.n_days)
+SELECT {g}, n_days, l::BIGINT AS level_micros, b::BIGINT AS trend_micros,
+       {fc_sel}
+FROM final
+"""

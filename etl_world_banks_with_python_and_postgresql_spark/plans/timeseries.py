@@ -1220,3 +1220,32 @@ def z140(spark, sf_dir):
         load(spark, "events", sf_dir), value_col="value", ts_col="ts",
         group_by="event_type",
     )
+
+
+from ..operators.timeseries import holt_oracle_sql as _holt_sql  # noqa: E402
+
+
+@query(
+    "z145_holt_forecast",
+    oracle=_holt_sql("value", "ts", group_by="event_type"),
+    description=(
+        "Holt linear-trend exponential smoothing per event type with "
+        "3-step-ahead forecasts -- the capacity-planning primitive. "
+        "Level/trend recurrence in EXACT integer micros (each step one "
+        "sign-aware HALF_UP division), so the inherently sequential "
+        "per-series state is bit-reproducible: Spark runs it as ONE "
+        "Arrow-batched applyInPandas over the calendar-bounded daily "
+        "series (arbitrary-precision ints, no overflow cliff) after one "
+        "shuffle to the (series, day) axis; the DuckDB twin replays the "
+        "recurrence as a recursive CTE stepping one day per iteration. "
+        "The closed-form rewrite would round differently -- this is the "
+        "sanctioned custom-stateful path, priced per series not per event"
+    ),
+)
+def z145(spark, sf_dir):
+    from ..operators.timeseries import holt_forecast
+
+    return holt_forecast(
+        load(spark, "events", sf_dir), value_col="value", ts_col="ts",
+        group_by="event_type",
+    )

@@ -4272,3 +4272,43 @@ def test_triangle_counts_hand_checked(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_holt_forecast_hand_checked_and_constant_series(spark):
+    import datetime
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.timeseries import (
+        holt_forecast,
+    )
+
+    M = 1_000_000
+    day0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # series 'c': constant 5.0 -> level 5e6, trend 0, forecasts 5e6
+    for d in range(6):
+        rows.append((day0 + datetime.timedelta(days=d), "c", 5.0))
+    # series 'r': ramp 1,2,3,4 -> positive trend
+    for d, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+        rows.append((day0 + datetime.timedelta(days=d), "r", v))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {
+        r["event_type"]: r.asDict()
+        for r in holt_forecast(df, alpha_ppm=300_000, beta_ppm=100_000).collect()
+    }
+    c = out["c"]
+    assert c["level_micros"] == 5 * M and c["trend_micros"] == 0
+    assert c["fc1_micros"] == c["fc2_micros"] == c["fc3_micros"] == 5 * M
+
+    # replay the ramp recurrence by hand
+    def hu(a, den):
+        s = 1 if a >= 0 else -1
+        return s * ((2 * abs(a) + den) // (2 * den))
+
+    lev, b = 1 * M, 0
+    for y in (2 * M, 3 * M, 4 * M):
+        lev_new = hu(300_000 * y + 700_000 * (lev + b), M)
+        b = hu(100_000 * (lev_new - lev) + 900_000 * b, M)
+        lev = lev_new
+    r = out["r"]
+    assert (r["level_micros"], r["trend_micros"]) == (lev, b)
+    assert r["fc2_micros"] == lev + 2 * b and b > 0
