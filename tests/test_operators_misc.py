@@ -4312,3 +4312,38 @@ def test_holt_forecast_hand_checked_and_constant_series(spark):
     r = out["r"]
     assert (r["level_micros"], r["trend_micros"]) == (lev, b)
     assert r["fc2_micros"] == lev + 2 * b and b > 0
+
+
+def test_hilbert_key_matches_reference_and_locality(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.functions.xhash import (
+        hilbert_key,
+    )
+
+    def xy2d(bits, x, y):
+        d, s = 0, 1 << (bits - 1)
+        while s > 0:
+            rx = 1 if (x & s) else 0
+            ry = 1 if (y & s) else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["hk"]
+        for r in df.select(
+            "x", "y", hilbert_key(F.col("x"), F.col("y"), bits=5).alias("hk")
+        ).collect()
+    }
+    assert got == {(x, y): xy2d(5, x, y) for x, y in pts}
+    # the Hilbert property: consecutive keys are ALWAYS adjacent cells
+    by_key = sorted(got.items(), key=lambda kv: kv[1])
+    keys = [k for _, k in by_key]
+    assert keys == list(range(1024))  # a bijection onto 0..n^2-1
+    for (p1, _), (p2, _) in zip(by_key, by_key[1:]):
+        assert abs(p1[0] - p2[0]) + abs(p1[1] - p2[1]) == 1
