@@ -257,3 +257,130 @@ member AS (SELECT unnest([a, b, c]) AS node FROM tri)
 SELECT node, count(*)::BIGINT AS n_triangles
 FROM member GROUP BY node
 """
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., SoCC'14 -- the MapReduce CC algorithm that
+    converges in O(log^2 n) rounds): each round is two (aggregate +
+    join) passes over the edge list, so a 100 TB graph needs tens of
+    linear shuffles, NOT the O(diameter) rounds of naive min-label
+    propagation (a path graph would need |V| rounds of that; see the
+    test pinning exactly this).
+
+      large-star: every node u computes m = min(neighbors + u) and
+                  re-points its LARGER neighbors v > u at m;
+      small-star: on the high->low orientation, u re-points its smaller
+                  neighbors AND itself at its minimum neighbor.
+
+    Both operations preserve connectivity and strictly shrink the
+    potential; at the joint fixpoint the edge set is a star per
+    component rooted at the component minimum. Convergence is detected
+    by an order-free edge-set checksum (count + key sums + xxhash sum)
+    -- one tiny action per round on the localCheckpoint'd edge set (the
+    lineage cut the loop needs anyway). Raises after ``max_rounds``
+    (callers quarantine, the dedup_clusters discipline) -- silent
+    wrong-label output is never an option.
+
+    Returns (node, component) with component = the min node id of the
+    component -- every node of the input appears exactly once.
+    """
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e0.select(F.col("a").alias("node"))
+        .unionByName(e0.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def checksum(p: DataFrame) -> tuple:
+        row = p.agg(
+            F.count(F.lit(1)),
+            F.sum("a"),
+            F.sum("b"),
+            # decimal-lifted: a long sum of xxhash64 values overflows
+            # int64 (ANSI mode raises) after a few hundred edges
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+        ).collect()[0]
+        return tuple(row)
+
+    def large_star(p: DataFrame) -> DataFrame:
+        d = p.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            p.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = F.least(F.col("u"), F.col("_mn"))
+        return (
+            d.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(m.alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
+        )
+
+    def small_star(p: DataFrame) -> DataFrame:
+        h = p.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        mins = h.groupBy("u").agg(F.min("v").alias("_m"))
+        point_nbrs = (
+            h.join(mins, "u")
+            .select(F.col("_m").alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") < F.col("b"))
+        )
+        point_self = mins.select(
+            F.col("_m").alias("a"), F.col("u").alias("b")
+        )
+        return point_nbrs.unionByName(point_self).distinct()
+
+    p = e0
+    prev = checksum(p)
+    for _ in range(max_rounds):
+        p = small_star(large_star(p)).localCheckpoint()
+        cur = checksum(p)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint within {max_rounds} "
+            "rounds; raise max_rounds (converges in O(log^2 n))"
+        )
+    labels = p.select(F.col("b").alias("node"), F.col("a").alias("component"))
+    roots = p.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    seen = labels.unionByName(roots)
+    isolated = nodes.join(seen.select("node"), "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return seen.unionByName(isolated)
+
+
+def cc_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`connected_components`: ground-truth
+    min-reachable-label closure via a recursive CTE (value-identical to
+    the converged star decomposition -- component = min node id)."""
+    return f"""
+WITH RECURSIVE raw AS ({edges_sql}),
+e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM raw WHERE least(src, dst) < greatest(src, dst)),
+sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+nodes AS (SELECT u AS node FROM sym UNION SELECT v FROM sym),
+reach AS (
+  SELECT node, node AS lbl FROM nodes
+  UNION
+  SELECT s.v AS node, r.lbl FROM reach r JOIN sym s ON s.u = r.node)
+SELECT node, min(lbl)::BIGINT AS component FROM reach GROUP BY node
+"""

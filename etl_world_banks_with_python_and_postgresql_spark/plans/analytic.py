@@ -826,3 +826,51 @@ def z144(spark, sf_dir):
         .limit(20)
         .crossJoin(F.broadcast(total))
     )
+
+
+from ..operators.graph import cc_oracle_sql as _cc_sql  # noqa: E402
+
+# parts co-purchased in >= 2 distinct orders: sparse enough to have
+# real component structure at every SF (1 / 9 / 2350 components at
+# sf0.001/0.01/0.1 -- probed, the NOTES degeneracy rule)
+_CC_EDGES_SQL = """
+  SELECT least(a.l_partkey, b.l_partkey) AS src,
+         greatest(a.l_partkey, b.l_partkey) AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2
+"""
+
+
+@query(
+    "z147_connected_components",
+    oracle=_cc_sql(_CC_EDGES_SQL),
+    description=(
+        "connected components by alternating large-star/small-star "
+        "(Kiveris et al. SoCC'14): O(log^2 n) rounds of two aggregate+"
+        "join passes each -- the 100 TB CC algorithm, vs naive "
+        "min-label propagation's O(diameter) rounds (a path graph "
+        "needs |V| of those; test-pinned). Runs on the >= 2-order part "
+        "co-purchase graph; labels = component min id, every node "
+        "exactly once, convergence detected by an order-free edge-set "
+        "checksum and NON-convergence raises (never silent wrong "
+        "labels). Oracle = ground-truth recursive-CTE closure -- the "
+        "gate proves the star fixpoint equals true connectivity"
+    ),
+)
+def z147(spark, sf_dir):
+    from ..operators.graph import connected_components
+
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("_pb"))
+    edges = (
+        li.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("_pb"))
+        .groupBy(
+            F.col("l_partkey").alias("src"), F.col("_pb").alias("dst")
+        )
+        .agg(F.countDistinct("l_orderkey").alias("_n_ord"))
+        .filter(F.col("_n_ord") >= 2)
+        .select("src", "dst")
+    )
+    return connected_components(edges)

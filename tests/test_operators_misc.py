@@ -4347,3 +4347,51 @@ def test_hilbert_key_matches_reference_and_locality(spark):
     assert keys == list(range(1024))  # a bijection onto 0..n^2-1
     for (p1, _), (p2, _) in zip(by_key, by_key[1:]):
         assert abs(p1[0] - p2[0]) + abs(p1[1] - p2[1]) == 1
+
+
+def test_connected_components_path_and_random_vs_union_find(spark):
+    import random
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.graph import (
+        connected_components,
+    )
+
+    # path graph: diameter 63 -- naive min-label propagation would need
+    # ~63 rounds; large-star/small-star converges within the default 12
+    path = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    out = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert out == {i: 0 for i in range(64)}
+
+    # random graphs vs union-find ground truth
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40 + 10 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        want = {}
+        for x in touched:
+            root = find(x)
+            comp = min(y for y in touched if find(y) == root)
+            want[x] = comp
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == want, f"trial {trial}"
