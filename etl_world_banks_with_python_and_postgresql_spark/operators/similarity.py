@@ -1816,3 +1816,181 @@ def pq_recall_curve(
             }
         )
     return out
+
+
+# ---------------------------------------------------------------------
+# Power-iteration top principal component (exact integer arithmetic)
+# ---------------------------------------------------------------------
+
+
+def power_iteration_top_pc(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 8,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Top principal component of an embedding block by ``n_iter`` power-
+    iteration steps, EXACT end to end -- the PCA-prep primitive
+    (dominant direction for whitening, drift direction analysis, or
+    deflation-based top-k PCA).
+
+    Exactness: elements quantize to integer micros; the mean-cleared
+    second-moment matrix A = n*C - s s^T (n^2 x the covariance -- same
+    eigenvectors, no rational mean anywhere) accumulates in
+    DECIMAL(38,0); each iteration w = A v normalizes by MAX-ABS (not
+    L2: no sqrt exists in exact integer arithmetic; power iteration
+    converges under any normalization) with one sign-aware HALF_UP
+    division per component. Every quantity is an exact integer, so the
+    unrolled DuckDB twin (:func:`power_iteration_oracle_sql`, HUGEINT)
+    is bit-identical. Sign follows the iterate (deterministic, not
+    canonicalized).
+
+    Scale: ONE corpus aggregate (dim*(dim+3)/2 + 1 map-side-combined
+    sums -- shuffle payload O(dim^2 x partitions), corpus-size-free);
+    the iteration is a projection chain on that single row -- no
+    driver-side math, no collect, no join. ``dim`` is the gated block
+    size: the aggregate is O(dim^2) per row, so slice wide embeddings
+    to the leading block you need (the oracle unrolls O(dim^2 * n_iter)
+    expressions -- dim <= 16 is the practical twin range).
+    """
+    from ..functions.exactnum import floordiv_nonneg
+
+    M = F.lit(1_000_000).cast("decimal(38,0)")
+    micro = lambda c: F.round(c.cast("double") * 1000000).cast("long")  # noqa: E731
+    vm = df.select(
+        *[
+            micro(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    aggs += [F.sum(d38(F.col(f"m{j}"))).alias(f"s{j}") for j in range(dim)]
+    aggs += [
+        F.sum(d38(F.col(f"m{j}")) * d38(F.col(f"m{k}"))).alias(f"c{j}_{k}")
+        for j in range(dim)
+        for k in range(j, dim)
+    ]
+    row = vm.agg(*aggs)
+
+    def a(j: int, k: int):
+        lo, hi = min(j, k), max(j, k)
+        return (
+            F.col("n") * F.col(f"c{lo}_{hi}")
+            - F.col(f"s{j}") * F.col(f"s{k}")
+        )
+
+    mat = row.select(
+        *[a(j, k).alias(f"a{j}_{k}") for j in range(dim) for k in range(dim)]
+    )
+    # v0 = all-ones in micros; each iteration: w = A v, v' = max-abs
+    # normalized w (HALF_UP micros, sign-aware)
+    cur = mat.select(
+        "*", *[M.alias(f"v{k}") for k in range(dim)]
+    )
+    for _ in range(n_iter):
+        w = [
+            sum(
+                (F.col(f"a{k}_{j}") * F.col(f"v{j}") for j in range(1, dim)),
+                F.col(f"a{k}_0") * F.col("v0"),
+            ).alias(f"w{k}")
+            for k in range(dim)
+        ]
+        stepped = cur.select("*", *w)
+        mx = F.greatest(*[F.abs(F.col(f"w{k}")) for k in range(dim)])
+        normed = [
+            F.when(mx == 0, F.lit(0).cast("decimal(38,0)"))
+            .otherwise(
+                F.when(F.col(f"w{k}") < 0, F.lit(-1))
+                .otherwise(F.lit(1))
+                .cast("decimal(38,0)")
+                * floordiv_nonneg(
+                    F.lit(2).cast("decimal(38,0)") * M * F.abs(F.col(f"w{k}"))
+                    + mx,
+                    F.lit(2).cast("decimal(38,0)") * mx,
+                )
+            )
+            .alias(f"v{k}")
+            for k in range(dim)
+        ]
+        cur = stepped.select(
+            *[F.col(f"a{j}_{k}") for j in range(dim) for k in range(dim)],
+            *normed,
+        )
+    per_dim = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).cast("int").alias("dim_idx"),
+                    F.col(f"v{k}").cast("long").alias("pc_micros"),
+                )
+                for k in range(dim)
+            ]
+        )
+    ).alias("p")
+    return cur.select(per_dim).select("p.dim_idx", "p.pc_micros")
+
+
+def power_iteration_oracle_sql(
+    vec_sql: str = "embedding",
+    table: str = "embeddings",
+    dim: int = 8,
+    n_iter: int = 3,
+) -> str:
+    """DuckDB twin of :func:`power_iteration_top_pc`: identical micros,
+    identical n-cleared moment matrix, the iteration UNROLLED one CTE
+    per step in HUGEINT -- bit-identical by construction."""
+    # ::DOUBLE first: the raw element is FLOAT32 and DuckDB would
+    # multiply in float precision, diverging from Spark's double math
+    mic = ", ".join(
+        f"round(({vec_sql}[{i + 1}])::DOUBLE * 1000000)::BIGINT AS m{i}"
+        for i in range(dim)
+    )
+    sums = ", ".join(f"sum(m{j}::HUGEINT) AS s{j}" for j in range(dim))
+    crosses = ", ".join(
+        f"sum(m{j}::HUGEINT * m{k}::HUGEINT) AS c{j}_{k}"
+        for j in range(dim)
+        for k in range(j, dim)
+    )
+    def a(j, k):
+        lo, hi = min(j, k), max(j, k)
+        return f"(n * c{lo}_{hi} - s{j} * s{k})"
+    mat = ", ".join(
+        f"{a(j, k)} AS a{j}_{k}" for j in range(dim) for k in range(dim)
+    )
+    parts = [
+        f"mic AS (SELECT {mic} FROM {table})",
+        f"agg AS (SELECT count(*)::HUGEINT AS n, {sums}, {crosses} FROM mic)",
+        f"mat AS (SELECT {mat} FROM agg)",
+        "it0 AS (SELECT *, "
+        + ", ".join(f"1000000::HUGEINT AS v{k}" for k in range(dim))
+        + " FROM mat)",
+    ]
+    for t in range(1, n_iter + 1):
+        ws = ", ".join(
+            "("
+            + " + ".join(f"a{k}_{j} * v{j}" for j in range(dim))
+            + f") AS w{k}"
+            for k in range(dim)
+        )
+        mx = "greatest(" + ", ".join(f"abs(w{k})" for k in range(dim)) + ")"
+        vs = ", ".join(
+            f"CASE WHEN mx = 0 THEN 0::HUGEINT ELSE "
+            f"(CASE WHEN w{k} < 0 THEN -1 ELSE 1 END)::HUGEINT"
+            f" * ((2::HUGEINT * 1000000 * abs(w{k}) + mx)"
+            f" // (2::HUGEINT * mx)) END AS v{k}"
+            for k in range(dim)
+        )
+        acols = ", ".join(
+            f"a{j}_{k}" for j in range(dim) for k in range(dim)
+        )
+        parts.append(
+            f"w{t} AS (SELECT {acols}, {ws}, {mx} AS mx FROM it{t - 1})"
+        )
+        parts.append(f"it{t} AS (SELECT {acols}, {vs} FROM w{t})")
+    unions = " UNION ALL ".join(
+        f"SELECT {k} AS dim_idx, v{k}::BIGINT AS pc_micros FROM it{n_iter}"
+        for k in range(dim)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + unions

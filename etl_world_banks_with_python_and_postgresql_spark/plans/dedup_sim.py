@@ -1963,3 +1963,32 @@ def z142(spark, sf_dir):
         load(spark, "documents", sf_dir), k=3, window=4, max_df=20,
         min_shared=3,
     )
+
+
+from ..operators.similarity import (  # noqa: E402
+    power_iteration_oracle_sql as _pcpow_sql,
+)
+
+
+@query(
+    "z148_power_iteration_pc",
+    oracle=_pcpow_sql(dim=8, n_iter=3),
+    description=(
+        "top principal component of the leading 8-dim embedding block "
+        "by 3 power-iteration steps, exact end to end: integer-micros "
+        "elements, mean-cleared second-moment matrix A = n*C - s s^T "
+        "(n^2 x covariance -- no rational mean) in DECIMAL(38,0), "
+        "max-abs normalization (L2 needs sqrt; power iteration "
+        "converges under any norm) with sign-aware HALF_UP micros. ONE "
+        "corpus aggregate (O(dim^2) map-side-combined sums, shuffle "
+        "payload corpus-size-free); the iteration is a projection chain "
+        "on that single row -- no collect, no join, no driver math. "
+        "Unrolled HUGEINT oracle replays every step bit-for-bit"
+    ),
+)
+def z148(spark, sf_dir):
+    from ..operators.similarity import power_iteration_top_pc
+
+    return power_iteration_top_pc(
+        load(spark, "embeddings", sf_dir), dim=8, n_iter=3
+    )

@@ -4395,3 +4395,20 @@ def test_connected_components_path_and_random_vs_union_find(spark):
             for r in connected_components(df).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_power_iteration_top_pc_rank_one_exact(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        power_iteration_top_pc,
+    )
+
+    # rank-one data along (3, 4): A ~ [[9,12],[12,16]], so ONE iteration
+    # already yields the exact eigendirection under max-abs norm:
+    # w0/w1 = 3(3v0+4v1) / 4(3v0+4v1) = 3/4 for ANY non-orthogonal v
+    rows = [(i, [0.003 * i, 0.004 * i]) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["dim_idx"]: r["pc_micros"]
+        for r in power_iteration_top_pc(df, dim=2, n_iter=3).collect()
+    }
+    assert out == {0: 750_000, 1: 1_000_000}
