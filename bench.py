@@ -153,6 +153,17 @@ HEADLINE = [
     "z138_variant_extract",
     "z139_weighted_pagerank",
     "z140_cusum_changepoint",
+    # round-11 second-session additions: quality-rule battery, winnowing
+    # dedup, importance weights, triangle counting, Holt forecasting,
+    # Hilbert layout key, star-contraction CC, power-iteration PCA
+    "z141_gopher_rules",
+    "z142_winnow_pairs",
+    "z143_importance_weights",
+    "z144_triangle_count",
+    "z145_holt_forecast",
+    "z146_hilbert_key",
+    "z147_connected_components",
+    "z148_power_iteration_pc",
 ]
 
 

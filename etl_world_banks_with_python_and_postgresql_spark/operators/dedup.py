@@ -1491,8 +1491,17 @@ def winnow_fingerprints(
         n_win >= 1,
         F.array_distinct(F.transform(F.sequence(F.lit(1), n_win), fp)),
     ).otherwise(F.array().cast("array<struct<fp_hash:bigint,pos:int>>"))
-    return staged.select("doc_id", F.explode(fps).alias("_f")).select(
-        "doc_id", F.col("_f.fp_hash").alias("fp_hash"), F.col("_f.pos").alias("pos")
+    # explode_outer + isNotNull: plain explode's pushed size>0 filter
+    # would re-run the whole gram/hash/window chain below the exchange
+    # (see importance_weights for the measured pathology)
+    return (
+        staged.select("doc_id", F.explode_outer(fps).alias("_f"))
+        .filter(F.col("_f").isNotNull())
+        .select(
+            "doc_id",
+            F.col("_f.fp_hash").alias("fp_hash"),
+            F.col("_f.pos").alias("pos"),
+        )
     )
 
 
@@ -1534,7 +1543,10 @@ def winnow_pairs(
             )
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    e = staged.select("doc_id", F.explode(hashes).alias("fp_hash"))
+    # explode_outer + isNotNull: see winnow_fingerprints
+    e = staged.select(
+        "doc_id", F.explode_outer(hashes).alias("fp_hash")
+    ).filter(F.col("fp_hash").isNotNull())
     docfreq = e.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("_ndocs"))
     kept = e.join(docfreq.filter(F.col("_ndocs") <= max_df), "fp_hash").select(
         "doc_id", "fp_hash"

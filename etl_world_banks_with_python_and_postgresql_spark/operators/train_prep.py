@@ -1224,9 +1224,16 @@ def importance_weights(
             ).alias("_feats"),
         )
     )
+    # explode_outer + isNotNull, NOT explode: plain explode injects a
+    # size(_feats) > 0 pre-filter that Catalyst pushes BELOW the
+    # repartition exchange with the whole token/gram/hash chain INLINED
+    # -- re-evaluated O(len^2)-style on the raw input split (measured
+    # 7.9 s -> 0.4 s warm at sf0.1). explode_outer has no such filter;
+    # the null rows (docs with no features) drop in a post-Generate
+    # filter that costs nothing.
     e = staged.select(
-        "doc_id", "_tgt", F.explode("_feats").alias("feature")
-    )
+        "doc_id", "_tgt", F.explode_outer("_feats").alias("feature")
+    ).filter(F.col("feature").isNotNull())
     totals = staged.agg(
         F.count(F.lit(1)).alias("_np"),
         F.sum(F.col("_tgt").cast("long")).alias("_nt"),
