@@ -1646,3 +1646,70 @@ SELECT {id_col}, n AS n_words,
        ({keep}) AS keep
 FROM counted
 """
+
+
+# RE2-safe, lookahead-free sentence boundary: terminator + single space.
+# Shared verbatim by both engines (the z126 shared-pattern discipline).
+SENTENCE_SPLIT_RE = "[.!?] "
+
+
+def sentence_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rule-based sentence segmentation + per-document length stats --
+    the readability/structure features (mean sentence length, extremes)
+    a quality classifier consumes next to the Gopher rules, and the
+    unit boundary a chunker can respect.
+
+    Splits on ``SENTENCE_SPLIT_RE`` (terminator + space; lookahead-free
+    so Java regex and RE2 segment identically -- the q79/z126 rule).
+    Per-sentence word counts come from one in-row transform over the
+    MATERIALIZED sentence array; the mean is an exact HALF_UP
+    integer-micros ratio. One row-local scan-stage pass: no shuffle,
+    no join, no window.
+    """
+    staged = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), SENTENCE_SPLIT_RE).alias("_sents"),
+    ).select(
+        F.col(id_col),
+        F.transform(
+            F.col("_sents"),
+            lambda s: F.size(F.split(F.trim(F.lower(s)), r"\s+")).cast("long"),
+        ).alias("_wc"),
+    )
+    n_sent = F.size(F.col("_wc")).cast("long")
+    total = F.aggregate(
+        F.col("_wc"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return staged.select(
+        F.col(id_col),
+        n_sent.alias("n_sentences"),
+        total.alias("n_words"),
+        _ratio_micros_halfup(total, n_sent).alias("mean_sent_words_micros"),
+        F.array_max(F.col("_wc")).alias("max_sent_words"),
+        F.array_min(F.col("_wc")).alias("min_sent_words"),
+    )
+
+
+def sentence_stats_oracle_sql(
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`sentence_stats` (same split pattern, same
+    cleared-integer stats)."""
+    return f"""
+WITH docs AS ({docs_sql}),
+s AS (SELECT {id_col},
+             [len(string_split_regex(trim(lower(x)), '\\s+'))::BIGINT
+              for x in string_split_regex(text, '{SENTENCE_SPLIT_RE}')] AS wc
+      FROM docs)
+SELECT {id_col},
+       len(wc)::BIGINT AS n_sentences,
+       list_sum(wc)::BIGINT AS n_words,
+       ((2 * 1000000 * list_sum(wc)::BIGINT + len(wc)) // (2 * len(wc)))::BIGINT
+         AS mean_sent_words_micros,
+       list_max(wc)::BIGINT AS max_sent_words,
+       list_min(wc)::BIGINT AS min_sent_words
+FROM s
+"""

@@ -896,3 +896,108 @@ SELECT {g}, n_days, l::BIGINT AS level_micros, b::BIGINT AS trend_micros,
        {fc_sel}
 FROM final
 """
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_by: str = "event_type",
+) -> DataFrame:
+    """Theil-Sen robust trend estimator per series: the LOWER MEDIAN of
+    all pairwise daily slopes -- the outlier-immune complement to z56's
+    least-squares slope (a single corrupted day can move OLS
+    arbitrarily; Theil-Sen tolerates ~29% contamination).
+
+    Exactness: daily BIGINT micros (the acf prep), each pairwise slope
+    one sign-aware HALF_UP integer-micros division (slopes are
+    quantized to micros/day BEFORE ranking -- exact-rational median
+    would need cross-multiplied comparisons; the quantization is the
+    documented contract), median by the z87 nearest-rank rule
+    (rank = ceil(m/2)) over an integer column.
+
+    Scale: pairs are O(|days|^2 / 2) PER SERIES -- day-axis-bounded
+    (~250k pairs for a 2-year daily series), never event-bounded; the
+    rank window is partitioned per series over those bounded pairs.
+    The self-join and window shuffle on the series key only.
+    """
+    from ..functions.exactnum import floordiv_nonneg
+
+    day = F.to_date(F.col(ts_col))
+    daily = df.groupBy(group_by, day.alias("day")).agg(
+        (F.sum(F.col(value_col).cast("decimal(25,6)")) * 1_000_000)
+        .cast("long")
+        .alias("x")
+    )
+    daily = daily.select(
+        group_by,
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+        "x",
+    )
+    a = daily.select(
+        group_by, F.col("t").alias("ta"), F.col("x").alias("xa")
+    )
+    b = daily.select(
+        group_by, F.col("t").alias("tb"), F.col("x").alias("xb")
+    )
+    num = F.col("xb") - F.col("xa")
+    den = F.col("tb") - F.col("ta")
+    sign = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    # num is ALREADY a micros delta, so num/den IS the slope in
+    # micros/day -- one sign-aware HALF_UP division, no extra scaling
+    slope = sign * floordiv_nonneg(
+        F.lit(2) * F.abs(num) + den, F.lit(2) * den
+    )
+    pairs = (
+        a.join(b, group_by)
+        .filter(F.col("ta") < F.col("tb"))
+        .select(group_by, slope.alias("slope_micros"))
+    )
+    w = W.partitionBy(group_by).orderBy("slope_micros")
+    wn = W.partitionBy(group_by)
+    ranked = pairs.select(
+        group_by,
+        "slope_micros",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_m"),
+    )
+    return ranked.filter(
+        F.col("_rn") == F.expr("(500000 * _m + 999999) div 1000000")
+    ).select(
+        group_by,
+        F.col("_m").alias("n_pairs"),
+        F.col("slope_micros").alias("slope_micros_per_day"),
+    )
+
+
+def theil_sen_oracle_sql(
+    value_sql: str = "value",
+    ts_sql: str = "ts",
+    table: str = "events",
+    group_by: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`theil_sen_slope` (same daily micros, same
+    HALF_UP slope quantization, same nearest-rank median)."""
+    g = group_by
+    return f"""
+WITH daily AS (
+  SELECT {g}, ({ts_sql})::DATE AS day,
+         (sum(CAST({value_sql} AS DECIMAL(25,6))) * 1000000)::BIGINT AS x
+  FROM {table} GROUP BY ALL),
+idx AS (SELECT {g}, (day - DATE '1970-01-01')::BIGINT AS t, x FROM daily),
+pairs AS (
+  SELECT a.{g},
+         (CASE WHEN b.x - a.x < 0 THEN -1 ELSE 1 END)::BIGINT
+         * ((2 * abs(b.x - a.x) + (b.t - a.t))
+            // (2 * (b.t - a.t))) AS slope_micros
+  FROM idx a JOIN idx b ON a.{g} = b.{g} AND a.t < b.t),
+ranked AS (
+  SELECT {g}, slope_micros,
+         row_number() OVER (PARTITION BY {g} ORDER BY slope_micros) AS rn,
+         count(*) OVER (PARTITION BY {g}) AS m
+  FROM pairs)
+SELECT {g}, m::BIGINT AS n_pairs, slope_micros AS slope_micros_per_day
+FROM ranked WHERE rn = (500000 * m + 999999) // 1000000
+"""

@@ -2567,3 +2567,45 @@ def z143(spark, sf_dir):
     return importance_weights(
         load(spark, "documents", sf_dir), F.col("source") == "src0"
     )
+
+
+from ..operators.text import sentence_stats_oracle_sql as _sent_sql  # noqa: E402
+
+# deterministic punctuation fixture (the corpus is punctuation-free;
+# q88/z141 precedent): replace() is non-overlapping left-to-right in
+# both engines
+_Z149_AUG_SQL = """
+SELECT doc_id,
+       replace(replace(text, ' data ', '. Data '),
+               ' join ', '! Join ') AS text
+FROM documents
+"""
+
+
+@query(
+    "z149_sentence_stats",
+    oracle=_sent_sql(_Z149_AUG_SQL),
+    description=(
+        "rule-based sentence segmentation + per-doc length stats "
+        "(readability features beside the z141 Gopher battery; chunk "
+        "boundaries a RAG splitter respects): lookahead-free "
+        "terminator+space split shared verbatim by both engines "
+        "(q79/z126 rule), per-sentence word counts from ONE in-row "
+        "transform over the materialized sentence array, mean as exact "
+        "HALF_UP micros. Punctuation injected deterministically (the "
+        "corpus has none -- q88 precedent). Pure scan-stage pass"
+    ),
+)
+def z149(spark, sf_dir):
+    from ..operators.text import sentence_stats
+
+    docs = load(spark, "documents", sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" data "), F.lit(". Data ")),
+            F.lit(" join "),
+            F.lit("! Join "),
+        ).alias("text"),
+    )
+    return sentence_stats(aug)

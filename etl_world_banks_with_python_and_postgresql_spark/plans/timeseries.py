@@ -1249,3 +1249,30 @@ def z145(spark, sf_dir):
         load(spark, "events", sf_dir), value_col="value", ts_col="ts",
         group_by="event_type",
     )
+
+
+from ..operators.timeseries import theil_sen_oracle_sql as _tsen_sql  # noqa: E402
+
+
+@query(
+    "z150_theil_sen",
+    oracle=_tsen_sql("value", "ts", group_by="event_type"),
+    description=(
+        "Theil-Sen robust trend slope per event type: lower median of "
+        "all pairwise daily slopes -- the outlier-immune complement to "
+        "z56's OLS slope (tolerates ~29% contamination). Slopes "
+        "quantized to exact sign-aware HALF_UP micros/day BEFORE "
+        "ranking (documented contract -- exact-rational median would "
+        "need cross-multiplied comparisons), median by the z87 "
+        "nearest-rank rule. Pairs are day-axis-bounded per series "
+        "(O(|days|^2/2), never event-bounded); the join and rank "
+        "window shuffle on the series key only"
+    ),
+)
+def z150(spark, sf_dir):
+    from ..operators.timeseries import theil_sen_slope
+
+    return theil_sen_slope(
+        load(spark, "events", sf_dir), value_col="value", ts_col="ts",
+        group_by="event_type",
+    )

@@ -4412,3 +4412,56 @@ def test_power_iteration_top_pc_rank_one_exact(spark):
         for r in power_iteration_top_pc(df, dim=2, n_iter=3).collect()
     }
     assert out == {0: 750_000, 1: 1_000_000}
+
+
+def test_theil_sen_outlier_immune_vs_hand_median(spark):
+    import datetime
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.timeseries import (
+        theil_sen_slope,
+    )
+
+    day0 = datetime.datetime(2024, 1, 1)
+    # perfect slope 2.0/day with ONE wildly corrupted day
+    rows = []
+    for d in range(10):
+        v = 2.0 * d if d != 5 else 1000.0
+        rows.append((day0 + datetime.timedelta(days=d), "a", v))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = theil_sen_slope(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_pairs"] == 45
+    # hand-compute the quantized-slope median
+    xs = {d: int((2.0 * d if d != 5 else 1000.0) * 1_000_000) for d in range(10)}
+    slopes = []
+    for i in range(10):
+        for j in range(i + 1, 10):
+            num, den = xs[j] - xs[i], j - i
+            s = 1 if num >= 0 else -1
+            slopes.append(s * ((2 * abs(num) + den) // (2 * den)))
+    slopes.sort()
+    want = slopes[(500_000 * 45 + 999_999) // 1_000_000 - 1]
+    assert r["slope_micros_per_day"] == want
+    # robustness: the median slope stays at the clean trend
+    assert want == 2_000_000
+
+
+def test_sentence_stats_hand_checked(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.text import (
+        sentence_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three. four five! six seven eight nine? ten"),
+            (2, "no terminator here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in sentence_stats(df).collect()}
+    assert out[1]["n_sentences"] == 4
+    assert out[1]["n_words"] == 10
+    assert out[1]["mean_sent_words_micros"] == 2_500_000
+    assert out[1]["max_sent_words"] == 4 and out[1]["min_sent_words"] == 1
+    assert out[2]["n_sentences"] == 1 and out[2]["n_words"] == 5
