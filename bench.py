@@ -164,6 +164,11 @@ HEADLINE = [
     "z146_hilbert_key",
     "z147_connected_components",
     "z148_power_iteration_pc",
+    "z149_sentence_stats",
+    "z150_theil_sen",
+    # at-rest winnow index: one-time build + recurring pruned probe
+    "z151_winnow_index_build",
+    "z152_winnow_index_probe",
 ]
 
 

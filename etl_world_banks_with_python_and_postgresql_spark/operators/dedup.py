@@ -1598,3 +1598,256 @@ FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
 """
+
+
+# ---------------------------------------------------------------------
+# At-rest winnowing-fingerprint index (the MOSS twin of the minhash index)
+# ---------------------------------------------------------------------
+
+
+def _winnow_fp_rows(
+    df: DataFrame, k: int, window: int, n_buckets: int,
+    text_col: str, id_col: str,
+) -> DataFrame:
+    """(doc_id, fp_hash, bucket) -- one distinct fingerprint-hash row
+    per doc, bucket a pure function of fp_hash (so EVERY posting of a
+    hash lands in one bucket and pruned reads see the hash's complete
+    global posting list -- document frequencies computed off pruned
+    reads are exact)."""
+    staged = _winnow_staged(df, text_col, id_col, k)
+    h = F.col("_h")
+    n_win = F.size(h) - (window - 1)
+    hashes = F.when(
+        n_win >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda j: F.array_min(F.slice(h, j, window)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        staged.select("doc_id", F.explode_outer(hashes).alias("fp_hash"))
+        .filter(F.col("fp_hash").isNotNull())
+        .select(
+            "doc_id",
+            "fp_hash",
+            _set_bucket(F.col("fp_hash"), n_buckets).alias("bucket"),
+        )
+    )
+
+
+def write_winnow_index(
+    df: DataFrame,
+    path: str,
+    k: int = 3,
+    window: int = 4,
+    n_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist an at-rest winnowing-fingerprint index -- the
+    MOSS/locality twin of :func:`write_minhash_index`: one Hive-
+    partitioned parquet subdir ``fps/bucket=<pmod(xxhash64(fp_hash),
+    n_buckets)>/`` of (doc_id, fp_hash) postings + a stats sidecar
+    (committer seam). Fingerprint rows are pure per-doc content
+    functions, so appends are rebuild-equivalent by construction; a
+    probe prunes its read to the buckets its batch's fingerprints hash
+    into, and because the bucket is a function of the HASH, the pruned
+    read carries each probed hash's complete posting list -- index-side
+    document frequencies (the boilerplate cap) stay exact.
+    """
+    import os
+
+    from ..committer import commit_json
+
+    rows = _winnow_fp_rows(df, k, window, n_buckets, text_col, id_col)
+    n_docs = rows.select("doc_id").distinct().count()
+    (
+        rows.repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "fps"))
+    )
+    commit_json(
+        os.path.join(path, "_winnow_stats.json"),
+        {
+            "k": k, "window": window, "n_buckets": n_buckets,
+            "n_docs": n_docs,
+        },
+    )
+
+
+def append_winnow_index(
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cas_retries: int = 8,
+) -> None:
+    """O(|batch|) growth of a :func:`write_winnow_index` layout --
+    the append_minhash_index protocol: data rows append into the same
+    buckets (~1 file per bucket per batch), n_docs advances through the
+    commuting-delta CAS retry, the whole span holds the SHARED
+    maintenance lock. Re-appending a batch is probe-safe (the probe
+    counts DISTINCT fingerprints per pair and DISTINCT doc ids per
+    frequency) at the cost of dead storage + double-counted n_docs.
+    """
+    import os
+
+    from ..committer import (
+        ConcurrentCommitError,
+        commit_json,
+        load_json,
+        maintenance_lock,
+    )
+
+    stats_path = os.path.join(path, "_winnow_stats.json")
+    with maintenance_lock(path, exclusive=False):
+        stats, tok = load_json(stats_path)
+        if stats is None:
+            raise FileNotFoundError(
+                f"no winnow index at {path}: build one with "
+                "write_winnow_index before appending"
+            )
+        k, window = stats["k"], stats["window"]
+        n_buckets = stats["n_buckets"]
+        rows = _winnow_fp_rows(batch, k, window, n_buckets, text_col, id_col)
+        delta = rows.select("doc_id").distinct().count()
+        (
+            rows.repartition(F.col("bucket"))
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(os.path.join(path, "fps"))
+        )
+        for attempt in range(cas_retries + 1):
+            stats["n_docs"] += delta
+            try:
+                commit_json(stats_path, stats, expect=tok)
+                return
+            except ConcurrentCommitError:
+                if attempt == cas_retries:
+                    raise
+                stats, tok = load_json(stats_path)
+                if stats is None or any(
+                    stats[f] != v
+                    for f, v in (("k", k), ("window", window),
+                                 ("n_buckets", n_buckets))
+                ):
+                    raise RuntimeError(
+                        f"winnow index at {path} was rebuilt concurrently "
+                        "with an append (layout changed); re-append the "
+                        "batch or rebuild from the full corpus"
+                    )
+
+
+def winnow_novel_indexed(
+    spark,
+    batch: DataFrame,
+    path: str,
+    min_shared: int = 2,
+    max_df: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows of ``batch`` that share < ``min_shared`` distinct winnowing
+    fingerprints with EVERY indexed document -- near-dup novelty
+    screening served from a :func:`write_winnow_index` layout, the
+    locality-preserving twin of :func:`minhash_novel_indexed`.
+
+    Exactness: candidates join on exact fingerprint hashes; the
+    index-side boilerplate cap (fingerprints in > ``max_df`` indexed
+    docs are ignored -- MOSS's rule) is computed from the PRUNED read,
+    which is still the hash's complete global posting list (bucket is a
+    function of the hash), so the result is value-identical to a full
+    recompute over index ∪ batch. Per-batch cost: O(|batch|
+    fingerprints) probe rows + ONE pruned index read (<= n_buckets
+    driver ints -> static partition filter) + pair-keyed counts --
+    never a corpus scan.
+    """
+    import os
+
+    from ..committer import load_json
+
+    stats, _ = load_json(os.path.join(path, "_winnow_stats.json"))
+    if stats is None:
+        raise FileNotFoundError(f"no winnow index at {path}")
+    k, window = stats["k"], stats["window"]
+    n_buckets = stats["n_buckets"]
+
+    new_fps = _winnow_fp_rows(
+        batch, k, window, n_buckets, text_col, id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        probed = sorted(
+            r["bucket"]
+            for r in new_fps.select("bucket").distinct().collect()
+        )
+        idx = (
+            spark.read.parquet(os.path.join(path, "fps"))
+            .filter(F.col("bucket").isin(probed))
+            .select(F.col("doc_id").alias("corpus_id"), "fp_hash")
+        )
+        cdf = idx.groupBy("fp_hash").agg(
+            F.countDistinct("corpus_id").alias("_df")
+        )
+        kept = idx.join(cdf.filter(F.col("_df") <= max_df), "fp_hash")
+        dup_ids = (
+            new_fps.select(F.col("doc_id").alias("new_id"), "fp_hash")
+            .join(kept, "fp_hash")
+            .groupBy("new_id", "corpus_id")
+            .agg(F.countDistinct("fp_hash").alias("_n_shared"))
+            .filter(F.col("_n_shared") >= min_shared)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        return batch.join(dup_ids, id_col, "left_anti")
+    finally:
+        # lazy plans hold the persist; eager fill happened at the
+        # probed-bucket collect, and the caller's single action drains it
+        pass
+
+
+def winnow_novel_oracle_sql(
+    corpus_sql: str = "source IN ('src0', 'src1')",
+    batch_sql: str = "source = 'src2'",
+    k: int = 3,
+    window: int = 4,
+    max_df: int = 20,
+    min_shared: int = 2,
+) -> str:
+    """DuckDB twin of :func:`winnow_novel_indexed` over the documents
+    table: same gram hashes, window minima, index-side df cap, distinct
+    shared-fingerprint counts -- the at-rest layout and pruning are
+    value-transparent."""
+    from ..functions.xhash import MD5_HASH32_SQL
+
+    gram = " || ' ' || ".join(f"w[i+{off}]" for off in range(k))
+
+    def fps(pred: str, name: str) -> str:
+        return f"""
+{name}_t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+             FROM documents WHERE {pred}),
+{name}_h AS (SELECT doc_id, [{MD5_HASH32_SQL.format(x='x')} for x in
+               [{gram}
+                for i in generate_series(1, greatest(len(w) - {k - 1}, 0))]] AS hl
+             FROM {name}_t),
+{name}_e AS (SELECT doc_id, unnest(list_distinct([list_min(hl[j:j+{window - 1}])
+               for j in generate_series(1, greatest(len(hl) - {window - 1}, 0))]))
+               AS fp
+             FROM {name}_h)"""
+
+    return f"""
+WITH {fps(corpus_sql, "c")},
+{fps(batch_sql, "b")},
+cdf AS (SELECT fp, count(DISTINCT doc_id) AS df FROM c_e GROUP BY fp),
+kept AS (SELECT c_e.doc_id AS corpus_id, c_e.fp
+         FROM c_e JOIN cdf USING (fp) WHERE cdf.df <= {max_df}),
+m AS (SELECT b_e.doc_id AS new_id, kept.corpus_id,
+             count(DISTINCT b_e.fp) AS n_shared
+      FROM b_e JOIN kept ON b_e.fp = kept.fp
+      GROUP BY 1, 2),
+dup AS (SELECT DISTINCT new_id FROM m WHERE n_shared >= {min_shared})
+SELECT doc_id, source FROM documents
+WHERE ({batch_sql}) AND doc_id NOT IN (SELECT new_id FROM dup)
+"""

@@ -1889,7 +1889,7 @@ def power_iteration_top_pc(
     cur = mat.select(
         "*", *[M.alias(f"v{k}") for k in range(dim)]
     )
-    for _ in range(n_iter):
+    for _it in range(n_iter):
         w = [
             sum(
                 (F.col(f"a{k}_{j}") * F.col(f"v{j}") for j in range(1, dim)),
@@ -1918,6 +1918,14 @@ def power_iteration_top_pc(
             *[F.col(f"a{j}_{k}") for j in range(dim) for k in range(dim)],
             *normed,
         )
+        # cut the expression tree EVERY iteration: Catalyst collapses
+        # the projection chain by substitution, so each v_k inlines its
+        # w's (and their mx/sign/abs references) recursively -- ~16x
+        # tree growth per level, and planning cost dominates the ~100 ms
+        # 1-row checkpoint job (measured: per-iteration cuts 5.8 s ->
+        # 3.8 s vs every-2). Remaining per-call cost is codegen/planning
+        # constants that vanish at real scale (PERF.md).
+        cur = cur.localCheckpoint()
     per_dim = F.explode(
         F.array(
             *[

@@ -1992,3 +1992,109 @@ def z148(spark, sf_dir):
     return power_iteration_top_pc(
         load(spark, "embeddings", sf_dir), dim=8, n_iter=3
     )
+
+
+def _z_winnow_index_path(sf_dir: str) -> str:
+    import hashlib
+
+    h = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    return f"spark-warehouse/winnow_index_{h}"
+
+
+def _z_winnow_build(spark, sf_dir: str, path: str) -> None:
+    """Build src0 + O(|batch|) append src1, completion marker with a
+    content fingerprint (the _z_minhash_build protocol)."""
+    import os
+    import shutil
+
+    from ..committer import commit_json
+    from ..operators.dedup import append_winnow_index, write_winnow_index
+
+    docs = load(spark, "documents", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    write_winnow_index(docs.filter(F.col("source") == "src0"), path)
+    append_winnow_index(docs.filter(F.col("source") == "src1"), path)
+    commit_json(
+        os.path.join(path, "_z_cache.json"),
+        {"sf_dir": sf_dir, "fingerprint": _z_docs_fingerprint(sf_dir)},
+    )
+
+
+def _z_winnow_index_cached(spark, sf_dir: str) -> str:
+    import os
+
+    from ..committer import load_json
+
+    path = _z_winnow_index_path(sf_dir)
+    marker, _ = load_json(os.path.join(path, "_z_cache.json"))
+    if (
+        marker is None
+        or marker.get("sf_dir") != sf_dir
+        or marker.get("fingerprint") != _z_docs_fingerprint(sf_dir)
+    ):
+        _z_winnow_build(spark, sf_dir, path)
+    return path
+
+
+from ..operators.dedup import winnow_novel_oracle_sql as _winnow_novel_sql  # noqa: E402
+
+
+@query(
+    "z151_winnow_index_build",
+    oracle="SELECT doc_id, source FROM documents "
+           "WHERE source IN ('src0', 'src1')",
+    description=(
+        "at-rest winnowing-fingerprint index BUILD cost (one-time): "
+        "build over src0, O(|batch|) append src1 -- fingerprint "
+        "postings bucket-partitioned by hash (every posting of a hash "
+        "in ONE bucket, so pruned reads still see exact global document "
+        "frequencies), stats sidecar through the committer seam, shared "
+        "maintenance-lock append with commuting-delta CAS. Returns the "
+        "indexed doc set read BACK from the postings (joined for "
+        "lineage): the oracle checks the round trip -- exactly the "
+        "src0+src1 docs indexed, none lost, none duplicated"
+    ),
+)
+def z151(spark, sf_dir):
+    path = _z_winnow_index_path(sf_dir)
+    _z_winnow_build(spark, sf_dir, path)
+    docs = load(spark, "documents", sf_dir)
+    indexed = (
+        spark.read.parquet(f"{path}/fps").select("doc_id").distinct()
+    )
+    return docs.join(indexed, "doc_id").select("doc_id", "source")
+
+
+@query(
+    "z152_winnow_index_probe",
+    oracle=_winnow_novel_sql(
+        corpus_sql="source IN ('src0', 'src1')",
+        batch_sql="source = 'src2'",
+        min_shared=2,
+    ),
+    description=(
+        "at-rest winnowing index PROBE cost (recurring, the steady-"
+        "state per-batch price): screen ONE incoming batch (src2) "
+        "against the cached src0+src1 fingerprint index -- the read "
+        "partition-pruned to the probed buckets (<= n_buckets driver "
+        "ints -> static partition filter), index-side boilerplate cap "
+        "(df <= 20, MOSS's rule) computed exactly off the pruned read "
+        "because bucket is a function of the hash, dup = shares >= 2 "
+        "distinct fingerprints with some indexed doc. Value-identical "
+        "to the full recompute (shared oracle) -- the at-rest layout, "
+        "the append and the cache are value-transparent. The locality-"
+        "preserving complement to z115's MinHash probe"
+    ),
+)
+def z152(spark, sf_dir):
+    from ..operators.dedup import winnow_novel_indexed
+
+    path = _z_winnow_index_cached(spark, sf_dir)
+    docs = load(spark, "documents", sf_dir)
+    return winnow_novel_indexed(
+        spark,
+        docs.filter(F.col("source") == "src2"),
+        path,
+        min_shared=2,
+        max_df=20,
+    ).select("doc_id", "source")

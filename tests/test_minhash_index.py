@@ -259,3 +259,76 @@ def test_z115_probe_cache_invalidates_on_data_change(spark, tmp_path):
     _z_minhash_index_cached(spark, sf)
     marker4, _ = load_json(os.path.join(path, "_z_cache.json"))
     assert marker4 == marker3
+
+
+# ---------------------------------------------------------------------
+# At-rest winnowing-fingerprint index (the MOSS twin)
+# ---------------------------------------------------------------------
+
+
+def test_winnow_index_append_equals_rebuild(spark, tmp_path):
+    docs = load(spark, "documents", SF)
+    src0 = docs.filter(F.col("source") == "src0")
+    src1 = docs.filter(F.col("source") == "src1")
+    batch = docs.filter(F.col("source") == "src2")
+
+    p_inc = str(tmp_path / "inc")
+    dedup.write_winnow_index(src0, p_inc)
+    dedup.append_winnow_index(src1, p_inc)
+    p_full = str(tmp_path / "full")
+    dedup.write_winnow_index(
+        docs.filter(F.col("source").isin("src0", "src1")), p_full
+    )
+    got_inc = _ids(
+        dedup.winnow_novel_indexed(spark, batch, p_inc, min_shared=1)
+    )
+    got_full = _ids(
+        dedup.winnow_novel_indexed(spark, batch, p_full, min_shared=1)
+    )
+    assert got_inc == got_full
+    assert 0 < len(got_inc) < batch.count()  # non-degenerate both ways
+
+
+def test_winnow_index_probe_prunes_read_and_survives_reappend(
+    spark, tmp_path
+):
+    import os
+
+    docs = load(spark, "documents", SF)
+    corpus = docs.filter(F.col("source").isin("src0", "src1"))
+    batch = docs.filter(F.col("source") == "src2").limit(3)
+    path = str(tmp_path / "idx")
+    dedup.write_winnow_index(corpus, path, n_buckets=32)
+    # a 3-doc probe touches a strict subset of the 32 fingerprint buckets
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        _winnow_fp_rows,
+    )
+
+    probed = {
+        r["bucket"]
+        for r in _winnow_fp_rows(batch, 3, 4, 32, "text", "doc_id")
+        .select("bucket")
+        .distinct()
+        .collect()
+    }
+    on_disk = {
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(path, "fps"))
+        if d.startswith("bucket=")
+    }
+    assert probed < on_disk  # strict subset: the probe prunes
+    before = _ids(
+        dedup.winnow_novel_indexed(spark, batch, path, min_shared=1)
+    )
+    # re-appending the same batch twice is probe-safe (distinct counts)
+    extra = docs.filter(F.col("source") == "src3")
+    dedup.append_winnow_index(extra, path)
+    dedup.append_winnow_index(extra, path)
+    p_ref = str(tmp_path / "ref")
+    dedup.write_winnow_index(
+        docs.filter(F.col("source").isin("src0", "src1", "src3")), p_ref
+    )
+    got = _ids(dedup.winnow_novel_indexed(spark, batch, path, min_shared=1))
+    want = _ids(dedup.winnow_novel_indexed(spark, batch, p_ref, min_shared=1))
+    assert got == want
+    assert set(got) <= set(before)  # a larger corpus can only catch more
