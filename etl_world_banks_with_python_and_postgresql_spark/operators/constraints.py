@@ -379,3 +379,66 @@ SELECT {"base." + '"' + group_by + '", ' if group_by else ""}base."column",
        min_str, max_str
 FROM base LEFT JOIN sk USING ({g_using}"column")
 """
+
+
+def k_anonymity_ladder(
+    df: DataFrame,
+    levels: "list[tuple[str, list]]",
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit across a GENERALIZATION LADDER -- the privacy
+    re-identification check run before releasing or joining a dataset:
+    at each generalization level (a named list of quasi-identifier
+    expressions, coarser as you descend), count equivalence classes,
+    classes smaller than ``k``, rows living in them, and the k actually
+    achieved (the min class size). The workflow this powers: walk the
+    ladder until ``n_risky = 0`` -- that level's generalization is the
+    release schema; ``rows_at_risk`` prices what suppression would cost
+    instead.
+
+    One map-side-combined aggregate per level over the quasi columns
+    (equivalence classes are the shuffle keys), then a |levels|-row
+    summary union -- each level reduces the corpus to its class counts
+    before anything global happens; nothing corpus-sized crosses a
+    second shuffle. All outputs exact integers.
+    """
+    outs = []
+    for name, exprs in levels:
+        classes = df.groupBy(
+            *[e.alias(f"_q{i}") for i, e in enumerate(exprs)]
+        ).agg(F.count(F.lit(1)).alias("_n"))
+        outs.append(
+            classes.agg(
+                F.lit(name).alias("level"),
+                F.count(F.lit(1)).cast("long").alias("n_classes"),
+                F.sum(F.when(F.col("_n") < k, 1).otherwise(0))
+                .cast("long")
+                .alias("n_risky"),
+                F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+                .cast("long")
+                .alias("rows_at_risk"),
+                F.min("_n").cast("long").alias("k_achieved"),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u
+
+
+def k_anonymity_oracle_sql(
+    table: str, levels: "list[tuple[str, list[str]]]", k: int = 5
+) -> str:
+    """DuckDB twin of :func:`k_anonymity_ladder` (same exact integer
+    summary per level)."""
+    parts = []
+    for name, exprs in levels:
+        cols = ", ".join(exprs)
+        parts.append(f"""
+SELECT '{name}' AS level,
+       count(*)::BIGINT AS n_classes,
+       sum(CASE WHEN n < {k} THEN 1 ELSE 0 END)::BIGINT AS n_risky,
+       sum(CASE WHEN n < {k} THEN n ELSE 0 END)::BIGINT AS rows_at_risk,
+       min(n)::BIGINT AS k_achieved
+FROM (SELECT {cols}, count(*) AS n FROM {table} GROUP BY ALL)""")
+    return "\nUNION ALL\n".join(parts)

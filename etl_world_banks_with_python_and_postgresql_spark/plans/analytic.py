@@ -874,3 +874,68 @@ def z147(spark, sf_dir):
         .select("src", "dst")
     )
     return connected_components(edges)
+
+
+# blocked fuzzy-match edges (the q52 shape) feeding entity resolution
+_ER_EDGES_SQL = """
+  SELECT a.p_partkey AS src, b.p_partkey AS dst
+  FROM part a JOIN part b
+    ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+  WHERE a.p_partkey % 10 = 0 AND b.p_partkey % 10 = 0
+    AND levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@query(
+    "z153_entity_resolution",
+    oracle="WITH comp AS ("
+    + _cc_sql(_ER_EDGES_SQL)
+    + """)
+SELECT node AS p_partkey, component AS entity_id, sz AS cluster_size
+FROM comp JOIN (SELECT component AS c, count(*)::BIGINT AS sz
+                FROM comp GROUP BY 1) s ON comp.component = s.c
+""",
+    description=(
+        "end-to-end entity resolution: blocked fuzzy matching (q52's "
+        "type-block + Levenshtein <= 3 -- blocking bounds the quadratic "
+        "pair space to within-block) -> match edges -> large-star/"
+        "small-star connected components -> canonical entity id "
+        "(component min) + cluster size per record. The classic MDM/"
+        "record-linkage composition, every stage an operator this "
+        "engine already gates separately; transitive matches (A~B~C "
+        "with A!~C) land in ONE entity, which is exactly what pairwise "
+        "output cannot express. Oracle closes the graph with the "
+        "ground-truth recursive CTE"
+    ),
+)
+def z153(spark, sf_dir):
+    from ..operators.graph import connected_components
+
+    p = (
+        load(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select("p_partkey", "p_name", "p_type")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("src"), F.col("p_name").alias("name_a"),
+        "p_type",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("dst"), F.col("p_name").alias("name_b"),
+        "p_type",
+    )
+    edges = (
+        a.join(b, "p_type")
+        .filter(F.col("src") < F.col("dst"))
+        .filter(F.levenshtein("name_a", "name_b") <= 3)
+        .select("src", "dst")
+    )
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("p_partkey"),
+        F.col("component").alias("entity_id"),
+        "cluster_size",
+    )

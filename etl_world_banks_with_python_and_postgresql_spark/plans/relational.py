@@ -2583,3 +2583,46 @@ def z146(spark, sf_dir):
             F.max("hk").alias("max_key"),
         )
     )
+
+
+from ..operators.constraints import k_anonymity_oracle_sql as _kanon_sql  # noqa: E402
+
+_Z154_LEVELS_SQL = [
+    ("l0_nation_segment_balband",
+     ["c_nationkey", "c_mktsegment", "(floor(abs(c_acctbal) / 1000))::INT"]),
+    ("l1_segment_balband", ["c_mktsegment", "(floor(abs(c_acctbal) / 1000))::INT"]),
+    ("l2_segment", ["c_mktsegment"]),
+]
+
+
+@query(
+    "z154_k_anonymity",
+    oracle=_kanon_sql("customer", _Z154_LEVELS_SQL, k=5),
+    description=(
+        "k-anonymity audit across a 3-level generalization ladder "
+        "(nation+segment+balance-band -> segment+band -> segment): per "
+        "level, equivalence classes, classes under k=5, rows at risk, "
+        "and the k actually ACHIEVED -- the privacy re-identification "
+        "check run before releasing or joining a dataset; walk the "
+        "ladder until n_risky = 0 for the release schema. One map-side-"
+        "combined aggregate per level, |levels|-row summary; exact "
+        "integers throughout"
+    ),
+)
+def z154(spark, sf_dir):
+    from ..operators.constraints import k_anonymity_ladder
+
+    c = load(spark, "customer", sf_dir)
+    # explicit floor in BOTH engines: DuckDB's ::INT cast ROUNDS while
+    # Spark's truncates -- the band edge would disagree on x99.5+ values
+    band = F.floor(F.abs(F.col("c_acctbal")) / 1000).cast("int")
+    return k_anonymity_ladder(
+        c,
+        [
+            ("l0_nation_segment_balband",
+             [F.col("c_nationkey"), F.col("c_mktsegment"), band]),
+            ("l1_segment_balband", [F.col("c_mktsegment"), band]),
+            ("l2_segment", [F.col("c_mktsegment")]),
+        ],
+        k=5,
+    )

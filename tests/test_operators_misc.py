@@ -4465,3 +4465,29 @@ def test_sentence_stats_hand_checked(spark):
     assert out[1]["mean_sent_words_micros"] == 2_500_000
     assert out[1]["max_sent_words"] == 4 and out[1]["min_sent_words"] == 1
     assert out[2]["n_sentences"] == 1 and out[2]["n_words"] == 5
+
+
+def test_k_anonymity_ladder_hand_checked(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.constraints import (
+        k_anonymity_ladder,
+    )
+
+    rows = [("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 1), ("b", 1)]
+    df = spark.createDataFrame(rows, "seg string, band int")
+    out = {
+        r["level"]: r.asDict()
+        for r in k_anonymity_ladder(
+            df,
+            [
+                ("fine", [F.col("seg"), F.col("band")]),
+                ("coarse", [F.col("seg")]),
+            ],
+            k=3,
+        ).collect()
+    }
+    f = out["fine"]
+    # classes: (a,1)=2 (a,2)=1 (b,1)=3 -> 2 risky, 3 rows at risk, k=1
+    assert (f["n_classes"], f["n_risky"], f["rows_at_risk"], f["k_achieved"]) == (3, 2, 3, 1)
+    c = out["coarse"]
+    # classes: a=3, b=3 -> released at k=3
+    assert (c["n_classes"], c["n_risky"], c["rows_at_risk"], c["k_achieved"]) == (2, 0, 0, 3)
