@@ -661,3 +661,69 @@ def streaming_agg_view_sink(
             view.maybe_compact(batch_df.sparkSession, max_applied=compact_every)
 
     return apply_batch
+
+
+def streaming_winnow_novelty_sink(
+    index_path: str,
+    min_shared: int = 2,
+    max_df: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch body for continuous document ingestion with
+    WINNOWING-fingerprint near-dup screening against a
+    :func:`operators.dedup.write_winnow_index` layout -- the locality-
+    preserving member of the novelty-sink family (exact-hash / minhash /
+    semantic siblings). Each micro-batch: in-batch dedup first (same
+    fingerprint definition as the index -- its k/window are read from
+    the stats sidecar, the ADVICE-r9 one-similarity rule), then the
+    pruned index probe keeps docs sharing < ``min_shared`` fingerprints
+    with every indexed doc, then the novel remainder appends O(|batch|).
+
+    Replay absorption is by CONTENT: a replayed doc re-finds its own
+    earlier copy (identical fingerprint set) and is dropped -- except
+    docs too short to carry ``min_shared`` fingerprints, which re-append
+    as dead-storage duplicates (probe-safe: the probe counts DISTINCT
+    fingerprints and doc ids); compact by rebuilding. Seed with
+    ``write_winnow_index`` on the first corpus slice.
+    """
+    import os
+
+    from ..committer import load_json
+    from ..operators.dedup import (
+        append_winnow_index,
+        winnow_novel_indexed,
+        winnow_pairs,
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        stats, _ = load_json(os.path.join(index_path, "_winnow_stats.json"))
+        if stats is None:
+            raise FileNotFoundError(
+                f"no winnow index at {index_path}: seed it with "
+                "write_winnow_index before starting the stream"
+            )
+        pairs = winnow_pairs(
+            batch_df, k=stats["k"], window=stats["window"],
+            max_df=max_df, min_shared=min_shared,
+            text_col=text_col, id_col=id_col,
+        )
+        dup_ids = (
+            pairs.filter(F.col("doc_a") < F.col("doc_b"))
+            .select(F.col("doc_b").alias(id_col))
+            .distinct()
+        )
+        batch_uniq = batch_df.join(dup_ids, id_col, "left_anti")
+        novel = winnow_novel_indexed(
+            spark, batch_uniq, index_path,
+            min_shared=min_shared, max_df=max_df,
+            text_col=text_col, id_col=id_col,
+        )
+        append_winnow_index(
+            novel, index_path, text_col=text_col, id_col=id_col
+        )
+
+    return apply_batch

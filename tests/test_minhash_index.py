@@ -332,3 +332,60 @@ def test_winnow_index_probe_prunes_read_and_survives_reappend(
     want = _ids(dedup.winnow_novel_indexed(spark, batch, p_ref, min_shared=1))
     assert got == want
     assert set(got) <= set(before)  # a larger corpus can only catch more
+
+
+def test_streaming_winnow_novelty_sink(spark, tmp_path):
+    """Winnowing novelty stream: near-dups of indexed docs dropped,
+    in-batch near-dups keep the lowest id, the index grows O(batch),
+    replays absorb by content."""
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        streaming_winnow_novelty_sink,
+    )
+
+    schema = "doc_id long, text string"
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "completely different material about spark shuffle partitions and adaptive execution strategies"
+    c = "yet another unrelated passage concerning parquet footer statistics and manifest pruning"
+    seed = spark.createDataFrame([(0, a)], schema)
+    index = str(tmp_path / "wn")
+    dedup.write_winnow_index(seed, index)
+
+    src = str(tmp_path / "in")
+    # 10: shares a long run with indexed 0 -> dropped
+    # 11: fresh (kept); 12/13: in-batch near-dup pair -> 12 kept
+    spark.createDataFrame(
+        [
+            (10, a.replace("today", "tomorrow")),
+            (11, b),
+            (12, c),
+            (13, c.replace("yet another", "one more")),
+        ],
+        schema,
+    ).write.parquet(src)
+
+    def run_once(i):
+        stream = spark.readStream.schema(seed.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_winnow_novelty_sink(index, min_shared=2)
+            )
+            .option("checkpointLocation", str(tmp_path / f"ck{i}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once(0)
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(index + "/fps").select("doc_id").collect()
+    }
+    assert ids == {0, 11, 12}
+    # replay from a fresh checkpoint: absorbed by content, nothing new
+    run_once(1)
+    ids2 = {
+        r["doc_id"]
+        for r in spark.read.parquet(index + "/fps").select("doc_id").collect()
+    }
+    assert ids2 == {0, 11, 12}
