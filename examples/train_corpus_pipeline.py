@@ -44,7 +44,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from etl_world_banks_with_python_and_postgresql_spark.operators import dedup, text
+from etl_world_banks_with_python_and_postgresql_spark.operators import (
+    dedup,
+    text,
+    train_prep,
+)
 from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
     chunk_token_windows,
     hash_split,
@@ -105,6 +109,26 @@ def main() -> None:
         keep_cols=["source", "text", "n_tokens", "quality_score"],
     ).filter(F.col("quality_score") >= 0.5)
     stage["quality_filtered"] = docs.count()
+
+    # 6.2. Gopher rule battery (z141): per-rule flags over the cleaned
+    # text; keep only rule-passing docs, but loosen the corpus-hostile
+    # bounds (the synthetic corpus is drawn from a tiny vocabulary, so
+    # the distinct-word and stopword rules would gut it -- thresholds
+    # are corpus-calibrated by design)
+    gq = text.gopher_quality(
+        docs, min_words=10, min_distinct_pct=10, min_stopwords=0
+    ).select("doc_id", "keep")
+    docs = docs.join(gq.filter(F.col("keep")).select("doc_id"), "doc_id")
+    stage["gopher_rules"] = docs.count()
+
+    # 6.3. DSIR-shaped importance weights vs the src1 target domain:
+    # keep everything, carry score_micros for downstream mixing weights
+    iw = train_prep.importance_weights(
+        docs, F.col("source") == "src1"
+    ).select("doc_id", "score_micros")
+    docs = docs.join(iw, "doc_id", "left").fillna(
+        {"score_micros": 0}
+    )
 
     # 6.5. repetition gate (Gopher): drop degenerate repeated-text docs.
     # Thresholds are corpus-calibrated; the synthetic corpus is drawn from
