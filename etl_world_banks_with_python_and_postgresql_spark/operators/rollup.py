@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -167,3 +168,65 @@ class RollupTable:
                 self.ingest(batch_df)
 
         return apply_batch
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    keep_cols: "list[str] | None" = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """2-D Pareto frontier (maximize both axes): rows not STRICTLY
+    dominated by any other row (x' >= x, y' >= y, one strict) -- the
+    price/performance skyline query. Duplicate (x, y) points collapse
+    to one representative (lowest keep_cols order).
+
+    Scalable two-level scan instead of one global ordered window (the
+    plans.lint global-window rule): level 1 computes each hash bucket's
+    LOCAL frontier with a bucket-partitioned running-max window --
+    frontier(union) = frontier(frontier(A) + frontier(B)) because
+    dominance is pointwise, so survivors are sufficient; level 2 runs
+    the same scan over the (small) union of local frontiers. Worst
+    case the local frontiers are large (adversarially correlated
+    data), but the second level still sees only their union, and the
+    common case collapses each bucket to a handful of rows.
+    """
+    keep = keep_cols or []
+    x, y = F.col(x_col), F.col(y_col)
+    bucketed = df.select(
+        *keep, x_col, y_col,
+        F.pmod(F.xxhash64(*(keep or [x_col, y_col])), F.lit(n_buckets))
+        .alias("_b"),
+    )
+
+    def scan(d: DataFrame, part_cols: list) -> DataFrame:
+        w = (
+            W.partitionBy(*part_cols)
+            .orderBy(F.desc(x_col), F.desc(y_col), *keep)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        return (
+            d.withColumn("_prior", F.max(y_col).over(w))
+            .filter(F.col("_prior").isNull() | (y > F.col("_prior")))
+            .drop("_prior")
+        )
+
+    local = scan(bucketed, ["_b"]).drop("_b").localCheckpoint()
+    return scan(local.withColumn("_g", F.lit(0)), ["_g"]).drop("_g")
+
+
+def pareto_frontier_oracle_sql(
+    points_sql: str, x: str = "x", y: str = "y", keep: str = "k"
+) -> str:
+    """DuckDB twin of :func:`pareto_frontier`: the one-level scan is
+    value-identical to the two-level one (dominance is pointwise)."""
+    return f"""
+WITH pts AS ({points_sql}),
+scan AS (
+  SELECT *, max({y}) OVER (ORDER BY {x} DESC, {y} DESC, {keep}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+  FROM pts)
+SELECT * EXCLUDE (prior) FROM scan
+WHERE prior IS NULL OR {y} > prior
+"""

@@ -1001,3 +1001,200 @@ ranked AS (
 SELECT {g}, m::BIGINT AS n_pairs, slope_micros AS slope_micros_per_day
 FROM ranked WHERE rn = (500000 * m + 999999) // 1000000
 """
+
+
+def rolling_quantiles(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_by: str = "event_type",
+    window_days: int = 7,
+    qs: "tuple[int, ...]" = (500_000, 950_000),
+) -> DataFrame:
+    """Trailing-window quantiles of the daily series (p50/p95 over the
+    last ``window_days`` days, per series per day) -- the SLO/alerting
+    baseline read next to a drift monitor.
+
+    Exact: daily BIGINT micros, nearest-rank (the z87 rule,
+    rank = ceil(q*m)) over the IN-ROW sorted trailing values. One
+    partitioned RANGE-frame window collects the <= window_days trailing
+    dailies per anchor day (array_sort makes collect_list's
+    nondeterministic order irrelevant), so there is NO self-join and no
+    per-anchor explode -- the frame is calendar-bounded, the shuffle is
+    the one (series, day) exchange the daily aggregate already needs.
+    """
+    from ..functions.exactnum import floordiv_nonneg
+
+    day = F.to_date(F.col(ts_col))
+    daily = df.groupBy(group_by, day.alias("day")).agg(
+        (F.sum(F.col(value_col).cast("decimal(25,6)")) * 1_000_000)
+        .cast("long")
+        .alias("x")
+    )
+    t = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).cast(
+        "long"
+    )
+    w = (
+        W.partitionBy(group_by)
+        .orderBy(t)
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    vals = F.array_sort(F.collect_list("x").over(w))
+    staged = daily.select(
+        group_by, "day", vals.alias("_vals")
+    )
+    m = F.size(F.col("_vals")).cast("long")
+    cols = [
+        F.element_at(
+            F.col("_vals"),
+            floordiv_nonneg(
+                F.lit(q) * m + F.lit(999_999), F.lit(1_000_000)
+            ).cast("int"),
+        ).alias(f"p{q // 10000}_micros")
+        for q in qs
+    ]
+    return staged.select(
+        group_by, "day", m.alias("n_days_in_window"), *cols
+    )
+
+
+def rolling_quantiles_oracle_sql(
+    value_sql: str = "value",
+    ts_sql: str = "ts",
+    table: str = "events",
+    group_by: str = "event_type",
+    window_days: int = 7,
+    qs: "tuple[int, ...]" = (500_000, 950_000),
+) -> str:
+    """DuckDB twin of :func:`rolling_quantiles` (same daily micros,
+    same in-frame nearest-rank)."""
+    g = group_by
+    q_cols = ", ".join(
+        f"vals[((({q}::BIGINT * len(vals) + 999999) // 1000000))::INT]"
+        f" AS p{q // 10000}_micros"
+        for q in qs
+    )
+    return f"""
+WITH daily AS (
+  SELECT {g}, ({ts_sql})::DATE AS day,
+         (sum(CAST({value_sql} AS DECIMAL(25,6))) * 1000000)::BIGINT AS x
+  FROM {table} GROUP BY ALL),
+framed AS (
+  SELECT {g}, day,
+         list_sort(list(x) OVER (
+           PARTITION BY {g} ORDER BY (day - DATE '1970-01-01')
+           RANGE BETWEEN {window_days - 1} PRECEDING AND CURRENT ROW)) AS vals
+  FROM daily)
+SELECT {g}, day, len(vals)::BIGINT AS n_days_in_window, {q_cols}
+FROM framed
+"""
+
+
+def series_correlation(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    group_by: str = "event_type",
+) -> DataFrame:
+    """Pairwise Pearson correlation of the daily value series across
+    series keys -- the metric-relationship matrix (which signals move
+    together) read before building composite monitors -- EXACT end to
+    end: no sqrt, no float accumulation.
+
+    The trick: r^2 = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2)(n*Syy - Sy^2))
+    is a RATIO OF EXACT INTEGERS, so the output is sign(num) *
+    HALF_UP-micros(num^2 / (d1*d2)) -- |r| and the sign carry all the
+    information r does, and every engine reproduces the bits. Daily
+    sums are HALF_UP-quantized to integer UNITS first: num^2 must fit
+    DECIMAL(38,0), which bounds |daily| * days at ~1e12 -- rescale
+    ``value_col`` upstream for wilder magnitudes (documented envelope;
+    micros quantization would overflow at exactly the corpus sizes
+    this runs on).
+
+    Plan: one daily aggregate, one day-keyed equi-self-join (pairs are
+    |keys|^2-bounded per day), one pair-keyed aggregate over the
+    joint day axis. Constant series (d = 0) yield NULL.
+    """
+    from ..functions.exactnum import floordiv_nonneg
+
+    day = F.to_date(F.col(ts_col))
+    dec = F.sum(F.col(value_col).cast("decimal(25,6)"))
+    # HALF_UP to integer units via micros-lifted floordiv (sign-aware)
+    micros = (dec * 1_000_000).cast("long")
+    sign_d = F.when(micros < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    daily = df.groupBy(group_by, day.alias("day")).agg(
+        (
+            sign_d
+            * floordiv_nonneg(
+                F.lit(2) * F.abs(micros) + F.lit(1_000_000),
+                F.lit(2_000_000),
+            )
+        ).alias("x")
+    )
+    a = daily.select(
+        F.col(group_by).alias("key_a"), "day", F.col("x").alias("xa")
+    )
+    b = daily.select(
+        F.col(group_by).alias("key_b"), "day", F.col("x").alias("xb")
+    )
+    joined = a.join(b, "day").filter(F.col("key_a") < F.col("key_b"))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = joined.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d38(F.col("xa"))).alias("sx"),
+        F.sum(d38(F.col("xb"))).alias("sy"),
+        F.sum(d38(F.col("xa")) * d38(F.col("xb"))).alias("sxy"),
+        F.sum(d38(F.col("xa")) * d38(F.col("xa"))).alias("sxx"),
+        F.sum(d38(F.col("xb")) * d38(F.col("xb"))).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    sign = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    r2 = floordiv_nonneg(
+        F.lit(2_000_000).cast("decimal(38,0)") * num * num + d1 * d2,
+        F.lit(2).cast("decimal(38,0)") * d1 * d2,
+    )
+    return agg.select(
+        "key_a",
+        "key_b",
+        F.col("n").cast("long").alias("n_days"),
+        F.when((d1 > 0) & (d2 > 0), sign * r2).alias("signed_r2_micros"),
+    )
+
+
+def series_correlation_oracle_sql(
+    value_sql: str = "value",
+    ts_sql: str = "ts",
+    table: str = "events",
+    group_by: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`series_correlation` (HUGEINT-exact)."""
+    g = group_by
+    return f"""
+WITH daily AS (
+  SELECT {g} AS key, ({ts_sql})::DATE AS day,
+         (CASE WHEN (sum(CAST({value_sql} AS DECIMAL(25,6))) * 1000000)::BIGINT < 0
+               THEN -1 ELSE 1 END)::BIGINT
+         * ((2 * abs((sum(CAST({value_sql} AS DECIMAL(25,6))) * 1000000)::BIGINT)
+             + 1000000) // 2000000) AS x
+  FROM {table} GROUP BY ALL),
+joined AS (
+  SELECT a.key AS key_a, b.key AS key_b, a.x AS xa, b.x AS xb
+  FROM daily a JOIN daily b ON a.day = b.day AND a.key < b.key),
+agg AS (
+  SELECT key_a, key_b, count(*)::HUGEINT AS n,
+         sum(xa::HUGEINT) AS sx, sum(xb::HUGEINT) AS sy,
+         sum(xa::HUGEINT * xb::HUGEINT) AS sxy,
+         sum(xa::HUGEINT * xa::HUGEINT) AS sxx,
+         sum(xb::HUGEINT * xb::HUGEINT) AS syy
+  FROM joined GROUP BY 1, 2)
+SELECT key_a, key_b, n::BIGINT AS n_days,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+         (CASE WHEN (n * sxy - sx * sy) < 0 THEN -1 ELSE 1 END)::BIGINT
+         * ((2000000::HUGEINT * (n * sxy - sx * sy) * (n * sxy - sx * sy)
+             + (n * sxx - sx * sx) * (n * syy - sy * sy))
+            // (2::HUGEINT * (n * sxx - sx * sx) * (n * syy - sy * sy)))::BIGINT
+       END AS signed_r2_micros
+FROM agg
+"""

@@ -939,3 +939,43 @@ def z153(spark, sf_dir):
         F.col("component").alias("entity_id"),
         "cluster_size",
     )
+
+
+from ..operators.rollup import pareto_frontier_oracle_sql as _pareto_sql  # noqa: E402
+
+_Z155_POINTS_SQL = """
+SELECT l_suppkey AS k, round(s_acctbal, 2) AS x,
+       round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2)::DOUBLE AS y
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "z155_pareto_frontier",
+    oracle=_pareto_sql(_Z155_POINTS_SQL, x="x", y="y", keep="k"),
+    description=(
+        "2-D Pareto frontier (skyline) of suppliers over (account "
+        "balance, total revenue): rows no other row weakly dominates -- "
+        "the price/performance shortlist query. Scalable TWO-LEVEL "
+        "scan: per-hash-bucket local frontiers via a bucket-partitioned "
+        "running-max window, then the same scan over the small survivor "
+        "union (frontier(union) = frontier(frontiers) -- dominance is "
+        "pointwise), so no corpus-sized global ordered window exists. "
+        "The oracle's one-level scan is value-identical"
+    ),
+)
+def z155(spark, sf_dir):
+    from ..operators.rollup import pareto_frontier
+
+    li = load(spark, "lineitem", sf_dir)
+    s = load(spark, "supplier", sf_dir)
+    pts = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("l_suppkey").alias("k"),
+            F.round(F.col("s_acctbal"), 2).alias("x"),
+        )
+        .agg(_dsum(F.col("l_extendedprice")).alias("y"))
+    )
+    return pareto_frontier(pts, "x", "y", keep_cols=["k"])

@@ -1276,3 +1276,114 @@ def z150(spark, sf_dir):
         load(spark, "events", sf_dir), value_col="value", ts_col="ts",
         group_by="event_type",
     )
+
+
+from ..operators.timeseries import (  # noqa: E402
+    rolling_quantiles_oracle_sql as _rollq_sql,
+)
+
+
+@query(
+    "z156_rolling_quantiles",
+    oracle=_rollq_sql("value", "ts", group_by="event_type"),
+    description=(
+        "trailing-7-day p50/p95 of each event type's daily value series "
+        "-- the SLO/alerting baseline beside the drift monitors. Exact "
+        "nearest-rank (z87 rule) over the IN-ROW sorted trailing window "
+        "from ONE partitioned RANGE-frame collect (array_sort makes the "
+        "collect order irrelevant): no self-join, no per-anchor "
+        "explode; the only shuffle is the (series, day) exchange the "
+        "daily aggregate already needs"
+    ),
+)
+def z156(spark, sf_dir):
+    from ..operators.timeseries import rolling_quantiles
+
+    return rolling_quantiles(
+        load(spark, "events", sf_dir), value_col="value", ts_col="ts",
+        group_by="event_type",
+    )
+
+
+from ..operators.timeseries import (  # noqa: E402
+    series_correlation_oracle_sql as _scorr_sql,
+)
+
+
+@query(
+    "z157_series_correlation",
+    oracle=_scorr_sql("value", "ts", group_by="event_type"),
+    description=(
+        "pairwise Pearson correlation matrix of the event types' daily "
+        "series, EXACT end to end: r^2 is a ratio of exact integers "
+        "(n-cleared moments in DECIMAL(38,0)/HUGEINT), emitted as "
+        "sign(cov) * HALF_UP-micros(r^2) -- no sqrt, no float "
+        "accumulation, bit-identical by construction (|r| + sign carry "
+        "everything r does). Daily sums HALF_UP-quantized to integer "
+        "units (the documented DECIMAL(38,0) envelope). One daily "
+        "aggregate, one day-keyed |keys|^2-bounded self-join, one "
+        "pair-keyed aggregate"
+    ),
+)
+def z157(spark, sf_dir):
+    from ..operators.timeseries import series_correlation
+
+    return series_correlation(
+        load(spark, "events", sf_dir), value_col="value", ts_col="ts",
+        group_by="event_type",
+    )
+
+
+@query(
+    "z158_period_over_period",
+    oracle="""
+WITH weekly AS (
+  SELECT event_type, (date_trunc('week', ts))::DATE AS week,
+         (sum(CAST(value AS DECIMAL(25,6))) * 1000000)::BIGINT AS rev_micros
+  FROM events GROUP BY ALL),
+lagged AS (
+  SELECT event_type, week, rev_micros,
+         lag(rev_micros) OVER (PARTITION BY event_type ORDER BY week) AS prev
+  FROM weekly)
+SELECT event_type, week, rev_micros,
+       (rev_micros - prev)::BIGINT AS wow_delta_micros,
+       CASE WHEN prev > 0 THEN
+         (CASE WHEN rev_micros - prev < 0 THEN -1 ELSE 1 END)::BIGINT
+         * ((2 * 1000000 * abs(rev_micros - prev) + prev) // (2 * prev))
+       END AS wow_pct_micros
+FROM lagged
+""",
+    description=(
+        "week-over-week growth per event type: weekly micros totals, "
+        "lag within the series (PARTITIONED ordered window -- never "
+        "global), exact delta and sign-aware HALF_UP percent micros "
+        "(NULL when the base week is non-positive). The release-over-"
+        "release trend readout; date_trunc cast to DATE on both sides "
+        "(the NOTES timestamp-vs-DATE engine skew)"
+    ),
+)
+def z158(spark, sf_dir):
+    e = load(spark, "events", sf_dir)
+    weekly = e.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(25,6)")) * 1_000_000)
+        .cast("long")
+        .alias("rev_micros")
+    )
+    w = W.partitionBy("event_type").orderBy("week")
+    lagged = weekly.withColumn("prev", F.lag("rev_micros").over(w))
+    delta = F.col("rev_micros") - F.col("prev")
+    sign = F.when(delta < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    pct = sign * exactnum.floordiv_nonneg(
+        F.lit(2_000_000) * F.abs(delta) + F.col("prev"),
+        F.lit(2) * F.col("prev"),
+    )
+    return lagged.select(
+        "event_type",
+        "week",
+        "rev_micros",
+        delta.cast("long").alias("wow_delta_micros"),
+        F.when(F.col("prev") > 0, pct).alias("wow_pct_micros"),
+    )

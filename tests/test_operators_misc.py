@@ -4491,3 +4491,25 @@ def test_k_anonymity_ladder_hand_checked(spark):
     c = out["coarse"]
     # classes: a=3, b=3 -> released at k=3
     assert (c["n_classes"], c["n_risky"], c["rows_at_risk"], c["k_achieved"]) == (2, 0, 0, 3)
+
+
+def test_pareto_frontier_hand_checked_two_level(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.rollup import (
+        pareto_frontier,
+    )
+
+    pts = [
+        (1, 1.0, 9.0),   # frontier
+        (2, 5.0, 5.0),   # frontier
+        (3, 9.0, 1.0),   # frontier
+        (4, 4.0, 4.0),   # dominated by 2
+        (5, 5.0, 5.0),   # duplicate of 2 -> collapses (one survivor)
+        (6, 1.0, 8.0),   # dominated by 1
+        (7, 9.0, 1.0),   # duplicate of 3 -> collapses
+    ]
+    df = spark.createDataFrame(pts, "k long, x double, y double")
+    out = sorted(
+        (r["k"], r["x"], r["y"])
+        for r in pareto_frontier(df, "x", "y", keep_cols=["k"]).collect()
+    )
+    assert [k for k, _, _ in out] == [1, 2, 3]

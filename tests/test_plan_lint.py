@@ -61,6 +61,10 @@ WHITELIST = {
     # the global triangle total is ONE broadcast row crossed into the
     # top-20 output
     "z144_triangle_count": "scalar-aggregate total (1-row broadcast side)",
+    # level-2 frontier scan: its input is the checkpointed UNION OF
+    # PER-BUCKET FRONTIERS (level 1 is bucket-partitioned), bounded by
+    # the survivor count, never by the corpus
+    "z155_pareto_frontier": "global window over the pre-reduced survivor union",
     # the ordered global window runs over |distinct weeks| rows AFTER two
     # reductions (user -> first week -> per-week counts): bounded by the
     # calendar, never by users or events
