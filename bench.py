@@ -169,6 +169,13 @@ HEADLINE = [
     # at-rest winnow index: one-time build + recurring pruned probe
     "z151_winnow_index_build",
     "z152_winnow_index_probe",
+    "z153_entity_resolution",
+    "z154_k_anonymity",
+    "z155_pareto_frontier",
+    "z156_rolling_quantiles",
+    "z157_series_correlation",
+    "z158_period_over_period",
+    "z159_bloom_point_lookup",
 ]
 
 

@@ -2626,3 +2626,43 @@ def z154(spark, sf_dir):
         ],
         k=5,
     )
+
+
+@query(
+    "z159_bloom_point_lookup",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(CAST(o_totalprice AS DECIMAL(25,6)), 2)::DOUBLE AS total
+FROM orders WHERE o_custkey IN (7, 42)
+""",
+    description=(
+        "point lookup on a NON-LAYOUT key through a per-file Bloom "
+        "data-skipping sidecar (the Parquet-BloomFilter/Delta-stats "
+        "idea, engine-side): data stays in the writer's layout, a "
+        "~8 KiB bitmap per file (built from the same JVM xxhash64 the "
+        "probe uses -- build and probe can never disagree) prunes the "
+        "read to files that MAY contain the key; no false negatives by "
+        "construction, false positives only cost extra reads. The gap "
+        "this closes: min/max stats prune nothing for a key the layout "
+        "ignores. Cached-index entry: bench min-of-N prices the "
+        "recurring probe, not the build"
+    ),
+)
+def z159(spark, sf_dir):
+    from ..sources.bloom_index import bloom_lookup, write_bloom_indexed
+
+    def build(path):
+        write_bloom_indexed(
+            load(spark, "orders", sf_dir), path, "o_custkey",
+            target_files=16,
+        )
+
+    path = cached_index(sf_dir, "bloom_orders", "orders", build)
+    out = bloom_lookup(spark, path, "o_custkey", [7, 42])
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice").cast("decimal(25,6)"), 2)
+        .cast("double")
+        .alias("total"),
+    )

@@ -825,3 +825,37 @@ def test_partial_compaction_preserves_state(spark, tmp_path):
     m = json.load(open(f"{tmp_path}/tbl/_manifest.json"))
     assert m["deltas"] == []
     assert state() == before
+
+
+def test_bloom_index_lookup_matches_full_scan_and_prunes(spark, tmp_path):
+    """Per-file Bloom data-skipping: lookup == full-scan filter (no
+    false negatives), and the probe reads a strict subset of files."""
+    import os
+
+    from etl_world_banks_with_python_and_postgresql_spark.sources.bloom_index import (
+        bloom_lookup,
+        write_bloom_indexed,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.sources.catalog import load
+
+    orders = load(spark, "orders", "/root/testdata/sf0.001")
+    path = str(tmp_path / "bl")
+    write_bloom_indexed(orders, path, "o_custkey", target_files=16)
+
+    full = spark.read.parquet(os.path.join(path, "data"))
+    for probe in ([7], [7, 1493], [999_999_999]):
+        got = sorted(
+            r["o_orderkey"]
+            for r in bloom_lookup(spark, path, "o_custkey", probe).collect()
+        )
+        want = sorted(
+            r["o_orderkey"]
+            for r in full.filter(F.col("o_custkey").isin(probe)).collect()
+        )
+        assert got == want
+    # pruning: a single-key probe must touch fewer files than exist
+    out = bloom_lookup(spark, path, "o_custkey", [7])
+    touched = {f for f in out.inputFiles()}
+    assert 0 < len(touched) < 16
+    # the absent key reads nothing
+    assert bloom_lookup(spark, path, "o_custkey", [999_999_999]).inputFiles() == []
