@@ -176,6 +176,7 @@ HEADLINE = [
     "z157_series_correlation",
     "z158_period_over_period",
     "z159_bloom_point_lookup",
+    "z160_seasonal_anomaly",
 ]
 
 

@@ -1198,3 +1198,87 @@ SELECT key_a, key_b, n::BIGINT AS n_days,
        END AS signed_r2_micros
 FROM agg
 """
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    period: int = 7,
+    group_by: str = "event_type",
+    k_num: int = 5,
+    k_den: int = 2,
+) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: decompose the daily
+    series (:func:`seasonal_decompose`), then flag days whose RESIDUAL
+    deviates from the series' residual median by more than
+    ``k_num/k_den`` MADs -- the monitoring composition that stops a
+    weekly-cyclic metric from paging every weekend (a raw z-score
+    flags the cycle itself; the residual has the cycle removed).
+
+    Determinism: residuals are the decompose's bit-stable one-shot IEEE
+    doubles over exact integers; median/MAD use the exact-percentile
+    parity (q53/z41); the threshold compares ``k_den * adev >
+    k_num * mad`` -- scaling instead of dividing, so no new rounded
+    double appears anywhere (the frozen exact-output lint).
+
+    Plan: the decompose's (series, day) shuffle + two |series|-bounded
+    percentile aggregates joined back to the day rows. Edge days
+    (NULL residual -- incomplete trend window) are excluded before the
+    stats, not silently treated as zero.
+    """
+    dec = seasonal_decompose(
+        df, value_col=value_col, ts_col=ts_col, period=period,
+        group_by=group_by,
+    )
+    res = dec.filter(F.col("residual").isNotNull()).select(
+        group_by, "day", "value_micros", "residual"
+    )
+    med = res.groupBy(group_by).agg(
+        F.percentile("residual", F.lit(0.5)).alias("_med")
+    )
+    dev = res.join(med, group_by).withColumn(
+        "_adev", F.abs(F.col("residual") - F.col("_med"))
+    )
+    mad = dev.groupBy(group_by).agg(
+        F.percentile("_adev", F.lit(0.5)).alias("_mad")
+    )
+    return (
+        dev.join(mad, group_by)
+        .filter(
+            (F.col("_mad") > 0)
+            & (F.lit(k_den) * F.col("_adev") > F.lit(k_num) * F.col("_mad"))
+        )
+        .select(group_by, "day", "value_micros", "residual")
+    )
+
+
+def seasonal_anomalies_oracle_sql(
+    value_sql: str = "value",
+    ts_sql: str = "ts",
+    period: int = 7,
+    table: str = "events",
+    group_by: str = "event_type",
+    k_num: int = 5,
+    k_den: int = 2,
+) -> str:
+    """DuckDB twin of :func:`seasonal_anomalies` (decompose twin +
+    quantile_cont median/MAD + the same scaled comparison)."""
+    g = group_by
+    dec = seasonal_decompose_oracle_sql(
+        value_sql, ts_sql, period=period, table=table, group_by=g
+    )
+    return f"""
+WITH dec AS ({dec}),
+res AS (SELECT {g}, day, value_micros, residual FROM dec
+        WHERE residual IS NOT NULL),
+med AS (SELECT {g}, quantile_cont(residual, 0.5) AS med
+        FROM res GROUP BY {g}),
+dev AS (SELECT r.*, abs(r.residual - m.med) AS adev
+        FROM res r JOIN med m USING ({g})),
+mad AS (SELECT {g}, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY {g})
+SELECT d.{g}, d.day, d.value_micros, d.residual
+FROM dev d JOIN mad m USING ({g})
+WHERE m.mad > 0 AND {k_den} * d.adev > {k_num} * m.mad
+"""

@@ -1387,3 +1387,33 @@ def z158(spark, sf_dir):
         delta.cast("long").alias("wow_delta_micros"),
         F.when(F.col("prev") > 0, pct).alias("wow_pct_micros"),
     )
+
+
+from ..operators.timeseries import (  # noqa: E402
+    seasonal_anomalies_oracle_sql as _sanom_sql,
+)
+
+
+@query(
+    "z160_seasonal_anomaly",
+    oracle=_sanom_sql("value", "ts", period=7, group_by="event_type"),
+    description=(
+        "seasonality-adjusted anomaly detection: z111's additive "
+        "decomposition, then flag days whose RESIDUAL exceeds 2.5 MADs "
+        "from the series' residual median -- the monitoring composition "
+        "that stops a weekly-cyclic metric from paging every weekend "
+        "(raw z-scores flag the cycle itself). Threshold compares "
+        "k_den*adev > k_num*mad (scaled, never divided -- no new "
+        "rounded double); residual doubles are the decompose's "
+        "bit-stable one-shot IEEE expressions; median/MAD via the "
+        "q53/z41 exact-percentile parity. Edge days excluded, not "
+        "zero-filled"
+    ),
+)
+def z160(spark, sf_dir):
+    from ..operators.timeseries import seasonal_anomalies
+
+    return seasonal_anomalies(
+        load(spark, "events", sf_dir), value_col="value", ts_col="ts",
+        period=7, group_by="event_type",
+    )
