@@ -177,6 +177,7 @@ HEADLINE = [
     "z158_period_over_period",
     "z159_bloom_point_lookup",
     "z160_seasonal_anomaly",
+    "z161_activity_streaks",
 ]
 
 

@@ -1851,3 +1851,48 @@ dup AS (SELECT DISTINCT new_id FROM m WHERE n_shared >= {min_shared})
 SELECT doc_id, source FROM documents
 WHERE ({batch_sql}) AND doc_id NOT IN (SELECT new_id FROM dup)
 """
+
+
+def compact_winnow_index(spark, path: str) -> dict:
+    """In-place maintenance for a :func:`write_winnow_index` layout --
+    the compact_minhash_index protocol applied to the single ``fps``
+    subdir: distinct-dedup the postings (duplicates only exist after
+    re-appended batches; the probe's DISTINCT counts made them harmless
+    but they are dead storage), reset ``n_docs`` to the true distinct
+    count, swap via staging + rename under the EXCLUSIVE maintenance
+    lock (appends hold it SHARED, so no in-flight part file can be
+    dropped). Probe results are untouched BY CONSTRUCTION -- compaction
+    removes exactly the rows the probe's distincts already collapse.
+    Returns ``{"n_docs": ..., "fp_rows_removed": ...}``.
+    """
+    import os
+    import shutil
+
+    from ..committer import commit_json, load_json, maintenance_lock
+
+    stats_path = os.path.join(path, "_winnow_stats.json")
+    with maintenance_lock(path, exclusive=True):
+        stats, tok = load_json(stats_path)
+        if stats is None:
+            raise FileNotFoundError(f"no winnow index at {path}")
+        d = os.path.join(path, "fps")
+        before = spark.read.parquet(d)
+        n_before = before.count()
+        staging, backup = d + ".staging", d + ".old"
+        for tmp in (staging, backup):
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+        before.distinct().repartition(F.col("bucket")).write.partitionBy(
+            "bucket"
+        ).parquet(staging)
+        n_after = spark.read.parquet(staging).count()
+        n_docs = (
+            spark.read.parquet(staging).select("doc_id").distinct().count()
+        )
+        os.rename(d, backup)
+        os.rename(staging, d)
+        shutil.rmtree(backup)
+        spark.catalog.refreshByPath(d)
+        stats["n_docs"] = n_docs
+        commit_json(stats_path, stats, expect=tok)
+    return {"n_docs": n_docs, "fp_rows_removed": n_before - n_after}

@@ -979,3 +979,61 @@ def z155(spark, sf_dir):
         .agg(_dsum(F.col("l_extendedprice")).alias("y"))
     )
     return pareto_frontier(pts, "x", "y", keep_cols=["k"])
+
+
+@query(
+    "z161_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+idx AS (
+  SELECT user_id, day,
+         (day - DATE '1970-01-01')
+         - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days),
+runs AS (
+  SELECT user_id, grp, count(*)::BIGINT AS streak_days,
+         min(day) AS run_start, max(day) AS run_end
+  FROM idx GROUP BY 1, 2),
+best AS (
+  SELECT user_id, streak_days, run_start, run_end,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY streak_days DESC, run_start) AS rn
+  FROM runs)
+SELECT user_id, streak_days, run_start, run_end
+FROM best WHERE rn = 1
+""",
+    description=(
+        "longest consecutive-day activity streak per user "
+        "(gaps-and-islands): island id = epoch_day - row_number over "
+        "the user's distinct active days (constant within a consecutive "
+        "run, the classic trick -- no self-join, no recursion), one "
+        "island aggregate, earliest-start tiebreak. Engagement/"
+        "retention's streak metric; every window is user-partitioned "
+        "and day-axis-bounded"
+    ),
+)
+def z161(spark, sf_dir):
+    e = load(spark, "events", sf_dir)
+    days = e.select(
+        "user_id", F.to_date(F.col("ts")).alias("day")
+    ).distinct()
+    epoch = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = W.partitionBy("user_id").orderBy("day")
+    idx = days.select(
+        "user_id", "day",
+        (epoch - F.row_number().over(w)).alias("grp"),
+    )
+    runs = idx.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_days"),
+        F.min("day").alias("run_start"),
+        F.max("day").alias("run_end"),
+    )
+    wb = W.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("run_start")
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_days", "run_start", "run_end")
+    )

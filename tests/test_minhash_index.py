@@ -389,3 +389,26 @@ def test_streaming_winnow_novelty_sink(spark, tmp_path):
         for r in spark.read.parquet(index + "/fps").select("doc_id").collect()
     }
     assert ids2 == {0, 11, 12}
+
+
+def test_compact_winnow_index_cleans_reappends_and_preserves_probes(
+    spark, tmp_path
+):
+    from etl_world_banks_with_python_and_postgresql_spark.committer import load_json
+
+    docs = load(spark, "documents", SF)
+    seed = docs.filter(F.col("source") == "src0")
+    batch = docs.filter(F.col("source") == "src1")
+    probe = docs.filter(F.col("source") == "src2")
+    path = str(tmp_path / "idx")
+    dedup.write_winnow_index(seed, path)
+    dedup.append_winnow_index(batch, path)
+    dedup.append_winnow_index(batch, path)  # simulated re-append
+    before = _ids(dedup.winnow_novel_indexed(spark, probe, path, min_shared=1))
+    res = dedup.compact_winnow_index(spark, path)
+    assert res["fp_rows_removed"] > 0
+    true_docs = seed.count() + batch.count()
+    assert res["n_docs"] == true_docs
+    assert load_json(path + "/_winnow_stats.json")[0]["n_docs"] == true_docs
+    after = _ids(dedup.winnow_novel_indexed(spark, probe, path, min_shared=1))
+    assert after == before
