@@ -4513,3 +4513,53 @@ def test_pareto_frontier_hand_checked_two_level(spark):
         for r in pareto_frontier(df, "x", "y", keep_cols=["k"]).collect()
     )
     assert [k for k, _, _ in out] == [1, 2, 3]
+
+
+def test_gopher_rules_invariant_under_repartition(spark):
+    """Every Gopher rule is a pure row-local integer comparison, so the
+    flag set must be identical under any partitioning (the hash_split
+    reshuffle-stability property, applied to quality flags)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.text import (
+        gopher_quality,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.sources.catalog import (
+        load as _load,
+    )
+
+    docs = _load(spark, "documents", SF)
+    a = {tuple(r) for r in gopher_quality(docs).collect()}
+    b = {
+        tuple(r)
+        for r in gopher_quality(docs.repartition(7, "source")).collect()
+    }
+    assert a == b
+
+
+def test_theil_sen_permutation_and_day_shift_invariant(spark):
+    """The pairwise-slope median must not depend on row order, and
+    shifting the whole calendar must not change slopes (only day DIFFS
+    enter the estimator)."""
+    import datetime
+    import random
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.timeseries import (
+        theil_sen_slope,
+    )
+
+    rng = random.Random(3)
+    day0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        (day0 + datetime.timedelta(days=d), "s", 3.0 * d + rng.uniform(-1, 1))
+        for d in range(12)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    base = theil_sen_slope(df).collect()[0]["slope_micros_per_day"]
+    shuffled = spark.createDataFrame(
+        list(reversed(rows)), "ts timestamp, event_type string, value double"
+    ).repartition(5)
+    assert theil_sen_slope(shuffled).collect()[0]["slope_micros_per_day"] == base
+    shifted = spark.createDataFrame(
+        [(t + datetime.timedelta(days=365), g, v) for t, g, v in rows],
+        "ts timestamp, event_type string, value double",
+    )
+    assert theil_sen_slope(shifted).collect()[0]["slope_micros_per_day"] == base
