@@ -178,6 +178,7 @@ HEADLINE = [
     "z159_bloom_point_lookup",
     "z160_seasonal_anomaly",
     "z161_activity_streaks",
+    "z162_semantic_decontaminate",
 ]
 
 

@@ -2002,3 +2002,113 @@ def power_iteration_oracle_sql(
         for k in range(dim)
     )
     return "WITH " + ",\n".join(parts) + "\n" + unions
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 12,
+    bits_per_band: int = 6,
+    dim: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Drop training rows whose EMBEDDING is near any held-out eval
+    embedding -- decontamination at the SEMANTIC level, the complement
+    of the lexical 8-gram screen (q48/z15): paraphrased eval leakage
+    shares no n-grams but lands next to the eval point in embedding
+    space.
+
+    Mechanics mirror :func:`cosine_neardup_pairs`'s banded stages
+    CROSS-SET (no train-train or eval-eval pairs are ever formed): both
+    sides get Arrow-batched integer-micros sign signatures over the
+    SAME deterministic Rademacher planes, candidates are the
+    (band, key) equi-join of train bands against eval bands, and only
+    candidates pay the exact left-to-right-fold cosine (same
+    pair-vectorized Arrow verify, bit-identical to the oracle). Returns
+    the surviving train rows (anti-join on contaminated ids).
+
+    Scale: eval sets are small by nature -- the eval band table is
+    broadcastable, so the screen costs one train-side signature scan +
+    a broadcast probe; the train embeddings themselves shuffle only for
+    the candidate verify join (candidates, not corpus).
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = rademacher_planes(bands * bits_per_band, dim, seed)
+    plane_mat = np.asarray(planes, dtype=np.int64).T
+    n_bands, bpb = bands, bits_per_band
+
+    def sig_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            micros = np.rint(vecs * 1_000_000.0).astype(np.int64)
+            bits = (micros @ plane_mat) >= 0
+            keys = np.zeros((len(pdf), n_bands), dtype=np.int32)
+            for b in range(n_bands):
+                for j in range(bpb):
+                    keys[:, b] |= bits[:, b * bpb + j].astype(np.int32) << j
+            yield pd.DataFrame(
+                {
+                    "bid": np.repeat(pdf["bid"].to_numpy(), n_bands),
+                    "band": np.tile(
+                        np.arange(n_bands, dtype=np.int32), len(pdf)
+                    ),
+                    "key": keys.reshape(-1),
+                }
+            )
+
+    def bands_of(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col).alias("bid"), F.col(vec_col).alias("_v")
+        ).mapInPandas(sig_batches, "bid long, band int, key int")
+
+    tb = bands_of(train).select(
+        F.col("bid").alias("train_id"), "band", "key"
+    )
+    eb = bands_of(eval_df).select(
+        F.col("bid").alias("eval_id"), "band", "key"
+    )
+    cand = (
+        tb.join(F.broadcast(eb), ["band", "key"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    tv = train.select(
+        F.col(id_col).alias("train_id"), F.col(vec_col).alias("_va")
+    )
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("_vb")
+    )
+
+    def verify_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.stack(pdf["_va"].to_numpy()).astype(np.float64)
+            vb = np.stack(pdf["_vb"].to_numpy()).astype(np.float64)
+            n_rows = len(pdf)
+            dot = np.zeros(n_rows)
+            na = np.zeros(n_rows)
+            nb = np.zeros(n_rows)
+            for i in range(va.shape[1]):  # left-to-right fold (oracle parity)
+                dot += va[:, i] * vb[:, i]
+                na += va[:, i] * va[:, i]
+                nb += vb[:, i] * vb[:, i]
+            cos = np.round(dot / (np.sqrt(na) * np.sqrt(nb)), 6)
+            keep = cos >= threshold
+            yield pd.DataFrame({"train_id": pdf["train_id"].to_numpy()[keep]})
+
+    dirty = (
+        cand.join(tv, "train_id")
+        .join(F.broadcast(ev), "eval_id")
+        .mapInPandas(verify_batches, "train_id long")
+        .distinct()
+        .withColumnRenamed("train_id", id_col)
+    )
+    return train.join(dirty, id_col, "left_anti")

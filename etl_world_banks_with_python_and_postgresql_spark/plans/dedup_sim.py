@@ -2098,3 +2098,89 @@ def z152(spark, sf_dir):
         min_shared=2,
         max_df=20,
     ).select("doc_id", "source")
+
+
+def _signlsh_cross_oracle(
+    threshold: float, bands: int, bits_per_band: int, dim: int,
+    eval_pred: str, train_pred: str, seed: int = 0,
+) -> str:
+    """Cross-set twin of ``_signlsh_neardup_oracle``: candidates join
+    TRAIN bands against EVAL bands only (never within a side), verify is
+    the same exact rounded cosine, output = surviving train rows."""
+    planes = similarity.rademacher_planes(bands * bits_per_band, dim, seed)
+
+    def dot(p):
+        return (
+            "list_dot_product(vm, ["
+            + ",".join(str(int(x)) for x in p)
+            + "])"
+        )
+
+    keys = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN {dot(planes[b * bits_per_band + j])} >= 0"
+            f" THEN {2 ** j} ELSE 0 END)"
+            for j in range(bits_per_band)
+        )
+        keys.append(f"({bits}) AS k{b}")
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, side, {b} AS band, k{b} AS key FROM sig"
+        for b in range(bands)
+    )
+    cos = (
+        "round(list_dot_product(ta.v, eb.v)"
+        " / (sqrt(list_dot_product(ta.v, ta.v))"
+        " * sqrt(list_dot_product(eb.v, eb.v))), 6)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label,
+                  CASE WHEN {eval_pred} THEN 'e' ELSE 't' END AS side,
+                  [x::DOUBLE for x in embedding] AS v,
+                  [round(x::DOUBLE * 1000000)::BIGINT for x in embedding] AS vm
+           FROM embeddings
+           WHERE ({eval_pred}) OR ({train_pred})),
+sig AS (SELECT vec_id, side, {", ".join(keys)} FROM e),
+bands AS ({band_union}),
+cand AS (SELECT DISTINCT t.vec_id AS train_id, ev.vec_id AS eval_id
+         FROM bands t JOIN bands ev
+           ON t.band = ev.band AND t.key = ev.key
+         WHERE t.side = 't' AND ev.side = 'e'),
+dirty AS (
+  SELECT DISTINCT train_id
+  FROM cand JOIN e ta ON ta.vec_id = cand.train_id
+            JOIN e eb ON eb.vec_id = cand.eval_id
+  WHERE {cos} >= {threshold})
+SELECT vec_id, label FROM embeddings
+WHERE ({train_pred}) AND vec_id NOT IN (SELECT train_id FROM dirty)
+"""
+
+
+@query(
+    "z162_semantic_decontaminate",
+    oracle=_signlsh_cross_oracle(
+        threshold=0.4, bands=12, bits_per_band=6, dim=64,
+        eval_pred="label = 0", train_pred="label != 0",
+    ),
+    description=(
+        "SEMANTIC decontamination: drop training vectors whose "
+        "embedding sits within cosine 0.40 of any held-out eval (label "
+        "0) vector -- the paraphrase-leakage complement of the lexical "
+        "8-gram screen (q48/z15): reworded eval items share no n-grams "
+        "but land next to the eval point in embedding space. Cross-set "
+        "banded sign-LSH (same deterministic Rademacher planes as z19, "
+        "integer-micros sign bits, NO within-side pairs ever formed) + "
+        "exact left-to-right-fold cosine verify of candidates only; "
+        "eval band table broadcast (eval sets are small by nature). "
+        "Oracle replicates banding and verify bit-for-bit"
+    ),
+)
+def z162(spark, sf_dir):
+    from ..operators.similarity import semantic_decontaminate
+
+    emb = load(spark, "embeddings", sf_dir)
+    return semantic_decontaminate(
+        emb.filter(F.col("label") != 0),
+        emb.filter(F.col("label") == 0),
+        threshold=0.4,
+    ).select("vec_id", "label")

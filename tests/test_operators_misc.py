@@ -4563,3 +4563,37 @@ def test_theil_sen_permutation_and_day_shift_invariant(spark):
         "ts timestamp, event_type string, value double",
     )
     assert theil_sen_slope(shifted).collect()[0]["slope_micros_per_day"] == base
+
+
+def test_semantic_decontaminate_planted_leak(spark):
+    """A train vector equal (and one nearly equal) to an eval vector is
+    dropped; orthogonal vectors survive; no eval-eval or train-train
+    pair can cause a drop."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    d = 64
+
+    def unit(i):
+        v = [0.0] * d
+        v[i] = 1.0
+        return v
+
+    near = unit(0)
+    near[1] = 0.2  # cos ~ 0.98 vs unit(0)
+    eval_rows = [(1000, unit(0), 0), (1001, unit(1), 0)]
+    train_rows = [
+        (1, unit(0), 1),      # exact leak -> dropped
+        (2, near, 1),         # near leak -> dropped
+        (3, unit(2), 1),      # orthogonal -> kept
+        (4, unit(3), 1),      # orthogonal -> kept (even though 3 ~ 4
+                              # are both train: within-side never drops)
+    ]
+    schema = "vec_id long, embedding array<float>, label int"
+    out = semantic_decontaminate(
+        spark.createDataFrame(train_rows, schema),
+        spark.createDataFrame(eval_rows, schema),
+        threshold=0.9,
+    )
+    assert sorted(r["vec_id"] for r in out.collect()) == [3, 4]
