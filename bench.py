@@ -179,6 +179,8 @@ HEADLINE = [
     "z160_seasonal_anomaly",
     "z161_activity_streaks",
     "z162_semantic_decontaminate",
+    "z163_gini_concentration",
+    "z164_ab_test_gate",
 ]
 
 

@@ -230,3 +230,81 @@ scan AS (
 SELECT * EXCLUDE (prior) FROM scan
 WHERE prior IS NULL OR {y} > prior
 """
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Gini coefficient of a nonnegative integer measure per group --
+    the concentration/inequality readout (how top-heavy is revenue per
+    nation, token mass per source, traffic per host) behind the z74
+    Pareto deciles: one number per group, comparable across groups.
+
+    Formula: G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x)) with
+    x_(i) ascending. EXACT: the rank weight makes tie ORDER irrelevant
+    (equal x values contribute x*sum(ranks) however the tie breaks --
+    the id tiebreak is belt-and-braces determinism), products lift to
+    DECIMAL(38,0), output is one HALF_UP integer-micros ratio. One
+    rank window per group over the group-bounded measure rows + one
+    aggregate; groups with zero total are NULL (undefined).
+    """
+    from ..functions.exactnum import floordiv_nonneg
+
+    w = W.partitionBy(group_col).orderBy(value_col, id_col)
+    wn = W.partitionBy(group_col)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ranked = df.select(
+        group_col,
+        F.col(value_col).alias("_x"),
+        F.row_number().over(w).alias("_i"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+        F.sum(value_col).over(wn).alias("_s"),
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.max("_n").cast("decimal(38,0)").alias("n"),
+        F.max("_s").cast("decimal(38,0)").alias("s"),
+        F.sum(d38(F.col("_i")) * d38(F.col("_x"))).alias("ixs"),
+    )
+    num = F.lit(2).cast("decimal(38,0)") * F.col("ixs") - (
+        F.col("n") + 1
+    ) * F.col("s")
+    den = F.col("n") * F.col("s")
+    gini = floordiv_nonneg(
+        F.lit(2_000_000).cast("decimal(38,0)") * num + den,
+        F.lit(2).cast("decimal(38,0)") * den,
+    )
+    return agg.select(
+        group_col,
+        F.col("n").cast("long").alias("n_members"),
+        F.when(F.col("s") > 0, gini).alias("gini_micros"),
+    )
+
+
+def gini_oracle_sql(
+    members_sql: str, value: str = "x", group: str = "g", id_col: str = "k"
+) -> str:
+    """DuckDB twin of :func:`gini_concentration`. ``members_sql`` must
+    yield (group, id, value) with value a nonnegative BIGINT."""
+    return f"""
+WITH m AS ({members_sql}),
+ranked AS (
+  SELECT {group}, {value},
+         row_number() OVER (PARTITION BY {group}
+                            ORDER BY {value}, {id_col}) AS i,
+         count(*) OVER (PARTITION BY {group}) AS n,
+         sum({value}) OVER (PARTITION BY {group}) AS s
+  FROM m),
+agg AS (
+  SELECT {group}, max(n)::HUGEINT AS n, max(s)::HUGEINT AS s,
+         sum(i::HUGEINT * {value}::HUGEINT) AS ixs
+  FROM ranked GROUP BY {group})
+SELECT {group}, n::BIGINT AS n_members,
+       CASE WHEN s > 0 THEN
+         ((2000000::HUGEINT * (2 * ixs - (n + 1) * s) + n * s)
+          // (2::HUGEINT * n * s))::BIGINT
+       END AS gini_micros
+FROM agg
+"""

@@ -1037,3 +1037,143 @@ def z161(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", "streak_days", "run_start", "run_end")
     )
+
+
+from ..operators.rollup import gini_oracle_sql as _gini_sql  # noqa: E402
+
+_Z163_MEMBERS_SQL = """
+SELECT c.c_nationkey AS g, c.c_custkey AS k,
+       (sum(CAST(o.o_totalprice AS DECIMAL(25,6))) * 1000000)::BIGINT AS x
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "z163_gini_concentration",
+    oracle=_gini_sql(_Z163_MEMBERS_SQL),
+    description=(
+        "Gini coefficient of customer revenue per nation -- the "
+        "concentration/inequality readout behind z74's Pareto deciles, "
+        "one comparable number per group. Exact end to end: ascending "
+        "rank-weighted sum (tie ORDER provably irrelevant -- equal "
+        "values contribute value * sum(ranks) either way), "
+        "DECIMAL(38,0)-lifted products, ONE HALF_UP integer-micros "
+        "ratio. One group-partitioned rank window over group-bounded "
+        "members + one aggregate"
+    ),
+)
+def z163(spark, sf_dir):
+    from ..operators.rollup import gini_concentration
+
+    c = load(spark, "customer", sf_dir)
+    o = load(spark, "orders", sf_dir)
+    rev = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("g"), F.col("c_custkey").alias("k")
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 1_000_000)
+            .cast("long")
+            .alias("x")
+        )
+    )
+    return gini_concentration(rev, "x", "g", "k")
+
+
+@query(
+    "z164_ab_test_gate",
+    oracle="""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+  FROM events GROUP BY 1),
+counts AS (
+  SELECT
+    sum(CASE WHEN arm = 0 AND np >= 14 THEN 1 ELSE 0 END)::BIGINT AS a,
+    sum(CASE WHEN arm = 0 AND np < 14 THEN 1 ELSE 0 END)::BIGINT AS b,
+    sum(CASE WHEN arm = 1 AND np >= 14 THEN 1 ELSE 0 END)::BIGINT AS c,
+    sum(CASE WHEN arm = 1 AND np < 14 THEN 1 ELSE 0 END)::BIGINT AS d
+  FROM u)
+SELECT a, b, c, d,
+       (a + b + c + d)::BIGINT AS n,
+       ((a*d - b*c) * (a*d - b*c))::BIGINT AS num_sq,
+       ((a+b) * (c+d) * (a+c) * (b+d))::BIGINT AS den,
+       (100::HUGEINT * (a + b + c + d)
+          * ((a::HUGEINT * d - b::HUGEINT * c)
+             * (a::HUGEINT * d - b::HUGEINT * c))
+        >= 384::HUGEINT * ((a+b)::HUGEINT * (c+d) * (a+c) * (b+d)))
+         AS significant_95
+FROM counts
+""",
+    description=(
+        "exact-integer A/B significance gate: 2x2 conversion table "
+        "(arm = user hash parity, converted = >= 14 purchase events) "
+        "with the chi-square test DENOMINATOR-CLEARED -- "
+        "100*n*(ad-bc)^2 >= 384*(row/col products) IS chi2 >= 3.84 "
+        "(p < .05, 1 dof) with zero division, zero floats, zero "
+        "rounding: the ship/no-ship boolean is bit-identical by "
+        "construction. Emits the table and both cleared sides so the "
+        "effect size is auditable. One user-keyed aggregate + one "
+        "1-row reduction"
+    ),
+)
+def z164(spark, sf_dir):
+    e = load(spark, "events", sf_dir)
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("np")
+    ).select(
+        (F.col("user_id") % 2).alias("arm"),
+        (F.col("np") >= 14).alias("conv"),
+    )
+    counts = u.agg(
+        F.sum(F.when((F.col("arm") == 0) & F.col("conv"), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("arm") == 0) & ~F.col("conv"), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("arm") == 1) & F.col("conv"), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("arm") == 1) & ~F.col("conv"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    # the BOOLEAN runs in DECIMAL(38,0) (HUGEINT on the oracle side):
+    # 100*n*(ad-bc)^2 tops out ~n^5/16, so int64 would wrap near
+    # n ~ 2e3 of IMBALANCE at a billion users; decimal carries the gate
+    # to n ~ 1e9. The emitted num_sq/den stay BIGINT for the audit
+    # readout (valid to n ~ 1e5 -- documented envelope; the decision
+    # bit is the scale-safe part).
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    ad_bc = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    ad_bc_d = d38(F.col("a")) * d38(F.col("d")) - d38(F.col("b")) * d38(
+        F.col("c")
+    )
+    den = (
+        (F.col("a") + F.col("b"))
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    )
+    den_d = (
+        d38(F.col("a") + F.col("b"))
+        * d38(F.col("c") + F.col("d"))
+        * d38(F.col("a") + F.col("c"))
+        * d38(F.col("b") + F.col("d"))
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    return counts.select(
+        "a", "b", "c", "d",
+        n.alias("n"),
+        (ad_bc * ad_bc).cast("long").alias("num_sq"),
+        den.cast("long").alias("den"),
+        (
+            F.lit(100).cast("decimal(38,0)") * d38(n) * ad_bc_d * ad_bc_d
+            >= F.lit(384).cast("decimal(38,0)") * den_d
+        ).alias("significant_95"),
+    )

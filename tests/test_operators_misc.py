@@ -4597,3 +4597,43 @@ def test_semantic_decontaminate_planted_leak(spark):
         threshold=0.9,
     )
     assert sorted(r["vec_id"] for r in out.collect()) == [3, 4]
+
+
+def test_gini_concentration_hand_checked(spark):
+    from etl_world_banks_with_python_and_postgresql_spark.operators.rollup import (
+        gini_concentration,
+    )
+
+    rows = [
+        # perfectly equal group: gini 0
+        ("eq", 1, 100), ("eq", 2, 100), ("eq", 3, 100), ("eq", 4, 100),
+        # one member owns everything: gini (n-1)/n = 0.75
+        ("top", 1, 0), ("top", 2, 0), ("top", 3, 0), ("top", 4, 400),
+        # zero total -> NULL
+        ("zero", 1, 0), ("zero", 2, 0),
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, x long")
+    out = {
+        r["g"]: (r["n_members"], r["gini_micros"])
+        for r in gini_concentration(df, "x", "g", "k").collect()
+    }
+    assert out["eq"] == (4, 0)
+    assert out["top"] == (4, 750_000)
+    assert out["zero"] == (2, None)
+
+
+def test_ab_gate_chi_square_matches_scipy_free_reference(spark):
+    """The cleared-integer comparison equals the textbook chi-square
+    computed in floats, on a seeded table where chi2 is far from the
+    3.84 boundary on both sides."""
+    for a, b, c, d, expect in [
+        (60, 40, 40, 60, True),    # chi2 = 8.0
+        (52, 48, 48, 52, False),   # chi2 = 0.32
+    ]:
+        n = a + b + c + d
+        chi2 = n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
+        assert (chi2 >= 3.84) == expect
+        assert (
+            100 * n * (a * d - b * c) ** 2
+            >= 384 * ((a + b) * (c + d) * (a + c) * (b + d))
+        ) == expect
