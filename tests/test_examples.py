@@ -33,6 +33,7 @@ EXAMPLES = {
     "data_quality_pipeline.py": [SF_SMALL],
     "dedup_ingest_pipeline.py": [SF_SMALL],
     "embedding_pipeline.py": [SF_SMALL],
+    "graph_analytics.py": [SF_SMALL],
     "ivf_tuning.py": [SF_SMALL],
     "retrieval_pipeline.py": [SF_SMALL],
     "train_corpus_pipeline.py": [SF_SMALL],
