@@ -182,8 +182,13 @@ def triangle_counts(
     MapReduce algorithm -- the standard way to count triangles without
     hub blowup): canonicalize edges to (min, max) distinct pairs, orient
     every edge from its lower-(degree, id) endpoint to the higher, then
-    each triangle is exactly ONE wedge (s->t1, s->t2, t1 < t2 in
-    orientation order) whose closing edge (t1 -> t2) exists.
+    each triangle is exactly ONE wedge (s->t1, s->t2, t1 < t2 by node
+    id) whose closing edge between t1 and t2 exists in the oriented
+    set. The wedge pair is ordered by NODE ID while the closing edge is
+    oriented by (DEGREE, id), and the two orders can disagree -- so the
+    closing edge must be matched in EITHER orientation (each unordered
+    pair appears in the oriented set exactly once, so this cannot
+    double-count).
 
     Why orientation matters at 100 TB: wedge work is sum over nodes of
     out-degree^2, and orienting by degree caps every out-degree at
@@ -225,7 +230,12 @@ def triangle_counts(
     w1 = o.select(F.col("s"), F.col("t").alias("t1"))
     w2 = o.select(F.col("s"), F.col("t").alias("t2"))
     wedges = w1.join(w2, "s").filter(F.col("t1") < F.col("t2"))
-    closing = o.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    # closing edges are (degree, id)-oriented; wedges are id-ordered --
+    # match both orientations or triangles whose closing edge's
+    # lower-(degree,id) endpoint has the HIGHER id are silently dropped
+    closing = o.select(
+        F.col("s").alias("t1"), F.col("t").alias("t2")
+    ).unionByName(o.select(F.col("t").alias("t1"), F.col("s").alias("t2")))
     tri = wedges.join(closing, ["t1", "t2"])
     member = tri.select(
         F.explode(F.array("s", "t1", "t2")).alias("node")
@@ -249,10 +259,12 @@ deg AS (SELECT node, count(*) AS d FROM (
 o AS (SELECT CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.u ELSE e0.v END AS s,
              CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.v ELSE e0.u END AS t
       FROM e0 JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v),
+c2 AS (SELECT s AS t1, t AS t2 FROM o
+       UNION ALL SELECT t AS t1, s AS t2 FROM o),
 tri AS (SELECT w1.s AS a, w1.t1 AS b, w2.t1 AS c
         FROM (SELECT s, t AS t1 FROM o) w1
         JOIN (SELECT s, t AS t1 FROM o) w2 ON w1.s = w2.s AND w1.t1 < w2.t1
-        JOIN o e ON e.s = w1.t1 AND e.t = w2.t1),
+        JOIN c2 e ON e.t1 = w1.t1 AND e.t2 = w2.t1),
 member AS (SELECT unnest([a, b, c]) AS node FROM tri)
 SELECT node, count(*)::BIGINT AS n_triangles
 FROM member GROUP BY node
@@ -288,7 +300,8 @@ def connected_components(
     wrong-label output is never an option.
 
     Returns (node, component) with component = the min node id of the
-    component -- every node of the input appears exactly once.
+    component -- every node of the input appears exactly once (a node
+    seen only in self-loop edges is its own singleton component).
     """
     e0 = (
         edges.select(
@@ -299,9 +312,17 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # node universe must include nodes seen ONLY in self-loop edges
+    # (dropped from e0 by the a < b filter); the main legs read the
+    # checkpointed e0 so the upstream edge plan is re-executed only for
+    # the cheap filtered self-loop leg
+    loops = edges.filter(F.col(src) == F.col(dst)).select(
+        F.col(src).alias("node")
+    )
     nodes = (
         e0.select(F.col("a").alias("node"))
         .unionByName(e0.select(F.col("b").alias("node")))
+        .unionByName(loops)
         .distinct()
         .localCheckpoint()
     )
@@ -377,7 +398,7 @@ WITH RECURSIVE raw AS ({edges_sql}),
 e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
       FROM raw WHERE least(src, dst) < greatest(src, dst)),
 sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
-nodes AS (SELECT u AS node FROM sym UNION SELECT v FROM sym),
+nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
 reach AS (
   SELECT node, node AS lbl FROM nodes
   UNION

@@ -111,6 +111,11 @@ def bloom_lookup(
     if sidecar is None:
         raise FileNotFoundError(f"no bloom index for {key_col} at {path}")
     m_bits, n_hashes = sidecar["m_bits"], sidecar["n_hashes"]
+    if not values:
+        # empty probe set: nothing can match; keep the table schema
+        return spark.read.parquet(os.path.join(path, "data")).filter(
+            F.lit(False)
+        )
     probe = spark.createDataFrame(
         [(v,) for v in values], f"{key_col} {'string' if isinstance(values[0], str) else 'long'}"
     )

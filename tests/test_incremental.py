@@ -859,3 +859,7 @@ def test_bloom_index_lookup_matches_full_scan_and_prunes(spark, tmp_path):
     assert 0 < len(touched) < 16
     # the absent key reads nothing
     assert bloom_lookup(spark, path, "o_custkey", [999_999_999]).inputFiles() == []
+    # an EMPTY probe list is a valid query: 0 rows, table schema, no error
+    empty = bloom_lookup(spark, path, "o_custkey", [])
+    assert empty.count() == 0
+    assert empty.schema == full.schema

@@ -4274,6 +4274,54 @@ def test_triangle_counts_hand_checked(spark):
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
 
 
+def test_triangle_counts_closing_edge_orientation_disagrees(spark):
+    """Regression: the closing edge of a wedge is (degree, id)-oriented
+    while wedge endpoints are id-ordered. In this graph the triangle
+    {1,2,3} has closing edge (2,3) stored as 3->2 (deg(3)=2 < deg(2)=4),
+    so a join that only matches (t1=2, t2=3) drops the triangle."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (2, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_random_vs_bruteforce(spark):
+    """Random graphs vs itertools ground truth -- exercises every
+    degree/id orientation disagreement the hand tests might miss."""
+    import itertools
+    import random
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = 12
+        edges = sorted(
+            {
+                tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                for _ in range(20 + 6 * trial)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        es = set(edges)
+        want = {}
+        for a, b, c in itertools.combinations(range(n), 3):
+            if (a, b) in es and (a, c) in es and (b, c) in es:
+                for x in (a, b, c):
+                    want[x] = want.get(x, 0) + 1
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+        }
+        assert got == want, f"trial {trial}: {sorted(edges)}"
+
+
 def test_holt_forecast_hand_checked_and_constant_series(spark):
     import datetime
 
@@ -4362,6 +4410,15 @@ def test_connected_components_path_and_random_vs_union_find(spark):
     df = spark.createDataFrame(path, "src long, dst long")
     out = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert out == {i: 0 for i in range(64)}
+
+    # a node seen ONLY in a self-loop edge is its own singleton
+    # component (regression: the a < b canonicalization used to drop it
+    # from the node universe entirely)
+    df = spark.createDataFrame(
+        [(1, 2), (9, 9)], "src long, dst long"
+    )
+    out = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert out == {1: 1, 2: 1, 9: 9}
 
     # random graphs vs union-find ground truth
     rng = random.Random(7)
