@@ -181,6 +181,8 @@ HEADLINE = [
     "z162_semantic_decontaminate",
     "z163_gini_concentration",
     "z164_ab_test_gate",
+    # round-12: Hilbert at-rest layout probe (recurring pruned-read cost)
+    "z165_hilbert_layout_probe",
 ]
 
 

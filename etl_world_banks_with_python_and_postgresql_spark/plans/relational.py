@@ -2585,6 +2585,63 @@ def z146(spark, sf_dir):
     )
 
 
+@query(
+    "z165_hilbert_layout_probe",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE (o_custkey % 256) BETWEEN 32 AND 95
+  AND (o_orderkey % 256) BETWEEN 96 AND 159
+""",
+    description=(
+        "2-D box query served from an AT-REST Hilbert-laid-out export "
+        "(write_zordered curve='hilbert', the z115/z128 build/probe "
+        "split applied to data layout): candidate files come from a "
+        "pure manifest scan of per-file natural-column [min,max] boxes, "
+        "the probe reads ONLY those files, and the entry fails loudly "
+        "if the layout stopped pruning (candidates == all files). The "
+        "Hilbert key tightens the candidate set vs Morton on the same "
+        "file count (pinned by the layout A/B test); result rows are "
+        "bit-exact to the full-scan filter by pruning soundness"
+    ),
+)
+def z165(spark, sf_dir):
+    import os
+
+    from ..sources.sinks import write_zordered, zorder_candidate_files
+
+    def build(path: str) -> None:
+        o = load(spark, "orders", sf_dir).select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("o_custkey") % 256).alias("ka"),
+            (F.col("o_orderkey") % 256).alias("kb"),
+        )
+        write_zordered(
+            o, path, "ka", "kb", n_files=16, bits=8, curve="hilbert"
+        )
+
+    path = cached_index(sf_dir, "hilbert_layout_orders", "orders", build)
+    a_range, b_range = (32, 95), (96, 159)
+    cand = zorder_candidate_files(path, a_range, b_range)
+    import json as _json
+
+    with open(os.path.join(path, "_zorder.json")) as fh:
+        n_total = len(_json.load(fh))
+    if not cand or len(cand) >= n_total:
+        raise RuntimeError(
+            f"hilbert layout stopped pruning: {len(cand)}/{n_total} "
+            "candidate files for a quarter-space box probe"
+        )
+    return (
+        spark.read.parquet(*cand)
+        .filter(
+            F.col("ka").between(*a_range) & F.col("kb").between(*b_range)
+        )
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
 from ..operators.constraints import k_anonymity_oracle_sql as _kanon_sql  # noqa: E402
 
 _Z154_LEVELS_SQL = [

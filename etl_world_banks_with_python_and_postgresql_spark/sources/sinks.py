@@ -217,14 +217,28 @@ def write_range_partitioned(
 
 
 def write_zordered(
-    df, path: str, col_a: str, col_b: str, n_files: int = 16, bits: int = 16
+    df,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    bits: int = 16,
+    curve: str = "morton",
 ) -> list[dict]:
-    """Z-ordered parquet export: range-partition + sort by the Morton
-    interleave of two integer columns, so each output file covers a tight
-    2-D neighborhood and a per-file manifest of BOTH columns' [min, max]
-    turns any 2-D box query into a small candidate file set -- the
-    multi-column pruning layout a single-column range export
+    """Space-filling-curve parquet export: range-partition + sort by the
+    interleave key of two integer columns, so each output file covers a
+    tight 2-D neighborhood and a per-file manifest of BOTH columns'
+    [min, max] turns any 2-D box query into a small candidate file set
+    -- the multi-column pruning layout a single-column range export
     (:func:`write_range_partitioned`) cannot provide.
+
+    ``curve`` picks the layout key: ``'morton'`` (Z-order bit
+    interleave; Delta ZORDER shape) or ``'hilbert'`` (Hilbert curve;
+    consecutive keys are ALWAYS adjacent cells, so the same file count
+    covers tighter 2-D boxes and box queries prune to fewer candidates
+    -- the reason Iceberg/Hudi offer Hilbert above Z-order). The
+    manifest and candidate selection are identical either way: pruning
+    reads per-file natural-column [min, max] boxes, never the key.
 
     Returns (and writes to ``_zorder.json``) the manifest:
     ``[{file, a_min, a_max, b_min, b_max, rows}, ...]``. Candidate
@@ -237,9 +251,12 @@ def write_zordered(
     import json
     import os
 
-    from ..functions.xhash import zorder_key
+    from ..functions.xhash import hilbert_key, zorder_key
 
-    zk = zorder_key(F.col(col_a), F.col(col_b), bits)
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(f"unknown curve {curve!r}: morton | hilbert")
+    key_fn = hilbert_key if curve == "hilbert" else zorder_key
+    zk = key_fn(F.col(col_a), F.col(col_b), bits)
     (
         df.withColumn("_zk", zk)
         .repartitionByRange(n_files, F.col("_zk"))

@@ -1412,6 +1412,73 @@ def test_zorder_layout_prunes_2d_box_queries(spark, tmp_path):
     assert len(cand_b) < len(manifest)
 
 
+def test_hilbert_layout_prunes_fewer_files_than_morton(spark, tmp_path):
+    """curve='hilbert' on write_zordered: over a grid of 2-D box probes
+    the Hilbert layout's candidate file total is STRICTLY smaller than
+    Morton's on the same data / file count / probes (the locality edge
+    the adjacency property promises), and every probe stays sound
+    (candidates-only read == full filter)."""
+    from etl_world_banks_with_python_and_postgresql_spark.sources.sinks import (
+        write_zordered,
+        zorder_candidate_files,
+    )
+
+    o = load(spark, "orders", SF).select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("ka"),
+        (F.col("o_orderkey") % 256).alias("kb"),
+    )
+    paths = {}
+    for curve in ("morton", "hilbert"):
+        p = str(tmp_path / curve)
+        m = write_zordered(o, p, "ka", "kb", n_files=16, bits=8, curve=curve)
+        assert len(m) >= 8
+        paths[curve] = p
+
+    # 16 square box probes tiling the key space
+    probes = [
+        ((a, a + 63), (b, b + 63))
+        for a in (0, 64, 128, 192)
+        for b in (0, 64, 128, 192)
+    ]
+    totals = {"morton": 0, "hilbert": 0}
+    for curve, p in paths.items():
+        for a_range, b_range in probes:
+            cand = zorder_candidate_files(p, a_range, b_range)
+            totals[curve] += len(cand)
+            got = sorted(
+                r[0]
+                for r in (
+                    spark.read.parquet(*cand)
+                    .filter(
+                        F.col("ka").between(*a_range)
+                        & F.col("kb").between(*b_range)
+                    )
+                    .select("o_orderkey")
+                    .collect()
+                    if cand
+                    else []
+                )
+            )
+            want = sorted(
+                r[0]
+                for r in o.filter(
+                    F.col("ka").between(*a_range)
+                    & F.col("kb").between(*b_range)
+                )
+                .select("o_orderkey")
+                .collect()
+            )
+            assert got == want, (curve, a_range, b_range)
+    assert totals["hilbert"] < totals["morton"], totals
+
+    # unknown curve is rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_zordered(o, str(tmp_path / "x"), "ka", "kb", curve="peano")
+
+
 def test_posting_index_equivalence_and_pruning(spark, tmp_path):
     """write_posting_index serves BOTH retrieval forms bit-identically to
     their scan twins, and the probe read partition-prunes to the query
