@@ -183,6 +183,8 @@ HEADLINE = [
     "z164_ab_test_gate",
     # round-12: Hilbert at-rest layout probe (recurring pruned-read cost)
     "z165_hilbert_layout_probe",
+    # round-12: sparsified triangle estimate (the cost cliff vs exact z144)
+    "z166_triangle_estimate",
 ]
 
 

@@ -271,6 +271,97 @@ FROM member GROUP BY node
 """
 
 
+def triangle_estimate(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    sample_denom: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """DOULION-style (Tsourakakis et al., KDD'09) sparsified global
+    triangle estimate: keep each canonical edge independently with
+    probability p = 1/``sample_denom`` via a deterministic md5 coin on
+    (u, v, seed), count triangles EXACTLY on the sparsified graph
+    (:func:`triangle_counts`), and scale by 1/p^3 = sample_denom^3.
+    E[kept-triangle count] = p^3 * true count, so the scaled estimate is
+    unbiased (pinned by the multi-seed test against the exact count).
+
+    Why it exists next to the exact z144 path: the exact count is
+    O(|E|^1.5) -- a batch job at 100 TB -- while the sparsified graph
+    has p*|E| edges and the same algorithm costs O((p|E|)^1.5) =
+    p^1.5 * the exact cost (8x fewer at p=1/4), the HLL-next-to-exact-
+    distinct trade. The coin is a hash, not an RNG: reruns and the
+    DuckDB oracle (:func:`triangle_estimate_oracle_sql`) see the same
+    sample, and ``sample_denom=1`` degenerates to the exact count.
+
+    Returns ONE row: (n_edges_kept, sampled_triangles, est_triangles),
+    exact integers.
+    """
+    if sample_denom < 1:
+        raise ValueError("sample_denom must be >= 1")
+    from ..functions.xhash import md5_hash32
+
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    coin = (
+        md5_hash32(
+            F.concat_ws(":", F.col("u"), F.col("v"), F.lit(seed))
+        )
+        % sample_denom
+        == 0
+    )
+    kept = e0.filter(coin).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    n_kept = kept.agg(F.count(F.lit(1)).alias("n_edges_kept"))
+    tri = triangle_counts(kept).agg(
+        F.coalesce(F.expr("sum(n_triangles) div 3"), F.lit(0))
+        .cast("long")
+        .alias("sampled_triangles")
+    )
+    scale = sample_denom**3
+    # two 1-row aggregates -> one summary row (whitelisted broadcast)
+    return n_kept.crossJoin(F.broadcast(tri)).select(
+        "n_edges_kept",
+        "sampled_triangles",
+        (F.col("sampled_triangles") * F.lit(scale))
+        .cast("long")
+        .alias("est_triangles"),
+    )
+
+
+def triangle_estimate_oracle_sql(
+    edges_sql: str, sample_denom: int = 4, seed: int = 0
+) -> str:
+    """DuckDB twin of :func:`triangle_estimate`: same canonicalization,
+    same md5 coin (first 8 hex digits as BIGINT, the MD5_HASH32 idiom),
+    same exact count on the sample, same integer scale."""
+    kept_sql = f"""
+  SELECT u AS src, v AS dst FROM (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM ({edges_sql}) raw0
+    WHERE least(src, dst) < greatest(src, dst)) e00
+  WHERE ('0x' || substr(md5(u::VARCHAR || ':' || v::VARCHAR || ':' || '{seed}'),
+                        1, 8))::BIGINT % {sample_denom} = 0"""
+    counts = triangle_oracle_sql(kept_sql)
+    scale = sample_denom**3
+    return f"""
+WITH counts AS ({counts}),
+kept AS ({kept_sql})
+SELECT (SELECT count(*) FROM kept)::BIGINT AS n_edges_kept,
+       t.sampled_triangles,
+       (t.sampled_triangles * {scale})::BIGINT AS est_triangles
+FROM (SELECT coalesce(sum(n_triangles) // 3, 0)::BIGINT
+             AS sampled_triangles FROM counts) t
+"""
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

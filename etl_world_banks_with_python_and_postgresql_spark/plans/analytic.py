@@ -828,6 +828,40 @@ def z144(spark, sf_dir):
     )
 
 
+from ..operators.graph import (  # noqa: E402
+    triangle_estimate_oracle_sql as _tri_est_sql,
+)
+
+
+@query(
+    "z166_triangle_estimate",
+    oracle=_tri_est_sql(_TRI_EDGES_SQL, sample_denom=4, seed=0),
+    description=(
+        "DOULION sparsified triangle estimate over the same part "
+        "co-purchase graph as exact z144: each canonical edge kept with "
+        "p=1/4 by a deterministic md5 coin (reruns and the oracle see "
+        "the same sample), exact compact-forward count on the "
+        "sparsified graph, scaled by 1/p^3 -- the estimate costs "
+        "p^1.5 = 1/8 of the exact job's O(|E|^1.5) wedge work, the "
+        "HLL-next-to-exact-distinct trade for interactive triangle "
+        "density at 100 TB. Unbiasedness pinned by the multi-seed test; "
+        "sample_denom=1 degenerates to the exact count. One summary "
+        "row, exact integers"
+    ),
+)
+def z166(spark, sf_dir):
+    from ..operators.graph import triangle_estimate
+
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("_pb"))
+    edges = (
+        li.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("_pb"))
+        .select(F.col("l_partkey").alias("src"), F.col("_pb").alias("dst"))
+    )
+    return triangle_estimate(edges, sample_denom=4, seed=0)
+
+
 from ..operators.graph import cc_oracle_sql as _cc_sql  # noqa: E402
 
 # parts co-purchased in >= 2 distinct orders: sparse enough to have

@@ -4389,6 +4389,52 @@ def test_triangle_counts_random_vs_bruteforce(spark):
         assert got == want, f"trial {trial}: {sorted(edges)}"
 
 
+def test_triangle_estimate_unbiased_and_exact_at_denom_one(spark):
+    """DOULION sparsified estimate: sample_denom=1 IS the exact count,
+    and the multi-seed mean of the denom=2 estimate lands within 20% of
+    the exact count (unbiasedness; the md5 coin makes every number here
+    deterministic, so this can never flake)."""
+    import random
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.graph import (
+        triangle_counts,
+        triangle_estimate,
+    )
+
+    rng = random.Random(3)
+    n = 36
+    edges = sorted(
+        {
+            tuple(sorted((rng.randrange(n), rng.randrange(n))))
+            for _ in range(260)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long").cache()
+    exact = (
+        triangle_counts(df)
+        .agg(F.expr("sum(n_triangles) div 3").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert exact > 50  # the graph is triangle-rich enough to test on
+
+    r1 = triangle_estimate(df, sample_denom=1).collect()[0]
+    assert r1["n_edges_kept"] == len(edges)
+    assert r1["sampled_triangles"] == exact == r1["est_triangles"]
+
+    ests = [
+        triangle_estimate(df, sample_denom=2, seed=s).collect()[0][
+            "est_triangles"
+        ]
+        for s in range(10)
+    ]
+    mean = sum(ests) / len(ests)
+    assert abs(mean - exact) / exact < 0.20, (mean, exact, ests)
+    # individual estimates scatter but stay in a sane band
+    assert all(0 < e < 4 * exact for e in ests), ests
+    df.unpersist()
+
+
 def test_holt_forecast_hand_checked_and_constant_series(spark):
     import datetime
 

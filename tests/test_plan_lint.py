@@ -61,6 +61,9 @@ WHITELIST = {
     # the global triangle total is ONE broadcast row crossed into the
     # top-20 output
     "z144_triangle_count": "scalar-aggregate total (1-row broadcast side)",
+    # two 1-row aggregates (kept-edge count x sampled-triangle total)
+    # crossed into the single summary row
+    "z166_triangle_estimate": "two 1-row aggregate sides crossed",
     # level-2 frontier scan: its input is the checkpointed UNION OF
     # PER-BUCKET FRONTIERS (level 1 is bucket-partitioned), bounded by
     # the survivor count, never by the corpus
