@@ -2609,3 +2609,155 @@ def z149(spark, sf_dir):
         ).alias("text"),
     )
     return sentence_stats(aug)
+
+
+# ---------------------------------------------------------------------
+# URL canonicalization + per-domain corpus rollup (VERDICT r11 #3: the
+# CCNet-style domain grouping). The corpus has no URL column, so both
+# engines synthesize the SAME url string from table values (q88/z141
+# injection precedent) -- five variants covering case folding, default
+# and non-default ports, tracking params, fragments, scheme-less
+# references, mirror-prefix hosts, and a second-level TLD.
+# ---------------------------------------------------------------------
+
+from ..operators import web as _web  # noqa: E402
+
+_Z167_URL_SQL = """
+SELECT doc_id, n_chars,
+  CASE doc_id % 5
+    WHEN 0 THEN 'HTTPS://WWW.' || source || '.COM:443/d/' || doc_id
+                || '?utm_source=feed&id=' || doc_id
+    WHEN 1 THEN 'http://m.' || source || '.org:8080/a/' || (doc_id % 7)
+                || '?b=2&a=1&ref=tw'
+    WHEN 2 THEN 'https://cdn.' || source || '.co.uk/x/y.html#sec' || doc_id
+    WHEN 3 THEN source || '.net/plain'
+    ELSE 'http://' || source || '.com:80/q?z=9&utm_campaign=x&y=1#f'
+  END AS url
+FROM documents
+"""
+
+_Z167_HOST_SQL = _web.canonical_host_sql("url")
+
+
+def _z167_url_col():
+    d = F.col("doc_id")
+    s = F.col("source")
+    ds = d.cast("string")
+    return (
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW."), s, F.lit(".COM:443/d/"), ds,
+                F.lit("?utm_source=feed&id="), ds,
+            ),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit("http://m."), s, F.lit(".org:8080/a/"),
+                (d % 7).cast("string"), F.lit("?b=2&a=1&ref=tw"),
+            ),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(
+                F.lit("https://cdn."), s, F.lit(".co.uk/x/y.html#sec"), ds
+            ),
+        )
+        .when(d % 5 == 3, F.concat(s, F.lit(".net/plain")))
+        .otherwise(
+            F.concat(
+                F.lit("http://"), s,
+                F.lit(".com:80/q?z=9&utm_campaign=x&y=1#f"),
+            )
+        )
+        .alias("url")
+    )
+
+
+@query(
+    "z167_url_canonicalize",
+    oracle=f"""
+WITH u AS ({_Z167_URL_SQL})
+SELECT doc_id,
+       {_web.canonical_url_sql('url')} AS canonical_url,
+       {_Z167_HOST_SQL} AS host,
+       {_web.registered_domain_sql(_Z167_HOST_SQL)} AS domain
+FROM u
+""",
+    description=(
+        "URL canonicalization (CCNet/crawl-frontier shape): fold "
+        "scheme+host case, peel www/m/mobile mirror prefixes, drop "
+        "default ports (80/http, 443/443https) but keep real ones, drop "
+        "fragments, strip tracking params (utm_*/ref/fbclid/gclid "
+        "family) and SORT the survivors so param order never splits a "
+        "dedup key, reduce the host to its registered domain with a "
+        "second-level-TLD rule (co.uk family). Pure regexp/array "
+        "codegen projection -- zero shuffle; both engines build the "
+        "same expressions from one frozen constant set"
+    ),
+)
+def z167(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    return _web.canonicalize_urls(
+        docs.select("doc_id", _z167_url_col())
+    )
+
+
+@query(
+    "z168_domain_stats",
+    oracle=f"""
+WITH u AS ({_Z167_URL_SQL}),
+dom AS (
+  SELECT doc_id, n_chars,
+         {_Z167_HOST_SQL} AS host,
+         {_web.registered_domain_sql(_Z167_HOST_SQL)} AS domain
+  FROM u),
+g AS ({_gopher_sql(_Z141_AUG_SQL)})
+SELECT domain,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT host)::BIGINT AS n_hosts,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(CASE WHEN g.keep THEN 1 ELSE 0 END)::BIGINT AS n_keep
+FROM dom JOIN g USING (doc_id)
+GROUP BY domain
+""",
+    description=(
+        "per-registered-domain corpus rollup composing z167's URL "
+        "canonicalization with z141's Gopher rule battery: docs, "
+        "distinct hosts, total chars, and quality survivors per domain "
+        "-- the table crawl curation reads to up/down-sample domains. "
+        "ONE aggregate keyed by domain (bounded by the domain universe, "
+        "not corpus size) after a doc_id equi-join of two scan-stage "
+        "projections; exact integers only"
+    ),
+)
+def z168(spark, sf_dir):
+    from ..operators.text import gopher_quality
+
+    docs = load(spark, "documents", sf_dir)
+    dom = _web.canonicalize_urls(
+        docs.select("doc_id", _z167_url_col())
+    ).select("doc_id", "host", "domain")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\n- bullet item one\n- bullet item two"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit("\nto be continued...")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit(" ## 1234 5678 999")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    keep = gopher_quality(aug).select("doc_id", "keep")
+    joined = (
+        dom.join(keep, "doc_id")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+    )
+    return _web.domain_stats(joined)

@@ -4389,6 +4389,78 @@ def test_triangle_counts_random_vs_bruteforce(spark):
         assert got == want, f"trial {trial}: {sorted(edges)}"
 
 
+def test_url_canonicalize_hand_checked(spark):
+    """canonicalize_urls against hand-derived expectations covering the
+    whole rule set: case fold, mirror-prefix peel, default-vs-real port,
+    fragment drop, tracking-param strip + param sort, scheme-less
+    references, empty path, second-level TLD, single-label host."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.web import (
+        canonicalize_urls,
+    )
+
+    cases = [
+        # (url, canonical_url, host, domain)
+        ("HTTPS://WWW.Ex.COM:443/A/b?utm_source=x&z=1&a=2#frag",
+         "https://ex.com/A/b?a=2&z=1", "ex.com", "ex.com"),
+        ("http://m.news.co.uk:80/x", "http://news.co.uk/x",
+         "news.co.uk", "news.co.uk"),
+        ("http://a.b.news.co.uk/x", "http://a.b.news.co.uk/x",
+         "a.b.news.co.uk", "news.co.uk"),
+        ("https://api.ex.com:8443/v1?b=2&a=1",
+         "https://api.ex.com:8443/v1?a=1&b=2", "api.ex.com", "ex.com"),
+        ("ex.org/p?ref=tw&q=5", "http://ex.org/p?q=5", "ex.org", "ex.org"),
+        ("http://ex.net", "http://ex.net/", "ex.net", "ex.net"),
+        ("http://localhost:9000/x", "http://localhost:9000/x",
+         "localhost", "localhost"),
+        ("HTTP://MOBILE.Ex.COM/", "http://ex.com/", "ex.com", "ex.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, *_rest) in enumerate(cases)],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: (r["canonical_url"], r["host"], r["domain"])
+        for r in canonicalize_urls(df).collect()
+    }
+    for i, (_u, cu, h, d) in enumerate(cases):
+        assert got[i] == (cu, h, d), (i, cases[i][0], got[i])
+
+
+def test_url_canonicalize_matches_duckdb_twin(spark):
+    """The SQL twins produce byte-identical strings for every hand case
+    (the z167 parity, pinned operator-level)."""
+    import duckdb
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators import web
+
+    urls = [
+        "HTTPS://WWW.Ex.COM:443/A/b?utm_source=x&z=1&a=2#frag",
+        "http://m.news.co.uk:80/x",
+        "ex.org/p?ref=tw&q=5&fbclid=abc",
+        "http://ex.net",
+        "https://api.ex.com:8443/v1?b=2&a=1",
+        "http://localhost:9000/x",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    host = web.canonical_host(F.col("url"))
+    spark_rows = df.select(
+        web.canonical_url(F.col("url")).alias("c"),
+        host.alias("h"),
+        web.registered_domain(host).alias("d"),
+    ).collect()
+    con = duckdb.connect()
+    host_sql = web.canonical_host_sql("url")
+    for u, r in zip(urls, spark_rows):
+        got = con.execute(
+            f"SELECT {web.canonical_url_sql('url')} AS c, "
+            f"{host_sql} AS h, "
+            f"{web.registered_domain_sql(host_sql)} AS d "
+            "FROM (SELECT ? AS url)",
+            [u],
+        ).fetchone()
+        assert got == (r["c"], r["h"], r["d"]), (u, got, tuple(r))
+
+
 def test_triangle_estimate_unbiased_and_exact_at_denom_one(spark):
     """DOULION sparsified estimate: sample_denom=1 IS the exact count,
     and the multi-seed mean of the denom=2 estimate lands within 20% of
