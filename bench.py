@@ -185,6 +185,9 @@ HEADLINE = [
     "z165_hilbert_layout_probe",
     # round-12: sparsified triangle estimate (the cost cliff vs exact z144)
     "z166_triangle_estimate",
+    # round-12: URL canonicalization + per-domain rollup (CCNet grouping)
+    "z167_url_canonicalize",
+    "z168_domain_stats",
 ]
 
 
@@ -360,7 +363,18 @@ def main() -> None:
     # summary JSON line is always emitted with rc=0. The warmup gets the
     # SAME treatment (ADVICE r3): a warmup crash degrades the numbers to
     # cold-start but still produces the full record.
+    def load1m() -> float | None:
+        # 1-minute loadavg: the phantom-host-load witness (VERDICT r11
+        # #4). Sampled around each entry so the artifact adjudicates
+        # its own slow runs instead of needing a prose explanation.
+        try:
+            return round(os.getloadavg()[0], 1)
+        except OSError:
+            return None
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     timings: dict[str, float] = {}
+    loads: dict[str, float] = {}
     errors: dict[str, str] = {}
     try:
         warmup(spark)
@@ -396,12 +410,18 @@ def main() -> None:
         try:
             fn = REGISTRY[name].fn
             runs, n = [], 0
+            peak_load = load1m()
             for _ in range(repeat):
                 reset_block_state(spark)
                 t0 = time.perf_counter()
                 df = fn(spark, SF_DIR)
                 n = df.count()
                 runs.append(time.perf_counter() - t0)
+                sample = load1m()
+                if sample is not None:
+                    peak_load = max(peak_load or 0.0, sample)
+            if peak_load is not None:
+                loads[name] = peak_load
             timings[name] = round(agg(runs), 3)
             print(
                 f"# {name}: {timings[name]:.3f}s ({n} rows; {args.agg} of "
@@ -420,6 +440,10 @@ def main() -> None:
     # repeat/agg/isolated_flagged without needing PERF.md.
     out = {
         "queries": timings,
+        # per-entry peak 1-min loadavg (bulky block, rides up front with
+        # `queries`): the artifact's own phantom-load context
+        "load1m": loads,
+        "load_cpus": cpus,
     }
     if errors:
         out["errors"] = errors
@@ -428,13 +452,22 @@ def main() -> None:
         if prev is not None:
             prev_name, prev_obj = prev
             prev_q = prev_obj.get("queries", {})
+
+            def _suspect(n: str, t: float) -> bool:
+                # >1.5x always adjudicates; >1.3x adjudicates when the
+                # box was visibly oversubscribed during the entry
+                # (loadavg above the executor thread count) -- the
+                # hand-rule VERDICT r11 #4 asked to mechanize
+                ratio = max(t / prev_q[n], prev_q[n] / t)
+                if ratio > 1.5:
+                    return True
+                elevated = loads.get(n, 0.0) > 1.25 * cpus
+                return ratio > 1.3 and elevated
+
             movers = sorted(
                 n
                 for n, t in timings.items()
-                if n in prev_q
-                and prev_q[n] > 0
-                and t > 0
-                and max(t / prev_q[n], prev_q[n] / t) > 1.5
+                if n in prev_q and prev_q[n] > 0 and t > 0 and _suspect(n, t)
             )[:12]  # bound the adjudication cost
             out["prev_bench"] = prev_name
             if movers:

@@ -7,6 +7,8 @@ Usage:
 
 Stages (each is an oracle- or property-verified operator on its own):
 
+  0.5 domain triage     URL canonicalize + per-domain web.canonicalize_urls
+                        Gopher keep-rate blocklist    web.domain_stats
   1. exact dedup        content-hash survivors        dedup.exact_duplicates
   1.5 line dedup        CCNet boilerplate-line pass   dedup.line_dedup
   2. near-dedup         3-gram Jaccard pairs >= 0.8   dedup.ngram_jaccard_pairs
@@ -48,6 +50,7 @@ from etl_world_banks_with_python_and_postgresql_spark.operators import (
     dedup,
     text,
     train_prep,
+    web,
 )
 from etl_world_banks_with_python_and_postgresql_spark.operators.train_prep import (
     chunk_token_windows,
@@ -64,6 +67,44 @@ def main() -> None:
     spark = get_spark(app_name="train-corpus-pipeline")
     docs = load(spark, "documents", sf_dir)
     stage = {"input": docs.count()}
+
+    # 0.5. URL canonicalization + per-domain triage (the CCNet grouping,
+    # z167/z168 shape): canonicalize each doc's URL, roll the corpus up
+    # per registered domain with the Gopher keep flag, and blocklist
+    # domains where fewer than half the docs pass the rule battery --
+    # the domain-level kill a crawl pipeline applies BEFORE paying for
+    # doc-level dedup. The synthetic corpus has no URL column, so one is
+    # synthesized deterministically from table values (z141 precedent).
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".co.uk")).otherwise(
+            F.lit(".com")
+        ),
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=crawl&page=1"),
+    ).alias("url")
+    dom = web.canonicalize_urls(docs.select("doc_id", url)).select(
+        "doc_id", "host", "domain"
+    )
+    gk = text.gopher_quality(
+        docs, min_words=10, min_distinct_pct=10, min_stopwords=0
+    ).select("doc_id", "keep")
+    dstats = web.domain_stats(
+        dom.join(gk, "doc_id").join(
+            docs.select("doc_id", "n_chars"), "doc_id"
+        )
+    )
+    bad_domains = dstats.filter(
+        F.col("n_keep") * 2 < F.col("n_docs")
+    ).select("domain")
+    bad_docs = dom.join(bad_domains, "domain", "left_semi").select("doc_id")
+    # localCheckpoint: every later stage re-executes the docs lineage at
+    # its count(); cutting here keeps the triage subtree (rollup + two
+    # joins) from being replayed a dozen times downstream
+    docs = docs.join(bad_docs, "doc_id", "left_anti").localCheckpoint()
+    stage["domain_triage"] = docs.count()
 
     # 1. exact dedup: keep the min-id copy of byte-identical texts
     keep = dedup.exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
