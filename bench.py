@@ -188,6 +188,8 @@ HEADLINE = [
     # round-12: URL canonicalization + per-domain rollup (CCNet grouping)
     "z167_url_canonicalize",
     "z168_domain_stats",
+    # round-12: k-core peeling (dense-subgraph prior)
+    "z169_k_core",
 ]
 
 

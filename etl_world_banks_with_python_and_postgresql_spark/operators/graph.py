@@ -496,3 +496,115 @@ reach AS (
   SELECT s.v AS node, r.lbl FROM reach r JOIN sym s ON s.u = r.node)
 SELECT node, min(lbl)::BIGINT AS component FROM reach GROUP BY node
 """
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph where every
+    node keeps degree >= k, by parallel peeling (Matula & Beck's
+    algorithm as synchronous dataflow): each round drops ALL nodes whose
+    current degree is below k, until no node falls -- the standard
+    community/spam-prior primitive (a crawl keeps the 2-core of the link
+    graph; everything outside is leaves and chains).
+
+    Scale shape: each round is one degree aggregate plus two semi-joins
+    over the ALIVE edge set, which shrinks monotonically -- O(|E|)
+    linear passes, no all-pairs anywhere. Round count is graph-dependent
+    (a bare path peels from the ends, the pathological case); like
+    :func:`connected_components` the loop localCheckpoints per round and
+    FAILS LOUDLY after ``max_rounds`` rather than returning a
+    not-yet-converged core. The DuckDB oracle (:func:`k_core_oracle_sql`)
+    unrolls exactly ``max_rounds`` rounds -- extra rounds past the
+    fixpoint are no-ops, so both engines agree bit-for-bit whenever the
+    Spark side converges.
+
+    Returns (node, core_degree) for k-core members; core_degree is the
+    node's degree WITHIN the core (>= k by construction).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    alive = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def degrees(p: DataFrame) -> DataFrame:
+        return (
+            p.select(F.col("a").alias("node"))
+            .unionByName(p.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    for _ in range(max_rounds):
+        deg = degrees(alive)
+        low = deg.filter(F.col("d") < k)
+        # one tiny action per round (the CC discipline): the fixpoint
+        # test IS the work list
+        if low.isEmpty():
+            break
+        good = deg.filter(F.col("d") >= k).select("node")
+        alive = (
+            alive.join(
+                good.select(F.col("node").alias("a")), "a", "left_semi"
+            )
+            .join(good.select(F.col("node").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"k_core: no fixpoint within {max_rounds} rounds; raise "
+            "max_rounds (peeling depth is graph-dependent)"
+        )
+    return degrees(alive).select(
+        "node", F.col("d").cast("long").alias("core_degree")
+    )
+
+
+def k_core_oracle_sql(edges_sql: str, k: int, max_rounds: int = 12) -> str:
+    """DuckDB twin of :func:`k_core`: the same peeling unrolled exactly
+    ``max_rounds`` times (no-op rounds past the fixpoint keep the two
+    engines identical whenever the Spark side converged)."""
+    # every a{i}/d{i} is referenced more than once downstream; DuckDB
+    # inlines CTEs by default, so WITHOUT the MATERIALIZED hint the
+    # unrolled chain re-evaluates exponentially (measured: 12 rounds ran
+    # minutes instead of seconds)
+    parts = [
+        f"""
+a0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) raw0
+  WHERE least(src, dst) < greatest(src, dst))"""
+    ]
+    for i in range(1, max_rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""
+d{i} AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM a{p} UNION ALL SELECT b FROM a{p}) t
+  GROUP BY node),
+g{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= {k}),
+a{i} AS MATERIALIZED (SELECT a, b FROM a{p}
+  WHERE a IN (SELECT node FROM g{i}) AND b IN (SELECT node FROM g{i}))"""
+        )
+    n = max_rounds
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT node, count(*)::BIGINT AS core_degree FROM (
+  SELECT a AS node FROM a{n} UNION ALL SELECT b FROM a{n}) t
+GROUP BY node
+"""
+    )

@@ -862,6 +862,39 @@ def z166(spark, sf_dir):
     return triangle_estimate(edges, sample_denom=4, seed=0)
 
 
+from ..operators.graph import k_core_oracle_sql as _kcore_sql  # noqa: E402
+
+
+@query(
+    "z169_k_core",
+    oracle=_kcore_sql(_TRI_EDGES_SQL, k=60, max_rounds=12),
+    description=(
+        "k-core decomposition (k=60) of the part co-purchase graph by "
+        "parallel peeling (Matula-Beck as synchronous dataflow): each "
+        "round drops EVERY node under degree k at once -- one degree "
+        "aggregate + two semi-joins over a monotonically shrinking edge "
+        "set, lineage cut per round, fail-loud max_rounds like z147. "
+        "The crawl-curation subgraph prior (keep the dense core, shed "
+        "leaves/chains). Oracle unrolls exactly max_rounds MATERIALIZED "
+        "CTE rounds (no-ops past the fixpoint keep engines identical); "
+        "k=60 peels a real fraction at every SF (probed 0.001/0.01/0.1 "
+        "-- the NOTES degeneracy rule). Output (node, core_degree), "
+        "exact integers"
+    ),
+)
+def z169(spark, sf_dir):
+    from ..operators.graph import k_core
+
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("_pb"))
+    edges = (
+        li.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("_pb"))
+        .select(F.col("l_partkey").alias("src"), F.col("_pb").alias("dst"))
+    )
+    return k_core(edges, k=60, max_rounds=12)
+
+
 from ..operators.graph import cc_oracle_sql as _cc_sql  # noqa: E402
 
 # parts co-purchased in >= 2 distinct orders: sparse enough to have

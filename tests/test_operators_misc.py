@@ -4389,6 +4389,41 @@ def test_triangle_counts_random_vs_bruteforce(spark):
         assert got == want, f"trial {trial}: {sorted(edges)}"
 
 
+def test_k_core_hand_checked_and_cascade(spark):
+    """k_core against hand-derived ground truth, including the cascade
+    case (removing a low-degree node drops a neighbor below k later):
+    K4 on {1,2,3,4} + a tail 4-5, 5-6, 5-7. For k=2 the K4 survives and
+    the tail peels in TWO rounds (7 and 6 fall first, then 5), plus
+    dup/reversed/self-loop edge noise."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.graph import (
+        k_core,
+    )
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6), (5, 7), (2, 1), (3, 3),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {
+        r["node"]: r["core_degree"] for r in k_core(df, k=2).collect()
+    }
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=4: even the K4 fails (each member has core-degree 3) -> empty
+    assert k_core(df, k=4).count() == 0
+    # k=1: everything with an edge stays (self-loop-only is dropped)
+    out1 = {r["node"]: r["core_degree"] for r in k_core(df, k=1).collect()}
+    assert set(out1) == {1, 2, 3, 4, 5, 6, 7}
+    # fail-loud when max_rounds is too small for the peeling depth: a
+    # path peels 2 ends per round, so 9 nodes under k=2 need > 1 round
+    import pytest as _pytest
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        k_core(path, k=2, max_rounds=1)
+
+
 def test_url_canonicalize_hand_checked(spark):
     """canonicalize_urls against hand-derived expectations covering the
     whole rule set: case fold, mirror-prefix peel, default-vs-real port,
