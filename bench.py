@@ -190,6 +190,8 @@ HEADLINE = [
     "z168_domain_stats",
     # round-12: k-core peeling (dense-subgraph prior)
     "z169_k_core",
+    # round-12: l-diversity ladder (attribute-disclosure audit)
+    "z170_l_diversity",
 ]
 
 

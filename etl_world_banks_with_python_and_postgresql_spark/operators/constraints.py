@@ -442,3 +442,71 @@ SELECT '{name}' AS level,
        min(n)::BIGINT AS k_achieved
 FROM (SELECT {cols}, count(*) AS n FROM {table} GROUP BY ALL)""")
     return "\nUNION ALL\n".join(parts)
+
+
+def l_diversity_ladder(
+    df: DataFrame,
+    levels: "list[tuple[str, list]]",
+    sensitive,
+    l_min: int = 3,
+) -> DataFrame:
+    """l-diversity audit across the same generalization ladder shape as
+    :func:`k_anonymity_ladder` -- the attribute-disclosure check
+    k-anonymity misses: a class can hold >= k rows yet give the
+    sensitive attribute away because every row in it shares one value
+    (Machanavajjhala et al. 2007). Per level: equivalence classes,
+    classes whose sensitive attribute takes fewer than ``l_min``
+    DISTINCT values, rows in them, and the l actually achieved (the min
+    distinct-sensitive count over classes).
+
+    Scale shape: one two-measure aggregate per level (count +
+    count-distinct over the class key) -- the distinct is per class,
+    never global -- then a |levels|-row summary. Exact integers.
+    """
+    sens = F.col(sensitive) if isinstance(sensitive, str) else sensitive
+    outs = []
+    for name, exprs in levels:
+        classes = df.groupBy(
+            *[e.alias(f"_q{i}") for i, e in enumerate(exprs)]
+        ).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.countDistinct(sens).alias("_nd"),
+        )
+        outs.append(
+            classes.agg(
+                F.lit(name).alias("level"),
+                F.count(F.lit(1)).cast("long").alias("n_classes"),
+                F.sum(F.when(F.col("_nd") < l_min, 1).otherwise(0))
+                .cast("long")
+                .alias("n_risky"),
+                F.sum(F.when(F.col("_nd") < l_min, F.col("_n")).otherwise(0))
+                .cast("long")
+                .alias("rows_at_risk"),
+                F.min("_nd").cast("long").alias("l_achieved"),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u
+
+
+def l_diversity_oracle_sql(
+    table: str,
+    levels: "list[tuple[str, list[str]]]",
+    sensitive: str,
+    l_min: int = 3,
+) -> str:
+    """DuckDB twin of :func:`l_diversity_ladder`."""
+    parts = []
+    for name, exprs in levels:
+        cols = ", ".join(exprs)
+        parts.append(f"""
+SELECT '{name}' AS level,
+       count(*)::BIGINT AS n_classes,
+       sum(CASE WHEN nd < {l_min} THEN 1 ELSE 0 END)::BIGINT AS n_risky,
+       sum(CASE WHEN nd < {l_min} THEN n ELSE 0 END)::BIGINT AS rows_at_risk,
+       min(nd)::BIGINT AS l_achieved
+FROM (SELECT {cols}, count(*) AS n, count(DISTINCT {sensitive}) AS nd
+      FROM {table} GROUP BY ALL)""")
+    return "\nUNION ALL\n".join(parts)

@@ -2685,6 +2685,51 @@ def z154(spark, sf_dir):
     )
 
 
+from ..operators.constraints import (  # noqa: E402
+    l_diversity_oracle_sql as _ldiv_sql,
+)
+
+_Z170_LEVELS_SQL = [
+    ("l0_nation_balband",
+     ["c_nationkey", "(floor(abs(c_acctbal) / 500))::INT"]),
+    ("l1_nation", ["c_nationkey"]),
+    ("l2_nation_mod5", ["(c_nationkey % 5)::INT"]),
+]
+
+
+@query(
+    "z170_l_diversity",
+    oracle=_ldiv_sql("customer", _Z170_LEVELS_SQL, "c_mktsegment", l_min=3),
+    description=(
+        "l-diversity audit (Machanavajjhala et al. 2007) across a "
+        "3-level generalization ladder with c_mktsegment as the "
+        "sensitive attribute -- the attribute-disclosure check "
+        "k-anonymity (z154) misses: a >= k class still leaks when every "
+        "member shares one sensitive value. Per level: classes, classes "
+        "under l=3 distinct sensitive values, rows in them, l ACHIEVED. "
+        "One two-measure aggregate per level (count + per-class "
+        "count-distinct, never a global distinct), |levels|-row "
+        "summary; exact integers; ladder probed non-degenerate at all "
+        "three SFs"
+    ),
+)
+def z170(spark, sf_dir):
+    from ..operators.constraints import l_diversity_ladder
+
+    c = load(spark, "customer", sf_dir)
+    band = F.floor(F.abs(F.col("c_acctbal")) / 500).cast("int")
+    return l_diversity_ladder(
+        c,
+        [
+            ("l0_nation_balband", [F.col("c_nationkey"), band]),
+            ("l1_nation", [F.col("c_nationkey")]),
+            ("l2_nation_mod5", [(F.col("c_nationkey") % 5).cast("int")]),
+        ],
+        "c_mktsegment",
+        l_min=3,
+    )
+
+
 @query(
     "z159_bloom_point_lookup",
     oracle="""

@@ -4389,6 +4389,36 @@ def test_triangle_counts_random_vs_bruteforce(spark):
         assert got == want, f"trial {trial}: {sorted(edges)}"
 
 
+def test_l_diversity_hand_checked(spark):
+    """l-diversity: a class can be k-anonymous yet 1-diverse (all rows
+    share the sensitive value) -- the exact case the audit must flag."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.constraints import (
+        l_diversity_ladder,
+    )
+
+    rows = [
+        # class A: 4 rows, all sensitive 'x' -> 1-diverse (risky at l=2)
+        ("A", "x"), ("A", "x"), ("A", "x"), ("A", "x"),
+        # class B: 3 rows, 3 distinct -> 3-diverse
+        ("B", "x"), ("B", "y"), ("B", "z"),
+        # class C: 2 rows, 2 distinct -> 2-diverse
+        ("C", "x"), ("C", "y"),
+    ]
+    df = spark.createDataFrame(rows, "q string, s string")
+    out = {
+        r["level"]: (
+            r["n_classes"], r["n_risky"], r["rows_at_risk"], r["l_achieved"]
+        )
+        for r in l_diversity_ladder(
+            df, [("by_q", [F.col("q")]), ("all", [F.lit(1)])], "s", l_min=3
+        ).collect()
+    }
+    # by_q: A is 1-diverse (4 rows), C is 2-diverse (2 rows) -> 2 risky
+    assert out["by_q"] == (3, 2, 6, 1)
+    # fully generalized: one class, 3 distinct values -> not risky
+    assert out["all"] == (1, 0, 0, 3)
+
+
 def test_k_core_hand_checked_and_cascade(spark):
     """k_core against hand-derived ground truth, including the cascade
     case (removing a low-degree node drops a neighbor below k later):
