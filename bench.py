@@ -192,6 +192,8 @@ HEADLINE = [
     "z169_k_core",
     # round-12: l-diversity ladder (attribute-disclosure audit)
     "z170_l_diversity",
+    # round-12: per-source TVD drift (corpus observability)
+    "z171_source_drift",
 ]
 
 

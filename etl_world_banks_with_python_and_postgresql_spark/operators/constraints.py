@@ -510,3 +510,84 @@ SELECT '{name}' AS level,
 FROM (SELECT {cols}, count(*) AS n, count(DISTINCT {sensitive}) AS nd
       FROM {table} GROUP BY ALL)""")
     return "\nUNION ALL\n".join(parts)
+
+
+def distribution_drift_tvd(
+    df: DataFrame,
+    group_col: str,
+    bucket: Column,
+) -> DataFrame:
+    """Per-group distribution drift vs the pooled corpus as EXACT
+    total-variation distance: for each group g over histogram buckets b,
+
+        TVD(g) = 1/2 * sum_b | O_gb/n_g  -  T_b/N |
+               = sum_b | O_gb*N - T_b*n_g |  /  (2 * n_g * N)
+
+    -- a single-denominator integer ratio, so the result is ONE HALF_UP
+    micros value per group with no float accumulation anywhere (the
+    z164/exactnum discipline; chi-square would need per-cell
+    denominators that cannot be cleared into one integer comparison).
+    This is the corpus-observability number a training pipeline tracks
+    per source/shard/day: TVD 0 = identical shape, 1e6 micros = disjoint
+    support. The pooled side INCLUDES the group itself (the standard
+    source-vs-corpus convention; a group that IS most of the corpus can
+    therefore never look very drifted -- by design).
+
+    Scale shape: two map-side-combined histogram aggregates (group x
+    bucket, bucket), one bounded dims-cross (groups x buckets -- both
+    histogram-sized, never corpus-sized) so zero-count cells still
+    contribute their |0 - T_b*n_g| mass, one 1-row N broadcast, one
+    group-keyed sum. Products run in DECIMAL(38,0): O*N at corpus scale
+    (1e12 * 1e12) would wrap int64.
+
+    Returns (``group_col``, n_rows, tvd_micros).
+    """
+    from ..functions.exactnum import ratio_micros_halfup
+
+    d = df.select(F.col(group_col).alias("g"), bucket.alias("b"))
+    o = d.groupBy("g", "b").agg(F.count(F.lit(1)).alias("o"))
+    t = d.groupBy("b").agg(F.count(F.lit(1)).alias("t"))
+    gs = d.groupBy("g").agg(F.count(F.lit(1)).alias("ns"))
+    n1 = d.agg(F.count(F.lit(1)).alias("n_total"))
+    grid = gs.crossJoin(F.broadcast(t)).crossJoin(F.broadcast(n1))
+    j = grid.join(o, ["g", "b"], "left").fillna({"o": 0})
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = j.groupBy("g", "ns", "n_total").agg(
+        F.sum(
+            F.abs(dec("o") * dec("n_total") - dec("t") * dec("ns"))
+        ).alias("num")
+    )
+    return s.select(
+        F.col("g").alias(group_col),
+        F.col("ns").cast("long").alias("n_rows"),
+        ratio_micros_halfup(
+            F.col("num"),
+            F.lit(2).cast("decimal(38,0)") * dec("ns") * dec("n_total"),
+        ).alias("tvd_micros"),
+    )
+
+
+def distribution_drift_oracle_sql(
+    rows_sql: str, group_col: str, bucket_sql: str
+) -> str:
+    """DuckDB twin of :func:`distribution_drift_tvd`. ``rows_sql`` must
+    yield ``group_col`` and the columns ``bucket_sql`` reads."""
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT {group_col} AS g, {bucket_sql} AS b FROM ({rows_sql}) r0),
+o AS (SELECT g, b, count(*)::HUGEINT AS o FROM d GROUP BY g, b),
+t AS (SELECT b, count(*)::HUGEINT AS t FROM d GROUP BY b),
+gs AS (SELECT g, count(*)::HUGEINT AS ns FROM d GROUP BY g),
+n AS (SELECT count(*)::HUGEINT AS n_total FROM d),
+grid AS (SELECT gs.g, gs.ns, t.b, t.t, n.n_total FROM gs, t, n),
+j AS (SELECT grid.*, coalesce(o.o, 0)::HUGEINT AS o
+      FROM grid LEFT JOIN o ON o.g = grid.g AND o.b = grid.b),
+s AS (SELECT g, ns, n_total,
+             sum(abs(o * n_total - t * ns))::HUGEINT AS num
+      FROM j GROUP BY g, ns, n_total)
+SELECT g AS {group_col},
+       ns::BIGINT AS n_rows,
+       ((2000000 * num + (2 * ns * n_total)) // (2 * (2 * ns * n_total))
+       )::BIGINT AS tvd_micros
+FROM s
+"""

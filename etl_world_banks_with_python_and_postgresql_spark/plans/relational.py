@@ -2730,6 +2730,39 @@ def z170(spark, sf_dir):
     )
 
 
+from ..operators.constraints import (  # noqa: E402
+    distribution_drift_oracle_sql as _drift_sql,
+)
+
+
+@query(
+    "z171_source_drift",
+    oracle=_drift_sql(
+        "SELECT source, n_chars FROM documents", "source", "n_chars // 50"
+    ),
+    description=(
+        "per-source distribution drift vs the pooled corpus as EXACT "
+        "total-variation distance over the doc-length histogram "
+        "(n_chars div 50 buckets): TVD has a single clearable "
+        "denominator -- sum_b |O*N - T*n| / (2*n*N) -- so the drift "
+        "number is ONE HALF_UP micros ratio with zero float anywhere "
+        "(chi-square's per-cell denominators cannot be cleared; the "
+        "z164 discipline picks the statistic to fit exact arithmetic). "
+        "The shard/source/day tracking number of corpus observability. "
+        "Two histogram aggregates + a histogram-sized dims-cross so "
+        "empty cells still contribute; DECIMAL(38,0) products "
+        "(O*N wraps int64 at corpus scale)"
+    ),
+)
+def z171(spark, sf_dir):
+    from ..operators.constraints import distribution_drift_tvd
+
+    docs = load(spark, "documents", sf_dir)
+    return distribution_drift_tvd(
+        docs, "source", F.expr("n_chars div 50")
+    )
+
+
 @query(
     "z159_bloom_point_lookup",
     oracle="""

@@ -4389,6 +4389,34 @@ def test_triangle_counts_random_vs_bruteforce(spark):
         assert got == want, f"trial {trial}: {sorted(edges)}"
 
 
+def test_distribution_drift_tvd_hand_checked(spark):
+    """TVD drift against hand math: corpus = uniform over {0,1} (N=6,
+    T_0=T_1=3); group A = (3/4, 1/4) -> TVD = 1/2*(1/4 + 1/4) = 0.25;
+    group B = (0, 1) -> TVD = 1/2*(1/2 + 1/2) = 0.5 -- B's missing
+    bucket-0 cell MUST contribute its |0 - T*n| mass."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.constraints import (
+        distribution_drift_tvd,
+    )
+
+    rows = [("A", 0), ("A", 0), ("A", 0), ("A", 1),
+            ("B", 1), ("B", 1)]
+    df = spark.createDataFrame(rows, "source string, b int")
+    out = {
+        r["source"]: (r["n_rows"], r["tvd_micros"])
+        for r in distribution_drift_tvd(df, "source", F.col("b")).collect()
+    }
+    assert out == {"A": (4, 250_000), "B": (2, 500_000)}
+    # identical groups -> zero drift
+    same = spark.createDataFrame(
+        [("A", 0), ("A", 1), ("B", 0), ("B", 1)], "source string, b int"
+    )
+    out2 = {
+        r["source"]: r["tvd_micros"]
+        for r in distribution_drift_tvd(same, "source", F.col("b")).collect()
+    }
+    assert out2 == {"A": 0, "B": 0}
+
+
 def test_l_diversity_hand_checked(spark):
     """l-diversity: a class can be k-anonymous yet 1-diverse (all rows
     share the sensitive value) -- the exact case the audit must flag."""

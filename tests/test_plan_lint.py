@@ -64,6 +64,10 @@ WHITELIST = {
     # two 1-row aggregates (kept-edge count x sampled-triangle total)
     # crossed into the single summary row
     "z166_triangle_estimate": "two 1-row aggregate sides crossed",
+    # histogram-sized dims-cross (groups x buckets, both aggregate
+    # outputs bounded by their value universes) + 1-row N broadcast --
+    # zero-count cells must still contribute their |0 - T*n| mass
+    "z171_source_drift": "bounded dims-cross + 1-row total broadcast",
     # level-2 frontier scan: its input is the checkpointed UNION OF
     # PER-BUCKET FRONTIERS (level 1 is bucket-partitioned), bounded by
     # the survivor count, never by the corpus
