@@ -194,6 +194,8 @@ HEADLINE = [
     "z170_l_diversity",
     # round-12: per-source TVD drift (corpus observability)
     "z171_source_drift",
+    # round-12: perceptual image dedup from real decoded pixels
+    "z172_image_dhash_dedup",
 ]
 
 

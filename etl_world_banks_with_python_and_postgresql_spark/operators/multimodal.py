@@ -490,14 +490,29 @@ def decode_bmp(data: bytes):
 
 
 def attach_bmp_binary(
-    df: DataFrame, id_col: str = "doc_id", len_col: str = "n_chars"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+    pattern: str = "ramp",
 ) -> DataFrame:
     """Attach a GENUINE 24-bit BMP payload per row. Dimensions and the
     per-channel pixel pattern are deterministic functions of existing
-    columns -- width = 4 + id%13, height = 3 + len%11,
-    (b, g, r) = ((x*7 + y*13 + id) % 256, (x*3 + y*5 + 2*id) % 256,
-    (x*11 + y + 3*id) % 256) -- so oracles recompute exact channel sums
-    arithmetically and tests verify exact pixels."""
+    columns -- width = 4 + id%13, height = 3 + len%11; ``pattern``:
+
+    * ``'ramp'`` (default, the z83 oracle contract):
+      (b, g, r) = ((x*7 + y*13 + id) % 256, (x*3 + y*5 + 2*id) % 256,
+      (x*11 + y + 3*id) % 256)
+    * ``'texture'`` (quadratic, wraps every few pixels -- the variant
+      perceptual-hash entries need: the smooth ramp makes every local
+      gradient point the same way and dHash degenerates to 0):
+      (b, g, r) = ((x²*31 + y²*17 + id*97) % 256,
+      (x²*13 + y²*29 + id*106) % 256, (x²*7 + y²*41 + id*33) % 256)
+
+    so oracles recompute exact channel values arithmetically and tests
+    verify exact pixels."""
+    if pattern not in ("ramp", "texture"):
+        raise ValueError(f"unknown pattern {pattern!r}: ramp | texture")
+    textured = pattern == "texture"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -505,15 +520,26 @@ def attach_bmp_binary(
             for did, ln in zip(pdf[id_col], pdf[len_col]):
                 did, ln = int(did), int(ln)
                 w, h = 4 + did % 13, 3 + ln % 11
-                px = [
-                    (
-                        (x * 7 + y * 13 + did) % 256,
-                        (x * 3 + y * 5 + 2 * did) % 256,
-                        (x * 11 + y + 3 * did) % 256,
-                    )
-                    for y in range(h)
-                    for x in range(w)
-                ]
+                if textured:
+                    px = [
+                        (
+                            (x * x * 31 + y * y * 17 + did * 97) % 256,
+                            (x * x * 13 + y * y * 29 + did * 106) % 256,
+                            (x * x * 7 + y * y * 41 + did * 33) % 256,
+                        )
+                        for y in range(h)
+                        for x in range(w)
+                    ]
+                else:
+                    px = [
+                        (
+                            (x * 7 + y * 13 + did) % 256,
+                            (x * 3 + y * 5 + 2 * did) % 256,
+                            (x * 11 + y + 3 * did) % 256,
+                        )
+                        for y in range(h)
+                        for x in range(w)
+                    ]
                 payloads.append(encode_bmp(px, w, h))
             out = pdf[[id_col, len_col]].copy()
             out["payload"] = payloads
@@ -1306,3 +1332,75 @@ def decode_mpng_meta_robust(
         "doc_id long, n_frames int, fps int, width int, height int, "
         "duration_ms long, format string, _error string",
     )
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) from REAL decoded pixels --
+    the standard near-duplicate-image key a multimodal training
+    pipeline deduplicates on (brightness-shift invariant: a constant
+    luma offset cannot flip a neighbor comparison): decode the payload
+    (PNG/24-bit BMP/baseline JPEG, same codec-real legs as
+    :func:`decode_image_pixels`), sample a ``grid`` x ``grid`` luma
+    raster at nearest-neighbor coordinates ``x_i = (i*w)//grid``,
+    ``y_j = (j*h)//grid`` (works for images smaller than the grid), set
+    bit ``j*(grid-1)+i`` when ``g[j][i] > g[j][i+1]``, pack
+    grid*(grid-1) bits into a BIGINT (56 bits at the default grid=8 --
+    deliberately one comparison column short of classic 9x8/64-bit
+    dHash so the key stays in SIGNED 64-bit range for both engines).
+
+    One Arrow-batched mapInPandas pass; output (``id_col``, dhash).
+    Group/dedup downstream with a plain hash groupBy -- identical
+    images, re-encodes, and global-brightness variants collide by
+    construction.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                bs = bytes(b)
+                if bs[:8] == b"\x89PNG\r\n\x1a\n":
+                    w, h, _d, _c, px = decode_png(bs)
+                elif bs[:2] == b"BM":
+                    w, h, bgr = decode_bmp(bs)
+                    px = [(p[0] + p[1] + p[2]) // 3 for p in bgr]
+                elif bs[:2] == b"\xff\xd8":
+                    w, h, nc, jp = decode_jpeg(bs)
+                    px = (
+                        jp
+                        if nc == 1
+                        else [(p[0] + p[1] + p[2]) // 3 for p in jp]
+                    )
+                else:
+                    raise NotImplementedError(
+                        "externally-coded image bytes (WebP/...) need a "
+                        "codec library; PNG, 24-bit BMP, and baseline "
+                        "JPEG hash here for real"
+                    )
+                g = [
+                    [
+                        px[((j * h) // grid) * w + ((i * w) // grid)]
+                        for i in range(grid)
+                    ]
+                    for j in range(grid)
+                ]
+                hv = 0
+                for j in range(grid):
+                    for i in range(grid - 1):
+                        if g[j][i] > g[j][i + 1]:
+                            hv |= 1 << (j * (grid - 1) + i)
+                ids.append(int(did))
+                hashes.append(hv)
+            yield pd.DataFrame({id_col: ids, "dhash": hashes})
+
+    spread = df.select(id_col, payload_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(gen, f"{id_col} long, dhash long")

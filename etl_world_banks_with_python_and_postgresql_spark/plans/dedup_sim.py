@@ -2184,3 +2184,80 @@ def z162(spark, sf_dir):
         emb.filter(F.col("label") == 0),
         threshold=0.4,
     ).select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------
+# z172: perceptual image dedup (dHash) -- the multimodal near-duplicate
+# key. Payloads are genuine textured BMPs generated once per img seed
+# (doc_id % 40) and broadcast-joined to docs, so docs sharing a seed
+# carry byte-identical images; the oracle recomputes every sampled luma
+# arithmetically from the generation formula (z83 precedent), so a
+# decoder or sampler that misreads real bytes fails the gate.
+# ---------------------------------------------------------------------
+
+
+def _z172_luma_sql(x: str, y: str, s: str) -> str:
+    return (
+        f"(((({x})*({x})*31 + ({y})*({y})*17 + ({s})*97) % 256)"
+        f" + ((({x})*({x})*13 + ({y})*({y})*29 + ({s})*106) % 256)"
+        f" + ((({x})*({x})*7 + ({y})*({y})*41 + ({s})*33) % 256)) // 3"
+    )
+
+
+_Z172_ORACLE = f"""
+WITH d AS (SELECT doc_id, doc_id % 40 AS s FROM documents),
+p AS (SELECT doc_id, s, 4 + s % 13 AS w, 3 + (60 + s) % 11 AS h FROM d),
+hsh AS MATERIALIZED (
+  SELECT doc_id,
+         list_sum(flatten([[
+            ({_z172_luma_sql('(i*w)//8', '(j*h)//8', 's')}
+             > {_z172_luma_sql('((i+1)*w)//8', '(j*h)//8', 's')}
+            )::INT::BIGINT * (1::BIGINT << (j*7 + i))
+            for i in generate_series(0, 6)]
+           for j in generate_series(0, 7)]))::BIGINT AS dhash
+  FROM p),
+g AS (SELECT dhash, min(doc_id) AS dup_group, count(*)::BIGINT AS n_dups
+      FROM hsh GROUP BY dhash)
+SELECT hsh.doc_id, hsh.dhash, g.dup_group, g.n_dups
+FROM hsh JOIN g USING (dhash)
+"""
+
+
+@query(
+    "z172_image_dhash_dedup",
+    oracle=_Z172_ORACLE,
+    description=(
+        "perceptual image dedup by dHash from REAL decoded pixels: "
+        "genuine textured 24-bit BMPs (one per seed, broadcast to "
+        "docs), full raster decode, 8x8 nearest-neighbor luma sample, "
+        "56-bit neighbor-gradient hash (brightness-shift invariant; 56 "
+        "not 64 bits so the key stays signed-BIGINT-safe in both "
+        "engines), then a plain hash groupBy into duplicate groups -- "
+        "the multimodal dedup key a training pipeline runs beside text "
+        "MinHash. Oracle recomputes every sampled luma arithmetically "
+        "from the generation formula, so a decoder that misreads real "
+        "BMP bytes (padding, bottom-up rows, BGR) fails the gate. One "
+        "mapInPandas pass + one hash aggregate"
+    ),
+)
+def z172(spark, sf_dir):
+    from ..operators import multimodal
+
+    docs = load(spark, "documents", sf_dir)
+    seeds = (
+        docs.select((F.col("doc_id") % 40).alias("img_id"))
+        .distinct()
+        .withColumn("img_len", (F.lit(60) + F.col("img_id")).cast("int"))
+    )
+    imgs = multimodal.attach_bmp_binary(
+        seeds, id_col="img_id", len_col="img_len", pattern="texture"
+    )
+    d = docs.select(
+        "doc_id", (F.col("doc_id") % 40).alias("img_id")
+    ).join(F.broadcast(imgs.select("img_id", "payload")), "img_id")
+    h = multimodal.image_dhash(d, id_col="doc_id")
+    g = h.groupBy("dhash").agg(
+        F.min("doc_id").alias("dup_group"),
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+    )
+    return h.join(g, "dhash").select("doc_id", "dhash", "dup_group", "n_dups")

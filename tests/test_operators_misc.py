@@ -4389,6 +4389,51 @@ def test_triangle_counts_random_vs_bruteforce(spark):
         assert got == want, f"trial {trial}: {sorted(edges)}"
 
 
+def test_image_dhash_reference_and_brightness_invariance(spark):
+    """image_dhash equals a pure-python reference on real encoded BMPs,
+    identical images collide, and a CONSTANT brightness shift (the
+    perceptual-dup case dHash exists for) cannot change the hash."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.multimodal import (
+        encode_bmp,
+        image_dhash,
+    )
+
+    def luma_img(w, h, f):
+        # encode (v, v, v) so decoded luma == v exactly
+        return encode_bmp(
+            [(f(x, y), f(x, y), f(x, y)) for y in range(h) for x in range(w)],
+            w, h,
+        )
+
+    def ref_dhash(w, h, f, grid=8):
+        g = [
+            [f((i * w) // grid, (j * h) // grid) for i in range(grid)]
+            for j in range(grid)
+        ]
+        hv = 0
+        for j in range(grid):
+            for i in range(grid - 1):
+                if g[j][i] > g[j][i + 1]:
+                    hv |= 1 << (j * (grid - 1) + i)
+        return hv
+
+    base = lambda x, y: (x * x * 5 + y * 3) % 200  # noqa: E731
+    shifted = lambda x, y: base(x, y) + 55  # constant brightness shift
+    rows = [
+        (1, luma_img(12, 9, base)),
+        (2, luma_img(12, 9, base)),       # byte-identical dup
+        (3, luma_img(12, 9, shifted)),    # brightness variant
+        (4, luma_img(12, 9, lambda x, y: (x * 37 + y * y * 11) % 256)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert out[1] == ref_dhash(12, 9, base)
+    assert out[4] == ref_dhash(12, 9, lambda x, y: (x * 37 + y * y * 11) % 256)
+    assert out[1] == out[2] == out[3]   # dup + brightness variant collide
+    assert out[4] != out[1]             # different texture does not
+    assert 0 < out[1] < 1 << 56
+
+
 def test_distribution_drift_tvd_hand_checked(spark):
     """TVD drift against hand math: corpus = uniform over {0,1} (N=6,
     T_0=T_1=3); group A = (3/4, 1/4) -> TVD = 1/2*(1/4 + 1/4) = 0.25;

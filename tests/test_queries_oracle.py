@@ -56,7 +56,11 @@ def normalize(rows, columns):
             # (exactly) by lifting small ints to their double bit pattern
             if abs(v) < 2**52:
                 return ("f", struct.pack(">d", float(v)).hex())
-            return v
+            # large ints keep exact integer identity but stay TAGGED: a
+            # raw int in a column whose other values normalized to
+            # ("f", ...) tuples would make the row sort raise TypeError
+            # (a 56-bit hash column straddles 2**52)
+            return ("i", v)
         return str(v)
 
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
