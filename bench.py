@@ -196,6 +196,10 @@ HEADLINE = [
     "z171_source_drift",
     # round-12: perceptual image dedup from real decoded pixels
     "z172_image_dhash_dedup",
+    # round-12: 2-hop reach (influence radius, transit-capped operator)
+    "z173_two_hop_reach",
+    # round-12: sweep-line peak concurrency (two-level max-prefix)
+    "z174_max_concurrency",
 ]
 
 
@@ -285,12 +289,29 @@ def warmup(spark) -> None:
         )
 
 
+LOCAL_ARTIFACT = "BENCH_LAST_LOCAL.json"
+
+
 def _previous_round_bench() -> tuple[str, dict] | None:
-    """Latest committed BENCH_r{N}.json next to this file, parsed."""
+    """Previous full-run numbers to adjudicate movers against.
+
+    Prefers bench.py's OWN last full artifact (written by every
+    non---only run): the driver's BENCH_r{N}.json wrapper archives only
+    a 2000-char stdout tail, so its ``parsed``/``queries`` can be empty
+    and the mover comparison would silently no-op (it did for two
+    rounds). Falls back to the newest driver wrapper's parsed block."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    local = os.path.join(here, LOCAL_ARTIFACT)
+    try:
+        with open(local) as f:
+            obj = json.load(f)
+        if obj.get("queries"):
+            return LOCAL_ARTIFACT, obj
+    except (OSError, json.JSONDecodeError):
+        pass
     best, best_n = None, -1
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
@@ -300,7 +321,11 @@ def _previous_round_bench() -> tuple[str, dict] | None:
         return None
     try:
         with open(best) as f:
-            return os.path.basename(best), json.load(f)
+            obj = json.load(f)
+        # driver wrapper: per-query numbers live under "parsed"
+        if "parsed" in obj and isinstance(obj["parsed"], dict):
+            obj = obj["parsed"]
+        return os.path.basename(best), obj
     except (OSError, json.JSONDecodeError):
         return None
 
@@ -502,6 +527,16 @@ def main() -> None:
             "agg": args.agg,
         }
     )
+    if not args.only:
+        # persist the FULL record locally: the driver archives only a
+        # stdout tail, and next round's mover adjudication needs every
+        # per-query number (see _previous_round_bench)
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, LOCAL_ARTIFACT), "w") as f:
+                json.dump(out, f)
+        except OSError as exc:
+            print(f"# local artifact write failed: {exc}", file=sys.stderr)
     print(json.dumps(out))
 
 

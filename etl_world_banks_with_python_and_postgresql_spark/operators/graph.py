@@ -608,3 +608,106 @@ SELECT node, count(*)::BIGINT AS core_degree FROM (
 GROUP BY node
 """
     )
+
+
+def k_hop_reach(
+    edges: DataFrame,
+    hops: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_transit_degree: int | None = None,
+) -> DataFrame:
+    """Per-node k-hop neighborhood size over an UNDIRECTED graph: the
+    number of DISTINCT other nodes within <= ``hops`` edges -- the
+    friend-of-friend / influence-radius primitive (and the diversity
+    denominator entity-resolution QA reads).
+
+    Scale honesty: hop expansion is Sum_v deg(v)^hops pair work, and a
+    single hub makes that quadratic -- there is no orientation trick
+    here because reach (unlike triangles) genuinely needs the hub's
+    whole neighborhood. The standard mitigation is exactly what
+    ``max_transit_degree`` implements: nodes above the cap cannot be
+    TRANSIT (middle) nodes -- their own reach is still reported and
+    they still appear as endpoints, but paths THROUGH them are dropped
+    (documented approximation, the way production FoF systems bound
+    celebrity blowup). Leave it None only on graphs whose degree is
+    already bounded (dedup'd / sparsified, like the >= 2-orders
+    co-purchase graph the z173 entry uses).
+
+    Each hop is one equi-join + distinct over the reach set, lineage
+    cut per hop. Returns (node, n_reach), exact integers, self
+    excluded.
+    """
+    if hops < 1:
+        raise ValueError("hops must be >= 1")
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    sym = (
+        e0.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(e0.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    if max_transit_degree is not None:
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+        transit_ok = deg.filter(
+            F.col("_d") <= max_transit_degree
+        ).select("u")
+        # paths extend only THROUGH capped-degree middle nodes
+        trans = sym.join(transit_ok, "u", "left_semi").localCheckpoint()
+    else:
+        trans = sym
+    reach = sym
+    for _ in range(hops - 1):
+        ext = (
+            reach.select(F.col("u"), F.col("v").alias("_m"))
+            .join(
+                trans.select(
+                    F.col("u").alias("_m"), F.col("v").alias("v2")
+                ),
+                "_m",
+            )
+            .select("u", F.col("v2").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        reach = reach.unionByName(ext).distinct().localCheckpoint()
+    return reach.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_reach")
+    )
+
+
+def k_hop_reach_oracle_sql(edges_sql: str, hops: int = 2) -> str:
+    """DuckDB twin of :func:`k_hop_reach` (no transit cap -- the entry
+    runs uncapped on a bounded-degree graph)."""
+    parts = [
+        f"""
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) raw0
+  WHERE least(src, dst) < greatest(src, dst)),
+sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+r1 AS MATERIALIZED (SELECT u, v FROM sym)"""
+    ]
+    for i in range(2, hops + 1):
+        parts.append(
+            f"""
+r{i} AS MATERIALIZED (
+  SELECT u, v FROM r{i - 1}
+  UNION
+  SELECT r.u, s.v FROM r{i - 1} r JOIN sym s ON s.u = r.v
+  WHERE r.u <> s.v)"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT u AS node, count(DISTINCT v)::BIGINT AS n_reach
+FROM r{hops} GROUP BY u
+"""
+    )

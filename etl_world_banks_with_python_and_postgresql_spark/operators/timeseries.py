@@ -1282,3 +1282,108 @@ SELECT d.{g}, d.day, d.value_micros, d.residual
 FROM dev d JOIN mad m USING ({g})
 WHERE m.mad > 0 AND {k_den} * d.adev > {k_num} * m.mad
 """
+
+
+def interval_max_concurrency(
+    df: DataFrame,
+    group_col: str,
+    start_us: "F.Column",
+    end_us: "F.Column",
+    id_col: str,
+    bucket_width_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Peak concurrent intervals per group (max rooms occupied, peak
+    sessions, connection-pool high-water): classic sweep-line --
+    +1 at start, -1 at end, the answer is the max of the running sum --
+    but WITHOUT the per-group global ordered window (one task per
+    group, the plans.lint anti-pattern when groups are few and huge).
+
+    Two-level max-prefix reduction instead: bucket the sweep key by
+    ``bucket_width_us``; per (group, bucket) one bounded window yields
+    the bucket's delta total and its LOCAL max running sum; then
+    ``max_prefix = max over buckets of (exclusive-offset + local max)``
+    -- the only cross-bucket window runs on the bucket axis
+    (n/width rows per group, recursively bucketable). The same
+    decomposition parallel scan uses for any associative prefix-max.
+
+    Intervals are half-open [start, end): an interval ending at T does
+    not overlap one starting at T. Encoded in the sweep key
+    ``k = 2*t_us + (is_start ? 1 : 0)`` so ends sort strictly before
+    coincident starts; ``id_col`` breaks residual ties so every window
+    order is total and both engines agree bit-for-bit.
+
+    Returns (``group_col``, n_intervals, max_concurrent) -- exact
+    integers.
+    """
+    iv = df.select(
+        F.col(group_col).alias("g"),
+        start_us.cast("long").alias("_s"),
+        end_us.cast("long").alias("_e"),
+        F.col(id_col).alias("_id"),
+    )
+    pts = iv.select(
+        "g", (F.col("_s") * 2 + 1).alias("_k"),
+        F.lit(1).cast("long").alias("_d"), "_id",
+    ).unionByName(
+        iv.select(
+            "g", (F.col("_e") * 2).alias("_k"),
+            F.lit(-1).cast("long").alias("_d"), "_id",
+        )
+    )
+    b = (F.col("_k") - F.col("_k") % (2 * bucket_width_us)) / (
+        2 * bucket_width_us
+    )
+    rows = pts.withColumn("_b", b.cast("long"))
+    in_w = (
+        W.partitionBy("g", "_b")
+        .orderBy("_k", "_d", "_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = rows.withColumn("_run", F.sum("_d").over(in_w))
+    per_bucket = local.groupBy("g", "_b").agg(
+        F.sum("_d").alias("_bt"), F.max("_run").alias("_bmax")
+    )
+    off_w = (
+        W.partitionBy("g").orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    )
+    capped = per_bucket.select(
+        "g",
+        (
+            F.coalesce(F.sum("_bt").over(off_w), F.lit(0)) + F.col("_bmax")
+        ).alias("_gmax"),
+    )
+    n_iv = iv.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals")
+    )
+    return (
+        capped.groupBy("g")
+        .agg(F.max("_gmax").cast("long").alias("max_concurrent"))
+        .join(n_iv, "g")
+        .select(
+            F.col("g").alias(group_col), "n_intervals", "max_concurrent"
+        )
+    )
+
+
+def interval_max_concurrency_oracle_sql(
+    intervals_sql: str, group_col: str
+) -> str:
+    """DuckDB twin of :func:`interval_max_concurrency` -- the NAIVE
+    per-group global-window definition (``intervals_sql`` must yield
+    ``group_col``, s_us, e_us, id)."""
+    return f"""
+WITH iv AS MATERIALIZED ({intervals_sql}),
+pts AS (
+  SELECT {group_col} AS g, s_us * 2 + 1 AS k, 1::BIGINT AS d, id FROM iv
+  UNION ALL
+  SELECT {group_col}, e_us * 2, -1::BIGINT, id FROM iv),
+c AS (
+  SELECT g, sum(d) OVER (PARTITION BY g ORDER BY k, d, id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pts),
+m AS (SELECT g, max(cum)::BIGINT AS max_concurrent FROM c GROUP BY g),
+n AS (SELECT {group_col} AS g, count(*)::BIGINT AS n_intervals
+      FROM iv GROUP BY 1)
+SELECT m.g AS {group_col}, n.n_intervals, m.max_concurrent
+FROM m JOIN n USING (g)
+"""

@@ -1244,3 +1244,42 @@ def z164(spark, sf_dir):
             >= F.lit(384).cast("decimal(38,0)") * den_d
         ).alias("significant_95"),
     )
+
+
+from ..operators.graph import (  # noqa: E402
+    k_hop_reach_oracle_sql as _khop_sql,
+)
+
+
+@query(
+    "z173_two_hop_reach",
+    oracle=_khop_sql(_CC_EDGES_SQL, hops=2),
+    description=(
+        "per-node 2-hop neighborhood size (friend-of-friend reach) over "
+        "the >= 2-orders co-purchase graph: one equi-join + distinct per "
+        "hop, lineage cut per hop -- the influence-radius primitive. "
+        "Scale honesty is explicit in the operator: hop expansion is "
+        "Sum deg^hops and a hub makes it quadratic, so the operator "
+        "ships a max_transit_degree cap (paths through celebrity nodes "
+        "dropped, the production FoF mitigation) and the entry runs "
+        "uncapped only because this graph's degree is bounded by "
+        "construction (the z147 sparsification). Exact integers, self "
+        "excluded"
+    ),
+)
+def z173(spark, sf_dir):
+    from ..operators.graph import k_hop_reach
+
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("_pb"))
+    edges = (
+        li.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("_pb"))
+        .groupBy(
+            F.col("l_partkey").alias("src"), F.col("_pb").alias("dst")
+        )
+        .agg(F.countDistinct("l_orderkey").alias("_n_ord"))
+        .filter(F.col("_n_ord") >= 2)
+        .select("src", "dst")
+    )
+    return k_hop_reach(edges, hops=2)

@@ -1417,3 +1417,44 @@ def z160(spark, sf_dir):
         load(spark, "events", sf_dir), value_col="value", ts_col="ts",
         period=7, group_by="event_type",
     )
+
+
+from ..operators.timeseries import (  # noqa: E402
+    interval_max_concurrency_oracle_sql as _maxconc_sql,
+)
+
+_Z174_IV_SQL = """
+  SELECT event_type,
+         epoch_us(ts) AS s_us,
+         epoch_us(ts) + (60 + event_id % 3600) * 1000000 AS e_us,
+         event_id AS id
+  FROM events
+"""
+
+
+@query(
+    "z174_max_concurrency",
+    oracle=_maxconc_sql(_Z174_IV_SQL, "event_type"),
+    description=(
+        "peak concurrent sessions per event type (sweep-line: +1 at "
+        "start, -1 at end, max running sum; duration synthesized "
+        "deterministically from event_id) WITHOUT the per-group global "
+        "ordered window: two-level max-prefix reduction -- per "
+        "(group, hour-bucket) local max running sum, exclusive offsets "
+        "over the bucket axis only, max(offset + local max) -- the "
+        "parallel-scan decomposition of any associative prefix-max "
+        "(z90's cumsum discipline applied to max). Half-open [s, e) "
+        "intervals encoded in the sweep key so coincident end/start "
+        "never overlap; id tie-break makes every window order total. "
+        "Exact integers; oracle IS the naive global-window definition"
+    ),
+)
+def z174(spark, sf_dir):
+    from ..operators.timeseries import interval_max_concurrency
+
+    ev = load(spark, "events", sf_dir)
+    s = F.unix_micros(F.col("ts"))
+    e = s + (F.lit(60) + F.col("event_id") % 3600) * 1_000_000
+    return interval_max_concurrency(
+        ev, "event_type", s, e, "event_id"
+    )

@@ -4389,6 +4389,73 @@ def test_triangle_counts_random_vs_bruteforce(spark):
         assert got == want, f"trial {trial}: {sorted(edges)}"
 
 
+def test_interval_max_concurrency_hand_checked(spark):
+    """Sweep-line peak concurrency against hand-derived answers,
+    including the half-open boundary ([1,3) and [3,5) do NOT overlap)
+    and a tiny bucket width that forces the peak to straddle bucket
+    boundaries (the two-level max-prefix path)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.timeseries import (
+        interval_max_concurrency,
+    )
+
+    rows = [
+        # group a: [0,10) [2,8) [4,6) nested -> peak 3; [10,12) touches
+        ("a", 0, 10, 1), ("a", 2, 8, 2), ("a", 4, 6, 3), ("a", 10, 12, 4),
+        # group b: [1,3) [3,5) half-open chain -> peak 1
+        ("b", 1, 3, 5), ("b", 3, 5, 6),
+        # group c: long interval spanning many buckets + short inside
+        ("c", 0, 100, 7), ("c", 50, 55, 8),
+    ]
+    df = spark.createDataFrame(rows, "g string, s long, e long, id long")
+    for width in (4, 1_000_000):  # force multi-bucket, then single-bucket
+        out = {
+            r["g"]: (r["n_intervals"], r["max_concurrent"])
+            for r in interval_max_concurrency(
+                df, "g", F.col("s"), F.col("e"), "id",
+                bucket_width_us=width,
+            ).collect()
+        }
+        assert out == {"a": (4, 3), "b": (2, 1), "c": (2, 2)}, (width, out)
+
+
+def test_k_hop_reach_hand_checked_and_transit_cap(spark):
+    """2-hop reach on a path 1-2-3-4-5 plus a triangle 10-11-12, with
+    dup/self-loop noise; then the celebrity cap: paths THROUGH a hub
+    above max_transit_degree are dropped but the hub still reports."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.graph import (
+        k_hop_reach,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5),
+             (10, 11), (11, 12), (12, 10), (2, 1), (3, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["n_reach"] for r in k_hop_reach(df, hops=2).collect()}
+    assert out == {1: 2, 2: 3, 3: 4, 4: 3, 5: 2, 10: 2, 11: 2, 12: 2}
+    # 1-hop degenerates to plain degree
+    out1 = {r["node"]: r["n_reach"] for r in k_hop_reach(df, hops=1).collect()}
+    assert out1 == {1: 1, 2: 2, 3: 2, 4: 2, 5: 1, 10: 2, 11: 2, 12: 2}
+
+    # star: hub 0 joined to 1..5, plus edge 1-2. With the cap below the
+    # hub's degree, leaf 3 can no longer reach others THROUGH 0, but 1-2
+    # still see each other directly and the hub still reports its reach.
+    star = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    sdf = spark.createDataFrame(star, "src long, dst long")
+    capped = {
+        r["node"]: r["n_reach"]
+        for r in k_hop_reach(sdf, hops=2, max_transit_degree=3).collect()
+    }
+    # hub reaches all 5 leaves (its own edges are 1-hop, no transit)
+    assert capped[0] == 5
+    # leaf 3: direct {0}; two-hop through 0 dropped (deg 5 > 3) -> 1
+    assert capped[3] == 1
+    # leaf 1: {0, 2} direct; through 2 (deg 2 <= 3) reaches 1's own set
+    assert capped[1] == 2
+    uncapped = {
+        r["node"]: r["n_reach"] for r in k_hop_reach(sdf, hops=2).collect()
+    }
+    assert uncapped[3] == 5  # {0} + 4 siblings through the hub
+
+
 def test_image_dhash_reference_and_brightness_invariance(spark):
     """image_dhash equals a pure-python reference on real encoded BMPs,
     identical images collide, and a CONSTANT brightness shift (the
