@@ -200,6 +200,8 @@ HEADLINE = [
     "z173_two_hop_reach",
     # round-12: sweep-line peak concurrency (two-level max-prefix)
     "z174_max_concurrency",
+    # round-12: histogram-trick exact weighted median
+    "z175_weighted_median",
 ]
 
 

@@ -308,3 +308,73 @@ SELECT {group}, n::BIGINT AS n_members,
        END AS gini_micros
 FROM agg
 """
+
+
+def weighted_median_banded(
+    df: DataFrame,
+    group_col: str,
+    band: "F.Column",
+    weight: "F.Column",
+) -> DataFrame:
+    """Exact weighted median over a BOUNDED-DOMAIN value (a band /
+    bucket / grade), per group: the smallest band ``v`` whose cumulative
+    weight reaches half the group total (``2*cum(v) >= W``, the lower
+    weighted median -- a deterministic tie rule, no interpolation, no
+    float).
+
+    Scale shape: this is the histogram-median trick -- one map-side-
+    combined aggregate collapses the corpus to (group, band, weight)
+    histogram rows, and every window after that runs on the HISTOGRAM
+    axis (|bands| rows per group), never on corpus rows. The standard
+    way to take medians at 100 TB when the value domain is bounded;
+    contrast a sort-based median, which shuffles the corpus.
+
+    ``weight`` must be a nonnegative integer column (exactness; lift
+    money to cents first). Returns (``group_col``, total_weight,
+    median_band) -- exact integers.
+    """
+    h = df.groupBy(
+        F.col(group_col).alias("g"), band.cast("long").alias("v")
+    ).agg(F.sum(weight.cast("long")).alias("w"))
+    cum_w = (
+        W.partitionBy("g").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    )
+    tot_w = W.partitionBy("g")
+    c = h.select(
+        "g", "v",
+        F.sum("w").over(cum_w).alias("_cum"),
+        F.sum("w").over(tot_w).alias("_tot"),
+    )
+    return (
+        c.filter(F.lit(2) * F.col("_cum") >= F.col("_tot"))
+        .groupBy("g", "_tot")
+        .agg(F.min("v").alias("median_band"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("_tot").cast("long").alias("total_weight"),
+            F.col("median_band").cast("long"),
+        )
+    )
+
+
+def weighted_median_oracle_sql(
+    rows_sql: str, group_col: str, band_sql: str, weight_sql: str
+) -> str:
+    """DuckDB twin of :func:`weighted_median_banded`."""
+    return f"""
+WITH h AS (
+  SELECT {group_col} AS g, ({band_sql})::BIGINT AS v,
+         sum(({weight_sql})::BIGINT)::BIGINT AS w
+  FROM ({rows_sql}) r0 GROUP BY 1, 2),
+c AS (
+  SELECT g, v,
+         sum(w) OVER (PARTITION BY g ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER (PARTITION BY g) AS tot
+  FROM h)
+SELECT g AS {group_col},
+       tot::BIGINT AS total_weight,
+       min(v)::BIGINT AS median_band
+FROM c WHERE 2 * cum >= tot
+GROUP BY g, tot
+"""

@@ -1283,3 +1283,41 @@ def z173(spark, sf_dir):
         .select("src", "dst")
     )
     return k_hop_reach(edges, hops=2)
+
+
+from ..operators.rollup import (  # noqa: E402
+    weighted_median_oracle_sql as _wmed_sql,
+)
+
+
+@query(
+    "z175_weighted_median",
+    oracle=_wmed_sql(
+        "SELECT l_returnflag, l_extendedprice, l_quantity FROM lineitem",
+        "l_returnflag",
+        "floor(l_extendedprice / 1000)",
+        "l_quantity",
+    ),
+    description=(
+        "quantity-weighted median price band per return flag by the "
+        "histogram-median trick: one map-side-combined aggregate "
+        "collapses the corpus to (group, band, weight) rows, then every "
+        "window runs on the HISTOGRAM axis (|bands| rows), never corpus "
+        "rows -- the way to take a median at 100 TB when the domain is "
+        "bounded (a sort-based median shuffles the corpus). Lower "
+        "weighted median (smallest band with 2*cum >= total) -- a "
+        "deterministic tie rule, exact integers, no interpolation; "
+        "explicit floor() in BOTH engines (DuckDB ::INT rounds, the "
+        "z154 band-edge rule)"
+    ),
+)
+def z175(spark, sf_dir):
+    from ..operators.rollup import weighted_median_banded
+
+    li = load(spark, "lineitem", sf_dir)
+    return weighted_median_banded(
+        li,
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") / 1000),
+        F.col("l_quantity"),
+    )

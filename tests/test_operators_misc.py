@@ -4389,6 +4389,32 @@ def test_triangle_counts_random_vs_bruteforce(spark):
         assert got == want, f"trial {trial}: {sorted(edges)}"
 
 
+def test_weighted_median_banded_hand_checked(spark):
+    """Lower weighted median against hand math, including the exact-half
+    tie (2*cum == tot picks the crossing band) and weight dominance."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.rollup import (
+        weighted_median_banded,
+    )
+
+    rows = [
+        # group a: bands/weights (1,1),(2,1),(3,2) -> tot 4; cum(2)=2,
+        # 2*2 >= 4 -> median 2 (the exact-half tie rule)
+        ("a", 1, 1), ("a", 2, 1), ("a", 3, 2),
+        # group b: one heavy band dominates -> median 5
+        ("b", 1, 1), ("b", 5, 10), ("b", 9, 1),
+        # group c: single row
+        ("c", 7, 3),
+    ]
+    df = spark.createDataFrame(rows, "g string, v int, w int")
+    out = {
+        r["g"]: (r["total_weight"], r["median_band"])
+        for r in weighted_median_banded(
+            df, "g", F.col("v"), F.col("w")
+        ).collect()
+    }
+    assert out == {"a": (4, 2), "b": (12, 5), "c": (3, 7)}
+
+
 def test_interval_max_concurrency_hand_checked(spark):
     """Sweep-line peak concurrency against hand-derived answers,
     including the half-open boundary ([1,3) and [3,5) do NOT overlap)
