@@ -202,6 +202,9 @@ HEADLINE = [
     "z174_max_concurrency",
     # round-12: histogram-trick exact weighted median
     "z175_weighted_median",
+    # round-12: vocab growth curve + keep-longest canonical selection
+    "z176_vocab_growth",
+    "z177_cluster_keep_longest",
 ]
 
 

@@ -2261,3 +2261,86 @@ def z172(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_dups"),
     )
     return h.join(g, "dhash").select("doc_id", "dhash", "dup_group", "n_dups")
+
+
+@query(
+    "z177_cluster_keep_longest",
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE {_jacc_pred_sql("a.sh", "b.sh", 0.8)}),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.node, s.dst FROM reach r JOIN sym s ON r.lbl = s.src),
+cl AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+       FROM reach GROUP BY node),
+m AS (
+  SELECT doc_id, n_chars, coalesce(cl.cluster_id, doc_id) AS cluster_id
+  FROM documents LEFT JOIN cl USING (doc_id)),
+r AS (
+  SELECT cluster_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM m)
+SELECT cluster_id,
+       doc_id AS keep_doc,
+       n_chars::BIGINT AS kept_chars,
+       (SELECT count(*) FROM m m2
+        WHERE m2.cluster_id = r.cluster_id)::BIGINT AS n_members
+FROM r WHERE rn = 1
+""",
+    description=(
+        "canonical selection per near-dup cluster by KEEP-LONGEST (the "
+        "standard curation rule when duplicates differ by truncation: "
+        "min-id keeps whichever copy crawled first, keep-longest keeps "
+        "the most complete one): q45's connected-component clusters + "
+        "singleton fallback, then one row_number per cluster ordered "
+        "(n_chars DESC, doc_id) -- clusters are near-dup-sized, so the "
+        "window partitions stay tiny by construction. Output one "
+        "survivor row per cluster with its member count; exact "
+        "integers, deterministic tie-break"
+    ),
+)
+def z177(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.8, unpersist_after=False
+    )
+    cl = dedup.duplicate_clusters(pairs)
+    m = (
+        docs.select("doc_id", "n_chars")
+        .join(cl, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    sizes = m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        m.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .join(sizes, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc"),
+            F.col("n_chars").cast("long").alias("kept_chars"),
+            "n_members",
+        )
+    )

@@ -2761,3 +2761,62 @@ def z168(spark, sf_dir):
         .join(docs.select("doc_id", "n_chars"), "doc_id")
     )
     return _web.domain_stats(joined)
+
+
+@query(
+    "z176_vocab_growth",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id // 50 AS bucket, unnest({_TOKENS_SQL}) AS token
+  FROM documents),
+per AS (
+  SELECT bucket, count(*)::BIGINT AS n_occurrences,
+         count(DISTINCT token)::BIGINT AS n_types
+  FROM tok GROUP BY bucket),
+fst AS (SELECT token, min(bucket) AS fb FROM tok GROUP BY token),
+novel AS (SELECT fb AS bucket, count(*)::BIGINT AS n_novel_types
+          FROM fst GROUP BY fb)
+SELECT p.bucket, p.n_occurrences, p.n_types,
+       coalesce(n.n_novel_types, 0)::BIGINT AS n_novel_types,
+       (sum(coalesce(n.n_novel_types, 0))
+          OVER (ORDER BY p.bucket ROWS UNBOUNDED PRECEDING))::BIGINT
+         AS cum_vocab
+FROM per p LEFT JOIN novel n USING (bucket)
+""",
+    description=(
+        "vocabulary growth curve over ingest order (Heaps-law "
+        "observability): per doc_id-div-50 batch, token occurrences, "
+        "distinct types, NOVEL types (first global occurrence in this "
+        "batch: one min-bucket aggregate per token -- never a "
+        "batch-vs-history join), and the cumulative vocabulary -- the "
+        "number a crawl tracks to see a source go stale (novel-type "
+        "rate collapsing) or a scrape loop duplicating itself. Two "
+        "token-keyed map-side-combined aggregates; the only window "
+        "runs on the BATCH axis (corpus/50 rows, bounded). Exact "
+        "integers"
+    ),
+)
+def z176(spark, sf_dir):
+    from ..functions.xhash import ws_tokens
+
+    docs = load(spark, "documents", sf_dir)
+    tok = docs.select(
+        F.expr("doc_id div 50").alias("bucket"),
+        F.explode(ws_tokens(F.col("text"))).alias("token"),
+    )
+    per = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("token").cast("long").alias("n_types"),
+    )
+    novel = (
+        tok.groupBy("token")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel_types"))
+    )
+    j = per.join(novel, "bucket", "left").fillna({"n_novel_types": 0})
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    return j.select(
+        "bucket", "n_occurrences", "n_types", "n_novel_types",
+        F.sum("n_novel_types").over(w).cast("long").alias("cum_vocab"),
+    )

@@ -68,6 +68,10 @@ WHITELIST = {
     # outputs bounded by their value universes) + 1-row N broadcast --
     # zero-count cells must still contribute their |0 - T*n| mass
     "z171_source_drift": "bounded dims-cross + 1-row total broadcast",
+    # the cumulative-vocabulary window runs on the BATCH axis
+    # (corpus/50 rows after aggregation -- the z90/z92 bounded-axis
+    # pattern), never on corpus rows
+    "z176_vocab_growth": "window over the bounded batch axis",
     # level-2 frontier scan: its input is the checkpointed UNION OF
     # PER-BUCKET FRONTIERS (level 1 is bucket-partitioned), bounded by
     # the survivor count, never by the corpus
