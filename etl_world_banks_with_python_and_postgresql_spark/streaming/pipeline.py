@@ -727,3 +727,95 @@ def streaming_winnow_novelty_sink(
         )
 
     return apply_batch
+
+
+def streaming_drift_monitor_sink(
+    history_path: str,
+    monitor_path: str,
+    group_col: str,
+    bucket_col: str,
+):
+    """foreachBatch body for a LIVE distribution-drift monitor: each
+    micro-batch's per-group histogram over ``bucket_col`` is compared --
+    as EXACT total-variation distance in HALF_UP micros, the z171
+    statistic -- against the accumulated history of all PRIOR epochs,
+    then appended to that history. The pipeline-observability loop a
+    training-data ingest runs continuously: a source whose batch TVD
+    jumps is a scrape loop, a template flood, or an upstream schema
+    shift, caught while the batch is still quarantinable.
+
+    Replay discipline: both the history contribution and the monitor
+    rows for epoch N live under ``.../epoch=N`` and are written with
+    per-epoch OVERWRITE, so a replayed epoch rewrites its own partition
+    byte-for-byte instead of double-counting -- idempotent without a
+    ledger, because each epoch's output is a pure function of that
+    epoch's input. Per-epoch cost: one histogram aggregate over the
+    batch + one aggregate over the (histogram-sized, partition-pruned)
+    history -- never corpus-sized.
+
+    The first epoch has no prior history and emits no monitor row
+    (there is nothing to drift FROM).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..functions.exactnum import ratio_micros_halfup
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        hist = batch_df.groupBy(
+            F.col(group_col).alias("g"), F.col(bucket_col).alias("b")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        if os.path.exists(history_path):
+            prior = (
+                spark.read.option("basePath", history_path)
+                .parquet(history_path)
+                .filter(F.col("epoch") < epoch_id)
+                .groupBy("g", "b")
+                .agg(F.sum("n").cast("long").alias("h"))
+            )
+            if not prior.isEmpty():
+                bt = hist.groupBy("g").agg(F.sum("n").alias("bn"))
+                ht = prior.groupBy("g").agg(F.sum("h").alias("hn"))
+                # full bucket grid per group so one-sided buckets still
+                # contribute their mass (the z171 rule)
+                grid = (
+                    hist.select("g", "b")
+                    .unionByName(prior.select("g", "b"))
+                    .distinct()
+                )
+                j = (
+                    grid.join(hist, ["g", "b"], "left")
+                    .join(prior, ["g", "b"], "left")
+                    .fillna({"n": 0, "h": 0})
+                    .join(bt, "g")
+                    .join(ht, "g")
+                )
+                dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+                s = j.groupBy("g", "bn", "hn").agg(
+                    F.sum(
+                        F.abs(dec("n") * dec("hn") - dec("h") * dec("bn"))
+                    ).alias("num")
+                )
+                monitor = s.select(
+                    F.lit(epoch_id).cast("long").alias("epoch_id"),
+                    F.col("g").alias(group_col),
+                    F.col("bn").cast("long").alias("batch_rows"),
+                    ratio_micros_halfup(
+                        F.col("num"),
+                        F.lit(2).cast("decimal(38,0)")
+                        * dec("bn")
+                        * dec("hn"),
+                    ).alias("tvd_micros"),
+                )
+                monitor.write.mode("overwrite").parquet(
+                    os.path.join(monitor_path, f"epoch={epoch_id}")
+                )
+        hist.write.mode("overwrite").parquet(
+            os.path.join(history_path, f"epoch={epoch_id}")
+        )
+
+    return apply_batch

@@ -1594,3 +1594,74 @@ def test_join_view_sink_compacts_mid_stream(spark, tmp_path):
         (r["k"], r["n"], r["o"]) for r in view.read(spark).collect()
     )
     assert got == [(1, "a", 10), (3, "c", 30), (4, "d", 40)]
+
+
+def test_streaming_drift_monitor_sink(spark, tmp_path):
+    """Live TVD drift monitor: batch 2 keeps group 'a' identically
+    distributed (tvd 0) and flips group 'b' to a disjoint bucket
+    (tvd 1e6); the first epoch emits no monitor row; a replay rewrites
+    its epoch partition instead of double-counting."""
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        streaming_drift_monitor_sink,
+    )
+
+    src = str(tmp_path / "in")
+    hist = str(tmp_path / "hist")
+    mon = str(tmp_path / "mon")
+    schema = "g string, b long"
+    b1 = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("a", 1), ("a", 1), ("b", 0), ("b", 0)], schema
+    )
+    b1.write.parquet(src)
+
+    def run_once():
+        # ONE checkpoint across runs: epoch ids must advance (a fresh
+        # checkpoint would replay everything as epoch 0)
+        stream = spark.readStream.schema(b1.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_drift_monitor_sink(hist, mon, "g", "b")
+            )
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    import os
+
+    assert not os.path.exists(mon)  # first epoch: nothing to drift from
+    assert spark.read.parquet(hist).count() > 0
+
+    # batch 2: 'a' same shape (uniform 0/1), 'b' jumps to bucket 9
+    spark.createDataFrame(
+        [("a", 0), ("a", 1), ("b", 9), ("b", 9)], schema
+    ).write.mode("append").parquet(src)
+    run_once()
+    rows = {
+        r["g"]: (r["batch_rows"], r["tvd_micros"])
+        for r in spark.read.parquet(mon).collect()
+    }
+    assert rows["a"] == (2, 0)          # identical distribution
+    assert rows["b"] == (2, 1_000_000)  # disjoint support
+    # history now holds both epochs' contributions
+    h = spark.read.option("basePath", hist).parquet(hist)
+    assert {r["epoch"] for r in h.select("epoch").distinct().collect()} == {0, 1}
+
+    # replay absorption: re-running epoch 1's logic rewrites epoch=1
+    # byte-for-byte (monitor + history unchanged)
+    before_mon = sorted(tuple(r) for r in spark.read.parquet(mon).collect())
+    before_hist = sorted(tuple(r) for r in h.collect())
+    from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
+        streaming_drift_monitor_sink as mk,
+    )
+
+    replay = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("b", 9), ("b", 9)], schema
+    )
+    mk(hist, mon, "g", "b")(replay, 1)
+    assert sorted(tuple(r) for r in spark.read.parquet(mon).collect()) == before_mon
+    h2 = spark.read.option("basePath", hist).parquet(hist)
+    assert sorted(tuple(r) for r in h2.collect()) == before_hist
