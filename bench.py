@@ -205,6 +205,8 @@ HEADLINE = [
     # round-12: vocab growth curve + keep-longest canonical selection
     "z176_vocab_growth",
     "z177_cluster_keep_longest",
+    # round-12: ordered funnel (registry pairing for the r3 operator)
+    "z178_funnel",
 ]
 
 

@@ -1458,3 +1458,38 @@ def z174(spark, sf_dir):
     return interval_max_concurrency(
         ev, "event_type", s, e, "event_id"
     )
+
+
+@query(
+    "z178_funnel",
+    oracle="""
+WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id AS u, min(e.ts) AS t
+       FROM events e JOIN s1 ON s1.u = e.user_id AND e.ts > s1.t
+       WHERE e.event_type = 'click' GROUP BY 1),
+s3 AS (SELECT e.user_id AS u, min(e.ts) AS t
+       FROM events e JOIN s2 ON s2.u = e.user_id AND e.ts > s2.t
+       WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT 1 AS stage_idx, 'view' AS stage,
+       (SELECT count(*) FROM s1)::BIGINT AS n_users
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM s2)::BIGINT
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+""",
+    description=(
+        "ordered funnel completion (view -> click -> purchase, each "
+        "stage's first event STRICTLY AFTER the user's first completion "
+        "of the previous stage -- min-timestamp chaining, immune to "
+        "out-of-order duplicates): one filtered per-user min-aggregate "
+        "per stage chained by user-count-sized equi-joins; the event "
+        "table is never joined row-to-row and never sorted per user. "
+        "The operator existed with hand tests since round 3; this "
+        "closes its missing registry/oracle pairing"
+    ),
+)
+def z178(spark, sf_dir):
+    from ..operators.funnel import funnel_counts
+
+    return funnel_counts(load(spark, "events", sf_dir))
