@@ -299,14 +299,23 @@ def warmup(spark) -> None:
 LOCAL_ARTIFACT = "BENCH_LAST_LOCAL.json"
 
 
-def _previous_round_bench() -> tuple[str, dict] | None:
+def _previous_round_bench(
+    sf: str | None = None,
+    repeat: int | None = None,
+    agg: str | None = None,
+) -> tuple[str, dict] | None:
     """Previous full-run numbers to adjudicate movers against.
 
     Prefers bench.py's OWN last full artifact (written by every
     non---only run): the driver's BENCH_r{N}.json wrapper archives only
     a 2000-char stdout tail, so its ``parsed``/``queries`` can be empty
     and the mover comparison would silently no-op (it did for two
-    rounds). Falls back to the newest driver wrapper's parsed block."""
+    rounds). Falls back to the newest driver wrapper's parsed block.
+
+    ADVICE r12: the local artifact is used ONLY when its recorded
+    sf/repeat/agg match the current run's settings -- a locally-run
+    config-varied bench (e.g. ``--sf 0.01``) must not contaminate the
+    next driver run's mover adjudication with incomparable timings."""
     import glob
     import re
 
@@ -315,8 +324,21 @@ def _previous_round_bench() -> tuple[str, dict] | None:
     try:
         with open(local) as f:
             obj = json.load(f)
-        if obj.get("queries"):
+        comparable = (
+            (sf is None or str(obj.get("sf")) == str(sf))
+            and (repeat is None or obj.get("repeat") == repeat)
+            and (agg is None or obj.get("agg") == agg)
+        )
+        if obj.get("queries") and comparable:
             return LOCAL_ARTIFACT, obj
+        if obj.get("queries") and not comparable:
+            print(
+                f"# {LOCAL_ARTIFACT} was produced at sf={obj.get('sf')} "
+                f"repeat={obj.get('repeat')} agg={obj.get('agg')!r}; "
+                "current run differs -- falling back to the driver "
+                "wrapper for mover adjudication",
+                file=sys.stderr,
+            )
     except (OSError, json.JSONDecodeError):
         pass
     best, best_n = None, -1
@@ -412,7 +434,13 @@ def main() -> None:
         except OSError:
             return None
 
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # ADVICE r12: default to the real core count, not a hardcoded 32 --
+    # on a smaller host the elevated-load rule (load > 1.25*cpus) would
+    # otherwise silently never fire. The value used is recorded in the
+    # artifact as "load_cpus".
+    cpus = int(
+        os.environ.get("SPARK_GRAFT_CPUS") or (os.cpu_count() or 32)
+    )
     timings: dict[str, float] = {}
     loads: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -473,22 +501,24 @@ def main() -> None:
             print(f"# {name} FAILED: {exc}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # Key ORDER is load-bearing (VERDICT r10 #2): the driver archives only
-    # the last 2000 chars of stdout, so the bulky per-entry `queries` dict
-    # goes FIRST and every gate-relevant summary field goes LAST -- a tail
-    # window always captures headline/value/shared_total/pipeline_e2e/
-    # repeat/agg/isolated_flagged without needing PERF.md.
+    # Key ORDER is load-bearing (VERDICT r10 #2 + r12 #2): the driver
+    # archives only the last 2000 chars of stdout, so the bulky blocks go
+    # FIRST and every gate-relevant field goes LAST. Within the bulky
+    # blocks, the loadavg map rides BEFORE the per-entry seconds map so
+    # a tail window shows unambiguously-labeled TIMINGS, not load
+    # samples masquerading as timings (VERDICT r12 misread BENCH_r12's
+    # tail exactly that way).
     out = {
-        "queries": timings,
-        # per-entry peak 1-min loadavg (bulky block, rides up front with
-        # `queries`): the artifact's own phantom-load context
-        "load1m": loads,
+        # per-entry peak 1-min loadavg -- context samples, NOT timings
+        "load1m_per_entry": loads,
         "load_cpus": cpus,
+        # per-entry wall seconds (the real numbers)
+        "queries": timings,
     }
     if errors:
         out["errors"] = errors
     if not args.only and not args.no_isolate:
-        prev = _previous_round_bench()
+        prev = _previous_round_bench(sf=sf, repeat=repeat, agg=args.agg)
         if prev is not None:
             prev_name, prev_obj = prev
             prev_q = prev_obj.get("queries", {})
@@ -532,6 +562,13 @@ def main() -> None:
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "repeat": repeat,
             "agg": args.agg,
+            # self-description for tail readers (VERDICT r12 #2): the
+            # "queries" map is SECONDS; "load1m_per_entry" is loadavg
+            "note": (
+                "'queries' values are wall seconds per entry; "
+                "'load1m_per_entry' values are 1-min loadavg samples"
+            ),
+            "see": LOCAL_ARTIFACT,
         }
     )
     if not args.only:

@@ -563,10 +563,16 @@ def k_core(
             .localCheckpoint()
         )
     else:
-        raise RuntimeError(
-            f"k_core: no fixpoint within {max_rounds} rounds; raise "
-            "max_rounds (peeling depth is graph-dependent)"
-        )
+        # ADVICE r12: the loop tests convergence only at the TOP of each
+        # round, so a graph whose fixpoint lands exactly on the
+        # max_rounds-th peel would spuriously raise. Re-test once after
+        # exhaustion and raise only if genuinely unconverged (matching
+        # connected_components, which checks after its step).
+        if not degrees(alive).filter(F.col("d") < k).isEmpty():
+            raise RuntimeError(
+                f"k_core: no fixpoint within {max_rounds} rounds; raise "
+                "max_rounds (peeling depth is graph-dependent)"
+            )
     return degrees(alive).select(
         "node", F.col("d").cast("long").alias("core_degree")
     )

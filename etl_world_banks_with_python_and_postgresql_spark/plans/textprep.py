@@ -2678,12 +2678,14 @@ def _z167_url_col():
 @query(
     "z167_url_canonicalize",
     oracle=f"""
-WITH u AS ({_Z167_URL_SQL})
+WITH u AS ({_Z167_URL_SQL}),
+h AS MATERIALIZED (
+  SELECT doc_id, url, {_Z167_HOST_SQL} AS host FROM u)
 SELECT doc_id,
        {_web.canonical_url_sql('url')} AS canonical_url,
-       {_Z167_HOST_SQL} AS host,
-       {_web.registered_domain_sql(_Z167_HOST_SQL)} AS domain
-FROM u
+       host,
+       {_web.registered_domain_sql('host')} AS domain
+FROM h
 """,
     description=(
         "URL canonicalization (CCNet/crawl-frontier shape): fold "
@@ -2708,11 +2710,12 @@ def z167(spark, sf_dir):
     "z168_domain_stats",
     oracle=f"""
 WITH u AS ({_Z167_URL_SQL}),
+h AS MATERIALIZED (
+  SELECT doc_id, n_chars, {_Z167_HOST_SQL} AS host FROM u),
 dom AS (
-  SELECT doc_id, n_chars,
-         {_Z167_HOST_SQL} AS host,
-         {_web.registered_domain_sql(_Z167_HOST_SQL)} AS domain
-  FROM u),
+  SELECT doc_id, n_chars, host,
+         {_web.registered_domain_sql('host')} AS domain
+  FROM h),
 g AS ({_gopher_sql(_Z141_AUG_SQL)})
 SELECT domain,
        count(*)::BIGINT AS n_docs,

@@ -753,8 +753,18 @@ def streaming_drift_monitor_sink(
     batch + one aggregate over the (histogram-sized, partition-pruned)
     history -- never corpus-sized.
 
-    The first epoch has no prior history and emits no monitor row
-    (there is nothing to drift FROM).
+    EVERY group seen in the batch or the accumulated history gets a
+    monitor row each epoch (ADVICE r12 -- the two extreme drift events
+    must not pass silently): a group present on both sides gets the
+    exact TVD; a group present only in the batch (new source -- the
+    first epoch is all-new by definition) gets ``history_rows`` NULL;
+    a group present only in the history (source went dark) gets
+    ``batch_rows`` NULL. Sentinel rows carry ``tvd_micros`` NULL --
+    there is no distribution to compare -- so downstream alerting
+    treats NULL as "investigate", not "no drift". An entirely-empty
+    micro-batch is invisible to foreachBatch sinks by contract (Spark
+    may not even fire it); dark-SOURCE detection therefore needs a
+    wall-clock watchdog, dark-GROUP detection is handled here.
     """
     import os
 
@@ -769,6 +779,8 @@ def streaming_drift_monitor_sink(
         hist = batch_df.groupBy(
             F.col(group_col).alias("g"), F.col(bucket_col).alias("b")
         ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        bt = hist.groupBy("g").agg(F.sum("n").alias("bn"))
+        prior = None
         if os.path.exists(history_path):
             prior = (
                 spark.read.option("basePath", history_path)
@@ -777,43 +789,70 @@ def streaming_drift_monitor_sink(
                 .groupBy("g", "b")
                 .agg(F.sum("n").cast("long").alias("h"))
             )
-            if not prior.isEmpty():
-                bt = hist.groupBy("g").agg(F.sum("n").alias("bn"))
-                ht = prior.groupBy("g").agg(F.sum("h").alias("hn"))
-                # full bucket grid per group so one-sided buckets still
-                # contribute their mass (the z171 rule)
-                grid = (
-                    hist.select("g", "b")
-                    .unionByName(prior.select("g", "b"))
-                    .distinct()
-                )
-                j = (
-                    grid.join(hist, ["g", "b"], "left")
-                    .join(prior, ["g", "b"], "left")
-                    .fillna({"n": 0, "h": 0})
-                    .join(bt, "g")
-                    .join(ht, "g")
-                )
-                dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-                s = j.groupBy("g", "bn", "hn").agg(
-                    F.sum(
-                        F.abs(dec("n") * dec("hn") - dec("h") * dec("bn"))
-                    ).alias("num")
-                )
-                monitor = s.select(
-                    F.lit(epoch_id).cast("long").alias("epoch_id"),
-                    F.col("g").alias(group_col),
-                    F.col("bn").cast("long").alias("batch_rows"),
-                    ratio_micros_halfup(
-                        F.col("num"),
-                        F.lit(2).cast("decimal(38,0)")
-                        * dec("bn")
-                        * dec("hn"),
-                    ).alias("tvd_micros"),
-                )
-                monitor.write.mode("overwrite").parquet(
-                    os.path.join(monitor_path, f"epoch={epoch_id}")
-                )
+            if prior.isEmpty():
+                prior = None
+        if prior is not None:
+            ht = prior.groupBy("g").agg(F.sum("h").alias("hn"))
+            totals = bt.join(ht, "g", "full_outer")
+            # groups with mass on BOTH sides: exact TVD (the z171
+            # statistic); one-sided groups become sentinel rows below
+            both = totals.filter(
+                F.col("bn").isNotNull() & F.col("hn").isNotNull()
+            )
+            # full bucket grid per group so one-sided buckets still
+            # contribute their mass (the z171 rule)
+            grid = (
+                hist.select("g", "b")
+                .unionByName(prior.select("g", "b"))
+                .distinct()
+            )
+            j = (
+                grid.join(hist, ["g", "b"], "left")
+                .join(prior, ["g", "b"], "left")
+                .fillna({"n": 0, "h": 0})
+                .join(both, "g")
+            )
+            dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+            s = j.groupBy("g", "bn", "hn").agg(
+                F.sum(
+                    F.abs(dec("n") * dec("hn") - dec("h") * dec("bn"))
+                ).alias("num")
+            )
+            scored = s.select(
+                F.col("g"),
+                F.col("bn").cast("long").alias("batch_rows"),
+                F.col("hn").cast("long").alias("history_rows"),
+                ratio_micros_halfup(
+                    F.col("num"),
+                    F.lit(2).cast("decimal(38,0)") * dec("bn") * dec("hn"),
+                ).alias("tvd_micros"),
+            )
+            sentinels = totals.filter(
+                F.col("bn").isNull() | F.col("hn").isNull()
+            ).select(
+                F.col("g"),
+                F.col("bn").cast("long").alias("batch_rows"),
+                F.col("hn").cast("long").alias("history_rows"),
+                F.lit(None).cast("long").alias("tvd_micros"),
+            )
+            monitor = scored.unionByName(sentinels)
+        else:
+            # first epoch: every batch group is a new source (sentinel)
+            monitor = bt.select(
+                F.col("g"),
+                F.col("bn").cast("long").alias("batch_rows"),
+                F.lit(None).cast("long").alias("history_rows"),
+                F.lit(None).cast("long").alias("tvd_micros"),
+            )
+        monitor.select(
+            F.lit(epoch_id).cast("long").alias("epoch_id"),
+            F.col("g").alias(group_col),
+            "batch_rows",
+            "history_rows",
+            "tvd_micros",
+        ).write.mode("overwrite").parquet(
+            os.path.join(monitor_path, f"epoch={epoch_id}")
+        )
         hist.write.mode("overwrite").parquet(
             os.path.join(history_path, f"epoch={epoch_id}")
         )

@@ -4618,6 +4618,15 @@ def test_k_core_hand_checked_and_cascade(spark):
     )
     with _pytest.raises(RuntimeError, match="no fixpoint"):
         k_core(path, k=2, max_rounds=1)
+    # ADVICE r12: a fixpoint reached exactly ON the max_rounds-th peel
+    # must NOT raise -- convergence is re-tested once after loop
+    # exhaustion. The K4+tail graph peels in exactly 2 rounds (6,7 then
+    # the cascaded 5), so max_rounds=2 converges with no round to spare.
+    out2 = {
+        r["node"]: r["core_degree"]
+        for r in k_core(df, k=2, max_rounds=2).collect()
+    }
+    assert out2 == {1: 3, 2: 3, 3: 3, 4: 3}
 
 
 def test_url_canonicalize_hand_checked(spark):

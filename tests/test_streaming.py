@@ -1598,9 +1598,12 @@ def test_join_view_sink_compacts_mid_stream(spark, tmp_path):
 
 def test_streaming_drift_monitor_sink(spark, tmp_path):
     """Live TVD drift monitor: batch 2 keeps group 'a' identically
-    distributed (tvd 0) and flips group 'b' to a disjoint bucket
-    (tvd 1e6); the first epoch emits no monitor row; a replay rewrites
-    its epoch partition instead of double-counting."""
+    distributed (tvd 0), flips group 'b' to a disjoint bucket (tvd 1e6)
+    and introduces a brand-new group 'c' (sentinel: history_rows NULL);
+    batch 3 drops 'b' and 'c' entirely (sentinels: batch_rows NULL --
+    the went-dark event, ADVICE r12); the first epoch is all sentinel
+    rows (everything is new); a replay rewrites its epoch partition
+    instead of double-counting."""
     from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
         streaming_drift_monitor_sink,
     )
@@ -1630,38 +1633,66 @@ def test_streaming_drift_monitor_sink(spark, tmp_path):
         q.stop()
 
     run_once()
-    import os
-
-    assert not os.path.exists(mon)  # first epoch: nothing to drift from
+    # first epoch: every group is new -> sentinel rows, no TVD
+    rows0 = {
+        r["g"]: (r["batch_rows"], r["history_rows"], r["tvd_micros"])
+        for r in spark.read.parquet(f"{mon}/epoch=0").collect()
+    }
+    assert rows0 == {"a": (4, None, None), "b": (2, None, None)}
     assert spark.read.parquet(hist).count() > 0
 
-    # batch 2: 'a' same shape (uniform 0/1), 'b' jumps to bucket 9
+    # batch 2: 'a' same shape (uniform 0/1), 'b' jumps to bucket 9,
+    # 'c' appears for the first time
     spark.createDataFrame(
-        [("a", 0), ("a", 1), ("b", 9), ("b", 9)], schema
+        [("a", 0), ("a", 1), ("b", 9), ("b", 9), ("c", 5)], schema
     ).write.mode("append").parquet(src)
     run_once()
-    rows = {
-        r["g"]: (r["batch_rows"], r["tvd_micros"])
-        for r in spark.read.parquet(mon).collect()
+    rows1 = {
+        r["g"]: (r["batch_rows"], r["history_rows"], r["tvd_micros"])
+        for r in spark.read.parquet(f"{mon}/epoch=1").collect()
     }
-    assert rows["a"] == (2, 0)          # identical distribution
-    assert rows["b"] == (2, 1_000_000)  # disjoint support
+    assert rows1["a"] == (2, 4, 0)          # identical distribution
+    assert rows1["b"] == (2, 2, 1_000_000)  # disjoint support
+    assert rows1["c"] == (1, None, None)    # new source sentinel
     # history now holds both epochs' contributions
     h = spark.read.option("basePath", hist).parquet(hist)
     assert {r["epoch"] for r in h.select("epoch").distinct().collect()} == {0, 1}
 
+    # batch 3: only 'a' reports -- 'b' and 'c' went dark
+    spark.createDataFrame([("a", 0), ("a", 1)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    rows2 = {
+        r["g"]: (r["batch_rows"], r["history_rows"], r["tvd_micros"])
+        for r in spark.read.parquet(f"{mon}/epoch=2").collect()
+    }
+    assert rows2["a"] == (2, 6, 0)
+    assert rows2["b"] == (None, 4, None)  # went-dark sentinel
+    assert rows2["c"] == (None, 1, None)  # went-dark sentinel
+
     # replay absorption: re-running epoch 1's logic rewrites epoch=1
     # byte-for-byte (monitor + history unchanged)
-    before_mon = sorted(tuple(r) for r in spark.read.parquet(mon).collect())
+    before_mon = sorted(
+        tuple(r)
+        for r in spark.read.option("basePath", mon).parquet(mon).collect()
+    )
+    h = spark.read.option("basePath", hist).parquet(hist)
     before_hist = sorted(tuple(r) for r in h.collect())
     from etl_world_banks_with_python_and_postgresql_spark.streaming.pipeline import (
         streaming_drift_monitor_sink as mk,
     )
 
     replay = spark.createDataFrame(
-        [("a", 0), ("a", 1), ("b", 9), ("b", 9)], schema
+        [("a", 0), ("a", 1), ("b", 9), ("b", 9), ("c", 5)], schema
     )
     mk(hist, mon, "g", "b")(replay, 1)
-    assert sorted(tuple(r) for r in spark.read.parquet(mon).collect()) == before_mon
+    assert (
+        sorted(
+            tuple(r)
+            for r in spark.read.option("basePath", mon).parquet(mon).collect()
+        )
+        == before_mon
+    )
     h2 = spark.read.option("basePath", hist).parquet(hist)
     assert sorted(tuple(r) for r in h2.collect()) == before_hist
