@@ -100,6 +100,68 @@ def registered_domain(host: Column) -> Column:
     )
 
 
+def registered_domain_joined(
+    df: DataFrame,
+    host_col: str = "host",
+    suffixes: DataFrame | None = None,
+    out_col: str = "domain",
+) -> DataFrame:
+    """Table-driven variant of :func:`registered_domain` (VERDICT r12
+    #4): the second-level-suffix set comes from a DataFrame with one
+    ``suffix`` string column -- the full public-suffix list at deploy
+    time -- via a BROADCAST equi-join on the host's last two labels
+    instead of the frozen :data:`SECOND_LEVEL_TLDS` literal. Semantics
+    are identical on any host whose last-2-label suffix membership
+    agrees between the table and the frozen list (equivalence is
+    test-pinned on the frozen subset); swapping in real PSL data is a
+    data change, not a code change.
+
+    The suffix table is dimension-sized (the real PSL is ~10k rows), so
+    the join is a broadcast hash join: zero shuffle of the corpus side.
+    ``suffixes=None`` falls back to the frozen-list column expression.
+    """
+    host = F.col(host_col)
+    if suffixes is None:
+        return df.withColumn(out_col, registered_domain(host))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # try_element_at: unlike the literal-list path (where element_at is
+    # only ever evaluated under the n-guarded CASE branches), the join
+    # KEY is computed unconditionally for every row, so a single-label
+    # host must yield NULL pieces (concat_ws skips them) instead of an
+    # ANSI out-of-bounds error
+    last2 = F.concat_ws(
+        ".", F.try_element_at(labels, F.lit(-2)),
+        F.try_element_at(labels, F.lit(-1)),
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.try_element_at(labels, F.lit(-3)),
+        F.try_element_at(labels, F.lit(-2)),
+        F.try_element_at(labels, F.lit(-1)),
+    )
+    dim = F.broadcast(
+        suffixes.select(F.col("suffix").alias("_sld_suffix"))
+        .distinct()
+        .withColumn("_is_sld", F.lit(True))
+    )
+    joined = df.withColumns(
+        {"_sld_suffix": last2, "_n_labels": n, "_last3": last3}
+    ).join(dim, "_sld_suffix", "left")
+    domain = (
+        F.when(F.col("_n_labels") <= 2, host)
+        .when(
+            F.coalesce(F.col("_is_sld"), F.lit(False))
+            & (F.col("_n_labels") >= 3),
+            F.col("_last3"),
+        )
+        .otherwise(F.col("_sld_suffix"))
+    )
+    return joined.withColumn(out_col, domain).drop(
+        "_sld_suffix", "_n_labels", "_last3", "_is_sld"
+    )
+
+
 def canonical_url(url: Column) -> Column:
     """Full canonical form: lowercased scheme ('http' when absent) and
     host with mirror prefix peeled, default port dropped (80/http,
@@ -134,18 +196,27 @@ def canonical_url(url: Column) -> Column:
 
 
 def canonicalize_urls(
-    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    suffixes: DataFrame | None = None,
 ) -> DataFrame:
     """(id, url) -> (id, canonical_url, host, domain). One codegen
-    projection pass; no shuffle."""
+    projection pass; no shuffle. Pass ``suffixes`` (a one-column
+    ``suffix`` DataFrame, e.g. the full public-suffix list) to resolve
+    second-level suffixes via :func:`registered_domain_joined`'s
+    broadcast join instead of the frozen list -- same output schema,
+    one extra broadcast hash join, still zero corpus shuffle."""
     u = F.col(url_col)
     host = canonical_host(u)
-    return df.select(
+    base = df.select(
         F.col(id_col),
         canonical_url(u).alias("canonical_url"),
         host.alias("host"),
-        registered_domain(host).alias("domain"),
     )
+    if suffixes is None:
+        return base.withColumn("domain", registered_domain(F.col("host")))
+    return registered_domain_joined(base, "host", suffixes)
 
 
 # --------------------------------------------------------------------
