@@ -207,6 +207,16 @@ HEADLINE = [
     "z177_cluster_keep_longest",
     # round-12: ordered funnel (registry pairing for the r3 operator)
     "z178_funnel",
+    # round-13: PMI collocation mining (exact integer lift)
+    "z179_pmi_collocations",
+    # round-13: degree assortativity (cleared-integer Pearson)
+    "z180_degree_assortativity",
+    # round-13: per-day dedup novelty rate (time axis of dedup obs.)
+    "z181_temporal_novelty",
+    # round-13: cross-domain link rollup (reciprocal pairs, outshares)
+    "z182_link_domain_rollup",
+    # round-13: per-source quantile normalization (histogram mid-rank)
+    "z183_source_quantile_norm",
 ]
 
 

@@ -1896,3 +1896,93 @@ def compact_winnow_index(spark, path: str) -> dict:
         stats["n_docs"] = n_docs
         commit_json(stats_path, stats, expect=tok)
     return {"n_docs": n_docs, "fp_rows_removed": n_before - n_after}
+
+
+def temporal_novelty(
+    df: DataFrame,
+    day,
+    fingerprint,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-day corpus novelty rate: for each ingestion day, how many
+    documents are the FIRST occurrence of their content fingerprint
+    (novel) vs re-crawls of something already seen -- the time axis of
+    dedup observability (a scrape loop shows up as a day whose dup rate
+    jumps; a fresh source as a day of near-pure novelty). The batch twin
+    of the streaming novelty sinks, aggregated to the per-day table a
+    curation dashboard reads.
+
+    "First occurrence" is the row with the minimal (day, id) per
+    fingerprint, totally ordered by encoding both into ONE BIGINT
+    ``day * 10^12 + id`` (ids must stay below 10^12 -- asserted cheap
+    at the aggregate level by the day decode below never exceeding the
+    day domain). Same-day duplicates count as dups of the smallest-id
+    row, so per-day novel counts sum to the number of DISTINCT
+    fingerprints in the corpus exactly.
+
+    Scale shape: one fingerprint-keyed min aggregate + one day-keyed
+    count each over corpus rows, one day-keyed join of two day-sized
+    tables; dup_rate as exact HALF_UP micros. No window, no all-pairs.
+    ``day``/``fingerprint`` are Column expressions so callers choose
+    the time grain and the fingerprint definition (exact md5, leading
+    shingle, simhash bucket...).
+    """
+    from ..functions.exactnum import floordiv_nonneg
+
+    enc = F.lit(10**12).cast("long")
+    d = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        day.cast("long").alias("_day"),
+        fingerprint.alias("_fp"),
+    )
+    firsts = d.groupBy("_fp").agg(
+        F.min(F.col("_day") * enc + F.col("_id")).alias("_first")
+    )
+    novel = (
+        firsts.select(
+            floordiv_nonneg(F.col("_first"), enc).alias("_day")
+        )
+        .groupBy("_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    per_day = d.groupBy("_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        per_day.join(novel, "_day", "left")
+        .fillna({"n_novel": 0})
+        .select(
+            F.col("_day").alias("day"),
+            "n_docs",
+            "n_novel",
+            _ratio_micros_halfup(
+                F.col("n_docs") - F.col("n_novel"), F.col("n_docs")
+            ).alias("dup_rate_micros"),
+        )
+    )
+
+
+def temporal_novelty_oracle_sql(
+    rows_sql: str,
+    day_sql: str = "day",
+    fp_sql: str = "fp",
+    id_sql: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`temporal_novelty` (same single-BIGINT
+    (day, id) encoding, same cleared-integer dup rate)."""
+    return f"""
+WITH d AS (SELECT ({id_sql})::BIGINT AS id, ({day_sql})::BIGINT AS day,
+                  {fp_sql} AS fp
+           FROM ({rows_sql}) raw0),
+firsts AS (SELECT fp, min(day * 1000000000000 + id) AS first_key
+           FROM d GROUP BY fp),
+novel AS (SELECT first_key // 1000000000000 AS day,
+                 count(*)::BIGINT AS n_novel
+          FROM firsts GROUP BY 1),
+per_day AS (SELECT day, count(*)::BIGINT AS n_docs FROM d GROUP BY day)
+SELECT p.day, p.n_docs,
+       coalesce(n.n_novel, 0)::BIGINT AS n_novel,
+       ((2000000 * (p.n_docs - coalesce(n.n_novel, 0)) + p.n_docs)
+        // (2 * p.n_docs))::BIGINT AS dup_rate_micros
+FROM per_day p LEFT JOIN novel n ON n.day = p.day
+"""

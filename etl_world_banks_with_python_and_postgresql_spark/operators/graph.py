@@ -725,3 +725,119 @@ SELECT u AS node, count(DISTINCT v)::BIGINT AS n_reach
 FROM r{hops} GROUP BY u
 """
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over all edges, symmetrized -- the
+    one-number answer to "do hubs link to hubs (r > 0, social graphs)
+    or to leaves (r < 0, web/biological graphs)?" that decides whether
+    hub-capping mitigations (``max_transit_degree``) will bite.
+
+    Over the 2|E| directed endpoint pairs (each undirected edge counted
+    both ways, the standard symmetrization -- which makes the x and y
+    marginals identical, so the correlation denominator needs NO square
+    root):
+
+        r = (M * Sxy - Sx^2) / (M * Sxx - Sx^2)
+
+    with M = 2|E|, Sx = sum(du + dv), Sxx = sum(du^2 + dv^2),
+    Sxy = sum(2 * du * dv) -- every term an exact integer, the final
+    value ONE sign-aware HALF_UP division in micros (the exactnum
+    discipline: no float accumulates anywhere). NULL when the
+    denominator is 0 (a degree-regular graph has no variance to
+    correlate).
+
+    Scale shape: one degree aggregate, two broadcast-free equi-joins of
+    the edge list against the (node, degree) table, one 1-row total.
+    Magnitude honesty: the HALF_UP step needs 2e6 * |M*Sxx| < 1e38;
+    with a transit-style degree cap d_max that is 2e6 * 2|E| * 2|E| *
+    d_max -- holds to ~10^15 edges at d_max 1e4. Output one row:
+    (m_endpoint_pairs, sx, sxx, sxy, assortativity_micros).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    j = e.join(
+        deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    dec = "decimal(38,0)"
+    s = j.agg(
+        (F.count(F.lit(1)) * 2).cast("long").alias("m"),
+        F.sum(F.col("da") + F.col("db")).cast("long").alias("sx"),
+        F.sum(
+            F.col("da").cast(dec) * F.col("da").cast(dec)
+            + F.col("db").cast(dec) * F.col("db").cast(dec)
+        ).alias("sxx"),
+        F.sum(
+            F.lit(2).cast(dec) * F.col("da").cast(dec) * F.col("db").cast(dec)
+        ).alias("sxy"),
+    )
+    num = (
+        F.col("m").cast(dec) * F.col("sxy")
+        - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    )
+    den = (
+        F.col("m").cast(dec) * F.col("sxx")
+        - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    )
+    from ..functions.exactnum import ratio_micros_halfup
+
+    r = F.when(
+        den == 0, F.lit(None).cast("long")
+    ).otherwise(
+        F.signum(num).cast("long")
+        * ratio_micros_halfup(F.abs(num), den)
+    )
+    return s.select(
+        F.col("m").alias("m_endpoint_pairs"),
+        F.col("sx").cast("long").alias("sx"),
+        F.col("sxx").cast("long").alias("sxx"),
+        F.col("sxy").cast("long").alias("sxy"),
+        r.alias("assortativity_micros"),
+    )
+
+
+def degree_assortativity_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`degree_assortativity` (same canonical edge
+    set, same cleared-integer Pearson)."""
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) raw0
+  WHERE least(src, dst) < greatest(src, dst)),
+deg AS MATERIALIZED (
+  SELECT node, count(*)::BIGINT AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e) t GROUP BY node),
+j AS (
+  SELECT da.d AS da, db.d AS db
+  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+s AS (
+  SELECT (2 * count(*))::HUGEINT AS m,
+         sum(da + db)::HUGEINT AS sx,
+         sum(da::HUGEINT * da + db::HUGEINT * db)::HUGEINT AS sxx,
+         sum(2 * da::HUGEINT * db)::HUGEINT AS sxy
+  FROM j)
+SELECT m::BIGINT AS m_endpoint_pairs,
+       sx::BIGINT AS sx, sxx::BIGINT AS sxx, sxy::BIGINT AS sxy,
+       CASE WHEN (m * sxx - sx * sx) = 0 THEN NULL
+            ELSE (CASE WHEN (m * sxy - sx * sx) >= 0 THEN 1 ELSE -1 END)
+                 * ((2000000 * abs(m * sxy - sx * sx)
+                     + (m * sxx - sx * sx))
+                    // (2 * (m * sxx - sx * sx)))
+       END::BIGINT AS assortativity_micros
+FROM s
+"""

@@ -1713,3 +1713,206 @@ SELECT {id_col},
        list_min(wc)::BIGINT AS min_sent_words
 FROM s
 """
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level bigram collocation mining by pointwise mutual
+    information, reported as the exact LIFT ratio in HALF_UP micros --
+    the phrase-discovery primitive (word2vec's phrase pass, quality-
+    signal "does this corpus use real multiword expressions", tokenizer
+    vocab candidates):
+
+        lift(a,b) = p(ab) / (p(a) * p(b))
+                  = n_ab * N_tok^2 / (N_big * n_a * n_b)
+
+    with n_ab counting ADJACENT occurrences over all docs, n_w token
+    occurrences, N_tok total tokens and N_big total bigram positions.
+    PMI = log2(lift) is monotone in lift, so ranking/thresholding on
+    the exact integer-micros lift carries zero float anywhere (the
+    exactnum discipline; log would reintroduce engine-dependent
+    rounding for no analytical gain).
+
+    Scale shape: one in-row bigram explode + TWO map-side-combined
+    count aggregates (bigram-keyed, token-keyed), two 1-row total
+    broadcasts, and two equi-joins of the bigram table against the
+    token-count table -- no window, no all-pairs; ``min_count`` prunes
+    the bigram tail BEFORE the joins (hapax bigrams dominate the key
+    space and carry no collocation signal). Magnitude honesty:
+    products run in DECIMAL(38,0); the HALF_UP step needs
+    2e6 * n_ab * N_tok^2 < 1e38, i.e. N_tok up to ~10^13 tokens per
+    computation with n_ab <= 10^6 -- beyond that, shard the PMI pass
+    per language/domain (standard practice) before lifting the scale.
+
+    Output: (w1, w2, n_pair, n_w1, n_w2, lift_micros), n_pair >=
+    ``min_count``.
+    """
+    toks = df.select(ws_tokens(F.col(text_col)).alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_t) - 2), "
+                "i -> struct(_t[i] AS w1, _t[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = (
+        df.select(F.explode(ws_tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    n_tok = uni.agg(F.sum("n_w").alias("n_tok_total"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    n_big = big.agg(F.sum("n_pair").alias("n_big_total"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return (
+        big.filter(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.col("n_w1").cast("long").alias("n_w1"),
+            F.col("n_w2").cast("long").alias("n_w2"),
+            _ratio_micros_halfup(
+                dec("n_pair") * dec("n_tok_total") * dec("n_tok_total"),
+                dec("n_big_total") * dec("n_w1") * dec("n_w2"),
+            ).alias("lift_micros"),
+        )
+    )
+
+
+def pmi_collocations_oracle_sql(
+    docs_sql: str = "SELECT text FROM documents",
+    min_count: int = 3,
+) -> str:
+    """DuckDB twin of :func:`pmi_collocations` (same tokenization, same
+    cleared-integer lift)."""
+    return f"""
+WITH t AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS tk
+           FROM ({docs_sql}) d),
+pairs AS (
+  SELECT u.p.w1 AS w1, u.p.w2 AS w2
+  FROM t, unnest([{{'w1': tk[i], 'w2': tk[i+1]}}
+                  for i in generate_series(1, len(tk) - 1)]) u(p)
+  WHERE len(tk) >= 2),
+uni AS (SELECT w, count(*)::BIGINT AS n_w
+        FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w),
+big AS (SELECT w1, w2, count(*)::BIGINT AS n_pair FROM pairs GROUP BY w1, w2),
+tot AS (SELECT (SELECT sum(n_w) FROM uni)::HUGEINT AS n_tok,
+               (SELECT sum(n_pair) FROM big)::HUGEINT AS n_big)
+SELECT w1, w2, n_pair,
+       a.n_w AS n_w1, b.n_w AS n_w2,
+       ((2000000 * (n_pair::HUGEINT * n_tok * n_tok)
+         + (n_big * a.n_w::HUGEINT * b.n_w::HUGEINT))
+        // (2 * (n_big * a.n_w::HUGEINT * b.n_w::HUGEINT)))::BIGINT
+         AS lift_micros
+FROM big
+JOIN uni a ON a.w = big.w1
+JOIN uni b ON b.w = big.w2
+CROSS JOIN tot
+WHERE n_pair >= {min_count}
+"""
+
+
+def quantile_normalize_scores(
+    df: DataFrame,
+    score,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quantile normalization of an integer quality score:
+    each row gets its MID-RANK percentile within its group, in exact
+    HALF_UP micros -- the standard move for mixing heterogeneously-
+    scored sources (a length-percentile / classifier-percentile is
+    comparable across sources where the raw score is not; curation
+    thresholds like "keep each source's top 60%" read this column).
+
+        qnorm = (n_below + (n_eq + 1)/2 - 1) / (n_group - 1)
+              = (2*n_below + n_eq - 1) / (2*(n_group - 1))
+
+    Mid-rank makes the percentile a function of the score VALUE, so it
+    computes on the (group, score) HISTOGRAM: one count aggregate, one
+    prefix-sum window over the histogram's score axis (bounded by
+    distinct score values per group -- the z175 banded-median
+    discipline; NEVER a corpus-sized partitionBy(group) row_number,
+    which funnels each source through one partition), then one
+    equi-join back to rows. Single-row groups get the conventional
+    500000 (no rank spread to normalize).
+
+    Output: (id, group, score, qnorm_micros).
+    """
+    from pyspark.sql import Window as W
+
+    from ..functions.exactnum import ratio_micros_halfup
+
+    d = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("_g"),
+        score.cast("long").alias("_s"),
+    )
+    hist = d.groupBy("_g", "_s").agg(F.count(F.lit(1)).alias("_n_eq"))
+    w = W.partitionBy("_g").orderBy("_s").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    stats = hist.select(
+        "_g",
+        "_s",
+        "_n_eq",
+        F.coalesce(F.sum("_n_eq").over(w), F.lit(0)).alias("_n_below"),
+    )
+    totals = hist.groupBy("_g").agg(F.sum("_n_eq").alias("_n_grp"))
+    qnorm = F.when(
+        F.col("_n_grp") == 1, F.lit(500_000).cast("long")
+    ).otherwise(
+        ratio_micros_halfup(
+            F.lit(2) * F.col("_n_below") + F.col("_n_eq") - F.lit(1),
+            F.lit(2) * (F.col("_n_grp") - F.lit(1)),
+        )
+    )
+    return (
+        d.join(stats, ["_g", "_s"])
+        .join(totals, "_g")
+        .select(
+            F.col(id_col),
+            F.col("_g").alias(group_col),
+            F.col("_s").alias("score"),
+            qnorm.alias("qnorm_micros"),
+        )
+    )
+
+
+def quantile_normalize_oracle_sql(
+    rows_sql: str,
+    score_sql: str = "score",
+    group_sql: str = "source",
+    id_sql: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`quantile_normalize_scores` (same histogram
+    mid-rank, same cleared-integer percentile)."""
+    return f"""
+WITH d AS (SELECT {id_sql} AS id, {group_sql} AS g,
+                  ({score_sql})::BIGINT AS s
+           FROM ({rows_sql}) raw0),
+hist AS (SELECT g, s, count(*)::BIGINT AS n_eq FROM d GROUP BY g, s),
+st AS (SELECT g, s, n_eq,
+              coalesce(sum(n_eq) OVER (PARTITION BY g ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS n_below,
+              sum(n_eq) OVER (PARTITION BY g) AS n_grp
+       FROM hist)
+SELECT d.id AS {id_sql}, d.g AS {group_sql}, d.s AS score,
+       (CASE WHEN st.n_grp = 1 THEN 500000
+             ELSE (2000000 * (2 * st.n_below + st.n_eq - 1)
+                   + 2 * (st.n_grp - 1)) // (4 * (st.n_grp - 1))
+        END)::BIGINT AS qnorm_micros
+FROM d JOIN st ON st.g = d.g AND st.s = d.s
+"""

@@ -303,3 +303,107 @@ def domain_stats(
         F.sum(F.col(chars_col)).cast("long").alias("total_chars"),
         F.sum(F.col(keep_col).cast("long")).cast("long").alias("n_keep"),
     )
+
+
+def link_domain_rollup(
+    links: DataFrame,
+    src_url_col: str = "src_url",
+    dst_url_col: str = "dst_url",
+) -> DataFrame:
+    """Registered-domain link-graph rollup over a page-level outlink
+    table -- the cross-domain half of crawl curation that the z168
+    within-domain rollup doesn't see: which domains cite which, how
+    concentrated each domain's outlinks are, and whether a pair links
+    reciprocally (the classic link-exchange / spam-ring tell; organic
+    citation is mostly one-way).
+
+    Per ordered (src_domain, dst_domain) pair with src != dst
+    (intra-domain navigation is not citation):
+    n_links, n_src_pages (DISTINCT canonical source urls -- sitewide
+    boilerplate links collapse), reciprocal (the reversed pair exists),
+    and outshare_micros = this pair's exact HALF_UP share of the source
+    domain's external outlinks.
+
+    Scale shape: one canonicalization projection (pure codegen), one
+    pair-keyed aggregate with a distinct-count, then everything further
+    operates on the DOMAIN-PAIR table (bounded by the domain universe
+    squared, never by link volume): a src-keyed total join and one
+    self-equi-join against its own reversal for the reciprocal flag.
+    No window, no all-pairs over links.
+    """
+    src_host = canonical_host(F.col(src_url_col))
+    dst_host = canonical_host(F.col(dst_url_col))
+    proj = links.select(
+        canonical_url(F.col(src_url_col)).alias("_src_page"),
+        registered_domain(src_host).alias("src_domain"),
+        registered_domain(dst_host).alias("dst_domain"),
+    ).filter(F.col("src_domain") != F.col("dst_domain"))
+    pairs = proj.groupBy("src_domain", "dst_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct("_src_page").cast("long").alias("n_src_pages"),
+    )
+    totals = pairs.groupBy("src_domain").agg(
+        F.sum("n_links").cast("long").alias("_out_total")
+    )
+    rev = pairs.select(
+        F.col("dst_domain").alias("src_domain"),
+        F.col("src_domain").alias("dst_domain"),
+        F.lit(True).alias("reciprocal"),
+    ).distinct()
+    from ..functions.exactnum import ratio_micros_halfup
+
+    return (
+        pairs.join(totals, "src_domain")
+        .join(rev, ["src_domain", "dst_domain"], "left")
+        .select(
+            "src_domain",
+            "dst_domain",
+            "n_links",
+            "n_src_pages",
+            F.coalesce(F.col("reciprocal"), F.lit(False)).alias(
+                "reciprocal"
+            ),
+            ratio_micros_halfup(
+                F.col("n_links"), F.col("_out_total")
+            ).alias("outshare_micros"),
+        )
+    )
+
+
+def link_domain_rollup_oracle_sql(
+    links_sql: str,
+    src_url_sql: str = "src_url",
+    dst_url_sql: str = "dst_url",
+) -> str:
+    """DuckDB twin of :func:`link_domain_rollup` (same canonicalization
+    twins, same cleared-integer share)."""
+    sh = canonical_host_sql(src_url_sql)
+    dh = canonical_host_sql(dst_url_sql)
+    return f"""
+WITH raw0 AS ({links_sql}),
+hosts AS MATERIALIZED (
+  SELECT {canonical_url_sql(src_url_sql)} AS src_page,
+         {sh} AS src_host, {dh} AS dst_host
+  FROM raw0),
+proj AS MATERIALIZED (
+  SELECT src_page,
+         {registered_domain_sql('src_host')} AS src_domain,
+         {registered_domain_sql('dst_host')} AS dst_domain
+  FROM hosts),
+pairs AS (
+  SELECT src_domain, dst_domain,
+         count(*)::BIGINT AS n_links,
+         count(DISTINCT src_page)::BIGINT AS n_src_pages
+  FROM proj WHERE src_domain <> dst_domain
+  GROUP BY 1, 2),
+totals AS (SELECT src_domain, sum(n_links)::BIGINT AS out_total
+           FROM pairs GROUP BY 1)
+SELECT p.src_domain, p.dst_domain, p.n_links, p.n_src_pages,
+       (r.src_domain IS NOT NULL) AS reciprocal,
+       ((2000000 * p.n_links + t.out_total) // (2 * t.out_total))::BIGINT
+         AS outshare_micros
+FROM pairs p
+JOIN totals t ON t.src_domain = p.src_domain
+LEFT JOIN (SELECT DISTINCT src_domain, dst_domain FROM pairs) r
+  ON r.src_domain = p.dst_domain AND r.dst_domain = p.src_domain
+"""

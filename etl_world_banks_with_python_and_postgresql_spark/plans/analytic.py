@@ -1321,3 +1321,42 @@ def z175(spark, sf_dir):
         F.floor(F.col("l_extendedprice") / 1000),
         F.col("l_quantity"),
     )
+
+
+from ..operators.graph import (  # noqa: E402
+    degree_assortativity_oracle_sql as _assort_sql,
+)
+
+
+@query(
+    "z180_degree_assortativity",
+    oracle=_assort_sql(_CC_EDGES_SQL),
+    description=(
+        "degree assortativity coefficient (Newman 2002) of the >= "
+        "2-orders co-purchase graph: Pearson correlation of endpoint "
+        "degrees over the symmetrized edge pairs -- do hubs link to "
+        "hubs (r > 0) or to leaves (r < 0)? The one-number prior that "
+        "decides whether transit-degree caps (z173) will bite. "
+        "Symmetrization makes the two marginals identical so the "
+        "denominator needs NO square root: every term is an exact "
+        "integer sum (DECIMAL(38,0) squares), the coefficient ONE "
+        "sign-aware HALF_UP micros division -- zero float anywhere. "
+        "One degree aggregate + two equi-joins + one 1-row total"
+    ),
+)
+def z180(spark, sf_dir):
+    from ..operators.graph import degree_assortativity
+
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("_pb"))
+    edges = (
+        li.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("_pb"))
+        .groupBy(
+            F.col("l_partkey").alias("src"), F.col("_pb").alias("dst")
+        )
+        .agg(F.countDistinct("l_orderkey").alias("_n_ord"))
+        .filter(F.col("_n_ord") >= 2)
+        .select("src", "dst")
+    )
+    return degree_assortativity(edges)

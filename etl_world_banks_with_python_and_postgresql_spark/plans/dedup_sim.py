@@ -2344,3 +2344,45 @@ def z177(spark, sf_dir):
             "n_members",
         )
     )
+
+
+from ..operators.dedup import (  # noqa: E402
+    temporal_novelty_oracle_sql as _tnov_sql,
+)
+
+# deterministic ingestion-day + leading-shingle fingerprint injection
+# (the corpus has no date column and almost no EXACT dups -- q88/z141
+# precedent; the 5-token leading shingle collides at ~5% at every SF,
+# probed non-degenerate per the NOTES rule)
+_Z181_ROWS_SQL = """
+SELECT doc_id, doc_id % 30 AS day,
+       md5(array_to_string(
+         string_split_regex(trim(lower(text)), '\\s+')[1:5], ' ')) AS fp
+FROM documents
+"""
+
+
+@query(
+    "z181_temporal_novelty",
+    oracle=_tnov_sql(_Z181_ROWS_SQL),
+    description=(
+        "per-day corpus novelty rate: docs whose content fingerprint "
+        "(leading 5-token shingle, md5) first occurs that day vs "
+        "re-crawls of seen content -- the time axis of dedup "
+        "observability (scrape loops jump the dup rate, fresh sources "
+        "show near-pure novelty); batch twin of the streaming novelty "
+        "sinks. First occurrence = minimal (day, id) per fingerprint "
+        "encoded into ONE BIGINT min (no window); one fp-keyed min agg "
+        "+ one day-keyed count + a day-sized join; dup rate exact "
+        "HALF_UP micros"
+    ),
+)
+def z181(spark, sf_dir):
+    from ..functions.xhash import ws_tokens
+    from ..operators.dedup import temporal_novelty
+
+    docs = load(spark, "documents", sf_dir)
+    fp = F.md5(
+        F.array_join(F.slice(ws_tokens(F.col("text")), 1, 5), " ")
+    )
+    return temporal_novelty(docs, F.col("doc_id") % 30, fp)

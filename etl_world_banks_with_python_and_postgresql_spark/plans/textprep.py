@@ -2823,3 +2823,140 @@ def z176(spark, sf_dir):
         "bucket", "n_occurrences", "n_types", "n_novel_types",
         F.sum("n_novel_types").over(w).cast("long").alias("cum_vocab"),
     )
+
+
+from ..operators.text import pmi_collocations_oracle_sql as _pmi_sql  # noqa: E402
+
+
+@query(
+    "z179_pmi_collocations",
+    oracle=_pmi_sql(min_count=3),
+    description=(
+        "bigram collocation mining by pointwise mutual information, "
+        "reported as the exact integer-micros LIFT ratio p(ab)/"
+        "(p(a)p(b)) -- PMI = log2(lift) is monotone, so thresholding/"
+        "ranking on the cleared-integer lift carries zero float (the "
+        "exactnum discipline). The phrase-discovery pass word2vec-style "
+        "pipelines run before tokenizer/vocab training. One in-row "
+        "bigram explode + two count aggregates + two equi-joins; "
+        "min_count prunes the hapax tail BEFORE the joins; DECIMAL(38,0) "
+        "products with the magnitude bound documented on the operator"
+    ),
+)
+def z179(spark, sf_dir):
+    from ..operators.text import pmi_collocations
+
+    return pmi_collocations(load(spark, "documents", sf_dir), min_count=3)
+
+
+from ..operators.web import (  # noqa: E402
+    link_domain_rollup_oracle_sql as _linkroll_sql,
+)
+
+# deterministic outlink injection (the corpus has no link column --
+# q88/z141/z167 precedent): source page = the z167 URL; target drawn
+# from the same srcK label universe, keyed off n_chars (which varies
+# freely per doc, unlike doc_id whose residues run in lockstep with the
+# source label) so per-domain outlink shares genuinely vary, domain
+# pairs overlap, reciprocal pairs occur, and all three TLD shapes
+# (com / co.uk / bare .net reference) appear on the target side.
+_Z182_LINKS_SQL = f"""
+WITH u AS ({_Z167_URL_SQL})
+SELECT url AS src_url,
+  CASE n_chars % 3
+    WHEN 0 THEN 'https://www.src' || (n_chars % 20)
+                || '.com/ref/' || doc_id
+    WHEN 1 THEN 'http://m.src' || ((n_chars * 7 + 2) % 20)
+                || '.co.uk/a?x=1'
+    ELSE 'src' || ((doc_id * 11 + 5) % 20) || '.net/b'
+  END AS dst_url
+FROM u
+"""
+
+
+@query(
+    "z182_link_domain_rollup",
+    oracle=_linkroll_sql(_Z182_LINKS_SQL),
+    description=(
+        "registered-domain link-graph rollup (the cross-domain half of "
+        "crawl curation z168 doesn't see): per (src_domain, dst_domain) "
+        "pair -- external links, DISTINCT source pages (sitewide "
+        "boilerplate collapses), reciprocal-pair flag (the link-"
+        "exchange/spam-ring tell), and the pair's exact HALF_UP share "
+        "of the source domain's outlinks. One canonicalization "
+        "projection + one pair-keyed agg; everything after runs on the "
+        "domain-pair table (bounded by the domain universe squared, "
+        "never link volume) incl. the reversal self-join"
+    ),
+)
+def z182(spark, sf_dir):
+    from ..operators.web import link_domain_rollup
+
+    docs = load(spark, "documents", sf_dir)
+    d = F.col("doc_id")
+    nc = F.col("n_chars")
+    dst = (
+        F.when(
+            nc % 3 == 0,
+            F.concat(
+                F.lit("https://www.src"),
+                (nc % 20).cast("string"),
+                F.lit(".com/ref/"),
+                d.cast("string"),
+            ),
+        )
+        .when(
+            nc % 3 == 1,
+            F.concat(
+                F.lit("http://m.src"),
+                ((nc * 7 + 2) % 20).cast("string"),
+                F.lit(".co.uk/a?x=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("src"),
+                ((d * 11 + 5) % 20).cast("string"),
+                F.lit(".net/b"),
+            )
+        )
+    )
+    links = docs.select(
+        _z167_url_col().alias("src_url"), dst.alias("dst_url")
+    )
+    return link_domain_rollup(links)
+
+
+from ..operators.text import (  # noqa: E402
+    quantile_normalize_oracle_sql as _qnorm_sql,
+)
+
+
+@query(
+    "z183_source_quantile_norm",
+    oracle=_qnorm_sql(
+        "SELECT doc_id, source, "
+        "len(string_split_regex(trim(lower(text)), '\\s+')) AS score "
+        "FROM documents"
+    ),
+    description=(
+        "per-source quantile normalization of a quality score (word "
+        "count): each doc's MID-RANK percentile within its source in "
+        "exact HALF_UP micros -- the cross-source comparability move "
+        "('keep each source's top 60%' thresholds read this). Computes "
+        "on the (source, score) HISTOGRAM: count agg + prefix-sum "
+        "window over the bounded score axis (the z175 discipline -- "
+        "never a corpus-sized partitionBy(source) row_number) + one "
+        "equi-join back to rows; mid-rank makes the percentile a "
+        "function of the score value, which is what makes the "
+        "histogram form exact"
+    ),
+)
+def z183(spark, sf_dir):
+    from ..functions.xhash import ws_tokens
+    from ..operators.text import quantile_normalize_scores
+
+    docs = load(spark, "documents", sf_dir)
+    return quantile_normalize_scores(
+        docs, F.size(ws_tokens(F.col("text")))
+    )

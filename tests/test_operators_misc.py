@@ -5214,3 +5214,61 @@ def test_ab_gate_chi_square_matches_scipy_free_reference(spark):
             100 * n * (a * d - b * c) ** 2
             >= 384 * ((a + b) * (c + d) * (a + c) * (b + d))
         ) == expect
+
+
+def test_degree_assortativity_ground_truth_and_regular_graph(spark):
+    """degree_assortativity vs an independent fractions-based Pearson on
+    a random graph (ground truth, not engine/oracle parity -- the z144
+    lesson), plus the degree-regular edge case (cycle graph: zero
+    variance -> NULL coefficient)."""
+    import random
+    from fractions import Fraction
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    rng = random.Random(7)
+    n = 40
+    edges = sorted(
+        {
+            tuple(sorted((rng.randrange(n), rng.randrange(n))))
+            for _ in range(130)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [deg[a] for a, b in edges] + [deg[b] for a, b in edges]
+    ys = [deg[b] for a, b in edges] + [deg[a] for a, b in edges]
+    m = len(xs)
+    sx, sxx = sum(xs), sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num, den = m * sxy - sx * sx, m * sxx - sx * sx
+    want = (1 if num >= 0 else -1) * (
+        (2 * 10**6 * abs(num) + den) // (2 * den)
+    )
+    # independent float check that the integer formula IS Pearson
+    mean = sx / m
+    r_float = (sxy / m - mean * mean) / (sxx / m - mean * mean)
+    assert abs(want / 1e6 - r_float) < 2e-6
+    assert Fraction(num, den) == Fraction(m * sxy - sx * sx, m * sxx - sx * sx)
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = degree_assortativity(df).collect()[0]
+    assert (
+        row["m_endpoint_pairs"],
+        row["sx"],
+        row["sxx"],
+        row["sxy"],
+        row["assortativity_micros"],
+    ) == (m, sx, sxx, sxy, want)
+
+    # cycle graph: every degree is 2 -> zero variance -> NULL
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    r = degree_assortativity(cyc).collect()[0]
+    assert r["assortativity_micros"] is None

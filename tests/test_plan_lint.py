@@ -72,6 +72,9 @@ WHITELIST = {
     # (corpus/50 rows after aggregation -- the z90/z92 bounded-axis
     # pattern), never on corpus rows
     "z176_vocab_growth": "window over the bounded batch axis",
+    # the (total-tokens, total-bigrams) corpus counts are each ONE
+    # broadcast row crossed into the per-bigram lift expression
+    "z179_pmi_collocations": "two 1-row aggregate totals crossed",
     # level-2 frontier scan: its input is the checkpointed UNION OF
     # PER-BUCKET FRONTIERS (level 1 is bucket-partitioned), bounded by
     # the survivor count, never by the corpus
