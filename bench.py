@@ -217,6 +217,12 @@ HEADLINE = [
     "z182_link_domain_rollup",
     # round-13: per-source quantile normalization (histogram mid-rank)
     "z183_source_quantile_norm",
+    # round-13: classifier eval (per-class PRF in exact micros)
+    "z184_langid_confusion_prf",
+    # round-13: ranking eval (nDCG@10 + MRR, integer-micros discounts)
+    "z185_retrieval_ndcg_mrr",
+    # round-13: join-key skew profile (the pre-shuffle salting decision)
+    "z186_key_skew_profile",
 ]
 
 

@@ -591,3 +591,208 @@ SELECT g AS {group_col},
        )::BIGINT AS tvd_micros
 FROM s
 """
+
+
+def classification_report(
+    df: DataFrame,
+    truth_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision/recall/F1 for a labeled prediction table --
+    the eval half every in-pipeline classifier (langid, quality gates,
+    topic routers) needs next to its predictions, as exact HALF_UP
+    micros (the eval numbers land in dashboards and regression gates;
+    float drift there is as damaging as in the data itself):
+
+        precision = tp / (tp + fp)      recall = tp / (tp + fn)
+        f1 = 2*tp / (2*tp + fp + fn)    -- single-denominator exact
+
+    A class appearing only in predictions (phantom class, e.g.
+    'unknown') still gets a row: support 0, recall NULL, precision from
+    its fp count. Zero-denominator cells are NULL, never a fake 0 (an
+    unreported class and a failing class must not look alike).
+
+    Scale shape: ONE (truth, pred) count aggregate over corpus rows;
+    everything after runs on the confusion table (bounded by the class
+    universe squared): two bounded re-aggregations + one outer join.
+    Output: (class, support, tp, fp, fn, precision_micros,
+    recall_micros, f1_micros).
+    """
+    from ..functions.exactnum import ratio_micros_halfup
+
+    conf = df.groupBy(
+        F.col(truth_col).alias("_t"), F.col(pred_col).alias("_p")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    tp = (
+        conf.filter(F.col("_t") == F.col("_p"))
+        .select(F.col("_t").alias("class"), F.col("_n").alias("tp"))
+    )
+    truth_tot = conf.groupBy(F.col("_t").alias("class")).agg(
+        F.sum("_n").alias("_truth_n")
+    )
+    pred_tot = conf.groupBy(F.col("_p").alias("class")).agg(
+        F.sum("_n").alias("_pred_n")
+    )
+    base = (
+        truth_tot.join(pred_tot, "class", "full_outer")
+        .join(tp, "class", "left")
+        .select(
+            "class",
+            F.coalesce(F.col("_truth_n"), F.lit(0)).alias("support"),
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            (
+                F.coalesce(F.col("_pred_n"), F.lit(0))
+                - F.coalesce(F.col("tp"), F.lit(0))
+            ).alias("fp"),
+            (
+                F.coalesce(F.col("_truth_n"), F.lit(0))
+                - F.coalesce(F.col("tp"), F.lit(0))
+            ).alias("fn"),
+        )
+    )
+    def safe_ratio(num, den):
+        return F.when(den == 0, F.lit(None).cast("long")).otherwise(
+            ratio_micros_halfup(num, den)
+        )
+
+    return base.select(
+        "class",
+        F.col("support").cast("long").alias("support"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        safe_ratio(F.col("tp"), F.col("tp") + F.col("fp")).alias(
+            "precision_micros"
+        ),
+        safe_ratio(F.col("tp"), F.col("tp") + F.col("fn")).alias(
+            "recall_micros"
+        ),
+        safe_ratio(
+            F.lit(2) * F.col("tp"),
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"),
+        ).alias("f1_micros"),
+    )
+
+
+def classification_report_oracle_sql(
+    rows_sql: str, truth_sql: str = "truth", pred_sql: str = "pred"
+) -> str:
+    """DuckDB twin of :func:`classification_report`."""
+    return f"""
+WITH d AS (SELECT {truth_sql} AS t, {pred_sql} AS p FROM ({rows_sql}) raw0),
+conf AS (SELECT t, p, count(*)::BIGINT AS n FROM d GROUP BY t, p),
+tt AS (SELECT t AS class, sum(n)::BIGINT AS truth_n FROM conf GROUP BY t),
+pt AS (SELECT p AS class, sum(n)::BIGINT AS pred_n FROM conf GROUP BY p),
+tpx AS (SELECT t AS class, n AS tp FROM conf WHERE t = p),
+base AS (
+  SELECT coalesce(tt.class, pt.class) AS class,
+         coalesce(truth_n, 0) AS support,
+         coalesce(tp, 0) AS tp,
+         coalesce(pred_n, 0) - coalesce(tp, 0) AS fp,
+         coalesce(truth_n, 0) - coalesce(tp, 0) AS fn
+  FROM tt FULL OUTER JOIN pt ON pt.class = tt.class
+  LEFT JOIN tpx ON tpx.class = coalesce(tt.class, pt.class))
+SELECT class, support, tp, fp, fn,
+       CASE WHEN tp + fp = 0 THEN NULL
+            ELSE (2000000 * tp + (tp + fp)) // (2 * (tp + fp)) END::BIGINT
+         AS precision_micros,
+       CASE WHEN tp + fn = 0 THEN NULL
+            ELSE (2000000 * tp + (tp + fn)) // (2 * (tp + fn)) END::BIGINT
+         AS recall_micros,
+       CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+            ELSE (2000000 * 2 * tp + (2 * tp + fp + fn))
+                 // (2 * (2 * tp + fp + fn)) END::BIGINT AS f1_micros
+FROM base
+"""
+
+
+def key_skew_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Join/groupBy-key skew profile: for each candidate key column --
+    BEFORE anyone shuffles on it -- the concentration numbers that
+    decide between a plain hash join, AQE skew handling, and explicit
+    salting (the operators/skew.py path): distinct keys, the heaviest
+    key's row count and share, the Herfindahl-Hirschman concentration
+    index, and the heaviest key's multiple of the uniform share
+    (``skew_x``; AQE's skewedPartitionFactor thinks in exactly these
+    multiples). All exact HALF_UP micros:
+
+        max_share = max_i n_i / N        hhi = sum_i n_i^2 / N^2
+        skew_x    = max_i n_i * K / N    (1x = perfectly uniform)
+
+    Scale shape: one in-row explode of the |cols| (name, key) pairs --
+    the scan emits |cols| x rows but the shuffle carries only map-side-
+    combined (col, key) partials -- one (col, key) count aggregate,
+    then a |cols|-row summary aggregate. DECIMAL(38,0) squares (n_i^2
+    at corpus scale wraps int64). NULL keys profile as a key like any
+    other (a null-heavy join key is precisely what this must surface).
+    """
+    from ..functions.exactnum import ratio_micros_halfup
+
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("key"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.col", "p.key")
+    counts = pairs.groupBy("col", "key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    prof = counts.groupBy("col").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_key_n"),
+        F.sum(dec("n") * dec("n")).alias("_sum_sq"),
+    )
+    return prof.select(
+        "col",
+        "n_rows",
+        "n_keys",
+        "max_key_n",
+        ratio_micros_halfup(F.col("max_key_n"), F.col("n_rows")).alias(
+            "max_share_micros"
+        ),
+        ratio_micros_halfup(
+            F.col("_sum_sq"), dec("n_rows") * dec("n_rows")
+        ).alias("hhi_micros"),
+        ratio_micros_halfup(
+            dec("max_key_n") * dec("n_keys"), dec("n_rows")
+        ).alias("skew_x_micros"),
+    )
+
+
+def key_skew_profile_oracle_sql(rows_sql: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`key_skew_profile` (UNION ALL unpivot ==
+    the explode; same cleared-integer ratios)."""
+    unpivot = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS key FROM raw0"
+        for c in cols
+    )
+    return f"""
+WITH raw0 AS ({rows_sql}),
+pairs AS ({unpivot}),
+counts AS (SELECT col, key, count(*)::BIGINT AS n
+           FROM pairs GROUP BY col, key),
+prof AS (SELECT col,
+                sum(n)::HUGEINT AS n_rows,
+                count(*)::HUGEINT AS n_keys,
+                max(n)::HUGEINT AS max_key_n,
+                sum(n::HUGEINT * n)::HUGEINT AS sum_sq
+         FROM counts GROUP BY col)
+SELECT col, n_rows::BIGINT AS n_rows, n_keys::BIGINT AS n_keys,
+       max_key_n::BIGINT AS max_key_n,
+       ((2000000 * max_key_n + n_rows) // (2 * n_rows))::BIGINT
+         AS max_share_micros,
+       ((2000000 * sum_sq + n_rows * n_rows) // (2 * n_rows * n_rows)
+       )::BIGINT AS hhi_micros,
+       ((2000000 * max_key_n * n_keys + n_rows) // (2 * n_rows))::BIGINT
+         AS skew_x_micros
+FROM prof
+"""

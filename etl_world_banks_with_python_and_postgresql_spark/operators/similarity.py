@@ -2112,3 +2112,127 @@ def semantic_decontaminate(
         .withColumnRenamed("train_id", id_col)
     )
     return train.join(dirty, id_col, "left_anti")
+
+
+def ndcg_discounts_micros(k: int) -> list[int]:
+    """The DCG discount vector 1/log2(i+1), i = 1..k, QUANTIZED to
+    integer micros driver-side and baked into BOTH engines' plans as
+    the same INTEGER literals (the rademacher_planes determinism
+    pattern). Quantization is part of the metric contract here: with
+    integer gains it makes DCG an exact BIGINT sum -- a float dot fold
+    is NOT portable (DuckDB's list_dot_product is not strictly
+    left-to-right; measured 1-ulp drift), and a 1e-6 discount
+    quantization is far below any decision threshold an eval gate
+    uses."""
+    import math
+
+    return [round(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def retrieval_ndcg_mrr(
+    run: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query nDCG@k and MRR of a retrieval run -- the ranking-eval
+    table every retrieval/reranker experiment reads, as a first-class
+    verified query (the z75 recall@k sibling with GRADED relevance):
+
+        DCG@k  = sum_i gain_i * disc_i        (i = rank; disc in micros)
+        nDCG@k = DCG@k / IDCG@k               (ideal = gains sorted desc)
+        RR     = 1 / rank of the first gain > 0
+
+    ``run`` holds (query, rank, integer gain) rows, rank 1..<=k per
+    query, any ranked operator's output joined to relevance labels.
+    Determinism: gains are exact integers and the discounts are
+    INTEGER-MICROS literals (:func:`ndcg_discounts_micros`), so DCG and
+    IDCG are exact BIGINT sums (gain-discount-micros units) and nDCG is
+    one HALF_UP micros ratio of exact integers -- zero float anywhere;
+    a double dot fold is not portable (DuckDB's list_dot_product
+    summation order drifts 1 ulp). RR is an exact HALF_UP micros ratio.
+    NULL nDCG/RR when a query has no relevant result (no fake zeros).
+
+    Scale shape: one query-keyed aggregate packing <= k rows into an
+    in-row array, then pure in-row array math -- no window, no second
+    shuffle; output is |Q| rows.
+    """
+    from ..functions.exactnum import ratio_micros_halfup
+
+    disc = F.array(
+        *[F.lit(d).cast("long") for d in ndcg_discounts_micros(k)]
+    )
+    # (rank, gain) packed into ONE BIGINT rank*1e6 + gain so the rank
+    # ordering is a plain integer sort in both engines (no struct-sort
+    # semantics to align); gains are small nonneg ints by contract
+    packed = run.groupBy(F.col(query_col).alias("query_id")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.col(rank_col).cast("long") * F.lit(1_000_000)
+                + F.col(rel_col).cast("long")
+            )
+        ).alias("_rg"),
+        F.min(F.when(F.col(rel_col) > 0, F.col(rank_col))).alias("_first"),
+    )
+    gains = F.transform(F.col("_rg"), lambda x: x % F.lit(1_000_000))
+    zero = F.lit(0).cast("long")
+    pad = F.slice(F.concat(gains, F.array_repeat(zero, k)), 1, k)
+    ideal = F.reverse(F.array_sort(pad))
+    dot = lambda a: F.aggregate(  # noqa: E731 - exact BIGINT fold
+        F.zip_with(a, disc, lambda x, y: x * y), zero, lambda acc, x: acc + x
+    )
+    dcg, idcg = dot(pad), dot(ideal)
+    return packed.select(
+        "query_id",
+        F.size("_rg").alias("n_ranked"),
+        dcg.alias("dcg_um"),
+        idcg.alias("idcg_um"),
+        F.when(
+            idcg > 0, ratio_micros_halfup(dcg, idcg)
+        ).alias("ndcg_micros"),
+        F.col("_first").cast("long").alias("first_rel_rank"),
+        F.when(
+            F.col("_first").isNotNull(),
+            ratio_micros_halfup(F.lit(1), F.col("_first")),
+        ).alias("rr_micros"),
+    )
+
+
+def retrieval_ndcg_mrr_oracle_sql(run_sql: str, k: int = 10) -> str:
+    """DuckDB twin of :func:`retrieval_ndcg_mrr`: the same integer-
+    micros discount literals, exact BIGINT dot sums (order-free because
+    integer addition is associative), the same cleared-integer ratios.
+    ``run_sql`` must yield (query_id, rank, rel)."""
+    disc = (
+        "[" + ",".join(f"{d}::BIGINT" for d in ndcg_discounts_micros(k)) + "]"
+    )
+    return f"""
+WITH run AS ({run_sql}),
+packed AS (
+  SELECT query_id,
+         list_sort(list(rank::BIGINT * 1000000 + rel::BIGINT)) AS rg,
+         min(CASE WHEN rel > 0 THEN rank END) AS first_rel
+  FROM run GROUP BY query_id),
+arrs AS (
+  SELECT query_id, len(rg)::BIGINT AS n_ranked, first_rel,
+         ([x % 1000000 for x in rg]
+          || [0::BIGINT for _ in generate_series(1, {k})])[1:{k}] AS pad
+  FROM packed),
+sc AS (
+  SELECT query_id, n_ranked, first_rel,
+         list_sum(list_apply(list_zip(pad, {disc}),
+                             z -> z[1] * z[2]))::BIGINT AS dcg,
+         list_sum(list_apply(list_zip(list_reverse_sort(pad), {disc}),
+                             z -> z[1] * z[2]))::BIGINT AS idcg
+  FROM arrs)
+SELECT query_id, n_ranked, dcg AS dcg_um, idcg AS idcg_um,
+       CASE WHEN idcg > 0
+            THEN (2000000 * dcg + idcg) // (2 * idcg) END::BIGINT
+         AS ndcg_micros,
+       first_rel::BIGINT AS first_rel_rank,
+       CASE WHEN first_rel IS NOT NULL
+            THEN (2000000 * 1 + first_rel) // (2 * first_rel)
+       END::BIGINT AS rr_micros
+FROM sc
+"""

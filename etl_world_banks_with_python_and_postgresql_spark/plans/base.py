@@ -307,7 +307,9 @@ SELECT doc_id, ({terms})::BIGINT AS simhash FROM h
 """
 
 
-def _langid_oracle() -> str:
+def _langid_oracle(
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
     score = (
         "len(list_filter(toks, w -> list_contains({lex}, w)))::DOUBLE"
         " / greatest(len(toks), 1)"
@@ -318,7 +320,8 @@ def _langid_oracle() -> str:
     }
     s = {lang: score.format(lex=lex_sql[lang]) for lang in lex_sql}
     return f"""
-WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents),
+WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks
+           FROM ({docs_sql}) _lid_docs),
 sc AS (SELECT doc_id, text,
               {s['en']} AS s_en, {s['de']} AS s_de, {s['es']} AS s_es, {s['fr']} AS s_fr
        FROM t)

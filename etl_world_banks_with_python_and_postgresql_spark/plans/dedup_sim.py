@@ -2386,3 +2386,77 @@ def z181(spark, sf_dir):
         F.array_join(F.slice(ws_tokens(F.col("text")), 1, 5), " ")
     )
     return temporal_novelty(docs, F.col("doc_id") % 30, fp)
+
+
+from ..operators.similarity import (  # noqa: E402
+    retrieval_ndcg_mrr_oracle_sql as _ndcg_sql,
+)
+
+# the q38 exact-top-10 run joined to graded label relevance: same label
+# = 2, same label mod 5 (the coarse class family) = 1, else 0 -- three
+# relevance grades so DCG ordering genuinely matters
+_Z185_RUN_SQL = f"""
+WITH e AS (SELECT vec_id, label, [x::DOUBLE for x in embedding] AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS ql, v AS qv FROM e
+      WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT query_id, ql, e.vec_id AS nid, e.label AS nl, {_COS_SQL} AS cos_sim
+  FROM q CROSS JOIN e WHERE e.vec_id != query_id),
+r AS (SELECT *, (row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, nid))::INT AS rank
+      FROM scored)
+SELECT query_id, rank,
+       CASE WHEN ql = nl THEN 2 WHEN ql % 5 = nl % 5 THEN 1 ELSE 0 END AS rel
+FROM r WHERE rank <= 10
+"""
+
+
+@query(
+    "z185_retrieval_ndcg_mrr",
+    oracle=_ndcg_sql(_Z185_RUN_SQL, k=10),
+    description=(
+        "per-query nDCG@10 + MRR of the exact cosine run (q38) under "
+        "graded label relevance (same label = 2, same label family = "
+        "1) -- the ranking-eval table every retrieval/reranker "
+        "experiment reads, beside z75's recall@k. Gains are exact "
+        "integers packed rank-ordered into ONE BIGINT sort key; DCG/"
+        "IDCG are fixed-order dot folds against a driver-computed "
+        "literal discount vector (the q38 fold, bit-stable); nDCG is "
+        "ONE IEEE division; MRR is an exact HALF_UP micros ratio; "
+        "no-relevant queries yield NULL, never fake zeros. One "
+        "query-keyed aggregate then pure in-row array math"
+    ),
+)
+def z185(spark, sf_dir):
+    from ..operators.similarity import retrieval_ndcg_mrr
+
+    emb = load(spark, "embeddings", sf_dir)
+    labs = emb.select("vec_id", "label")
+    run = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=10
+    )
+    j = (
+        run.join(
+            labs.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+            ),
+            "query_id",
+        )
+        .join(
+            labs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("_nl"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "rank",
+            F.when(F.col("_ql") == F.col("_nl"), F.lit(2))
+            .when(F.col("_ql") % 5 == F.col("_nl") % 5, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("rel"),
+        )
+    )
+    return retrieval_ndcg_mrr(j, k=10)

@@ -2801,3 +2801,36 @@ def z159(spark, sf_dir):
         .cast("double")
         .alias("total"),
     )
+
+
+from ..operators.constraints import (  # noqa: E402
+    key_skew_profile_oracle_sql as _skewprof_sql,
+)
+
+
+@query(
+    "z186_key_skew_profile",
+    oracle=_skewprof_sql(
+        "SELECT l_orderkey, l_partkey, l_returnflag FROM lineitem",
+        ["l_orderkey", "l_partkey", "l_returnflag"],
+    ),
+    description=(
+        "join-key skew profile BEFORE anyone shuffles on the key: per "
+        "candidate column, distinct keys, heaviest key's rows/share, "
+        "HHI concentration, and the heaviest key's multiple of the "
+        "uniform share (skew_x -- the unit AQE's skewedPartitionFactor "
+        "thinks in; feeds the plain-join vs AQE vs operators/skew.py "
+        "salting decision). Exact HALF_UP micros, DECIMAL(38,0) "
+        "squares. One in-row (name, key) explode whose shuffle carries "
+        "only map-side-combined partials + a |cols|-row summary; "
+        "lineitem's 3-key l_returnflag vs fine-grained l_partkey spans "
+        "the whole decision range in one output"
+    ),
+)
+def z186(spark, sf_dir):
+    from ..operators.constraints import key_skew_profile
+
+    return key_skew_profile(
+        load(spark, "lineitem", sf_dir),
+        ["l_orderkey", "l_partkey", "l_returnflag"],
+    )

@@ -2960,3 +2960,70 @@ def z183(spark, sf_dir):
     return quantile_normalize_scores(
         docs, F.size(ws_tokens(F.col("text")))
     )
+
+
+from ..operators.constraints import (  # noqa: E402
+    classification_report_oracle_sql as _clsrep_sql,
+)
+from .base import _langid_oracle as _langid_sql  # noqa: E402
+
+# deterministic language-marker injection (the corpus text is English-
+# shaped regardless of its lang label -- without markers every doc
+# predicts 'en' and the eval is degenerate; q88/z141 precedent). Docs
+# with doc_id % 7 == 0 stay UNMARKED, so the confusion matrix keeps a
+# real off-diagonal (unmarked de/es/fr/zh docs fall back to 'en').
+# Marker lexicon choices avoid cross-language lexicon collisions except
+# the deliberate la/un overlaps, which the 8-vs-2 hit counts dominate.
+_Z184_MARKERS = {
+    "de": " der die und ist nicht ein mit das",
+    "es": " el la que y en un es de",
+    "fr": " le la et les des un une est",
+    "zh": " 汉字汉字汉字汉字汉字汉字",
+}
+_Z184_AUG_SQL = "SELECT doc_id, text || CASE WHEN doc_id % 7 = 0 THEN '' " + (
+    "ELSE CASE lang "
+    + " ".join(
+        f"WHEN '{lang}' THEN '{m}'" for lang, m in sorted(_Z184_MARKERS.items())
+    )
+    + " ELSE '' END END AS text FROM documents"
+)
+
+
+@query(
+    "z184_langid_confusion_prf",
+    oracle=_clsrep_sql(
+        f"SELECT d.lang AS truth, o.pred_lang AS pred "
+        f"FROM ({_langid_sql(_Z184_AUG_SQL)}) o "
+        f"JOIN documents d USING (doc_id)"
+    ),
+    description=(
+        "classifier eval as a first-class verified query: per-class "
+        "precision/recall/F1 of the q36 language-ID heuristic against "
+        "the ground-truth lang column over marker-injected text (6/7 "
+        "of non-English docs carry their language's stopword marker; "
+        "the unmarked seventh falls back to 'en', keeping a real "
+        "off-diagonal), in exact HALF_UP micros -- eval numbers feed "
+        "regression gates, where float drift is as damaging as in the "
+        "data. Zero-denominator cells are NULL, never a fake 0; "
+        "phantom prediction-only classes still get a row. ONE "
+        "(truth, pred) aggregate over corpus rows, then everything "
+        "runs on the bounded confusion table"
+    ),
+)
+def z184(spark, sf_dir):
+    from ..operators.constraints import classification_report
+
+    docs = load(spark, "documents", sf_dir)
+    marker = F.lit("")
+    for lang, m in sorted(_Z184_MARKERS.items()):
+        marker = F.when(F.col("lang") == lang, F.lit(m)).otherwise(marker)
+    aug = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(marker),
+        ).alias("text"),
+    )
+    pred = text.with_lang_id(aug, keep_cols=["lang"])
+    return classification_report(pred, "lang", "pred_lang")

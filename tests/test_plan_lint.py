@@ -75,6 +75,9 @@ WHITELIST = {
     # the (total-tokens, total-bigrams) corpus counts are each ONE
     # broadcast row crossed into the per-bigram lift expression
     "z179_pmi_collocations": "two 1-row aggregate totals crossed",
+    # same exact-scan contract as q38: the ranking leg IS cosine_topk
+    # with its bounded broadcast query side
+    "z185_retrieval_ndcg_mrr": "exact ANN run leg: bounded broadcast query side",
     # level-2 frontier scan: its input is the checkpointed UNION OF
     # PER-BUCKET FRONTIERS (level 1 is bucket-partitioned), bounded by
     # the survivor count, never by the corpus
