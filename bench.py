@@ -223,6 +223,10 @@ HEADLINE = [
     "z185_retrieval_ndcg_mrr",
     # round-13: join-key skew profile (the pre-shuffle salting decision)
     "z186_key_skew_profile",
+    # round-13: clustering pair-eval (pair P/R/F1, Rand, ARI)
+    "z187_dedup_cluster_pair_eval",
+    # round-13: exact join-cardinality preflight (co-purchase self-join)
+    "z188_join_explosion_preflight",
 ]
 
 

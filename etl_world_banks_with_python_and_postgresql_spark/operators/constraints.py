@@ -796,3 +796,232 @@ SELECT col, n_rows::BIGINT AS n_rows, n_keys::BIGINT AS n_keys,
          AS skew_x_micros
 FROM prof
 """
+
+
+def clustering_pair_eval(
+    df: DataFrame,
+    cluster_col: str,
+    truth_col: str,
+) -> DataFrame:
+    """Pair-counting clustering evaluation: precision/recall/F1 over
+    item PAIRS, the Rand index, and the Adjusted Rand Index of a
+    cluster assignment against ground-truth classes -- the eval table
+    for dedup clusters, entity-resolution output, or any unsupervised
+    grouping (completing the metric family: z184 classification, z185
+    ranking, this one clustering). Pair counts come from the
+    CONTINGENCY table, never from enumerating pairs:
+
+        TP  = sum_{c,t} C(n_ct, 2)        P_clu = sum_c C(n_c, 2)
+        P_tru = sum_t C(n_t, 2)           P_all = C(N, 2)
+        precision = TP/P_clu   recall = TP/P_tru   f1 = 2TP/(P_clu+P_tru)
+        rand = (P_all - P_clu - P_tru + 2TP) / P_all
+        ari  = (TP*P_all - P_clu*P_tru)
+               / (P_all*(P_clu+P_tru)/2 - P_clu*P_tru)
+
+    -- every numerator/denominator an exact integer (C(n,2) in
+    DECIMAL(38,0)), each metric ONE sign-aware HALF_UP micros division
+    (ARI can be negative: worse-than-chance clustering must show as
+    such, not clamp to 0). Magnitude honesty: the ARI cross-products
+    need P_clu * P_tru < ~1e37, i.e. up to ~1e9 items per evaluation
+    slice -- evals run on slices, and the bound fails loudly in
+    DECIMAL, never silently wraps.
+
+    Scale shape: ONE (cluster, truth) count aggregate over items, then
+    three bounded re-aggregations of the contingency table and a 1-row
+    summary. Output one row: the counts and the five metrics.
+    """
+    from ..functions.exactnum import ratio_micros_halfup
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def c2(n):
+        nd = dec(n)
+        return nd * (nd - 1) / F.lit(2).cast("decimal(38,0)")
+
+    cont = df.groupBy(
+        F.col(cluster_col).alias("_c"), F.col(truth_col).alias("_t")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    s = cont.agg(
+        F.sum(c2(F.col("_n"))).cast("decimal(38,0)").alias("tp"),
+        F.sum("_n").cast("long").alias("n_items"),
+    )
+    pc = (
+        cont.groupBy("_c")
+        .agg(F.sum("_n").alias("_nc"))
+        .agg(F.sum(c2(F.col("_nc"))).cast("decimal(38,0)").alias("p_clu"))
+    )
+    pt = (
+        cont.groupBy("_t")
+        .agg(F.sum("_n").alias("_nt"))
+        .agg(F.sum(c2(F.col("_nt"))).cast("decimal(38,0)").alias("p_tru"))
+    )
+    j = s.crossJoin(F.broadcast(pc)).crossJoin(F.broadcast(pt))
+    p_all = c2(F.col("n_items"))
+    tp, p_clu, p_tru = F.col("tp"), F.col("p_clu"), F.col("p_tru")
+
+    def signed_ratio(num, den):
+        return F.when(den == 0, F.lit(None).cast("long")).otherwise(
+            F.signum(num).cast("long")
+            * ratio_micros_halfup(F.abs(num), den)
+        )
+
+    two = F.lit(2).cast("decimal(38,0)")
+    ari_num = tp * p_all - p_clu * p_tru
+    ari_den = p_all * (p_clu + p_tru) / two - p_clu * p_tru
+    return j.select(
+        F.col("n_items"),
+        tp.cast("long").alias("tp_pairs"),
+        p_clu.cast("long").alias("cluster_pairs"),
+        p_tru.cast("long").alias("truth_pairs"),
+        signed_ratio(tp, p_clu).alias("precision_micros"),
+        signed_ratio(tp, p_tru).alias("recall_micros"),
+        signed_ratio(two * tp, p_clu + p_tru).alias("f1_micros"),
+        signed_ratio(
+            p_all - p_clu - p_tru + two * tp, p_all
+        ).alias("rand_micros"),
+        signed_ratio(ari_num, ari_den).alias("ari_micros"),
+    )
+
+
+def clustering_pair_eval_oracle_sql(
+    rows_sql: str, cluster_sql: str = "cluster", truth_sql: str = "truth"
+) -> str:
+    """DuckDB twin of :func:`clustering_pair_eval` (HUGEINT pair
+    algebra; same sign-aware HALF_UP)."""
+    r = (
+        "(CASE WHEN ({d}) = 0 THEN NULL ELSE "
+        "(CASE WHEN ({n}) >= 0 THEN 1 ELSE -1 END) * "
+        "((2000000 * abs({n}) + ({d})) // (2 * ({d}))) END)::BIGINT"
+    )
+    return f"""
+WITH d AS (SELECT {cluster_sql} AS c, {truth_sql} AS t
+           FROM ({rows_sql}) raw0),
+cont AS (SELECT c, t, count(*)::HUGEINT AS n FROM d GROUP BY c, t),
+s AS (SELECT sum(n * (n - 1) // 2)::HUGEINT AS tp,
+             sum(n)::HUGEINT AS n_items FROM cont),
+pc AS (SELECT sum(nc * (nc - 1) // 2)::HUGEINT AS p_clu
+       FROM (SELECT sum(n) AS nc FROM cont GROUP BY c)),
+pt AS (SELECT sum(nt * (nt - 1) // 2)::HUGEINT AS p_tru
+       FROM (SELECT sum(n) AS nt FROM cont GROUP BY t)),
+m AS (SELECT *, n_items * (n_items - 1) // 2 AS p_all
+      FROM s CROSS JOIN pc CROSS JOIN pt)
+SELECT n_items::BIGINT AS n_items, tp::BIGINT AS tp_pairs,
+       p_clu::BIGINT AS cluster_pairs, p_tru::BIGINT AS truth_pairs,
+       {r.format(n='tp', d='p_clu')} AS precision_micros,
+       {r.format(n='tp', d='p_tru')} AS recall_micros,
+       {r.format(n='2 * tp', d='p_clu + p_tru')} AS f1_micros,
+       {r.format(n='p_all - p_clu - p_tru + 2 * tp', d='p_all')}
+         AS rand_micros,
+       {r.format(n='tp * p_all - p_clu * p_tru',
+                 d='p_all * (p_clu + p_tru) // 2 - p_clu * p_tru')}
+         AS ari_micros
+FROM m
+"""
+
+
+def join_explosion_preflight(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """EXACT output cardinality of a proposed equi-join, WITHOUT running
+    it: |A join B| = sum over shared keys of n_a(k) * n_b(k), computed
+    from the two key-count tables -- the pre-flight a 100 TB pipeline
+    runs before an unfamiliar join (self-joins like the z144 co-purchase
+    build can explode quadratically in the heaviest key; this answers
+    "can I afford it" at the cost of two count aggregates instead of
+    the join itself). Complements z186's single-table skew profile with
+    the JOINT number that actually bounds the shuffle output.
+
+    One summary row: input sizes, key counts, shared keys, exact
+    join_rows, amplification vs the larger input (HALF_UP micros), the
+    heaviest key's pair contribution and its share -- when one key owns
+    most of the output, salting THAT key is the fix (operators/skew.py);
+    when amplification itself is the problem, rethink the join.
+    DECIMAL(38,0) products (n_a * n_b wraps int64 at corpus scale).
+    """
+    from ..functions.exactnum import ratio_micros_halfup
+
+    lc = left.groupBy(F.col(left_key).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_na")
+    )
+    rc = right.groupBy(F.col(right_key).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_nb")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    joint = lc.join(rc, "_k").select(
+        "_k", (dec("_na") * dec("_nb")).alias("_pairs")
+    )
+    lt = lc.agg(
+        F.sum("_na").cast("long").alias("left_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_left_keys"),
+    )
+    rt = rc.agg(
+        F.sum("_nb").cast("long").alias("right_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_right_keys"),
+    )
+    jt = joint.agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_keys"),
+        F.coalesce(F.sum("_pairs"), F.lit(0).cast("decimal(38,0)")).alias(
+            "_join_rows"
+        ),
+        F.max("_pairs").alias("_max_pairs"),
+    )
+    out = lt.crossJoin(F.broadcast(rt)).crossJoin(F.broadcast(jt))
+    bigger = F.greatest(F.col("left_rows"), F.col("right_rows"))
+    return out.select(
+        "left_rows",
+        "right_rows",
+        "n_left_keys",
+        "n_right_keys",
+        "n_shared_keys",
+        F.col("_join_rows").cast("long").alias("join_rows"),
+        ratio_micros_halfup(F.col("_join_rows"), bigger).alias(
+            "amplification_micros"
+        ),
+        F.coalesce(F.col("_max_pairs"), F.lit(0).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("max_key_pairs"),
+        F.when(
+            F.col("_join_rows") == 0, F.lit(None).cast("long")
+        ).otherwise(
+            ratio_micros_halfup(
+                F.coalesce(
+                    F.col("_max_pairs"), F.lit(0).cast("decimal(38,0)")
+                ),
+                F.col("_join_rows"),
+            )
+        ).alias("max_key_share_micros"),
+    )
+
+
+def join_explosion_preflight_oracle_sql(
+    left_sql: str, right_sql: str, left_key: str, right_key: str
+) -> str:
+    """DuckDB twin of :func:`join_explosion_preflight`."""
+    return f"""
+WITH lc AS (SELECT {left_key} AS k, count(*)::HUGEINT AS na
+            FROM ({left_sql}) l0 GROUP BY 1),
+rc AS (SELECT {right_key} AS k, count(*)::HUGEINT AS nb
+       FROM ({right_sql}) r0 GROUP BY 1),
+joint AS (SELECT lc.k, na * nb AS pairs FROM lc JOIN rc USING (k)),
+lt AS (SELECT sum(na)::BIGINT AS left_rows,
+              count(*)::BIGINT AS n_left_keys FROM lc),
+rt AS (SELECT sum(nb)::BIGINT AS right_rows,
+              count(*)::BIGINT AS n_right_keys FROM rc),
+jt AS (SELECT count(*)::BIGINT AS n_shared_keys,
+              coalesce(sum(pairs), 0)::HUGEINT AS join_rows,
+              coalesce(max(pairs), 0)::HUGEINT AS max_key_pairs
+       FROM joint)
+SELECT left_rows, right_rows, n_left_keys, n_right_keys, n_shared_keys,
+       join_rows::BIGINT AS join_rows,
+       ((2000000 * join_rows + greatest(left_rows, right_rows))
+        // (2 * greatest(left_rows, right_rows)))::BIGINT
+         AS amplification_micros,
+       max_key_pairs::BIGINT AS max_key_pairs,
+       (CASE WHEN join_rows = 0 THEN NULL
+             ELSE (2000000 * max_key_pairs + join_rows)
+                  // (2 * join_rows) END)::BIGINT AS max_key_share_micros
+FROM lt CROSS JOIN rt CROSS JOIN jt
+"""

@@ -2460,3 +2460,41 @@ def z185(spark, sf_dir):
         )
     )
     return retrieval_ndcg_mrr(j, k=10)
+
+
+from ..operators.constraints import (  # noqa: E402
+    clustering_pair_eval_oracle_sql as _paireval_sql,
+)
+
+
+@query(
+    "z187_dedup_cluster_pair_eval",
+    oracle=_paireval_sql(
+        "SELECT md5(array_to_string("
+        "string_split_regex(trim(lower(text)), '\\s+')[1:5], ' ')) "
+        "AS cluster, source AS truth FROM documents"
+    ),
+    description=(
+        "pair-counting clustering eval (precision/recall/F1 over item "
+        "pairs, Rand, ADJUSTED Rand) of the z181 leading-shingle dedup "
+        "clusters against source labels -- do near-dup clusters stay "
+        "intra-source (template reuse) or cross sources (syndication)? "
+        "Completes the exact-micros metric family (z184 classification, "
+        "z185 ranking). All pair counts from the CONTINGENCY table "
+        "(C(n,2) algebra, DECIMAL(38,0)) -- pairs are never enumerated; "
+        "ARI is sign-aware (worse-than-chance must show negative). ONE "
+        "(cluster, truth) aggregate + three bounded re-aggregations"
+    ),
+)
+def z187(spark, sf_dir):
+    from ..functions.xhash import ws_tokens
+    from ..operators.constraints import clustering_pair_eval
+
+    docs = load(spark, "documents", sf_dir)
+    d = docs.select(
+        F.md5(
+            F.array_join(F.slice(ws_tokens(F.col("text")), 1, 5), " ")
+        ).alias("cluster"),
+        F.col("source").alias("truth"),
+    )
+    return clustering_pair_eval(d, "cluster", "truth")

@@ -2834,3 +2834,35 @@ def z186(spark, sf_dir):
         load(spark, "lineitem", sf_dir),
         ["l_orderkey", "l_partkey", "l_returnflag"],
     )
+
+
+from ..operators.constraints import (  # noqa: E402
+    join_explosion_preflight_oracle_sql as _preflight_sql,
+)
+
+
+@query(
+    "z188_join_explosion_preflight",
+    oracle=_preflight_sql(
+        "SELECT l_orderkey FROM lineitem",
+        "SELECT l_orderkey FROM lineitem",
+        "l_orderkey",
+        "l_orderkey",
+    ),
+    description=(
+        "EXACT output cardinality of a proposed equi-join without "
+        "running it (sum over shared keys of n_a*n_b from the two "
+        "count tables) -- the pre-flight for explosion-prone joins, "
+        "demonstrated on the z144 co-purchase SELF-join (quadratic in "
+        "the heaviest order): input sizes, shared keys, exact "
+        "join_rows, amplification vs the larger input, heaviest key's "
+        "pair contribution + share (salting target). Two count "
+        "aggregates + one key-count join; DECIMAL(38,0) products; the "
+        "joint complement of z186's single-table skew profile"
+    ),
+)
+def z188(spark, sf_dir):
+    from ..operators.constraints import join_explosion_preflight
+
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey")
+    return join_explosion_preflight(li, li, "l_orderkey", "l_orderkey")

@@ -5272,3 +5272,67 @@ def test_degree_assortativity_ground_truth_and_regular_graph(spark):
     )
     r = degree_assortativity(cyc).collect()[0]
     assert r["assortativity_micros"] is None
+
+
+def test_clustering_pair_eval_brute_force_ground_truth(spark):
+    """clustering_pair_eval vs literal pair ENUMERATION on a random
+    labeled clustering (ground truth, not engine/oracle parity): the
+    contingency C(n,2) algebra must equal counting actual pairs, and
+    ARI must match the Hubert-Arabie formula computed in exact
+    Fractions -- including a worse-than-chance case going negative."""
+    import random
+    from fractions import Fraction
+    from itertools import combinations
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.constraints import (
+        clustering_pair_eval,
+    )
+
+    rng = random.Random(11)
+    items = [(i, rng.randrange(6), rng.randrange(4)) for i in range(120)]
+    tp = fp = fn = tn = 0
+    for (_i1, c1, t1), (_i2, c2, t2) in combinations(items, 2):
+        same_c, same_t = c1 == c2, t1 == t2
+        tp += same_c and same_t
+        fp += same_c and not same_t
+        fn += same_t and not same_c
+        tn += not same_c and not same_t
+    p_clu, p_tru, p_all = tp + fp, tp + fn, tp + fp + fn + tn
+
+    def halfup(fr: Fraction) -> int:
+        n, d = fr.numerator, fr.denominator
+        s = 1 if n >= 0 else -1
+        return s * ((2 * 10**6 * abs(n) + d) // (2 * d))
+
+    want = {
+        "precision_micros": halfup(Fraction(tp, p_clu)),
+        "recall_micros": halfup(Fraction(tp, p_tru)),
+        "f1_micros": halfup(Fraction(2 * tp, p_clu + p_tru)),
+        "rand_micros": halfup(Fraction(tp + tn, p_all)),
+        "ari_micros": halfup(
+            Fraction(
+                tp * p_all - p_clu * p_tru,
+                p_all * (p_clu + p_tru) // 2 - p_clu * p_tru,
+            )
+        ),
+    }
+    df = spark.createDataFrame(
+        [(c, t) for _i, c, t in items], "cluster int, truth int"
+    )
+    row = clustering_pair_eval(df, "cluster", "truth").collect()[0]
+    assert (row["tp_pairs"], row["cluster_pairs"], row["truth_pairs"]) == (
+        tp, p_clu, p_tru,
+    )
+    for k, v in want.items():
+        assert row[k] == v, (k, row[k], v)
+    # independent random labels: ARI should hover near 0 and CAN be
+    # negative; this seed's value just must match the enumeration
+    # (checked above). Perfect clustering: everything 1e6, by algebra:
+    perfect = spark.createDataFrame(
+        [(t, t) for _i, _c, t in items], "cluster int, truth int"
+    )
+    p = clustering_pair_eval(perfect, "cluster", "truth").collect()[0]
+    assert (
+        p["precision_micros"], p["recall_micros"], p["f1_micros"],
+        p["rand_micros"], p["ari_micros"],
+    ) == (10**6,) * 5

@@ -78,6 +78,11 @@ WHITELIST = {
     # same exact-scan contract as q38: the ranking leg IS cosine_topk
     # with its bounded broadcast query side
     "z185_retrieval_ndcg_mrr": "exact ANN run leg: bounded broadcast query side",
+    # the three pair-count totals are each ONE broadcast aggregate row
+    # crossed into the single summary row
+    "z187_dedup_cluster_pair_eval": "1-row aggregate sides crossed into summary",
+    # left/right/joint totals: three 1-row aggregates crossed
+    "z188_join_explosion_preflight": "1-row aggregate sides crossed into summary",
     # level-2 frontier scan: its input is the checkpointed UNION OF
     # PER-BUCKET FRONTIERS (level 1 is bucket-partitioned), bounded by
     # the survivor count, never by the corpus
