@@ -21,6 +21,14 @@ Stages (each oracle- or test-verified on its own):
                          with in-gate error
   7. temporal structure  daily-series autocorrelation    timeseries.acf
                          + Markov transition baseline    funnel.markov_transitions
+  8. shuffle preflight   join-key skew profile + exact   constraints.key_skew_profile
+                         self-join output cardinality    constraints.join_explosion_preflight
+  9. eval gates          langid per-class PRF +          constraints.classification_report
+                         dedup-cluster pair scoring      constraints.clustering_pair_eval
+                         (note: unmarked corpus text is English-shaped, so the
+                         langid gate SHOWS a failing classifier here -- per-class
+                         recall 0 is the gate doing its job, see z184 for the
+                         marker-injected variant)
 
 Prints one JSON line per stage. Shuffle budget: the whole scalar-check
 suite is ONE aggregate pass (1); quarantine is two pushed-down filters
@@ -142,6 +150,64 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         "temporal",
         click_acf_micros=[[r["lag"], r["acf_micros"]] for r in a],
         transition_cells=trans,
+    )
+
+    # 8. pre-shuffle capacity planning: per-key skew profile of the
+    # fact table's candidate join keys + the exact output cardinality
+    # of the explosion-prone co-purchase SELF-join, computed WITHOUT
+    # running it (two count aggregates instead of the join)
+    from etl_world_banks_with_python_and_postgresql_spark.operators.constraints import (
+        join_explosion_preflight,
+        key_skew_profile,
+    )
+
+    skew = {
+        r["col"]: [r["n_keys"], r["max_share_micros"], r["skew_x_micros"]]
+        for r in key_skew_profile(
+            li, ["l_orderkey", "l_partkey", "l_returnflag"]
+        ).collect()
+    }
+    pf = join_explosion_preflight(
+        li.select("l_orderkey"), li.select("l_orderkey"),
+        "l_orderkey", "l_orderkey",
+    ).collect()[0]
+    emit(
+        "shuffle_preflight",
+        skew=skew,
+        copurchase_join_rows=pf["join_rows"],
+        amplification_micros=pf["amplification_micros"],
+    )
+
+    # 9. model-in-the-loop eval gates: langid per-class PRF against the
+    # lang labels (classification), and the dedup fingerprint clusters
+    # scored against source labels by pair-counting (clustering) -- the
+    # exact-micros eval tables a regression gate diffs release-over-
+    # release
+    from etl_world_banks_with_python_and_postgresql_spark.functions.xhash import (
+        ws_tokens,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.operators.constraints import (
+        classification_report,
+        clustering_pair_eval,
+    )
+
+    pred = T.with_lang_id(docs, keep_cols=["lang"])
+    prf = {
+        r["class"]: [r["support"], r["precision_micros"], r["recall_micros"]]
+        for r in classification_report(pred, "lang", "pred_lang").collect()
+    }
+    clusters = docs.select(
+        F.md5(
+            F.array_join(F.slice(ws_tokens(F.col("text")), 1, 5), " ")
+        ).alias("cluster"),
+        F.col("source").alias("truth"),
+    )
+    pe = clustering_pair_eval(clusters, "cluster", "truth").collect()[0]
+    emit(
+        "eval_gates",
+        langid_prf=prf,
+        dedup_pair_f1_micros=pe["f1_micros"],
+        dedup_ari_micros=pe["ari_micros"],
     )
 
 
