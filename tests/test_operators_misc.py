@@ -5336,3 +5336,178 @@ def test_clustering_pair_eval_brute_force_ground_truth(spark):
         p["precision_micros"], p["recall_micros"], p["f1_micros"],
         p["rand_micros"], p["ari_micros"],
     ) == (10**6,) * 5
+
+
+def test_pmi_collocations_hand_counts(spark):
+    """pmi_collocations vs hand-derived counts: 'big data' appears 3x
+    adjacent; lift = n_ab * N_tok^2 / (N_big * n_a * n_b) checked in
+    exact integers against a literal corpus."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("big data big data systems",),
+            ("big data rocks",),
+            ("data big nothing",),
+        ],
+        "text string",
+    )
+    rows = {
+        (r["w1"], r["w2"]): r
+        for r in pmi_collocations(docs, min_count=3).collect()
+    }
+    # tokens: 5 + 3 + 3 = 11; bigrams: 4 + 2 + 2 = 8
+    # 'big data' pairs: 2 (doc1) + 1 (doc2) = 3; n_big=4+... big:4, data:4
+    assert set(rows) == {("big", "data")}
+    r = rows[("big", "data")]
+    assert (r["n_pair"], r["n_w1"], r["n_w2"]) == (3, 4, 4)
+    # lift = 3 * 11^2 / (8 * 4 * 4) = 363/128 = 2.8359375
+    assert r["lift_micros"] == (2 * 10**6 * 363 + 128) // (2 * 128)
+
+
+def test_temporal_novelty_hand_case(spark):
+    """temporal_novelty against a literal timeline: fp A first on day 0
+    (re-seen day 0 twice and day 1), fp B first on day 1, fp C day 2."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        temporal_novelty,
+    )
+
+    rows = [
+        (1, 0, "A"), (2, 0, "A"), (3, 0, "A"),
+        (4, 1, "A"), (5, 1, "B"),
+        (6, 2, "C"), (7, 2, "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, day long, fp string")
+    got = {
+        r["day"]: (r["n_docs"], r["n_novel"], r["dup_rate_micros"])
+        for r in temporal_novelty(df, F.col("day"), F.col("fp")).collect()
+    }
+    assert got == {
+        0: (3, 1, 666667),  # 2/3 HALF_UP
+        1: (2, 1, 500000),
+        2: (2, 1, 500000),
+    }
+
+
+def test_classification_report_hand_confusion(spark):
+    """classification_report vs a hand confusion matrix including a
+    phantom prediction-only class and a never-predicted class."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.constraints import (
+        classification_report,
+    )
+
+    rows = (
+        [("a", "a")] * 3 + [("a", "b")] * 1
+        + [("b", "b")] * 2 + [("b", "ghost")] * 1
+        + [("c", "a")] * 2  # class c never predicted
+    )
+    df = spark.createDataFrame(rows, "truth string, pred string")
+    got = {
+        r["class"]: (
+            r["support"], r["tp"], r["fp"], r["fn"],
+            r["precision_micros"], r["recall_micros"], r["f1_micros"],
+        )
+        for r in classification_report(df, "truth", "pred").collect()
+    }
+    assert got["a"] == (4, 3, 2, 1, 600000, 750000, 666667)
+    assert got["b"] == (3, 2, 1, 1, 666667, 666667, 666667)
+    assert got["c"] == (2, 0, 0, 2, None, 0, 0)
+    assert got["ghost"] == (0, 0, 1, 0, 0, None, 0)
+
+
+def test_retrieval_ndcg_mrr_hand_case(spark):
+    """retrieval_ndcg_mrr vs hand-computed integer-micros DCG: gains
+    (0, 2, 1) at ranks 1..3 with k=3; ideal is (2, 1, 0); a query with
+    no relevant results yields NULL ndcg/rr."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        ndcg_discounts_micros,
+        retrieval_ndcg_mrr,
+    )
+
+    d1, d2, d3 = ndcg_discounts_micros(3)
+    run = spark.createDataFrame(
+        [(1, 1, 0), (1, 2, 2), (1, 3, 1), (2, 1, 0), (2, 2, 0)],
+        "query_id long, rank int, rel int",
+    )
+    got = {
+        r["query_id"]: r
+        for r in retrieval_ndcg_mrr(run, k=3).collect()
+    }
+    dcg = 0 * d1 + 2 * d2 + 1 * d3
+    idcg = 2 * d1 + 1 * d2 + 0 * d3
+    r1 = got[1]
+    assert (r1["dcg_um"], r1["idcg_um"]) == (dcg, idcg)
+    assert r1["ndcg_micros"] == (2 * 10**6 * dcg + idcg) // (2 * idcg)
+    assert (r1["first_rel_rank"], r1["rr_micros"]) == (2, 500000)
+    r2 = got[2]
+    assert (
+        r2["ndcg_micros"], r2["first_rel_rank"], r2["rr_micros"],
+    ) == (None, None, None)
+    assert (r2["dcg_um"], r2["idcg_um"]) == (0, 0)
+
+
+def test_key_skew_and_join_preflight_hand_cases(spark):
+    """key_skew_profile + join_explosion_preflight against literal
+    counts, including the self-join quadratic case."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.constraints import (
+        join_explosion_preflight,
+        key_skew_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x")] * 6 + [(2, "y")] * 2 + [(3, "y")] * 2,
+        "k long, g string",
+    )
+    prof = {
+        r["col"]: r for r in key_skew_profile(df, ["k", "g"]).collect()
+    }
+    # k: n=10, keys 3, max 6 -> share .6, hhi (36+4+4)/100 = .44,
+    # skew_x = 6*3/10 = 1.8
+    assert (
+        prof["k"]["n_keys"], prof["k"]["max_key_n"],
+        prof["k"]["max_share_micros"], prof["k"]["hhi_micros"],
+        prof["k"]["skew_x_micros"],
+    ) == (3, 6, 600000, 440000, 1800000)
+    # g: keys 2, max 6 (x) wait: x=6, y=4 -> hhi (36+16)/100 = .52
+    assert (
+        prof["g"]["n_keys"], prof["g"]["max_key_n"],
+        prof["g"]["hhi_micros"],
+    ) == (2, 6, 520000)
+
+    pf = join_explosion_preflight(df, df, "k", "k").collect()[0]
+    # self join: 36 + 4 + 4 = 44 rows, amplification 4.4x, max key 36
+    assert (
+        pf["left_rows"], pf["n_shared_keys"], pf["join_rows"],
+        pf["amplification_micros"], pf["max_key_pairs"],
+        pf["max_key_share_micros"],
+    ) == (10, 3, 44, 4400000, 36, (2 * 10**6 * 36 + 44) // (2 * 44))
+    # disjoint key spaces: zero output, loudly visible
+    other = spark.createDataFrame([(9, "z")], "k long, g string")
+    pf0 = join_explosion_preflight(df, other, "k", "k").collect()[0]
+    assert (pf0["join_rows"], pf0["max_key_share_micros"]) == (0, None)
+
+
+def test_quantile_normalize_hand_case(spark):
+    """quantile_normalize_scores vs hand mid-ranks, including ties and
+    a single-row group."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.text import (
+        quantile_normalize_scores,
+    )
+
+    rows = [
+        (1, "a", 10), (2, "a", 20), (3, "a", 20), (4, "a", 30),
+        (5, "b", 7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, s long")
+    got = {
+        r["doc_id"]: r["qnorm_micros"]
+        for r in quantile_normalize_scores(df, F.col("s")).collect()
+    }
+    # group a (n=4): score 10 -> (2*0+1-1)/(2*3)=0; 20 (tie, below=1,
+    # eq=2) -> (2+2-1)/6 = 0.5; 30 -> (6+1-1)/6 = 1
+    assert got[1] == 0
+    assert got[2] == got[3] == 500000
+    assert got[4] == 1000000
+    assert got[5] == 500000  # singleton group convention
