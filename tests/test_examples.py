@@ -34,6 +34,8 @@ EXAMPLES = {
     "dedup_ingest_pipeline.py": [SF_SMALL],
     "embedding_pipeline.py": [SF_SMALL],
     "graph_analytics.py": [SF_SMALL],
+    # smoke at 1x only; the PERF.md probe runs 1/4/8 at sf0.1
+    "graph_scale_probe.py": [SF_SMALL, "1"],
     "ivf_tuning.py": [SF_SMALL],
     "retrieval_pipeline.py": [SF_SMALL],
     "train_corpus_pipeline.py": [SF_SMALL],
