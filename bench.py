@@ -227,6 +227,10 @@ HEADLINE = [
     "z187_dedup_cluster_pair_eval",
     # round-13: exact join-cardinality preflight (co-purchase self-join)
     "z188_join_explosion_preflight",
+    # round-13: hop-bounded harmonic centrality (crawl host ranking)
+    "z189_harmonic_centrality",
+    # round-13: dedup savings report (keep-longest capacity planning)
+    "z190_dedup_savings_report",
 ]
 
 

@@ -1986,3 +1986,64 @@ SELECT p.day, p.n_docs,
         // (2 * p.n_docs))::BIGINT AS dup_rate_micros
 FROM per_day p LEFT JOIN novel n ON n.day = p.day
 """
+
+
+def dedup_savings_report(
+    df: DataFrame,
+    fingerprint,
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Cluster-size histogram of a fingerprint dedup with the EXACT
+    savings of a keep-one (keep-longest, the z177 policy) pass -- the
+    capacity-planning table a curation team reads before running the
+    actual dedup: per duplicate-cluster size, how many clusters, how
+    many redundant documents, and how many redundant characters
+    (cluster total minus its longest member) the pass would remove.
+    Singleton clusters ride along as the size-1 row (zero savings), so
+    the report's doc total reconciles against the corpus row count.
+
+    Scale shape: one fingerprint-keyed aggregate (count + sum + max)
+    over corpus rows, then ONE histogram aggregate over the cluster
+    table keyed by cluster size (bounded by the max cluster size --
+    never corpus-sized). Exact integers only.
+
+    Output: (cluster_size, n_clusters, n_docs, redundant_docs,
+    redundant_chars).
+    """
+    clusters = df.groupBy(fingerprint.alias("_fp")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(chars_col)).alias("_total"),
+        F.max(F.col(chars_col)).alias("_kept"),
+    )
+    return (
+        clusters.groupBy(F.col("_n").cast("long").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("_n").cast("long").alias("n_docs"),
+            F.sum(F.col("_n") - 1).cast("long").alias("redundant_docs"),
+            F.sum(F.col("_total") - F.col("_kept"))
+            .cast("long")
+            .alias("redundant_chars"),
+        )
+    )
+
+
+def dedup_savings_oracle_sql(
+    rows_sql: str,
+    fp_sql: str = "fp",
+    chars_sql: str = "n_chars",
+) -> str:
+    """DuckDB twin of :func:`dedup_savings_report`."""
+    return f"""
+WITH d AS (SELECT {fp_sql} AS fp, ({chars_sql})::BIGINT AS c
+           FROM ({rows_sql}) raw0),
+clusters AS (SELECT fp, count(*)::BIGINT AS n, sum(c)::BIGINT AS total,
+                    max(c)::BIGINT AS kept
+             FROM d GROUP BY fp)
+SELECT n AS cluster_size,
+       count(*)::BIGINT AS n_clusters,
+       sum(n)::BIGINT AS n_docs,
+       sum(n - 1)::BIGINT AS redundant_docs,
+       sum(total - kept)::BIGINT AS redundant_chars
+FROM clusters GROUP BY n
+"""

@@ -841,3 +841,133 @@ SELECT m::BIGINT AS m_endpoint_pairs,
        END::BIGINT AS assortativity_micros
 FROM s
 """
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    hops: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_transit_degree: int | None = None,
+) -> DataFrame:
+    """Hop-bounded harmonic centrality: h(v) = sum over nodes u within
+    ``hops`` of 1/d(u, v) -- THE host-ranking centrality of web-crawl
+    curation (Common Crawl ranks hosts harmonic-first; unlike closeness
+    it handles disconnected graphs natively because unreachable nodes
+    contribute 0, not infinity). Reported in exact integer micros with
+    the per-distance weights QUANTIZED driver-side to round(1e6/d) --
+    the z185 rule: a float 1/d sum is engine-order-dependent, an
+    integer shell-count dot is exact, and 1e-6 weight quantization is
+    far below any ranking decision.
+
+    Mechanics: BFS by shells with MIN-distance semantics -- shell d =
+    (shell d-1 joined one hop out) ANTI-JOIN everything already seen --
+    one equi-join + anti-join + distinct per hop over the frontier
+    (never the full reach), lineage cut per hop; then ONE (node, d)
+    count aggregate and an in-row weighted sum. ``max_transit_degree``
+    is the same celebrity-cap approximation as :func:`k_hop_reach`
+    (paths THROUGH capped hubs are dropped; their own centrality is
+    still reported).
+
+    Returns (node, harmonic_micros, n_reach); exact integers, self
+    excluded.
+    """
+    if hops < 1:
+        raise ValueError("hops must be >= 1")
+    weights = {d: round(1_000_000 / d) for d in range(1, hops + 1)}
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    sym = (
+        e0.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(e0.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    if max_transit_degree is not None:
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+        transit_ok = deg.filter(
+            F.col("_d") <= max_transit_degree
+        ).select("u")
+        trans = sym.join(transit_ok, "u", "left_semi").localCheckpoint()
+    else:
+        trans = sym
+    shells = sym.withColumn("d", F.lit(1))
+    seen = sym
+    frontier = sym
+    for h in range(2, hops + 1):
+        ext = (
+            frontier.select(F.col("u"), F.col("v").alias("_m"))
+            .join(
+                trans.select(F.col("u").alias("_m"), F.col("v").alias("v2")),
+                "_m",
+            )
+            .select("u", F.col("v2").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new = ext.join(seen, ["u", "v"], "left_anti").localCheckpoint()
+        shells = shells.unionByName(new.withColumn("d", F.lit(h)))
+        seen = seen.unionByName(new).localCheckpoint()
+        frontier = new
+    w_map = F.create_map(
+        *[x for d, w in sorted(weights.items()) for x in (F.lit(d), F.lit(w))]
+    )
+    return (
+        shells.groupBy(F.col("u").alias("node"), "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("node", (F.col("n") * w_map[F.col("d")]).alias("_h"), "n")
+        .groupBy("node")
+        .agg(
+            F.sum("_h").cast("long").alias("harmonic_micros"),
+            F.sum("n").cast("long").alias("n_reach"),
+        )
+    )
+
+
+def harmonic_centrality_oracle_sql(edges_sql: str, hops: int = 2) -> str:
+    """DuckDB twin of :func:`harmonic_centrality` (same shell BFS, same
+    quantized integer weights; no transit cap -- entries run uncapped
+    on bounded-degree graphs, like z173)."""
+    weights = {d: round(1_000_000 / d) for d in range(1, hops + 1)}
+    parts = [
+        f"""
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_sql}) raw0
+  WHERE least(src, dst) < greatest(src, dst)),
+sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+s1 AS MATERIALIZED (SELECT u, v FROM sym)"""
+    ]
+    for h in range(2, hops + 1):
+        prev_shells = " UNION ALL ".join(
+            f"SELECT u, v FROM s{i}" for i in range(1, h)
+        )
+        parts.append(
+            f"""
+s{h} AS MATERIALIZED (
+  SELECT DISTINCT f.u, t.v
+  FROM s{h - 1} f JOIN sym t ON t.u = f.v
+  WHERE f.u <> t.v
+    AND NOT EXISTS (SELECT 1 FROM ({prev_shells}) p
+                    WHERE p.u = f.u AND p.v = t.v))"""
+        )
+    shell_union = " UNION ALL ".join(
+        f"SELECT u, {w} AS w FROM s{d}" for d, w in sorted(weights.items())
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT u AS node,
+       sum(w)::BIGINT AS harmonic_micros,
+       count(*)::BIGINT AS n_reach
+FROM ({shell_union}) t
+GROUP BY u
+"""
+    )

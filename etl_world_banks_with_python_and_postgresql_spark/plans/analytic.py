@@ -1360,3 +1360,42 @@ def z180(spark, sf_dir):
         .select("src", "dst")
     )
     return degree_assortativity(edges)
+
+
+from ..operators.graph import (  # noqa: E402
+    harmonic_centrality_oracle_sql as _harm_sql,
+)
+
+
+@query(
+    "z189_harmonic_centrality",
+    oracle=_harm_sql(_CC_EDGES_SQL, hops=2),
+    description=(
+        "hop-bounded harmonic centrality (sum of 1/d over nodes within "
+        "2 hops) of the >= 2-orders co-purchase graph -- THE host-"
+        "ranking centrality of web-crawl curation (Common Crawl ranks "
+        "hosts harmonic-first; disconnected graphs are native: "
+        "unreachable = 0, never infinity). Per-distance weights "
+        "QUANTIZED to round(1e6/d) integer micros (the z185 rule -- a "
+        "float 1/d sum is engine-order-dependent, an integer shell "
+        "dot is exact). Shell BFS with MIN-distance semantics: one "
+        "equi-join + anti-join + distinct per hop over the FRONTIER, "
+        "lineage cut per hop, then one (node, d) count agg"
+    ),
+)
+def z189(spark, sf_dir):
+    from ..operators.graph import harmonic_centrality
+
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("_pb"))
+    edges = (
+        li.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("_pb"))
+        .groupBy(
+            F.col("l_partkey").alias("src"), F.col("_pb").alias("dst")
+        )
+        .agg(F.countDistinct("l_orderkey").alias("_n_ord"))
+        .filter(F.col("_n_ord") >= 2)
+        .select("src", "dst")
+    )
+    return harmonic_centrality(edges, hops=2)

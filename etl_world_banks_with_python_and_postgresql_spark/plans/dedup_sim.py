@@ -2498,3 +2498,37 @@ def z187(spark, sf_dir):
         F.col("source").alias("truth"),
     )
     return clustering_pair_eval(d, "cluster", "truth")
+
+
+from ..operators.dedup import (  # noqa: E402
+    dedup_savings_oracle_sql as _dsav_sql,
+)
+
+
+@query(
+    "z190_dedup_savings_report",
+    oracle=_dsav_sql(
+        "SELECT md5(array_to_string("
+        "string_split_regex(trim(lower(text)), '\\s+')[1:5], ' ')) "
+        "AS fp, n_chars FROM documents"
+    ),
+    description=(
+        "dedup capacity planning: cluster-size histogram of the z181 "
+        "leading-shingle fingerprint with the EXACT savings of a "
+        "keep-longest pass (redundant docs + redundant chars per "
+        "cluster size; singletons reconcile the doc total) -- the "
+        "table a curation team reads BEFORE running the dedup. One "
+        "fingerprint aggregate over rows + one histogram aggregate "
+        "over the cluster table (bounded by max cluster size); exact "
+        "integers only"
+    ),
+)
+def z190(spark, sf_dir):
+    from ..functions.xhash import ws_tokens
+    from ..operators.dedup import dedup_savings_report
+
+    docs = load(spark, "documents", sf_dir)
+    fp = F.md5(
+        F.array_join(F.slice(ws_tokens(F.col("text")), 1, 5), " ")
+    )
+    return dedup_savings_report(docs, fp)

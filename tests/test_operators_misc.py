@@ -5511,3 +5511,53 @@ def test_quantile_normalize_hand_case(spark):
     assert got[2] == got[3] == 500000
     assert got[4] == 1000000
     assert got[5] == 500000  # singleton group convention
+
+
+def test_harmonic_centrality_hand_cases(spark):
+    """harmonic_centrality against hand-derived shells: a path (shell
+    arithmetic), a triangle+tail (MIN-distance semantics -- a node
+    reachable at d=1 and d=2 counts ONCE at d=1), and the transit cap
+    (paths through a capped hub are dropped, its own row remains)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["harmonic_micros"], r["n_reach"])
+        for r in harmonic_centrality(path, hops=2).collect()
+    }
+    assert got == {
+        1: (1_500_000, 2),
+        2: (2_500_000, 3),
+        3: (3_000_000, 4),
+        4: (2_500_000, 3),
+        5: (1_500_000, 2),
+    }
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    got = {
+        r["node"]: (r["harmonic_micros"], r["n_reach"])
+        for r in harmonic_centrality(tri, hops=2).collect()
+    }
+    # nodes 1,2: two d=1 neighbors + node 4 at d=2 (via 3; and node
+    # 1<->2 are NOT double-counted at d=2 through 3 -- min distance)
+    assert got[1] == (2_500_000, 3) and got[2] == (2_500_000, 3)
+    assert got[3] == (3_000_000, 3)  # all three at d=1
+    assert got[4] == (2_000_000, 3)  # 3 at d=1; 1,2 at d=2
+
+    # transit cap 1: node 2 (degree 2) cannot be a middle node
+    capped = harmonic_centrality(
+        spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"),
+        hops=2,
+        max_transit_degree=1,
+    )
+    got = {
+        r["node"]: (r["harmonic_micros"], r["n_reach"])
+        for r in capped.collect()
+    }
+    assert got == {1: (1_000_000, 1), 2: (2_000_000, 2), 3: (1_000_000, 1)}
