@@ -231,6 +231,8 @@ HEADLINE = [
     "z189_harmonic_centrality",
     # round-13: dedup savings report (keep-longest capacity planning)
     "z190_dedup_savings_report",
+    # round-13: ranker agreement RBO (exact-vs-quantized run diff)
+    "z191_ranker_agreement_rbo",
 ]
 
 

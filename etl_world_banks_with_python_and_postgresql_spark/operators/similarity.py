@@ -2236,3 +2236,107 @@ SELECT query_id, n_ranked, dcg AS dcg_um, idcg AS idcg_um,
        END::BIGINT AS rr_micros
 FROM sc
 """
+
+
+def rbo_suffix_weights_micros(k: int, p: float = 0.9) -> list[int]:
+    """Rank-biased-overlap depth weights, precomputed as SUFFIX sums and
+    quantized to integer micros driver-side (the z185 discount rule).
+
+    RBO@k = (1-p) * sum_{d=1..k} p^(d-1) * |A intersect B at depth d|/d.
+    An item appearing at ranks (ra, rb) in the two lists is inside the
+    depth-d intersection for every d >= max(ra, rb), so its total
+    contribution is the suffix sum SW[max(ra, rb)] -- which turns RBO
+    into ONE join + ONE integer sum, no per-depth pass. Index m-1 holds
+    SW[m] = round(1e6 * sum_{d=m..k} (1-p) p^(d-1) / d).
+    """
+    import math  # noqa: F401 - parity with ndcg helper style
+
+    per_depth = [(1 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
+    return [
+        round(1_000_000 * sum(per_depth[m - 1:])) for m in range(1, k + 1)
+    ]
+
+
+def rank_agreement_rbo(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query truncated rank-biased overlap (Webber et al. TOIS'10)
+    between two retrieval runs -- the top-weighted agreement score for
+    comparing rankers (exact vs quantized ANN, old vs new BM25): unlike
+    recall@k it rewards agreeing EARLY, and unlike Kendall's tau it is
+    defined for non-conjoint top-k lists. Truncated at depth k with no
+    extrapolation = the conservative RBO_min (identical runs score
+    1 - p^k, ~0.651e6 micros at k=10, p=0.9 -- by design, the residual
+    mass belongs to unseen depths).
+
+    Exactness: the per-depth geometric weights fold into per-item
+    SUFFIX-sum literals quantized ONCE to integer micros
+    (:func:`rbo_suffix_weights_micros`), so each common item
+    contributes SW[max(ra, rb)] and the per-query score is an exact
+    BIGINT sum -- zero float (the z185 rule).
+
+    Scale shape: one equi-join of the two (|Q| x k)-sized runs on
+    (query, item), one literal-array lookup, one query-keyed sum, and a
+    left join back to the run-A query set so zero-overlap queries
+    report 0, not a missing row.
+
+    Output: (query_id, n_common, rbo_micros).
+    """
+    sw = rbo_suffix_weights_micros(k, p)
+    sw_arr = F.array(*[F.lit(w).cast("long") for w in sw])
+    a = run_a.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("_item"),
+        F.col(rank_col).cast("int").alias("_ra"),
+    ).filter(F.col("_ra") <= k)
+    b = run_b.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("_item"),
+        F.col(rank_col).cast("int").alias("_rb"),
+    ).filter(F.col("_rb") <= k)
+    common = a.join(b, ["query_id", "_item"]).select(
+        "query_id",
+        F.element_at(sw_arr, F.greatest("_ra", "_rb")).alias("_w"),
+    )
+    scored = common.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("_w").cast("long").alias("rbo_micros"),
+    )
+    return (
+        a.select("query_id")
+        .distinct()
+        .join(scored, "query_id", "left")
+        .fillna({"n_common": 0, "rbo_micros": 0})
+    )
+
+
+def rank_agreement_rbo_oracle_sql(
+    run_a_sql: str, run_b_sql: str, k: int = 10, p: float = 0.9
+) -> str:
+    """DuckDB twin of :func:`rank_agreement_rbo` (same quantized
+    suffix-weight literals, same single-join algebra)."""
+    sw = rbo_suffix_weights_micros(k, p)
+    arr = "[" + ",".join(f"{w}::BIGINT" for w in sw) + "]"
+    return f"""
+WITH a AS (SELECT query_id, neighbor_id AS item, rank AS ra
+           FROM ({run_a_sql}) ra0 WHERE rank <= {k}),
+b AS (SELECT query_id, neighbor_id AS item, rank AS rb
+      FROM ({run_b_sql}) rb0 WHERE rank <= {k}),
+common AS (
+  SELECT a.query_id, {arr}[greatest(ra, rb)] AS w
+  FROM a JOIN b ON b.query_id = a.query_id AND b.item = a.item),
+scored AS (SELECT query_id, count(*)::BIGINT AS n_common,
+                  sum(w)::BIGINT AS rbo_micros
+           FROM common GROUP BY query_id)
+SELECT q.query_id,
+       coalesce(n_common, 0)::BIGINT AS n_common,
+       coalesce(rbo_micros, 0)::BIGINT AS rbo_micros
+FROM (SELECT DISTINCT query_id FROM a) q
+LEFT JOIN scored USING (query_id)
+"""

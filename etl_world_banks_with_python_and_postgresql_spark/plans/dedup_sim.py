@@ -2532,3 +2532,74 @@ def z190(spark, sf_dir):
         F.array_join(F.slice(ws_tokens(F.col("text")), 1, 5), " ")
     )
     return dedup_savings_report(docs, fp)
+
+
+from ..operators.similarity import (  # noqa: E402
+    rank_agreement_rbo_oracle_sql as _rbo_sql,
+)
+
+# the two runs RBO compares: q38's exact cosine top-10 and z53's
+# int8-quantized top-10 -- the production question "how much does
+# quantization actually move the RANKING, weighted toward the top?"
+_Z191_RUN_A_SQL = """
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id, {cos} AS cos_sim
+  FROM q CROSS JOIN e WHERE e.vec_id != query_id),
+r AS (SELECT *, (row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id))::INT AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+""".replace("{cos}", _COS_SQL)
+
+_Z191_RUN_B_SQL = """
+WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS ev FROM embeddings),
+dims AS (SELECT i FROM generate_series(1, 64) t(i)),
+stats AS (
+  SELECT i, min(ev[i]) AS mn, max(ev[i]) AS mx
+  FROM e CROSS JOIN dims GROUP BY i),
+params AS (
+  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM stats),
+recon AS (
+  SELECT vec_id,
+         [CASE WHEN mxs[i] = mns[i] THEN mns[i]
+               ELSE mns[i] + round((ev[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]))
+                    * (mxs[i] - mns[i]) / 255.0 END
+          for i in generate_series(1, 64)] AS v
+  FROM e CROSS JOIN params),
+q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT query_id, r.vec_id AS neighbor_id, {cos} AS cos_sim
+  FROM q CROSS JOIN recon r WHERE r.vec_id != query_id),
+rk AS (SELECT *, (row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id))::INT AS rank
+       FROM scored)
+SELECT query_id, neighbor_id, rank FROM rk WHERE rank <= 10
+""".replace("{cos}", _COS_SQL)
+
+
+@query(
+    "z191_ranker_agreement_rbo",
+    oracle=_rbo_sql(_Z191_RUN_A_SQL, _Z191_RUN_B_SQL, k=10, p=0.9),
+    description=(
+        "per-query truncated rank-biased overlap (Webber TOIS'10) "
+        "between the exact cosine run (q38) and the int8-quantized run "
+        "(z53): the top-weighted 'how much did quantization move the "
+        "RANKING' score -- rewards agreeing early, defined for "
+        "non-conjoint top-k lists, conservative RBO_min (identical "
+        "runs = 1-p^k). The geometric depth weights fold into per-item "
+        "SUFFIX-sum literals quantized once to integer micros (the "
+        "z185 rule), so each common item contributes "
+        "SW[max(ra, rb)] and the score is an exact BIGINT sum: ONE "
+        "(query, item) equi-join + one sum, no per-depth pass"
+    ),
+)
+def z191(spark, sf_dir):
+    from ..operators.similarity import rank_agreement_rbo
+
+    emb = load(spark, "embeddings", sf_dir)
+    queries_side = emb.filter(F.col("vec_id") % 100 == 0)
+    run_a = similarity.cosine_topk(emb, queries_side, k=10)
+    run_b = similarity.quantized_topk(emb, queries_side, k=10)
+    return rank_agreement_rbo(run_a, run_b, k=10, p=0.9)

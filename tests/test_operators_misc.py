@@ -5561,3 +5561,41 @@ def test_harmonic_centrality_hand_cases(spark):
         for r in capped.collect()
     }
     assert got == {1: (1_000_000, 1), 2: (2_000_000, 2), 3: (1_000_000, 1)}
+
+
+def test_rank_agreement_rbo_hand_cases(spark):
+    """rank_agreement_rbo vs hand algebra: identical runs score the
+    exact truncated ceiling sum(SW[d]); disjoint runs score 0 (with a
+    row, not a gap); a known partial overlap contributes exactly
+    SW[max(ra, rb)] per common item."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        rank_agreement_rbo,
+        rbo_suffix_weights_micros,
+    )
+
+    k = 3
+    sw = rbo_suffix_weights_micros(k, p=0.9)
+    run = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    same = rank_agreement_rbo(run, run, k=k, p=0.9).collect()[0]
+    assert (same["n_common"], same["rbo_micros"]) == (3, sum(sw))
+
+    disjoint = spark.createDataFrame(
+        [(1, 20, 1), (1, 21, 2), (1, 22, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    z = rank_agreement_rbo(run, disjoint, k=k, p=0.9).collect()[0]
+    assert (z["n_common"], z["rbo_micros"]) == (0, 0)
+
+    # item 10 at (1, 3) -> SW[3]; item 11 at (2, 1) -> SW[2]
+    partial = spark.createDataFrame(
+        [(1, 11, 1), (1, 20, 2), (1, 10, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    p_ = rank_agreement_rbo(run, partial, k=k, p=0.9).collect()[0]
+    assert (p_["n_common"], p_["rbo_micros"]) == (2, sw[2] + sw[1])
+    # ceiling sanity: sum_m SW[m] = sum_d d*w_d = 1 - p^k (each depth-d
+    # weight is counted d times across the suffix sums)
+    assert abs(sum(sw) - round(1_000_000 * (1 - 0.9**k))) <= k

@@ -83,6 +83,9 @@ WHITELIST = {
     "z187_dedup_cluster_pair_eval": "1-row aggregate sides crossed into summary",
     # left/right/joint totals: three 1-row aggregates crossed
     "z188_join_explosion_preflight": "1-row aggregate sides crossed into summary",
+    # both run legs are q38/z53 exact scans with bounded broadcast
+    # query sides; the RBO itself is one equi-join + sum
+    "z191_ranker_agreement_rbo": "exact ANN run legs: bounded broadcast query sides",
     # level-2 frontier scan: its input is the checkpointed UNION OF
     # PER-BUCKET FRONTIERS (level 1 is bucket-partitioned), bounded by
     # the survivor count, never by the corpus
