@@ -822,9 +822,9 @@ def clustering_pair_eval(
     DECIMAL(38,0)), each metric ONE sign-aware HALF_UP micros division
     (ARI can be negative: worse-than-chance clustering must show as
     such, not clamp to 0). Magnitude honesty: the ARI cross-products
-    need P_clu * P_tru < ~1e37, i.e. up to ~1e9 items per evaluation
-    slice -- evals run on slices, and the bound fails loudly in
-    DECIMAL, never silently wraps.
+    (now 2x-scaled, see below) need 2 * P_all * (P_clu + P_tru) < ~1e38,
+    i.e. up to ~1e9 items per evaluation slice -- evals run on slices,
+    and the bound fails loudly in DECIMAL, never silently wraps.
 
     Scale shape: ONE (cluster, truth) count aggregate over items, then
     three bounded re-aggregations of the contingency table and a 1-row
@@ -866,8 +866,14 @@ def clustering_pair_eval(
         )
 
     two = F.lit(2).cast("decimal(38,0)")
-    ari_num = tp * p_all - p_clu * p_tru
-    ari_den = p_all * (p_clu + p_tru) / two - p_clu * p_tru
+    # ARI num/den are BOTH scaled by 2 to clear the half-integer in the
+    # Hubert-Arabie denominator: p_all*(p_clu+p_tru) can be ODD, and an
+    # exact-decimal /2 (Spark) vs a floor //2 (DuckDB, Fractions)
+    # diverge by 1 on odd products, shifting ari_micros by thousands of
+    # micros on small slices. Scaling keeps every operand an exact
+    # integer in BOTH engines; the ratio is unchanged.
+    ari_num = two * (tp * p_all - p_clu * p_tru)
+    ari_den = p_all * (p_clu + p_tru) - two * p_clu * p_tru
     return j.select(
         F.col("n_items"),
         tp.cast("long").alias("tp_pairs"),
@@ -912,8 +918,8 @@ SELECT n_items::BIGINT AS n_items, tp::BIGINT AS tp_pairs,
        {r.format(n='2 * tp', d='p_clu + p_tru')} AS f1_micros,
        {r.format(n='p_all - p_clu - p_tru + 2 * tp', d='p_all')}
          AS rand_micros,
-       {r.format(n='tp * p_all - p_clu * p_tru',
-                 d='p_all * (p_clu + p_tru) // 2 - p_clu * p_tru')}
+       {r.format(n='2 * (tp * p_all - p_clu * p_tru)',
+                 d='p_all * (p_clu + p_tru) - 2 * p_clu * p_tru')}
          AS ari_micros
 FROM m
 """

@@ -1914,9 +1914,11 @@ def temporal_novelty(
 
     "First occurrence" is the row with the minimal (day, id) per
     fingerprint, totally ordered by encoding both into ONE BIGINT
-    ``day * 10^12 + id`` (ids must stay below 10^12 -- asserted cheap
-    at the aggregate level by the day decode below never exceeding the
-    day domain). Same-day duplicates count as dups of the smallest-id
+    ``day * 10^12 + id`` (ids must be in [0, 10^12) -- enforced
+    fail-loud per row by an ``assert_true`` guard fused into the
+    id projection below: an out-of-domain id would silently shift the
+    decoded day and misattribute novelty, so the job dies instead).
+    Same-day duplicates count as dups of the smallest-id
     row, so per-day novel counts sum to the number of DISTINCT
     fingerprints in the corpus exactly.
 
@@ -1930,8 +1932,20 @@ def temporal_novelty(
     from ..functions.exactnum import floordiv_nonneg
 
     enc = F.lit(10**12).cast("long")
+    idc = F.col(id_col).cast("long")
+    # fail-loud domain guard (ADVICE r13 #3): the when() keeps the
+    # assert_true live in the plan (it feeds _id, so Catalyst cannot
+    # prune it); assert_true returns NULL when the condition holds.
+    guarded_id = F.when(
+        F.assert_true(
+            (idc >= 0) & (idc < enc),
+            f"temporal_novelty: {id_col} outside [0, 10^12) breaks the "
+            "day*10^12+id encoding",
+        ).isNull(),
+        idc,
+    )
     d = df.select(
-        F.col(id_col).cast("long").alias("_id"),
+        guarded_id.alias("_id"),
         day.cast("long").alias("_day"),
         fingerprint.alias("_fp"),
     )

@@ -5310,9 +5310,11 @@ def test_clustering_pair_eval_brute_force_ground_truth(spark):
         "f1_micros": halfup(Fraction(2 * tp, p_clu + p_tru)),
         "rand_micros": halfup(Fraction(tp + tn, p_all)),
         "ari_micros": halfup(
+            # 2x-scaled form (matches the operator + oracle): clears
+            # the half-integer when p_all*(p_clu+p_tru) is odd
             Fraction(
-                tp * p_all - p_clu * p_tru,
-                p_all * (p_clu + p_tru) // 2 - p_clu * p_tru,
+                2 * (tp * p_all - p_clu * p_tru),
+                p_all * (p_clu + p_tru) - 2 * p_clu * p_tru,
             )
         ),
     }
@@ -5336,6 +5338,70 @@ def test_clustering_pair_eval_brute_force_ground_truth(spark):
         p["precision_micros"], p["recall_micros"], p["f1_micros"],
         p["rand_micros"], p["ari_micros"],
     ) == (10**6,) * 5
+
+
+def test_clustering_pair_eval_odd_denominator_parity(spark):
+    """ADVICE r13 #1 regression: when p_all*(p_clu+p_tru) is ODD, the
+    pre-fix Spark (exact decimal /2, HALF_UP later) and DuckDB (floor
+    //2) denominators differed by 1, shifting ari_micros by thousands
+    of micros. The 2x-scaled all-integer form must make the Spark
+    operator, the DuckDB twin, and exact Fractions agree bit-for-bit
+    on a handcrafted odd-parity labeling."""
+    from fractions import Fraction
+    from itertools import combinations
+
+    import duckdb
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.constraints import (
+        clustering_pair_eval,
+        clustering_pair_eval_oracle_sql,
+    )
+
+    # 7 items: p_all = C(7,2) = 21 (odd), clusters -> p_clu = 5,
+    # truth -> p_tru = 6, so p_all*(p_clu+p_tru) = 231 is odd and
+    # tp = 3 > 0 (the pre-fix engines disagree: 385965 vs 388235).
+    clusters = [0, 0, 0, 1, 1, 2, 2]
+    truth = [0, 0, 0, 0, 1, 2, 3]
+    items = list(zip(clusters, truth))
+    tp = sum(
+        c1 == c2 and t1 == t2
+        for (c1, t1), (c2, t2) in combinations(items, 2)
+    )
+    p_clu = sum(c1 == c2 for (c1, _), (c2, _) in combinations(items, 2))
+    p_tru = sum(t1 == t2 for (_, t1), (_, t2) in combinations(items, 2))
+    p_all = len(items) * (len(items) - 1) // 2
+    assert (p_all * (p_clu + p_tru)) % 2 == 1 and tp > 0
+
+    def halfup(fr: Fraction) -> int:
+        n, d = fr.numerator, fr.denominator
+        s = 1 if n >= 0 else -1
+        return s * ((2 * 10**6 * abs(n) + d) // (2 * d))
+
+    want = halfup(
+        Fraction(
+            2 * (tp * p_all - p_clu * p_tru),
+            p_all * (p_clu + p_tru) - 2 * p_clu * p_tru,
+        )
+    )
+    df = spark.createDataFrame(items, "cluster int, truth int")
+    got = clustering_pair_eval(df, "cluster", "truth").collect()[0]
+    assert got["ari_micros"] == want
+
+    rows_sql = "SELECT * FROM (VALUES " + ", ".join(
+        f"({c}, {t})" for c, t in items
+    ) + ") v(cluster, truth)"
+    oracle = duckdb.sql(
+        clustering_pair_eval_oracle_sql(rows_sql)
+    ).fetchone()
+    cols = [
+        "n_items", "tp_pairs", "cluster_pairs", "truth_pairs",
+        "precision_micros", "recall_micros", "f1_micros",
+        "rand_micros", "ari_micros",
+    ]
+    odict = dict(zip(cols, oracle))
+    assert odict["ari_micros"] == want
+    for k in cols:
+        assert odict[k] == got[k], (k, odict[k], got[k])
 
 
 def test_pmi_collocations_hand_counts(spark):
@@ -5389,6 +5455,33 @@ def test_temporal_novelty_hand_case(spark):
         1: (2, 1, 500000),
         2: (2, 1, 500000),
     }
+
+
+def test_temporal_novelty_id_domain_fail_loud(spark):
+    """ADVICE r13 #3: an id outside [0, 10^12) would silently shift the
+    decoded day in the day*10^12+id encoding -- the operator must DIE
+    instead (per-row assert_true guard), for both too-large and
+    negative ids."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        temporal_novelty,
+    )
+
+    for bad_id in (10**12, -1):
+        df = spark.createDataFrame(
+            [(1, 0, "A"), (bad_id, 1, "B")],
+            "doc_id long, day long, fp string",
+        )
+        with pytest.raises(SparkRuntimeException, match="temporal_novelty"):
+            temporal_novelty(df, F.col("day"), F.col("fp")).collect()
+    # boundary id 10^12 - 1 is IN domain and must not trip the guard
+    ok = spark.createDataFrame(
+        [(10**12 - 1, 0, "A")], "doc_id long, day long, fp string"
+    )
+    row = temporal_novelty(ok, F.col("day"), F.col("fp")).collect()[0]
+    assert (row["day"], row["n_docs"], row["n_novel"]) == (0, 1, 1)
 
 
 def test_classification_report_hand_confusion(spark):
