@@ -233,6 +233,12 @@ HEADLINE = [
     "z190_dedup_savings_report",
     # round-13: ranker agreement RBO (exact-vs-quantized run diff)
     "z191_ranker_agreement_rbo",
+    # round-14: ranker agreement Kendall tau (pairwise-order complement)
+    "z192_ranker_kendall_tau",
+    # round-14: chi-square source x language coupling
+    "z193_chisq_independence",
+    # round-14: score calibration ECE (en-stopword score vs lang label)
+    "z194_score_calibration_ece",
 ]
 
 
@@ -323,6 +329,64 @@ def warmup(spark) -> None:
 
 
 LOCAL_ARTIFACT = "BENCH_LAST_LOCAL.json"
+# committed quiet-box snapshot (gen_registry.py --freeze-bench); the
+# adjudication fallback when the mutable local artifact is missing,
+# config-incomparable, or load-disqualified
+BENCH_SNAPSHOT = "REGISTRY_BENCH.json"
+
+
+def _quiet_start_threshold(cpus: int) -> float:
+    """Max 1-min loadavg AT SUITE START for a run to count as a
+    quiet-box reference (FALLBACK witness only -- see
+    :func:`_cpu_busy_frac`). Start load is more discriminating than
+    mid-run samples (the suite's OWN work drives load1m to ~5 on this
+    32-cpu box), but this kernel reports phantom loadavg (measured
+    3.7-5.2 at 99.97% idle per /proc/stat), so the busy-fraction
+    witness decides when available. 2.5 absolute floor absorbs
+    post-idle decay noise."""
+    return max(2.5, 0.08 * cpus)
+
+
+# start-of-suite CPU busy fraction above which the run is NOT a valid
+# quiet-box reference: a rival Spark JVM (the r13 failure mode) shows
+# up as >= several cores busy before this bench has created any load
+QUIET_BUSY_FRAC = 0.20
+
+
+def _cpu_busy_frac(interval: float = 0.5) -> float | None:
+    """Fraction of total CPU time NOT idle over a short window, from
+    /proc/stat (all cpus; steal counts as busy). The PRIMARY quiet-box
+    witness: unlike loadavg -- which this kernel reports as 3.7-5.2
+    with /proc/stat showing 99.97% idle (phantom load, measured round
+    14) -- this is a direct measurement of actual contention inside
+    the box. None on platforms without /proc/stat (falls back to the
+    loadavg rule)."""
+    try:
+
+        def snap() -> tuple[int, int]:
+            with open("/proc/stat") as f:
+                vals = [int(x) for x in f.readline().split()[1:]]
+            return vals[3] + vals[4], sum(vals)  # idle+iowait, total
+
+        i0, t0 = snap()
+        time.sleep(interval)
+        i1, t1 = snap()
+        dt = t1 - t0
+        if dt <= 0:
+            return None
+        return round(1.0 - (i1 - i0) / dt, 3)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _artifact_quiet(obj: dict) -> bool:
+    """Whether a bench artifact self-reports as a quiet-box run.
+    Legacy artifacts without a load_summary are accepted (no witness
+    either way); new artifacts always embed one."""
+    s = obj.get("load_summary")
+    if not isinstance(s, dict):
+        return True
+    return bool(s.get("quiet", True))
 
 
 def _previous_round_bench(
@@ -341,30 +405,57 @@ def _previous_round_bench(
     ADVICE r12: the local artifact is used ONLY when its recorded
     sf/repeat/agg match the current run's settings -- a locally-run
     config-varied bench (e.g. ``--sf 0.01``) must not contaminate the
-    next driver run's mover adjudication with incomparable timings."""
+    next driver run's mover adjudication with incomparable timings.
+
+    VERDICT r13 #1: the local artifact is additionally used only when
+    its embedded load_summary says the box was QUIET at suite start --
+    the round-13 driver run was recorded under a rival JVM (load1m
+    3.5-9.1) and adjudicating against those inflated times would let
+    real regressions up to ~1.3x hide. A disqualified local artifact
+    falls back to the committed quiet-box snapshot REGISTRY_BENCH.json
+    (same comparability rules), then to the driver wrapper."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    local = os.path.join(here, LOCAL_ARTIFACT)
-    try:
-        with open(local) as f:
-            obj = json.load(f)
-        comparable = (
+
+    def _comparable(obj: dict) -> bool:
+        return (
             (sf is None or str(obj.get("sf")) == str(sf))
             and (repeat is None or obj.get("repeat") == repeat)
             and (agg is None or obj.get("agg") == agg)
         )
-        if obj.get("queries") and comparable:
+
+    local = os.path.join(here, LOCAL_ARTIFACT)
+    try:
+        with open(local) as f:
+            obj = json.load(f)
+        if obj.get("queries") and _comparable(obj) and _artifact_quiet(obj):
             return LOCAL_ARTIFACT, obj
-        if obj.get("queries") and not comparable:
+        if obj.get("queries") and not _comparable(obj):
             print(
                 f"# {LOCAL_ARTIFACT} was produced at sf={obj.get('sf')} "
                 f"repeat={obj.get('repeat')} agg={obj.get('agg')!r}; "
-                "current run differs -- falling back to the driver "
-                "wrapper for mover adjudication",
+                "current run differs -- falling back for mover "
+                "adjudication",
                 file=sys.stderr,
             )
+        elif obj.get("queries"):
+            print(
+                f"# {LOCAL_ARTIFACT} self-reports a LOADED box "
+                f"({obj.get('load_summary')}); falling back for mover "
+                "adjudication",
+                file=sys.stderr,
+            )
+    except (OSError, json.JSONDecodeError):
+        pass
+    # committed quiet-box snapshot (frozen by gen_registry.py, which
+    # refuses load-disqualified runs -- quiet by construction)
+    try:
+        with open(os.path.join(here, BENCH_SNAPSHOT)) as f:
+            snap = json.load(f)
+        if snap.get("queries") and _comparable(snap):
+            return BENCH_SNAPSHOT, snap
     except (OSError, json.JSONDecodeError):
         pass
     best, best_n = None, -1
@@ -470,6 +561,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     loads: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # sampled BEFORE any bench work: the quiet-box witnesses (VERDICT
+    # r13 #1) -- busy fraction is primary, start load the fallback
+    start_busy = _cpu_busy_frac()
+    start_load = load1m()
     try:
         warmup(spark)
     except Exception as exc:  # noqa: BLE001 - record-and-continue, see above
@@ -534,6 +629,25 @@ def main() -> None:
     # a tail window shows unambiguously-labeled TIMINGS, not load
     # samples masquerading as timings (VERDICT r12 misread BENCH_r12's
     # tail exactly that way).
+    samples = sorted(loads.values())
+    if start_busy is not None:
+        # primary witness: direct /proc/stat contention measurement
+        quiet = start_busy <= QUIET_BUSY_FRAC
+    else:
+        # fallback: start loadavg (phantom-load-prone on this kernel)
+        quiet = start_load is None or start_load <= _quiet_start_threshold(
+            cpus
+        )
+    load_summary = {
+        "start_busy_frac": start_busy,
+        "start_load1m": start_load,
+        "median_load1m": samples[len(samples) // 2] if samples else None,
+        "max_load1m": samples[-1] if samples else None,
+        "cpus": cpus,
+        # quiet-box qualification: decided at SUITE START (the suite's
+        # own work dominates every mid-run sample)
+        "quiet": quiet,
+    }
     out = {
         # per-entry peak 1-min loadavg -- context samples, NOT timings
         "load1m_per_entry": loads,
@@ -588,6 +702,9 @@ def main() -> None:
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "repeat": repeat,
             "agg": args.agg,
+            # rides in the tail so the driver's 2000-char window always
+            # shows whether this run is a valid quiet-box reference
+            "load_summary": load_summary,
             # self-description for tail readers (VERDICT r12 #2): the
             # "queries" map is SECONDS; "load1m_per_entry" is loadavg
             "note": (

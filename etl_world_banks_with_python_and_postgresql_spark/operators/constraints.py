@@ -1031,3 +1031,217 @@ SELECT left_rows, right_rows, n_left_keys, n_right_keys, n_shared_keys,
                   // (2 * join_rows) END)::BIGINT AS max_key_share_micros
 FROM lt CROSS JOIN rt CROSS JOIN jt
 """
+
+
+def chisq_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square test statistic for independence of two
+    categorical columns -- the mechanical "did the joint distribution
+    move" check a curation pipeline runs between label-ish columns
+    (source x language, split x topic, annotator x verdict): a chisq
+    far above dof says the columns are coupled (e.g. one source is
+    feeding one language), which silently breaks source-stratified
+    sampling assumptions. Complements z171's per-column drift (this is
+    the JOINT coupling number) and z184's confusion matrix (no truth
+    labels needed here).
+
+    Algebra without the zero-cell cross product: the textbook sum runs
+    over ALL R x C cells including unobserved ones, but since
+    sum_all(r*c) = N^2, the zero cells contribute exactly
+    N - sum_obs(r*c)/N, so
+
+        chisq = sum_obs (O*N - r*c)^2 / (N*r*c)  +  N  -  sum_obs r*c/N
+
+    -- observed cells only, no crossJoin of the category domains.
+    Exactness: each of the two per-cell rationals is quantized ONCE to
+    integer micros (HALF_UP -- the z185 per-component rule; both
+    engines quantize identically so the sum is an exact BIGINT match;
+    total quantization error <= 1e-6 per cell, far below any decision
+    threshold on a statistic compared against dof). Magnitude honesty:
+    the squared numerator needs 2e6 * N^4 < 1e38, i.e. N up to ~5e7
+    rows per evaluation slice -- profiling runs on slices, and the
+    bound fails loudly in DECIMAL, never silently wraps.
+
+    Scale shape: ONE (a, b) count aggregate over the rows, two bounded
+    re-aggregations for the margins, two equi-joins of the cell table
+    against the margins, a 1-row total broadcast, one sum. Output one
+    row: n, category counts, observed cells, dof, chisq_micros.
+    """
+    from ..functions.exactnum import ratio_micros_halfup
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    cont = df.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    ra = cont.groupBy("_a").agg(F.sum("_o").alias("_r"))
+    cb = cont.groupBy("_b").agg(F.sum("_o").alias("_c"))
+    tot = cont.agg(
+        F.sum("_o").cast("long").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("_cells"),
+    )
+    j = (
+        cont.join(ra, "_a")
+        .join(cb, "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    o, r, c, n = (
+        dec(F.col("_o")),
+        dec(F.col("_r")),
+        dec(F.col("_c")),
+        dec(F.col("_n")),
+    )
+    dev = o * n - r * c
+    cell_dev = ratio_micros_halfup(dev * dev, n * r * c)
+    cell_exp = ratio_micros_halfup(r * c, n)
+    agg = j.groupBy("_n", "_cells").agg(
+        F.sum(cell_dev).cast("long").alias("_s_dev"),
+        F.sum(cell_exp).cast("long").alias("_s_exp"),
+        F.countDistinct("_a").cast("long").alias("n_a_cats"),
+        F.countDistinct("_b").cast("long").alias("n_b_cats"),
+    )
+    return agg.select(
+        F.col("_n").alias("n"),
+        "n_a_cats",
+        "n_b_cats",
+        F.col("_cells").alias("n_observed_cells"),
+        ((F.col("n_a_cats") - 1) * (F.col("n_b_cats") - 1)).alias("dof"),
+        (
+            F.col("_s_dev")
+            + F.col("_n") * F.lit(1_000_000).cast("long")
+            - F.col("_s_exp")
+        ).alias("chisq_micros"),
+    )
+
+
+def chisq_independence_oracle_sql(
+    rows_sql: str, a_sql: str = "a", b_sql: str = "b"
+) -> str:
+    """DuckDB twin of :func:`chisq_independence` (HUGEINT cell algebra,
+    same per-cell HALF_UP micro-quantization)."""
+    q = "((2000000 * ({num}) + ({den})) // (2 * ({den})))"
+    cell_dev = q.format(num="dev * dev", den="n * r * c")
+    cell_exp = q.format(num="r * c", den="n")
+    return f"""
+WITH d AS (SELECT ({a_sql}) AS a, ({b_sql}) AS b FROM ({rows_sql}) raw0),
+cont AS (SELECT a, b, count(*)::HUGEINT AS o FROM d GROUP BY a, b),
+ra AS (SELECT a, sum(o)::HUGEINT AS r FROM cont GROUP BY a),
+cb AS (SELECT b, sum(o)::HUGEINT AS c FROM cont GROUP BY b),
+tot AS (SELECT sum(o)::HUGEINT AS n, count(*)::BIGINT AS cells FROM cont),
+j AS (SELECT cont.a, cont.b, o, r, c, n, cells,
+             (o * n - r * c) AS dev
+      FROM cont JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot)
+SELECT max(n)::BIGINT AS n,
+       count(DISTINCT a)::BIGINT AS n_a_cats,
+       count(DISTINCT b)::BIGINT AS n_b_cats,
+       max(cells)::BIGINT AS n_observed_cells,
+       ((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1))::BIGINT AS dof,
+       (sum({cell_dev})
+        + max(n) * 1000000
+        - sum({cell_exp}))::BIGINT AS chisq_micros
+FROM j
+"""
+
+
+def score_calibration(
+    df: DataFrame,
+    score_micros: Column,
+    label: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error of a probability-like score against a
+    binary label -- the "can I trust 0.9 to mean 90%" gate run before
+    any score threshold is promoted to a filter (quality classifiers,
+    langid confidences, dedup-match scores): a well-ranked score
+    (high AUC) can still be badly calibrated, and a calibrated
+    threshold is what a curation pipeline actually deploys.
+
+    ECE = sum_b (n_b/N) * |mean_score_b - pos_rate_b| over equal-width
+    score bins. Both per-bin terms share the bin's n_b, so the weighted
+    sum TELESCOPES to one clearable denominator:
+
+        ECE_micros = HALF_UP( sum_b |S_b - 1e6 * P_b| , N )
+
+    with S_b = sum of score_micros and P_b = positive count in bin b --
+    every operand an exact BIGINT, ONE division total (the z171 "pick
+    the algebra that clears" discipline; no per-cell quantization
+    needed here). The sup-gap (max_bin_gap_micros, the Kolmogorov-style
+    worst bin) takes one exact HALF_UP per OBSERVED bin, also exact.
+
+    Scale shape: one n_bins-ary count/sum aggregate over the rows
+    (map-side combined), then one 1-row re-aggregate of the bin table.
+    Output one row: (n, n_pos, n_bins, n_bins_observed, ece_micros,
+    max_bin_gap_micros). Scores must already be integer micros in
+    [0, 1e6] (the engine's score convention); the 1e6 edge joins the
+    top bin.
+    """
+    from ..functions.exactnum import floordiv_nonneg, ratio_scaled_halfup
+
+    b = F.least(
+        F.lit(n_bins - 1).cast("long"),
+        floordiv_nonneg(
+            score_micros.cast("long") * n_bins, F.lit(1_000_000).cast("long")
+        ),
+    ).cast("long")
+    bins = df.select(
+        b.alias("_b"),
+        score_micros.cast("long").alias("_s"),
+        label.cast("boolean").cast("int").alias("_y"),
+    ).groupBy("_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_s").cast("long").alias("_sum_s"),
+        F.sum("_y").cast("long").alias("_n_pos"),
+    )
+    gap = F.abs(F.col("_sum_s") - F.lit(1_000_000).cast("long") * F.col("_n_pos"))
+    return bins.agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_n_pos").cast("long").alias("n_pos"),
+        F.lit(n_bins).cast("long").alias("n_bins"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_observed"),
+        F.sum(gap).cast("long").alias("_total_gap"),
+        # gaps are ALREADY micros: scale-0 HALF_UP division, no rescale
+        F.max(ratio_scaled_halfup(gap, F.col("_n"), 0)).alias(
+            "max_bin_gap_micros"
+        ),
+    ).select(
+        "n",
+        "n_pos",
+        "n_bins",
+        "n_bins_observed",
+        ratio_scaled_halfup(F.col("_total_gap"), F.col("n"), 0).alias(
+            "ece_micros"
+        ),
+        "max_bin_gap_micros",
+    )
+
+
+def score_calibration_oracle_sql(
+    rows_sql: str,
+    score_sql: str = "score_micros",
+    label_sql: str = "label",
+    n_bins: int = 10,
+) -> str:
+    """DuckDB twin of :func:`score_calibration` (same telescoped
+    single-division ECE, same per-bin sup-gap)."""
+    # the per-bin gaps are already micros: scale-0 HALF_UP division
+    r = "((2 * ({num}) + ({den})) // (2 * ({den})))"
+    return f"""
+WITH d AS (SELECT least({n_bins - 1},
+                        (({score_sql})::BIGINT * {n_bins}) // 1000000) AS b,
+                  ({score_sql})::BIGINT AS s,
+                  (CASE WHEN {label_sql} THEN 1 ELSE 0 END)::BIGINT AS y
+           FROM ({rows_sql}) raw0),
+bins AS (SELECT b, count(*)::BIGINT AS n, sum(s)::BIGINT AS sum_s,
+                sum(y)::BIGINT AS n_pos
+         FROM d GROUP BY b)
+SELECT sum(n)::BIGINT AS n,
+       sum(n_pos)::BIGINT AS n_pos,
+       {n_bins}::BIGINT AS n_bins,
+       count(*)::BIGINT AS n_bins_observed,
+       {r.format(num="sum(abs(sum_s - 1000000 * n_pos))", den="sum(n)")}::BIGINT
+         AS ece_micros,
+       max({r.format(num="abs(sum_s - 1000000 * n_pos)", den="n")})::BIGINT
+         AS max_bin_gap_micros
+FROM bins
+"""

@@ -2340,3 +2340,146 @@ SELECT q.query_id,
 FROM (SELECT DISTINCT query_id FROM a) q
 LEFT JOIN scored USING (query_id)
 """
+
+
+def rank_agreement_kendall(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query Kendall tau-a between two retrieval runs, computed on
+    the CONJOINT items (those in both top-k lists) -- the pairwise-
+    order complement of :func:`rank_agreement_rbo`: RBO asks "how much
+    do the lists overlap, weighted early", tau asks "of what they
+    share, how consistently is it ORDERED". A reranker that keeps the
+    same candidate set but scrambles its order scores high RBO overlap
+    and low tau; reading both localizes a ranking regression.
+
+    tau = (C - D) / C(n, 2) over the n conjoint items' pairs,
+    concordant iff the two runs order the pair the same way; ranks
+    within a top-k run are distinct so there are no ties and tau-a is
+    the right variant. Every quantity is an exact integer and the
+    score ONE sign-aware HALF_UP micros division (tau is negative for
+    reversed orderings -- it must show as such, not clamp).
+
+    Scale shape: the conjoint set is <= k per query, so the pair
+    expansion is a bounded equi-self-join on query_id producing at
+    most C(k,2) rows per query (k=10 -> 45) -- linear in |Q|, never in
+    the corpus; then one query-keyed count aggregate and a left join
+    back to run A's query set (zero-conjoint queries report n_pairs=0
+    and NULL tau: "no evidence", distinct from tau=0 "evidence of
+    independence").
+
+    Output: (query_id, n_common, n_pairs, n_concordant, n_discordant,
+    tau_micros).
+    """
+    from ..functions.exactnum import ratio_micros_halfup
+
+    a = run_a.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("_item"),
+        F.col(rank_col).cast("int").alias("_ra"),
+    ).filter(F.col("_ra") <= k)
+    b = run_b.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("_item"),
+        F.col(rank_col).cast("int").alias("_rb"),
+    ).filter(F.col("_rb") <= k)
+    conjoint = a.join(b, ["query_id", "_item"])
+    lhs = conjoint.select(
+        "query_id",
+        F.col("_item").alias("_i1"),
+        F.col("_ra").alias("_ra1"),
+        F.col("_rb").alias("_rb1"),
+    )
+    rhs = conjoint.select(
+        "query_id",
+        F.col("_item").alias("_i2"),
+        F.col("_ra").alias("_ra2"),
+        F.col("_rb").alias("_rb2"),
+    )
+    pairs = lhs.join(rhs, "query_id").filter(F.col("_i1") < F.col("_i2"))
+    sgn = (F.col("_ra1") - F.col("_ra2")) * (F.col("_rb1") - F.col("_rb2"))
+    per_q = pairs.groupBy("query_id").agg(
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("long").alias(
+            "n_concordant"
+        ),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("long").alias(
+            "n_discordant"
+        ),
+    )
+    counts = conjoint.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    num = F.col("n_concordant") - F.col("n_discordant")
+    den = (F.col("n_common") * (F.col("n_common") - 1) / F.lit(2)).cast(
+        "long"
+    )
+    return (
+        a.select("query_id")
+        .distinct()
+        .join(counts, "query_id", "left")
+        .join(per_q, "query_id", "left")
+        .fillna({"n_common": 0, "n_concordant": 0, "n_discordant": 0})
+        .select(
+            "query_id",
+            "n_common",
+            den.alias("n_pairs"),
+            "n_concordant",
+            "n_discordant",
+            F.when(den == 0, F.lit(None).cast("long"))
+            .otherwise(
+                F.signum(num).cast("long")
+                * ratio_micros_halfup(F.abs(num), den)
+            )
+            .alias("tau_micros"),
+        )
+    )
+
+
+def rank_agreement_kendall_oracle_sql(
+    run_a_sql: str, run_b_sql: str, k: int = 10
+) -> str:
+    """DuckDB twin of :func:`rank_agreement_kendall` (same conjoint
+    pair algebra, same sign-aware HALF_UP)."""
+    return f"""
+WITH a AS (SELECT query_id, neighbor_id AS item, rank AS ra
+           FROM ({run_a_sql}) ra0 WHERE rank <= {k}),
+b AS (SELECT query_id, neighbor_id AS item, rank AS rb
+      FROM ({run_b_sql}) rb0 WHERE rank <= {k}),
+conjoint AS (
+  SELECT a.query_id, a.item, a.ra, b.rb
+  FROM a JOIN b ON b.query_id = a.query_id AND b.item = a.item),
+pairs AS (
+  SELECT c1.query_id,
+         (c1.ra - c2.ra) * (c1.rb - c2.rb) AS sgn
+  FROM conjoint c1 JOIN conjoint c2
+    ON c2.query_id = c1.query_id AND c1.item < c2.item),
+per_q AS (
+  SELECT query_id,
+         sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END)::BIGINT AS n_concordant,
+         sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END)::BIGINT AS n_discordant
+  FROM pairs GROUP BY query_id),
+counts AS (SELECT query_id, count(*)::BIGINT AS n_common
+           FROM conjoint GROUP BY query_id)
+SELECT q.query_id,
+       coalesce(n_common, 0)::BIGINT AS n_common,
+       (coalesce(n_common, 0) * (coalesce(n_common, 0) - 1) // 2)::BIGINT
+         AS n_pairs,
+       coalesce(n_concordant, 0)::BIGINT AS n_concordant,
+       coalesce(n_discordant, 0)::BIGINT AS n_discordant,
+       (CASE WHEN coalesce(n_common, 0) < 2 THEN NULL ELSE
+         (CASE WHEN (coalesce(n_concordant, 0) - coalesce(n_discordant, 0))
+                    >= 0 THEN 1 ELSE -1 END)
+         * ((2000000 * abs(coalesce(n_concordant, 0)
+                           - coalesce(n_discordant, 0))
+             + (n_common * (n_common - 1) // 2))
+            // (2 * (n_common * (n_common - 1) // 2)))
+        END)::BIGINT AS tau_micros
+FROM (SELECT DISTINCT query_id FROM a) q
+LEFT JOIN counts USING (query_id)
+LEFT JOIN per_q USING (query_id)
+"""

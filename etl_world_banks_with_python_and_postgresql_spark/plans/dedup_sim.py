@@ -2603,3 +2603,33 @@ def z191(spark, sf_dir):
     run_a = similarity.cosine_topk(emb, queries_side, k=10)
     run_b = similarity.quantized_topk(emb, queries_side, k=10)
     return rank_agreement_rbo(run_a, run_b, k=10, p=0.9)
+
+
+from ..operators.similarity import (  # noqa: E402
+    rank_agreement_kendall_oracle_sql as _kendall_sql,
+)
+
+
+@query(
+    "z192_ranker_kendall_tau",
+    oracle=_kendall_sql(_Z191_RUN_A_SQL, _Z191_RUN_B_SQL, k=10),
+    description=(
+        "per-query Kendall tau-a between the exact cosine run (q38) "
+        "and the int8-quantized run (z53), computed on the CONJOINT "
+        "top-k items -- the pairwise-ORDER complement of z191's RBO "
+        "(same candidates scrambled = high RBO, low tau; reading both "
+        "localizes a ranking regression). Concordant/discordant pair "
+        "counts are exact integers over a bounded equi-self-join "
+        "(<= C(k,2)=45 pairs per query, linear in |Q|, never corpus-"
+        "sized); tau ONE sign-aware HALF_UP micros division, NULL "
+        "when fewer than 2 conjoint items (no evidence != tau 0)"
+    ),
+)
+def z192(spark, sf_dir):
+    from ..operators.similarity import rank_agreement_kendall
+
+    emb = load(spark, "embeddings", sf_dir)
+    queries_side = emb.filter(F.col("vec_id") % 100 == 0)
+    run_a = similarity.cosine_topk(emb, queries_side, k=10)
+    run_b = similarity.quantized_topk(emb, queries_side, k=10)
+    return rank_agreement_kendall(run_a, run_b, k=10)

@@ -2763,6 +2763,38 @@ def z171(spark, sf_dir):
     )
 
 
+from ..operators.constraints import (  # noqa: E402
+    chisq_independence_oracle_sql as _chisq_sql,
+)
+
+
+@query(
+    "z193_chisq_independence",
+    oracle=_chisq_sql(
+        "SELECT source, lang FROM documents", a_sql="source", b_sql="lang"
+    ),
+    description=(
+        "Pearson chi-square independence statistic for source x "
+        "language -- the JOINT-coupling check (is one source feeding "
+        "one language?) that complements z171's per-column TVD drift. "
+        "z171's docstring notes chi-square's per-cell denominators "
+        "cannot be CLEARED into one division; this entry takes the "
+        "other exactness route: each per-cell rational is quantized "
+        "ONCE to HALF_UP integer micros (the z185 per-component rule), "
+        "so the statistic is an exact BIGINT sum in both engines. "
+        "Zero cells need no cross product: their mass telescopes to "
+        "N - sum_obs(r*c)/N since sum_all(r*c) = N^2. One (a,b) count "
+        "agg + two margin re-aggs + two equi-joins + 1-row total "
+        "broadcast"
+    ),
+)
+def z193(spark, sf_dir):
+    from ..operators.constraints import chisq_independence
+
+    docs = load(spark, "documents", sf_dir)
+    return chisq_independence(docs, "source", "lang")
+
+
 @query(
     "z159_bloom_point_lookup",
     oracle="""

@@ -3027,3 +3027,63 @@ def z184(spark, sf_dir):
     )
     pred = text.with_lang_id(aug, keep_cols=["lang"])
     return classification_report(pred, "lang", "pred_lang")
+
+
+from ..operators.constraints import (  # noqa: E402
+    score_calibration_oracle_sql as _calib_sql,
+)
+
+# the z194 probability-like score: share of whitespace tokens in the en
+# stopword lexicon, as exact HALF_UP micros (the q36 en-ness signal
+# reframed as P(en)); label = the ground-truth lang column
+_Z194_EN_LEX_SQL = "['the','a','of','and','to','in','is','that']"
+_Z194_ROWS_SQL = f"""
+SELECT ((2000000 * hits + ntok) // (2 * ntok))::BIGINT AS score_micros,
+       (lang = 'en') AS label
+FROM (
+  SELECT len(list_filter({_TOKENS_SQL},
+                         w -> list_contains({_Z194_EN_LEX_SQL}, w)))::BIGINT
+           AS hits,
+         greatest(len({_TOKENS_SQL}), 1)::BIGINT AS ntok,
+         lang
+  FROM documents)
+"""
+
+
+@query(
+    "z194_score_calibration_ece",
+    oracle=_calib_sql(_Z194_ROWS_SQL, n_bins=10),
+    description=(
+        "expected calibration error of the en-stopword-share score "
+        "against the ground-truth lang label -- the 'can I trust 0.9 "
+        "to mean 90%' gate run before a classifier threshold is "
+        "promoted to a corpus filter (z184 grades the ARGMAX; this "
+        "grades the SCORE). The per-bin weighted gaps telescope to ONE "
+        "clearable HALF_UP division -- sum_b |S_b - 1e6*P_b| over N -- "
+        "plus one exact HALF_UP per observed bin for the sup-gap, so "
+        "both engines match bit-for-bit with zero per-row float. One "
+        "10-ary count/sum aggregate over corpus rows, then a 1-row "
+        "re-aggregate of the bin table"
+    ),
+)
+def z194(spark, sf_dir):
+    from ..functions.exactnum import ratio_micros_halfup
+    from ..functions.xhash import ws_tokens
+    from ..operators.constraints import score_calibration
+    from ..operators.text import LANG_LEXICONS
+
+    docs = load(spark, "documents", sf_dir)
+    # project the token array ONCE (the word_shingles PERF CONTRACT:
+    # unmaterialized array builders re-evaluate per consumer)
+    pre = docs.select(ws_tokens(F.col("text")).alias("_toks"), "lang")
+    en = F.array(*[F.lit(w) for w in LANG_LEXICONS["en"]])
+    hits = F.size(
+        F.filter(F.col("_toks"), lambda w: F.array_contains(en, w))
+    )
+    n_tok = F.greatest(F.size(F.col("_toks")), F.lit(1))
+    score = ratio_micros_halfup(
+        hits.cast("long"), n_tok.cast("long")
+    )
+    return score_calibration(
+        pre, score, F.col("lang") == "en", n_bins=10
+    )

@@ -1,12 +1,18 @@
-"""Edge-scale probe for the round-12 graph family (VERDICT r12 #3):
-k-core peeling (z169), k-hop reach (z173), and the DOULION triangle
-estimate (z166) measured at 1x / 4x / 8x edges, where Nx = disjoint-id
-graph copies (same structure, N x the rows -- the PageRank/CC probe
-methodology from PERF.md round 11). Reports wall seconds, output rows,
-and for k-core the executed PEEL ROUNDS: disjoint copies preserve peel
-depth exactly, so a flat round count at 8x is the observable that the
-fail-loud ``max_rounds`` bound scales with data volume (it depends on
-graph STRUCTURE only).
+"""Edge-scale probe for the round-12/13 graph family (VERDICT r12 #3 +
+r13 #3): k-core peeling (z169), k-hop reach (z173), the DOULION
+triangle estimate (z166), degree assortativity (z180), and hop-bounded
+harmonic centrality (z189) measured at 1x / 4x / 8x edges, where Nx =
+disjoint-id graph copies (same structure, N x the rows -- the
+PageRank/CC probe methodology from PERF.md round 11). Reports wall
+seconds, output rows, and for k-core the executed PEEL ROUNDS: disjoint
+copies preserve peel depth exactly, so a flat round count at 8x is the
+observable that the fail-loud ``max_rounds`` bound scales with data
+volume (it depends on graph STRUCTURE only). For z180 the coefficient
+itself is scale-INVARIANT (ratio of degree moments, both x64) and for
+z189 the copy-0 centralities are bit-identical across scales -- both
+pinned load-independently in tests/test_operators_misc.py; this probe
+adds the WALL-CLOCK growth of the 2-join degree annotation (z180) and
+the shell-BFS frontier (z189).
 
     python examples/graph_scale_probe.py [sf_dir] [copies...]
 
@@ -26,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_world_banks_with_python_and_postgresql_spark.operators.graph import (
+    degree_assortativity,
+    harmonic_centrality,
     k_core,
     k_hop_reach,
     triangle_estimate,
@@ -100,10 +108,22 @@ def main() -> None:
         est = triangle_estimate(d, sample_denom=4, seed=0).collect()[0][0]
         t_tri = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        arow = degree_assortativity(s).collect()[0]
+        t_assort = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_harm = harmonic_centrality(s, hops=2).count()
+        t_harm = time.perf_counter() - t0
+
         print(
             f"{n}x: k_core {t_core:.2f}s ({rows} nodes, "
             f"rounds={stats['rounds']}) | k_hop {t_hop:.2f}s "
-            f"({reach} nodes) | doulion {t_tri:.2f}s (est={est})"
+            f"({reach} nodes) | doulion {t_tri:.2f}s (est={est}) | "
+            f"assort {t_assort:.2f}s "
+            f"(r_micros={arow['assortativity_micros']}, "
+            f"m={arow['m_endpoint_pairs']}) | "
+            f"harmonic {t_harm:.2f}s ({n_harm} nodes)"
         )
 
 

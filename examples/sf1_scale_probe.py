@@ -1,0 +1,141 @@
+"""sf0.1 -> sf1 scaling probe for the relational core (VERDICT r13 #5):
+the 100x design claims for q01-q50 rest on plan audits; this measures
+ONE real 10x point. The sf1 dataset is built once by unioning 10
+KEY-SHIFTED copies of the sf0.1 tables (every copy shifts c_custkey /
+s_suppkey / p_partkey / o_orderkey consistently across referencing
+columns, so join integrity and per-copy selectivities are preserved
+exactly -- dims region/nation stay fixed, so dim-grouped results get
+10x rows per group and key-grouped results get 10x groups). Headline
+relational entries are then timed at both scales; any entry whose wall
+grows by more than the 15x flag line for 10x data is a scaling bug.
+
+    python examples/sf1_scale_probe.py [--rebuild] [entries...]
+
+Writes the scaled data to /tmp/sf1_scaled (testdata is read-only);
+non-scaled tables are symlinked. PERF.md records the run.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_world_banks_with_python_and_postgresql_spark.session import get_spark
+from etl_world_banks_with_python_and_postgresql_spark.sources.catalog import (
+    TABLE_NAMES,
+    load,
+)
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sf1_scaled"
+COPIES = 10
+
+# (table, [columns shifted by that table's key offset])
+SHIFTS = {
+    "customer": {"c_custkey": "cust"},
+    "supplier": {"s_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {
+        "l_orderkey": "order",
+        "l_partkey": "part",
+        "l_suppkey": "supp",
+    },
+}
+
+# sf0.1-vs-sf1 probe set: headline relational entries that read only
+# the five scaled tables (+ fixed dims)
+DEFAULT_ENTRIES = [
+    "q01_pricing_summary",
+    "q02_top_orders",
+    "q03_shipping_priority",
+    "q04_priority_semijoin",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q07_customer_order_stats",
+    "q09_anti_no_orders",
+    "q12_rollup",
+    "q15_distinct_agg",
+]
+
+
+def build_sf1(spark) -> None:
+    os.makedirs(DST, exist_ok=True)
+    offsets = {
+        dom: (
+            load(spark, t, SRC).agg(F.max(k)).collect()[0][0] or 0
+        ) + 1
+        for t, k, dom in [
+            ("customer", "c_custkey", "cust"),
+            ("supplier", "s_suppkey", "supp"),
+            ("part", "p_partkey", "part"),
+            ("orders", "o_orderkey", "order"),
+        ]
+    }
+    print(f"# key offsets: {offsets}")
+    for t in TABLE_NAMES:
+        out = f"{DST}/{t}.parquet"
+        if os.path.exists(out):
+            continue
+        if t not in SHIFTS:
+            os.symlink(f"{SRC}/{t}.parquet", out)
+            continue
+        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        parts = []
+        for i in range(COPIES):
+            c = base
+            for col, dom in SHIFTS[t].items():
+                c = c.withColumn(col, F.col(col) + i * offsets[dom])
+            parts.append(c)
+        united = parts[0]
+        for p in parts[1:]:
+            united = united.unionByName(p)
+        united.write.parquet(out + ".staging")
+        os.rename(out + ".staging", out)
+        print(f"# built {t}: {spark.read.parquet(out).count()} rows")
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--rebuild"]
+    if "--rebuild" in sys.argv:
+        import shutil
+
+        shutil.rmtree(DST, ignore_errors=True)
+    entries = args or DEFAULT_ENTRIES
+    spark = get_spark(app_name="sf1-scale-probe")
+    build_sf1(spark)
+
+    from etl_world_banks_with_python_and_postgresql_spark.plans.queries import (
+        REGISTRY,
+    )
+
+    print(f"# entry | sf0.1 s | sf1 s | ratio (10x data; flag > 15x)")
+    flagged = []
+    for name in entries:
+        fn = REGISTRY[name].fn
+        ts = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+            ts[label] = min(runs)
+        ratio = ts["sf1"] / ts["sf0.1"]
+        mark = " <-- FLAG" if ratio > 15 else ""
+        if ratio > 15:
+            flagged.append(name)
+        print(
+            f"{name}: {ts['sf0.1']:.3f}s | {ts['sf1']:.3f}s | "
+            f"{ratio:.1f}x{mark}"
+        )
+    print(f"# flagged (> 15x for 10x data): {flagged or 'none'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -4660,6 +4660,69 @@ def test_k_core_peel_depth_flat_under_8x_disjoint_copies(spark):
         k_core(df8, k=2, max_rounds=3)
 
 
+def test_degree_assortativity_invariant_under_8x_disjoint_copies(spark):
+    """VERDICT r13 #3: assortativity is a RATIO of degree moments, so 8
+    disjoint copies of a graph have bit-identical assortativity_micros
+    (num and den both scale by 8^2, cancelling exactly) while the
+    moment terms themselves scale by exactly 8 -- the load-independent
+    invariant that pins the 2-join degree-annotation path at scale.
+    Probe graph: star(1->2..5) + path tail (5-6-7), non-regular and
+    non-degenerate (r strictly between -1e6 and 0)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    base = [(1, 2), (1, 3), (1, 4), (1, 5), (5, 6), (6, 7)]
+    df1 = spark.createDataFrame(base, "src long, dst long")
+    df8 = spark.createDataFrame(
+        [(a + 100 * c, b + 100 * c) for c in range(8) for a, b in base],
+        "src long, dst long",
+    )
+    r1 = degree_assortativity(df1).collect()[0]
+    r8 = degree_assortativity(df8).collect()[0]
+    assert -(10**6) < r1["assortativity_micros"] < 0
+    assert r8["assortativity_micros"] == r1["assortativity_micros"]
+    for k in ("m_endpoint_pairs", "sx", "sxx", "sxy"):
+        assert r8[k] == 8 * r1[k], (k, r8[k], r1[k])
+
+
+def test_harmonic_centrality_invariant_under_8x_disjoint_copies(spark):
+    """VERDICT r13 #3: shell BFS never crosses disjoint copies, so (1)
+    copy-0 nodes keep bit-identical (harmonic_micros, n_reach) at 8x
+    and (2) the multiset of centrality values scales by exactly 8 --
+    frontier growth is linear in copies, the load-independent
+    observable behind the 8x wall-clock probe. Probe graph: 7-node
+    path, hops=2 (interior vs edge nodes differ, so the invariant is
+    exercised on a non-constant distribution)."""
+    from collections import Counter
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    base = [(i, i + 1) for i in range(6)]
+    df1 = spark.createDataFrame(base, "src long, dst long")
+    df8 = spark.createDataFrame(
+        [(a + 100 * c, b + 100 * c) for c in range(8) for a, b in base],
+        "src long, dst long",
+    )
+    r1 = {
+        r["node"]: (r["harmonic_micros"], r["n_reach"])
+        for r in harmonic_centrality(df1, hops=2).collect()
+    }
+    rows8 = harmonic_centrality(df8, hops=2).collect()
+    assert len(set(r1.values())) > 1  # non-constant distribution
+    r8_copy0 = {
+        r["node"]: (r["harmonic_micros"], r["n_reach"])
+        for r in rows8
+        if r["node"] < 100
+    }
+    assert r8_copy0 == r1
+    c1 = Counter(r1.values())
+    c8 = Counter((r["harmonic_micros"], r["n_reach"]) for r in rows8)
+    assert c8 == Counter({k: 8 * v for k, v in c1.items()})
+
+
 def test_url_canonicalize_hand_checked(spark):
     """canonicalize_urls against hand-derived expectations covering the
     whole rule set: case fold, mirror-prefix peel, default-vs-real port,
@@ -5402,6 +5465,150 @@ def test_clustering_pair_eval_odd_denominator_parity(spark):
     assert odict["ari_micros"] == want
     for k in cols:
         assert odict[k] == got[k], (k, odict[k], got[k])
+
+
+def test_score_calibration_hand_bins(spark):
+    """score_calibration vs hand-derived bin algebra, including the
+    1e6-edge-joins-top-bin rule, a perfectly-calibrated-looking bin and
+    a badly-miscalibrated one; Spark and the DuckDB twin must both
+    match the hand numbers."""
+    import duckdb
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.constraints import (
+        score_calibration,
+        score_calibration_oracle_sql,
+    )
+
+    rows = [
+        (0, False), (50_000, True),          # bin 0: gap |50k - 1e6|
+        (550_000, False),                    # bin 5: gap 550k
+        (950_000, True), (1_000_000, True),  # bin 9 (1e6 edge joins it)
+    ]
+    want = {
+        "n": 5, "n_pos": 3, "n_bins": 10, "n_bins_observed": 3,
+        "ece_micros": 310_000,       # (950k + 550k + 50k) / 5
+        "max_bin_gap_micros": 550_000,
+    }
+    df = spark.createDataFrame(rows, "score_micros long, label boolean")
+    got = score_calibration(
+        df, F.col("score_micros"), F.col("label"), n_bins=10
+    ).collect()[0]
+    assert got.asDict() == want
+
+    rows_sql = "SELECT * FROM (VALUES " + ", ".join(
+        f"({s}, {str(y).upper()})" for s, y in rows
+    ) + ") v(score_micros, label)"
+    cols = list(want)
+    odict = dict(
+        zip(cols, duckdb.sql(
+            score_calibration_oracle_sql(rows_sql, n_bins=10)
+        ).fetchone())
+    )
+    assert odict == want
+
+
+def test_chisq_independence_brute_force_ground_truth(spark):
+    """chisq_independence vs a literal full-grid computation (including
+    UNOBSERVED cells) on a hand contingency with zero cells: the
+    telescoped zero-cell absorption must equal summing every R x C
+    cell, and the quantized-micros statistic must sit within per-cell
+    quantization error of the exact float chi-square."""
+    from fractions import Fraction
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.constraints import (
+        chisq_independence,
+    )
+
+    cells = {("x", "p"): 4, ("x", "q"): 1, ("y", "p"): 1, ("y", "r"): 2}
+    rows = [(a, b) for (a, b), n in cells.items() for _ in range(n)]
+    n = len(rows)
+    ra = {"x": 5, "y": 3}
+    cb = {"p": 5, "q": 1, "r": 2}
+
+    def halfup(fr: Fraction) -> int:
+        return (2 * 10**6 * fr.numerator + fr.denominator) // (
+            2 * fr.denominator
+        )
+
+    # the operator's telescoped + per-cell-quantized statistic
+    want = (
+        sum(
+            halfup(
+                Fraction(
+                    (cells[(a, b)] * n - ra[a] * cb[b]) ** 2,
+                    n * ra[a] * cb[b],
+                )
+            )
+            - halfup(Fraction(ra[a] * cb[b], n))
+            for (a, b) in cells
+        )
+        + n * 10**6
+    )
+    # independent check: the full-grid textbook sum over ALL cells
+    # (zero cells included) in exact Fractions
+    full = sum(
+        Fraction(
+            (cells.get((a, b), 0) * n - ra[a] * cb[b]) ** 2,
+            n * ra[a] * cb[b],
+        )
+        for a in ra
+        for b in cb
+    )
+    assert abs(want - full * 10**6) <= (2 * len(cells) + 1)  # quant error
+
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = chisq_independence(df, "a", "b").collect()[0]
+    assert got["n"] == n
+    assert (got["n_a_cats"], got["n_b_cats"]) == (2, 3)
+    assert got["n_observed_cells"] == 4
+    assert got["dof"] == 2
+    assert got["chisq_micros"] == want
+
+
+def test_rank_agreement_kendall_hand_case(spark):
+    """rank_agreement_kendall vs hand-derived pair counts: a 1-swap
+    case (tau = 1/3), a full reversal (tau = -1e6), a single-conjoint
+    query and a fully disjoint query (both NULL tau -- no evidence is
+    not tau 0)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        rank_agreement_kendall,
+    )
+
+    def run(rows):
+        return spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, rank int"
+        )
+
+    a = run(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3), (1, 40, 4)]
+        + [(2, 10, 1), (2, 20, 2), (2, 30, 3)]
+        + [(3, 10, 1), (3, 20, 2)]
+        + [(4, 10, 1), (4, 20, 2)]
+    )
+    b = run(
+        # q1: swap 10<->20, keep 30, replace 40 with 50 -> conjoint
+        # {10,20,30}, C=2 D=1, tau = 1/3
+        [(1, 20, 1), (1, 10, 2), (1, 30, 3), (1, 50, 4)]
+        # q2: full reversal -> C=0 D=3, tau = -1
+        + [(2, 30, 1), (2, 20, 2), (2, 10, 3)]
+        # q3: single conjoint item -> 0 pairs, NULL tau
+        + [(3, 10, 1), (3, 99, 2)]
+        # q4: disjoint -> n_common 0, NULL tau
+        + [(4, 98, 1), (4, 99, 2)]
+    )
+    got = {
+        r["query_id"]: (
+            r["n_common"], r["n_pairs"], r["n_concordant"],
+            r["n_discordant"], r["tau_micros"],
+        )
+        for r in rank_agreement_kendall(a, b, k=10).collect()
+    }
+    assert got == {
+        1: (3, 3, 2, 1, 333333),  # (2*1e6*1 + 3) // 6 HALF_UP
+        2: (3, 3, 0, 3, -(10**6)),
+        3: (1, 0, 0, 0, None),
+        4: (0, 0, 0, 0, None),
+    }
 
 
 def test_pmi_collocations_hand_counts(spark):

@@ -68,6 +68,9 @@ WHITELIST = {
     # outputs bounded by their value universes) + 1-row N broadcast --
     # zero-count cells must still contribute their |0 - T*n| mass
     "z171_source_drift": "bounded dims-cross + 1-row total broadcast",
+    # the (N, observed-cell-count) totals are ONE broadcast row crossed
+    # into the bounded contingency-cell table
+    "z193_chisq_independence": "scalar-aggregate total (1-row broadcast side)",
     # the cumulative-vocabulary window runs on the BATCH axis
     # (corpus/50 rows after aggregation -- the z90/z92 bounded-axis
     # pattern), never on corpus rows

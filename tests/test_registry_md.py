@@ -1,8 +1,13 @@
 """REGISTRY.md staleness gate (VERDICT r12 #6): the committed index
-must equal a fresh regeneration from the live REGISTRY + the committed
-bench artifact. Touching the registry (new entry, moved definition,
+must equal a fresh regeneration from the live REGISTRY + the COMMITTED
+bench snapshot REGISTRY_BENCH.json (VERDICT r13 #1: regenerating from
+the untracked BENCH_LAST_LOCAL.json meant any bench re-run -- including
+the driver's own round-closing run -- flipped this gate red with zero
+code changes). Touching the registry (new entry, moved definition,
 changed description) without running `python gen_registry.py` fails
-here, so the one-pager can never silently drift."""
+here, so the one-pager can never silently drift; running bench.py does
+NOT (timings only change when deliberately re-frozen with
+--freeze-bench)."""
 
 from __future__ import annotations
 
