@@ -41,6 +41,8 @@ os.environ["SPARK_GRAFT_CPUS"] = "2"
 os.environ["SPARK_GRAFT_DRIVER_MEM"] = "1g"
 from datetime import date
 
+import duckdb
+
 from etl_world_banks_with_python_and_postgresql_spark.session import get_spark
 from etl_world_banks_with_python_and_postgresql_spark.sources.sinks import (
     jdbc_available,
@@ -52,7 +54,38 @@ from etl_world_banks_with_python_and_postgresql_spark.sources.sinks import (
 db = {db!r}
 url = f"jdbc:duckdb:{{db}}"
 props = {{"driver": "org.duckdb.DuckDBDriver"}}
-spark = get_spark(app_name="jdbc-live", extra_conf={{"spark.jars": {jar!r}}})
+
+# server-side DDL FIRST (the real staging protocol: tables exist before
+# batches land; also Spark 4's tableExists probe rethrows DuckDB's
+# SQLState-less 'no such table' error instead of treating it as
+# absent). python duckdb and the jar are both 1.0.0 -- same format.
+con = duckdb.connect(db)
+con.execute(
+    "CREATE TABLE staging (bank_name VARCHAR, market_cap_usd DOUBLE,"
+    " last_modified_date DATE, batch_id VARCHAR)"
+)
+con.execute(
+    "CREATE TABLE target (bank_name VARCHAR PRIMARY KEY,"
+    " market_cap_usd DOUBLE, last_modified_date DATE, batch_id VARCHAR)"
+)
+con.execute(
+    "INSERT INTO target VALUES"
+    " ('Bank A', 1.0, DATE '2024-06-01', 'b0'),"   # stale -> updated
+    " ('Bank Z', 9.0, DATE '2024-06-01', 'b0')"    # untouched
+)
+con.close()  # release the write lock before the JVM connects
+
+# extraClassPath, not spark.jars: the JDBC DriverManager lookup happens
+# in the DRIVER's root classloader (Class.forName), which spark.jars
+# (addJar, executor-side) does not feed; this subprocess launches a
+# fresh JVM so the static classpath option takes effect
+spark = get_spark(
+    app_name="jdbc-live",
+    extra_conf={{
+        "spark.driver.extraClassPath": {jar!r},
+        "spark.executor.extraClassPath": {jar!r},
+    }},
+)
 assert jdbc_available(spark, "org.duckdb.DuckDBDriver"), "driver not on classpath"
 assert not jdbc_available(spark, "org.postgresql.Driver"), (
     "postgres jar appeared -- promote this test to a real postgres round trip"
@@ -81,18 +114,7 @@ assert rows == [
 ], rows
 spark.stop()
 
-import duckdb
-
 con = duckdb.connect(db)
-con.execute(
-    "CREATE TABLE target (bank_name VARCHAR PRIMARY KEY,"
-    " market_cap_usd DOUBLE, last_modified_date DATE, batch_id VARCHAR)"
-)
-con.execute(
-    "INSERT INTO target VALUES"
-    " ('Bank A', 1.0, DATE '2024-06-01', 'b0'),"   # stale -> updated
-    " ('Bank Z', 9.0, DATE '2024-06-01', 'b0')"    # untouched
-)
 KEYS, SET = ["bank_name"], ["market_cap_usd", "last_modified_date", "batch_id"]
 con.execute(jdbc_upsert_sql("staging", "target", KEYS, SET))
 got = con.execute(
