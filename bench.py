@@ -239,6 +239,8 @@ HEADLINE = [
     "z193_chisq_independence",
     # round-14: score calibration ECE (en-stopword score vs lang label)
     "z194_score_calibration_ece",
+    # round-14: two-pass exact heavy hitters (MG prefilter, bounded shuffle)
+    "z195_heavy_hitters_twopass",
 ]
 
 

@@ -794,3 +794,124 @@ corr AS (
   FROM est)
 {final}
 """
+
+
+def heavy_hitters_twopass(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+    capacity: int = 256,
+) -> DataFrame:
+    """EXACT phi-heavy hitters without a full-cardinality shuffle:
+    pass 1 runs a Misra-Gries summary per partition (Arrow-batched
+    ``mapInPandas``, at most ``capacity`` counters held per partition),
+    pass 2 exact-counts ONLY the surviving candidate keys (broadcast
+    semi-reduced join), keeps the keys whose exact count PROVABLY
+    clears the support bound N/(capacity+1), and returns the top k of
+    those by (count DESC, key ASC).
+
+    Why this is THE 100 TB shape for "top tokens/domains/users": a
+    plain groupBy (z61's plan) shuffles one combiner slot per DISTINCT
+    key -- billions on a web-scale token column -- while this plan
+    shuffles at most partitions x capacity summary rows plus the exact
+    counts of <= partitions x capacity candidates. The output is still
+    EXACT, not approximate: summed per-partition MG summaries
+    undercount any key by at most N/(capacity+1) (Agarwal et al.,
+    "Mergeability of summaries", PODS '12), so every key above that
+    bound is CERTAIN to survive pass 1, and pass 2 replaces
+    undercounts with exact counts. Keys at or below the bound may or
+    may not surface depending on partitioning, so they are filtered
+    OUT by their exact counts -- which makes the result a pure
+    function of the data (the standard phi-heavy-hitter contract with
+    phi = 1/(capacity+1); need deeper tail? raise ``capacity``, the
+    summary cost scales linearly). Determinism pinned by the
+    1-vs-4-partition test.
+
+    Output: (key, n) -- at most k rows, exact counts, every row
+    provably above the support bound.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if k < 1 or capacity < k:
+        raise ValueError("need capacity >= k >= 1")
+
+    key_field = df.schema[key_col]
+    summary_schema = T.StructType(
+        [
+            T.StructField("key", key_field.dataType, True),
+            T.StructField("mg_weight", T.LongType(), False),
+        ]
+    )
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[key_col].value_counts(dropna=False)
+            for key, c in vc.items():
+                if key in counters:
+                    counters[key] += int(c)
+                else:
+                    counters[key] = int(c)
+            if len(counters) > capacity:
+                # batched MG merge: keep the top `capacity` counters and
+                # subtract the (capacity+1)-th largest from survivors
+                # (Metwally-style; preserves the N/(capacity+1) bound)
+                ordered = sorted(counters.values(), reverse=True)
+                cut = ordered[capacity]
+                counters = {
+                    key: w - cut
+                    for key, w in counters.items()
+                    if w - cut > 0
+                }
+        yield pd.DataFrame(
+            {
+                "key": list(counters.keys()),
+                "mg_weight": list(counters.values()),
+            }
+        )
+
+    candidates = (
+        df.select(key_col)
+        .mapInPandas(mg_partition, schema=summary_schema)
+        .groupBy("key")
+        .agg(F.sum("mg_weight").alias("_w"))
+        .select("key")
+    )
+    exact = (
+        df.select(F.col(key_col).alias("key"))
+        .join(F.broadcast(candidates), "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = df.select(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_total")
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        # the certainty filter: exact count strictly above the MG bound
+        .filter(F.col("n") * (capacity + 1) > F.col("_n_total"))
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(k)
+        .select("key", "n")
+    )
+
+
+def heavy_hitters_oracle_sql(
+    rows_sql: str, key_sql: str = "key", k: int = 20, capacity: int = 256
+) -> str:
+    """DuckDB twin of :func:`heavy_hitters_twopass`: exact counts with
+    the same support-bound filter and (count DESC, key ASC) top-k --
+    the oracle needs no Misra-Gries because the engine's output
+    contract is exact phi-heavy hitters, a pure function of the
+    data."""
+    return f"""
+WITH t AS (SELECT ({key_sql}) AS key FROM ({rows_sql}) raw0),
+c AS (SELECT key, count(*)::BIGINT AS n FROM t GROUP BY key),
+tot AS (SELECT sum(n)::BIGINT AS n_total FROM c)
+SELECT key, n
+FROM c CROSS JOIN tot
+WHERE n * {capacity + 1} > n_total
+ORDER BY n DESC, key
+LIMIT {k}
+"""

@@ -3087,3 +3087,42 @@ def z194(spark, sf_dir):
     return score_calibration(
         pre, score, F.col("lang") == "en", n_bins=10
     )
+
+
+from ..operators.sketch import (  # noqa: E402
+    heavy_hitters_oracle_sql as _hh_sql,
+)
+
+
+@query(
+    "z195_heavy_hitters_twopass",
+    oracle=_hh_sql(
+        f"SELECT unnest({_TOKENS_SQL}) AS key FROM documents",
+        key_sql="key",
+        k=20,
+        capacity=256,
+    ),
+    description=(
+        "EXACT top-20 tokens WITHOUT a full-cardinality shuffle: "
+        "per-partition Misra-Gries summaries (Arrow mapInPandas, <= "
+        "256 counters each) -> candidate keys -> broadcast exact "
+        "recount -> top-k. z61 answers the same question with the "
+        "plain explode+groupBy plan that shuffles one slot per "
+        "DISTINCT key; this is the two-pass plan whose shuffle is "
+        "bounded by partitions x capacity regardless of vocabulary "
+        "size (the web-scale token/domain/user-count shape). Output "
+        "still exact, not approximate: the mergeable MG bound "
+        "(undercount <= N/257) makes every key above the support "
+        "bound CERTAIN to survive pass 1, exact pass-2 recounts "
+        "replace the undercounts, and the support-bound filter makes "
+        "the result a pure function of the data (phi-heavy hitters, "
+        "phi = 1/257) -- partitioning can never leak into the answer"
+    ),
+)
+def z195(spark, sf_dir):
+    from ..functions.xhash import ws_tokens
+    from ..operators.sketch import heavy_hitters_twopass
+
+    docs = load(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(ws_tokens(F.col("text"))).alias("tok"))
+    return heavy_hitters_twopass(toks, "tok", k=20, capacity=256)

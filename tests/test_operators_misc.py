@@ -5467,6 +5467,48 @@ def test_clustering_pair_eval_odd_denominator_parity(spark):
         assert odict[k] == got[k], (k, odict[k], got[k])
 
 
+def test_heavy_hitters_twopass_eviction_and_support_bound(spark):
+    """heavy_hitters_twopass on a skewed literal corpus with capacity
+    BELOW the distinct-key count (so Misra-Gries evictions actually
+    fire): the two keys above the N/(capacity+1) support bound must
+    surface with EXACT counts, identically under 1 and 4 partitions
+    (the summaries are partitioning-dependent, the output must not
+    be); keys at/below the bound are filtered by their exact counts
+    even when k would admit them (the phi-heavy-hitter contract), and
+    the DuckDB twin agrees on the same literal rows."""
+    import duckdb
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.sketch import (
+        heavy_hitters_oracle_sql,
+        heavy_hitters_twopass,
+    )
+
+    rows = (
+        [("a",)] * 50 + [("b",)] * 30 + [(f"u{i}",) for i in range(40)]
+    )
+    # N = 120, capacity 8 -> bound N/9 = 13.3; 'a' (50) and 'b' (30)
+    # clear it, every unique key (1) does not; 42 distinct keys > 8
+    # counters forces evictions inside the partition summaries
+    for parts in (1, 4):
+        df = spark.createDataFrame(rows, "tok string").repartition(parts)
+        # k=5 would admit u-keys by count order, but none clears the
+        # support bound -> exactly the two certain heavy hitters
+        got = [
+            (r["key"], r["n"])
+            for r in heavy_hitters_twopass(
+                df, "tok", k=5, capacity=8
+            ).collect()
+        ]
+        assert got == [("a", 50), ("b", 30)], (parts, got)
+    rows_sql = "SELECT * FROM (VALUES " + ", ".join(
+        f"('{k}')" for (k,) in rows
+    ) + ") v(key)"
+    oracle = duckdb.sql(
+        heavy_hitters_oracle_sql(rows_sql, k=5, capacity=8)
+    ).fetchall()
+    assert oracle == [("a", 50), ("b", 30)]
+
+
 def test_score_calibration_hand_bins(spark):
     """score_calibration vs hand-derived bin algebra, including the
     1e6-edge-joins-top-bin rule, a perfectly-calibrated-looking bin and

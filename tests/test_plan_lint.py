@@ -71,6 +71,9 @@ WHITELIST = {
     # the (N, observed-cell-count) totals are ONE broadcast row crossed
     # into the bounded contingency-cell table
     "z193_chisq_independence": "scalar-aggregate total (1-row broadcast side)",
+    # the corpus token total N is ONE broadcast row crossed into the
+    # bounded (<= partitions x capacity) candidate-count table
+    "z195_heavy_hitters_twopass": "scalar-aggregate total (1-row broadcast side)",
     # the cumulative-vocabulary window runs on the BATCH axis
     # (corpus/50 rows after aggregation -- the z90/z92 bounded-axis
     # pattern), never on corpus rows
