@@ -241,6 +241,8 @@ HEADLINE = [
     "z194_score_calibration_ece",
     # round-14: two-pass exact heavy hitters (MG prefilter, bounded shuffle)
     "z195_heavy_hitters_twopass",
+    # round-14: ER blocking-scheme scorecard (reduction vs completeness)
+    "z196_blocking_quality",
 ]
 
 

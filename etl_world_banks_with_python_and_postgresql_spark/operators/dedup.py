@@ -2061,3 +2061,137 @@ SELECT n AS cluster_size,
        sum(total - kept)::BIGINT AS redundant_chars
 FROM clusters GROUP BY n
 """
+
+
+def blocking_quality(
+    items: DataFrame,
+    truth_pairs: DataFrame,
+    id_col: str = "id",
+    block_col: str = "block",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Blocking-scheme scorecard for entity resolution: REDUCTION RATIO
+    (what fraction of the quadratic pair space the blocking key prunes)
+    vs PAIRS COMPLETENESS (what fraction of TRUE matches it keeps) --
+    the two numbers that decide whether a blocking key is safe to
+    deploy before the z153-style match-within-block pipeline, and the
+    observability twin of z187 (which grades the CLUSTERS; this grades
+    the candidate-generation stage that feeds them).
+
+    Candidate-pair counting NEVER materializes pairs: sum of
+    C(block_size, 2) over the block-size aggregate, DECIMAL(38,0)
+    (block sizes square past int64 at corpus scale). Completeness
+    joins the truth pairs to the item->block table twice (two
+    equi-joins, truth-pair-sized) and counts co-blocked matches. Both
+    ratios exact HALF_UP micros with the single clearable denominator;
+    zero-denominator cells NULL, never a fake 0.
+
+    Output one row: (n_items, n_blocks, max_block_size,
+    n_candidate_pairs, n_all_pairs, n_true_matches, n_matches_blocked,
+    reduction_ratio_micros, pairs_completeness_micros).
+    """
+    from ..functions.exactnum import ratio_micros_halfup
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def c2(n):
+        nd = dec(n)
+        return nd * (nd - 1) / F.lit(2).cast("decimal(38,0)")
+
+    blocks = items.groupBy(F.col(block_col).alias("_blk")).agg(
+        F.count(F.lit(1)).alias("_nb")
+    )
+    bstats = blocks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.max("_nb").cast("long").alias("max_block_size"),
+        F.coalesce(F.sum(c2(F.col("_nb"))), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("_cand"),
+    )
+    tot = items.agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    ia = items.select(
+        F.col(id_col).alias(a_col), F.col(block_col).alias("_ba")
+    )
+    ib = items.select(
+        F.col(id_col).alias(b_col), F.col(block_col).alias("_bb")
+    )
+    tstats = (
+        truth_pairs.select(a_col, b_col)
+        .join(ia, a_col)
+        .join(ib, b_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true_matches"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_ba") == F.col("_bb"), 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_matches_blocked"),
+        )
+    )
+    row = tot.crossJoin(F.broadcast(bstats)).crossJoin(F.broadcast(tstats))
+    all_pairs = c2(F.col("n_items"))
+    cand = F.col("_cand")
+    return row.select(
+        "n_items",
+        "n_blocks",
+        "max_block_size",
+        cand.cast("long").alias("n_candidate_pairs"),
+        all_pairs.cast("long").alias("n_all_pairs"),
+        "n_true_matches",
+        "n_matches_blocked",
+        F.when(all_pairs == 0, F.lit(None).cast("long"))
+        .otherwise(ratio_micros_halfup(all_pairs - cand, all_pairs))
+        .alias("reduction_ratio_micros"),
+        F.when(F.col("n_true_matches") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_micros_halfup(
+                F.col("n_matches_blocked"), F.col("n_true_matches")
+            )
+        )
+        .alias("pairs_completeness_micros"),
+    )
+
+
+def blocking_quality_oracle_sql(
+    items_sql: str,
+    truth_sql: str,
+    id_sql: str = "id",
+    block_sql: str = "block",
+) -> str:
+    """DuckDB twin of :func:`blocking_quality` (HUGEINT pair algebra,
+    same clearable-denominator micros)."""
+    r = "((2000000 * ({n}) + ({d})) // (2 * ({d})))"
+    return f"""
+WITH it AS (SELECT ({id_sql}) AS id, ({block_sql}) AS blk
+            FROM ({items_sql}) raw0),
+blocks AS (SELECT blk, count(*)::HUGEINT AS nb FROM it GROUP BY blk),
+bs AS (SELECT count(*)::BIGINT AS n_blocks,
+              max(nb)::BIGINT AS max_block_size,
+              coalesce(sum(nb * (nb - 1) // 2), 0)::HUGEINT AS cand
+       FROM blocks),
+tt AS (SELECT count(*)::HUGEINT AS n_items FROM it),
+tp AS (SELECT t.id_a, t.id_b, a.blk AS ba, b.blk AS bb
+       FROM ({truth_sql}) t
+       JOIN it a ON a.id = t.id_a JOIN it b ON b.id = t.id_b),
+ts AS (SELECT count(*)::BIGINT AS n_true_matches,
+              coalesce(sum(CASE WHEN ba = bb THEN 1 ELSE 0 END), 0)::BIGINT
+                AS n_matches_blocked
+       FROM tp),
+m AS (SELECT *, n_items * (n_items - 1) // 2 AS all_pairs
+      FROM tt CROSS JOIN bs CROSS JOIN ts)
+SELECT n_items::BIGINT AS n_items, n_blocks, max_block_size,
+       cand::BIGINT AS n_candidate_pairs,
+       all_pairs::BIGINT AS n_all_pairs,
+       n_true_matches, n_matches_blocked,
+       (CASE WHEN all_pairs = 0 THEN NULL ELSE
+         {r.format(n="all_pairs - cand", d="all_pairs")} END)::BIGINT
+         AS reduction_ratio_micros,
+       (CASE WHEN n_true_matches = 0 THEN NULL ELSE
+         {r.format(n="n_matches_blocked", d="n_true_matches")} END)::BIGINT
+         AS pairs_completeness_micros
+FROM m
+"""

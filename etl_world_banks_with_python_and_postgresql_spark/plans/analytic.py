@@ -1008,6 +1008,68 @@ def z153(spark, sf_dir):
     )
 
 
+from ..operators.dedup import (  # noqa: E402
+    blocking_quality_oracle_sql as _blockq_sql,
+)
+
+_Z196_ITEMS_SQL = (
+    "SELECT p_partkey, p_type FROM part WHERE p_partkey % 1000 < 10"
+)
+_Z196_TRUTH_SQL = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND levenshtein(a.p_name, b.p_name) <= 3
+WHERE a.p_partkey % 1000 < 10 AND b.p_partkey % 1000 < 10
+"""
+
+
+@query(
+    "z196_blocking_quality",
+    oracle=_blockq_sql(
+        _Z196_ITEMS_SQL,
+        _Z196_TRUTH_SQL,
+        id_sql="p_partkey",
+        block_sql="p_type",
+    ),
+    description=(
+        "blocking-scheme scorecard for the z153 entity-resolution "
+        "pipeline: reduction ratio (pair-space pruned by the p_type "
+        "block, counted from block SIZES -- candidate pairs are never "
+        "materialized) vs pairs completeness (share of TRUE fuzzy "
+        "matches the block keeps, truth = unblocked Levenshtein <= 3 "
+        "on a bounded 1%-slice ground-truth leg). The two numbers that "
+        "decide whether a blocking key is deployable BEFORE the match "
+        "stage runs at scale; observability twin of z187 (clusters) "
+        "at the candidate-generation stage. Exact HALF_UP micros, "
+        "DECIMAL(38,0) pair counts, NULL on zero denominators"
+    ),
+)
+def z196(spark, sf_dir):
+    from ..operators.dedup import blocking_quality
+
+    p = (
+        load(spark, "part", sf_dir)
+        .filter(F.col("p_partkey") % 1000 < 10)
+        .select("p_partkey", "p_name", "p_type")
+    )
+    items = p.select(
+        F.col("p_partkey").alias("id"), F.col("p_type").alias("block")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("_na")
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("_nb")
+    )
+    truth = a.join(
+        b,
+        (F.col("id_a") < F.col("id_b"))
+        & (F.levenshtein("_na", "_nb") <= 3),
+    ).select("id_a", "id_b")
+    return blocking_quality(items, truth, "id", "block")
+
+
 from ..operators.rollup import pareto_frontier_oracle_sql as _pareto_sql  # noqa: E402
 
 _Z155_POINTS_SQL = """

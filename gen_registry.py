@@ -25,6 +25,7 @@ from __future__ import annotations
 import inspect
 import json
 import os
+import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 BENCH_SNAPSHOT = "REGISTRY_BENCH.json"
@@ -98,6 +99,74 @@ def freeze_bench() -> str:
     return out
 
 
+PLANS_SNAPSHOT = "REGISTRY_PLANS.json"
+
+
+def load_plans() -> dict:
+    try:
+        with open(os.path.join(HERE, PLANS_SNAPSHOT)) as f:
+            return json.load(f).get("plans", {})
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def freeze_plans(sf_dir: str = "/root/testdata/sf0.001") -> str:
+    """Regenerate the committed per-entry plan-cost snapshot (VERDICT
+    r13 #6): for every registry entry, build its DataFrame at sf0.001
+    and count Exchange (shuffle) and parquet-scan nodes in the physical
+    plan -- the two numbers that drive operator selection at 100 TB.
+    Mechanical (no hand bookkeeping) and committed, so the REGISTRY.md
+    column is staleness-gated like the rest of the file. Iterative
+    entries execute their bounded driver-side stages during plan
+    construction; sf0.001 keeps that cheap."""
+    import re
+
+    from etl_world_banks_with_python_and_postgresql_spark.plans.queries import (
+        REGISTRY,
+    )
+    from etl_world_banks_with_python_and_postgresql_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark(app_name="plan-freeze")
+    plans: dict[str, dict] = {}
+    for name in sorted(REGISTRY):
+        try:
+            df = REGISTRY[name].fn(spark, sf_dir)
+            s = df._jdf.queryExecution().executedPlan().toString()
+            plans[name] = {
+                "exchanges": len(re.findall(r"\bExchange\b", s)),
+                "scans": len(
+                    re.findall(r"Scan parquet|FileScan", s)
+                ),
+            }
+        except Exception as exc:  # noqa: BLE001 - record-and-continue
+            plans[name] = {
+                "error": f"{type(exc).__name__}: {exc}"[:200]
+            }
+        print(f"# {name}: {plans[name]}", file=sys.stderr)
+    out = os.path.join(HERE, PLANS_SNAPSHOT)
+    with open(out, "w") as f:
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "note": (
+                    "physical-plan node counts per entry (Exchange = "
+                    "shuffle boundaries incl. broadcast exchanges; "
+                    "scans = parquet file scans), from the pre-"
+                    "execution executedPlan at sf0.001; regenerate "
+                    "with: python gen_registry.py --freeze-plans"
+                ),
+                "plans": plans,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+        f.write("\n")
+    return out
+
+
 def render() -> str:
     from etl_world_banks_with_python_and_postgresql_spark.plans.partial import (
         PARTIAL_ORACLES,
@@ -107,6 +176,7 @@ def render() -> str:
     )
 
     bench: dict[str, float] = load_snapshot().get("queries", {})
+    plans = load_plans()
 
     n_full = sum(1 for q in REGISTRY.values() if q.oracle)
     n_partial = sum(
@@ -123,14 +193,18 @@ def render() -> str:
         "`plans/partial.py`. Bench seconds come from the committed "
         "quiet-box snapshot `REGISTRY_BENCH.json` (sf0.1 headline "
         "suite; refresh with `python gen_registry.py --freeze-bench`); "
-        "blank = not a headline entry.",
+        "blank = not a headline entry. Plan = Exchange (shuffle/"
+        "broadcast boundary) and parquet-scan node counts from the "
+        "committed `REGISTRY_PLANS.json` (physical plan at sf0.001; "
+        "refresh with `--freeze-plans`) -- the two numbers that drive "
+        "operator selection at scale.",
         "",
         f"**{len(REGISTRY)} entries: {n_full} full-oracle, "
         f"{n_partial} partial-oracle, "
         f"{len(REGISTRY) - n_full - n_partial} unpaired.**",
         "",
-        "| entry | what it does | where | oracle | bench s |",
-        "|---|---|---|---|---|",
+        "| entry | what it does | where | oracle | plan | bench s |",
+        "|---|---|---|---|---|---|",
     ]
     for name in sorted(REGISTRY):
         q = REGISTRY[name]
@@ -143,9 +217,16 @@ def render() -> str:
             else ("partial" if name in PARTIAL_ORACLES else "none")
         )
         t = bench.get(name)
+        p = plans.get(name)
+        if p and "exchanges" in p:
+            plan = f"{p['exchanges']}ex/{p['scans']}sc"
+        elif p:
+            plan = "err"
+        else:
+            plan = ""
         lines.append(
             f"| `{name}` | {_one_liner(q.description)} "
-            f"| `{src}:{line}` | {oracle} "
+            f"| `{src}:{line}` | {oracle} | {plan} "
             f"| {f'{t:.2f}' if t is not None else ''} |"
         )
     lines.append("")
@@ -162,9 +243,17 @@ def main() -> None:
         help="snapshot BENCH_LAST_LOCAL.json -> REGISTRY_BENCH.json "
         "(refuses a load-inflated run) before rendering",
     )
+    ap.add_argument(
+        "--freeze-plans",
+        action="store_true",
+        help="rebuild REGISTRY_PLANS.json (per-entry Exchange/scan "
+        "counts from the sf0.001 physical plans) before rendering",
+    )
     args = ap.parse_args()
     if args.freeze_bench:
         print(f"froze {freeze_bench()}")
+    if args.freeze_plans:
+        print(f"froze {freeze_plans()}")
     out = os.path.join(HERE, "REGISTRY.md")
     with open(out, "w") as f:
         f.write(render())

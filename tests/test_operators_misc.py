@@ -5467,6 +5467,53 @@ def test_clustering_pair_eval_odd_denominator_parity(spark):
         assert odict[k] == got[k], (k, odict[k], got[k])
 
 
+def test_blocking_quality_hand_case(spark):
+    """blocking_quality vs hand-derived pair algebra: blocks {1,2,3},
+    {4,5}, {6} -> 4 candidate pairs of 15, reduction 11/15; truth
+    pairs (1,2) blocked, (3,4) and (5,6) split, (1,9) referencing a
+    missing item dropped -> completeness 1/3; DuckDB twin must agree
+    on the same literals."""
+    import duckdb
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.dedup import (
+        blocking_quality,
+        blocking_quality_oracle_sql,
+    )
+
+    items = [(1, "X"), (2, "X"), (3, "X"), (4, "Y"), (5, "Y"), (6, "Z")]
+    truth = [(1, 2), (3, 4), (5, 6), (1, 9)]
+    want = {
+        "n_items": 6, "n_blocks": 3, "max_block_size": 3,
+        "n_candidate_pairs": 4, "n_all_pairs": 15,
+        "n_true_matches": 3, "n_matches_blocked": 1,
+        "reduction_ratio_micros": 733333,   # 11/15 HALF_UP
+        "pairs_completeness_micros": 333333,  # 1/3 HALF_UP
+    }
+    got = blocking_quality(
+        spark.createDataFrame(items, "id long, block string"),
+        spark.createDataFrame(truth, "id_a long, id_b long"),
+    ).collect()[0]
+    assert got.asDict() == want
+
+    items_sql = "SELECT * FROM (VALUES " + ", ".join(
+        f"({i}, '{b}')" for i, b in items
+    ) + ") v(id, block)"
+    truth_sql = "SELECT * FROM (VALUES " + ", ".join(
+        f"({a}, {b})" for a, b in truth
+    ) + ") w(id_a, id_b)"
+    odict = dict(
+        zip(
+            list(want),
+            duckdb.sql(
+                blocking_quality_oracle_sql(
+                    items_sql, truth_sql, id_sql="id", block_sql="block"
+                )
+            ).fetchone(),
+        )
+    )
+    assert odict == want
+
+
 def test_heavy_hitters_twopass_eviction_and_support_bound(spark):
     """heavy_hitters_twopass on a skewed literal corpus with capacity
     BELOW the distinct-key count (so Misra-Gries evictions actually

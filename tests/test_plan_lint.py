@@ -74,6 +74,10 @@ WHITELIST = {
     # the corpus token total N is ONE broadcast row crossed into the
     # bounded (<= partitions x capacity) candidate-count table
     "z195_heavy_hitters_twopass": "scalar-aggregate total (1-row broadcast side)",
+    # the truth leg is the deliberate bounded-slice all-pairs fuzzy
+    # ground truth the blocking scheme is graded AGAINST (z76 pattern);
+    # the scorecard itself crosses three 1-row aggregates
+    "z196_blocking_quality": "recall eval: bounded all-pairs ground-truth leg + 1-row aggregates crossed",
     # the cumulative-vocabulary window runs on the BATCH axis
     # (corpus/50 rows after aggregation -- the z90/z92 bounded-axis
     # pattern), never on corpus rows
