@@ -243,6 +243,8 @@ HEADLINE = [
     "z195_heavy_hitters_twopass",
     # round-14: ER blocking-scheme scorecard (reduction vs completeness)
     "z196_blocking_quality",
+    # round-14: IVF routing-margin profile (per-cell order statistics)
+    "z197_anchor_margin_profile",
 ]
 
 

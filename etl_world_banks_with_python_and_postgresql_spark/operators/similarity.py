@@ -2483,3 +2483,126 @@ FROM (SELECT DISTINCT query_id FROM a) q
 LEFT JOIN counts USING (query_id)
 LEFT JOIN per_q USING (query_id)
 """
+
+
+def anchor_margin_profile(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_anchors: int = 100_000,
+) -> DataFrame:
+    """Per-cell ROUTING-MARGIN profile of an anchor/centroid assignment:
+    for every corpus vector, the gap between its best and second-best
+    anchor cosine -- the confidence with which IVF-style cell routing
+    (q60/q97/z120/z130) sends it to its cell. A cell full of
+    near-zero margins is exactly where single-probe recall dies and
+    ``n_probe`` must rise; this is the observability table that turns
+    "recall 0.66, why?" into "these 2 cells route ambiguously".
+
+    Exactness WITHOUT float aggregation (the z185 family rule, applied
+    to selection instead of quantization): per-vector cosines use the
+    q38-proven round(cos, 6) fold, the margin is ONE subtraction of
+    bit-identical doubles (exact in both engines), and the per-cell
+    profile reports SELECTED order statistics -- min, nearest-rank
+    lower median, max -- never a float SUM or AVG whose result would
+    depend on accumulation order. Assignment ties break toward the
+    smaller anchor id (deterministic, the q97 family rule).
+
+    Scale shape: one broadcast of the bounded anchor side
+    (``max_anchors`` guard, the q38 contract) against a single corpus
+    scan, one per-vector window over the anchor count (bounded), one
+    per-cell window for the median rank, one count aggregate.
+
+    Output: (cell_id, n_vectors, min_margin, median_margin,
+    max_margin) -- margins in [0, 2], 0 = perfectly ambiguous routing.
+    """
+    _guard_broadcast_queries(anchors, max_anchors)
+    a = anchors.select(
+        F.col(id_col).alias("_aid"), F.col(vec_col).alias("_avec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_cvec")
+    )
+    scored = c.crossJoin(F.broadcast(a)).select(
+        "_vid",
+        "_aid",
+        F.round(cosine(F.col("_cvec"), F.col("_avec")), 6).alias("_cos"),
+    )
+    w = W.partitionBy("_vid").orderBy(F.desc("_cos"), F.asc("_aid"))
+    top2 = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 2)
+        .groupBy("_vid")
+        .agg(
+            F.max(F.when(F.col("_r") == 1, F.col("_aid"))).alias(
+                "cell_id"
+            ),
+            F.max(F.when(F.col("_r") == 1, F.col("_cos"))).alias("_c1"),
+            F.max(F.when(F.col("_r") == 2, F.col("_cos"))).alias("_c2"),
+        )
+        .select(
+            "_vid",
+            "cell_id",
+            (F.col("_c1") - F.col("_c2")).alias("_margin"),
+        )
+    )
+    wc = W.partitionBy("cell_id").orderBy(F.asc("_margin"), F.asc("_vid"))
+    ranked = top2.withColumn("_mr", F.row_number().over(wc))
+    stats = ranked.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.min("_margin").alias("min_margin"),
+        F.max("_margin").alias("max_margin"),
+    )
+    medians = (
+        ranked.join(
+            stats.select(
+                "cell_id",
+                ((F.col("n_vectors") + 1) / 2).cast("long").alias("_mrank"),
+            ),
+            "cell_id",
+        )
+        .filter(F.col("_mr") == F.col("_mrank"))
+        .select("cell_id", F.col("_margin").alias("median_margin"))
+    )
+    return stats.join(medians, "cell_id").select(
+        "cell_id", "n_vectors", "min_margin", "median_margin", "max_margin"
+    )
+
+
+def anchor_margin_profile_oracle_sql(
+    corpus_sql: str, anchors_sql: str, cos_sql: str
+) -> str:
+    """DuckDB twin of :func:`anchor_margin_profile` (same rounded
+    cosine fold via ``cos_sql`` templated over qv/v, same rank
+    selections; no float aggregation anywhere)."""
+    return f"""
+WITH c AS (SELECT vec_id AS vid, v FROM ({corpus_sql}) c0),
+a AS (SELECT vec_id AS aid, v AS qv FROM ({anchors_sql}) a0),
+scored AS (
+  SELECT vid, aid, {cos_sql} AS cos
+  FROM c CROSS JOIN a),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vid
+                               ORDER BY cos DESC, aid) AS r
+  FROM scored),
+top2 AS (
+  SELECT vid,
+         max(CASE WHEN r = 1 THEN aid END) AS cell_id,
+         max(CASE WHEN r = 1 THEN cos END)
+           - max(CASE WHEN r = 2 THEN cos END) AS margin
+  FROM ranked WHERE r <= 2 GROUP BY vid),
+mranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cell_id
+                               ORDER BY margin, vid) AS mr
+  FROM top2),
+stats AS (
+  SELECT cell_id, count(*)::BIGINT AS n_vectors,
+         min(margin) AS min_margin, max(margin) AS max_margin
+  FROM top2 GROUP BY cell_id)
+SELECT s.cell_id, s.n_vectors, s.min_margin,
+       m.margin AS median_margin, s.max_margin
+FROM stats s
+JOIN mranked m
+  ON m.cell_id = s.cell_id AND m.mr = (s.n_vectors + 1) // 2
+"""

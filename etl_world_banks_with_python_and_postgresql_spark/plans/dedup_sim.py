@@ -2633,3 +2633,38 @@ def z192(spark, sf_dir):
     run_a = similarity.cosine_topk(emb, queries_side, k=10)
     run_b = similarity.quantized_topk(emb, queries_side, k=10)
     return rank_agreement_kendall(run_a, run_b, k=10)
+
+
+from ..operators.similarity import (  # noqa: E402
+    anchor_margin_profile_oracle_sql as _margin_sql,
+)
+
+_Z197_CORPUS_SQL = (
+    "SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings"
+)
+_Z197_ANCHORS_SQL = _Z197_CORPUS_SQL + " WHERE vec_id % 200 = 0"
+
+
+@query(
+    "z197_anchor_margin_profile",
+    oracle=_margin_sql(_Z197_CORPUS_SQL, _Z197_ANCHORS_SQL, _COS_SQL),
+    description=(
+        "per-cell IVF routing-margin profile: for every vector, the "
+        "gap between best and second-best anchor cosine (anchors = "
+        "the deterministic vec_id % 200 subset, the z97 hash-centroid "
+        "family) -- the confidence with which cell routing sends it "
+        "there. The observability table behind q60's recall number: "
+        "a cell of near-zero margins is where single-probe recall "
+        "dies and n_probe must rise. Exact WITHOUT float aggregation: "
+        "q38-proven round(cos,6) fold, margin ONE subtraction of "
+        "bit-identical doubles, per-cell stats are SELECTED order "
+        "statistics (min / nearest-rank median / max), never a "
+        "float sum. Bounded broadcast anchor side, one corpus scan"
+    ),
+)
+def z197(spark, sf_dir):
+    from ..operators.similarity import anchor_margin_profile
+
+    emb = load(spark, "embeddings", sf_dir)
+    anchors = emb.filter(F.col("vec_id") % 200 == 0)
+    return anchor_margin_profile(emb, anchors)

@@ -5467,6 +5467,62 @@ def test_clustering_pair_eval_odd_denominator_parity(spark):
         assert odict[k] == got[k], (k, odict[k], got[k])
 
 
+def test_anchor_margin_profile_hand_case(spark):
+    """anchor_margin_profile on hand 2-D vectors: assignments, the
+    tie-to-smaller-anchor rule, nearest-rank medians, and bit-equality
+    between Spark and the DuckDB twin on identical literals."""
+    import duckdb
+    import pytest as _pytest
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        anchor_margin_profile,
+        anchor_margin_profile_oracle_sql,
+    )
+
+    vecs = [
+        (1, [1.0, 0.0]),    # cell 10, margin 1
+        (2, [0.6, 0.8]),    # cell 20, margin ~0.2
+        (3, [3.0, 3.0]),    # equidistant -> tie to anchor 10, margin 0
+        (4, [0.0, 2.0]),    # cell 20, margin 1
+        (10, [1.0, 0.0]),   # anchor 10 itself
+        (20, [0.0, 1.0]),   # anchor 20 itself
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    anchors = df.filter(F.col("vec_id").isin(10, 20))
+    got = {
+        r["cell_id"]: (
+            r["n_vectors"], r["min_margin"], r["median_margin"],
+            r["max_margin"],
+        )
+        for r in anchor_margin_profile(df, anchors).collect()
+    }
+    assert set(got) == {10, 20}
+    n10, mn10, md10, mx10 = got[10]
+    n20, mn20, md20, mx20 = got[20]
+    assert (n10, mn10, md10, mx10) == (3, 0.0, 1.0, 1.0)
+    assert n20 == 3 and md20 == 1.0 and mx20 == 1.0
+    assert mn20 == _pytest.approx(0.2, abs=2e-6)
+
+    lit = ", ".join(f"({i}, {v})" for i, v in vecs)
+    corpus_sql = (
+        f"SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM "
+        f"(SELECT * FROM (VALUES {lit}) t(vec_id, embedding))"
+    )
+    anchors_sql = corpus_sql + " WHERE vec_id IN (10, 20)"
+    cos = (
+        "round(list_dot_product(qv, v)"
+        " / (sqrt(list_dot_product(qv, qv))"
+        " * sqrt(list_dot_product(v, v))), 6)"
+    )
+    oracle = {
+        r[0]: r[1:]
+        for r in duckdb.sql(
+            anchor_margin_profile_oracle_sql(corpus_sql, anchors_sql, cos)
+        ).fetchall()
+    }
+    assert oracle == got  # bit-identical floats, not approx
+
+
 def test_blocking_quality_hand_case(spark):
     """blocking_quality vs hand-derived pair algebra: blocks {1,2,3},
     {4,5}, {6} -> 4 candidate pairs of 15, reduction 11/15; truth

@@ -78,6 +78,10 @@ WHITELIST = {
     # ground truth the blocking scheme is graded AGAINST (z76 pattern);
     # the scorecard itself crosses three 1-row aggregates
     "z196_blocking_quality": "recall eval: bounded all-pairs ground-truth leg + 1-row aggregates crossed",
+    # same exact-scan contract as q38: every vector must score against
+    # every anchor by definition; the anchor side is bounded
+    # (max_anchors guard) and broadcast, the corpus scanned once
+    "z197_anchor_margin_profile": "exact routing profile: bounded broadcast anchor side",
     # the cumulative-vocabulary window runs on the BATCH axis
     # (corpus/50 rows after aggregation -- the z90/z92 bounded-axis
     # pattern), never on corpus rows
