@@ -245,6 +245,8 @@ HEADLINE = [
     "z196_blocking_quality",
     # round-14: IVF routing-margin profile (per-cell order statistics)
     "z197_anchor_margin_profile",
+    # round-14: deterministic subsample CI on the corpus median
+    "z198_subsample_median_ci",
 ]
 
 

@@ -915,3 +915,171 @@ WHERE n * {capacity + 1} > n_total
 ORDER BY n DESC, key
 LIMIT {k}
 """
+
+
+def subsample_median_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 32,
+    lo_rank: int | None = None,
+    hi_rank: int | None = None,
+) -> DataFrame:
+    """Sampling error bar on the corpus median via DETERMINISTIC
+    half-subsampling (Politis-Romano subsampling, the resampling
+    family member that stays an exact pure function of the data): a
+    corpus statistic quoted without an error bar invites "did the
+    median move or did we just sample differently" arguments at every
+    snapshot diff; this answers with a CI from ``n_replicates``
+    md5-keyed half-samples.
+
+    Each replicate b keeps the rows whose md5_hash48(id || ':' || b)
+    is even -- deterministic, engine-portable (the house md5-prefix
+    rule), independent-ish across replicates. A multinomial bootstrap
+    would need per-row replicate weights whose exactness is
+    engine-hostile; half-subsampling gives the same "how wobbly is
+    this statistic" answer deterministically (CI ~sqrt(2) wider than
+    the n-bootstrap; an honest, documented bar).
+
+    Exactness AND scale come from the same choice: every median is the
+    z175 HISTOGRAM median (lower weighted median over the integer
+    value domain -- ``value_col`` is cast to BIGINT), so the only
+    corpus-sized work is one x``n_replicates`` projected expansion
+    feeding a map-side-combined (replicate, value) histogram; every
+    window after that runs on the histogram axis (|values| rows, the
+    z176 bounded-axis rule) and the final selection on the
+    ``n_replicates``-row median table. No corpus sort, no float
+    anywhere.
+
+    Output one row: (n, n_replicates, median, ci_lo, ci_hi, rep_min,
+    rep_max) -- all exact BIGINTs. Default CI ranks for B=32: the 4th
+    and 29th replicate-median order statistics (~80% central
+    coverage).
+    """
+    from pyspark.sql import Window as W
+
+    if n_replicates < 4:
+        raise ValueError("need n_replicates >= 4")
+    lo_rank = lo_rank or max(1, round(0.1 * n_replicates))
+    hi_rank = hi_rank or (n_replicates + 1 - lo_rank)
+
+    base = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+
+    def hist_median(hist, part_cols):
+        pw = W.partitionBy(*part_cols)
+        cum = pw.orderBy("_v").rowsBetween(W.unboundedPreceding, 0)
+        c = hist.select(
+            *part_cols,
+            "_v",
+            F.sum("_w").over(cum).alias("_cum"),
+            F.sum("_w").over(pw).alias("_tot"),
+        )
+        return (
+            c.filter(F.lit(2) * F.col("_cum") >= F.col("_tot"))
+            .groupBy(*part_cols, "_tot")
+            .agg(F.min("_v").alias("_med"))
+        )
+
+    reps = base.select(
+        "_id",
+        "_v",
+        F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias(
+            "_b"
+        ),
+    ).filter(
+        md5_hash48(F.concat(F.col("_id"), F.lit(":"), F.col("_b"))) % 2
+        == 0
+    )
+    rep_hist = reps.groupBy("_b", "_v").agg(
+        F.count(F.lit(1)).alias("_w")
+    )
+    rep_medians = hist_median(rep_hist, ["_b"])
+    w_rep = W.partitionBy().orderBy(F.asc("_med"), F.asc("_b"))
+    rep_stats = (
+        rep_medians.withColumn("_rr", F.row_number().over(w_rep))
+        .groupBy()
+        .agg(
+            F.max(
+                F.when(F.col("_rr") == lo_rank, F.col("_med"))
+            ).alias("ci_lo"),
+            F.max(
+                F.when(F.col("_rr") == hi_rank, F.col("_med"))
+            ).alias("ci_hi"),
+            F.min("_med").alias("rep_min"),
+            F.max("_med").alias("rep_max"),
+        )
+    )
+    full_hist = base.groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_w")
+    ).withColumn("_g", F.lit(1))
+    full = hist_median(full_hist, ["_g"]).select(
+        F.col("_tot").cast("long").alias("n"),
+        F.col("_med").cast("long").alias("median"),
+    )
+    return full.crossJoin(F.broadcast(rep_stats)).select(
+        "n",
+        F.lit(n_replicates).cast("long").alias("n_replicates"),
+        "median",
+        F.col("ci_lo").cast("long").alias("ci_lo"),
+        F.col("ci_hi").cast("long").alias("ci_hi"),
+        F.col("rep_min").cast("long").alias("rep_min"),
+        F.col("rep_max").cast("long").alias("rep_max"),
+    )
+
+
+def subsample_median_ci_oracle_sql(
+    rows_sql: str,
+    value_sql: str = "v",
+    id_sql: str = "id",
+    n_replicates: int = 32,
+    lo_rank: int | None = None,
+    hi_rank: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`subsample_median_ci` (same md5-prefix
+    replicate hash, same histogram lower-median selections)."""
+    lo_rank = lo_rank or max(1, round(0.1 * n_replicates))
+    hi_rank = hi_rank or (n_replicates + 1 - lo_rank)
+    h = MD5_HASH48_SQL.format(x="(_id || ':' || _b)")
+    return f"""
+WITH base AS (SELECT ({id_sql})::VARCHAR AS _id, ({value_sql})::BIGINT AS _v
+              FROM ({rows_sql}) raw0),
+reps AS (
+  SELECT _id, _v, _b
+  FROM base, unnest(generate_series(0, {n_replicates - 1})) t(_b)
+  WHERE {h} % 2 = 0),
+rep_hist AS (SELECT _b, _v, count(*)::BIGINT AS _w
+             FROM reps GROUP BY _b, _v),
+rep_cum AS (
+  SELECT _b, _v,
+         sum(_w) OVER (PARTITION BY _b ORDER BY _v
+                       ROWS UNBOUNDED PRECEDING) AS _cum,
+         sum(_w) OVER (PARTITION BY _b) AS _tot
+  FROM rep_hist),
+rep_medians AS (
+  SELECT _b, min(_v) AS _med
+  FROM rep_cum WHERE 2 * _cum >= _tot GROUP BY _b),
+rep_ranked AS (
+  SELECT *, row_number() OVER (ORDER BY _med, _b) AS _rr
+  FROM rep_medians),
+rep_stats AS (
+  SELECT max(CASE WHEN _rr = {lo_rank} THEN _med END) AS ci_lo,
+         max(CASE WHEN _rr = {hi_rank} THEN _med END) AS ci_hi,
+         min(_med) AS rep_min, max(_med) AS rep_max
+  FROM rep_ranked),
+full_hist AS (SELECT _v, count(*)::BIGINT AS _w FROM base GROUP BY _v),
+full_cum AS (
+  SELECT _v,
+         sum(_w) OVER (ORDER BY _v ROWS UNBOUNDED PRECEDING) AS _cum,
+         sum(_w) OVER () AS _tot
+  FROM full_hist),
+full_median AS (
+  SELECT max(_tot)::BIGINT AS n, min(_v)::BIGINT AS median
+  FROM full_cum WHERE 2 * _cum >= _tot)
+SELECT n, {n_replicates}::BIGINT AS n_replicates, median,
+       ci_lo::BIGINT AS ci_lo, ci_hi::BIGINT AS ci_hi,
+       rep_min::BIGINT AS rep_min, rep_max::BIGINT AS rep_max
+FROM full_median CROSS JOIN rep_stats
+"""

@@ -3126,3 +3126,39 @@ def z195(spark, sf_dir):
     docs = load(spark, "documents", sf_dir)
     toks = docs.select(F.explode(ws_tokens(F.col("text"))).alias("tok"))
     return heavy_hitters_twopass(toks, "tok", k=20, capacity=256)
+
+
+from ..operators.sketch import (  # noqa: E402
+    subsample_median_ci_oracle_sql as _medci_sql,
+)
+
+
+@query(
+    "z198_subsample_median_ci",
+    oracle=_medci_sql(
+        "SELECT doc_id, n_chars FROM documents",
+        value_sql="n_chars",
+        id_sql="doc_id",
+        n_replicates=32,
+    ),
+    description=(
+        "sampling error bar on the corpus median doc length: 32 "
+        "deterministic md5-keyed half-subsamples (Politis-Romano "
+        "subsampling -- the resampling family member that is an exact "
+        "pure function of the data; a multinomial bootstrap's per-row "
+        "weights are engine-hostile), lower-median per replicate via "
+        "the z175 HISTOGRAM median, CI = 4th/29th replicate-median "
+        "order statistics. The 'did the median move or did we just "
+        "sample differently' answer every snapshot diff needs. Only "
+        "corpus-sized work is one projected x32 expansion into a "
+        "map-side-combined histogram; all windows run on the value / "
+        "replicate axes. All-BIGINT output"
+    ),
+)
+def z198(spark, sf_dir):
+    from ..operators.sketch import subsample_median_ci
+
+    docs = load(spark, "documents", sf_dir)
+    return subsample_median_ci(
+        docs, "n_chars", "doc_id", n_replicates=32
+    )

@@ -5467,6 +5467,74 @@ def test_clustering_pair_eval_odd_denominator_parity(spark):
         assert odict[k] == got[k], (k, odict[k], got[k])
 
 
+def test_subsample_median_ci_hand_replication(spark):
+    """subsample_median_ci vs a literal python replication of the
+    md5-keyed half-sampling and lower-median selection (ground truth,
+    not parity), plus bit-equality with the DuckDB twin on the same
+    rows."""
+    import hashlib
+
+    import duckdb
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.sketch import (
+        subsample_median_ci,
+        subsample_median_ci_oracle_sql,
+    )
+
+    rows = [(i, 10 * i) for i in range(1, 26)]  # ids 1..25, values 10..250
+    B = 8
+    lo_rank, hi_rank = max(1, round(0.1 * B)), B + 1 - max(1, round(0.1 * B))
+
+    def kept(i, b):
+        h = hashlib.md5(f"{i}:{b}".encode()).hexdigest()[:12]
+        return int(h, 16) % 2 == 0
+
+    def lower_median(vals):
+        vals = sorted(vals)
+        return vals[(len(vals) + 1) // 2 - 1]
+
+    rep_meds = sorted(
+        (
+            lower_median([v for i, v in rows if kept(i, b)]),
+            b,
+        )
+        for b in range(B)
+    )
+    meds = [m for m, _b in rep_meds]
+    want = {
+        "n": 25,
+        "n_replicates": B,
+        "median": lower_median([v for _i, v in rows]),
+        "ci_lo": meds[lo_rank - 1],
+        "ci_hi": meds[hi_rank - 1],
+        "rep_min": meds[0],
+        "rep_max": meds[-1],
+    }
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = subsample_median_ci(
+        df, "n_chars", "doc_id", n_replicates=B
+    ).collect()[0]
+    assert got.asDict() == want
+
+    rows_sql = "SELECT * FROM (VALUES " + ", ".join(
+        f"({i}, {v})" for i, v in rows
+    ) + ") t(doc_id, n_chars)"
+    odict = dict(
+        zip(
+            list(want),
+            duckdb.sql(
+                subsample_median_ci_oracle_sql(
+                    rows_sql,
+                    value_sql="n_chars",
+                    id_sql="doc_id",
+                    n_replicates=B,
+                )
+            ).fetchone(),
+        )
+    )
+    assert odict == want
+
+
 def test_anchor_margin_profile_hand_case(spark):
     """anchor_margin_profile on hand 2-D vectors: assignments, the
     tie-to-smaller-anchor rule, nearest-rank medians, and bit-equality

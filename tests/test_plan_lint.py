@@ -82,6 +82,11 @@ WHITELIST = {
     # every anchor by definition; the anchor side is bounded
     # (max_anchors guard) and broadcast, the corpus scanned once
     "z197_anchor_margin_profile": "exact routing profile: bounded broadcast anchor side",
+    # the selection windows run on the 32-row replicate-median axis and
+    # the value-domain histogram axis (z176 bounded-axis pattern), never
+    # corpus rows; the CI row is ONE broadcast crossed into the 1-row
+    # full-median aggregate
+    "z198_subsample_median_ci": "bounded-axis windows + 1-row aggregates crossed",
     # the cumulative-vocabulary window runs on the BATCH axis
     # (corpus/50 rows after aggregation -- the z90/z92 bounded-axis
     # pattern), never on corpus rows
