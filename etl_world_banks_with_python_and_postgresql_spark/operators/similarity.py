@@ -2501,21 +2501,26 @@ def anchor_margin_profile(
     "recall 0.66, why?" into "these 2 cells route ambiguously".
 
     Exactness WITHOUT float aggregation (the z185 family rule, applied
-    to selection instead of quantization): per-vector cosines use the
+    to selection instead of summation): per-vector cosines use the
     q38-proven round(cos, 6) fold, the margin is ONE subtraction of
-    bit-identical doubles (exact in both engines), and the per-cell
-    profile reports SELECTED order statistics -- min, nearest-rank
-    lower median, max -- never a float SUM or AVG whose result would
-    depend on accumulation order. Assignment ties break toward the
-    smaller anchor id (deterministic, the q97 family rule).
+    bit-identical doubles followed by ONE floor((c1-c2)*1e6) -- floor
+    of identical doubles is identical in both engines, so the margin
+    lands in exact BIGINT micros (granularity 1e-6, the definition of
+    the metric, not an approximation of some other number) -- and the
+    per-cell profile reports SELECTED order statistics over those
+    integers: min, nearest-rank lower median, max. No double survives
+    into the output and no float is ever summed. Assignment ties
+    break toward the smaller anchor id (deterministic, the q97
+    family rule).
 
     Scale shape: one broadcast of the bounded anchor side
     (``max_anchors`` guard, the q38 contract) against a single corpus
     scan, one per-vector window over the anchor count (bounded), one
     per-cell window for the median rank, one count aggregate.
 
-    Output: (cell_id, n_vectors, min_margin, median_margin,
-    max_margin) -- margins in [0, 2], 0 = perfectly ambiguous routing.
+    Output: (cell_id, n_vectors, min_margin_micros,
+    median_margin_micros, max_margin_micros) -- margins in [0, 2e6]
+    micros, 0 = perfectly ambiguous routing. All BIGINT.
     """
     _guard_broadcast_queries(anchors, max_anchors)
     a = anchors.select(
@@ -2544,15 +2549,17 @@ def anchor_margin_profile(
         .select(
             "_vid",
             "cell_id",
-            (F.col("_c1") - F.col("_c2")).alias("_margin"),
+            F.floor((F.col("_c1") - F.col("_c2")) * F.lit(1_000_000.0))
+            .cast("long")
+            .alias("_margin"),
         )
     )
     wc = W.partitionBy("cell_id").orderBy(F.asc("_margin"), F.asc("_vid"))
     ranked = top2.withColumn("_mr", F.row_number().over(wc))
     stats = ranked.groupBy("cell_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
-        F.min("_margin").alias("min_margin"),
-        F.max("_margin").alias("max_margin"),
+        F.min("_margin").alias("min_margin_micros"),
+        F.max("_margin").alias("max_margin_micros"),
     )
     medians = (
         ranked.join(
@@ -2563,10 +2570,14 @@ def anchor_margin_profile(
             "cell_id",
         )
         .filter(F.col("_mr") == F.col("_mrank"))
-        .select("cell_id", F.col("_margin").alias("median_margin"))
+        .select("cell_id", F.col("_margin").alias("median_margin_micros"))
     )
     return stats.join(medians, "cell_id").select(
-        "cell_id", "n_vectors", "min_margin", "median_margin", "max_margin"
+        "cell_id",
+        "n_vectors",
+        "min_margin_micros",
+        "median_margin_micros",
+        "max_margin_micros",
     )
 
 
@@ -2574,8 +2585,8 @@ def anchor_margin_profile_oracle_sql(
     corpus_sql: str, anchors_sql: str, cos_sql: str
 ) -> str:
     """DuckDB twin of :func:`anchor_margin_profile` (same rounded
-    cosine fold via ``cos_sql`` templated over qv/v, same rank
-    selections; no float aggregation anywhere)."""
+    cosine fold via ``cos_sql`` templated over qv/v, same
+    floor((c1-c2)*1e6) micro quantization, same rank selections)."""
     return f"""
 WITH c AS (SELECT vec_id AS vid, v FROM ({corpus_sql}) c0),
 a AS (SELECT vec_id AS aid, v AS qv FROM ({anchors_sql}) a0),
@@ -2589,8 +2600,9 @@ ranked AS (
 top2 AS (
   SELECT vid,
          max(CASE WHEN r = 1 THEN aid END) AS cell_id,
-         max(CASE WHEN r = 1 THEN cos END)
-           - max(CASE WHEN r = 2 THEN cos END) AS margin
+         floor((max(CASE WHEN r = 1 THEN cos END)
+                - max(CASE WHEN r = 2 THEN cos END)) * 1000000.0)::BIGINT
+           AS margin
   FROM ranked WHERE r <= 2 GROUP BY vid),
 mranked AS (
   SELECT *, row_number() OVER (PARTITION BY cell_id
@@ -2598,10 +2610,11 @@ mranked AS (
   FROM top2),
 stats AS (
   SELECT cell_id, count(*)::BIGINT AS n_vectors,
-         min(margin) AS min_margin, max(margin) AS max_margin
+         min(margin)::BIGINT AS min_margin_micros,
+         max(margin)::BIGINT AS max_margin_micros
   FROM top2 GROUP BY cell_id)
-SELECT s.cell_id, s.n_vectors, s.min_margin,
-       m.margin AS median_margin, s.max_margin
+SELECT s.cell_id, s.n_vectors, s.min_margin_micros,
+       m.margin::BIGINT AS median_margin_micros, s.max_margin_micros
 FROM stats s
 JOIN mranked m
   ON m.cell_id = s.cell_id AND m.mr = (s.n_vectors + 1) // 2

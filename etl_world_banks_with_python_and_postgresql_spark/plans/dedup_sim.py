@@ -2655,11 +2655,13 @@ _Z197_ANCHORS_SQL = _Z197_CORPUS_SQL + " WHERE vec_id % 200 = 0"
         "family) -- the confidence with which cell routing sends it "
         "there. The observability table behind q60's recall number: "
         "a cell of near-zero margins is where single-probe recall "
-        "dies and n_probe must rise. Exact WITHOUT float aggregation: "
-        "q38-proven round(cos,6) fold, margin ONE subtraction of "
-        "bit-identical doubles, per-cell stats are SELECTED order "
-        "statistics (min / nearest-rank median / max), never a "
-        "float sum. Bounded broadcast anchor side, one corpus scan"
+        "dies and n_probe must rise. Exact WITHOUT float output or "
+        "aggregation: q38-proven round(cos,6) fold, margin = ONE "
+        "floor((c1-c2)*1e6) of bit-identical doubles -> exact BIGINT "
+        "micros (floor of identical doubles is identical; 1e-6 "
+        "granularity IS the metric's definition), per-cell stats are "
+        "SELECTED order statistics (min / nearest-rank median / max). "
+        "Bounded broadcast anchor side, one corpus scan"
     ),
 )
 def z197(spark, sf_dir):

@@ -5559,17 +5559,18 @@ def test_anchor_margin_profile_hand_case(spark):
     anchors = df.filter(F.col("vec_id").isin(10, 20))
     got = {
         r["cell_id"]: (
-            r["n_vectors"], r["min_margin"], r["median_margin"],
-            r["max_margin"],
+            r["n_vectors"], r["min_margin_micros"],
+            r["median_margin_micros"], r["max_margin_micros"],
         )
         for r in anchor_margin_profile(df, anchors).collect()
     }
     assert set(got) == {10, 20}
     n10, mn10, md10, mx10 = got[10]
     n20, mn20, md20, mx20 = got[20]
-    assert (n10, mn10, md10, mx10) == (3, 0.0, 1.0, 1.0)
-    assert n20 == 3 and md20 == 1.0 and mx20 == 1.0
-    assert mn20 == _pytest.approx(0.2, abs=2e-6)
+    assert (n10, mn10, md10, mx10) == (3, 0, 10**6, 10**6)
+    assert n20 == 3 and md20 == 10**6 and mx20 == 10**6
+    # floor((0.8-0.6)*1e6) on the rounded doubles: 200000 +- 1 ulp step
+    assert mn20 == _pytest.approx(200_000, abs=1)
 
     lit = ", ".join(f"({i}, {v})" for i, v in vecs)
     corpus_sql = (
