@@ -37,6 +37,9 @@ EXAMPLES = {
     # smoke at 1x only; the PERF.md probe runs 1/4/8 at sf0.1
     "graph_scale_probe.py": [SF_SMALL, "1"],
     "ivf_tuning.py": [SF_SMALL],
+    # smoke on two cheap entries; the PERF.md row runs the full list
+    # (the sf1 build itself is the dominant smoke cost, ~1 min)
+    "sf1_scale_probe.py": ["q15_distinct_agg", "q02_top_orders"],
     "retrieval_pipeline.py": [SF_SMALL],
     "train_corpus_pipeline.py": [SF_SMALL],
 }

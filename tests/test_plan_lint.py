@@ -105,6 +105,9 @@ WHITELIST = {
     # both run legs are q38/z53 exact scans with bounded broadcast
     # query sides; the RBO itself is one equi-join + sum
     "z191_ranker_agreement_rbo": "exact ANN run legs: bounded broadcast query sides",
+    # same two exact-ANN run legs as z191 (the tau metric itself is a
+    # bounded equi-self-join on query_id)
+    "z192_ranker_kendall_tau": "exact ANN run legs: bounded broadcast query sides",
     # level-2 frontier scan: its input is the checkpointed UNION OF
     # PER-BUCKET FRONTIERS (level 1 is bucket-partitioned), bounded by
     # the survivor count, never by the corpus
