@@ -247,6 +247,8 @@ HEADLINE = [
     "z197_anchor_margin_profile",
     # round-14: deterministic subsample CI on the corpus median
     "z198_subsample_median_ci",
+    # round-14: tokenizer fertility by language (token-space mixing axis)
+    "z199_tokenizer_fertility",
 ]
 
 

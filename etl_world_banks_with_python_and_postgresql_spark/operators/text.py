@@ -1916,3 +1916,95 @@ SELECT d.id AS {id_sql}, d.g AS {group_sql}, d.s AS score,
         END)::BIGINT AS qnorm_micros
 FROM d JOIN st ON st.g = d.g AND st.s = d.s
 """
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer FERTILITY by group (language/source/domain): BPE-ish
+    pre-tokens per whitespace word, plus chars per BPE token -- THE
+    multilinguality cost metric of an LLM corpus (a language whose
+    fertility is 2x pays 2x the context budget and 2x the serving cost
+    for the same text; corpus mixing that ignores it silently
+    under-represents high-fertility languages in TOKEN space even when
+    balanced in document space). q79 reports the per-doc counts; this
+    is the per-group rollup a mixing policy actually reads.
+
+    Exactness: the counts are exact integers (the q79 lookahead-free
+    regex, identical in Java regex and RE2), each ratio ONE clearable
+    HALF_UP micros division over the group SUMS (never an average of
+    per-doc ratios -- that would weight short docs equally with long
+    ones AND float-sum); empty-group denominators NULL, never fake 0.
+
+    Scale shape: one row-local projection (two regexp counts + length)
+    into ONE map-side-combined group aggregate. Output per group:
+    (group, n_docs, ws_tokens, bpe_tokens, n_chars,
+    fertility_micros, chars_per_bpe_micros).
+    """
+    from ..functions.exactnum import ratio_micros_halfup
+
+    t = F.col(text_col)
+    rows = df.select(
+        F.col(group_col).alias("grp"),
+        token_count(t).cast("long").alias("_ws"),
+        bpe_token_count(t).cast("long").alias("_bpe"),
+        F.length(t).cast("long").alias("_ch"),
+    )
+    agg = rows.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_ws").cast("long").alias("ws_tokens"),
+        F.sum("_bpe").cast("long").alias("bpe_tokens"),
+        F.sum("_ch").cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        "n_chars",
+        F.when(F.col("ws_tokens") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_micros_halfup(F.col("bpe_tokens"), F.col("ws_tokens"))
+        )
+        .alias("fertility_micros"),
+        F.when(F.col("bpe_tokens") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            ratio_micros_halfup(F.col("n_chars"), F.col("bpe_tokens"))
+        )
+        .alias("chars_per_bpe_micros"),
+    )
+
+
+def tokenizer_fertility_oracle_sql(
+    tokens_sql: str,
+    bpe_regex_sql: str,
+    group_sql: str = "lang",
+    rows_sql: str = "SELECT * FROM documents",
+) -> str:
+    """DuckDB twin of :func:`tokenizer_fertility` (same blank-text
+    special case, same regex counts, same cleared-integer ratios)."""
+    r = "((2000000 * ({n}) + ({d})) // (2 * ({d})))"
+    return f"""
+WITH rows0 AS (
+  SELECT ({group_sql}) AS grp,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len({tokens_sql}) END)::BIGINT AS ws,
+         len(regexp_extract_all(text, {bpe_regex_sql}))::BIGINT AS bpe,
+         length(text)::BIGINT AS ch
+  FROM ({rows_sql}) zfert0),
+agg AS (SELECT grp, count(*)::BIGINT AS n_docs,
+               sum(ws)::BIGINT AS ws_tokens,
+               sum(bpe)::BIGINT AS bpe_tokens,
+               sum(ch)::BIGINT AS n_chars
+        FROM rows0 GROUP BY grp)
+SELECT grp AS {group_sql}, n_docs, ws_tokens, bpe_tokens, n_chars,
+       (CASE WHEN ws_tokens = 0 THEN NULL ELSE
+         {r.format(n="bpe_tokens", d="ws_tokens")} END)::BIGINT
+         AS fertility_micros,
+       (CASE WHEN bpe_tokens = 0 THEN NULL ELSE
+         {r.format(n="n_chars", d="bpe_tokens")} END)::BIGINT
+         AS chars_per_bpe_micros
+FROM agg
+"""

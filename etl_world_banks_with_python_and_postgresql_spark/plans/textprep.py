@@ -3162,3 +3162,53 @@ def z198(spark, sf_dir):
     return subsample_median_ci(
         docs, "n_chars", "doc_id", n_replicates=32
     )
+
+
+from ..operators.text import (  # noqa: E402
+    tokenizer_fertility_oracle_sql as _fert_sql,
+)
+
+
+# the synthetic corpus is pure space-separated words (fertility would
+# be EXACTLY 1.0 for every language -- degenerate), so the leg injects
+# a deterministic ' #<doc_id>' marker per doc (the z184 augmentation
+# rule): one extra whitespace word, two extra BPE runs (' #' + digits),
+# with per-language doc-length sums making the ratio discriminate.
+_Z199_ROWS_SQL = (
+    "SELECT doc_id, text || ' #' || doc_id AS text, lang FROM documents"
+)
+
+
+@query(
+    "z199_tokenizer_fertility",
+    oracle=_fert_sql(
+        _TOKENS_SQL,
+        "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r]+'",
+        group_sql="lang",
+        rows_sql=_Z199_ROWS_SQL,
+    ),
+    description=(
+        "tokenizer fertility by language (BPE-ish pre-tokens per "
+        "whitespace word + chars per BPE token, on group SUMS) -- the "
+        "multilinguality cost metric: a 2x-fertility language pays 2x "
+        "context and serving budget for the same text, and "
+        "doc-balanced mixing silently under-represents it in TOKEN "
+        "space (the axis z92/z28 mixing policies should read). q79's "
+        "per-doc counts rolled up per group, exact HALF_UP micros "
+        "over cleared group sums, never an average of per-doc "
+        "ratios; marker-augmented text (z184 rule) because the "
+        "synthetic corpus is punctuation-free. One row-local "
+        "projection + one map-side-combined agg"
+    ),
+)
+def z199(spark, sf_dir):
+    from ..operators.text import tokenizer_fertility
+
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" #"), F.col("doc_id").cast("string")
+        ).alias("text"),
+        "lang",
+    )
+    return tokenizer_fertility(docs, group_col="lang")

@@ -5467,6 +5467,37 @@ def test_clustering_pair_eval_odd_denominator_parity(spark):
         assert odict[k] == got[k], (k, odict[k], got[k])
 
 
+def test_tokenizer_fertility_hand_counts(spark):
+    """tokenizer_fertility vs hand-counted tokens: mixed alpha/digit/
+    punct BPE runs, CJK (no whitespace words beyond the split), the
+    blank-text ws special case, and NULL ratios for an empty-sum
+    group."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.text import (
+        tokenizer_fertility,
+    )
+
+    rows = [
+        (1, "the cat", "en"),   # ws 2, bpe 2, ch 7
+        (2, "", "en"),          # ws 0, bpe 0, ch 0
+        (3, "a1!", "en"),       # ws 1, bpe 3 (a|1|!), ch 3
+        (4, "你好 世界", "zh"),  # ws 2, bpe 2, ch 5
+        (5, "", "xx"),          # empty-only group -> NULL ratios
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["lang"]: (
+            r["n_docs"], r["ws_tokens"], r["bpe_tokens"], r["n_chars"],
+            r["fertility_micros"], r["chars_per_bpe_micros"],
+        )
+        for r in tokenizer_fertility(df).collect()
+    }
+    assert got == {
+        "en": (3, 3, 5, 10, 1_666_667, 2_000_000),  # 5/3, 10/5
+        "zh": (1, 2, 2, 5, 1_000_000, 2_500_000),
+        "xx": (1, 0, 0, 0, None, None),
+    }
+
+
 def test_subsample_median_ci_hand_replication(spark):
     """subsample_median_ci vs a literal python replication of the
     md5-keyed half-sampling and lower-median selection (ground truth,
