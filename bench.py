@@ -735,6 +735,38 @@ def main() -> None:
         except OSError as exc:
             print(f"# local artifact write failed: {exc}", file=sys.stderr)
     print(json.dumps(out))
+    # FINAL stdout line: a compact summary guaranteed to fit inside the
+    # driver's ~2000-char tail window (VERDICT r14 #2 -- BENCH_r14.json
+    # came back `parsed: null` because the full line above is ~8 KB and
+    # the tail cut decapitated it). The driver parses the LAST line, so
+    # this one carries every gate-relevant field; the full per-entry
+    # record stays in the line above and in LOCAL_ARTIFACT.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    compact = {
+        "metric": "headline_suite_seconds",
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in slowest.items()},
+        "sf": out["sf"],
+        "n_entries": len(timings),
+        "n_errors": len(errors),
+        "shared_total": out["shared_total"],
+        "pipeline_e2e_2runs": out["pipeline_e2e_2runs"],
+        "repeat": repeat,
+        "agg": args.agg,
+        "quiet": load_summary["quiet"],
+        "start_busy_frac": start_busy,
+        "isolated_flagged": out.get("isolated_flagged", []),
+        "note": "top-10 slowest only; full per-entry map in " + LOCAL_ARTIFACT,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # hard guarantee: never outgrow the tail window
+        compact.pop("queries", None)
+        compact["isolated_flagged"] = compact["isolated_flagged"][:5]
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
