@@ -829,6 +829,14 @@ def heavy_hitters_twopass(
 
     Output: (key, n) -- at most k rows, exact counts, every row
     provably above the support bound.
+
+    NULL keys are a first-class key (ADVICE r14): the MG pass counts
+    them under one normalized sentinel (pandas surfaces missing keys
+    as None/NaN/NaT objects that would otherwise split into separate
+    dict entries and dodge the survival bound), and the pass-2 recount
+    joins null-safely (``eqNullSafe``), so a NULL-heavy column returns
+    NULL with its exact count -- matching the oracle's GROUP BY, which
+    has always treated NULL as a group.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -844,11 +852,22 @@ def heavy_hitters_twopass(
         ]
     )
 
+    _NULL = object()  # one dict slot for NULL across batches
+
     def mg_partition(batches):
         counters: dict = {}
         for pdf in batches:
             vc = pdf[key_col].value_counts(dropna=False)
             for key, c in vc.items():
+                # normalize every missing-value flavor (None, NaN, NaT)
+                # to ONE sentinel: distinct NaN objects across batches
+                # are not equal, so without this a NULL-heavy key's MG
+                # weight splits across dict entries and can be pruned
+                # below the survival bound
+                if key is None or (
+                    not isinstance(key, (str, bytes)) and pd.isna(key)
+                ):
+                    key = _NULL
                 if key in counters:
                     counters[key] += int(c)
                 else:
@@ -866,7 +885,10 @@ def heavy_hitters_twopass(
                 }
         yield pd.DataFrame(
             {
-                "key": list(counters.keys()),
+                "key": [
+                    None if key is _NULL else key
+                    for key in counters.keys()
+                ],
                 "mg_weight": list(counters.values()),
             }
         )
@@ -876,11 +898,17 @@ def heavy_hitters_twopass(
         .mapInPandas(mg_partition, schema=summary_schema)
         .groupBy("key")
         .agg(F.sum("mg_weight").alias("_w"))
-        .select("key")
+        .select(F.col("key").alias("_cand_key"))
     )
     exact = (
         df.select(F.col(key_col).alias("key"))
-        .join(F.broadcast(candidates), "key")
+        # null-safe recount join: NULL is a legitimate heavy hitter and
+        # the oracle's GROUP BY counts it; a plain equi-join would
+        # silently drop it here (ADVICE r14, medium)
+        .join(
+            F.broadcast(candidates),
+            F.col("key").eqNullSafe(F.col("_cand_key")),
+        )
         .groupBy("key")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
@@ -891,7 +919,10 @@ def heavy_hitters_twopass(
         exact.crossJoin(F.broadcast(total))
         # the certainty filter: exact count strictly above the MG bound
         .filter(F.col("n") * (capacity + 1) > F.col("_n_total"))
-        .orderBy(F.desc("n"), F.asc("key"))
+        # asc_nulls_last pins the tie-break to DuckDB's default NULL
+        # order; Spark's plain asc is NULLS FIRST, which would diverge
+        # at the LIMIT boundary when NULL ties a non-null key
+        .orderBy(F.desc("n"), F.col("key").asc_nulls_last())
         .limit(k)
         .select("key", "n")
     )
@@ -912,7 +943,7 @@ tot AS (SELECT sum(n)::BIGINT AS n_total FROM c)
 SELECT key, n
 FROM c CROSS JOIN tot
 WHERE n * {capacity + 1} > n_total
-ORDER BY n DESC, key
+ORDER BY n DESC, key ASC NULLS LAST
 LIMIT {k}
 """
 

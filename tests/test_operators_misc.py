@@ -5712,6 +5712,47 @@ def test_heavy_hitters_twopass_eviction_and_support_bound(spark):
     assert oracle == [("a", 50), ("b", 30)]
 
 
+def test_heavy_hitters_twopass_null_key(spark):
+    """NULL as a true heavy hitter (ADVICE r14): the MG pass must not
+    split NULL's weight across NaN dict entries, the pass-2 recount
+    join must be null-safe, and NULL must surface with its exact count
+    exactly as the DuckDB twin's GROUP BY does -- under both 1 and 4
+    partitions. Also pins the tie-break: NULL sorts LAST on the key
+    tie in both engines."""
+    import duckdb
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.sketch import (
+        heavy_hitters_oracle_sql,
+        heavy_hitters_twopass,
+    )
+
+    rows = (
+        [(None,)] * 45 + [("a",)] * 45 + [("b",)] * 20
+        + [(f"u{i}",) for i in range(30)]
+    )
+    # N = 140, capacity 8 -> bound 140/9 = 15.6: NULL (45), 'a' (45)
+    # and 'b' (20) clear it; 30 uniques force MG evictions
+    want = [("a", 45), (None, 45), ("b", 20)]
+    for parts in (1, 4):
+        df = spark.createDataFrame(rows, "tok string").repartition(parts)
+        got = [
+            (r["key"], r["n"])
+            for r in heavy_hitters_twopass(
+                df, "tok", k=5, capacity=8
+            ).collect()
+        ]
+        assert got == want, (parts, got)
+    rows_sql = "SELECT * FROM (VALUES " + ", ".join(
+        "(NULL)" if k is None else f"('{k}')" for (k,) in rows
+    ) + ") v(key)"
+    oracle = duckdb.sql(
+        heavy_hitters_oracle_sql(
+            rows_sql, key_sql="key::VARCHAR", k=5, capacity=8
+        )
+    ).fetchall()
+    assert oracle == want
+
+
 def test_score_calibration_hand_bins(spark):
     """score_calibration vs hand-derived bin algebra, including the
     1e6-edge-joins-top-bin rule, a perfectly-calibrated-looking bin and
