@@ -79,6 +79,37 @@ def ratio_micros_halfup(num: Column, den: Column) -> Column:
     return ratio_scaled_halfup(num, den, 6)
 
 
+def magnitude_guard(value: Column, bound: int, what: str) -> Column:
+    """Fail-loud magnitude guard: a BIGINT 0 that RAISES when ``value``
+    exceeds ``bound``. ADD it into a gated output expression (e.g.
+    ``metric + magnitude_guard(n, 5e7, "chisq")``) so Catalyst cannot
+    prune it away.
+
+    Why an explicit guard (ADVICE r14): the documented DECIMAL(38,0)
+    magnitude bounds only "fail loudly" under ANSI mode; this engine
+    runs with ANSI OFF, where decimal overflow yields NULL and
+    ``F.sum`` then silently SKIPS the overflowed terms -- an
+    understated statistic, not an error. The guard turns the
+    documented input bound into a runtime error regardless of ANSI.
+    """
+    return (
+        F.when(
+            value.cast("decimal(38,0)")
+            > F.lit(int(bound)).cast("decimal(38,0)"),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{what}: input magnitude bound exceeded: "),
+                    value.cast("string"),
+                    F.lit(f" > {int(bound)} (DECIMAL(38,0) headroom; "
+                          "run on smaller slices)"),
+                )
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
 # DuckDB twins (str.format with num=..., den=...). `//` == floordiv_nonneg
 # for nonnegative BIGINTs.
 RATIO_MICROS_SQL = "((2000000 * ({num}) + ({den})) // (2 * ({den})))"

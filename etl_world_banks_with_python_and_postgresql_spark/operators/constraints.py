@@ -824,13 +824,15 @@ def clustering_pair_eval(
     such, not clamp to 0). Magnitude honesty: the ARI cross-products
     (now 2x-scaled, see below) need 2 * P_all * (P_clu + P_tru) < ~1e38,
     i.e. up to ~1e9 items per evaluation slice -- evals run on slices,
-    and the bound fails loudly in DECIMAL, never silently wraps.
+    and the bound is ENFORCED by an explicit runtime guard
+    (``magnitude_guard`` raises past 1e9 items; with ANSI off, DECIMAL
+    overflow would otherwise yield a silent NULL metric -- ADVICE r14).
 
     Scale shape: ONE (cluster, truth) count aggregate over items, then
     three bounded re-aggregations of the contingency table and a 1-row
     summary. Output one row: the counts and the five metrics.
     """
-    from ..functions.exactnum import ratio_micros_halfup
+    from ..functions.exactnum import magnitude_guard, ratio_micros_halfup
 
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
 
@@ -885,7 +887,12 @@ def clustering_pair_eval(
         signed_ratio(
             p_all - p_clu - p_tru + two * tp, p_all
         ).alias("rand_micros"),
-        signed_ratio(ari_num, ari_den).alias("ari_micros"),
+        (
+            signed_ratio(ari_num, ari_den)
+            + magnitude_guard(
+                F.col("n_items"), 1_000_000_000, "clustering_pair_eval"
+            )
+        ).alias("ari_micros"),
     )
 
 
@@ -1061,20 +1068,33 @@ def chisq_independence(
     threshold on a statistic compared against dof). Magnitude honesty:
     the squared numerator needs 2e6 * N^4 < 1e38, i.e. N up to ~5e7
     rows per evaluation slice -- profiling runs on slices, and the
-    bound fails loudly in DECIMAL, never silently wraps.
+    bound is ENFORCED by an explicit runtime guard (``magnitude_guard``
+    raises past 5e7 rows; with ANSI off, DECIMAL overflow would
+    otherwise yield NULL cells that F.sum silently skips -- ADVICE
+    r14).
+
+    NULL semantics (ADVICE r14): rows with a NULL in EITHER column are
+    excluded BEFORE the contingency aggregate -- the chi-square test
+    is defined over jointly-observed category pairs, and excluding
+    them up front keeps N equal to the summed cells (previously the
+    null-unsafe margin joins dropped NULL cells from the deviation
+    sums while counting their rows in N, biasing the statistic). The
+    oracle applies the identical WHERE.
 
     Scale shape: ONE (a, b) count aggregate over the rows, two bounded
     re-aggregations for the margins, two equi-joins of the cell table
     against the margins, a 1-row total broadcast, one sum. Output one
     row: n, category counts, observed cells, dof, chisq_micros.
     """
-    from ..functions.exactnum import ratio_micros_halfup
+    from ..functions.exactnum import magnitude_guard, ratio_micros_halfup
 
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
 
-    cont = df.groupBy(
-        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
-    ).agg(F.count(F.lit(1)).alias("_o"))
+    cont = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
     ra = cont.groupBy("_a").agg(F.sum("_o").alias("_r"))
     cb = cont.groupBy("_b").agg(F.sum("_o").alias("_c"))
     tot = cont.agg(
@@ -1111,6 +1131,7 @@ def chisq_independence(
             F.col("_s_dev")
             + F.col("_n") * F.lit(1_000_000).cast("long")
             - F.col("_s_exp")
+            + magnitude_guard(F.col("_n"), 50_000_000, "chisq_independence")
         ).alias("chisq_micros"),
     )
 
@@ -1124,7 +1145,8 @@ def chisq_independence_oracle_sql(
     cell_dev = q.format(num="dev * dev", den="n * r * c")
     cell_exp = q.format(num="r * c", den="n")
     return f"""
-WITH d AS (SELECT ({a_sql}) AS a, ({b_sql}) AS b FROM ({rows_sql}) raw0),
+WITH d AS (SELECT ({a_sql}) AS a, ({b_sql}) AS b FROM ({rows_sql}) raw0
+           WHERE ({a_sql}) IS NOT NULL AND ({b_sql}) IS NOT NULL),
 cont AS (SELECT a, b, count(*)::HUGEINT AS o FROM d GROUP BY a, b),
 ra AS (SELECT a, sum(o)::HUGEINT AS r FROM cont GROUP BY a),
 cb AS (SELECT b, sum(o)::HUGEINT AS c FROM cont GROUP BY b),

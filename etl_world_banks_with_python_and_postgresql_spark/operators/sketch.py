@@ -804,7 +804,8 @@ def heavy_hitters_twopass(
 ) -> DataFrame:
     """EXACT phi-heavy hitters without a full-cardinality shuffle:
     pass 1 runs a Misra-Gries summary per partition (Arrow-batched
-    ``mapInPandas``, at most ``capacity`` counters held per partition),
+    ``mapInPandas``, at most ``2*capacity`` counters held per
+    partition even transiently -- the merge loop prunes mid-batch),
     pass 2 exact-counts ONLY the surviving candidate keys (broadcast
     semi-reduced join), keeps the keys whose exact count PROVABLY
     clears the support bound N/(capacity+1), and returns the top k of
@@ -856,6 +857,19 @@ def heavy_hitters_twopass(
 
     def mg_partition(batches):
         counters: dict = {}
+
+        def prune():
+            # Metwally-style MG merge: subtract the (capacity+1)-th
+            # largest weight from everything and keep the positives
+            # (<= capacity survive). Each prune destroys >=
+            # (capacity+1)*cut total weight, so the summed cuts -- the
+            # max undercount of any key -- stay <= N/(capacity+1).
+            ordered = sorted(counters.values(), reverse=True)
+            cut = ordered[capacity]
+            return {
+                key: w - cut for key, w in counters.items() if w - cut > 0
+            }
+
         for pdf in batches:
             vc = pdf[key_col].value_counts(dropna=False)
             for key, c in vc.items():
@@ -872,17 +886,15 @@ def heavy_hitters_twopass(
                     counters[key] += int(c)
                 else:
                     counters[key] = int(c)
+                    # transient-memory bound (ADVICE r14): prune INSIDE
+                    # the merge loop at 2*capacity, so the dict never
+                    # exceeds 2*capacity entries even on a
+                    # high-cardinality batch; amortized O(log cap) per
+                    # insertion, same N/(capacity+1) guarantee
+                    if len(counters) > 2 * capacity:
+                        counters = prune()
             if len(counters) > capacity:
-                # batched MG merge: keep the top `capacity` counters and
-                # subtract the (capacity+1)-th largest from survivors
-                # (Metwally-style; preserves the N/(capacity+1) bound)
-                ordered = sorted(counters.values(), reverse=True)
-                cut = ordered[capacity]
-                counters = {
-                    key: w - cut
-                    for key, w in counters.items()
-                    if w - cut > 0
-                }
+                counters = prune()
         yield pd.DataFrame(
             {
                 "key": [

@@ -5851,6 +5851,60 @@ def test_chisq_independence_brute_force_ground_truth(spark):
     assert got["chisq_micros"] == want
 
 
+def test_chisq_independence_null_categories_excluded(spark):
+    """NULL semantics (ADVICE r14): rows with a NULL in either column
+    are excluded BEFORE the contingency aggregate, so N equals the
+    summed cells and the statistic matches the non-null subset exactly
+    -- in BOTH engines (previously N counted the NULL rows while the
+    null-unsafe margin joins dropped their cells, biasing chisq)."""
+    import duckdb
+
+    from etl_world_banks_with_python_and_postgresql_spark.operators.constraints import (
+        chisq_independence,
+        chisq_independence_oracle_sql,
+    )
+
+    clean = [("x", "p")] * 4 + [("x", "q")] + [("y", "p")] + [("y", "r")] * 2
+    noisy = clean + [(None, "p")] * 3 + [("x", None)] * 2 + [(None, None)]
+    want = chisq_independence(
+        spark.createDataFrame(clean, "a string, b string"), "a", "b"
+    ).collect()[0].asDict()
+    got = chisq_independence(
+        spark.createDataFrame(noisy, "a string, b string"), "a", "b"
+    ).collect()[0].asDict()
+    assert got == want and got["n"] == len(clean)
+    rows_sql = "SELECT * FROM (VALUES " + ", ".join(
+        "({}, {})".format(
+            "NULL::VARCHAR" if a is None else f"'{a}'",
+            "NULL::VARCHAR" if b is None else f"'{b}'",
+        )
+        for a, b in noisy
+    ) + ") v(a, b)"
+    ocols = duckdb.sql(chisq_independence_oracle_sql(rows_sql)).fetchone()
+    assert dict(zip(list(want), ocols)) == want
+
+
+def test_magnitude_guard_raises_past_bound(spark):
+    """magnitude_guard: 0 below the bound, a loud runtime error above
+    it (ANSI is off in this session, so DECIMAL overflow alone would
+    NULL out silently -- the guard is the enforcement)."""
+    import pytest
+
+    from etl_world_banks_with_python_and_postgresql_spark.functions.exactnum import (
+        magnitude_guard,
+    )
+
+    df = spark.range(1).select(F.lit(10).cast("long").alias("n"))
+    ok = df.select(
+        (F.col("n") + magnitude_guard(F.col("n"), 100, "t")).alias("v")
+    ).collect()
+    assert ok[0]["v"] == 10
+    with pytest.raises(Exception, match="magnitude bound exceeded"):
+        df.select(
+            (F.col("n") + magnitude_guard(F.col("n"), 5, "t")).alias("v")
+        ).collect()
+
+
 def test_rank_agreement_kendall_hand_case(spark):
     """rank_agreement_kendall vs hand-derived pair counts: a 1-swap
     case (tau = 1/3), a full reversal (tau = -1e6), a single-conjoint
