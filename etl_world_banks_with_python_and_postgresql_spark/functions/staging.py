@@ -28,14 +28,37 @@ import os
 from pyspark.sql import DataFrame
 
 
-def staged(df: DataFrame) -> DataFrame:
-    """Materialize ``df`` now and return a lineage-cut DataFrame.
+def staged(df: DataFrame, mode: str = "eager") -> DataFrame:
+    """Materialize ``df`` once and return a reuse-safe DataFrame.
 
     Use when the result feeds MULTIPLE downstream consumers (fan-out
     >= 2) and the subtree is non-trivial (contains a scan/shuffle);
     for a single consumer it only adds a write.
+
+    ``mode`` is the call site's measured default (r15 A/B, min-of-3
+    fresh-JVM runs per mode at sf0.1):
+
+    - ``eager``: eager ``localCheckpoint``. Full lineage cut + blocks
+      on executor storage. Wins when the subtree is re-derived MANY
+      times and the re-derivation contains shuffles (z144: 12.5 s off
+      -> 10.5 s eager; 80 base scans -> 0). Costs a synchronization
+      barrier, and the resulting ``LogicalRDD`` has no size statistics,
+      so a downstream join against it loses the broadcast-hash planning
+      path until AQE re-optimizes at runtime.
+    - ``persist``: lazy MEMORY_AND_DISK cache. No barrier, keeps
+      Catalyst statistics (downstream broadcast joins survive), still
+      computes the subtree once per action tree. Wins for SMALL
+      fan-out results that feed size-sensitive joins (the z191/z192
+      ANN run legs: eager 4.2/3.9 s vs persist 2.6/2.8 s -- eager's
+      stat loss turned the tiny-side joins into shuffle joins).
+    - ``off``: no-op (A/B control; recompute-per-consumer baseline).
+
+    ``SPARK_GRAFT_STAGED_MODE`` overrides every call site globally
+    (A/B harness; unset in production).
     """
-    mode = os.environ.get("SPARK_GRAFT_STAGED_MODE", "eager")
+    mode = os.environ.get("SPARK_GRAFT_STAGED_MODE", mode)
+    if mode == "off":
+        return df
     if mode == "persist":
         from pyspark import StorageLevel
 

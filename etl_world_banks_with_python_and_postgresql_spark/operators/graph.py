@@ -175,7 +175,10 @@ r{i} AS (
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts over an UNDIRECTED graph, by
     degree-ordered edge orientation (the compact-forward / Cohen
@@ -205,17 +208,26 @@ def triangle_counts(
     Spark re-derives the whole subtree per consumer (80 base scans
     measured at sf0.1). Both are ``staged()`` -- materialized once,
     read as blocks.
+
+    ``assume_canonical=True`` declares the input ALREADY canonical
+    (distinct (u, v) pairs with src < dst, e.g. the staged sample in
+    :func:`triangle_estimate`) and skips the re-canonicalization --
+    one distinct shuffle and one checkpoint barrier saved; the caller
+    is responsible for having staged the input if it fans out.
     """
     from ..functions.staging import staged
 
-    e0 = staged(
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
+    if assume_canonical:
+        e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    else:
+        e0 = staged(
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("u"),
+                F.greatest(F.col(src), F.col(dst)).alias("v"),
+            )
+            .filter(F.col("u") < F.col("v"))
+            .distinct()
         )
-        .filter(F.col("u") < F.col("v"))
-        .distinct()
-    )
     deg = (
         e0.select(F.col("u").alias("node"))
         .unionByName(e0.select(F.col("v").alias("node")))
@@ -335,7 +347,10 @@ def triangle_estimate(
         )
     )
     n_kept = kept.agg(F.count(F.lit(1)).alias("n_edges_kept"))
-    tri = triangle_counts(kept).agg(
+    # kept IS canonical (filter of the distinct canonical e0) and
+    # already staged: skip triangle_counts' re-canonicalization
+    # (saves one distinct Exchange + one checkpoint barrier)
+    tri = triangle_counts(kept, assume_canonical=True).agg(
         F.coalesce(F.expr("sum(n_triangles) div 3"), F.lit(0))
         .cast("long")
         .alias("sampled_triangles")

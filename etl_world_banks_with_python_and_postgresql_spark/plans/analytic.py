@@ -817,7 +817,12 @@ def z144(spark, sf_dir):
         .filter(F.col("l_partkey") < F.col("_pb"))
         .select(F.col("l_partkey").alias("src"), F.col("_pb").alias("dst"))
     )
-    tc = triangle_counts(edges)
+    from ..functions.staging import staged
+
+    # staged: tc fans out into the global total AND the top-20 ranking
+    # -- without the cut the whole wedge-join subtree (the O(|E|^1.5)
+    # part) executes twice
+    tc = staged(triangle_counts(edges))
     total = tc.agg(
         F.expr("sum(n_triangles) div 3").alias("total_triangles")
     )

@@ -1094,7 +1094,7 @@ def z58(spark, sf_dir):
 
     # staged (VERDICT r14 #1): four detector legs share one corpus --
     # materialize the scan once instead of re-reading parquet per leg
-    docs = staged(load(spark, "documents", sf_dir))
+    docs = staged(load(spark, "documents", sf_dir), mode="persist")
 
     def one(name, df_count):
         return df_count.select(
@@ -2608,8 +2608,8 @@ def z191(spark, sf_dir):
     # staged (VERDICT r14 #1): each |Q|*k run leg is tiny but its
     # derivation is a full ANN pass; the agreement join would re-run
     # both legs per reference without the cut
-    run_a = staged(similarity.cosine_topk(emb, queries_side, k=10))
-    run_b = staged(similarity.quantized_topk(emb, queries_side, k=10))
+    run_a = staged(similarity.cosine_topk(emb, queries_side, k=10), mode="persist")
+    run_b = staged(similarity.quantized_topk(emb, queries_side, k=10), mode="persist")
     return rank_agreement_rbo(run_a, run_b, k=10, p=0.9)
 
 
@@ -2641,8 +2641,8 @@ def z192(spark, sf_dir):
     queries_side = emb.filter(F.col("vec_id") % 100 == 0)
     # staged: kendall's conjoint self-join references each leg twice
     # (see z191; 14 base scans measured before the cut)
-    run_a = staged(similarity.cosine_topk(emb, queries_side, k=10))
-    run_b = staged(similarity.quantized_topk(emb, queries_side, k=10))
+    run_a = staged(similarity.cosine_topk(emb, queries_side, k=10), mode="persist")
+    run_b = staged(similarity.quantized_topk(emb, queries_side, k=10), mode="persist")
     return rank_agreement_kendall(run_a, run_b, k=10)
 
 
