@@ -1848,15 +1848,22 @@ def power_iteration_top_pc(
 
     Scale: ONE corpus aggregate (dim*(dim+3)/2 + 1 map-side-combined
     sums -- shuffle payload O(dim^2 x partitions), corpus-size-free);
-    the iteration is a projection chain on that single row -- no
-    driver-side math, no collect, no join. ``dim`` is the gated block
-    size: the aggregate is O(dim^2) per row, so slice wide embeddings
-    to the leading block you need (the oracle unrolls O(dim^2 * n_iter)
-    expressions -- dim <= 16 is the practical twin range).
+    the iteration then runs on the DRIVER over that single collected
+    row (r15 optimization): w = A v is O(dim^2) arbitrary-precision
+    integer math per step -- Python ints are exact like the DECIMAL/
+    HUGEINT twin lanes, and ``//`` on nonnegative ints is exactly
+    ``floordiv_nonneg``, so the result is bit-identical to the former
+    distributed projection chain (pinned by the unchanged oracle). The
+    former in-plan form cost one Catalyst plan + codegen + 1-row
+    localCheckpoint job PER ITERATION (~16x expression-tree growth per
+    level forced the per-round cut; 5.5 s at sf0.1 of pure fixed
+    overhead); a 1-row collect is exempt from the no-driver-data rule
+    by the registry's own convention (1-row scalar reads). ``dim`` is
+    the gated block size: the aggregate is O(dim^2) per row, so slice
+    wide embeddings to the leading block you need (the oracle unrolls
+    O(dim^2 * n_iter) expressions -- dim <= 16 is the practical twin
+    range).
     """
-    from ..functions.exactnum import floordiv_nonneg
-
-    M = F.lit(1_000_000).cast("decimal(38,0)")
     micro = lambda c: F.round(c.cast("double") * 1000000).cast("long")  # noqa: E731
     vm = df.select(
         *[
@@ -1872,72 +1879,50 @@ def power_iteration_top_pc(
         for j in range(dim)
         for k in range(j, dim)
     ]
-    row = vm.agg(*aggs)
+    r = vm.agg(*aggs).collect()[0]  # 1-row scalar read (dim^2 cells)
 
-    def a(j: int, k: int):
-        lo, hi = min(j, k), max(j, k)
-        return (
-            F.col("n") * F.col(f"c{lo}_{hi}")
-            - F.col(f"s{j}") * F.col(f"s{k}")
-        )
-
-    mat = row.select(
-        *[a(j, k).alias(f"a{j}_{k}") for j in range(dim) for k in range(dim)]
-    )
-    # v0 = all-ones in micros; each iteration: w = A v, v' = max-abs
-    # normalized w (HALF_UP micros, sign-aware)
-    cur = mat.select(
-        "*", *[M.alias(f"v{k}") for k in range(dim)]
-    )
-    for _it in range(n_iter):
-        w = [
-            sum(
-                (F.col(f"a{k}_{j}") * F.col(f"v{j}") for j in range(1, dim)),
-                F.col(f"a{k}_0") * F.col("v0"),
-            ).alias(f"w{k}")
-            for k in range(dim)
-        ]
-        stepped = cur.select("*", *w)
-        mx = F.greatest(*[F.abs(F.col(f"w{k}")) for k in range(dim)])
-        normed = [
-            F.when(mx == 0, F.lit(0).cast("decimal(38,0)"))
-            .otherwise(
-                F.when(F.col(f"w{k}") < 0, F.lit(-1))
-                .otherwise(F.lit(1))
-                .cast("decimal(38,0)")
-                * floordiv_nonneg(
-                    F.lit(2).cast("decimal(38,0)") * M * F.abs(F.col(f"w{k}"))
-                    + mx,
-                    F.lit(2).cast("decimal(38,0)") * mx,
-                )
-            )
-            .alias(f"v{k}")
-            for k in range(dim)
-        ]
-        cur = stepped.select(
-            *[F.col(f"a{j}_{k}") for j in range(dim) for k in range(dim)],
-            *normed,
-        )
-        # cut the expression tree EVERY iteration: Catalyst collapses
-        # the projection chain by substitution, so each v_k inlines its
-        # w's (and their mx/sign/abs references) recursively -- ~16x
-        # tree growth per level, and planning cost dominates the ~100 ms
-        # 1-row checkpoint job (measured: per-iteration cuts 5.8 s ->
-        # 3.8 s vs every-2). Remaining per-call cost is codegen/planning
-        # constants that vanish at real scale (PERF.md).
-        cur = cur.localCheckpoint()
-    per_dim = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(k).cast("int").alias("dim_idx"),
-                    F.col(f"v{k}").cast("long").alias("pc_micros"),
-                )
+    # driver-side exact iterate over the collected moment row: Python
+    # ints ARE the DECIMAL(38,0)/HUGEINT lane (unbounded, exact), and
+    # `//` on nonnegative ints == floordiv_nonneg. Empty input mirrors
+    # the SQL NULL propagation: every output is NULL.
+    if r["n"] is None or int(r["n"]) == 0:
+        pc: list[int | None] = [None] * dim
+    else:
+        n = int(r["n"])
+        s = [int(r[f"s{j}"]) for j in range(dim)]
+        c = {
+            (j, k): int(r[f"c{j}_{k}"])
+            for j in range(dim)
+            for k in range(j, dim)
+        }
+        A = [
+            [
+                n * c[(min(j, k), max(j, k))] - s[j] * s[k]
                 for k in range(dim)
             ]
-        )
-    ).alias("p")
-    return cur.select(per_dim).select("p.dim_idx", "p.pc_micros")
+            for j in range(dim)
+        ]
+        # v0 = all-ones in micros; each iteration: w = A v, v' =
+        # max-abs normalized w (HALF_UP micros, sign-aware)
+        v = [1_000_000] * dim
+        for _it in range(n_iter):
+            w = [
+                sum(A[k][j] * v[j] for j in range(dim)) for k in range(dim)
+            ]
+            mx = max(abs(x) for x in w)
+            if mx == 0:
+                v = [0] * dim
+            else:
+                v = [
+                    (-1 if x < 0 else 1)
+                    * ((2 * 1_000_000 * abs(x) + mx) // (2 * mx))
+                    for x in w
+                ]
+        pc = list(v)
+    return df.sparkSession.createDataFrame(
+        [(k, pc[k]) for k in range(dim)],
+        "dim_idx int, pc_micros long",
+    )
 
 
 def power_iteration_oracle_sql(

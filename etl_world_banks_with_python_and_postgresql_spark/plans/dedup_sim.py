@@ -1985,9 +1985,11 @@ from ..operators.similarity import (  # noqa: E402
         "max-abs normalization (L2 needs sqrt; power iteration "
         "converges under any norm) with sign-aware HALF_UP micros. ONE "
         "corpus aggregate (O(dim^2) map-side-combined sums, shuffle "
-        "payload corpus-size-free); the iteration is a projection chain "
-        "on that single row -- no collect, no join, no driver math. "
-        "Unrolled HUGEINT oracle replays every step bit-for-bit"
+        "payload corpus-size-free); the iteration is exact unbounded-"
+        "int driver math over that single collected row (r15: the "
+        "former per-iteration plan+codegen+checkpoint chain was pure "
+        "fixed overhead). Unrolled HUGEINT oracle replays every step "
+        "bit-for-bit"
     ),
 )
 def z148(spark, sf_dir):
