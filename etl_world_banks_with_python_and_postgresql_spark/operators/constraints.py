@@ -619,10 +619,20 @@ def classification_report(
     recall_micros, f1_micros).
     """
     from ..functions.exactnum import ratio_micros_halfup
+    from ..functions.staging import staged
 
-    conf = df.groupBy(
-        F.col(truth_col).alias("_t"), F.col(pred_col).alias("_p")
-    ).agg(F.count(F.lit(1)).alias("_n"))
+    # staged (r15): conf fans out into tp + truth totals + pred totals
+    # -- without the cut the corpus-sized (truth, pred) aggregate (and
+    # everything upstream of it, e.g. z184's langid expressions) runs
+    # THREE times. persist mode: the confusion table is bounded by the
+    # class universe squared, and keeping Catalyst stats lets the
+    # downstream full-outer/left joins stay broadcast.
+    conf = staged(
+        df.groupBy(
+            F.col(truth_col).alias("_t"), F.col(pred_col).alias("_p")
+        ).agg(F.count(F.lit(1)).alias("_n")),
+        mode="persist",
+    )
     tp = (
         conf.filter(F.col("_t") == F.col("_p"))
         .select(F.col("_t").alias("class"), F.col("_n").alias("tp"))
@@ -840,9 +850,16 @@ def clustering_pair_eval(
         nd = dec(n)
         return nd * (nd - 1) / F.lit(2).cast("decimal(38,0)")
 
-    cont = df.groupBy(
-        F.col(cluster_col).alias("_c"), F.col(truth_col).alias("_t")
-    ).agg(F.count(F.lit(1)).alias("_n"))
+    from ..functions.staging import staged
+
+    # staged (r15): cont fans out into s/pc/pt -- without the cut the
+    # corpus-sized (cluster, truth) aggregate runs three times
+    cont = staged(
+        df.groupBy(
+            F.col(cluster_col).alias("_c"), F.col(truth_col).alias("_t")
+        ).agg(F.count(F.lit(1)).alias("_n")),
+        mode="persist",
+    )
     s = cont.agg(
         F.sum(c2(F.col("_n"))).cast("decimal(38,0)").alias("tp"),
         F.sum("_n").cast("long").alias("n_items"),
@@ -956,11 +973,24 @@ def join_explosion_preflight(
     """
     from ..functions.exactnum import ratio_micros_halfup
 
-    lc = left.groupBy(F.col(left_key).alias("_k")).agg(
-        F.count(F.lit(1)).alias("_na")
+    from ..functions.staging import staged
+
+    # staged (r15): each key-count table fans out into the joint-pairs
+    # leg AND its own 1-row total -- without the cut both corpus
+    # aggregates run twice. persist: the count tables are bounded by
+    # distinct keys (and spill to disk if that is still large), which
+    # beats re-aggregating the full input.
+    lc = staged(
+        left.groupBy(F.col(left_key).alias("_k")).agg(
+            F.count(F.lit(1)).alias("_na")
+        ),
+        mode="persist",
     )
-    rc = right.groupBy(F.col(right_key).alias("_k")).agg(
-        F.count(F.lit(1)).alias("_nb")
+    rc = staged(
+        right.groupBy(F.col(right_key).alias("_k")).agg(
+            F.count(F.lit(1)).alias("_nb")
+        ),
+        mode="persist",
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     joint = lc.join(rc, "_k").select(
@@ -1090,10 +1120,15 @@ def chisq_independence(
 
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
 
-    cont = (
+    from ..functions.staging import staged
+
+    # staged (r15): cont fans out into ra/cb/tot/j -- without the cut
+    # the corpus-sized (a, b) aggregate runs four times
+    cont = staged(
         df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
         .groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
-        .agg(F.count(F.lit(1)).alias("_o"))
+        .agg(F.count(F.lit(1)).alias("_o")),
+        mode="persist",
     )
     ra = cont.groupBy("_a").agg(F.sum("_o").alias("_r"))
     cb = cont.groupBy("_b").agg(F.sum("_o").alias("_c"))

@@ -580,13 +580,20 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("d"))
         )
 
+    from ..functions.staging import staged
+
     rounds = 0
     for _ in range(max_rounds):
-        deg = degrees(alive)
+        # staged persist (r15): deg feeds BOTH the fixpoint test and
+        # the survivor filter -- without the cache the degree aggregate
+        # over the alive blocks runs twice per round. The isEmpty()
+        # action below fills the cache; the semi-joins then read it.
+        deg = staged(degrees(alive), mode="persist")
         low = deg.filter(F.col("d") < k)
         # one tiny action per round (the CC discipline): the fixpoint
         # test IS the work list
         if low.isEmpty():
+            deg.unpersist()
             break
         rounds += 1
         good = deg.filter(F.col("d") >= k).select("node")
@@ -598,6 +605,7 @@ def k_core(
             .select("a", "b")
             .localCheckpoint()
         )
+        deg.unpersist()  # alive is materialized; the cache is spent
     else:
         # ADVICE r12: the loop tests convergence only at the TOP of each
         # round, so a graph whose fixpoint lands exactly on the
@@ -692,9 +700,19 @@ def k_hop_reach(
         .filter(F.col("a") < F.col("b"))
         .distinct()
     )
+    # single-pass symmetrization (r15): the former union of two selects
+    # re-derived e0 (and its whole upstream edge build) twice inside
+    # the checkpoint job; one explode of both orientations reads it once
     sym = (
-        e0.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionByName(e0.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        e0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                )
+            ).alias("_p")
+        )
+        .select("_p.u", "_p.v")
         .localCheckpoint()
     )
     if max_transit_degree is not None:
@@ -787,7 +805,12 @@ def degree_assortativity(
     d_max -- holds to ~10^15 edges at d_max 1e4. Output one row:
     (m_endpoint_pairs, sx, sxx, sxy, assortativity_micros).
     """
-    e = (
+    from ..functions.staging import staged
+
+    # staged (r15): e fans out into both degree legs AND the endpoint
+    # join -- without the cut the upstream edge build (z180: a lineitem
+    # self-join) re-derives 4x (10 base scans measured at sf0.001)
+    e = staged(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
@@ -913,9 +936,19 @@ def harmonic_centrality(
         .filter(F.col("a") < F.col("b"))
         .distinct()
     )
+    # single-pass symmetrization (r15): the former union of two selects
+    # re-derived e0 (and its whole upstream edge build) twice inside
+    # the checkpoint job; one explode of both orientations reads it once
     sym = (
-        e0.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionByName(e0.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        e0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                )
+            ).alias("_p")
+        )
+        .select("_p.u", "_p.v")
         .localCheckpoint()
     )
     if max_transit_degree is not None:
