@@ -73,16 +73,25 @@ def pagerank(
     """
     if n_iter < 1:
         raise ValueError(f"pagerank: n_iter must be >= 1, got {n_iter}")
+    from ..functions.staging import staged
+
     w_col = (
         F.col(weight).cast("long") if weight else F.lit(1).cast("long")
     )
-    e = edges.select(
-        F.col(src).alias("_src"), F.col(dst).alias("_dst"),
-        w_col.alias("_w"),
+    # staged (r15): e feeds the node universe (2 legs), the out-degree
+    # aggregate AND the degree join -- without the cut the caller's
+    # edge build (z132: a lineitem-orders join + distinct) re-derives
+    # ~4x before the first iteration starts
+    e = staged(
+        edges.select(
+            F.col(src).alias("_src"), F.col(dst).alias("_dst"),
+            w_col.alias("_w"),
+        )
     )
     nodes = (
-        e.select(F.col("_src").alias("node"))
-        .unionByName(e.select(F.col("_dst").alias("node")))
+        e.select(
+            F.explode(F.array(F.col("_src"), F.col("_dst"))).alias("node")
+        )
         .distinct()
         .localCheckpoint()
     )
@@ -424,21 +433,27 @@ def connected_components(
     component -- every node of the input appears exactly once (a node
     seen only in self-loop edges is its own singleton component).
     """
-    e0 = (
+    from ..functions.staging import staged
+
+    # ONE canonicalization pass (r15): the self-loop leg used to
+    # re-execute the caller's whole edge build a second time just to
+    # find (usually zero) loop nodes. Stage the canonical pairs
+    # UNFILTERED once; both e0 and the loop leg read the blocks.
+    pairs = staged(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
         )
-        .filter(F.col("a") < F.col("b"))
+    )
+    e0 = (
+        pairs.filter(F.col("a") < F.col("b"))
         .distinct()
         .localCheckpoint()
     )
     # node universe must include nodes seen ONLY in self-loop edges
-    # (dropped from e0 by the a < b filter); the main legs read the
-    # checkpointed e0 so the upstream edge plan is re-executed only for
-    # the cheap filtered self-loop leg
-    loops = edges.filter(F.col(src) == F.col(dst)).select(
-        F.col(src).alias("node")
+    # (dropped from e0 by the a < b filter)
+    loops = pairs.filter(F.col("a") == F.col("b")).select(
+        F.col("a").alias("node")
     )
     nodes = (
         e0.select(F.col("a").alias("node"))

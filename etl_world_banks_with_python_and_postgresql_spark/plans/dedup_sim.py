@@ -2336,13 +2336,19 @@ def z177(spark, sf_dir):
     w = W.partitionBy("cluster_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )
-    sizes = m.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members")
-    )
+    # r15: n_members rides the SAME cluster_id partitioning as the
+    # keep-ranking window -- one shuffle total, no group-and-join-back
+    # (and m is not consumed twice anymore)
     return (
-        m.withColumn("_rn", F.row_number().over(w))
+        m.select(
+            "*",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1))
+            .over(W.partitionBy("cluster_id"))
+            .cast("long")
+            .alias("n_members"),
+        )
         .filter(F.col("_rn") == 1)
-        .join(sizes, "cluster_id")
         .select(
             "cluster_id",
             F.col("doc_id").alias("keep_doc"),
