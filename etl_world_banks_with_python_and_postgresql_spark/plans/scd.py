@@ -139,6 +139,12 @@ def q28(spark, sf_dir):
         batch_id="batch-new",
         table_name="scd_demo",
         now=datetime(2024, 6, 1),
+        # r15: the snapshot derives BOTH the update leg and the insert
+        # leg from the classified actions (plus the max-id scan) --
+        # without the checkpoint the classify join re-executes per leg
+        # (25 base scans measured at sf0.001). This is the documented
+        # intended mode for snapshot consumers (the pipeline sets it).
+        materialize_actions=True,
     )
     return res.target.select("k", "v", "active", "batch_id")
 

@@ -100,15 +100,73 @@ def build_sf1(spark) -> None:
         print(f"# built {t}: {spark.read.parquet(out).count()} rows")
 
 
+# sf1 probe set for the LLM-pipeline headliners (VERDICT r14 #3): the
+# operators a 100 TB corpus user runs first. These read `documents`,
+# which the relational builder leaves unscaled -- `--llm` builds a
+# DISJOINT 10x corpus instead: doc_id shifted per copy AND every
+# whitespace token suffixed "_<i>" (copy 0 verbatim), so within-copy
+# dup/near-dup structure is preserved EXACTLY while cross-copy shingle/
+# line/hash spaces are disjoint (identical copies would instead grow
+# every LSH bucket 10x and measure a data-induced quadratic blowup,
+# not the operator's scaling -- the graph_scale_probe disjoint-copy
+# rule).
+LLM_ENTRIES = [
+    "q30_dedup_exact",
+    "q32_dedup_minhash_lsh",
+    "z118_line_dedup",
+    "q48_decontaminate",
+    "z114_minhash_index_build",
+    "z115_minhash_index_probe",
+    "z144_triangle_count",
+]
+
+
+def build_sf1_llm(spark) -> None:
+    os.makedirs(DST, exist_ok=True)
+    out = f"{DST}/documents.parquet"
+    if os.path.exists(out) and not os.path.islink(out):
+        return
+    if os.path.islink(out):
+        os.unlink(out)
+    base = spark.read.parquet(f"{SRC}/documents.parquet")
+    max_id = base.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = [base]
+    for i in range(1, COPIES):
+        suffixed = F.array_join(
+            F.transform(
+                F.split(F.col("text"), r"\s+"),
+                lambda w: F.concat(w, F.lit(f"_{i}")),
+            ),
+            " ",
+        )
+        parts.append(
+            base.withColumn("doc_id", F.col("doc_id") + i * max_id)
+            .withColumn("text", suffixed)
+        )
+    united = parts[0]
+    for p in parts[1:]:
+        united = united.unionByName(p)
+    united.write.mode("overwrite").parquet(out + ".staging")
+    import shutil
+
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.rename(out + ".staging", out)
+    print(f"# built documents: {spark.read.parquet(out).count()} rows")
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--rebuild"]
+    args = [a for a in sys.argv[1:] if a not in ("--rebuild", "--llm")]
     if "--rebuild" in sys.argv:
         import shutil
 
         shutil.rmtree(DST, ignore_errors=True)
-    entries = args or DEFAULT_ENTRIES
+    llm = "--llm" in sys.argv
+    entries = args or (LLM_ENTRIES if llm else DEFAULT_ENTRIES)
     spark = get_spark(app_name="sf1-scale-probe")
     build_sf1(spark)
+    if llm:
+        build_sf1_llm(spark)
 
     from etl_world_banks_with_python_and_postgresql_spark.plans.queries import (
         REGISTRY,
