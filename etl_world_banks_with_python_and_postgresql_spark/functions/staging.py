@@ -55,6 +55,16 @@ def staged(df: DataFrame, mode: str = "eager") -> DataFrame:
 
     ``SPARK_GRAFT_STAGED_MODE`` overrides every call site globally
     (A/B harness; unset in production).
+
+    LIFETIME of persist-mode blocks (ADVICE r15): the operators return
+    LAZY DataFrames, so there is no after-the-action point inside the
+    operator where an unpersist could go -- the cache entry lives until
+    the session's LRU evicts it (MEMORY_AND_DISK: spilled, not lost) or
+    until the caller releases it. Long-lived sessions running many
+    staged queries should call :func:`release_staged` between logical
+    units (the bench harness's ``reset_block_state`` does exactly this
+    between entries); per-entry state is therefore bounded to one
+    entry's staged subtrees.
     """
     mode = os.environ.get("SPARK_GRAFT_STAGED_MODE", mode)
     if mode == "off":
@@ -66,3 +76,17 @@ def staged(df: DataFrame, mode: str = "eager") -> DataFrame:
     if mode == "lazy":
         return df.localCheckpoint(eager=False)
     return df.localCheckpoint(eager=True)
+
+
+def release_staged(spark) -> None:
+    """Release every staged block in the session: cached DataFrames
+    (persist-mode sites) and localCheckpoint RDD blocks (eager sites).
+    The session-level cleanup hook bounding persist-mode staging's
+    lifetime (ADVICE r15) -- call between logical units of work in a
+    long-lived session. Blocking, so the next unit never races the
+    eviction."""
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()  # noqa: SLF001
+    it = jsc.getPersistentRDDs().iterator()
+    while it.hasNext():
+        it.next()._2().unpersist(True)

@@ -32,6 +32,8 @@ what the curation use case consumes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -228,6 +230,21 @@ def triangle_counts(
 
     if assume_canonical:
         e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        if os.environ.get("SPARK_GRAFT_DEBUG_ASSERTS") == "1":
+            # opt-in guard (ADVICE r15): the flag silently double-counts
+            # wedges if the input is NOT distinct canonical pairs. The
+            # check costs two count jobs, so it is debug-mode only.
+            n_raw = e0.count()
+            n_canon = (
+                e0.filter(F.col("u") < F.col("v")).distinct().count()
+            )
+            if n_raw != n_canon:
+                raise ValueError(
+                    "triangle_counts(assume_canonical=True): input is "
+                    f"not a distinct canonical edge set ({n_raw} rows, "
+                    f"{n_canon} distinct u<v pairs) -- counts would be "
+                    "wrong; pass assume_canonical=False"
+                )
     else:
         e0 = staged(
             edges.select(
@@ -261,7 +278,14 @@ def triangle_counts(
     wedges = w1.join(w2, "s").filter(F.col("t1") < F.col("t2"))
     # closing edges are (degree, id)-oriented; wedges are id-ordered --
     # match both orientations or triangles whose closing edge's
-    # lower-(degree,id) endpoint has the HIGHER id are silently dropped
+    # lower-(degree,id) endpoint has the HIGHER id are silently dropped.
+    # (r16 A/B NOTE: matching the CANONICAL e0 directly -- equivalent,
+    # half the closing rows -- measured 6.9 -> 10.1 s at sf0.1: the
+    # closing side inherits e0's AQE-coalesced ~10-partition hash(u,v)
+    # layout through the checkpoint, and the planner then shuffles the
+    # much larger wedge side into those 10 partitions. The union below
+    # has UnknownPartitioning, so both join legs exchange at planner
+    # width and AQE re-coalesces per-stage by actual bytes. Rejected.)
     closing = o.select(
         F.col("s").alias("t1"), F.col("t").alias("t2")
     ).unionByName(o.select(F.col("t").alias("t1"), F.col("s").alias("t2")))
@@ -439,8 +463,15 @@ def connected_components(
     # re-execute the caller's whole edge build a second time just to
     # find (usually zero) loop nodes. Stage the canonical pairs
     # UNFILTERED once; both e0 and the loop leg read the blocks.
+    # NULL endpoints are dropped BEFORE least/greatest (r16, ADVICE
+    # r15): least/greatest skip NULLs, so an edge (NULL, x) would
+    # canonicalize to (x, x) and leak x into the loop leg as a
+    # singleton -- the pre-r15 form (edges.filter(src == dst)) dropped
+    # NULL-endpoint edges entirely, and that is the pinned semantics
+    # (tests/test_advice_fixes.py::test_cc_null_endpoint_edges_dropped).
     pairs = staged(
-        edges.select(
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
         )

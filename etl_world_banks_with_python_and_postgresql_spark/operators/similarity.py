@@ -1885,7 +1885,21 @@ def power_iteration_top_pc(
     # ints ARE the DECIMAL(38,0)/HUGEINT lane (unbounded, exact), and
     # `//` on nonnegative ints == floordiv_nonneg. Empty input mirrors
     # the SQL NULL propagation: every output is NULL.
-    if r["n"] is None or int(r["n"]) == 0:
+    if (
+        r["n"] is None
+        or int(r["n"]) == 0
+        or any(r[f"s{j}"] is None for j in range(dim))
+        or any(
+            r[f"c{j}_{k}"] is None
+            for j in range(dim)
+            for k in range(j, dim)
+        )
+    ):
+        # a NULL moment cell with n > 0 (e.g. every vector shorter than
+        # dim, so element_at -> NULL and SUM over all-NULL is NULL)
+        # propagates to an all-NULL pc row, matching the former in-plan
+        # SQL's NULL arithmetic instead of raising TypeError on int(None)
+        # (ADVICE r15; pinned by tests/test_advice_fixes.py)
         pc: list[int | None] = [None] * dim
     else:
         n = int(r["n"])

@@ -182,7 +182,13 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
         # the classify join from re-executing across collect + write.
         banks_res = merge_scd(
             banks_target, banks_batch, id_col="world_bank_id",
-            materialize_actions=True, **banks_kw
+            materialize_actions=True,
+            # surrogate-id high-water mark from the committed snapshot's
+            # parquet footers (r16, guide §5): exact for int64 stats,
+            # zero Spark jobs; None (stats unusable) falls back to the
+            # in-plan max aggregate
+            max_id=sinks.snapshot_column_max(banks_path, "world_bank_id"),
+            **banks_kw
         )
         # `changed` additionally joins the old target files: pin it too
         banks_res.changed = banks_res.changed.localCheckpoint(eager=True)
@@ -220,7 +226,10 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
         # same pre-swap materialization as the banks path above
         rates_res = merge_scd(
             rates_target, rates_batch, id_col="exchange_rate_id",
-            materialize_actions=True, **rates_kw
+            materialize_actions=True,
+            # footer-stat high-water mark, same as the banks leg
+            max_id=sinks.snapshot_column_max(rates_path, "exchange_rate_id"),
+            **rates_kw
         )
         rates_res.changed = rates_res.changed.localCheckpoint(eager=True)
     rates_target_new = rates_res.target
@@ -262,8 +271,13 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
         banks_total = banks_table.read(spark, schemas.WORLD_BANK_DATA).count()
         rates_total = rates_table.read(spark, schemas.EXCHANGES_RATES).count()
     else:
-        banks_total = spark.read.parquet(banks_path).count()
-        rates_total = spark.read.parquet(rates_path).count()
+        # audit totals from the COMMITTED snapshot's parquet footers
+        # (r16): same committed files the former
+        # spark.read.parquet(path).count() read, same exact number
+        # (num_rows is mandatory footer metadata), two Spark jobs fewer
+        # per run -- the audit-reads-committed-state contract holds
+        banks_total = sinks.snapshot_row_count(banks_path)
+        rates_total = sinks.snapshot_row_count(rates_path)
     for row, total in ((banks_counters_row, banks_total), (rates_counters_row, rates_total)):
         lines = summarize(row.asDict(), total)
         summary_lines.extend(lines)

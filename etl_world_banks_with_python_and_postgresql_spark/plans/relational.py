@@ -2260,11 +2260,19 @@ def z89(spark, sf_dir):
     v = IncrementalJoinView(path, key="c_custkey")
     # interleaved arrival: half the customers, half the orders, rest
     # of the customers, rest of the orders -- every delta-rule branch
-    # (dA x B_so_far, A_so_far x dB) is exercised
-    v.ingest_left(cust.filter(F.col("c_custkey") % 2 == 0))
-    v.ingest_right(orders.filter(F.col("o_orderkey") % 2 == 0))
-    v.ingest_left(cust.filter(F.col("c_custkey") % 2 == 1))
-    v.ingest_right(orders.filter(F.col("o_orderkey") % 2 == 1))
+    # (dA x B_so_far, A_so_far x dB) is exercised. Batched ingest
+    # (r16, VERDICT r15 #2): identical per-batch dirs, ledger order,
+    # and as_of semantics (pinned by tests/test_ivm_batched.py), at
+    # one store write per side + one view write + one ledger CAS
+    # instead of (2 writes + CAS) x 4
+    v.ingest_many(
+        [
+            ("left", cust.filter(F.col("c_custkey") % 2 == 0)),
+            ("right", orders.filter(F.col("o_orderkey") % 2 == 0)),
+            ("left", cust.filter(F.col("c_custkey") % 2 == 1)),
+            ("right", orders.filter(F.col("o_orderkey") % 2 == 1)),
+        ]
+    )
     return v.read(spark).select(
         "c_custkey", "c_name", "o_orderkey", "o_totalprice"
     )
@@ -2308,20 +2316,23 @@ def z101(spark, sf_dir):
     path = "spark-warehouse/z101_cdc_join_view"
     shutil.rmtree(path, ignore_errors=True)
     v = CdcJoinView(path, key="c_custkey")
-    v.ingest_left(signed(cust, +1), batch_id="c0")
-    v.ingest_right(signed(orders, +1), batch_id="o0")
     # update wave: every custkey ending in 3 gets a new name
     old = cust.filter(F.col("c_custkey") % 10 == 3)
     new = old.withColumn(
         "c_name", F.concat(F.col("c_name"), F.lit(" (updated)"))
     )
-    v.ingest_left(
-        signed(old, -1).unionByName(signed(new, +1)), batch_id="c1"
-    )
-    # delete wave: every 7th order retracted
-    v.ingest_right(
-        signed(orders.filter(F.col("o_orderkey") % 7 == 0), -1),
-        batch_id="o1",
+    # batched ingest (r16, VERDICT r15 #2): same four batches in the
+    # same order with identical dirs/ledger/as_of (tests/
+    # test_ivm_batched.py); one store write per side + one view write
+    # + one CAS instead of per-delta fixed cost. The delete wave is
+    # the -1 retraction of every 7th order
+    v.ingest_many(
+        [
+            ("left", signed(cust, +1), "c0"),
+            ("right", signed(orders, +1), "o0"),
+            ("left", signed(old, -1).unionByName(signed(new, +1)), "c1"),
+            ("right", signed(orders.filter(F.col("o_orderkey") % 7 == 0), -1), "o1"),
+        ]
     )
     return v.read(spark).select(
         "c_custkey", "c_name", "o_orderkey", "o_totalprice", "n_copies"
@@ -2365,18 +2376,28 @@ def z102(spark, sf_dir):
         keys=["event_type"],
         measures={"total_value": "CAST(value AS DECIMAL(25,6))"},
     )
-    v.ingest(signed(ev.filter(F.col("event_id") % 2 == 0), +1), "i0")
-    v.ingest(signed(ev.filter(F.col("event_id") % 2 == 1), +1), "i1")
-    # update wave: every event_id % 11 == 3 reclassified (group move)
+    # update wave: every event_id % 11 == 3 reclassified (group move);
+    # delete wave: every event_id % 11 == 0 retracted. Batched ingest
+    # (r16, VERDICT r15 #2): linear partials are independent, so the
+    # four batches ride ONE partial write + ONE ledger CAS with
+    # identical per-batch dirs/order (tests/test_ivm_batched.py)
     old = ev.filter(F.col("event_id") % 11 == 3)
-    v.ingest(
-        signed(old, -1).unionByName(
-            signed(old.withColumn("event_type", F.lit("reclassified")), +1)
-        ),
-        "u0",
+    v.ingest_many(
+        [
+            (signed(ev.filter(F.col("event_id") % 2 == 0), +1), "i0"),
+            (signed(ev.filter(F.col("event_id") % 2 == 1), +1), "i1"),
+            (
+                signed(old, -1).unionByName(
+                    signed(
+                        old.withColumn("event_type", F.lit("reclassified")),
+                        +1,
+                    )
+                ),
+                "u0",
+            ),
+            (signed(ev.filter(F.col("event_id") % 11 == 0), -1), "d0"),
+        ]
     )
-    # delete wave: every event_id % 11 == 0 retracted
-    v.ingest(signed(ev.filter(F.col("event_id") % 11 == 0), -1), "d0")
     v.compact(spark)  # merge-on-read bound exercised in-gate
     return v.read(spark).select(
         "event_type",

@@ -51,7 +51,16 @@ def get_spark(
         # more stable than 24g (bench suite A/B: 44s vs 117-134s with
         # multi-10s GC spikes rotating across the UDF-heavy queries) --
         # a bigger heap just defers collection into huge full-GC pauses.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 16g default (r16): under ParallelGC the 140-entry bench suite
+        # ages the 8g heap -- entries late in the suite ran up to 2.6x
+        # their fresh-JVM minima from full-GC churn (z144 in-suite 18.2 s
+        # vs 6.9 s isolated). Full-suite A/B on a quiet box: 8g 172.5 s,
+        # 16g 146.3 s, 24g 143.9 s -- the curve flattens past 16g, so
+        # take the smaller footprint. Parameterized: a cluster deployment
+        # sizes its own driver; this is the local single-JVM default.
+        # (The r5-era 8g-vs-24g finding predates the ParallelGC switch;
+        # G1 at 24g full-GC'd, ParallelGC does not.)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     # Driver JVM flags, applied only at JVM launch -- parameterized so a
     # cluster deployment sets its own (SPARK_GRAFT_DRIVER_JAVA_OPTS="" to

@@ -49,6 +49,66 @@ def read_snapshot(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def snapshot_row_count(path: str) -> int:
+    """EXACT row count of a committed parquet snapshot from the file
+    FOOTERS (pyarrow, driver-side) -- zero Spark jobs. ``num_rows`` is
+    mandatory parquet metadata, so this is always exact and always
+    available; it reads the same committed files a
+    ``spark.read.parquet(path).count()`` would (the audit
+    reads-committed-state contract is unchanged -- only the executor
+    pass over the data is gone; guide §5: the driver reads metadata,
+    not data). Missing dir counts 0 (pre-first-run)."""
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(path):
+        return 0
+    total = 0
+    for name in sorted(os.listdir(path)):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+    return total
+
+
+def snapshot_column_max(path: str, col: str) -> int | None:
+    """MAX of an integer column of a committed parquet snapshot from
+    footer column statistics (driver-side, zero Spark jobs) -- the
+    surrogate-id high-water-mark read. Parquet int64 min/max stats are
+    exact (truncation only applies to binary types). Returns 0 for a
+    missing/empty snapshot (the merge's empty-target convention) and
+    None when any file lacks usable stats -- callers fall back to the
+    aggregate scan (pruning-style degrade: metadata is an optimization,
+    never a semantics change)."""
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(path):
+        return 0
+    mx = None
+    saw_rows = False
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(path, name))
+        try:
+            ci = pf.schema_arrow.names.index(col)
+        except ValueError:
+            return None
+        if not str(pf.schema_arrow.types[ci]).startswith("int"):
+            return None  # exactness argument only holds for integers
+        for rg in range(pf.metadata.num_row_groups):
+            rgm = pf.metadata.row_group(rg)
+            if rgm.num_rows == 0:
+                continue
+            saw_rows = True
+            st = rgm.column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            v = st.max
+            mx = v if mx is None or v > mx else mx
+    if not saw_rows:
+        return 0  # empty snapshot == empty target: max id convention 0
+    return mx if mx is not None else None
+
+
 def append_log(df: DataFrame, path: str) -> None:
     """S9 append-only log sink (process_logs / log_counts).
 

@@ -692,3 +692,110 @@ def test_hash_sample_centroids_plan_is_take_ordered(spark):
     a = _hash_sample_centroids(df, 4, "vec_id", "embedding")
     b = _hash_sample_centroids(df.repartition(13), 4, "vec_id", "embedding")
     assert a == b and len(a) == 4
+
+
+# --- round-15 advisor findings (ADVICE.md r15), fixed in r16 ----------------
+
+
+def test_cc_null_endpoint_edges_dropped(spark):
+    """ADVICE r15 #1: an edge (NULL, x) must NOT leak x in as a
+    singleton component via least/greatest NULL-skipping -- the pinned
+    semantics is the pre-r15 one: NULL-endpoint edges are dropped."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 99), (98, None), (None, None), (5, 5)],
+        "src long, dst long",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    # 99 / 98 never appear; the true self-loop 5 stays its own singleton
+    assert got == {(1, 1), (2, 1), (5, 5)}
+
+
+def test_power_iteration_null_moment_cells_yield_null_row(spark):
+    """ADVICE r15 #2: a component that is NULL in every row (NULL
+    vector elements) -> SUM over all-NULL is NULL with n > 0; the
+    driver-side iterate must emit the all-NULL pc row (the old in-plan
+    SQL NULL propagation), not raise TypeError on int(None)."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.similarity import (
+        power_iteration_top_pc,
+    )
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, None],), ([3.0, 4.0, None],)],
+        "embedding array<double>",
+    )
+    out = power_iteration_top_pc(df, vec_col="embedding", dim=3, n_iter=2)
+    rows = sorted(out.collect(), key=lambda r: r["dim_idx"])
+    assert [r["pc_micros"] for r in rows] == [None, None, None]
+
+
+def test_triangle_assume_canonical_debug_guard(spark, monkeypatch):
+    """ADVICE r15 #4: with SPARK_GRAFT_DEBUG_ASSERTS=1 a non-canonical
+    input to assume_canonical=True raises instead of silently
+    double-counting wedges."""
+    from etl_world_banks_with_python_and_postgresql_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_DEBUG_ASSERTS", "1")
+    bad = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (2, 3)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="not a distinct canonical"):
+        triangle_counts(bad, assume_canonical=True).collect()
+    good = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    got = {
+        (r["node"], r["n_triangles"])
+        for r in triangle_counts(good, assume_canonical=True).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_release_staged_clears_blocks(spark):
+    """ADVICE r15 #3: release_staged drops both persist-mode cache
+    entries and localCheckpoint blocks (the session-level bound for
+    persist-mode staging's lifetime)."""
+    from etl_world_banks_with_python_and_postgresql_spark.functions.staging import (
+        release_staged,
+        staged,
+    )
+
+    a = staged(spark.range(100), mode="persist")
+    a.count()
+    b = staged(spark.range(50), mode="eager")
+    b.count()
+    jsc = spark.sparkContext._jsc.sc()  # noqa: SLF001
+    assert jsc.getPersistentRDDs().size() > 0
+    release_staged(spark)
+    assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_snapshot_footer_stats_match_spark(spark, tmp_path):
+    """r16 pipeline fixed-cost cut: footer-derived row count and id
+    high-water mark must equal the Spark aggregates they replace."""
+    from etl_world_banks_with_python_and_postgresql_spark.sources import sinks
+
+    df = spark.createDataFrame(
+        [(i + 7, f"n{i}") for i in range(123)], "some_id long, name string"
+    )
+    path = str(tmp_path / "snap")
+    sinks.write_snapshot(df, path, target_files=3)
+    assert sinks.snapshot_row_count(path) == spark.read.parquet(path).count()
+    assert (
+        sinks.snapshot_column_max(path, "some_id")
+        == spark.read.parquet(path).agg(F.max("some_id")).collect()[0][0]
+    )
+    # missing snapshot: the empty-target conventions (0 rows, max id 0)
+    assert sinks.snapshot_row_count(str(tmp_path / "nope")) == 0
+    assert sinks.snapshot_column_max(str(tmp_path / "nope"), "some_id") == 0
+    # non-integer column: degrade to None (caller falls back to the scan)
+    assert sinks.snapshot_column_max(path, "name") is None
+    assert sinks.snapshot_column_max(path, "absent") is None
