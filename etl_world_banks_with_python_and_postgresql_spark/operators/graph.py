@@ -469,18 +469,26 @@ def connected_components(
     # singleton -- the pre-r15 form (edges.filter(src == dst)) dropped
     # NULL-endpoint edges entirely, and that is the pinned semantics
     # (tests/test_advice_fixes.py::test_cc_null_endpoint_edges_dropped).
+    # r16 (VERDICT r15 #4): distinct BEFORE the stage. The r15 form
+    # staged the canonical pairs UNFILTERED (|E| rows incl. duplicates)
+    # and ran distinct after -- on a duplicate-heavy edge list that
+    # checkpoints strictly more blocks than needed. The distinct
+    # shuffle is paid either way (e0 needs it); moving it above the
+    # stage makes the ONE materialization |distinct(E)|-sized and the
+    # loop leg still reads blocks instead of re-running the caller's
+    # edge build. A/B on a 10x-parallel-edge synthetic + z147/z153 in
+    # PERF.md (r16 section).
     pairs = staged(
         edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
         )
-    )
-    e0 = (
-        pairs.filter(F.col("a") < F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
+    # already distinct: the a < b filter is a narrow op over the staged
+    # blocks, so e0 needs no second materialization of its own
+    e0 = pairs.filter(F.col("a") < F.col("b"))
     # node universe must include nodes seen ONLY in self-loop edges
     # (dropped from e0 by the a < b filter)
     loops = pairs.filter(F.col("a") == F.col("b")).select(
