@@ -20,6 +20,7 @@ Differences from the reference, all deliberate and documented:
 from __future__ import annotations
 
 import logging
+import os
 import uuid
 
 import pandas as pd
@@ -154,24 +155,24 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
         )
 
     # --- world_bank_data: SCD merge + deactivation pass ----------------------
-    log("Load", "merging world_bank_data")
-    banks_kw = dict(
-        keys=["bank_name"],
-        compare_col="market_cap_usd",
-        set_cols=["market_cap_usd", "last_modified_date"],
-        batch_id=cfg.batch_id,
-        table_name="world_bank_data",
-        now=now,
-    )
-    if cfg.incremental:
-        banks_table = IncrementalTable(
-            banks_path, id_col="world_bank_id", compact_after=cfg.compact_after
+    def banks_leg():
+        banks_kw = dict(
+            keys=["bank_name"],
+            compare_col="market_cap_usd",
+            set_cols=["market_cap_usd", "last_modified_date"],
+            batch_id=cfg.batch_id,
+            table_name="world_bank_data",
+            now=now,
         )
-        banks_res = banks_table.merge_batch(
-            spark, schemas.WORLD_BANK_DATA, banks_batch, **banks_kw
-        )
-        banks_counters_row = banks_res.counters.collect()[0]
-    else:
+        if cfg.incremental:
+            banks_table = IncrementalTable(
+                banks_path, id_col="world_bank_id", compact_after=cfg.compact_after
+            )
+            banks_res = banks_table.merge_batch(
+                spark, schemas.WORLD_BANK_DATA, banks_batch, **banks_kw
+            )
+            banks_counters_row = banks_res.counters.collect()[0]
+            return banks_res, banks_counters_row, banks_table
         banks_target = sinks.read_snapshot(spark, banks_path, schemas.WORLD_BANK_DATA)
         # materialize_actions: audit outputs must survive the snapshot swap
         # below -- their lazy plans would read the old snapshot files, which
@@ -201,56 +202,91 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> PipelineResult:
         sinks.write_snapshot(new_banks, banks_path, target_files=4)
         # re-root the returned target at the committed snapshot, not the
         # pre-swap lineage
-        banks_res.target = sinks.read_snapshot(spark, banks_path, schemas.WORLD_BANK_DATA)
+        banks_res.target = sinks.read_snapshot(
+            spark, banks_path, schemas.WORLD_BANK_DATA
+        )
+        return banks_res, banks_counters_row, None
 
     # --- exchanges_rates: flat 3-way merge -----------------------------------
+    def rates_leg():
+        rates_kw = dict(
+            keys=["country", "currency", "year"],
+            compare_col="exchange_rate",
+            set_cols=["exchange_rate"],
+            batch_id=cfg.batch_id,
+            table_name="exchanges_rates",
+            now=now,
+            scd=False,
+        )
+        rates_target = None
+        if cfg.incremental:
+            rates_table = IncrementalTable(
+                rates_path, id_col="exchange_rate_id", compact_after=cfg.compact_after
+            )
+            rates_res = rates_table.merge_batch(
+                spark, schemas.EXCHANGES_RATES, rates_batch, **rates_kw
+            )
+        else:
+            rates_table = None
+            rates_target = sinks.read_snapshot(
+                spark, rates_path, schemas.EXCHANGES_RATES
+            )
+            # same pre-swap materialization as the banks path above
+            rates_res = merge_scd(
+                rates_target, rates_batch, id_col="exchange_rate_id",
+                materialize_actions=True,
+                # footer-stat high-water mark, same as the banks leg
+                max_id=sinks.snapshot_column_max(rates_path, "exchange_rate_id"),
+                **rates_kw
+            )
+            rates_res.changed = rates_res.changed.localCheckpoint(eager=True)
+        rates_target_new = rates_res.target
+        if cfg.compat_rates_update_bug:
+            # reference behavior: the update branch aborts per-row (sql:210
+            # `update_at` typo + EXCEPTION sql:244-247) -- changed rows keep
+            # old values; reproduce by restoring the pre-merge rows for
+            # 'update' keys
+            upd_keys = rates_res.actions.filter(
+                F.col("action") == "update"
+            ).select("country", "currency", "year")
+            keep = rates_target_new.join(
+                upd_keys, ["country", "currency", "year"], "left_anti"
+            )
+            reverted = rates_target.join(
+                F.broadcast(upd_keys), ["country", "currency", "year"], "left_semi"
+            )
+            rates_target_new = keep.unionByName(reverted)
+        rates_counters_row = rates_res.counters.collect()[0]
+        if not cfg.incremental:
+            sinks.write_snapshot(rates_target_new, rates_path, target_files=4)
+            rates_res.target = sinks.read_snapshot(
+                spark, rates_path, schemas.EXCHANGES_RATES
+            )
+        return rates_res, rates_counters_row, rates_table
+
+    # The two table legs share no state until the audit (separate target
+    # dirs, separate counters, no session-conf mutation anywhere in the
+    # merge path), so they run as two concurrent driver-submitted jobs
+    # (guide §2.6): the rates leg's tasks back-fill executor slots the
+    # banks leg's stage tails leave idle. Each leg's own job chain is
+    # unchanged -- results, counters and committed files are byte-for-byte
+    # the serial ones, and an exception in either leg propagates from
+    # .result() exactly as it did inline (fail-loud).
+    # SPARK_GRAFT_PIPELINE_SERIAL=1 restores the serial order (A/B +
+    # debugging; also exercised by the pipeline tests both ways).
+    log("Load", "merging world_bank_data")
     log("Load", "merging exchanges_rates")
-    rates_kw = dict(
-        keys=["country", "currency", "year"],
-        compare_col="exchange_rate",
-        set_cols=["exchange_rate"],
-        batch_id=cfg.batch_id,
-        table_name="exchanges_rates",
-        now=now,
-        scd=False,
-    )
-    if cfg.incremental:
-        rates_table = IncrementalTable(
-            rates_path, id_col="exchange_rate_id", compact_after=cfg.compact_after
-        )
-        rates_res = rates_table.merge_batch(
-            spark, schemas.EXCHANGES_RATES, rates_batch, **rates_kw
-        )
+    if os.environ.get("SPARK_GRAFT_PIPELINE_SERIAL") == "1":
+        banks_res, banks_counters_row, banks_table = banks_leg()
+        rates_res, rates_counters_row, rates_table = rates_leg()
     else:
-        rates_target = sinks.read_snapshot(spark, rates_path, schemas.EXCHANGES_RATES)
-        # same pre-swap materialization as the banks path above
-        rates_res = merge_scd(
-            rates_target, rates_batch, id_col="exchange_rate_id",
-            materialize_actions=True,
-            # footer-stat high-water mark, same as the banks leg
-            max_id=sinks.snapshot_column_max(rates_path, "exchange_rate_id"),
-            **rates_kw
-        )
-        rates_res.changed = rates_res.changed.localCheckpoint(eager=True)
-    rates_target_new = rates_res.target
-    if cfg.compat_rates_update_bug:
-        # reference behavior: the update branch aborts per-row (sql:210
-        # `update_at` typo + EXCEPTION sql:244-247) -- changed rows keep old
-        # values; reproduce by restoring the pre-merge rows for 'update' keys
-        upd_keys = rates_res.actions.filter(F.col("action") == "update").select(
-            "country", "currency", "year"
-        )
-        keep = rates_target_new.join(
-            upd_keys, ["country", "currency", "year"], "left_anti"
-        )
-        reverted = rates_target.join(
-            F.broadcast(upd_keys), ["country", "currency", "year"], "left_semi"
-        )
-        rates_target_new = keep.unionByName(reverted)
-    rates_counters_row = rates_res.counters.collect()[0]
-    if not cfg.incremental:
-        sinks.write_snapshot(rates_target_new, rates_path, target_files=4)
-        rates_res.target = sinks.read_snapshot(spark, rates_path, schemas.EXCHANGES_RATES)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            banks_fut = pool.submit(banks_leg)
+            rates_fut = pool.submit(rates_leg)
+            banks_res, banks_counters_row, banks_table = banks_fut.result()
+            rates_res, rates_counters_row, rates_table = rates_fut.result()
 
     # --- audit: counters + summary + process_logs ----------------------------
     log("Audit", "writing counters and summary")

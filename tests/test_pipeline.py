@@ -250,3 +250,52 @@ def test_html_datasource_requires_columns(spark):
 
     with _pytest.raises(Exception, match="columns"):
         spark.read.format("htmltable").load("/nonexistent.html").collect()
+
+
+def test_parallel_legs_match_serial_byte_for_byte(
+    spark, sources, tmp_path, monkeypatch
+):
+    """r16 guide-2.6 overlap: the two table legs run concurrently by
+    default. Committed snapshots, counters, summary lines and process
+    logs must be IDENTICAL to the serial order (the legs share no state
+    until the audit)."""
+    banks_src, rates_src, _ = sources
+
+    def run_twice(mode_env, warehouse):
+        if mode_env:
+            monkeypatch.setenv("SPARK_GRAFT_PIPELINE_SERIAL", "1")
+        else:
+            monkeypatch.delenv("SPARK_GRAFT_PIPELINE_SERIAL", raising=False)
+        outs = []
+        for i, ts in ((1, datetime(2024, 8, 1, 6, 27, 14)),
+                      (2, datetime(2024, 8, 2, 6, 27, 14))):
+            cfg = PipelineConfig(
+                banks_source=banks_src,
+                rates_source=rates_src,
+                target_dir=warehouse,
+                batch_id=f"run-{i}",
+                now=ts,
+            )
+            outs.append(run_pipeline(spark, cfg))
+        return outs
+
+    w_par = str(tmp_path / "wh_par")
+    w_ser = str(tmp_path / "wh_ser")
+    res_par = run_twice(False, w_par)
+    res_ser = run_twice(True, w_ser)
+
+    for rp, rs in zip(res_par, res_ser):
+        assert counters(rp.banks) == counters(rs.banks)
+        assert counters(rp.rates) == counters(rs.rates)
+        assert rp.summary_lines == rs.summary_lines
+        assert [r[:2] for r in rp.log_rows] == [r[:2] for r in rs.log_rows]
+
+    for table in ("world_bank_data", "exchanges_rates",
+                  "log_counts", "process_logs"):
+        a = spark.read.parquet(f"{w_par}/{table}")
+        b = spark.read.parquet(f"{w_ser}/{table}")
+        cols = sorted(a.columns)
+        assert sorted(b.columns) == cols
+        ra = sorted(map(tuple, a.select(*cols).collect()))
+        rb = sorted(map(tuple, b.select(*cols).collect()))
+        assert ra == rb
