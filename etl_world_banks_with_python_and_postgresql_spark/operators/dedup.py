@@ -457,23 +457,26 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # r16 (guide §2.4, one pass instead of two): the label-update
+        # join already sees old and new label side by side, so the
+        # convergence test rides the SAME checkpointed pass as a
+        # boolean column -- the former separate new-vs-old label JOIN
+        # (a full extra shuffle + count job per round) is gone; the
+        # count is now a narrow filter over the checkpoint blocks.
+        new_label = F.least(
+            F.col("label"), F.coalesce("nbr_label", F.col("label"))
+        )
         new_labels = (
             labels.join(nbr, labels.node == nbr.src, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             sym.unpersist()
             out = labels.select(

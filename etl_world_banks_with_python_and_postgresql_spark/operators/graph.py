@@ -373,7 +373,13 @@ def triangle_estimate(
 
     # staged (VERDICT r14 #1): `kept` feeds both the edge count and the
     # exact triangle pass -- without staging the whole sample derivation
-    # re-runs per consumer (42 base scans measured at sf0.1)
+    # re-runs per consumer (42 base scans measured at sf0.1).
+    # (r16 NOTE: spelling the coin filter BEFORE the distinct -- to cut
+    # the dedup exchange's bytes by 1/denom, guide §2.3 -- was examined
+    # and is a no-op: the coin is a deterministic row-wise predicate,
+    # and Catalyst already pushes it below the distinct, all the way
+    # into the edge-build join condition; the before/after formatted
+    # plans are identical. Kept in the readable order.)
     kept = staged(
         e0.filter(coin).select(
             F.col("u").alias("src"), F.col("v").alias("dst")
