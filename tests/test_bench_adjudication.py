@@ -157,3 +157,42 @@ def test_registry_render_never_reads_mutable_artifact():
     )
     assert "BENCH_LAST_LOCAL" not in src
     assert "LOCAL_ARTIFACT" not in src
+
+
+# -- per-entry wall budget (VERDICT r15 #6) ---------------------------------
+
+# Entries allowed above the 5 s per-entry budget in the committed
+# quiet-box reference, each with a standing justification:
+#   z144_triangle_count      exact triangle count is O(|E|^1.5) by
+#                            construction; z166 (DOULION estimate) is the
+#                            documented cost-cliff alternative.
+#   z147_connected_components large-star/small-star fixpoint: O(log^2 n)
+#                            rounds x (2 aggregates + 2 joins + lineage
+#                            cut) is the 100 TB CC recipe; per-round job
+#                            constants dominate at sf0.1.
+#   pipeline_e2e_2runs       TWO full ETL runs (cold + warm merge) with
+#                            contractual materialization/commit points.
+BUDGET_SECONDS = 5.0
+BUDGET_ALLOWLIST = {
+    "z144_triangle_count",
+    "z147_connected_components",
+    "pipeline_e2e_2runs",
+}
+
+
+def test_per_entry_budget_over_5s_requires_allowlist():
+    """Every entry above 5 s in REGISTRY_BENCH.json must carry a
+    documented justification here -- silent suite creep fails loudly."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "REGISTRY_BENCH.json")) as f:
+        snap = json.load(f)
+    over = {
+        n: s
+        for n, s in snap["queries"].items()
+        if s > BUDGET_SECONDS and n not in BUDGET_ALLOWLIST
+    }
+    assert not over, (
+        f"entries over the {BUDGET_SECONDS}s per-entry budget without an "
+        f"allowlist justification: {over} -- optimize them or add a "
+        "justified allowlist row"
+    )
