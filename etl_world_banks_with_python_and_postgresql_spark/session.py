@@ -61,6 +61,30 @@ def get_spark(
         # (The r5-era 8g-vs-24g finding predates the ParallelGC switch;
         # G1 at 24g full-GC'd, ParallelGC does not.)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # r16: let AQE rewrite a sort-merge join to a shuffled-hash join
+        # at RUNTIME when every post-shuffle partition of the build side
+        # is under this bound (guide §3.1 -- default 0 keeps the rewrite
+        # off). The decision uses ACTUAL partition sizes, not estimates,
+        # so the build memory is bounded by construction and oversized
+        # partitions at cluster scale simply keep their sort-merge plan
+        # -- nothing here assumes local[32]. Full-suite A/B on a quiet
+        # box (140 entries, sf0.1, min/2): 143.98 s -> 130.14 s, geomean
+        # per-entry 0.920, biggest win the sort-heavy self-join entries
+        # (z144 6.68 -> 4.32 isolated 6.91 -> 4.75), worst regression
+        # +0.17 s on sub-second entries. The planner-level alternative
+        # (spark.sql.join.preferSortMergeJoin=false) was A/B'd too and
+        # captured the same z144 win but relies on size ESTIMATES, so
+        # only the runtime-guarded rewrite is adopted.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"),
+        )
+        # A/B knob only (default = Spark's own default); kept for
+        # cluster experiments
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
+        )
     )
     # Driver JVM flags, applied only at JVM launch -- parameterized so a
     # cluster deployment sets its own (SPARK_GRAFT_DRIVER_JAVA_OPTS="" to
